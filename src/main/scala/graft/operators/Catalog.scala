@@ -1,0 +1,107 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Catalog / dimension queries: product search, per-store listings,
+  * distinct dimensions, global stats.
+  *
+  * Reference semantics:
+  *   - reference/salim/app/server/routes/products.py:20 `search_products`
+  *     (name ILIKE + category/brand equality + price range + pagination),
+  *   - supermarkets.py:39 `get_supermarket_products` (per-store filtered
+  *     listing with pagination),
+  *   - utils.py:12/24 `get_categories`/`get_brands` (DISTINCT dims),
+  *   - utils.py:35 `get_stats` (global counts, promo share, avg price).
+  *
+  * Mapping: product catalog = `part` (p_type = category, p_brand = brand),
+  * store dim = `supplier` (+ nation/region geo).
+  *
+  * Scale posture: all filters are sargable and reach the parquet scan;
+  * pagination is deterministic (sort on unique key before limit/offset);
+  * the store-products join broadcasts the `part` dimension; DISTINCT on a
+  * low-cardinality column is a partial-agg shuffle of a few bytes.
+  */
+object Catalog {
+  private val money = DecimalType(18, 2)
+  private val pct = DecimalType(18, 1)
+
+  /** Multi-filter product search with deterministic pagination. */
+  def searchProducts(
+      part: DataFrame,
+      nameContains: Option[String] = None,
+      category: Option[String] = None,
+      brand: Option[String] = None,
+      minSize: Option[Int] = None,
+      maxSize: Option[Int] = None,
+      minPrice: Option[Double] = None,
+      maxPrice: Option[Double] = None,
+      limit: Int = 100,
+      offset: Int = 0): DataFrame = {
+    var df = part
+    nameContains.foreach(q => df = df.filter(lower(col("p_name")).contains(q.toLowerCase)))
+    category.foreach(c => df = df.filter(col("p_type") === c))
+    brand.foreach(b => df = df.filter(lower(col("p_brand")).contains(b.toLowerCase)))
+    minSize.foreach(s => df = df.filter(col("p_size") >= s))
+    maxSize.foreach(s => df = df.filter(col("p_size") <= s))
+    minPrice.foreach(p => df = df.filter(col("p_retailprice") >= p))
+    maxPrice.foreach(p => df = df.filter(col("p_retailprice") <= p))
+    df.select(col("p_partkey"), col("p_name"), col("p_brand"), col("p_type"),
+        col("p_size"), round(col("p_retailprice"), 2).cast(money).as("retail_price"))
+      .orderBy("p_partkey")
+      .offset(offset)
+      .limit(limit)
+  }
+
+  /** Products offered by one store with their best observed price
+    * (supermarkets.py get_supermarket_products). `part` is broadcast. */
+  def storeProducts(
+      li: DataFrame,
+      part: DataFrame,
+      suppkey: Long,
+      category: Option[String] = None,
+      limit: Int = 100): DataFrame = {
+    val dim = category.fold(part)(c => part.filter(col("p_type") === c))
+    li.filter(col("l_suppkey") === suppkey)
+      .join(broadcast(dim), col("l_partkey") === col("p_partkey"))
+      .groupBy("p_partkey", "p_name", "p_brand", "p_type")
+      .agg(
+        round(min(Pricing.effPrice), 2).cast(money).as("best_price"),
+        count(lit(1)).as("n_observations"))
+      .orderBy("p_partkey")
+      .limit(limit)
+  }
+
+  /** DISTINCT product categories (utils.py get_categories). */
+  def distinctCategories(part: DataFrame): DataFrame =
+    part.select(col("p_type").as("category")).distinct().orderBy("category")
+
+  /** DISTINCT brands (utils.py get_brands). */
+  def distinctBrands(part: DataFrame): DataFrame =
+    part.select(col("p_brand").as("brand")).distinct().orderBy("brand")
+
+  /** Global scalar stats (utils.py get_stats): totals, promo share, avg
+    * price. Single full-scan aggregate with partial combine. */
+  def stats(li: DataFrame): DataFrame =
+    li.agg(
+        count(lit(1)).as("total_observations"),
+        countDistinct(col("l_suppkey")).as("total_stores"),
+        countDistinct(col("l_partkey")).as("total_products"),
+        count(when(col("l_discount") > 0, 1)).as("on_promo"),
+        round(avg("l_extendedprice"), 2).cast(money).as("avg_price"))
+      .withColumn("promo_percent",
+        round(col("on_promo") * 100.0 / col("total_observations"), 1).cast(pct))
+
+  /** Store dimension rollup: suppliers per region/nation with average
+    * account balance — broadcast snowflake joins (supermarkets listing). */
+  def storeDim(supplier: DataFrame, nation: DataFrame, region: DataFrame): DataFrame =
+    supplier
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name").as("region"), col("n_name").as("nation"))
+      .agg(
+        count(lit(1)).as("n_suppliers"),
+        round(avg("s_acctbal"), 2).cast(money).as("avg_acctbal"))
+      .orderBy("region", "nation")
+}

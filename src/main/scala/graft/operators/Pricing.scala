@@ -1,0 +1,143 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Price analytics over the observations fact table (`lineitem`).
+  *
+  * Reference semantics (WHAT, not HOW):
+  *   - reference/salim/app/server/routes/products.py:69 `get_lowest_prices`
+  *     (per-store min effective price + join-back + savings%),
+  *   - products.py:160 `get_products_by_barcode` (cross-store price
+  *     comparison for one product, sorted by effective price),
+  *   - products.py:222 `get_price_history` (time-ranged series + trend:
+  *     recent-half avg vs older-half avg, ±5% band),
+  *   - salim/app/server/routes/mcp.py:309 `handle_find_best_basket`
+  *     (stores carrying the whole basket, ranked by total effective price).
+  *
+  * Mapping: store = l_suppkey, product(barcode) = l_partkey,
+  * list price = l_extendedprice, effective (promo) price =
+  * l_extendedprice * (1 - l_discount), collected_at = l_shipdate.
+  *
+  * Scale posture: every operator is a single shuffle on a high-cardinality
+  * key (suppkey or partkey) with map-side partial aggregation; no
+  * driver-side loops; final tiny post-aggregation steps (global max for
+  * savings%) run as windows over the already-reduced result, not the fact
+  * table. Money outputs are rounded then cast to DECIMAL so results are
+  * bit-stable across engines and summation orders.
+  */
+object Pricing {
+  private val money = DecimalType(18, 2)
+  private val pct = DecimalType(18, 1)
+
+  /** Effective (promo-adjusted) price of an observation. */
+  def effPrice: Column = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+
+  private def ts(s: String): Column = lit(s).cast("timestamp")
+
+  /** Flagship rollup (TPC-H Q1 shape): per return-flag/status price and
+    * quantity summary — the "global stats" aggregate family. One shuffle,
+    * map-side combine, all codegen'd built-ins. */
+  def pricingSummary(li: DataFrame, cutoff: String = "2001-09-02"): DataFrame =
+    li.filter(col("l_shipdate") <= ts(cutoff))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        round(sum("l_quantity"), 2).cast(money).as("sum_qty"),
+        round(sum("l_extendedprice"), 2).cast(money).as("sum_base_price"),
+        round(sum(effPrice), 2).cast(money).as("sum_disc_price"),
+        round(sum(effPrice * (lit(1.0) + col("l_tax"))), 2).cast(money).as("sum_charge"),
+        round(avg("l_quantity"), 2).cast(money).as("avg_qty"),
+        round(avg("l_extendedprice"), 2).cast(money).as("avg_price"),
+        round(avg("l_discount"), 4).cast(DecimalType(18, 4)).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** Cross-store price comparison for a product set: per (product, store)
+    * best list/effective price, cheapest store first. */
+  def priceCompare(li: DataFrame, partKeys: Seq[Long]): DataFrame =
+    li.filter(col("l_partkey").isin(partKeys: _*))
+      .groupBy("l_partkey", "l_suppkey")
+      .agg(
+        round(min("l_extendedprice"), 2).cast(money).as("list_price"),
+        round(min(effPrice), 2).cast(money).as("effective_price"),
+        round(min("l_extendedprice") - min(effPrice), 2).cast(money).as("savings"),
+        count(lit(1)).as("n_observations"))
+      .orderBy(col("l_partkey"), col("effective_price"), col("l_suppkey"))
+
+  /** Per-store minimum effective price and the product(s) attaining it,
+    * with savings% vs the most expensive winning price. The global-max
+    * window runs over the |stores|-sized aggregate, never the fact table. */
+  def lowestPricePerStore(li: DataFrame): DataFrame = {
+    val eff = li.select(col("l_suppkey"), col("l_partkey"), effPrice.as("eff"))
+    val perStore = eff.groupBy("l_suppkey").agg(min("eff").as("min_eff"))
+    val winners = eff
+      .join(perStore, Seq("l_suppkey"))
+      .filter(col("eff") === col("min_eff"))
+      .select("l_suppkey", "l_partkey", "eff")
+      .distinct()
+    winners
+      .crossJoin(broadcast(winners.agg(max("eff").as("max_eff"))))
+      .select(
+        col("l_suppkey"),
+        col("l_partkey"),
+        round(col("eff"), 2).cast(money).as("effective_price"),
+        round((col("max_eff") - col("eff")) / col("max_eff") * 100, 1).cast(pct)
+          .as("savings_percent"))
+      .orderBy("l_suppkey", "l_partkey")
+  }
+
+  /** Time-ranged price series for one product across stores, newest
+    * first (products.py get_price_history). */
+  def priceHistory(li: DataFrame, partKey: Long, start: String, end: String): DataFrame =
+    li.filter(col("l_partkey") === partKey &&
+        col("l_shipdate") >= ts(start) && col("l_shipdate") <= ts(end))
+      .select(
+        col("l_partkey"), col("l_suppkey"),
+        col("l_shipdate").as("collected_at"),
+        round(col("l_extendedprice"), 2).cast(money).as("price"),
+        round(effPrice, 2).cast(money).as("effective_price"),
+        col("l_orderkey"), col("l_linenumber"))
+      .orderBy(col("collected_at").desc, col("l_orderkey"), col("l_linenumber"))
+
+  /** Per-product price trend: recent-window avg vs older avg, classified
+    * increasing/decreasing/stable with the reference's ±5% band. */
+  def priceTrend(li: DataFrame, split: String = "1999-06-01"): DataFrame = {
+    val recent = col("l_shipdate") >= ts(split)
+    li.groupBy("l_partkey")
+      .agg(
+        avg(when(recent, effPrice)).as("r_avg"),
+        avg(when(!recent, effPrice)).as("o_avg"))
+      .filter(col("r_avg").isNotNull && col("o_avg").isNotNull)
+      .select(
+        col("l_partkey"),
+        round(col("r_avg"), 2).cast(money).as("recent_avg"),
+        round(col("o_avg"), 2).cast(money).as("older_avg"),
+        when(col("r_avg") > col("o_avg") * 1.05, "increasing")
+          .when(col("r_avg") < col("o_avg") * 0.95, "decreasing")
+          .otherwise("stable").as("trend"))
+      .orderBy("l_partkey")
+  }
+
+  /** Best shopping basket (mcp.py find_best_basket): per store, the
+    * basket products it carries at their best effective price, ranked by
+    * coverage (stores carrying the whole basket first, generalizing the
+    * reference's complete-baskets-only filter to sparse data) then total
+    * price. Two cascaded aggregations on suppkey-dominant keys — AQE
+    * coalesces the second, already-tiny shuffle. */
+  def bestBasket(li: DataFrame, partKeys: Seq[Long], topN: Int = 10): DataFrame = {
+    val perStoreProduct = li
+      .filter(col("l_partkey").isin(partKeys: _*))
+      .groupBy("l_suppkey", "l_partkey")
+      .agg(min(effPrice).as("best_eff"), min(col("l_extendedprice")).as("best_list"))
+    perStoreProduct
+      .groupBy("l_suppkey")
+      .agg(
+        count(lit(1)).as("n_products"),
+        round(sum("best_eff"), 2).cast(money).as("total_price"),
+        round(sum(col("best_list") - col("best_eff")), 2).cast(money).as("total_savings"),
+        round(avg("best_eff"), 2).cast(money).as("avg_price_per_product"))
+      .orderBy(col("n_products").desc, col("total_price"), col("l_suppkey"))
+      .limit(topN)
+  }
+}

@@ -1,0 +1,117 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators._
+
+/** Section A (reference API surface) operator specs on sf0.001. */
+class CatalogQueriesSpec extends AnyFunSuite with SparkSessionTestBase {
+
+  test("q1_pricing_summary groups by flag/status and sums are positive") {
+    val df = Pricing.pricingSummary(Tables.lineitem(spark, sfDir))
+    val rows = df.collect()
+    assert(rows.length === 6) // 2 returnflags observed x linestatus combos
+    assert(rows.forall(_.getAs[java.math.BigDecimal]("sum_qty").signum > 0))
+    assert(df.columns.toSeq === Seq("l_returnflag", "l_linestatus", "sum_qty",
+      "sum_base_price", "sum_disc_price", "sum_charge", "avg_qty", "avg_price",
+      "avg_disc", "count_order"))
+  }
+
+  test("searchProducts applies every filter and paginates deterministically") {
+    val part = Tables.part(spark, sfDir)
+    val all = Catalog.searchProducts(part, nameContains = Some("red"),
+      category = Some("ECONOMY"), limit = 1000)
+    val rows = all.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getAs[String]("p_name").contains("red")))
+    assert(rows.forall(r => r.getAs[String]("p_type") == "ECONOMY"))
+    // pagination: page 2 of size 3 == rows 3..5 of the full sorted result
+    val page = Catalog.searchProducts(part, nameContains = Some("red"),
+      category = Some("ECONOMY"), limit = 3, offset = 3).collect()
+    assert(page.map(_.getLong(0)).toSeq === rows.slice(3, 6).map(_.getLong(0)).toSeq)
+  }
+
+  test("priceCompare sorts stores cheapest-first within each product") {
+    val df = Pricing.priceCompare(Tables.lineitem(spark, sfDir), Seq(25L, 125L))
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val prices = rs.map(_.getAs[java.math.BigDecimal]("effective_price").doubleValue)
+      assert(prices.sameElements(prices.sorted))
+    }
+  }
+
+  test("lowestPricePerStore yields one (or tied) winner rows per store") {
+    val li = Tables.lineitem(spark, sfDir)
+    val df = Pricing.lowestPricePerStore(li)
+    val rows = df.collect()
+    val nStores = li.select("l_suppkey").distinct().count()
+    assert(rows.map(_.getLong(0)).distinct.length === nStores)
+    // savings_percent of the most expensive winner is 0
+    assert(rows.exists(_.getAs[java.math.BigDecimal]("savings_percent").signum == 0))
+  }
+
+  test("priceHistory is newest-first and range-bounded") {
+    val df = Pricing.priceHistory(Tables.lineitem(spark, sfDir), 42L, "1996-01-01", "2001-12-31")
+    val ms = df.collect()
+      .map(_.getAs[java.time.LocalDateTime]("collected_at")
+        .toInstant(java.time.ZoneOffset.UTC).toEpochMilli)
+    assert(ms.nonEmpty)
+    assert(ms.zip(ms.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("priceTrend classifies within ±5% band as stable") {
+    val df = Pricing.priceTrend(Tables.lineitem(spark, sfDir))
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val recent = r.getAs[java.math.BigDecimal]("recent_avg").doubleValue
+      val older = r.getAs[java.math.BigDecimal]("older_avg").doubleValue
+      val trend = r.getAs[String]("trend")
+      if (recent > older * 1.06) assert(trend == "increasing")
+      if (recent < older * 0.94) assert(trend == "decreasing")
+    }
+  }
+
+  test("bestBasket ranks by coverage then total price") {
+    val df = Pricing.bestBasket(Tables.lineitem(spark, sfDir), Seq(3L, 42L, 77L, 256L))
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    val pairs = rows.map(r => (r.getAs[Long]("n_products"),
+      r.getAs[java.math.BigDecimal]("total_price").doubleValue))
+    assert(pairs.sameElements(pairs.sortBy { case (n, p) => (-n, p) }))
+  }
+
+  test("storeProducts restricts to the store and category") {
+    val df = Catalog.storeProducts(Tables.lineitem(spark, sfDir), Tables.part(spark, sfDir),
+      7L, Some("ECONOMY"))
+    val rows = df.collect()
+    assert(rows.forall(_.getAs[String]("p_type") == "ECONOMY"))
+  }
+
+  test("distinct dims and stats") {
+    val part = Tables.part(spark, sfDir)
+    assert(Catalog.distinctCategories(part).count() === 6)
+    assert(Catalog.distinctBrands(part).collect().map(_.getString(0)).forall(_.startsWith("Brand#")))
+    val st = Catalog.stats(Tables.lineitem(spark, sfDir)).collect().head
+    assert(st.getAs[Long]("total_observations") > 0)
+    assert(st.getAs[Long]("on_promo") <= st.getAs[Long]("total_observations"))
+  }
+
+  test("storeDim rolls suppliers up to region/nation") {
+    val df = Catalog.storeDim(Tables.supplier(spark, sfDir), Tables.nation(spark, sfDir),
+      Tables.region(spark, sfDir))
+    val rows = df.collect()
+    assert(rows.map(_.getAs[Long]("n_suppliers")).sum ===
+      Tables.supplier(spark, sfDir).count())
+  }
+
+  test("entry flagship returns rows on sf0.001") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every query name has either an oracle or is documented rows-only") {
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+  }
+}

@@ -1,0 +1,67 @@
+#!/usr/bin/env python3
+"""Local pre-validation mimicking the driver's correctness gate:
+run graft.Verify at a given SF, then execute each oracle_sql.json entry
+in DuckDB over the same parquet tables and compare (schema-insensitive:
+columns sorted by name, rows sorted, values rounded for floats).
+
+Usage: python3 tools/check_oracle.py [sfdir] [outdir]
+"""
+import json
+import sys
+import glob
+import duckdb
+import pandas as pd
+
+sfdir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+outdir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+
+con = duckdb.connect()
+for p in glob.glob(f"{sfdir}/*.parquet"):
+    name = p.split("/")[-1].replace(".parquet", "")
+    con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{p}'")
+
+oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+fails = []
+for name, sql in sorted(oracle.items()):
+    res_dir = f"{outdir}/{name}"
+    try:
+        got = con.execute(f"SELECT * FROM '{res_dir}/*.parquet'").df()
+    except Exception as e:
+        fails.append(name)
+        print(f"FAIL {name}: cannot read spark result: {e}")
+        continue
+    try:
+        exp = con.execute(sql).df()
+    except Exception as e:
+        fails.append(name)
+        print(f"FAIL {name}: oracle sql error: {e}")
+        continue
+
+    def norm(df):
+        df = df.reindex(sorted(df.columns), axis=1)
+        for c in df.columns:
+            if df[c].dtype == "float64":
+                df[c] = df[c].round(6)
+            # decimals arrive as object; stringify for stable compare
+            df[c] = df[c].astype(str)
+        return df.sort_values(by=list(df.columns)).reset_index(drop=True)
+
+    g, e = norm(got), norm(exp)
+    if list(g.columns) != list(e.columns):
+        fails.append(name)
+        print(f"FAIL {name}: columns spark={list(g.columns)} oracle={list(e.columns)}")
+    elif len(g) != len(e):
+        fails.append(name)
+        print(f"FAIL {name}: rows spark={len(g)} oracle={len(e)}")
+    elif not g.equals(e):
+        fails.append(name)
+        diff = (g != e).any(axis=1)
+        print(f"FAIL {name}: value mismatch on {diff.sum()} rows; first:")
+        idx = diff[diff].index[0]
+        print("  spark :", g.loc[idx].to_dict())
+        print("  oracle:", e.loc[idx].to_dict())
+    else:
+        print(f"OK   {name} ({len(g)} rows)")
+
+print(f"\n{len(oracle) - len(fails)}/{len(oracle)} queries match")
+sys.exit(1 if fails else 0)
