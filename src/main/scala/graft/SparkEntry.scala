@@ -44,36 +44,62 @@ object SparkEntry {
     "q_stats" -> ((s, d) => Catalog.stats(Tables.lineitem(s, d))),
     "q_store_dim" -> ((s, d) =>
       Catalog.storeDim(Tables.supplier(s, d), Tables.nation(s, d), Tables.region(s, d))),
+    // Section B — ETL / transform stages
+    "q_ingest_normalize" -> ((s, d) => Etl.normalizeEvents(Tables.events(s, d))),
+    "q_dedup_exact" -> ((s, d) => Etl.dedupExactReplay(Tables.lineitem(s, d))),
+    "q_latest_per_key" -> ((s, d) => Etl.latestPerKey(Tables.lineitem(s, d))),
+    "q_scd_price_changes" -> ((s, d) => Etl.priceChanges(Tables.lineitem(s, d))),
+    "q_sessionize" -> ((s, d) => Etl.sessionize(Tables.events(s, d))),
+    "q_event_windows" -> ((s, d) => Etl.eventWindows(Tables.events(s, d))),
+    "q_ingest_stores_xml" -> ((s, _) =>
+      graft.sources.RawIngest.storesFromXml(s,
+        "/root/reference/StoresFull7290700100008-000-000-20250821-002217")),
   )
 
   private val eff = "l_extendedprice*(1-l_discount)"
+  /** DuckDB mirror of Spark's round(<double expr>, s): Spark (codegen)
+    * rounds the double's SHORTEST DECIMAL REPRESENTATION
+    * (BigDecimal.valueOf semantics), so 133.0149999999999986 rounds as
+    * "133.015" → 133.02 while 141.73499999999967 rounds down. DuckDB's
+    * VARCHAR cast of a double is the same shortest repr, so snapping
+    * through VARCHAR → DECIMAL then half-away rounding is bit-identical
+    * to Spark for all magnitudes in this schema. */
+  private def dr(e: String, s: Int) =
+    s"round(CAST(CAST($e AS VARCHAR) AS DECIMAL(38,18)),$s)"
+  private def m(e: String, s: Int = 2) = s"CAST(${dr(e, s)} AS DECIMAL(18,$s))"
+  /** Mirror of StableStats.stableSum. */
+  private def sSum(c: String, e: Int, o: Int = 2) =
+    s"CAST(round(${dr(s"sum($c)", e)},$o) AS DECIMAL(18,$o))"
+  /** Mirror of StableStats.stableAvg. */
+  private def sAvg(c: String, e: Int, o: Int = 2) =
+    s"CAST(${dr(s"CAST(${dr(s"sum($c)", e)} AS DOUBLE)/count($c)", o)} AS DECIMAL(18,$o))"
 
   def oracleSql: Map[String, String] = Map(
     "q1_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,
-         | CAST(round(sum(l_quantity),2) AS DECIMAL(18,2)) AS sum_qty,
-         | CAST(round(sum(l_extendedprice),2) AS DECIMAL(18,2)) AS sum_base_price,
-         | CAST(round(sum($eff),2) AS DECIMAL(18,2)) AS sum_disc_price,
-         | CAST(round(sum($eff*(1+l_tax)),2) AS DECIMAL(18,2)) AS sum_charge,
-         | CAST(round(avg(l_quantity),2) AS DECIMAL(18,2)) AS avg_qty,
-         | CAST(round(avg(l_extendedprice),2) AS DECIMAL(18,2)) AS avg_price,
-         | CAST(round(avg(l_discount),4) AS DECIMAL(18,4)) AS avg_disc,
+         | ${sSum("l_quantity", 2)} AS sum_qty,
+         | ${sSum("l_extendedprice", 2)} AS sum_base_price,
+         | ${sSum(eff, 4)} AS sum_disc_price,
+         | ${sSum(s"$eff*(1+l_tax)", 6)} AS sum_charge,
+         | ${sAvg("l_quantity", 2)} AS avg_qty,
+         | ${sAvg("l_extendedprice", 2)} AS avg_price,
+         | ${sAvg("l_discount", 2, 4)} AS avg_disc,
          | count(*) AS count_order
          |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2001-09-02'
          |GROUP BY l_returnflag, l_linestatus
          |ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "q_search_products" ->
-      """SELECT p_partkey, p_name, p_brand, p_type, p_size,
-        | CAST(round(p_retailprice,2) AS DECIMAL(18,2)) AS retail_price
-        |FROM part
-        |WHERE lower(p_name) LIKE '%red%' AND p_type = 'ECONOMY'
-        |  AND p_size BETWEEN 1 AND 40 AND p_retailprice BETWEEN 900.0 AND 1800.0
-        |ORDER BY p_partkey LIMIT 100 OFFSET 10""".stripMargin,
+      s"""SELECT p_partkey, p_name, p_brand, p_type, p_size,
+         | ${m("p_retailprice")} AS retail_price
+         |FROM part
+         |WHERE lower(p_name) LIKE '%red%' AND p_type = 'ECONOMY'
+         |  AND p_size BETWEEN 1 AND 40 AND p_retailprice BETWEEN 900.0 AND 1800.0
+         |ORDER BY p_partkey LIMIT 100 OFFSET 10""".stripMargin,
     "q_price_compare" ->
       s"""SELECT l_partkey, l_suppkey,
-         | CAST(round(min(l_extendedprice),2) AS DECIMAL(18,2)) AS list_price,
-         | CAST(round(min($eff),2) AS DECIMAL(18,2)) AS effective_price,
-         | CAST(round(min(l_extendedprice) - min($eff),2) AS DECIMAL(18,2)) AS savings,
+         | ${m("min(l_extendedprice)")} AS list_price,
+         | ${m(s"min($eff)")} AS effective_price,
+         | ${m(s"min(l_extendedprice) - min($eff)")} AS savings,
          | count(*) AS n_observations
          |FROM lineitem WHERE l_partkey IN (25,125,615,1111)
          |GROUP BY l_partkey, l_suppkey
@@ -84,13 +110,13 @@ object SparkEntry {
          |w AS (SELECT DISTINCT e.l_suppkey, e.l_partkey, e.eff
          |      FROM eff e JOIN m ON e.l_suppkey = m.l_suppkey AND e.eff = m.min_eff)
          |SELECT l_suppkey, l_partkey,
-         | CAST(round(eff,2) AS DECIMAL(18,2)) AS effective_price,
-         | CAST(round((max(eff) OVER () - eff) / max(eff) OVER () * 100,1) AS DECIMAL(18,1)) AS savings_percent
+         | ${m("eff")} AS effective_price,
+         | ${"CAST(" + dr("(max(eff) OVER () - eff) / max(eff) OVER () * 100", 1) + " AS DECIMAL(18,1))"} AS savings_percent
          |FROM w ORDER BY l_suppkey, l_partkey""".stripMargin,
     "q_price_history" ->
       s"""SELECT l_partkey, l_suppkey, l_shipdate AS collected_at,
-         | CAST(round(l_extendedprice,2) AS DECIMAL(18,2)) AS price,
-         | CAST(round($eff,2) AS DECIMAL(18,2)) AS effective_price,
+         | ${m("l_extendedprice")} AS price,
+         | ${m(eff)} AS effective_price,
          | l_orderkey, l_linenumber
          |FROM lineitem
          |WHERE l_partkey = 42 AND l_shipdate >= TIMESTAMP '1996-01-01'
@@ -98,12 +124,14 @@ object SparkEntry {
          |ORDER BY collected_at DESC, l_orderkey, l_linenumber""".stripMargin,
     "q_price_trend" ->
       s"""WITH t AS (SELECT l_partkey,
-         |  avg(CASE WHEN l_shipdate >= TIMESTAMP '1999-06-01' THEN $eff END) AS r_avg,
-         |  avg(CASE WHEN l_shipdate < TIMESTAMP '1999-06-01' THEN $eff END) AS o_avg
+         |  CAST(${dr(s"sum(CASE WHEN l_shipdate >= TIMESTAMP '1999-06-01' THEN $eff END)", 4)} AS DOUBLE)
+         |    / count(CASE WHEN l_shipdate >= TIMESTAMP '1999-06-01' THEN $eff END) AS r_avg,
+         |  CAST(${dr(s"sum(CASE WHEN l_shipdate < TIMESTAMP '1999-06-01' THEN $eff END)", 4)} AS DOUBLE)
+         |    / count(CASE WHEN l_shipdate < TIMESTAMP '1999-06-01' THEN $eff END) AS o_avg
          | FROM lineitem GROUP BY l_partkey)
          |SELECT l_partkey,
-         | CAST(round(r_avg,2) AS DECIMAL(18,2)) AS recent_avg,
-         | CAST(round(o_avg,2) AS DECIMAL(18,2)) AS older_avg,
+         | ${m("r_avg")} AS recent_avg,
+         | ${m("o_avg")} AS older_avg,
          | CASE WHEN r_avg > o_avg*1.05 THEN 'increasing'
          |      WHEN r_avg < o_avg*0.95 THEN 'decreasing'
          |      ELSE 'stable' END AS trend
@@ -115,14 +143,14 @@ object SparkEntry {
          | FROM lineitem WHERE l_partkey IN (3,42,77,256,512,999,1024,1500,1776,1999)
          | GROUP BY l_suppkey, l_partkey)
          |SELECT l_suppkey, count(*) AS n_products,
-         | CAST(round(sum(best_eff),2) AS DECIMAL(18,2)) AS total_price,
-         | CAST(round(sum(best_list - best_eff),2) AS DECIMAL(18,2)) AS total_savings,
-         | CAST(round(avg(best_eff),2) AS DECIMAL(18,2)) AS avg_price_per_product
+         | ${sSum("best_eff", 4)} AS total_price,
+         | ${sSum("best_list - best_eff", 4)} AS total_savings,
+         | ${sAvg("best_eff", 4)} AS avg_price_per_product
          |FROM pp GROUP BY l_suppkey
          |ORDER BY n_products DESC, total_price, l_suppkey LIMIT 10""".stripMargin,
     "q_store_products" ->
       s"""SELECT p_partkey, p_name, p_brand, p_type,
-         | CAST(round(min($eff),2) AS DECIMAL(18,2)) AS best_price,
+         | ${m(s"min($eff)")} AS best_price,
          | count(*) AS n_observations
          |FROM lineitem JOIN part ON l_partkey = p_partkey
          |WHERE l_suppkey = 7 AND p_type = 'ECONOMY'
@@ -133,20 +161,73 @@ object SparkEntry {
     "q_distinct_brands" ->
       "SELECT DISTINCT p_brand AS brand FROM part ORDER BY brand",
     "q_stats" ->
-      """SELECT count(*) AS total_observations,
-        | count(DISTINCT l_suppkey) AS total_stores,
-        | count(DISTINCT l_partkey) AS total_products,
-        | count(CASE WHEN l_discount > 0 THEN 1 END) AS on_promo,
-        | CAST(round(avg(l_extendedprice),2) AS DECIMAL(18,2)) AS avg_price,
-        | CAST(round(count(CASE WHEN l_discount > 0 THEN 1 END) * 100.0 / count(*),1) AS DECIMAL(18,1)) AS promo_percent
-        |FROM lineitem""".stripMargin,
+      s"""SELECT count(*) AS total_observations,
+         | count(DISTINCT l_suppkey) AS total_stores,
+         | count(DISTINCT l_partkey) AS total_products,
+         | count(CASE WHEN l_discount > 0 THEN 1 END) AS on_promo,
+         | ${sAvg("l_extendedprice", 2)} AS avg_price,
+         | ${"CAST(" + dr("count(CASE WHEN l_discount > 0 THEN 1 END) * 100.0 / count(*)", 1) + " AS DECIMAL(18,1))"} AS promo_percent
+         |FROM lineitem""".stripMargin,
     "q_store_dim" ->
-      """SELECT r_name AS region, n_name AS nation, count(*) AS n_suppliers,
-        | CAST(round(avg(s_acctbal),2) AS DECIMAL(18,2)) AS avg_acctbal
-        |FROM supplier
-        |JOIN nation ON s_nationkey = n_nationkey
-        |JOIN region ON n_regionkey = r_regionkey
-        |GROUP BY r_name, n_name
-        |ORDER BY region, nation""".stripMargin,
+      s"""SELECT r_name AS region, n_name AS nation, count(*) AS n_suppliers,
+         | ${sAvg("s_acctbal", 2)} AS avg_acctbal
+         |FROM supplier
+         |JOIN nation ON s_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |GROUP BY r_name, n_name
+         |ORDER BY region, nation""".stripMargin,
+    "q_ingest_normalize" ->
+      s"""SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id,
+         | upper(trim(event_type)) AS event_type,
+         | ${m("value")} AS value,
+         | CAST(json_extract_string(props,'$$.k') AS INTEGER) AS prop_k
+         |FROM events ORDER BY event_id""".stripMargin,
+    "q_dedup_exact" ->
+      """SELECT count(*) AS n_rows_after_dedup FROM (
+        | SELECT DISTINCT * FROM (
+        |  SELECT * FROM lineitem UNION ALL SELECT * FROM lineitem))""".stripMargin,
+    "q_latest_per_key" ->
+      s"""SELECT l_suppkey, l_partkey, l_shipdate AS collected_at,
+         | ${m("l_extendedprice")} AS price
+         |FROM (SELECT *, row_number() OVER (PARTITION BY l_suppkey, l_partkey
+         |        ORDER BY l_shipdate DESC, l_orderkey DESC, l_linenumber DESC) AS rn
+         |      FROM lineitem)
+         |WHERE rn = 1 ORDER BY l_suppkey, l_partkey""".stripMargin,
+    "q_scd_price_changes" ->
+      s"""SELECT l_suppkey, l_partkey, l_shipdate AS changed_at, l_orderkey, l_linenumber,
+         | ${m("prev_price")} AS old_price,
+         | ${m("l_extendedprice")} AS new_price,
+         | ${m("l_extendedprice - prev_price")} AS delta
+         |FROM (SELECT *, lag(l_extendedprice) OVER (PARTITION BY l_suppkey, l_partkey
+         |        ORDER BY l_shipdate, l_orderkey, l_linenumber) AS prev_price
+         |      FROM lineitem)
+         |WHERE prev_price IS NOT NULL AND prev_price <> l_extendedprice
+         |ORDER BY l_suppkey, l_partkey, changed_at, l_orderkey, l_linenumber""".stripMargin,
+    "q_sessionize" ->
+      s"""WITH flagged AS (
+         | SELECT user_id, event_id, ts, value,
+         |  CASE WHEN lag(ts) OVER w IS NULL
+         |        OR ts > lag(ts) OVER w + INTERVAL '30 minutes' THEN 1 ELSE 0 END AS new_session
+         | FROM (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events)
+         | WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         |numbered AS (
+         | SELECT user_id, ts, value,
+         |  sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |    ROWS UNBOUNDED PRECEDING) AS session_seq
+         | FROM flagged)
+         |SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+         | CAST(min(ts) AS TIMESTAMP) AS session_start,
+         | CAST(max(ts) AS TIMESTAMP) AS session_end,
+         | count(*) AS n_events,
+         | ${sSum("value", 2)} AS total_value
+         |FROM numbered GROUP BY user_id, session_seq
+         |ORDER BY user_id, session_seq""".stripMargin,
+    "q_event_windows" ->
+      s"""SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start, event_type,
+         | count(*) AS n_events,
+         | ${sSum("value", 2)} AS total_value,
+         | ${sAvg("value", 2)} AS avg_value
+         |FROM events GROUP BY window_start, event_type
+         |ORDER BY window_start, event_type""".stripMargin,
   )
 }

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Parquet table loaders for the star schema.
   *
@@ -22,7 +23,16 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "part")
   def orders(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "lineitem")
-  def events(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "events")
+  /** `events.ts` is INT64 TIMESTAMP(NANOS) parquet, which Spark's reader
+    * rejects outright. Read nanos as long (legacy conf) and convert to a
+    * microsecond TIMESTAMP_NTZ — the source values are µs-aligned, so no
+    * precision is lost. The conf only affects nanos columns. */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table(spark, dir, "events")
+      .withColumn("ts",
+        timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+  }
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
 }

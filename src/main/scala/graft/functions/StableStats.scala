@@ -1,0 +1,42 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Cross-engine bit-stable aggregate helpers.
+  *
+  * Naive `round(sum(x), 2)` / `round(avg(x), 2)` are NOT reproducible
+  * across engines when the true decimal value can land on a half-unit
+  * boundary: each engine accumulates in its own order, so the float it
+  * rounds sits an ulp above or below the boundary nondeterministically.
+  *
+  * The fix: first collapse the engine's sum with `round(sum(x),
+  * exactScale)` where `exactScale` is the number of decimals at which
+  * the TRUE sum is exact (quantities: 0-2, prices: 2, price*(1-disc):
+  * 4, charge with tax: 6). The true sum is never on a boundary at its
+  * own exact scale, so every engine lands on the identical nearest
+  * double. All further arithmetic (divide by count, scale to an output
+  * precision) is then deterministic IEEE math on identical inputs, and
+  * the final round behaves identically (Spark's HALF_UP and C++
+  * round() are both half-away-from-zero for the values involved).
+  *
+  * Oracle SQL must mirror the same shape, e.g.
+  * `round(round(sum(x), 4), 2)` / `round(round(sum(x), 4) / count(x), 2)`.
+  */
+object StableStats {
+  val money: DecimalType = DecimalType(18, 2)
+
+  /** Engine-stable sum: exact-scale inner round, then output round/cast. */
+  def stableSum(c: Column, exactScale: Int, outScale: Int = 2): Column =
+    round(round(sum(c), exactScale), outScale).cast(DecimalType(18, outScale))
+
+  /** Engine-stable mean, rounded to `outScale`, cast to DECIMAL. */
+  def stableAvg(c: Column, exactScale: Int, outScale: Int = 2): Column =
+    round(round(sum(c), exactScale) / count(c), outScale).cast(DecimalType(18, outScale))
+
+  /** Engine-stable mean as the raw deterministic double (for downstream
+    * comparisons that must agree with the oracle's identical expression). */
+  def stableAvgRaw(c: Column, exactScale: Int): Column =
+    round(sum(c), exactScale) / count(c)
+}

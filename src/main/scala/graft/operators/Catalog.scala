@@ -4,6 +4,8 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
+import graft.functions.StableStats
+
 /** Catalog / dimension queries: product search, per-store listings,
   * distinct dimensions, global stats.
   *
@@ -89,7 +91,7 @@ object Catalog {
         countDistinct(col("l_suppkey")).as("total_stores"),
         countDistinct(col("l_partkey")).as("total_products"),
         count(when(col("l_discount") > 0, 1)).as("on_promo"),
-        round(avg("l_extendedprice"), 2).cast(money).as("avg_price"))
+        StableStats.stableAvg(col("l_extendedprice"), 2).as("avg_price"))
       .withColumn("promo_percent",
         round(col("on_promo") * 100.0 / col("total_observations"), 1).cast(pct))
 
@@ -102,6 +104,6 @@ object Catalog {
       .groupBy(col("r_name").as("region"), col("n_name").as("nation"))
       .agg(
         count(lit(1)).as("n_suppliers"),
-        round(avg("s_acctbal"), 2).cast(money).as("avg_acctbal"))
+        StableStats.stableAvg(col("s_acctbal"), 2).as("avg_acctbal"))
       .orderBy("region", "nation")
 }

@@ -1,0 +1,119 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.functions.StableStats
+
+/** Pipeline transform stages: raw→typed normalization, idempotent
+  * dedup, upsert/latest-per-key, change detection, sessionization,
+  * micro-batch windowing.
+  *
+  * Reference semantics:
+  *   - reference/examples/docker-compose examples/rabbitmq-to-postgres/
+  *     app.py (typed casts, per-item normalization, idempotent load),
+  *   - reference/salim/tables.sql UNIQUE(supermarket_id, barcode,
+  *     collected_at) + "current price" reads → latest-per-key,
+  *   - price_update_date semantics → price-change detection,
+  *   - the queue consumer's batch windows → event windowing/sessions.
+  *
+  * Scale posture: normalization is a pure narrow map (no shuffle);
+  * dedup is one hash shuffle on the dedup key; latest-per-key and
+  * change detection are one window shuffle on the entity key with all
+  * downstream window ops reusing that partitioning; sessionization
+  * shuffles once on user_id. All expressions are codegen'd built-ins
+  * (JSON parse via get_json_object, no UDFs).
+  */
+object Etl {
+  private val money = DecimalType(18, 2)
+
+  /** Raw event normalization: trim/case-fold the type tag, round the
+    * measure, extract the typed payload field from the JSON props blob
+    * (the rabbitmq consumer's per-item transform). Narrow map only. */
+  def normalizeEvents(events: DataFrame): DataFrame =
+    events.select(
+      col("event_id"),
+      col("ts"),
+      col("user_id"),
+      upper(trim(col("event_type"))).as("event_type"),
+      round(col("value"), 2).cast(money).as("value"),
+      get_json_object(col("props"), "$.k").cast("int").as("prop_k"))
+      .orderBy("event_id")
+
+  /** Idempotent ingest: replaying the same feed must not duplicate rows
+    * (raw_hash semantics). Doubles the input, exact-dedups on the full
+    * row, and proves the count is restored. One hash shuffle. */
+  def dedupExactReplay(li: DataFrame): DataFrame =
+    li.unionAll(li).distinct().agg(count(lit(1)).as("n_rows_after_dedup"))
+
+  /** Upsert read: latest observation per (store, product) — the
+    * "current price" view over an append-only observation log. */
+  def latestPerKey(li: DataFrame): DataFrame = {
+    val w = Window.partitionBy("l_suppkey", "l_partkey")
+      .orderBy(col("l_shipdate").desc, col("l_orderkey").desc, col("l_linenumber").desc)
+    li.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(
+        col("l_suppkey"), col("l_partkey"),
+        col("l_shipdate").as("collected_at"),
+        round(col("l_extendedprice"), 2).cast(money).as("price"))
+      .orderBy("l_suppkey", "l_partkey")
+  }
+
+  /** Change detection: emit an observation when a (store, product)
+    * price differs from its previous observation (price_update_date
+    * semantics). Same single window shuffle as latestPerKey. */
+  def priceChanges(li: DataFrame): DataFrame = {
+    val w = Window.partitionBy("l_suppkey", "l_partkey")
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+    li.withColumn("prev_price", lag("l_extendedprice", 1).over(w))
+      .filter(col("prev_price").isNotNull && col("prev_price") =!= col("l_extendedprice"))
+      .select(
+        col("l_suppkey"), col("l_partkey"),
+        col("l_shipdate").as("changed_at"),
+        col("l_orderkey"), col("l_linenumber"),
+        round(col("prev_price"), 2).cast(money).as("old_price"),
+        round(col("l_extendedprice"), 2).cast(money).as("new_price"),
+        round(col("l_extendedprice") - col("prev_price"), 2).cast(money).as("delta"))
+      .orderBy("l_suppkey", "l_partkey", "changed_at", "l_orderkey", "l_linenumber")
+  }
+
+  /** Gap-based sessionization: a new session starts after `gapMinutes`
+    * of user inactivity. lag → flag → running sum → session rollup; one
+    * shuffle on user_id, both windows share it. */
+  def sessionize(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    val order = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val flagged = events
+      .withColumn("prev_ts", lag("ts", 1).over(order))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          col("ts") > col("prev_ts") + expr(s"INTERVAL $gapMinutes MINUTES"), 1)
+          .otherwise(0))
+    flagged
+      .withColumn("session_seq",
+        sum("new_session").over(order.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("user_id", "session_seq")
+      .agg(
+        min("ts").as("session_start"),
+        max("ts").as("session_end"),
+        count(lit(1)).as("n_events"),
+        round(sum("value"), 2).cast(money).as("total_value"))
+      .orderBy("user_id", "session_seq")
+  }
+
+  /** Tumbling-window event aggregation (batch twin of the streaming
+    * consumer; see graft.streaming.EventsStream for the readStream
+    * variant with a watermark). */
+  def eventWindows(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        StableStats.stableSum(col("value"), 2).as("total_value"),
+        StableStats.stableAvg(col("value"), 2).as("avg_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n_events"), col("total_value"), col("avg_value"))
+      .orderBy("window_start", "event_type")
+}

@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
+import graft.functions.StableStats
+
 /** Price analytics over the observations fact table (`lineitem`).
   *
   * Reference semantics (WHAT, not HOW):
@@ -43,13 +45,13 @@ object Pricing {
     li.filter(col("l_shipdate") <= ts(cutoff))
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
-        round(sum("l_quantity"), 2).cast(money).as("sum_qty"),
-        round(sum("l_extendedprice"), 2).cast(money).as("sum_base_price"),
-        round(sum(effPrice), 2).cast(money).as("sum_disc_price"),
-        round(sum(effPrice * (lit(1.0) + col("l_tax"))), 2).cast(money).as("sum_charge"),
-        round(avg("l_quantity"), 2).cast(money).as("avg_qty"),
-        round(avg("l_extendedprice"), 2).cast(money).as("avg_price"),
-        round(avg("l_discount"), 4).cast(DecimalType(18, 4)).as("avg_disc"),
+        StableStats.stableSum(col("l_quantity"), 2).as("sum_qty"),
+        StableStats.stableSum(col("l_extendedprice"), 2).as("sum_base_price"),
+        StableStats.stableSum(effPrice, 4).as("sum_disc_price"),
+        StableStats.stableSum(effPrice * (lit(1.0) + col("l_tax")), 6).as("sum_charge"),
+        StableStats.stableAvg(col("l_quantity"), 2).as("avg_qty"),
+        StableStats.stableAvg(col("l_extendedprice"), 2).as("avg_price"),
+        StableStats.stableAvg(col("l_discount"), 2, 4).as("avg_disc"),
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
 
@@ -106,8 +108,8 @@ object Pricing {
     val recent = col("l_shipdate") >= ts(split)
     li.groupBy("l_partkey")
       .agg(
-        avg(when(recent, effPrice)).as("r_avg"),
-        avg(when(!recent, effPrice)).as("o_avg"))
+        (round(sum(when(recent, effPrice)), 4) / count(when(recent, effPrice))).as("r_avg"),
+        (round(sum(when(!recent, effPrice)), 4) / count(when(!recent, effPrice))).as("o_avg"))
       .filter(col("r_avg").isNotNull && col("o_avg").isNotNull)
       .select(
         col("l_partkey"),
@@ -134,9 +136,9 @@ object Pricing {
       .groupBy("l_suppkey")
       .agg(
         count(lit(1)).as("n_products"),
-        round(sum("best_eff"), 2).cast(money).as("total_price"),
-        round(sum(col("best_list") - col("best_eff")), 2).cast(money).as("total_savings"),
-        round(avg("best_eff"), 2).cast(money).as("avg_price_per_product"))
+        StableStats.stableSum(col("best_eff"), 4).as("total_price"),
+        StableStats.stableSum(col("best_list") - col("best_eff"), 4).as("total_savings"),
+        StableStats.stableAvg(col("best_eff"), 4).as("avg_price_per_product"))
       .orderBy(col("n_products").desc, col("total_price"), col("l_suppkey"))
       .limit(topN)
   }

@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Etl
+import graft.sources.RawIngest
+
+/** Section B (ETL/transform) operator specs on sf0.001. */
+class EtlSpec extends AnyFunSuite with SparkSessionTestBase {
+
+  test("normalizeEvents types the JSON payload and case-folds the tag") {
+    val df = Etl.normalizeEvents(Tables.events(spark, sfDir))
+    val rows = df.limit(50).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getAs[String]("event_type") == r.getAs[String]("event_type").toUpperCase))
+    assert(rows.forall(r => !r.isNullAt(r.fieldIndex("prop_k"))))
+  }
+
+  test("dedupExactReplay restores the original row count after doubling") {
+    val li = Tables.lineitem(spark, sfDir)
+    val n = Etl.dedupExactReplay(li).collect().head.getLong(0)
+    assert(n === li.count())
+  }
+
+  test("latestPerKey yields exactly one row per observed (store, product)") {
+    val li = Tables.lineitem(spark, sfDir)
+    val df = Etl.latestPerKey(li)
+    val nPairs = li.select("l_suppkey", "l_partkey").distinct().count()
+    assert(df.count() === nPairs)
+  }
+
+  test("priceChanges only emits genuine changes") {
+    val df = Etl.priceChanges(Tables.lineitem(spark, sfDir))
+    val rows = df.limit(100).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getAs[java.math.BigDecimal]("old_price")
+      .compareTo(r.getAs[java.math.BigDecimal]("new_price")) != 0))
+  }
+
+  test("sessionize closes a session only after the gap") {
+    val df = Etl.sessionize(Tables.events(spark, sfDir), gapMinutes = 30)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    // sessions of one user are disjoint and ordered
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val spans = rs.sortBy(_.getLong(1)).map { r =>
+        (r.getAs[java.time.LocalDateTime]("session_start"),
+          r.getAs[java.time.LocalDateTime]("session_end"))
+      }
+      spans.foreach { case (s, e) => assert(!e.isBefore(s)) }
+      spans.zip(spans.tail).foreach { case ((_, e1), (s2, _)) =>
+        assert(java.time.Duration.between(e1, s2).toMinutes >= 30)
+      }
+    }
+  }
+
+  test("eventWindows partitions time into hour buckets") {
+    val df = Etl.eventWindows(Tables.events(spark, sfDir))
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[java.time.LocalDateTime]("window_start").getMinute == 0))
+    val total = rows.map(_.getAs[Long]("n_events")).sum
+    assert(total === Tables.events(spark, sfDir).count())
+  }
+
+  test("storesFromXml parses the price-transparency store file") {
+    val df = RawIngest.storesFromXml(spark,
+      "/root/reference/StoresFull7290700100008-000-000-20250821-002217")
+    val rows = df.collect()
+    assert(rows.length > 3)
+    assert(rows.forall(_.getAs[String]("chain_id") == "7290700100008"))
+    assert(rows.exists(_.getAs[String]("city") != null))
+    assert(rows.map(_.getAs[Long]("store_id")).distinct.length == rows.length)
+  }
+
+  test("priceItemsFromJson explodes and types the item feed") {
+    val fixture = java.nio.file.Files.createTempDirectory("items").toString
+    val json =
+      """{"Root": {"ChainId": "7290000000001", "StoreId": "042", "Items": {"Item": [
+        |  {"ItemCode": "100", "ItemName": " Milk 1L ", "ManufacturerName": "Tnuva",
+        |   "ItemPrice": "5.90", "UnitOfMeasurePrice": "5.90", "Quantity": "1.00",
+        |   "UnitQty": "l", "PriceUpdateDate": "2025-08-20 10:00:00", "ItemStatus": "1",
+        |   "IsWeighted": "0"},
+        |  {"ItemCode": "200", "ItemName": "Bread", "ManufacturerName": "Berman",
+        |   "ItemPrice": "8.10", "UnitOfMeasurePrice": "10.80", "Quantity": "0.75",
+        |   "UnitQty": "kg", "PriceUpdateDate": "2025-08-20 11:30:00", "ItemStatus": "1",
+        |   "IsWeighted": "1"}]}}}""".stripMargin
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$fixture/feed.json"), json)
+    val df = RawIngest.priceItemsFromJson(spark, fixture)
+    val rows = df.orderBy("item_code").collect()
+    assert(rows.length === 2)
+    assert(rows(0).getAs[String]("item_name") === "Milk 1L") // trimmed
+    assert(rows(0).getAs[java.math.BigDecimal]("item_price").doubleValue === 5.90)
+    assert(rows.map(_.getAs[String]("raw_hash")).distinct.length === 2)
+  }
+}

@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.EventsStream
+
+/** Structured Streaming specs: file-source stream driven synchronously
+  * via the memory sink, compared against the batch twin. */
+class StreamingSpec extends AnyFunSuite with SparkSessionTestBase {
+
+  test("windowedAgg over a stream matches the batch aggregation") {
+    // Stage the events parquet into a clean stream-source dir.
+    val dir = java.nio.file.Files.createTempDirectory("evstream").toString
+    Tables.events(spark, sfDir)
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .write.mode("overwrite").parquet(dir)
+
+    val q = EventsStream.windowedAgg(EventsStream.readEvents(spark, dir))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("win_out").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("win_out")
+      val batch = spark.read.parquet(dir)
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"))
+      assert(got.count() === batch.count())
+      assert(got.agg(sum("n_events")).collect().head.getLong(0) ===
+        spark.read.parquet(dir).count())
+    } finally q.stop()
+  }
+
+  test("sessionizeStream emits gap-closed sessions") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("sessstream").toString
+    Tables.events(spark, sfDir)
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .write.mode("overwrite").parquet(dir)
+
+    val stream = spark.readStream
+      .schema("event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE")
+      .parquet(dir)
+      .as[EventsStream.Event]
+    val q = EventsStream.sessionizeStream(stream)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sess_out").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("sess_out").collect()
+      // Sessions only close once the watermark passes; with a single
+      // micro-batch the open tail sessions stay in state, so we check
+      // shape, not total count.
+      got.foreach { r =>
+        assert(r.getAs[Long]("n_events") > 0)
+        assert(!r.getAs[java.sql.Timestamp]("session_end")
+          .before(r.getAs[java.sql.Timestamp]("session_start")))
+      }
+    } finally q.stop()
+  }
+}
