@@ -54,6 +54,23 @@ object SparkEntry {
     "q_ingest_stores_xml" -> ((s, _) =>
       graft.sources.RawIngest.storesFromXml(s,
         "/root/reference/StoresFull7290700100008-000-000-20250821-002217")),
+    // Section C — LLM-training-data operators
+    "q_dedup_exact_docs" -> ((s, d) => Dedup.exactDocs(Tables.documents(s, d))),
+    "q_dedup_minhash" -> ((s, d) => Dedup.minhashPairs(Tables.documents(s, d))),
+    "q_dedup_simhash" -> ((s, d) => Dedup.simhashPairs(Tables.documents(s, d))),
+    "q_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(Tables.documents(s, d))),
+    "q_embed_topk" -> ((s, d) => Similarity.embedTopK(Tables.embeddings(s, d))),
+    "q_embed_lsh" -> ((s, d) => Similarity.embedLshBuckets(Tables.embeddings(s, d))),
+    "q_lang_id" -> ((s, d) => TextAnalysis.langId(Tables.documents(s, d))),
+    "q_quality_score" -> ((s, d) => TextAnalysis.qualityScore(Tables.documents(s, d))),
+    "q_token_count" -> ((s, d) => TextAnalysis.tokenCount(Tables.documents(s, d))),
+    "q_doc_fingerprint" -> ((s, d) => TextAnalysis.docFingerprint(Tables.documents(s, d))),
+    "q_multimodal_features" -> ((s, d) =>
+      graft.sources.Multimodal.extractFeatures(
+        graft.sources.Multimodal.mediaFromDocuments(Tables.documents(s, d)))
+        .toDF()
+        .select("media_id", "modality", "n_bytes", "checksum")
+        .orderBy("media_id")),
   )
 
   private val eff = "l_extendedprice*(1-l_discount)"
@@ -229,5 +246,77 @@ object SparkEntry {
          | ${sAvg("value", 2)} AS avg_value
          |FROM events GROUP BY window_start, event_type
          |ORDER BY window_start, event_type""".stripMargin,
+    "q_dedup_exact_docs" ->
+      """SELECT min(doc_id) AS keep_doc_id, count(*) AS n_copies,
+        | sha256(text) AS content_hash
+        |FROM documents GROUP BY sha256(text) ORDER BY keep_doc_id""".stripMargin,
+    "q_ngram_jaccard" ->
+      """WITH t AS (SELECT doc_id, lang, string_split(lower(text), ' ') AS w FROM documents),
+        |g AS (SELECT doc_id, lang,
+        |  list_distinct(list_transform(range(1, len(w)-1),
+        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS grams
+        | FROM t WHERE len(w) >= 3),
+        |j AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+        |    / len(list_distinct(list_concat(a.grams, b.grams))) AS jaccard
+        | FROM g a JOIN g b ON a.lang = b.lang AND a.doc_id < b.doc_id)
+        |SELECT doc_a, doc_b, jaccard FROM j
+        |WHERE jaccard >= 0.3 ORDER BY doc_a, doc_b""".stripMargin,
+    "q_embed_topk" ->
+      s"""WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         |  sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x*x))) AS norm
+         | FROM embeddings),
+         |j AS (SELECT q.vec_id AS query_id, e2.vec_id AS neighbor_id,
+         |  ${dr("list_dot_product(e2.v, q.v)/(e2.norm*q.norm)", 6)} AS cos_r
+         | FROM n q, n e2 WHERE q.vec_id < 10 AND e2.vec_id <> q.vec_id),
+         |r AS (SELECT query_id, neighbor_id, cos_r,
+         |  row_number() OVER (PARTITION BY query_id ORDER BY cos_r DESC, neighbor_id) AS rank
+         | FROM j)
+         |SELECT query_id, neighbor_id, CAST(cos_r AS DECIMAL(18,6)) AS cos_sim,
+         | CAST(rank AS INTEGER) AS rank
+         |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "q_lang_id" -> {
+      def l(lang: String) = graft.operators.TextAnalysis.stopwords
+        .find(_._1 == lang).get._2.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"""WITH t AS (SELECT doc_id, lang,
+         |  list_distinct(string_split(lower(text), ' ')) AS w FROM documents),
+         |s AS (SELECT doc_id, lang,
+         |  CAST(len(list_intersect(w, ${l("en")})) AS INTEGER) AS s_en,
+         |  CAST(len(list_intersect(w, ${l("de")})) AS INTEGER) AS s_de,
+         |  CAST(len(list_intersect(w, ${l("es")})) AS INTEGER) AS s_es,
+         |  CAST(len(list_intersect(w, ${l("fr")})) AS INTEGER) AS s_fr,
+         |  CAST(len(list_intersect(w, ${l("zh")})) AS INTEGER) AS s_zh
+         | FROM t)
+         |SELECT doc_id, lang,
+         | CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+         |      WHEN s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+         |      WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+         |      WHEN s_fr >= s_zh THEN 'fr'
+         |      ELSE 'zh' END AS predicted,
+         | s_en, s_de, s_es, s_fr, s_zh
+         |FROM s ORDER BY doc_id""".stripMargin
+    },
+    "q_quality_score" -> {
+      val swList = graft.operators.TextAnalysis.stopwords.head._2
+        .map(w => s"'$w'").mkString("[", ", ", "]")
+      s"""WITH t AS (SELECT doc_id, text, CAST(length(text) AS INTEGER) AS n_chars,
+         |  string_split(lower(text), ' ') AS w FROM documents),
+         |u AS (SELECT doc_id, n_chars, CAST(len(w) AS INTEGER) AS n_words,
+         |  CAST(n_chars - len(w) + 1 AS DOUBLE) / len(w) AS avg_word_len_raw,
+         |  CAST(length(regexp_replace(lower(text), '[^a-z ]', '', 'g')) AS DOUBLE) / n_chars AS alpha_ratio_raw,
+         |  CAST(len(list_filter(w, t2 -> list_contains($swList, t2))) AS DOUBLE) / len(w) AS stopword_ratio_raw
+         | FROM t)
+         |SELECT doc_id, n_chars, n_words,
+         | CAST(${dr("avg_word_len_raw", 2)} AS DECIMAL(18,2)) AS avg_word_len,
+         | CAST(${dr("alpha_ratio_raw", 4)} AS DECIMAL(18,4)) AS alpha_ratio,
+         | CAST(${dr("stopword_ratio_raw", 4)} AS DECIMAL(18,4)) AS stopword_ratio,
+         | CAST(${dr("alpha_ratio_raw * 0.5 + stopword_ratio_raw * 0.5", 4)} AS DECIMAL(18,4)) AS quality_score,
+         | (alpha_ratio_raw * 0.5 + stopword_ratio_raw * 0.5 >= 0.3 AND n_words >= 10) AS keep
+         |FROM u ORDER BY doc_id""".stripMargin
+    },
+    "q_token_count" ->
+      """SELECT doc_id, CAST(length(text) AS INTEGER) AS n_chars,
+        | CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|\S')) AS INTEGER) AS n_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
   )
 }

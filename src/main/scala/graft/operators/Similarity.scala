@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Embedding similarity search: brute-force cosine top-k as the exact
+  * baseline, random-hyperplane LSH bucketing as the approximate scale
+  * path.
+  *
+  * Scale posture (100 TB): the query set is broadcast against a full
+  * corpus scan (never corpus×corpus); the per-query top-k window
+  * shuffles once on query_id. Cosines are computed in double via
+  * codegen'd zip_with/aggregate folds and snapped to 6 decimals before
+  * ranking so ordering is reproducible across engines. The LSH variant
+  * replaces the scan with an equi-join on a 16-bit hyperplane-sign
+  * bucket — O(corpus) bucketing + per-bucket candidates.
+  */
+object Similarity {
+
+  /** vec_id + double-cast vector + L2 norm. */
+  private def withNorm(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      .withColumn("norm", expr("sqrt(aggregate(v, 0D, (acc, x) -> acc + x*x))"))
+
+  /** Exact cosine top-k: neighbors of each query vector (vec_id <
+    * nQueries) over the whole corpus, ranked by snapped cosine. */
+  def embedTopK(emb: DataFrame, nQueries: Int = 10, k: Int = 5): DataFrame = {
+    val e = withNorm(emb)
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm").as("qn"))
+    e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("dot", expr("aggregate(zip_with(v, qv, (x, y) -> x*y), 0D, (acc, x) -> acc + x)"))
+      .withColumn("cos_r", round(col("dot") / (col("norm") * col("qn")), 6))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("cos_r").desc, col("vec_id"))))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("cos_r").cast(DecimalType(18, 6)).as("cos_sim"), col("rank"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** Random-hyperplane LSH: `planes` deterministic pseudo-random
+    * hyperplanes (coefficients derived from xxhash64(plane*dim+i)), the
+    * sign pattern is the bucket. Vectors sharing a bucket are ANN
+    * candidates. Returns bucket occupancy (the index structure). */
+  def embedLshBuckets(emb: DataFrame, planes: Int = 16): DataFrame =
+    emb.select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      .withColumn("bucket", expr(
+        s"aggregate(sequence(0, ${planes - 1}), 0L, (acc, j) -> acc * 2 + " +
+          "CASE WHEN aggregate(sequence(0, size(v)-1), 0D, (s, i) -> " +
+          "s + element_at(v, i+1) * (CAST(pmod(xxhash64(j*64 + i), 1000) AS DOUBLE)/1000.0 - 0.5)" +
+          ") > 0D THEN 1L ELSE 0L END)"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_vectors"), min("vec_id").as("min_vec_id"))
+      .orderBy("bucket")
+}

@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Text analysis for training-data curation: language ID, quality
+  * scoring, token counting, document fingerprinting.
+  *
+  * Scale posture: every operator is a narrow per-row map built from
+  * codegen'd string/array expressions (split, regexp, array_intersect,
+  * xxhash64 folds) — no shuffles except the caller's, no UDFs, no
+  * vocabulary broadcast beyond literal stopword arrays.
+  */
+object TextAnalysis {
+
+  /** Tiny per-language stopword lists (heuristic language ID). */
+  val stopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "a", "in", "is", "you", "that", "it"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "ich", "zu"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "ser", "se", "no"),
+    "fr" -> Seq("le", "la", "de", "et", "un", "que", "pour", "dans", "ce", "pas"),
+    "zh" -> Seq("的", "一", "是", "不", "了", "人", "我", "在", "有", "他"))
+
+  /** Stopword-hit language ID: score = |distinct tokens ∩ stopwords_L|,
+    * prediction = first language (in declaration order) attaining the
+    * max — a deterministic n-gram-free heuristic. */
+  def langId(docs: DataFrame): DataFrame = {
+    val base = docs
+      .withColumn("w", array_distinct(split(lower(col("text")), " ", -1)))
+    val scored = stopwords.foldLeft(base) { case (df, (lang, words)) =>
+      df.withColumn(s"s_$lang", size(array_intersect(col("w"), typedLit(words))))
+    }
+    val Seq(en, de, es, fr, zh) = stopwords.map { case (l, _) => col(s"s_$l") }
+    scored.select(
+        col("doc_id"), col("lang"),
+        when(en >= de && en >= es && en >= fr && en >= zh, "en")
+          .when(de >= es && de >= fr && de >= zh, "de")
+          .when(es >= fr && es >= zh, "es")
+          .when(fr >= zh, "fr")
+          .otherwise("zh").as("predicted"),
+        en.as("s_en"), de.as("s_de"), es.as("s_es"), fr.as("s_fr"), zh.as("s_zh"))
+      .orderBy("doc_id")
+  }
+
+  /** Document quality signals: length, word stats, alpha/stopword
+    * ratios, and a composite keep/drop decision. */
+  def qualityScore(docs: DataFrame): DataFrame = {
+    val sw = stopwords.head._2 // english function-word list
+    val swList = sw.map(s => s"'$s'").mkString(", ")
+    docs
+      .withColumn("n_chars", length(col("text")))
+      .withColumn("w", split(lower(col("text")), " ", -1))
+      .withColumn("n_words", size(col("w")))
+      .withColumn("avg_word_len_raw",
+        (col("n_chars") - col("n_words") + lit(1)).cast("double") / col("n_words"))
+      .withColumn("alpha_ratio_raw",
+        length(regexp_replace(lower(col("text")), "[^a-z ]", "")).cast("double") / col("n_chars"))
+      .withColumn("stopword_ratio_raw",
+        expr(s"size(filter(w, t -> t in ($swList)))").cast("double") / col("n_words"))
+      .withColumn("score_raw",
+        col("alpha_ratio_raw") * 0.5 + col("stopword_ratio_raw") * 0.5)
+      .select(
+        col("doc_id"),
+        col("n_chars"),
+        col("n_words"),
+        round(col("avg_word_len_raw"), 2).cast(DecimalType(18, 2)).as("avg_word_len"),
+        round(col("alpha_ratio_raw"), 4).cast(DecimalType(18, 4)).as("alpha_ratio"),
+        round(col("stopword_ratio_raw"), 4).cast(DecimalType(18, 4)).as("stopword_ratio"),
+        round(col("score_raw"), 4).cast(DecimalType(18, 4)).as("quality_score"),
+        (col("score_raw") >= 0.3 && col("n_words") >= 10).as("keep"))
+      .orderBy("doc_id")
+  }
+
+  /** BPE-ish token counting: alpha runs, digit runs, or single
+    * non-space symbols (the classic pre-tokenizer split). */
+  def tokenCount(docs: DataFrame): DataFrame =
+    docs.select(
+        col("doc_id"),
+        length(col("text")).as("n_chars"),
+        size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+|\\S"), lit(0))).as("n_tokens"))
+      .orderBy("doc_id")
+
+  /** Winnowing fingerprint: per-window minimum of word 5-gram hashes
+    * (window 4), deduplicated — the standard near-copy sketch. */
+  def docFingerprint(docs: DataFrame, gramLen: Int = 5, window: Int = 4): DataFrame =
+    docs.withColumn("toks", split(lower(col("text")), " ", -1))
+      .filter(size(col("toks")) >= gramLen + window - 1)
+      .withColumn("hs", expr(
+        s"transform(sequence(1, size(toks)-${gramLen - 1}), " +
+          s"i -> xxhash64(concat_ws(' ', slice(toks, i, $gramLen))))"))
+      .withColumn("fps", expr(
+        s"array_distinct(transform(sequence(1, size(hs)-${window - 1}), " +
+          s"i -> array_min(slice(hs, i, $window))))"))
+      .select(col("doc_id"), size(col("fps")).as("n_fingerprints"),
+        expr("xxhash64(fps)").as("fp_hash"))
+      .orderBy("doc_id")
+}

@@ -1,0 +1,114 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Dedup, Similarity, TextAnalysis}
+import graft.sources.Multimodal
+
+/** Section C (LLM-training-data operators) specs on sf0.001/sf0.01. */
+class LlmOpsSpec extends AnyFunSuite with SparkSessionTestBase {
+
+  // documents/embeddings at sf0.001 are small; use sf0.01 for dedup recall
+  val docDir = "/root/testdata/sf0.01"
+
+  test("exactDocs keeps one row per distinct content") {
+    val docs = Tables.documents(spark, docDir)
+    val df = Dedup.exactDocs(docs)
+    assert(df.count() === docs.select("text").distinct().count())
+    assert(df.agg(sum("n_copies")).collect().head.getLong(0) === docs.count())
+  }
+
+  test("minhashPairs finds planted near-duplicates, deterministically") {
+    val docs = Tables.documents(spark, docDir)
+    val pairs = Dedup.minhashPairs(docs).collect()
+    assert(pairs.nonEmpty)
+    assert(pairs.forall(_.getAs[Double]("est_jaccard") >= 0.5))
+    assert(pairs.forall(r => r.getLong(0) < r.getLong(1)))
+    // re-run is bit-identical (hash-based permutations, no RNG)
+    val again = Dedup.minhashPairs(docs).collect()
+    assert(pairs.map(_.toString).toSeq === again.map(_.toString).toSeq)
+  }
+
+  test("minhash estimate correlates with true ngram jaccard") {
+    val docs = Tables.documents(spark, docDir)
+    val mh = Dedup.minhashPairs(docs, threshold = 0.5)
+      .withColumnRenamed("est_jaccard", "est")
+    val truth = Dedup.ngramJaccard(docs, threshold = 0.0)
+    val joined = mh.join(truth, Seq("doc_a", "doc_b")).collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      assert(math.abs(r.getAs[Double]("est") - r.getAs[Double]("jaccard")) < 0.35)
+    }
+  }
+
+  test("simhashPairs emits low-hamming pairs only") {
+    val pairs = Dedup.simhashPairs(Tables.documents(spark, docDir)).collect()
+    assert(pairs.nonEmpty)
+    assert(pairs.forall(_.getAs[Int]("hamming") <= 3))
+  }
+
+  test("embedTopK ranks by cosine, excludes self, k per query") {
+    val df = Similarity.embedTopK(Tables.embeddings(spark, docDir), nQueries = 5, k = 3)
+    val rows = df.collect()
+    assert(rows.length === 15)
+    rows.groupBy(_.getLong(0)).foreach { case (q, rs) =>
+      assert(rs.forall(_.getLong(1) != q))
+      val sims = rs.sortBy(_.getAs[Int]("rank")).map(_.getAs[java.math.BigDecimal]("cos_sim").doubleValue)
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("embedLshBuckets partitions the corpus completely") {
+    val emb = Tables.embeddings(spark, docDir)
+    val df = Similarity.embedLshBuckets(emb)
+    assert(df.agg(sum("n_vectors")).collect().head.getLong(0) === emb.count())
+  }
+
+  test("langId predicts deterministically with scores present") {
+    val df = TextAnalysis.langId(Tables.documents(spark, docDir))
+    val rows = df.collect()
+    assert(rows.length === 500)
+    assert(rows.forall(r => Set("en", "de", "es", "fr", "zh")(r.getAs[String]("predicted"))))
+  }
+
+  test("qualityScore ratios are in [0,1] and keep is consistent") {
+    val rows = TextAnalysis.qualityScore(Tables.documents(spark, docDir)).collect()
+    rows.foreach { r =>
+      val alpha = r.getAs[java.math.BigDecimal]("alpha_ratio").doubleValue
+      val stop = r.getAs[java.math.BigDecimal]("stopword_ratio").doubleValue
+      assert(alpha >= 0 && alpha <= 1)
+      assert(stop >= 0 && stop <= 1)
+    }
+  }
+
+  test("tokenCount counts alpha/digit runs and symbols") {
+    import spark.implicits._
+    val df = Seq((1L, "abc 12 d!e")).toDF("doc_id", "text")
+    val r = TextAnalysis.tokenCount(df).collect().head
+    assert(r.getAs[Int]("n_tokens") === 5) // abc, 12, d, !, e
+  }
+
+  test("docFingerprint is stable and bounded by shingle count") {
+    val docs = Tables.documents(spark, docDir)
+    val rows = TextAnalysis.docFingerprint(docs).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Int]("n_fingerprints") > 0))
+  }
+
+  test("multimodal plumbing: schema, determinism, narrow extraction") {
+    val docs = Tables.documents(spark, docDir)
+    val media = Multimodal.mediaFromDocuments(docs)
+    val feats = Multimodal.extractFeatures(media, dim = 8).collect()
+    assert(feats.length === 500)
+    assert(feats.forall(_.features.length === 8))
+    assert(feats.forall(f => f.features.forall(v => v >= 0f && v <= 1f)))
+    // deterministic stub decode
+    val again = Multimodal.extractFeatures(Multimodal.mediaFromDocuments(docs), dim = 8).collect()
+    assert(feats.map(_.checksum).sorted.toSeq === again.map(_.checksum).sorted.toSeq)
+    // frame sampling produces stride-spaced indices
+    val frames = Multimodal.sampleFrames(media).collect()
+    assert(frames.nonEmpty)
+    assert(frames.forall(_.getAs[Int]("frame_idx") % 4 === 0))
+  }
+}

@@ -39,14 +39,17 @@ for name, sql in sorted(oracle.items()):
 
     def norm(df):
         df = df.reindex(sorted(df.columns), axis=1)
+        dtypes = {c: str(df[c].dtype) for c in df.columns}
         for c in df.columns:
             if df[c].dtype == "float64":
                 df[c] = df[c].round(6)
             # decimals arrive as object; stringify for stable compare
             df[c] = df[c].astype(str)
-        return df.sort_values(by=list(df.columns)).reset_index(drop=True)
+        return df.sort_values(by=list(df.columns)).reset_index(drop=True), dtypes
 
-    g, e = norm(got), norm(exp)
+    (g, gt), (e, et) = norm(got), norm(exp)
+    if gt != et:
+        print(f"WARN {name}: dtype mismatch spark={gt} oracle={et}")
     if list(g.columns) != list(e.columns):
         fails.append(name)
         print(f"FAIL {name}: columns spark={list(g.columns)} oracle={list(e.columns)}")
