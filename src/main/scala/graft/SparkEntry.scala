@@ -256,10 +256,12 @@ object SparkEntry {
         |  list_distinct(list_transform(range(1, len(w)-1),
         |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS grams
         | FROM t WHERE len(w) >= 3),
+        |gs AS (SELECT doc_id, lang, grams, len(grams) AS sz FROM g),
         |j AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
         |  CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
         |    / len(list_distinct(list_concat(a.grams, b.grams))) AS jaccard
-        | FROM g a JOIN g b ON a.lang = b.lang AND a.doc_id < b.doc_id)
+        | FROM gs a JOIN gs b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        |  AND a.sz >= 0.3 * b.sz AND b.sz >= 0.3 * a.sz)
         |SELECT doc_a, doc_b, jaccard FROM j
         |WHERE jaccard >= 0.3 ORDER BY doc_a, doc_b""".stripMargin,
     "q_embed_topk" ->

