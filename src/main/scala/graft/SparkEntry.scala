@@ -71,6 +71,16 @@ object SparkEntry {
         .toDF()
         .select("media_id", "modality", "n_bytes", "checksum")
         .orderBy("media_id")),
+    // Section A+ — purchase-log analytics (multi-way join rollups)
+    "q_revenue_by_nation" -> ((s, d) =>
+      Purchases.revenueByNation(Tables.customer(s, d), Tables.orders(s, d),
+        Tables.lineitem(s, d), Tables.supplier(s, d), Tables.nation(s, d),
+        Tables.region(s, d))),
+    "q_top_open_orders" -> ((s, d) =>
+      Purchases.topOpenOrders(Tables.customer(s, d), Tables.orders(s, d),
+        Tables.lineitem(s, d))),
+    "q_segment_stats" -> ((s, d) =>
+      Purchases.segmentStats(Tables.customer(s, d), Tables.orders(s, d))),
   )
 
   private val eff = "l_extendedprice*(1-l_discount)"
@@ -320,5 +330,38 @@ object SparkEntry {
       """SELECT doc_id, CAST(length(text) AS INTEGER) AS n_chars,
         | CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|\S')) AS INTEGER) AS n_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_revenue_by_nation" ->
+      s"""SELECT r_name AS region, n_name AS nation,
+         | ${sSum(eff, 4)} AS revenue,
+         | count(*) AS n_items
+         |FROM customer
+         |JOIN orders ON c_custkey = o_custkey
+         |JOIN lineitem ON l_orderkey = o_orderkey
+         |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+         |GROUP BY r_name, n_name
+         |ORDER BY revenue DESC, nation""".stripMargin,
+    "q_top_open_orders" ->
+      s"""SELECT o_orderkey, o_orderdate, o_orderpriority,
+         | ${sSum(eff, 4)} AS revenue
+         |FROM customer
+         |JOIN orders ON c_custkey = o_custkey
+         |JOIN lineitem ON l_orderkey = o_orderkey
+         |WHERE c_mktsegment = 'BUILDING'
+         |  AND o_orderdate < TIMESTAMP '1998-01-01'
+         |  AND l_shipdate > TIMESTAMP '1998-01-01'
+         |GROUP BY o_orderkey, o_orderdate, o_orderpriority
+         |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q_segment_stats" ->
+      s"""SELECT c_mktsegment AS segment,
+         | count(DISTINCT c_custkey) AS n_customers,
+         | count(o_orderkey) AS n_orders,
+         | ${sSum("o_totalprice", 2)} AS total_spend,
+         | ${sAvg("o_totalprice", 2)} AS avg_order_value
+         |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+         |GROUP BY c_mktsegment
+         |ORDER BY segment""".stripMargin,
   )
 }

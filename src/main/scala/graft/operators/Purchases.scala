@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.StableStats
+
+/** Purchase-log analytics over the orders/customer side of the schema —
+  * the reference's "shopping history" dimension (order flow feeding the
+  * basket assistant), expressed as the classic multi-way join rollups a
+  * 100 TB engine must plan well.
+  *
+  * Scale posture: fact-fact joins (orders ⋈ lineitem) shuffle on the
+  * shared orderkey; customer is mid-sized (shuffle join, AQE decides);
+  * nation/region broadcast. Aggregations are partial-combine on
+  * high-cardinality grouping keys; top-k uses sort+limit fused into
+  * TakeOrderedAndProject (no global sort materialization).
+  */
+object Purchases {
+
+  private def eff = Pricing.effPrice
+
+  /** Revenue by customer nation for one year, local suppliers only
+    * (TPC-H Q5 shape): 6-way join, broadcast dims, single agg. */
+  def revenueByNation(
+      customer: DataFrame, orders: DataFrame, lineitem: DataFrame,
+      supplier: DataFrame, nation: DataFrame, region: DataFrame,
+      yearStart: String = "1997-01-01", yearEnd: String = "1998-01-01"): DataFrame =
+    customer
+      .join(orders, col("c_custkey") === col("o_custkey"))
+      .filter(col("o_orderdate") >= lit(yearStart).cast("timestamp") &&
+        col("o_orderdate") < lit(yearEnd).cast("timestamp"))
+      .join(lineitem, col("l_orderkey") === col("o_orderkey"))
+      .join(supplier, col("l_suppkey") === col("s_suppkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name").as("region"), col("n_name").as("nation"))
+      .agg(
+        StableStats.stableSum(eff, 4).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("revenue").desc, col("nation"))
+
+  /** Top open-order values for one market segment (TPC-H Q3 shape):
+    * filters pushed to all three scans, top-k fused. */
+  def topOpenOrders(
+      customer: DataFrame, orders: DataFrame, lineitem: DataFrame,
+      segment: String = "BUILDING", cutoff: String = "1998-01-01",
+      topN: Int = 10): DataFrame =
+    customer.filter(col("c_mktsegment") === segment)
+      .join(orders, col("c_custkey") === col("o_custkey"))
+      .filter(col("o_orderdate") < lit(cutoff).cast("timestamp"))
+      .join(lineitem, col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") > lit(cutoff).cast("timestamp"))
+      .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+      .agg(StableStats.stableSum(eff, 4).as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey"))
+      .limit(topN)
+
+  /** Per-segment customer stats (the reference's /stats rollup applied
+    * to the purchase dimension). */
+  def segmentStats(customer: DataFrame, orders: DataFrame): DataFrame =
+    customer
+      .join(orders, col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_mktsegment").as("segment"))
+      .agg(
+        countDistinct(col("c_custkey")).as("n_customers"),
+        count(col("o_orderkey")).as("n_orders"),
+        StableStats.stableSum(col("o_totalprice"), 2).as("total_spend"),
+        StableStats.stableAvg(col("o_totalprice"), 2).as("avg_order_value"))
+      .orderBy("segment")
+}

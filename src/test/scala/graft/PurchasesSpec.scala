@@ -1,0 +1,47 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Purchases
+
+/** Purchase-log analytics specs on sf0.001. */
+class PurchasesSpec extends AnyFunSuite with SparkSessionTestBase {
+
+  test("revenueByNation joins six tables and ranks by revenue") {
+    val df = Purchases.revenueByNation(
+      Tables.customer(spark, sfDir), Tables.orders(spark, sfDir),
+      Tables.lineitem(spark, sfDir), Tables.supplier(spark, sfDir),
+      Tables.nation(spark, sfDir), Tables.region(spark, sfDir))
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    val revs = rows.map(_.getAs[java.math.BigDecimal]("revenue").doubleValue)
+    assert(revs.zip(revs.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("topOpenOrders returns at most N, ordered by revenue") {
+    val df = Purchases.topOpenOrders(
+      Tables.customer(spark, sfDir), Tables.orders(spark, sfDir),
+      Tables.lineitem(spark, sfDir), topN = 5)
+    val rows = df.collect()
+    assert(rows.length <= 5)
+    assert(rows.nonEmpty)
+  }
+
+  test("segmentStats covers every customer segment, including orderless") {
+    val df = Purchases.segmentStats(Tables.customer(spark, sfDir), Tables.orders(spark, sfDir))
+    val rows = df.collect()
+    assert(rows.length === 5)
+    assert(rows.map(_.getAs[Long]("n_customers")).sum ===
+      Tables.customer(spark, sfDir).count())
+  }
+
+  test("gz-compressed XML store feed parses identically to plain") {
+    val plain = graft.sources.RawIngest.storesFromXml(spark,
+      "/root/reference/StoresFull7290700100008-000-000-20250821-002217").collect()
+    val gz = graft.sources.RawIngest.storesFromXml(spark,
+      "/root/reference/StoresFull7290700100008-000-000-20250821-002217.gz").collect()
+    assert(gz.length === plain.length)
+    assert(gz.map(_.getAs[Long]("store_id")).sorted.toSeq ===
+      plain.map(_.getAs[Long]("store_id")).sorted.toSeq)
+  }
+}
