@@ -19,10 +19,13 @@ import org.apache.spark.sql.types.DecimalType
   */
 object Similarity {
 
-  /** vec_id + double-cast vector + L2 norm. */
-  private def withNorm(emb: DataFrame): DataFrame =
+  /** vec_id + double-cast vector + L2 norm (norm via the native
+    * codegen'd graft_dot — see graft.functions.DotProduct). */
+  private def withNorm(emb: DataFrame): DataFrame = {
+    graft.functions.VectorFunctions.register(emb.sparkSession)
     emb.select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
-      .withColumn("norm", expr("sqrt(aggregate(v, 0D, (acc, x) -> acc + x*x))"))
+      .withColumn("norm", expr("sqrt(graft_dot(v, v))"))
+  }
 
   /** Exact cosine top-k: neighbors of each query vector (vec_id <
     * nQueries) over the whole corpus, ranked by snapped cosine. */
@@ -31,7 +34,7 @@ object Similarity {
     val q = e.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm").as("qn"))
     e.join(broadcast(q), col("vec_id") =!= col("query_id"))
-      .withColumn("dot", expr("aggregate(zip_with(v, qv, (x, y) -> x*y), 0D, (acc, x) -> acc + x)"))
+      .withColumn("dot", expr("graft_dot(v, qv)"))
       .withColumn("cos_r", round(col("dot") / (col("norm") * col("qn")), 6))
       .withColumn("rank", row_number().over(
         Window.partitionBy("query_id").orderBy(col("cos_r").desc, col("vec_id"))))

@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.VectorFunctions
+
+/** Native DotProduct expression: correctness, codegen/interpreted
+  * parity with the lambda fold, null handling, extensions injection. */
+class VectorExpressionsSpec extends AnyFunSuite with SparkSessionTestBase {
+
+  test("graft_dot matches the lambda fold bit-for-bit") {
+    VectorFunctions.register(spark)
+    import spark.implicits._
+    val df = Seq(
+      (Array(1.0, 2.0, 3.0), Array(4.0, 5.0, 6.0)),
+      (Array(0.1, 0.2), Array(0.3, 0.7)),
+      (Array.empty[Double], Array.empty[Double]))
+      .toDF("a", "b")
+    val rows = df.select(
+      expr("graft_dot(a, b)").as("native"),
+      expr("aggregate(zip_with(a, b, (x, y) -> x*y), 0D, (acc, x) -> acc + x)").as("fold"))
+      .collect()
+    rows.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ===
+        java.lang.Double.doubleToLongBits(r.getDouble(1)))
+    }
+  }
+
+  test("graft_dot is null-safe and bounds by the shorter array") {
+    VectorFunctions.register(spark)
+    import spark.implicits._
+    val df = Seq((Some(Array(1.0, 2.0, 9.0)), Some(Array(3.0, 4.0))))
+      .toDF("a", "b")
+      .union(Seq((Option.empty[Array[Double]], Some(Array(1.0)))).toDF("a", "b"))
+    val rows = df.select(expr("graft_dot(a, b)")).collect()
+    assert(rows(0).getDouble(0) === 11.0)
+    assert(rows(1).isNullAt(0))
+  }
+
+  test("GraftExtensions injects graft_dot at session build time") {
+    val s2 = SparkSession.builder().master("local[2]")
+      .appName("graft-ext-test")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      .getOrCreate()
+    try {
+      val v = s2.sql("SELECT graft_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d")
+        .collect().head.getDouble(0)
+      assert(v === 11.0)
+    } finally s2.stop()
+  }
+}
