@@ -61,6 +61,7 @@ object SparkEntry {
     "q_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(Tables.documents(s, d))),
     "q_embed_topk" -> ((s, d) => Similarity.embedTopK(Tables.embeddings(s, d))),
     "q_embed_lsh" -> ((s, d) => Similarity.embedLshBuckets(Tables.embeddings(s, d))),
+    "q_embed_lsh_topk" -> ((s, d) => Similarity.embedLshTopK(Tables.embeddings(s, d))),
     "q_lang_id" -> ((s, d) => TextAnalysis.langId(Tables.documents(s, d))),
     "q_quality_score" -> ((s, d) => TextAnalysis.qualityScore(Tables.documents(s, d))),
     "q_token_count" -> ((s, d) => TextAnalysis.tokenCount(Tables.documents(s, d))),

@@ -35,4 +35,17 @@ object Tables {
   }
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
+
+  val names: Seq[String] = Seq("region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Register every table as a temp view (plus graft's native SQL
+    * functions) so the whole surface is usable via `spark.sql`. */
+  def registerViews(spark: SparkSession, dir: String): Unit = {
+    names.foreach { n =>
+      val df = if (n == "events") events(spark, dir) else table(spark, dir, n)
+      df.createOrReplaceTempView(n)
+    }
+    graft.functions.VectorFunctions.register(spark)
+  }
 }

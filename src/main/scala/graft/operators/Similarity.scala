@@ -44,18 +44,60 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
-  /** Random-hyperplane LSH: `planes` deterministic pseudo-random
-    * hyperplanes (coefficients derived from xxhash64(plane*dim+i)), the
-    * sign pattern is the bucket. Vectors sharing a bucket are ANN
-    * candidates. Returns bucket occupancy (the index structure). */
-  def embedLshBuckets(emb: DataFrame, planes: Int = 16): DataFrame =
+  /** vec_id, v, and the `planes`-bit random-hyperplane sign bucket
+    * (hyperplane coefficients derived from xxhash64(plane*64+i) — fully
+    * deterministic, no RNG state to ship to executors). */
+  private def withBucket(emb: DataFrame, planes: Int): DataFrame =
     emb.select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
       .withColumn("bucket", expr(
         s"aggregate(sequence(0, ${planes - 1}), 0L, (acc, j) -> acc * 2 + " +
           "CASE WHEN aggregate(sequence(0, size(v)-1), 0D, (s, i) -> " +
           "s + element_at(v, i+1) * (CAST(pmod(xxhash64(j*64 + i), 1000) AS DOUBLE)/1000.0 - 0.5)" +
           ") > 0D THEN 1L ELSE 0L END)"))
+
+  /** Random-hyperplane LSH bucket occupancy (the ANN index structure).
+    * Vectors sharing a bucket are ANN candidates. */
+  def embedLshBuckets(emb: DataFrame, planes: Int = 16): DataFrame =
+    withBucket(emb, planes)
       .groupBy("bucket")
       .agg(count(lit(1)).as("n_vectors"), min("vec_id").as("min_vec_id"))
       .orderBy("bucket")
+
+  /** Approximate top-k via multi-table LSH: `tables` independent
+    * hyperplane hashings (seed-offset planes), candidates = union of
+    * per-table bucket matches (equi-join on (table, bucket) — never a
+    * corpus scan per query), exact-rerank with the native graft_dot.
+    * The 100 TB shape: O(corpus·tables) bucketing once, per-query work
+    * bounded by bucket occupancy; recall rises as 1-(1-p)^tables. */
+  def embedLshTopK(
+      emb: DataFrame, nQueries: Int = 10, k: Int = 5,
+      planes: Int = 8, tables: Int = 4): DataFrame = {
+    graft.functions.VectorFunctions.register(emb.sparkSession)
+    val e = emb
+      .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      .withColumn("norm", expr("sqrt(graft_dot(v, v))"))
+      .withColumn("tb", explode(expr(
+        s"transform(sequence(0, ${tables - 1}), l -> named_struct('t', l, 'bucket', " +
+          s"aggregate(sequence(0, ${planes - 1}), 0L, (acc, j) -> acc * 2 + " +
+          "CASE WHEN aggregate(sequence(0, size(v)-1), 0D, (s, i) -> " +
+          s"s + element_at(v, i+1) * (CAST(pmod(xxhash64((l*$planes + j)*64 + i), 1000) AS DOUBLE)/1000.0 - 0.5)" +
+          ") > 0D THEN 1L ELSE 0L END)))")))
+      .select(col("vec_id"), col("v"), col("norm"),
+        col("tb.t").as("t"), col("tb.bucket").as("bucket"))
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm").as("qn"),
+        col("t").as("qt"), col("bucket").as("qbucket"))
+    e.join(broadcast(q),
+        col("t") === col("qt") && col("bucket") === col("qbucket") &&
+          col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), col("v"), col("qv"), col("norm"), col("qn"))
+      .dropDuplicates("query_id", "vec_id") // union across tables
+      .withColumn("cos_r", round(expr("graft_dot(v, qv)") / (col("norm") * col("qn")), 6))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("cos_r").desc, col("vec_id"))))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("cos_r").cast(DecimalType(18, 6)).as("cos_sim"), col("rank"))
+      .orderBy("query_id", "rank")
+  }
 }

@@ -65,6 +65,20 @@ class LlmOpsSpec extends AnyFunSuite with SparkSessionTestBase {
     assert(df.agg(sum("n_vectors")).collect().head.getLong(0) === emb.count())
   }
 
+  test("embedLshTopK approximates exact top-k with sane recall") {
+    val emb = Tables.embeddings(spark, docDir)
+    val exact = Similarity.embedTopK(emb, nQueries = 10, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.embedLshTopK(emb, nQueries = 10, k = 5,
+      planes = 4, tables = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(approx.nonEmpty)
+    // 8 tables of 4 planes over 500 random vecs: union recall is solid
+    // even though single-table recall on unclustered data is weak
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall > 0.4, s"recall=$recall")
+  }
+
   test("langId predicts deterministically with scores present") {
     val df = TextAnalysis.langId(Tables.documents(spark, docDir))
     val rows = df.collect()
