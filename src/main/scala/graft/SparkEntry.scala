@@ -82,6 +82,8 @@ object SparkEntry {
         Tables.lineitem(s, d))),
     "q_segment_stats" -> ((s, d) =>
       Purchases.segmentStats(Tables.customer(s, d), Tables.orders(s, d))),
+    "q_substitutes" -> ((s, d) =>
+      Catalog.substitutes(Tables.lineitem(s, d), Tables.part(s, d), 42L)),
   )
 
   private val eff = "l_extendedprice*(1-l_discount)"
@@ -364,5 +366,22 @@ object SparkEntry {
          |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
          |GROUP BY c_mktsegment
          |ORDER BY segment""".stripMargin,
+    "q_substitutes" ->
+      s"""WITH toks AS (SELECT p_partkey, p_type, p_name,
+         |  unnest(string_split(lower(p_name), ' ')) AS tok FROM part),
+         |target AS (SELECT tok, p_type AS t_type FROM toks WHERE p_partkey = 42),
+         |cand AS (SELECT t.p_partkey, t.p_name, count(DISTINCT t.tok) AS shared_tokens
+         | FROM toks t JOIN target g ON t.tok = g.tok AND t.p_type = g.t_type
+         | WHERE t.p_partkey <> 42
+         | GROUP BY t.p_partkey, t.p_name
+         | HAVING count(DISTINCT t.tok) >= 1),
+         |best AS (SELECT l_partkey, min($eff) AS best_eff FROM lineitem GROUP BY l_partkey),
+         |tp AS (SELECT best_eff AS target_price FROM best WHERE l_partkey = 42)
+         |SELECT c.p_partkey, c.p_name, c.shared_tokens,
+         | ${m("b.best_eff")} AS best_price,
+         | ${m("tp.target_price - b.best_eff")} AS savings
+         |FROM cand c JOIN best b ON c.p_partkey = b.l_partkey, tp
+         |WHERE b.best_eff < tp.target_price
+         |ORDER BY best_price, p_partkey LIMIT 10""".stripMargin,
   )
 }

@@ -95,6 +95,42 @@ object Catalog {
       .withColumn("promo_percent",
         round(col("on_promo") * 100.0 / col("total_observations"), 1).cast(pct))
 
+  /** Cheaper-substitute suggestions (the reference chatbot's "suggest
+    * cheaper substitutes", salim/app README): products whose names share
+    * tokens with the target (same category), carrying a lower best
+    * observed price. Token-overlap candidates come from an inverted
+    * token index (equi-join on token, never all-pairs), prices from a
+    * per-product min aggregate joined back. */
+  def substitutes(
+      li: DataFrame,
+      part: DataFrame,
+      targetPartKey: Long,
+      minShared: Int = 1,
+      limit: Int = 10): DataFrame = {
+    val toks = part.select(col("p_partkey"), col("p_type"), col("p_name"),
+        explode(split(lower(col("p_name")), " ", -1)).as("tok"))
+    val target = toks.filter(col("p_partkey") === targetPartKey)
+      .select(col("tok"), col("p_type").as("t_type"))
+    val candidates = toks
+      .join(broadcast(target), Seq("tok"))
+      .filter(col("p_type") === col("t_type") && col("p_partkey") =!= targetPartKey)
+      .groupBy("p_partkey", "p_name")
+      .agg(countDistinct("tok").as("shared_tokens"))
+      .filter(col("shared_tokens") >= minShared)
+    val bestPrice = li.groupBy(col("l_partkey")).agg(min(Pricing.effPrice).as("best_eff"))
+    val targetPrice = bestPrice.filter(col("l_partkey") === targetPartKey)
+      .select(col("best_eff").as("target_price"))
+    candidates
+      .join(bestPrice, col("p_partkey") === col("l_partkey"))
+      .crossJoin(broadcast(targetPrice))
+      .filter(col("best_eff") < col("target_price"))
+      .select(col("p_partkey"), col("p_name"), col("shared_tokens"),
+        round(col("best_eff"), 2).cast(money).as("best_price"),
+        round(col("target_price") - col("best_eff"), 2).cast(money).as("savings"))
+      .orderBy(col("best_price"), col("p_partkey"))
+      .limit(limit)
+  }
+
   /** Store dimension rollup: suppliers per region/nation with average
     * account balance — broadcast snowflake joins (supermarkets listing). */
   def storeDim(supplier: DataFrame, nation: DataFrame, region: DataFrame): DataFrame =

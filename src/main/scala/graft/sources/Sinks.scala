@@ -1,0 +1,79 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Write-side of the pipeline: partitioned parquet landing, upsert by
+  * key (the reference's get-or-create / UNIQUE(supermarket, barcode,
+  * collected_at) load semantics), and bucketed tables for shuffle-free
+  * repeated joins.
+  *
+  * Scale posture: partition columns are low-cardinality (date, store);
+  * data is repartitioned on them before the write so each partition
+  * directory is written by one task (no small-file explosion); upsert
+  * keeps the newest observation per key via one window; bucketed tables
+  * pre-shuffle once at write time so every later equi-join on the
+  * bucket key runs without an Exchange.
+  */
+object Sinks {
+
+  /** Partitioned parquet landing zone. One writer task per partition
+    * value → no small files at high parallelism. */
+  def writePartitioned(
+      df: DataFrame, path: String, partitionCols: Seq[String],
+      mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.repartition(partitionCols.map(col): _*)
+      .write.mode(mode)
+      .partitionBy(partitionCols: _*)
+      .parquet(path)
+
+  /** Upsert-by-key load: merge incoming rows into the existing parquet
+    * state keeping the newest row per key (ordered by `versionCol`,
+    * ties by the remaining sort columns). Reference semantics:
+    * rabbitmq-to-postgres get_or_create + collected_at versioning. */
+  def upsertByKey(
+      spark: SparkSession, incoming: DataFrame, path: String,
+      keyCols: Seq[String], versionCol: String): Unit = {
+    val existing =
+      try spark.read.parquet(path)
+      catch { case _: Throwable => spark.emptyDataFrame }
+    val unioned =
+      if (existing.columns.isEmpty) incoming
+      else existing.select(incoming.columns.map(col): _*).unionAll(incoming)
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(versionCol).desc)
+    val merged = unioned
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+    // two-phase write: parquet sources cannot overwrite themselves
+    val tmp = path + "__staging"
+    merged.write.mode(SaveMode.Overwrite).parquet(tmp)
+    spark.read.parquet(tmp).write.mode(SaveMode.Overwrite).parquet(path)
+  }
+
+  /** Persist as a bucketed+sorted table: pays the shuffle once at write
+    * time; later equi-joins between tables bucketed on the same key
+    * plan without an Exchange. */
+  def writeBucketed(
+      df: DataFrame, table: String, bucketCol: String, buckets: Int): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    // clear a leftover managed-table location from a crashed writer —
+    // saveAsTable refuses to reuse it otherwise
+    val warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    val loc = new java.io.File(new java.net.URI(warehouse).getPath, table.toLowerCase)
+    if (loc.exists()) {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(): Unit
+      }
+      rm(loc)
+    }
+    df.write.mode(SaveMode.Overwrite)
+      .bucketBy(buckets, bucketCol)
+      .sortBy(bucketCol)
+      .format("parquet")
+      .saveAsTable(table) // managed table under spark.sql.warehouse.dir
+  }
+}

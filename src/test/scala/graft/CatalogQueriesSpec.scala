@@ -107,6 +107,15 @@ class CatalogQueriesSpec extends AnyFunSuite with SparkSessionTestBase {
       Tables.supplier(spark, sfDir).count())
   }
 
+  test("substitutes are same-category, cheaper, and share name tokens") {
+    val df = Catalog.substitutes(Tables.lineitem(spark, sfDir), Tables.part(spark, sfDir), 42L)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[java.math.BigDecimal]("savings").signum > 0))
+    assert(rows.forall(_.getAs[Long]("shared_tokens") >= 1))
+    assert(rows.forall(_.getLong(0) != 42L))
+  }
+
   test("entry flagship returns rows on sf0.001") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
