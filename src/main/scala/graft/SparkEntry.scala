@@ -84,6 +84,7 @@ object SparkEntry {
       Purchases.segmentStats(Tables.customer(s, d), Tables.orders(s, d))),
     "q_substitutes" -> ((s, d) =>
       Catalog.substitutes(Tables.lineitem(s, d), Tables.part(s, d), 42L)),
+    "q_stats_approx" -> ((s, d) => Catalog.statsApprox(Tables.lineitem(s, d))),
   )
 
   private val eff = "l_extendedprice*(1-l_discount)"

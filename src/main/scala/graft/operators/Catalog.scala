@@ -95,6 +95,19 @@ object Catalog {
       .withColumn("promo_percent",
         round(col("on_promo") * 100.0 / col("total_observations"), 1).cast(pct))
 
+  /** Approximate global stats — the 100 TB form of `stats`: HLL++
+    * distinct counts and approximate price quantiles replace exact
+    * countDistinct (whose dedup shuffle dominates at scale). Bounded
+    * error, single pass, mergeable sketches. Rows-only check (sketch
+    * results are engine-specific); accuracy asserted in spec. */
+  def statsApprox(li: DataFrame): DataFrame =
+    li.agg(
+        count(lit(1)).as("total_observations"),
+        approx_count_distinct(col("l_suppkey"), 0.02).as("approx_stores"),
+        approx_count_distinct(col("l_partkey"), 0.02).as("approx_products"),
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("median_price"),
+        percentile_approx(col("l_extendedprice"), lit(0.95), lit(1000)).as("p95_price"))
+
   /** Cheaper-substitute suggestions (the reference chatbot's "suggest
     * cheaper substitutes", salim/app README): products whose names share
     * tokens with the target (same category), carrying a lower best

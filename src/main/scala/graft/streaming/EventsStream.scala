@@ -44,6 +44,24 @@ object EventsStream {
   case class SessionOut(user_id: Long, session_start: java.sql.Timestamp,
       session_end: java.sql.Timestamp, n_events: Long, total_value: Double)
 
+  /** End-to-end streaming load: file-source stream → normalize →
+    * upsert-by-key into a parquet state dir via foreachBatch — the
+    * reference's queue-consumer→postgres upsert loop
+    * (rabbitmq-to-postgres/app.py) as one Structured Streaming query.
+    * The file source's checkpoint replaces the consumer's hand-rolled
+    * `processed_files` set: restarts resume exactly-once from new
+    * files only. */
+  def upsertStream(
+      events: DataFrame, statePath: String, checkpoint: String,
+      keyCols: Seq[String], versionCol: String): org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.sources.Sinks.upsertByKey(batch.sparkSession, batch.toDF(), statePath,
+          keyCols, versionCol)
+      }
+      .start()
+
   /** Stateful gap sessionization via flatMapGroupsWithState: emits a
     * session row when the gap timeout fires (streaming form of
     * Etl.sessionize). */

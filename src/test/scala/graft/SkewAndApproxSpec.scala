@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.Skew
+import graft.operators.Catalog
+
+/** Skew helpers and approximate sketches. */
+class SkewAndApproxSpec extends AnyFunSuite with SparkSessionTestBase {
+
+  test("saltedAgg equals the unsalted aggregation exactly") {
+    val li = Tables.lineitem(spark, sfDir)
+    val salted = Skew.saltedAgg(li, Seq(col("l_returnflag")), 16,
+      col("l_orderkey") * 10 + col("l_linenumber"),
+      Map(
+        "total_qty" -> (sum(col("l_quantity")), (c: org.apache.spark.sql.Column) => sum(c)),
+        "n" -> (count(lit(1)), (c: org.apache.spark.sql.Column) => sum(c))))
+      .orderBy("l_returnflag")
+      .collect()
+    val plain = li.groupBy("l_returnflag")
+      .agg(sum("l_quantity").as("total_qty"), count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+      .collect()
+    assert(salted.map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSeq ===
+      plain.map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSeq)
+  }
+
+  test("saltedJoin equals the plain join") {
+    val li = Tables.lineitem(spark, sfDir).select("l_orderkey", "l_partkey", "l_linenumber")
+    val part = Tables.part(spark, sfDir).select("p_partkey", "p_brand")
+      .withColumnRenamed("p_partkey", "l_partkey")
+    val salted = Skew.saltedJoin(li, part, "l_partkey", 8,
+      col("l_orderkey") * 10 + col("l_linenumber"))
+    val plain = li.join(part, Seq("l_partkey"))
+    assert(salted.count() === plain.count())
+    def checksum(df: org.apache.spark.sql.DataFrame): Long =
+      df.agg(expr("bit_xor(xxhash64(l_orderkey, l_partkey, p_brand))"))
+        .collect().head.getLong(0)
+    assert(checksum(salted) === checksum(plain))
+  }
+
+  test("statsApprox sketches land within tolerance of exact") {
+    val li = Tables.lineitem(spark, sfDir)
+    val r = Catalog.statsApprox(li).collect().head
+    val exactStores = li.select("l_suppkey").distinct().count()
+    val exactProducts = li.select("l_partkey").distinct().count()
+    assert(math.abs(r.getAs[Long]("approx_stores") - exactStores).toDouble / exactStores < 0.1)
+    assert(math.abs(r.getAs[Long]("approx_products") - exactProducts).toDouble / exactProducts < 0.1)
+    val median = r.getAs[Double]("median_price")
+    assert(median > 0 && median < r.getAs[Double]("p95_price"))
+  }
+}
