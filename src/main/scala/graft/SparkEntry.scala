@@ -85,6 +85,9 @@ object SparkEntry {
     "q_substitutes" -> ((s, d) =>
       Catalog.substitutes(Tables.lineitem(s, d), Tables.part(s, d), 42L)),
     "q_stats_approx" -> ((s, d) => Catalog.statsApprox(Tables.lineitem(s, d))),
+    "q_embed_neardup" -> ((s, d) =>
+      Similarity.embedNearDupPairs(Tables.embeddings(s, d),
+        threshold = 0.35, planes = 4, tables = 4)),
   )
 
   private val eff = "l_extendedprice*(1-l_discount)"

@@ -63,27 +63,55 @@ object Similarity {
       .agg(count(lit(1)).as("n_vectors"), min("vec_id").as("min_vec_id"))
       .orderBy("bucket")
 
+  /** Embedding-cosine near-duplicate pairs: LSH-bucketed candidate
+    * generation (vectors sharing any of `tables` bucket keys), exact
+    * cosine rerank, threshold filter — the semantic-dedup mode of the
+    * dedup family (complements Dedup.minhashPairs' lexical mode).
+    * O(corpus·tables) bucketing + per-bucket pairs; no corpus². */
+  def embedNearDupPairs(
+      emb: DataFrame, threshold: Double = 0.95,
+      planes: Int = 12, tables: Int = 4): DataFrame = {
+    graft.functions.VectorFunctions.register(emb.sparkSession)
+    val e = bucketed(emb, planes, tables)
+      .withColumn("norm", expr("sqrt(graft_dot(v, v))"))
+    e.as("a")
+      .join(e.as("b"),
+        col("a.t") === col("b.t") && col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        col("a.v").as("va"), col("b.v").as("vb"),
+        col("a.norm").as("na"), col("b.norm").as("nb"))
+      .dropDuplicates("vec_a", "vec_b")
+      .withColumn("cos_sim", round(expr("graft_dot(va, vb)") / (col("na") * col("nb")), 6))
+      .filter(col("cos_sim") >= threshold)
+      .select(col("vec_a"), col("vec_b"), col("cos_sim").cast(DecimalType(18, 6)).as("cos_sim"))
+      .orderBy("vec_a", "vec_b")
+  }
+
   /** Approximate top-k via multi-table LSH: `tables` independent
     * hyperplane hashings (seed-offset planes), candidates = union of
     * per-table bucket matches (equi-join on (table, bucket) — never a
     * corpus scan per query), exact-rerank with the native graft_dot.
     * The 100 TB shape: O(corpus·tables) bucketing once, per-query work
     * bounded by bucket occupancy; recall rises as 1-(1-p)^tables. */
-  def embedLshTopK(
-      emb: DataFrame, nQueries: Int = 10, k: Int = 5,
-      planes: Int = 8, tables: Int = 4): DataFrame = {
-    graft.functions.VectorFunctions.register(emb.sparkSession)
-    val e = emb
-      .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
-      .withColumn("norm", expr("sqrt(graft_dot(v, v))"))
+  /** Multi-table bucketing: one row per (vector, table) with the
+    * table's hyperplane-sign bucket. */
+  private def bucketed(emb: DataFrame, planes: Int, tables: Int): DataFrame =
+    emb.select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
       .withColumn("tb", explode(expr(
         s"transform(sequence(0, ${tables - 1}), l -> named_struct('t', l, 'bucket', " +
           s"aggregate(sequence(0, ${planes - 1}), 0L, (acc, j) -> acc * 2 + " +
           "CASE WHEN aggregate(sequence(0, size(v)-1), 0D, (s, i) -> " +
           s"s + element_at(v, i+1) * (CAST(pmod(xxhash64((l*$planes + j)*64 + i), 1000) AS DOUBLE)/1000.0 - 0.5)" +
           ") > 0D THEN 1L ELSE 0L END)))")))
-      .select(col("vec_id"), col("v"), col("norm"),
-        col("tb.t").as("t"), col("tb.bucket").as("bucket"))
+      .select(col("vec_id"), col("v"), col("tb.t").as("t"), col("tb.bucket").as("bucket"))
+
+  def embedLshTopK(
+      emb: DataFrame, nQueries: Int = 10, k: Int = 5,
+      planes: Int = 8, tables: Int = 4): DataFrame = {
+    graft.functions.VectorFunctions.register(emb.sparkSession)
+    val e = bucketed(emb, planes, tables)
+      .withColumn("norm", expr("sqrt(graft_dot(v, v))"))
     val q = e.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm").as("qn"),
         col("t").as("qt"), col("bucket").as("qbucket"))

@@ -79,6 +79,15 @@ class LlmOpsSpec extends AnyFunSuite with SparkSessionTestBase {
     assert(recall > 0.4, s"recall=$recall")
   }
 
+  test("embedNearDupPairs finds above-threshold cosine pairs via LSH") {
+    val emb = Tables.embeddings(spark, docDir)
+    val pairs = Similarity.embedNearDupPairs(emb, threshold = 0.35, planes = 4, tables = 4)
+      .collect()
+    assert(pairs.nonEmpty)
+    assert(pairs.forall(_.getAs[java.math.BigDecimal]("cos_sim").doubleValue >= 0.35))
+    assert(pairs.forall(r => r.getLong(0) < r.getLong(1)))
+  }
+
   test("langId predicts deterministically with scores present") {
     val df = TextAnalysis.langId(Tables.documents(spark, docDir))
     val rows = df.collect()
