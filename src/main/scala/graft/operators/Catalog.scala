@@ -105,8 +105,12 @@ object Catalog {
         count(lit(1)).as("total_observations"),
         approx_count_distinct(col("l_suppkey"), 0.02).as("approx_stores"),
         approx_count_distinct(col("l_partkey"), 0.02).as("approx_products"),
-        percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("median_price"),
-        percentile_approx(col("l_extendedprice"), lit(0.95), lit(1000)).as("p95_price"))
+        // one quantile sketch serves every requested percentile
+        percentile_approx(col("l_extendedprice"), array(lit(0.5), lit(0.95)), lit(1000))
+          .as("price_quantiles"))
+      .select(col("total_observations"), col("approx_stores"), col("approx_products"),
+        col("price_quantiles").getItem(0).as("median_price"),
+        col("price_quantiles").getItem(1).as("p95_price"))
 
   /** Cheaper-substitute suggestions (the reference chatbot's "suggest
     * cheaper substitutes", salim/app README): products whose names share
