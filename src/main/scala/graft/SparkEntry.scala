@@ -88,6 +88,11 @@ object SparkEntry {
     "q_embed_neardup" -> ((s, d) =>
       Similarity.embedNearDupPairs(Tables.embeddings(s, d),
         threshold = 0.35, planes = 4, tables = 4)),
+    "q_pii_redact" -> ((s, d) =>
+      TextCleaning.piiRedact(TextCleaning.withSyntheticPii(Tables.documents(s, d)))),
+    "q_normalize_unicode" -> ((s, d) =>
+      TextCleaning.normalizeUnicode(Tables.documents(s, d))),
+    "q_seq_pack" -> ((s, d) => TextCleaning.packSequences(Tables.documents(s, d))),
   )
 
   private val eff = "l_extendedprice*(1-l_discount)"
@@ -387,5 +392,33 @@ object SparkEntry {
          |FROM cand c JOIN best b ON c.p_partkey = b.l_partkey, tp
          |WHERE b.best_eff < tp.target_price
          |ORDER BY best_price, p_partkey LIMIT 10""".stripMargin,
+    "q_pii_redact" -> {
+      import graft.operators.TextCleaning.{emailRe, phoneRe, urlRe}
+      s"""WITH pii AS (SELECT doc_id,
+         |  text || ' contact user' || doc_id || '@example.com or +1-555-01' || doc_id
+         |       || ' via https://example.com/d/' || doc_id AS text
+         | FROM documents)
+         |SELECT doc_id,
+         | regexp_replace(regexp_replace(regexp_replace(text,
+         |   '$urlRe', '<URL>', 'g'),
+         |   '$emailRe', '<EMAIL>', 'g'),
+         |   '$phoneRe', '<PHONE>', 'g') AS clean_text
+         |FROM pii ORDER BY doc_id""".stripMargin
+    },
+    "q_normalize_unicode" ->
+      """SELECT doc_id, nfc_normalize(text) AS norm_text
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_seq_pack" ->
+      """WITH counted AS (SELECT doc_id, source,
+        |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|\S')) AS INTEGER) AS n_tokens
+        | FROM documents),
+        |cum AS (SELECT doc_id, source, n_tokens,
+        |  coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+        | FROM counted)
+        |SELECT source, CAST(floor(cum_before / 2048) AS BIGINT) AS bin,
+        | count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+        | min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM cum GROUP BY source, bin ORDER BY source, bin""".stripMargin,
   )
 }

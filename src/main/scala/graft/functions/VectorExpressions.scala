@@ -61,18 +61,26 @@ object VectorFunctions {
 
   /** Register on an existing session (idempotent). After this,
     * `expr("graft_dot(a, b)")` / SQL `graft_dot(a, b)` resolve. */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_dot", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_nfc", exprs => NfcNormalize(exprs.head), "built-in")
+  }
 }
 
 /** SparkSessionExtensions entry point:
   * `spark.sql.extensions=graft.functions.GraftExtensions` injects the
   * native functions at session build time. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction((
       FunctionIdentifier("graft_dot"),
       VectorFunctions.dotInfo,
       (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier("graft_nfc"),
+      new ExpressionInfo(classOf[NfcNormalize].getName, "graft_nfc"),
+      (exprs: Seq[Expression]) => NfcNormalize(exprs.head)))
+  }
 }

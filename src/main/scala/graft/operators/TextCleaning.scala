@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data text cleaning: PII redaction, unicode normalization,
+  * and context-window sequence packing.
+  *
+  * Scale posture: redaction/normalization are narrow per-row maps
+  * (codegen'd regexp/normalizer); packing is one window pass ordered
+  * by a stable key. Patterns stay in the RE2∩Java-regex common subset
+  * so the DuckDB oracle evaluates them identically.
+  */
+object TextCleaning {
+
+  val emailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+  val phoneRe = "\\+?[0-9]{1,3}[- ][0-9]{3,4}[- ]?[0-9]{3,4}"
+  val urlRe = "https?://[^ ]+"
+
+  /** Redact emails, phone numbers, and URLs with typed placeholders.
+    * (`withSyntheticPii` plants deterministic PII per doc so the
+    * redaction is observable on the synthetic corpus.) */
+  def piiRedact(docs: DataFrame): DataFrame =
+    docs.select(
+        col("doc_id"),
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(col("text"), urlRe, "<URL>"),
+            emailRe, "<EMAIL>"),
+          phoneRe, "<PHONE>").as("clean_text"))
+      .orderBy("doc_id")
+
+  /** Append deterministic synthetic PII (email, phone, url) per doc. */
+  def withSyntheticPii(docs: DataFrame): DataFrame =
+    docs.withColumn("text", concat(col("text"),
+      lit(" contact user"), col("doc_id"), lit("@example.com or +1-555-01"),
+      col("doc_id"), lit(" via https://example.com/d/"), col("doc_id")))
+
+  /** Unicode NFC normalization via the native graft_nfc expression. */
+  def normalizeUnicode(docs: DataFrame): DataFrame = {
+    graft.functions.VectorFunctions.register(docs.sparkSession)
+    docs.select(col("doc_id"), expr("graft_nfc(text)").as("norm_text"))
+      .orderBy("doc_id")
+  }
+
+  /** Context-window sequence packing: within each `source` shard,
+    * documents in stable doc_id order are assigned to fixed-capacity
+    * token bins by exclusive cumulative token count (the cheap
+    * streaming-packing scheme — a document may straddle a boundary;
+    * bin id = floor(cum_before / window)). Sharding by source keeps
+    * the window partitioned — packing parallelizes across shards
+    * instead of forcing a global single-partition order. */
+  def packSequences(docs: DataFrame, windowTokens: Int = 2048): DataFrame = {
+    val counted = docs.select(col("doc_id"), col("source"),
+      size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+|\\S"), lit(0))).as("n_tokens"))
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    counted
+      .withColumn("cum_before", coalesce(sum("n_tokens").over(w), lit(0)))
+      .withColumn("bin", floor(col("cum_before") / windowTokens))
+      .groupBy("source", "bin")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("total_tokens"),
+        min("doc_id").as("first_doc"),
+        max("doc_id").as("last_doc"))
+      .orderBy("source", "bin")
+  }
+}

