@@ -93,6 +93,9 @@ object SparkEntry {
     "q_normalize_unicode" -> ((s, d) =>
       TextCleaning.normalizeUnicode(Tables.documents(s, d))),
     "q_seq_pack" -> ((s, d) => TextCleaning.packSequences(Tables.documents(s, d))),
+    "q_session_window" -> ((s, d) => Etl.sessionWindows(Tables.events(s, d))),
+    "q_retention_cohorts" -> ((s, d) => Purchases.retentionCohorts(Tables.orders(s, d))),
+    "q_price_percentiles" -> ((s, d) => Purchases.pricePercentiles(Tables.part(s, d))),
   )
 
   private val eff = "l_extendedprice*(1-l_discount)"
@@ -420,5 +423,39 @@ object SparkEntry {
         | count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
         | min(doc_id) AS first_doc, max(doc_id) AS last_doc
         |FROM cum GROUP BY source, bin ORDER BY source, bin""".stripMargin,
+    "q_session_window" ->
+      s"""WITH flagged AS (
+         | SELECT user_id, event_id, ts, value,
+         |  CASE WHEN lag(ts) OVER w IS NULL
+         |        OR ts > lag(ts) OVER w + INTERVAL '30 minutes' THEN 1 ELSE 0 END AS new_session
+         | FROM (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events)
+         | WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         |numbered AS (
+         | SELECT user_id, ts, value,
+         |  sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |    ROWS UNBOUNDED PRECEDING) AS session_seq
+         | FROM flagged)
+         |SELECT user_id,
+         | CAST(min(ts) AS TIMESTAMP) AS session_start,
+         | CAST(max(ts) + INTERVAL '30 minutes' AS TIMESTAMP) AS session_end,
+         | count(*) AS n_events,
+         | ${sSum("value", 2)} AS total_value
+         |FROM numbered GROUP BY user_id, session_seq
+         |ORDER BY user_id, session_start""".stripMargin,
+    "q_retention_cohorts" ->
+      """WITH fo AS (SELECT o_custkey,
+        |  date_trunc('month', min(o_orderdate)) AS cohort_month
+        | FROM orders GROUP BY o_custkey)
+        |SELECT CAST(fo.cohort_month AS TIMESTAMP) AS cohort_month,
+        | CAST(date_trunc('month', o.o_orderdate) AS TIMESTAMP) AS activity_month,
+        | count(DISTINCT o.o_custkey) AS n_active_customers,
+        | count(*) AS n_orders
+        |FROM orders o JOIN fo ON o.o_custkey = fo.o_custkey
+        |GROUP BY 1, 2 ORDER BY cohort_month, activity_month""".stripMargin,
+    "q_price_percentiles" ->
+      s"""SELECT p_type AS category,
+         | ${m("quantile_cont(p_retailprice, 0.5)")} AS p50_price,
+         | ${m("quantile_cont(p_retailprice, 0.9)")} AS p90_price
+         |FROM part GROUP BY p_type ORDER BY category""".stripMargin,
   )
 }

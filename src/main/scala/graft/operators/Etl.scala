@@ -103,6 +103,20 @@ object Etl {
       .orderBy("user_id", "session_seq")
   }
 
+  /** Native session-window sessionization: Spark's `session_window`
+    * merges events within `gapMinutes` directly in the aggregation —
+    * the streaming-compatible formulation of `sessionize` (same
+    * boundaries; window end = last event + gap by definition). */
+  def sessionWindows(events: DataFrame, gapMinutes: Int = 30): DataFrame =
+    events
+      .groupBy(col("user_id"), session_window(col("ts"), s"$gapMinutes minutes").as("w"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        StableStats.stableSum(col("value"), 2).as("total_value"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("n_events"), col("total_value"))
+      .orderBy("user_id", "session_start")
+
   /** Tumbling-window event aggregation (batch twin of the streaming
     * consumer; see graft.streaming.EventsStream for the readStream
     * variant with a watermark). */

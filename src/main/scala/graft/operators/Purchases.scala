@@ -57,6 +57,34 @@ object Purchases {
       .orderBy(col("revenue").desc, col("o_orderkey"))
       .limit(topN)
 
+  /** Retention cohorts: customers grouped by first-order month, counted
+    * by activity month — the classic engagement matrix. Two aggregation
+    * passes over orders plus a broadcast-sized first-order dimension. */
+  def retentionCohorts(orders: DataFrame): DataFrame = {
+    val firstOrder = orders.groupBy("o_custkey")
+      .agg(date_trunc("month", min("o_orderdate")).as("cohort_month"))
+    orders
+      .join(firstOrder, Seq("o_custkey"))
+      .groupBy(col("cohort_month"),
+        date_trunc("month", col("o_orderdate")).as("activity_month"))
+      .agg(
+        countDistinct("o_custkey").as("n_active_customers"),
+        count(lit(1)).as("n_orders"))
+      .orderBy("cohort_month", "activity_month")
+  }
+
+  /** Exact grouped price percentiles (the price-distribution view the
+    * stats endpoint implies): Spark's sort-based `percentile` with
+    * linear interpolation — DuckDB's quantile_cont twin. */
+  def pricePercentiles(part: DataFrame): DataFrame =
+    part.groupBy(col("p_type").as("category"))
+      .agg(percentile(col("p_retailprice"), lit(0.5)).as("p50_raw"),
+        percentile(col("p_retailprice"), lit(0.9)).as("p90_raw"))
+      .select(col("category"),
+        round(col("p50_raw"), 2).cast(StableStats.money).as("p50_price"),
+        round(col("p90_raw"), 2).cast(StableStats.money).as("p90_price"))
+      .orderBy("category")
+
   /** Per-segment customer stats (the reference's /stats rollup applied
     * to the purchase dimension). */
   def segmentStats(customer: DataFrame, orders: DataFrame): DataFrame =

@@ -35,6 +35,34 @@ class PurchasesSpec extends AnyFunSuite with SparkSessionTestBase {
       Tables.customer(spark, sfDir).count())
   }
 
+  test("retentionCohorts: activity month never precedes cohort month") {
+    val rows = Purchases.retentionCohorts(Tables.orders(spark, sfDir)).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val cohort = r.getAs[java.sql.Timestamp]("cohort_month")
+      val activity = r.getAs[java.sql.Timestamp]("activity_month")
+      assert(!activity.before(cohort))
+    }
+  }
+
+  test("pricePercentiles: p50 <= p90 per category") {
+    val rows = Purchases.pricePercentiles(Tables.part(spark, sfDir)).collect()
+    assert(rows.length === 6)
+    rows.foreach { r =>
+      assert(r.getAs[java.math.BigDecimal]("p50_price")
+        .compareTo(r.getAs[java.math.BigDecimal]("p90_price")) <= 0)
+    }
+  }
+
+  test("sessionWindows agrees with the window-function sessionize") {
+    val events = Tables.events(spark, sfDir)
+    val native = graft.operators.Etl.sessionWindows(events).collect()
+    val manual = graft.operators.Etl.sessionize(events).collect()
+    assert(native.length === manual.length)
+    assert(native.map(_.getAs[Long]("n_events")).sum ===
+      manual.map(_.getAs[Long]("n_events")).sum)
+  }
+
   test("gz-compressed XML store feed parses identically to plain") {
     val plain = graft.sources.RawIngest.storesFromXml(spark,
       "/root/reference/StoresFull7290700100008-000-000-20250821-002217").collect()
