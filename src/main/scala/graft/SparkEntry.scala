@@ -87,7 +87,7 @@ object SparkEntry {
     "q_stats_approx" -> ((s, d) => Catalog.statsApprox(Tables.lineitem(s, d))),
     "q_embed_neardup" -> ((s, d) =>
       Similarity.embedNearDupPairs(Tables.embeddings(s, d),
-        threshold = 0.35, planes = 4, tables = 4)),
+        threshold = 0.35, planes = 5, tables = 4)),
     "q_pii_redact" -> ((s, d) =>
       TextCleaning.piiRedact(TextCleaning.withSyntheticPii(Tables.documents(s, d)))),
     "q_normalize_unicode" -> ((s, d) =>

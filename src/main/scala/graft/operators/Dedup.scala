@@ -159,6 +159,8 @@ object Dedup {
     // per-pair set structures are built. Ultra-frequent grams would need
     // a frequency cap/salt at corpus scale.
     val inv = g.select(col("doc_id"), col("lang"), col("sz"), explode(col("grams")).as("gh"))
+      // both self-join branches read the exploded index — cache once
+      .cache()
     inv.as("a")
       .join(inv.as("b"),
         col("a.gh") === col("b.gh") && col("a.lang") === col("b.lang") &&
