@@ -96,6 +96,7 @@ object SparkEntry {
     "q_session_window" -> ((s, d) => Etl.sessionWindows(Tables.events(s, d))),
     "q_retention_cohorts" -> ((s, d) => Purchases.retentionCohorts(Tables.orders(s, d))),
     "q_price_percentiles" -> ((s, d) => Purchases.pricePercentiles(Tables.part(s, d))),
+    "q_train_split" -> ((s, d) => Curation.splitCounts(Tables.documents(s, d))),
   )
 
   private val eff = "l_extendedprice*(1-l_discount)"

@@ -31,6 +31,28 @@ class TextCleaningSpec extends AnyFunSuite with SparkSessionTestBase {
     assert(out(1).getAs[String]("norm_text") === "plain ascii")
   }
 
+  test("assignSplits is complete, disjoint, deterministic, and near the weights") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.01")
+    val a = graft.operators.Curation.assignSplits(docs).select("doc_id", "split").collect()
+    val b = graft.operators.Curation.assignSplits(docs).select("doc_id", "split").collect()
+    assert(a.map(r => (r.getLong(0), r.getString(1))).toSet ===
+      b.map(r => (r.getLong(0), r.getString(1))).toSet) // deterministic
+    val byKind = a.groupBy(_.getString(1)).view.mapValues(_.length).toMap
+    assert(byKind.keySet === Set("train", "val", "test"))
+    assert(byKind.values.sum === 500) // complete
+    assert(byKind("train") > 400 && byKind("train") < 480) // ~90%
+  }
+
+  test("stratifiedSample respects per-stratum fractions roughly") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.01")
+    val sampled = graft.operators.Curation.stratifiedSample(docs, "lang",
+      Map("en" -> 0.5, "de" -> 0.1, "es" -> 0.0, "fr" -> 0.0, "zh" -> 0.0))
+    val counts = sampled.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!counts.contains("es") && !counts.contains("zh"))
+    assert(counts.getOrElse("en", 0L) > counts.getOrElse("de", 0L))
+  }
+
   test("packSequences fills bins to capacity within each source shard") {
     val docs = Tables.documents(spark, sfDir)
     val bins = TextCleaning.packSequences(docs, windowTokens = 256).collect()
