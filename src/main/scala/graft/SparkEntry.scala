@@ -97,6 +97,9 @@ object SparkEntry {
     "q_retention_cohorts" -> ((s, d) => Purchases.retentionCohorts(Tables.orders(s, d))),
     "q_price_percentiles" -> ((s, d) => Purchases.pricePercentiles(Tables.part(s, d))),
     "q_train_split" -> ((s, d) => Curation.splitCounts(Tables.documents(s, d))),
+    "q_dedup_clusters" -> ((s, d) =>
+      Dedup.duplicateClusters(Dedup.minhashPairs(Tables.documents(s, d)))
+        .drop("members")),
   )
 
   private val eff = "l_extendedprice*(1-l_discount)"

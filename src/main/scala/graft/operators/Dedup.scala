@@ -140,6 +140,41 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Resolve near-duplicate PAIRS into duplicate CLUSTERS (connected
+    * components) via min-label propagation: every node starts as its
+    * own label; each iteration pushes the minimum label across edges
+    * until a fixpoint. Near-dup components have tiny diameter, so this
+    * converges in a handful of iterations; `localCheckpoint` truncates
+    * the growing lineage each round (the classic iterative-Spark trap).
+    * Returns one row per cluster: representative (min doc_id), size. */
+  def duplicateClusters(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .cache()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      val propagated = edges.join(labels, col("src") === col("id"))
+        .groupBy(col("dst")).agg(min("label").as("in_label"))
+      val next = labels.join(propagated, col("id") === col("dst"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("in_label"), col("label"))).as("label"))
+        .localCheckpoint()
+      changed = next.as("n").join(labels.as("o"), "id")
+        .filter(col("n.label") =!= col("o.label")).count()
+      labels = next
+      iter += 1
+    }
+    labels.groupBy(col("label").as("cluster_rep"))
+      .agg(count(lit(1)).as("n_docs"), collect_list("id").as("member_sample"))
+      .select(col("cluster_rep"), col("n_docs"),
+        sort_array(col("member_sample")).as("members"))
+      .orderBy("cluster_rep")
+  }
+
   /** Word n-gram Jaccard similarity over candidate pairs (blocked by
     * `lang`; at corpus scale the block key would be an LSH bucket, and
     * the right side would be the LSH-survivor set instead of a full

@@ -42,6 +42,27 @@ class LlmOpsSpec extends AnyFunSuite with SparkSessionTestBase {
     }
   }
 
+  test("duplicateClusters computes transitive closure of pairs") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (3L, 7L))
+      .toDF("doc_a", "doc_b")
+    val clusters = Dedup.duplicateClusters(pairs).collect()
+    assert(clusters.length === 2)
+    val byRep = clusters.map(r => r.getLong(0) -> r.getAs[Seq[Long]]("members")).toMap
+    assert(byRep(1L).toSet === Set(1L, 2L, 3L, 7L)) // transitive chain
+    assert(byRep(10L).toSet === Set(10L, 11L))
+  }
+
+  test("duplicateClusters over minhash pairs covers every paired doc") {
+    val pairs = Dedup.minhashPairs(Tables.documents(spark, docDir))
+    val clusters = Dedup.duplicateClusters(pairs).collect()
+    assert(clusters.nonEmpty)
+    val docsInPairs = pairs.select("doc_a").union(pairs.select("doc_b"))
+      .distinct().count()
+    assert(clusters.map(_.getAs[Long]("n_docs")).sum === docsInPairs)
+    assert(clusters.forall(_.getAs[Long]("n_docs") >= 2))
+  }
+
   test("simhashPairs emits low-hamming pairs only") {
     val pairs = Dedup.simhashPairs(Tables.documents(spark, docDir)).collect()
     assert(pairs.nonEmpty)
