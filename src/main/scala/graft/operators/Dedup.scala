@@ -141,33 +141,60 @@ object Dedup {
   }
 
   /** Resolve near-duplicate PAIRS into duplicate CLUSTERS (connected
-    * components) via min-label propagation: every node starts as its
-    * own label; each iteration pushes the minimum label across edges
-    * until a fixpoint. Near-dup components have tiny diameter, so this
-    * converges in a handful of iterations; `localCheckpoint` truncates
-    * the growing lineage each round (the classic iterative-Spark trap).
-    * Returns one row per cluster: representative (min doc_id), size. */
-  def duplicateClusters(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .cache()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id"))
-      .localCheckpoint()
-    var changed = 1L
-    var iter = 0
-    while (changed > 0 && iter < maxIter) {
-      val propagated = edges.join(labels, col("src") === col("id"))
-        .groupBy(col("dst")).agg(min("label").as("in_label"))
-      val next = labels.join(propagated, col("id") === col("dst"), "left")
-        .select(col("id"),
-          least(col("label"), coalesce(col("in_label"), col("label"))).as("label"))
-        .localCheckpoint()
-      changed = next.as("n").join(labels.as("o"), "id")
-        .filter(col("n.label") =!= col("o.label")).count()
-      labels = next
-      iter += 1
-    }
+    * components). Adaptive strategy: LSH-surviving pair sets are tiny
+    * relative to the corpus, so below `driverThreshold` pairs a driver
+    * union-find resolves them in one pass; above it, distributed
+    * min-label propagation (each iteration pushes the minimum label
+    * across edges; `localCheckpoint` truncates the growing lineage —
+    * the classic iterative-Spark trap) converges in diameter rounds.
+    * Returns one row per cluster: representative (min doc_id), size,
+    * sorted members. */
+  def duplicateClusters(
+      pairs: DataFrame, maxIter: Int = 10, driverThreshold: Long = 1000000L): DataFrame = {
+    val spark = pairs.sparkSession
+    val cached = pairs.select(col("doc_a"), col("doc_b")).cache()
+    val labels =
+      if (cached.count() <= driverThreshold) {
+        // driver union-find: pairs fit comfortably (≤ ~16MB per 1M)
+        val parent = scala.collection.mutable.Map.empty[Long, Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+          var c = x
+          while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+          r
+        }
+        cached.collect().foreach { row =>
+          val (a, b) = (row.getLong(0), row.getLong(1))
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val ids = parent.keySet ++ parent.values
+        import spark.implicits._
+        ids.toSeq.map(id => (id, find(id))).toDF("id", "label")
+      } else {
+        val edges = cached.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+          .unionAll(cached.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+          .cache()
+        var l = edges.select(col("src").as("id")).distinct()
+          .withColumn("label", col("id"))
+          .localCheckpoint()
+        var changed = 1L
+        var iter = 0
+        while (changed > 0 && iter < maxIter) {
+          val propagated = edges.join(l, col("src") === col("id"))
+            .groupBy(col("dst")).agg(min("label").as("in_label"))
+          val next = l.join(propagated, col("id") === col("dst"), "left")
+            .select(col("id"),
+              least(col("label"), coalesce(col("in_label"), col("label"))).as("label"))
+            .localCheckpoint()
+          changed = next.as("n").join(l.as("o"), "id")
+            .filter(col("n.label") =!= col("o.label")).count()
+          l = next
+          iter += 1
+        }
+        l
+      }
     labels.groupBy(col("label").as("cluster_rep"))
       .agg(count(lit(1)).as("n_docs"), collect_list("id").as("member_sample"))
       .select(col("cluster_rep"), col("n_docs"),

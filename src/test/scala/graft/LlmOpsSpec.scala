@@ -46,11 +46,14 @@ class LlmOpsSpec extends AnyFunSuite with SparkSessionTestBase {
     import spark.implicits._
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (3L, 7L))
       .toDF("doc_a", "doc_b")
-    val clusters = Dedup.duplicateClusters(pairs).collect()
-    assert(clusters.length === 2)
-    val byRep = clusters.map(r => r.getLong(0) -> r.getAs[Seq[Long]]("members")).toMap
-    assert(byRep(1L).toSet === Set(1L, 2L, 3L, 7L)) // transitive chain
-    assert(byRep(10L).toSet === Set(10L, 11L))
+    // both strategies: driver union-find and distributed propagation
+    for (threshold <- Seq(1000000L, 0L)) {
+      val clusters = Dedup.duplicateClusters(pairs, driverThreshold = threshold).collect()
+      assert(clusters.length === 2)
+      val byRep = clusters.map(r => r.getLong(0) -> r.getAs[Seq[Long]]("members")).toMap
+      assert(byRep(1L).toSet === Set(1L, 2L, 3L, 7L)) // transitive chain
+      assert(byRep(10L).toSet === Set(10L, 11L))
+    }
   }
 
   test("duplicateClusters over minhash pairs covers every paired doc") {
