@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 import graft.operators._
 
@@ -100,6 +101,21 @@ object SparkEntry {
     "q_dedup_clusters" -> ((s, d) =>
       Dedup.duplicateClusters(Dedup.minhashPairs(Tables.documents(s, d)))
         .drop("members")),
+    "q_asof_view_before_purchase" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          round(col("value"), 2).cast(org.apache.spark.sql.types.DecimalType(18, 2))
+            .as("purchase_value"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts").as("viewed_at"),
+          round(col("value"), 2).cast(org.apache.spark.sql.types.DecimalType(18, 2))
+            .as("view_value"))
+      Temporal.asOfJoin(purchases, views, Seq("user_id"), "ts", "viewed_at",
+          Seq("viewed_at", "view_value"))
+        .orderBy("event_id")
+    }),
+    "q_range_pairs" -> ((s, d) => Temporal.eventPairsWithin(Tables.events(s, d))),
   )
 
   private val eff = "l_extendedprice*(1-l_discount)"
@@ -427,6 +443,20 @@ object SparkEntry {
         | count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
         | min(doc_id) AS first_doc, max(doc_id) AS last_doc
         |FROM cum GROUP BY source, bin ORDER BY source, bin""".stripMargin,
+    "q_asof_view_before_purchase" ->
+      s"""WITH p AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+         |  ${m("value")} AS purchase_value FROM events WHERE event_type = 'purchase'),
+         |v AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS viewed_at,
+         |  ${m("value")} AS view_value FROM events WHERE event_type = 'view')
+         |SELECT p.event_id, p.user_id, p.ts, p.purchase_value, v.viewed_at, v.view_value
+         |FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.viewed_at
+         |ORDER BY event_id""".stripMargin,
+    "q_range_pairs" ->
+      """WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events)
+        |SELECT CAST(a.ts AS DATE) AS day, count(*) AS n_pairs
+        |FROM e a JOIN e b ON a.user_id <> b.user_id
+        |  AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL '60 seconds'
+        |GROUP BY day ORDER BY day""".stripMargin,
     "q_session_window" ->
       s"""WITH flagged AS (
          | SELECT user_id, event_id, ts, value,
