@@ -116,6 +116,8 @@ object SparkEntry {
         .orderBy("event_id")
     }),
     "q_range_pairs" -> ((s, d) => Temporal.eventPairsWithin(Tables.events(s, d))),
+    "q_cohort_pivot" -> ((s, d) => Purchases.cohortPivot(Tables.orders(s, d))),
+    "q_price_histogram" -> ((s, d) => Purchases.priceHistogram(Tables.part(s, d))),
   )
 
   private val eff = "l_extendedprice*(1-l_discount)"
@@ -457,6 +459,31 @@ object SparkEntry {
         |FROM e a JOIN e b ON a.user_id <> b.user_id
         |  AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL '60 seconds'
         |GROUP BY day ORDER BY day""".stripMargin,
+    "q_cohort_pivot" ->
+      """WITH fo AS (SELECT o_custkey,
+        |  date_trunc('month', min(o_orderdate)) AS cohort_month
+        | FROM orders GROUP BY o_custkey),
+        |j AS (SELECT o.o_custkey, CAST(fo.cohort_month AS TIMESTAMP) AS cohort_month,
+        |  (date_part('year', o.o_orderdate)*12 + date_part('month', o.o_orderdate))
+        |   - (date_part('year', fo.cohort_month)*12 + date_part('month', fo.cohort_month)) AS months_after
+        | FROM orders o JOIN fo ON o.o_custkey = fo.o_custkey)
+        |SELECT cohort_month,
+        | count(DISTINCT CASE WHEN months_after = 0 THEN o_custkey END) AS m0,
+        | count(DISTINCT CASE WHEN months_after = 1 THEN o_custkey END) AS m1,
+        | count(DISTINCT CASE WHEN months_after = 2 THEN o_custkey END) AS m2,
+        | count(DISTINCT CASE WHEN months_after = 3 THEN o_custkey END) AS m3,
+        | count(DISTINCT CASE WHEN months_after = 4 THEN o_custkey END) AS m4,
+        | count(DISTINCT CASE WHEN months_after = 5 THEN o_custkey END) AS m5
+        |FROM j GROUP BY cohort_month ORDER BY cohort_month""".stripMargin,
+    "q_price_histogram" ->
+      s"""SELECT CASE WHEN p_retailprice < 900.0 THEN 0
+         |      WHEN p_retailprice >= 2100.0 THEN 13
+         |      ELSE CAST(floor((p_retailprice - 900.0) / (2100.0 - 900.0) * 12) AS BIGINT) + 1
+         |      END AS bucket,
+         | count(*) AS n_products,
+         | ${m("min(p_retailprice)")} AS min_price,
+         | ${m("max(p_retailprice)")} AS max_price
+         |FROM part GROUP BY bucket ORDER BY bucket""".stripMargin,
     "q_session_window" ->
       s"""WITH flagged AS (
          | SELECT user_id, event_id, ts, value,

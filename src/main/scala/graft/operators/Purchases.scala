@@ -73,6 +73,45 @@ object Purchases {
       .orderBy("cohort_month", "activity_month")
   }
 
+  /** Retention matrix pivoted wide: per cohort month, distinct active
+    * customers 0..`horizon` months after first order — conditional
+    * aggregates rather than `pivot` so the column set is static and
+    * the plan stays a single pass. */
+  def cohortPivot(orders: DataFrame, horizon: Int = 5): DataFrame = {
+    val firstOrder = orders.groupBy("o_custkey")
+      .agg(date_trunc("month", min("o_orderdate")).as("cohort_month"))
+    val monthsAfter =
+      (year(col("o_orderdate")) * 12 + month(col("o_orderdate"))) -
+        (year(col("cohort_month")) * 12 + month(col("cohort_month")))
+    val cols = (0 to horizon).map(k =>
+      countDistinct(when(col("months_after") === k, col("o_custkey"))).as(s"m$k"))
+    orders
+      .join(firstOrder, Seq("o_custkey"))
+      .withColumn("months_after", monthsAfter)
+      .groupBy("cohort_month")
+      .agg(cols.head, cols.tail: _*)
+      .orderBy("cohort_month")
+  }
+
+  /** Retail price histogram: fixed-width buckets via width_bucket —
+    * single-pass, partial-combine, the distribution view behind the
+    * price-range search filters. */
+  def priceHistogram(
+      part: DataFrame, lo: Double = 900.0, hi: Double = 2100.0, buckets: Int = 12): DataFrame = {
+    // explicit width-bucket formula (identical IEEE arithmetic in the
+    // DuckDB oracle; built-in width_bucket implementations differ in
+    // operation order at bucket boundaries)
+    val x = col("p_retailprice")
+    val bucket = when(x < lo, 0L)
+      .when(x >= hi, buckets + 1L)
+      .otherwise(floor((x - lo) / (hi - lo) * buckets) + 1L)
+    part.groupBy(bucket.as("bucket"))
+      .agg(count(lit(1)).as("n_products"),
+        round(min("p_retailprice"), 2).cast(StableStats.money).as("min_price"),
+        round(max("p_retailprice"), 2).cast(StableStats.money).as("max_price"))
+      .orderBy("bucket")
+  }
+
   /** Exact grouped price percentiles (the price-distribution view the
     * stats endpoint implies): Spark's sort-based `percentile` with
     * linear interpolation — DuckDB's quantile_cont twin. */
