@@ -63,6 +63,7 @@ object SparkEntry {
     "q_embed_topk" -> ((s, d) => Similarity.embedTopK(Tables.embeddings(s, d))),
     "q_embed_lsh" -> ((s, d) => Similarity.embedLshBuckets(Tables.embeddings(s, d))),
     "q_embed_lsh_topk" -> ((s, d) => Similarity.embedLshTopK(Tables.embeddings(s, d))),
+    "q_embed_ivf_topk" -> ((s, d) => Similarity.embedIvfTopK(Tables.embeddings(s, d))),
     "q_lang_id" -> ((s, d) => TextAnalysis.langId(Tables.documents(s, d))),
     "q_quality_score" -> ((s, d) => TextAnalysis.qualityScore(Tables.documents(s, d))),
     "q_token_count" -> ((s, d) => TextAnalysis.tokenCount(Tables.documents(s, d))),

@@ -88,6 +88,70 @@ object Similarity {
       .orderBy("vec_a", "vec_b")
   }
 
+  /** IVF (inverted-file) ANN index: deterministic seed centroids
+    * (hash-ranked corpus vectors), Lloyd refinement via relational
+    * aggregation (posexplode → per-dimension mean → re-assemble), then
+    * probe: each query searches only the `nProbe` nearest centroid
+    * lists, exact-reranked with graft_dot. The 100 TB shape: assignment
+    * is corpus × broadcast(centroids) with a constant fan-out; list
+    * probing replaces the full scan with O(corpus·nProbe/nCentroids)
+    * candidates. */
+  def embedIvfTopK(
+      emb: DataFrame, nQueries: Int = 10, k: Int = 5,
+      nCentroids: Int = 16, lloydIters: Int = 2, nProbe: Int = 4): DataFrame = {
+    graft.functions.VectorFunctions.register(emb.sparkSession)
+    val e = withNorm(emb)
+      .withColumn("vn", expr("transform(v, x -> x / norm)"))
+      .select("vec_id", "vn")
+      .cache()
+
+    // deterministic seed centroids: hash-ranked corpus vectors
+    var centroids = e.orderBy(xxhash64(col("vec_id")), col("vec_id"))
+      .limit(nCentroids)
+      .select(row_number().over(Window.orderBy("vec_id")).as("cid"), col("vn").as("cvec"))
+
+    def assign(vectors: DataFrame): DataFrame = {
+      val w = Window.partitionBy("vec_id").orderBy(col("sim").desc, col("cid"))
+      vectors.crossJoin(broadcast(centroids))
+        .withColumn("sim", expr("graft_dot(vn, cvec)"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("vec_id", "vn", "cid")
+    }
+
+    for (_ <- 1 to lloydIters) {
+      val means = assign(e)
+        .select(col("cid"), posexplode(col("vn")).as(Seq("pos", "x")))
+        .groupBy("cid", "pos").agg(avg("x").as("mx"))
+        .groupBy("cid")
+        .agg(expr("transform(array_sort(collect_list(struct(pos, mx))), s -> s.mx)").as("cvec"))
+      // re-normalize so cosine assignment stays a plain dot product
+      centroids = means.select(col("cid"),
+        expr("transform(cvec, x -> x / sqrt(graft_dot(cvec, cvec)))").as("cvec"))
+        .localCheckpoint()
+    }
+
+    val assigned = assign(e).cache()
+    // each query probes its nProbe nearest centroid lists
+    val wq = Window.partitionBy("vec_id").orderBy(col("sim").desc, col("cid"))
+    val probes = e.filter(col("vec_id") < nQueries)
+      .crossJoin(broadcast(centroids))
+      .withColumn("sim", expr("graft_dot(vn, cvec)"))
+      .withColumn("rn", row_number().over(wq))
+      .filter(col("rn") <= nProbe)
+      .select(col("vec_id").as("query_id"), col("vn").as("qv"), col("cid"))
+    val wk = Window.partitionBy("query_id").orderBy(col("cos_r").desc, col("vec_id"))
+    assigned.join(broadcast(probes),
+        Seq("cid")).filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos_r", round(expr("graft_dot(vn, qv)"), 6))
+      .dropDuplicates("query_id", "vec_id")
+      .withColumn("rank", row_number().over(wk))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("cos_r").cast(DecimalType(18, 6)).as("cos_sim"), col("rank"))
+      .orderBy("query_id", "rank")
+  }
+
   /** Approximate top-k via multi-table LSH: `tables` independent
     * hyperplane hashings (seed-offset planes), candidates = union of
     * per-table bucket matches (equi-join on (table, bucket) — never a

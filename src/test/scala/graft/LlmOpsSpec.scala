@@ -103,6 +103,22 @@ class LlmOpsSpec extends AnyFunSuite with SparkSessionTestBase {
     assert(recall > 0.4, s"recall=$recall")
   }
 
+  test("embedIvfTopK probes centroid lists with sane recall") {
+    val emb = Tables.embeddings(spark, docDir)
+    val exact = Similarity.embedTopK(emb, nQueries = 10, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.embedIvfTopK(emb, nQueries = 10, k = 5,
+      nCentroids = 16, lloydIters = 2, nProbe = 8).collect()
+    assert(ivf.nonEmpty)
+    val approx = ivf.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall > 0.3, s"recall=$recall")
+    // determinism: seeded centroids, no RNG
+    val again = Similarity.embedIvfTopK(emb, nQueries = 10, k = 5,
+      nCentroids = 16, lloydIters = 2, nProbe = 8).collect()
+    assert(ivf.map(_.toString).toSeq === again.map(_.toString).toSeq)
+  }
+
   test("embedNearDupPairs finds above-threshold cosine pairs via LSH") {
     val emb = Tables.embeddings(spark, docDir)
     val pairs = Similarity.embedNearDupPairs(emb, threshold = 0.35, planes = 4, tables = 4)
