@@ -45,6 +45,26 @@ object RawIngest {
         trim(col("City").cast("string")).as("city"),
         col("ZIPCode").cast("string").as("zipcode"))
 
+  /** Split a JSON-lines feed into (parsed, quarantined) in ONE pass:
+    * PERMISSIVE parsing keeps malformed lines in a corrupt-record
+    * column instead of failing the batch (the reference consumer's
+    * try/except-per-message, relationally). Callers land the
+    * quarantine frame next to the parsed data for replay/inspection. */
+  def parseWithQuarantine(
+      spark: SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType): (DataFrame, DataFrame) = {
+    val raw = spark.read
+      .schema(schema.add("_corrupt_record", "string"))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(path)
+      .cache() // one scan serves both splits
+    val ok = raw.filter(col("_corrupt_record").isNull).drop("_corrupt_record")
+    val quarantined = raw.filter(col("_corrupt_record").isNotNull)
+      .select(col("_corrupt_record").as("raw_line"))
+    (ok, quarantined)
+  }
+
   /** Parse the JSON price feed (Root.{ChainId,StoreId,Items.Item[]})
     * into one typed row per item with an idempotency hash — the
     * s3→queue→db consumer's transform as one narrow plan. */

@@ -74,6 +74,25 @@ class EtlSpec extends AnyFunSuite with SparkSessionTestBase {
     assert(rows.map(_.getAs[Long]("store_id")).distinct.length == rows.length)
   }
 
+  test("parseWithQuarantine routes malformed lines without failing the batch") {
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("quarantine").toString
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/feed.jsonl"),
+      """{"item_code": "100", "price": 5.9}
+        |{"item_code": "200", "price": 8.1}
+        |{not valid json at all
+        |{"item_code": "300", "price": "NaNish"}
+        |""".stripMargin)
+    val schema = StructType(Seq(
+      StructField("item_code", StringType), StructField("price", DoubleType)))
+    val (ok, bad) = RawIngest.parseWithQuarantine(spark, dir, schema)
+    assert(ok.count() === 2)
+    val badLines = bad.collect().map(_.getString(0))
+    assert(badLines.length === 2)
+    assert(badLines.exists(_.contains("not valid json")))
+    assert(badLines.exists(_.contains("NaNish")))
+  }
+
   test("priceItemsFromJson explodes and types the item feed") {
     val fixture = java.nio.file.Files.createTempDirectory("items").toString
     val json =
