@@ -1,0 +1,47 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators._
+
+/** Degenerate-input robustness: every operator must return an empty
+  * (or well-defined) result on empty input rather than throwing —
+  * partitions ARE empty sometimes at 100 TB. */
+class EmptyInputSpec extends AnyFunSuite with SparkSessionTestBase {
+
+  lazy val emptyDocs = Tables.documents(spark, sfDir).limit(0)
+  lazy val emptyLi = Tables.lineitem(spark, sfDir).limit(0)
+  lazy val emptyEmb = Tables.embeddings(spark, sfDir).limit(0)
+  lazy val emptyEvents = Tables.events(spark, sfDir).limit(0)
+
+  test("dedup family on empty corpus") {
+    assert(Dedup.exactDocs(emptyDocs).count() === 0)
+    assert(Dedup.minhashPairs(emptyDocs).count() === 0)
+    assert(Dedup.simhashPairs(emptyDocs).count() === 0)
+    assert(Dedup.ngramJaccard(emptyDocs).count() === 0)
+  }
+
+  test("similarity on empty embeddings") {
+    assert(Similarity.embedTopK(emptyEmb).count() === 0)
+    assert(Similarity.embedLshBuckets(emptyEmb).count() === 0)
+  }
+
+  test("pricing on empty observations") {
+    assert(Pricing.pricingSummary(emptyLi).count() === 0)
+    assert(Pricing.lowestPricePerStore(emptyLi).count() === 0)
+    assert(Pricing.bestBasket(emptyLi, Seq(1L, 2L)).count() === 0)
+  }
+
+  test("etl on empty events") {
+    assert(Etl.sessionize(emptyEvents).count() === 0)
+    assert(Etl.eventWindows(emptyEvents).count() === 0)
+    assert(TextAnalysis.langId(emptyDocs).count() === 0)
+    assert(TextCleaning.packSequences(emptyDocs).count() === 0)
+  }
+
+  test("cluster resolution on empty pairs") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    assert(Dedup.duplicateClusters(empty).count() === 0)
+  }
+}
