@@ -119,6 +119,13 @@ object SparkEntry {
     "q_range_pairs" -> ((s, d) => Temporal.eventPairsWithin(Tables.events(s, d))),
     "q_cohort_pivot" -> ((s, d) => Purchases.cohortPivot(Tables.orders(s, d))),
     "q_price_histogram" -> ((s, d) => Purchases.priceHistogram(Tables.part(s, d))),
+    "q_sample_per_category" -> ((s, d) => {
+      graft.functions.VectorFunctions.register(s)
+      Tables.part(s, d).createOrReplaceTempView("graft_part_tmp")
+      s.sql("""SELECT p_type AS category,
+              | concat_ws(',', graft_sample(p_name, 3)) AS sample
+              |FROM graft_part_tmp GROUP BY p_type ORDER BY category""".stripMargin)
+    }),
   )
 
   private val eff = "l_extendedprice*(1-l_discount)"
@@ -460,6 +467,11 @@ object SparkEntry {
         |FROM e a JOIN e b ON a.user_id <> b.user_id
         |  AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL '60 seconds'
         |GROUP BY day ORDER BY day""".stripMargin,
+    "q_sample_per_category" ->
+      """WITH d AS (SELECT DISTINCT p_type, p_name FROM part)
+        |SELECT p_type AS category,
+        | array_to_string(list_slice(list(p_name ORDER BY md5(p_name), p_name), 1, 3), ',') AS sample
+        |FROM d GROUP BY p_type ORDER BY category""".stripMargin,
     "q_cohort_pivot" ->
       """WITH fo AS (SELECT o_custkey,
         |  date_trunc('month', min(o_orderdate)) AS cohort_month

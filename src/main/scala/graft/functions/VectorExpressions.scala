@@ -66,6 +66,9 @@ object VectorFunctions {
       "graft_dot", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_nfc", exprs => NfcNormalize(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_sample", exprs => BottomKByHash(exprs(0),
+        exprs(1).eval().asInstanceOf[Int]), "built-in")
   }
 }
 

@@ -39,6 +39,27 @@ class VectorExpressionsSpec extends AnyFunSuite with SparkSessionTestBase {
     assert(rows(1).isNullAt(0))
   }
 
+  test("graft_sample keeps a bounded deterministic bottom-k-by-hash sample") {
+    VectorFunctions.register(spark)
+    import spark.implicits._
+    val df = (1 to 1000).map(i => ("g" + (i % 3), s"item$i")).toDF("g", "v")
+      .repartition(7) // partial aggregation across many partitions
+    df.createOrReplaceTempView("sample_in")
+    val out = spark.sql(
+      "SELECT g, graft_sample(v, 5) AS s FROM sample_in GROUP BY g ORDER BY g").collect()
+    assert(out.length === 3)
+    out.foreach(r => assert(r.getAs[scala.collection.Seq[String]]("s").length === 5))
+    // order-independence: different partitioning, identical sample
+    val out2 = df.repartition(31).groupBy("g")
+      .agg(expr("graft_sample(v, 5)").as("s")).orderBy("g").collect()
+    assert(out.map(_.getAs[scala.collection.Seq[String]]("s")).toSeq ===
+      out2.map(_.getAs[scala.collection.Seq[String]]("s")).toSeq)
+    // matches the reference definition: bottom-5 by md5
+    val expected = (1 to 1000).filter(_ % 3 == 1).map(i => s"item$i")
+      .sortBy(v => (graft.functions.BottomKBuffer.md5Hex(v), v)).take(5)
+    assert(out(1).getAs[scala.collection.Seq[String]]("s").toSeq === expected) // g1
+  }
+
   test("GraftExtensions injects graft_dot at session build time") {
     val s2 = SparkSession.builder().master("local[2]")
       .appName("graft-ext-test")
