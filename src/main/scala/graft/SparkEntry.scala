@@ -68,6 +68,7 @@ object SparkEntry {
     "q_quality_score" -> ((s, d) => TextAnalysis.qualityScore(Tables.documents(s, d))),
     "q_token_count" -> ((s, d) => TextAnalysis.tokenCount(Tables.documents(s, d))),
     "q_doc_fingerprint" -> ((s, d) => TextAnalysis.docFingerprint(Tables.documents(s, d))),
+    "q_perplexity" -> ((s, d) => TextAnalysis.perplexityScore(Tables.documents(s, d))),
     "q_multimodal_features" -> ((s, d) =>
       graft.sources.Multimodal.extractFeatures(
         graft.sources.Multimodal.mediaFromDocuments(Tables.documents(s, d)))
@@ -375,6 +376,17 @@ object SparkEntry {
       """SELECT doc_id, CAST(length(text) AS INTEGER) AS n_chars,
         | CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|\S')) AS INTEGER) AS n_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_perplexity" -> {
+      val surp = dr("-ln(CAST(n AS DOUBLE) / total)", 6)
+      s"""WITH toks AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t FROM documents),
+         |c AS (SELECT t, count(*) AS n FROM toks GROUP BY t),
+         |tot AS (SELECT count(*) AS total FROM toks),
+         |model AS (SELECT t, CAST($surp AS DOUBLE) AS surprisal FROM c, tot)
+         |SELECT doc_id, count(*) AS n_tokens,
+         | CAST(${dr(s"CAST(${dr("sum(surprisal)", 4)} AS DOUBLE)/count(surprisal)", 4)} AS DECIMAL(18,4)) AS avg_surprisal
+         |FROM toks JOIN model USING (t)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
     "q_revenue_by_nation" ->
       s"""SELECT r_name AS region, n_name AS nation,
          | ${sSum(eff, 4)} AS revenue,

@@ -81,6 +81,28 @@ object TextAnalysis {
         size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+|\\S"), lit(0))).as("n_tokens"))
       .orderBy("doc_id")
 
+  /** Unigram "perplexity" quality score (CCNet-style filtering): build
+    * corpus unigram frequencies, score each document by its mean token
+    * negative log-probability — outliers (too predictable / too random
+    * vs the corpus) are filter candidates. Two passes: one aggregation
+    * for the model, one broadcast join to score; per-token surprisals
+    * are snapped to 6 decimals so the engine-specific last ulp of ln()
+    * cannot perturb the mean. */
+  def perplexityScore(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"), explode(split(lower(col("text")), " ", -1)).as("t"))
+    val model = toks.groupBy("t").agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(toks.agg(count(lit(1)).as("total"))))
+      .select(col("t"),
+        round(-log(col("n").cast("double") / col("total")), 6).as("surprisal"))
+    toks.join(broadcast(model), Seq("t"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        round(round(sum("surprisal"), 4) / count("surprisal"), 4)
+          .cast(DecimalType(18, 4)).as("avg_surprisal"))
+      .orderBy("doc_id")
+  }
+
   /** Winnowing fingerprint: per-window minimum of word 5-gram hashes
     * (window 4), deduplicated — the standard near-copy sketch. */
   def docFingerprint(docs: DataFrame, gramLen: Int = 5, window: Int = 4): DataFrame =

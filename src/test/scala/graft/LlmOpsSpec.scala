@@ -145,6 +145,14 @@ class LlmOpsSpec extends AnyFunSuite with SparkSessionTestBase {
     }
   }
 
+  test("perplexityScore: rare-token docs score higher surprisal") {
+    val rows = TextAnalysis.perplexityScore(Tables.documents(spark, docDir)).collect()
+    assert(rows.length === 500)
+    val scores = rows.map(_.getAs[java.math.BigDecimal]("avg_surprisal").doubleValue)
+    assert(scores.forall(s => s > 0 && s < 20))
+    assert(scores.distinct.length > 100) // actually discriminates
+  }
+
   test("tokenCount counts alpha/digit runs and symbols") {
     import spark.implicits._
     val df = Seq((1L, "abc 12 d!e")).toDF("doc_id", "text")
