@@ -6,9 +6,12 @@ import org.apache.spark.sql.functions._
 import graft.functions.StableStats
 
 /** Purchase-log analytics over the orders/customer side of the schema —
-  * the reference's "shopping history" dimension (order flow feeding the
-  * basket assistant), expressed as the classic multi-way join rollups a
-  * 100 TB engine must plan well.
+  * the reference's "shopping history" dimension (the order flow feeding
+  * the basket assistant: reference/salim/README.md "Smart Shopping
+  * Baskets", reference/salim/app/server/routes/mcp.py:309
+  * find_best_basket; stats rollups: routes/utils.py:35 get_stats),
+  * expressed as the classic multi-way join rollups a 100 TB engine must
+  * plan well.
   *
   * Scale posture: fact-fact joins (orders ⋈ lineitem) shuffle on the
   * shared orderkey; customer is mid-sized (shuffle join, AQE decides);
