@@ -10,8 +10,9 @@ import graft.operators._
   * Every implemented operator appears in `queries` (Spark side) and,
   * when ANSI-SQL-expressible, in `oracleSql` (DuckDB side) with
   * IDENTICAL column aliases and a deterministic ORDER BY on both sides.
-  * Money/ratio outputs are rounded then cast to DECIMAL in both engines
-  * so value hashes are bit-stable across summation orders.
+  * Money/ratio outputs are rounded DOUBLEs in both engines (never
+  * DECIMAL: decimal scale-strings hash differently per engine) so value
+  * hashes are bit-stable across summation orders.
   */
 object SparkEntry {
 
@@ -107,12 +108,10 @@ object SparkEntry {
       val ev = Tables.events(s, d)
       val purchases = ev.filter(col("event_type") === "purchase")
         .select(col("event_id"), col("user_id"), col("ts"),
-          round(col("value"), 2).cast(org.apache.spark.sql.types.DecimalType(18, 2))
-            .as("purchase_value"))
+          round(col("value"), 2).as("purchase_value"))
       val views = ev.filter(col("event_type") === "view")
         .select(col("user_id"), col("ts").as("viewed_at"),
-          round(col("value"), 2).cast(org.apache.spark.sql.types.DecimalType(18, 2))
-            .as("view_value"))
+          round(col("value"), 2).as("view_value"))
       Temporal.asOfJoin(purchases, views, Seq("user_id"), "ts", "viewed_at",
           Seq("viewed_at", "view_value"))
         .orderBy("event_id")
@@ -139,13 +138,13 @@ object SparkEntry {
     * to Spark for all magnitudes in this schema. */
   private def dr(e: String, s: Int) =
     s"round(CAST(CAST($e AS VARCHAR) AS DECIMAL(38,18)),$s)"
-  private def m(e: String, s: Int = 2) = s"CAST(${dr(e, s)} AS DECIMAL(18,$s))"
+  private def m(e: String, s: Int = 2) = s"CAST(${dr(e, s)} AS DOUBLE)"
   /** Mirror of StableStats.stableSum. */
   private def sSum(c: String, e: Int, o: Int = 2) =
-    s"CAST(round(${dr(s"sum($c)", e)},$o) AS DECIMAL(18,$o))"
+    s"CAST(round(${dr(s"sum($c)", e)},$o) AS DOUBLE)"
   /** Mirror of StableStats.stableAvg. */
   private def sAvg(c: String, e: Int, o: Int = 2) =
-    s"CAST(${dr(s"CAST(${dr(s"sum($c)", e)} AS DOUBLE)/count($c)", o)} AS DECIMAL(18,$o))"
+    s"CAST(${dr(s"CAST(${dr(s"sum($c)", e)} AS DOUBLE)/count($c)", o)} AS DOUBLE)"
 
   def oracleSql: Map[String, String] = Map(
     "q1_pricing_summary" ->
@@ -184,7 +183,7 @@ object SparkEntry {
          |      FROM eff e JOIN m ON e.l_suppkey = m.l_suppkey AND e.eff = m.min_eff)
          |SELECT l_suppkey, l_partkey,
          | ${m("eff")} AS effective_price,
-         | ${"CAST(" + dr("(max(eff) OVER () - eff) / max(eff) OVER () * 100", 1) + " AS DECIMAL(18,1))"} AS savings_percent
+         | ${"CAST(" + dr("(max(eff) OVER () - eff) / max(eff) OVER () * 100", 1) + " AS DOUBLE)"} AS savings_percent
          |FROM w ORDER BY l_suppkey, l_partkey""".stripMargin,
     "q_price_history" ->
       s"""SELECT l_partkey, l_suppkey, l_shipdate AS collected_at,
@@ -239,7 +238,7 @@ object SparkEntry {
          | count(DISTINCT l_partkey) AS total_products,
          | count(CASE WHEN l_discount > 0 THEN 1 END) AS on_promo,
          | ${sAvg("l_extendedprice", 2)} AS avg_price,
-         | ${"CAST(" + dr("count(CASE WHEN l_discount > 0 THEN 1 END) * 100.0 / count(*)", 1) + " AS DECIMAL(18,1))"} AS promo_percent
+         | ${"CAST(" + dr("count(CASE WHEN l_discount > 0 THEN 1 END) * 100.0 / count(*)", 1) + " AS DOUBLE)"} AS promo_percent
          |FROM lineitem""".stripMargin,
     "q_store_dim" ->
       s"""SELECT r_name AS region, n_name AS nation, count(*) AS n_suppliers,
@@ -330,7 +329,7 @@ object SparkEntry {
          |r AS (SELECT query_id, neighbor_id, cos_r,
          |  row_number() OVER (PARTITION BY query_id ORDER BY cos_r DESC, neighbor_id) AS rank
          | FROM j)
-         |SELECT query_id, neighbor_id, CAST(cos_r AS DECIMAL(18,6)) AS cos_sim,
+         |SELECT query_id, neighbor_id, CAST(cos_r AS DOUBLE) AS cos_sim,
          | CAST(rank AS INTEGER) AS rank
          |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     "q_lang_id" -> {
@@ -365,10 +364,10 @@ object SparkEntry {
          |  CAST(len(list_filter(w, t2 -> list_contains($swList, t2))) AS DOUBLE) / len(w) AS stopword_ratio_raw
          | FROM t)
          |SELECT doc_id, n_chars, n_words,
-         | CAST(${dr("avg_word_len_raw", 2)} AS DECIMAL(18,2)) AS avg_word_len,
-         | CAST(${dr("alpha_ratio_raw", 4)} AS DECIMAL(18,4)) AS alpha_ratio,
-         | CAST(${dr("stopword_ratio_raw", 4)} AS DECIMAL(18,4)) AS stopword_ratio,
-         | CAST(${dr("alpha_ratio_raw * 0.5 + stopword_ratio_raw * 0.5", 4)} AS DECIMAL(18,4)) AS quality_score,
+         | CAST(${dr("avg_word_len_raw", 2)} AS DOUBLE) AS avg_word_len,
+         | CAST(${dr("alpha_ratio_raw", 4)} AS DOUBLE) AS alpha_ratio,
+         | CAST(${dr("stopword_ratio_raw", 4)} AS DOUBLE) AS stopword_ratio,
+         | CAST(${dr("alpha_ratio_raw * 0.5 + stopword_ratio_raw * 0.5", 4)} AS DOUBLE) AS quality_score,
          | (alpha_ratio_raw * 0.5 + stopword_ratio_raw * 0.5 >= 0.3 AND n_words >= 10) AS keep
          |FROM u ORDER BY doc_id""".stripMargin
     },
@@ -383,7 +382,7 @@ object SparkEntry {
          |tot AS (SELECT count(*) AS total FROM toks),
          |model AS (SELECT t, CAST($surp AS DOUBLE) AS surprisal FROM c, tot)
          |SELECT doc_id, count(*) AS n_tokens,
-         | CAST(${dr(s"CAST(${dr("sum(surprisal)", 4)} AS DOUBLE)/count(surprisal)", 4)} AS DECIMAL(18,4)) AS avg_surprisal
+         | CAST(${dr(s"CAST(${dr("sum(surprisal)", 4)} AS DOUBLE)/count(surprisal)", 4)} AS DOUBLE) AS avg_surprisal
          |FROM toks JOIN model USING (t)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin
     },

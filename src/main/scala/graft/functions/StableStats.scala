@@ -2,7 +2,6 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
 
 /** Cross-engine bit-stable aggregate helpers.
   *
@@ -23,17 +22,21 @@ import org.apache.spark.sql.types.DecimalType
   *
   * Oracle SQL must mirror the same shape, e.g.
   * `round(round(sum(x), 4), 2)` / `round(round(sum(x), 4) / count(x), 2)`.
+  *
+  * Outputs stay DOUBLE (never DECIMAL): both engines land on the
+  * bit-identical double after the final round, whereas DECIMAL output
+  * makes the value hash depend on each engine's scale-string convention
+  * (`133.50` vs `133.5`).
   */
 object StableStats {
-  val money: DecimalType = DecimalType(18, 2)
 
-  /** Engine-stable sum: exact-scale inner round, then output round/cast. */
+  /** Engine-stable sum: exact-scale inner round, then output round. */
   def stableSum(c: Column, exactScale: Int, outScale: Int = 2): Column =
-    round(round(sum(c), exactScale), outScale).cast(DecimalType(18, outScale))
+    round(round(sum(c), exactScale), outScale)
 
-  /** Engine-stable mean, rounded to `outScale`, cast to DECIMAL. */
+  /** Engine-stable mean, rounded to `outScale`. */
   def stableAvg(c: Column, exactScale: Int, outScale: Int = 2): Column =
-    round(round(sum(c), exactScale) / count(c), outScale).cast(DecimalType(18, outScale))
+    round(round(sum(c), exactScale) / count(c), outScale)
 
   /** Engine-stable mean as the raw deterministic double (for downstream
     * comparisons that must agree with the oracle's identical expression). */

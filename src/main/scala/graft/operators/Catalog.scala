@@ -2,7 +2,6 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
 
 import graft.functions.StableStats
 
@@ -26,8 +25,6 @@ import graft.functions.StableStats
   * low-cardinality column is a partial-agg shuffle of a few bytes.
   */
 object Catalog {
-  private val money = DecimalType(18, 2)
-  private val pct = DecimalType(18, 1)
 
   /** Multi-filter product search with deterministic pagination. */
   def searchProducts(
@@ -50,7 +47,7 @@ object Catalog {
     minPrice.foreach(p => df = df.filter(col("p_retailprice") >= p))
     maxPrice.foreach(p => df = df.filter(col("p_retailprice") <= p))
     df.select(col("p_partkey"), col("p_name"), col("p_brand"), col("p_type"),
-        col("p_size"), round(col("p_retailprice"), 2).cast(money).as("retail_price"))
+        col("p_size"), round(col("p_retailprice"), 2).as("retail_price"))
       .orderBy("p_partkey")
       .offset(offset)
       .limit(limit)
@@ -69,7 +66,7 @@ object Catalog {
       .join(broadcast(dim), col("l_partkey") === col("p_partkey"))
       .groupBy("p_partkey", "p_name", "p_brand", "p_type")
       .agg(
-        round(min(Pricing.effPrice), 2).cast(money).as("best_price"),
+        round(min(Pricing.effPrice), 2).as("best_price"),
         count(lit(1)).as("n_observations"))
       .orderBy("p_partkey")
       .limit(limit)
@@ -93,7 +90,7 @@ object Catalog {
         count(when(col("l_discount") > 0, 1)).as("on_promo"),
         StableStats.stableAvg(col("l_extendedprice"), 2).as("avg_price"))
       .withColumn("promo_percent",
-        round(col("on_promo") * 100.0 / col("total_observations"), 1).cast(pct))
+        round(col("on_promo") * 100.0 / col("total_observations"), 1))
 
   /** Approximate global stats — the 100 TB form of `stats`: HLL++
     * distinct counts and approximate price quantiles replace exact
@@ -142,8 +139,8 @@ object Catalog {
       .crossJoin(broadcast(targetPrice))
       .filter(col("best_eff") < col("target_price"))
       .select(col("p_partkey"), col("p_name"), col("shared_tokens"),
-        round(col("best_eff"), 2).cast(money).as("best_price"),
-        round(col("target_price") - col("best_eff"), 2).cast(money).as("savings"))
+        round(col("best_eff"), 2).as("best_price"),
+        round(col("target_price") - col("best_eff"), 2).as("savings"))
       .orderBy(col("best_price"), col("p_partkey"))
       .limit(limit)
   }

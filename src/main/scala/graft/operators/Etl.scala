@@ -3,7 +3,6 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
 
 import graft.functions.StableStats
 
@@ -27,7 +26,6 @@ import graft.functions.StableStats
   * (JSON parse via get_json_object, no UDFs).
   */
 object Etl {
-  private val money = DecimalType(18, 2)
 
   /** Raw event normalization: trim/case-fold the type tag, round the
     * measure, extract the typed payload field from the JSON props blob
@@ -38,7 +36,7 @@ object Etl {
       col("ts"),
       col("user_id"),
       upper(trim(col("event_type"))).as("event_type"),
-      round(col("value"), 2).cast(money).as("value"),
+      round(col("value"), 2).as("value"),
       get_json_object(col("props"), "$.k").cast("int").as("prop_k"))
       .orderBy("event_id")
 
@@ -58,7 +56,7 @@ object Etl {
       .select(
         col("l_suppkey"), col("l_partkey"),
         col("l_shipdate").as("collected_at"),
-        round(col("l_extendedprice"), 2).cast(money).as("price"))
+        round(col("l_extendedprice"), 2).as("price"))
       .orderBy("l_suppkey", "l_partkey")
   }
 
@@ -74,9 +72,9 @@ object Etl {
         col("l_suppkey"), col("l_partkey"),
         col("l_shipdate").as("changed_at"),
         col("l_orderkey"), col("l_linenumber"),
-        round(col("prev_price"), 2).cast(money).as("old_price"),
-        round(col("l_extendedprice"), 2).cast(money).as("new_price"),
-        round(col("l_extendedprice") - col("prev_price"), 2).cast(money).as("delta"))
+        round(col("prev_price"), 2).as("old_price"),
+        round(col("l_extendedprice"), 2).as("new_price"),
+        round(col("l_extendedprice") - col("prev_price"), 2).as("delta"))
       .orderBy("l_suppkey", "l_partkey", "changed_at", "l_orderkey", "l_linenumber")
   }
 
@@ -99,7 +97,7 @@ object Etl {
         min("ts").as("session_start"),
         max("ts").as("session_end"),
         count(lit(1)).as("n_events"),
-        round(sum("value"), 2).cast(money).as("total_value"))
+        round(sum("value"), 2).as("total_value"))
       .orderBy("user_id", "session_seq")
   }
 

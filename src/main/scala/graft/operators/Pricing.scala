@@ -2,7 +2,6 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
 
 import graft.functions.StableStats
 
@@ -26,12 +25,10 @@ import graft.functions.StableStats
   * key (suppkey or partkey) with map-side partial aggregation; no
   * driver-side loops; final tiny post-aggregation steps (global max for
   * savings%) run as windows over the already-reduced result, not the fact
-  * table. Money outputs are rounded then cast to DECIMAL so results are
-  * bit-stable across engines and summation orders.
+  * table. Money outputs are rounded DOUBLEs (see StableStats) so results
+  * are bit-stable across engines and summation orders.
   */
 object Pricing {
-  private val money = DecimalType(18, 2)
-  private val pct = DecimalType(18, 1)
 
   /** Effective (promo-adjusted) price of an observation. */
   def effPrice: Column = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
@@ -61,9 +58,9 @@ object Pricing {
     li.filter(col("l_partkey").isin(partKeys: _*))
       .groupBy("l_partkey", "l_suppkey")
       .agg(
-        round(min("l_extendedprice"), 2).cast(money).as("list_price"),
-        round(min(effPrice), 2).cast(money).as("effective_price"),
-        round(min("l_extendedprice") - min(effPrice), 2).cast(money).as("savings"),
+        round(min("l_extendedprice"), 2).as("list_price"),
+        round(min(effPrice), 2).as("effective_price"),
+        round(min("l_extendedprice") - min(effPrice), 2).as("savings"),
         count(lit(1)).as("n_observations"))
       .orderBy(col("l_partkey"), col("effective_price"), col("l_suppkey"))
 
@@ -83,8 +80,8 @@ object Pricing {
       .select(
         col("l_suppkey"),
         col("l_partkey"),
-        round(col("eff"), 2).cast(money).as("effective_price"),
-        round((col("max_eff") - col("eff")) / col("max_eff") * 100, 1).cast(pct)
+        round(col("eff"), 2).as("effective_price"),
+        round((col("max_eff") - col("eff")) / col("max_eff") * 100, 1)
           .as("savings_percent"))
       .orderBy("l_suppkey", "l_partkey")
   }
@@ -97,8 +94,8 @@ object Pricing {
       .select(
         col("l_partkey"), col("l_suppkey"),
         col("l_shipdate").as("collected_at"),
-        round(col("l_extendedprice"), 2).cast(money).as("price"),
-        round(effPrice, 2).cast(money).as("effective_price"),
+        round(col("l_extendedprice"), 2).as("price"),
+        round(effPrice, 2).as("effective_price"),
         col("l_orderkey"), col("l_linenumber"))
       .orderBy(col("collected_at").desc, col("l_orderkey"), col("l_linenumber"))
 
@@ -113,8 +110,8 @@ object Pricing {
       .filter(col("r_avg").isNotNull && col("o_avg").isNotNull)
       .select(
         col("l_partkey"),
-        round(col("r_avg"), 2).cast(money).as("recent_avg"),
-        round(col("o_avg"), 2).cast(money).as("older_avg"),
+        round(col("r_avg"), 2).as("recent_avg"),
+        round(col("o_avg"), 2).as("older_avg"),
         when(col("r_avg") > col("o_avg") * 1.05, "increasing")
           .when(col("r_avg") < col("o_avg") * 0.95, "decreasing")
           .otherwise("stable").as("trend"))

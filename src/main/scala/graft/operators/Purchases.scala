@@ -110,8 +110,8 @@ object Purchases {
       .otherwise(floor((x - lo) / (hi - lo) * buckets) + 1L)
     part.groupBy(bucket.as("bucket"))
       .agg(count(lit(1)).as("n_products"),
-        round(min("p_retailprice"), 2).cast(StableStats.money).as("min_price"),
-        round(max("p_retailprice"), 2).cast(StableStats.money).as("max_price"))
+        round(min("p_retailprice"), 2).as("min_price"),
+        round(max("p_retailprice"), 2).as("max_price"))
       .orderBy("bucket")
   }
 
@@ -123,8 +123,8 @@ object Purchases {
       .agg(percentile(col("p_retailprice"), lit(0.5)).as("p50_raw"),
         percentile(col("p_retailprice"), lit(0.9)).as("p90_raw"))
       .select(col("category"),
-        round(col("p50_raw"), 2).cast(StableStats.money).as("p50_price"),
-        round(col("p90_raw"), 2).cast(StableStats.money).as("p90_price"))
+        round(col("p50_raw"), 2).as("p50_price"),
+        round(col("p90_raw"), 2).as("p90_price"))
       .orderBy("category")
 
   /** Per-segment customer stats (the reference's /stats rollup applied

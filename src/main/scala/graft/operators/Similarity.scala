@@ -3,7 +3,6 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
 
 /** Embedding similarity search: brute-force cosine top-k as the exact
   * baseline, random-hyperplane LSH bucketing as the approximate scale
@@ -40,7 +39,7 @@ object Similarity {
         Window.partitionBy("query_id").orderBy(col("cos_r").desc, col("vec_id"))))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        col("cos_r").cast(DecimalType(18, 6)).as("cos_sim"), col("rank"))
+        col("cos_r").as("cos_sim"), col("rank"))
       .orderBy("query_id", "rank")
   }
 
@@ -84,7 +83,7 @@ object Similarity {
       .dropDuplicates("vec_a", "vec_b")
       .withColumn("cos_sim", round(expr("graft_dot(va, vb)") / (col("na") * col("nb")), 6))
       .filter(col("cos_sim") >= threshold)
-      .select(col("vec_a"), col("vec_b"), col("cos_sim").cast(DecimalType(18, 6)).as("cos_sim"))
+      .select(col("vec_a"), col("vec_b"), col("cos_sim").as("cos_sim"))
       .orderBy("vec_a", "vec_b")
   }
 
@@ -148,7 +147,7 @@ object Similarity {
       .withColumn("rank", row_number().over(wk))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        col("cos_r").cast(DecimalType(18, 6)).as("cos_sim"), col("rank"))
+        col("cos_r").as("cos_sim"), col("rank"))
       .orderBy("query_id", "rank")
   }
 
@@ -189,7 +188,7 @@ object Similarity {
         Window.partitionBy("query_id").orderBy(col("cos_r").desc, col("vec_id"))))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        col("cos_r").cast(DecimalType(18, 6)).as("cos_sim"), col("rank"))
+        col("cos_r").as("cos_sim"), col("rank"))
       .orderBy("query_id", "rank")
   }
 }

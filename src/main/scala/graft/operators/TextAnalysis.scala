@@ -2,7 +2,6 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
 
 /** Text analysis for training-data curation: language ID, quality
   * scoring, token counting, document fingerprinting.
@@ -64,10 +63,10 @@ object TextAnalysis {
         col("doc_id"),
         col("n_chars"),
         col("n_words"),
-        round(col("avg_word_len_raw"), 2).cast(DecimalType(18, 2)).as("avg_word_len"),
-        round(col("alpha_ratio_raw"), 4).cast(DecimalType(18, 4)).as("alpha_ratio"),
-        round(col("stopword_ratio_raw"), 4).cast(DecimalType(18, 4)).as("stopword_ratio"),
-        round(col("score_raw"), 4).cast(DecimalType(18, 4)).as("quality_score"),
+        round(col("avg_word_len_raw"), 2).as("avg_word_len"),
+        round(col("alpha_ratio_raw"), 4).as("alpha_ratio"),
+        round(col("stopword_ratio_raw"), 4).as("stopword_ratio"),
+        round(col("score_raw"), 4).as("quality_score"),
         (col("score_raw") >= 0.3 && col("n_words") >= 10).as("keep"))
       .orderBy("doc_id")
   }
@@ -99,7 +98,7 @@ object TextAnalysis {
       .agg(
         count(lit(1)).as("n_tokens"),
         round(round(sum("surprisal"), 4) / count("surprisal"), 4)
-          .cast(DecimalType(18, 4)).as("avg_surprisal"))
+          .as("avg_surprisal"))
       .orderBy("doc_id")
   }
 

@@ -12,7 +12,7 @@ class CatalogQueriesSpec extends AnyFunSuite with SparkSessionTestBase {
     val df = Pricing.pricingSummary(Tables.lineitem(spark, sfDir))
     val rows = df.collect()
     assert(rows.length === 6) // 2 returnflags observed x linestatus combos
-    assert(rows.forall(_.getAs[java.math.BigDecimal]("sum_qty").signum > 0))
+    assert(rows.forall(_.getAs[Double]("sum_qty") > 0))
     assert(df.columns.toSeq === Seq("l_returnflag", "l_linestatus", "sum_qty",
       "sum_base_price", "sum_disc_price", "sum_charge", "avg_qty", "avg_price",
       "avg_disc", "count_order"))
@@ -37,7 +37,7 @@ class CatalogQueriesSpec extends AnyFunSuite with SparkSessionTestBase {
     val rows = df.collect()
     assert(rows.nonEmpty)
     rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
-      val prices = rs.map(_.getAs[java.math.BigDecimal]("effective_price").doubleValue)
+      val prices = rs.map(_.getAs[Double]("effective_price"))
       assert(prices.sameElements(prices.sorted))
     }
   }
@@ -49,7 +49,7 @@ class CatalogQueriesSpec extends AnyFunSuite with SparkSessionTestBase {
     val nStores = li.select("l_suppkey").distinct().count()
     assert(rows.map(_.getLong(0)).distinct.length === nStores)
     // savings_percent of the most expensive winner is 0
-    assert(rows.exists(_.getAs[java.math.BigDecimal]("savings_percent").signum == 0))
+    assert(rows.exists(_.getAs[Double]("savings_percent") == 0.0))
   }
 
   test("priceHistory is newest-first and range-bounded") {
@@ -66,8 +66,8 @@ class CatalogQueriesSpec extends AnyFunSuite with SparkSessionTestBase {
     val rows = df.collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
-      val recent = r.getAs[java.math.BigDecimal]("recent_avg").doubleValue
-      val older = r.getAs[java.math.BigDecimal]("older_avg").doubleValue
+      val recent = r.getAs[Double]("recent_avg")
+      val older = r.getAs[Double]("older_avg")
       val trend = r.getAs[String]("trend")
       if (recent > older * 1.06) assert(trend == "increasing")
       if (recent < older * 0.94) assert(trend == "decreasing")
@@ -79,7 +79,7 @@ class CatalogQueriesSpec extends AnyFunSuite with SparkSessionTestBase {
     val rows = df.collect()
     assert(rows.nonEmpty)
     val pairs = rows.map(r => (r.getAs[Long]("n_products"),
-      r.getAs[java.math.BigDecimal]("total_price").doubleValue))
+      r.getAs[Double]("total_price")))
     assert(pairs.sameElements(pairs.sortBy { case (n, p) => (-n, p) }))
   }
 
@@ -111,7 +111,7 @@ class CatalogQueriesSpec extends AnyFunSuite with SparkSessionTestBase {
     val df = Catalog.substitutes(Tables.lineitem(spark, sfDir), Tables.part(spark, sfDir), 42L)
     val rows = df.collect()
     assert(rows.nonEmpty)
-    assert(rows.forall(_.getAs[java.math.BigDecimal]("savings").signum > 0))
+    assert(rows.forall(_.getAs[Double]("savings") > 0))
     assert(rows.forall(_.getAs[Long]("shared_tokens") >= 1))
     assert(rows.forall(_.getLong(0) != 42L))
   }

@@ -34,8 +34,7 @@ class EtlSpec extends AnyFunSuite with SparkSessionTestBase {
     val df = Etl.priceChanges(Tables.lineitem(spark, sfDir))
     val rows = df.limit(100).collect()
     assert(rows.nonEmpty)
-    assert(rows.forall(r => r.getAs[java.math.BigDecimal]("old_price")
-      .compareTo(r.getAs[java.math.BigDecimal]("new_price")) != 0))
+    assert(rows.forall(r => r.getAs[Double]("old_price") != r.getAs[Double]("new_price")))
   }
 
   test("sessionize closes a session only after the gap") {

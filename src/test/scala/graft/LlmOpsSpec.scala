@@ -78,7 +78,7 @@ class LlmOpsSpec extends AnyFunSuite with SparkSessionTestBase {
     assert(rows.length === 15)
     rows.groupBy(_.getLong(0)).foreach { case (q, rs) =>
       assert(rs.forall(_.getLong(1) != q))
-      val sims = rs.sortBy(_.getAs[Int]("rank")).map(_.getAs[java.math.BigDecimal]("cos_sim").doubleValue)
+      val sims = rs.sortBy(_.getAs[Int]("rank")).map(_.getAs[Double]("cos_sim"))
       assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
     }
   }
@@ -124,7 +124,7 @@ class LlmOpsSpec extends AnyFunSuite with SparkSessionTestBase {
     val pairs = Similarity.embedNearDupPairs(emb, threshold = 0.35, planes = 4, tables = 4)
       .collect()
     assert(pairs.nonEmpty)
-    assert(pairs.forall(_.getAs[java.math.BigDecimal]("cos_sim").doubleValue >= 0.35))
+    assert(pairs.forall(_.getAs[Double]("cos_sim") >= 0.35))
     assert(pairs.forall(r => r.getLong(0) < r.getLong(1)))
   }
 
@@ -138,8 +138,8 @@ class LlmOpsSpec extends AnyFunSuite with SparkSessionTestBase {
   test("qualityScore ratios are in [0,1] and keep is consistent") {
     val rows = TextAnalysis.qualityScore(Tables.documents(spark, docDir)).collect()
     rows.foreach { r =>
-      val alpha = r.getAs[java.math.BigDecimal]("alpha_ratio").doubleValue
-      val stop = r.getAs[java.math.BigDecimal]("stopword_ratio").doubleValue
+      val alpha = r.getAs[Double]("alpha_ratio")
+      val stop = r.getAs[Double]("stopword_ratio")
       assert(alpha >= 0 && alpha <= 1)
       assert(stop >= 0 && stop <= 1)
     }
@@ -148,7 +148,7 @@ class LlmOpsSpec extends AnyFunSuite with SparkSessionTestBase {
   test("perplexityScore: rare-token docs score higher surprisal") {
     val rows = TextAnalysis.perplexityScore(Tables.documents(spark, docDir)).collect()
     assert(rows.length === 500)
-    val scores = rows.map(_.getAs[java.math.BigDecimal]("avg_surprisal").doubleValue)
+    val scores = rows.map(_.getAs[Double]("avg_surprisal"))
     assert(scores.forall(s => s > 0 && s < 20))
     assert(scores.distinct.length > 100) // actually discriminates
   }

@@ -14,7 +14,7 @@ class PurchasesSpec extends AnyFunSuite with SparkSessionTestBase {
       Tables.nation(spark, sfDir), Tables.region(spark, sfDir))
     val rows = df.collect()
     assert(rows.nonEmpty)
-    val revs = rows.map(_.getAs[java.math.BigDecimal]("revenue").doubleValue)
+    val revs = rows.map(_.getAs[Double]("revenue"))
     assert(revs.zip(revs.tail).forall { case (a, b) => a >= b })
   }
 
@@ -49,8 +49,7 @@ class PurchasesSpec extends AnyFunSuite with SparkSessionTestBase {
     val rows = Purchases.pricePercentiles(Tables.part(spark, sfDir)).collect()
     assert(rows.length === 6)
     rows.foreach { r =>
-      assert(r.getAs[java.math.BigDecimal]("p50_price")
-        .compareTo(r.getAs[java.math.BigDecimal]("p90_price")) <= 0)
+      assert(r.getAs[Double]("p50_price") <= r.getAs[Double]("p90_price"))
     }
   }
 

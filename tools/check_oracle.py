@@ -41,15 +41,19 @@ for name, sql in sorted(oracle.items()):
         df = df.reindex(sorted(df.columns), axis=1)
         dtypes = {c: str(df[c].dtype) for c in df.columns}
         for c in df.columns:
-            if df[c].dtype == "float64":
-                df[c] = df[c].round(6)
-            # decimals arrive as object; stringify for stable compare
+            # NO float rounding and NO decimal-scale forgiveness: the
+            # driver hashes canonicalized values, and a DECIMAL whose
+            # scale-string differs from the double repr ("133.50" vs
+            # "133.5") hash-mismatches even when values are equal. Exact
+            # stringify here so local green predicts driver green.
             df[c] = df[c].astype(str)
         return df.sort_values(by=list(df.columns)).reset_index(drop=True), dtypes
 
     (g, gt), (e, et) = norm(got), norm(exp)
     if gt != et:
-        print(f"WARN {name}: dtype mismatch spark={gt} oracle={et}")
+        fails.append(name)
+        print(f"FAIL {name}: dtype mismatch spark={gt} oracle={et}")
+        continue
     if list(g.columns) != list(e.columns):
         fails.append(name)
         print(f"FAIL {name}: columns spark={list(g.columns)} oracle={list(e.columns)}")
