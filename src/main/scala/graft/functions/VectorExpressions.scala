@@ -3,9 +3,9 @@ package graft.functions
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
-import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
 import org.apache.spark.sql.SparkSessionExtensions
 
 /** Native dot product over two double arrays.
@@ -55,20 +55,139 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Native multi-table random-hyperplane LSH bucketing over a double
+  * vector: returns one `planes`-bit sign bucket per table as
+  * array<long> (element l = table l's bucket).
+  *
+  * Hyperplane coefficients are derived from
+  * `pmod(xxhash64_int((l*planes + j)*64 + i), 1000)/1000 - 0.5` — the
+  * exact values the previous SQL-lambda formulation produced
+  * (`aggregate(sequence(...))` over `xxhash64`), so buckets are
+  * bit-compatible, but evaluated as a tight codegen loop over a
+  * precomputed coefficient table instead of tables×planes×dim
+  * interpreted closure calls per row (the cost graft_dot's scaladoc
+  * warns about — measured 27× on the LSH top-k path).
+  *
+  * Coefficients for dims < 64 come from the precomputed table; the
+  * i ≥ 64 tail (not hit by the 64-dim test corpus) falls back to
+  * hashing inline, keeping the function total for any input width.
+  */
+case class HyperplaneBuckets(child: Expression, planes: Int, tables: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_lsh"
+
+  private val maxDim = 64
+
+  // flat [(l*planes + j)*64 + i] — the flat index IS the hash input
+  @transient private lazy val coefs: Array[Double] = {
+    val arr = new Array[Double](tables * planes * maxDim)
+    var idx = 0
+    while (idx < arr.length) {
+      arr(idx) = HyperplaneBuckets.coefAt(idx)
+      idx += 1
+    }
+    arr
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val dim = v.numElements()
+    val out = new Array[Long](tables)
+    var l = 0
+    while (l < tables) {
+      var code = 0L
+      var j = 0
+      while (j < planes) {
+        val base = (l * planes + j) * 64
+        var s = 0.0
+        var i = 0
+        val bound = math.min(dim, maxDim)
+        while (i < bound) { s += v.getDouble(i) * coefs(base + i); i += 1 }
+        while (i < dim) { s += v.getDouble(i) * HyperplaneBuckets.coefAt(base + i); i += 1 }
+        code = code * 2 + (if (s > 0.0) 1L else 0L)
+        j += 1
+      }
+      out(l) = code
+      l += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val coefRef = ctx.addReferenceObj("lshCoefs", coefs, "double[]")
+      val dim = ctx.freshName("dim")
+      val out = ctx.freshName("out")
+      val code = ctx.freshName("code")
+      val base = ctx.freshName("base")
+      val s = ctx.freshName("s")
+      val bound = ctx.freshName("bound")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val l = ctx.freshName("l")
+      val companion = HyperplaneBuckets.getClass.getName.stripSuffix("$") + "$.MODULE$"
+      s"""
+         |int $dim = $v.numElements();
+         |long[] $out = new long[$tables];
+         |for (int $l = 0; $l < $tables; $l++) {
+         |  long $code = 0L;
+         |  for (int $j = 0; $j < $planes; $j++) {
+         |    int $base = ($l * $planes + $j) * 64;
+         |    double $s = 0.0;
+         |    int $bound = $dim < $maxDim ? $dim : $maxDim;
+         |    int $i = 0;
+         |    for (; $i < $bound; $i++) { $s += $v.getDouble($i) * $coefRef[$base + $i]; }
+         |    for (; $i < $dim; $i++) { $s += $v.getDouble($i) * $companion.coefAt($base + $i); }
+         |    $code = $code * 2L + ($s > 0.0 ? 1L : 0L);
+         |  }
+         |  $out[$l] = $code;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object HyperplaneBuckets {
+  /** Coefficient for flat plane/dim index — mirrors Spark's
+    * `xxhash64(<int literal>)` (XXH64.hashInt, seed 42). */
+  def coefAt(idx: Int): Double = {
+    val h = XXH64.hashInt(idx, 42L)
+    val m = ((h % 1000L) + 1000L) % 1000L
+    m / 1000.0 - 0.5
+  }
+}
+
 /** Registration for graft's native SQL functions. */
 object VectorFunctions {
   val dotInfo = new ExpressionInfo(classOf[DotProduct].getName, "graft_dot")
 
-  /** Register on an existing session (idempotent). After this,
-    * `expr("graft_dot(a, b)")` / SQL `graft_dot(a, b)` resolve. */
+  private def intArg(e: Expression): Int =
+    e.eval().asInstanceOf[Number].intValue()
+
+  /** (name, builder) for every native function — single source of truth
+    * for both registration paths. */
+  private val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "graft_dot" -> (exprs => DotProduct(exprs(0), exprs(1))),
+    "graft_nfc" -> (exprs => NfcNormalize(exprs.head)),
+    "graft_sample" -> (exprs => BottomKByHash(exprs(0), intArg(exprs(1)))),
+    "graft_lsh" -> (exprs =>
+      HyperplaneBuckets(exprs(0), intArg(exprs(1)), intArg(exprs(2)))))
+
+  /** Register on an existing session. Truly idempotent: already-present
+    * functions are left alone so repeated calls (one per operator) don't
+    * spam `SimpleFunctionRegistry` replacement WARNs. */
   def register(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_dot", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_nfc", exprs => NfcNormalize(exprs.head), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_sample", exprs => BottomKByHash(exprs(0),
-        exprs(1).eval().asInstanceOf[Int]), "built-in")
+    val registry = spark.sessionState.functionRegistry
+    builders.foreach { case (name, builder) =>
+      if (!registry.functionExists(FunctionIdentifier(name))) {
+        registry.createOrReplaceTempFunction(name, builder, "built-in")
+      }
+    }
   }
 }
 
@@ -85,5 +204,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_nfc"),
       new ExpressionInfo(classOf[NfcNormalize].getName, "graft_nfc"),
       (exprs: Seq[Expression]) => NfcNormalize(exprs.head)))
+    e.injectFunction((
+      FunctionIdentifier("graft_sample"),
+      new ExpressionInfo(classOf[BottomKByHash].getName, "graft_sample"),
+      (exprs: Seq[Expression]) => BottomKByHash(exprs(0),
+        exprs(1).eval().asInstanceOf[Number].intValue())))
+    e.injectFunction((
+      FunctionIdentifier("graft_lsh"),
+      new ExpressionInfo(classOf[HyperplaneBuckets].getName, "graft_lsh"),
+      (exprs: Seq[Expression]) => HyperplaneBuckets(exprs(0),
+        exprs(1).eval().asInstanceOf[Number].intValue(),
+        exprs(2).eval().asInstanceOf[Number].intValue())))
   }
 }

@@ -43,16 +43,16 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
-  /** vec_id, v, and the `planes`-bit random-hyperplane sign bucket
-    * (hyperplane coefficients derived from xxhash64(plane*64+i) — fully
-    * deterministic, no RNG state to ship to executors). */
-  private def withBucket(emb: DataFrame, planes: Int): DataFrame =
+  /** vec_id, v, and the `planes`-bit random-hyperplane sign bucket via
+    * the native codegen `graft_lsh` (hyperplane coefficients derived
+    * from xxhash64(plane*64+i) — fully deterministic, no RNG state to
+    * ship to executors; bit-compatible with the interpreted-lambda
+    * formulation it replaced, asserted in VectorExpressionsSpec). */
+  private def withBucket(emb: DataFrame, planes: Int): DataFrame = {
+    graft.functions.VectorFunctions.register(emb.sparkSession)
     emb.select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
-      .withColumn("bucket", expr(
-        s"aggregate(sequence(0, ${planes - 1}), 0L, (acc, j) -> acc * 2 + " +
-          "CASE WHEN aggregate(sequence(0, size(v)-1), 0D, (s, i) -> " +
-          "s + element_at(v, i+1) * (CAST(pmod(xxhash64(j*64 + i), 1000) AS DOUBLE)/1000.0 - 0.5)" +
-          ") > 0D THEN 1L ELSE 0L END)"))
+      .withColumn("bucket", expr(s"element_at(graft_lsh(v, $planes, 1), 1)"))
+  }
 
   /** Random-hyperplane LSH bucket occupancy (the ANN index structure).
     * Vectors sharing a bucket are ANN candidates. */
@@ -71,19 +71,23 @@ object Similarity {
       emb: DataFrame, threshold: Double = 0.95,
       planes: Int = 12, tables: Int = 4): DataFrame = {
     graft.functions.VectorFunctions.register(emb.sparkSession)
-    val e = bucketed(emb, planes, tables)
-      .withColumn("norm", expr("sqrt(graft_dot(v, v))"))
-    e.as("a")
-      .join(e.as("b"),
+    // candidate generation and dedup on SLIM (id, id) pairs — the full
+    // double vectors never ride through the bucket self-join or the
+    // dedup shuffle (the same slim pattern as Dedup.minhashPairs)
+    val b = bucketed(emb, planes, tables)
+    val candidates = b.as("a")
+      .join(b.as("b"),
         col("a.t") === col("b.t") && col("a.bucket") === col("b.bucket") &&
           col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        col("a.v").as("va"), col("b.v").as("vb"),
-        col("a.norm").as("na"), col("b.norm").as("nb"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
       .dropDuplicates("vec_a", "vec_b")
+    val e = withNorm(emb)
+    candidates
+      .join(e.select(col("vec_id").as("vec_a"), col("v").as("va"), col("norm").as("na")), "vec_a")
+      .join(e.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("norm").as("nb")), "vec_b")
       .withColumn("cos_sim", round(expr("graft_dot(va, vb)") / (col("na") * col("nb")), 6))
       .filter(col("cos_sim") >= threshold)
-      .select(col("vec_a"), col("vec_b"), col("cos_sim").as("cos_sim"))
+      .select(col("vec_a"), col("vec_b"), col("cos_sim"))
       .orderBy("vec_a", "vec_b")
   }
 
@@ -158,31 +162,37 @@ object Similarity {
     * The 100 TB shape: O(corpus·tables) bucketing once, per-query work
     * bounded by bucket occupancy; recall rises as 1-(1-p)^tables. */
   /** Multi-table bucketing: one row per (vector, table) with the
-    * table's hyperplane-sign bucket. */
-  private def bucketed(emb: DataFrame, planes: Int, tables: Int): DataFrame =
+    * table's hyperplane-sign bucket, via the native codegen
+    * `graft_lsh` (one coefficient-table pass per vector instead of
+    * tables×planes×dim interpreted closure calls). Slim: ids and
+    * buckets only — vectors are re-joined after candidate dedup. */
+  private def bucketed(emb: DataFrame, planes: Int, tables: Int): DataFrame = {
+    graft.functions.VectorFunctions.register(emb.sparkSession)
     emb.select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
-      .withColumn("tb", explode(expr(
-        s"transform(sequence(0, ${tables - 1}), l -> named_struct('t', l, 'bucket', " +
-          s"aggregate(sequence(0, ${planes - 1}), 0L, (acc, j) -> acc * 2 + " +
-          "CASE WHEN aggregate(sequence(0, size(v)-1), 0D, (s, i) -> " +
-          s"s + element_at(v, i+1) * (CAST(pmod(xxhash64((l*$planes + j)*64 + i), 1000) AS DOUBLE)/1000.0 - 0.5)" +
-          ") > 0D THEN 1L ELSE 0L END)))")))
-      .select(col("vec_id"), col("v"), col("tb.t").as("t"), col("tb.bucket").as("bucket"))
+      .select(col("vec_id"),
+        posexplode(expr(s"graft_lsh(v, $planes, $tables)")).as(Seq("t", "bucket")))
+  }
 
   def embedLshTopK(
       emb: DataFrame, nQueries: Int = 10, k: Int = 5,
       planes: Int = 8, tables: Int = 4): DataFrame = {
     graft.functions.VectorFunctions.register(emb.sparkSession)
-    val e = bucketed(emb, planes, tables)
-      .withColumn("norm", expr("sqrt(graft_dot(v, v))"))
-    val q = e.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm").as("qn"),
-        col("t").as("qt"), col("bucket").as("qbucket"))
-    e.join(broadcast(q),
+    // slim candidates: the (t, bucket) probe join and cross-table dedup
+    // carry ids only; vectors join back once per surviving candidate
+    val b = bucketed(emb, planes, tables)
+    val qb = b.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("t").as("qt"), col("bucket").as("qbucket"))
+    val candidates = b.join(broadcast(qb),
         col("t") === col("qt") && col("bucket") === col("qbucket") &&
           col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id"), col("v"), col("qv"), col("norm"), col("qn"))
+      .select(col("query_id"), col("vec_id"))
       .dropDuplicates("query_id", "vec_id") // union across tables
+    val e = withNorm(emb)
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm").as("qn"))
+    candidates
+      .join(e, "vec_id")
+      .join(broadcast(q), "query_id")
       .withColumn("cos_r", round(expr("graft_dot(v, qv)") / (col("norm") * col("qn")), 6))
       .withColumn("rank", row_number().over(
         Window.partitionBy("query_id").orderBy(col("cos_r").desc, col("vec_id"))))

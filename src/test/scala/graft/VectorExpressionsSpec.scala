@@ -60,6 +60,32 @@ class VectorExpressionsSpec extends AnyFunSuite with SparkSessionTestBase {
     assert(out(1).getAs[scala.collection.Seq[String]]("s").toSeq === expected) // g1
   }
 
+  test("graft_lsh matches the interpreted hyperplane formula bit-for-bit") {
+    VectorFunctions.register(spark)
+    import spark.implicits._
+    val planes = 5
+    val tables = 3
+    // deterministic pseudo-random vectors, including one wider than the
+    // 64-entry precomputed coefficient table (exercises the hash tail)
+    def vec(seed: Int, dim: Int): Array[Double] =
+      Array.tabulate(dim)(i => math.sin(seed * 131 + i * 17).abs - 0.5)
+    val df = (Seq(vec(1, 64), vec(2, 64), vec(3, 8), vec(4, 100)))
+      .toDF("v")
+    val interpreted =
+      s"transform(sequence(0, ${tables - 1}), l -> " +
+        s"aggregate(sequence(0, ${planes - 1}), 0L, (acc, j) -> acc * 2 + " +
+        "CASE WHEN aggregate(sequence(0, size(v)-1), 0D, (s, i) -> " +
+        s"s + element_at(v, i+1) * (CAST(pmod(xxhash64((l*$planes + j)*64 + i), 1000) AS DOUBLE)/1000.0 - 0.5)" +
+        ") > 0D THEN 1L ELSE 0L END))"
+    val rows = df.select(
+      expr(s"graft_lsh(v, $planes, $tables)").as("native"),
+      expr(interpreted).as("lambda")).collect()
+    rows.foreach { r =>
+      assert(r.getAs[scala.collection.Seq[Long]]("native") ===
+        r.getAs[scala.collection.Seq[Long]]("lambda"))
+    }
+  }
+
   test("GraftExtensions injects graft_dot at session build time") {
     val s2 = SparkSession.builder().master("local[2]")
       .appName("graft-ext-test")
