@@ -44,14 +44,28 @@ object SparkEntry {
         minSize = Some(1), maxSize = Some(40),
         minPrice = Some(900.0), maxPrice = Some(1800.0),
         limit = 100, offset = 10)),
+    "q_search_promo" -> ((s, d) =>
+      Catalog.searchProducts(Tables.part(s, d),
+        category = Some("ECONOMY"),
+        li = Some(Tables.lineitem(s, d)), onPromo = Some(true), storeId = Some(5L),
+        limit = 50)),
     "q_price_compare" -> ((s, d) => Pricing.priceCompare(Tables.lineitem(s, d), comparedParts)),
     "q_lowest_price_per_store" -> ((s, d) => Pricing.lowestPricePerStore(Tables.lineitem(s, d))),
+    "q_lowest_price_category" -> ((s, d) =>
+      Pricing.lowestPricePerStore(Tables.lineitem(s, d),
+        part = Some(Tables.part(s, d)), category = Some("STANDARD"), rowLimit = Some(20))),
     "q_price_history" -> ((s, d) =>
       Pricing.priceHistory(Tables.lineitem(s, d), historyPart, "1996-01-01", "2001-12-31")),
     "q_price_trend" -> ((s, d) => Pricing.priceTrend(Tables.lineitem(s, d))),
     "q_best_basket" -> ((s, d) => Pricing.bestBasket(Tables.lineitem(s, d), basketParts)),
     "q_store_products" -> ((s, d) =>
       Catalog.storeProducts(Tables.lineitem(s, d), Tables.part(s, d), 7L, Some("ECONOMY"))),
+    "q_store_products_search" -> ((s, d) =>
+      Catalog.storeProducts(Tables.lineitem(s, d), Tables.part(s, d), 7L,
+        category = None, search = Some("red"))),
+    "q_store_lookup" -> ((s, d) =>
+      Catalog.storeLookup(Tables.supplier(s, d), Tables.nation(s, d), Tables.region(s, d),
+        nameContains = Some("5"), cityContains = Some("1"))),
     "q_distinct_categories" -> ((s, d) => Catalog.distinctCategories(Tables.part(s, d))),
     "q_distinct_brands" -> ((s, d) => Catalog.distinctBrands(Tables.part(s, d))),
     "q_stats" -> ((s, d) => Catalog.stats(Tables.lineitem(s, d))),
@@ -182,6 +196,40 @@ object SparkEntry {
          |WHERE lower(p_name) LIKE '%red%' AND p_type = 'ECONOMY'
          |  AND p_size BETWEEN 1 AND 40 AND p_retailprice BETWEEN 900.0 AND 1800.0
          |ORDER BY p_partkey LIMIT 100 OFFSET 10""".stripMargin,
+    "q_search_promo" ->
+      s"""SELECT p_partkey, p_name, p_brand, p_type, p_size,
+         | ${m("p_retailprice")} AS retail_price
+         |FROM part
+         |WHERE p_type = 'ECONOMY' AND p_partkey IN (
+         |  SELECT l_partkey FROM lineitem WHERE l_suppkey = 5 AND l_discount > 0)
+         |ORDER BY p_partkey LIMIT 50""".stripMargin,
+    "q_lowest_price_category" ->
+      s"""WITH eff AS (SELECT l_suppkey, l_partkey, $eff AS eff FROM lineitem
+         |  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_type = 'STANDARD')),
+         |m AS (SELECT l_suppkey, min(eff) AS min_eff FROM eff GROUP BY 1),
+         |w AS (SELECT DISTINCT e.l_suppkey, e.l_partkey, e.eff
+         |      FROM eff e JOIN m ON e.l_suppkey = m.l_suppkey AND e.eff = m.min_eff),
+         |lim AS (SELECT * FROM w ORDER BY eff, l_suppkey, l_partkey LIMIT 20)
+         |SELECT l_suppkey, l_partkey,
+         | ${m("eff")} AS effective_price,
+         | ${"CAST(" + dr("(max(eff) OVER () - eff) / max(eff) OVER () * 100", 1) + " AS DOUBLE)"} AS savings_percent
+         |FROM lim ORDER BY effective_price, l_suppkey, l_partkey""".stripMargin,
+    "q_store_products_search" ->
+      s"""SELECT p_partkey, p_name, p_brand, p_type,
+         | ${m(s"min($eff)")} AS best_price,
+         | count(*) AS n_observations
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |WHERE l_suppkey = 7 AND lower(p_name) LIKE '%red%'
+         |GROUP BY p_partkey, p_name, p_brand, p_type
+         |ORDER BY p_partkey LIMIT 100""".stripMargin,
+    "q_store_lookup" ->
+      """SELECT s_suppkey AS store_id, s_name AS store_name,
+        | n_name AS city, r_name AS region
+        |FROM supplier
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE lower(s_name) LIKE '%5%' AND lower(n_name) LIKE '%1%'
+        |ORDER BY store_id""".stripMargin,
     "q_price_compare" ->
       s"""SELECT l_partkey, l_suppkey,
          | ${m("min(l_extendedprice)")} AS list_price,

@@ -26,7 +26,17 @@ import graft.functions.StableStats
   */
 object Catalog {
 
-  /** Multi-filter product search with deterministic pagination. */
+  /** Multi-filter product search with deterministic pagination.
+    *
+    * `onPromo`/`storeId` mirror the reference's promo and
+    * supermarket_id filters (products.py:49–62): there a product row IS
+    * a (store, product) observation, so here a product qualifies when an
+    * observation in `li` (scoped to `storeId` when given) matches the
+    * promo condition — promo ⇔ l_discount > 0, regular ⇔ l_discount = 0.
+    * Implemented as a semi-join against the DISTINCT qualifying
+    * partkeys: the fact side collapses map-side to unique keys before
+    * the join shuffle, so the catalog never rides through a fact-sized
+    * shuffle. */
   def searchProducts(
       part: DataFrame,
       nameContains: Option[String] = None,
@@ -36,8 +46,13 @@ object Catalog {
       maxSize: Option[Int] = None,
       minPrice: Option[Double] = None,
       maxPrice: Option[Double] = None,
+      li: Option[DataFrame] = None,
+      onPromo: Option[Boolean] = None,
+      storeId: Option[Long] = None,
       limit: Int = 100,
       offset: Int = 0): DataFrame = {
+    require(li.isDefined || (onPromo.isEmpty && storeId.isEmpty),
+      "onPromo/storeId filters need the observations frame (li)")
     var df = part
     nameContains.foreach(q => df = df.filter(lower(col("p_name")).contains(q.toLowerCase)))
     category.foreach(c => df = df.filter(col("p_type") === c))
@@ -46,6 +61,14 @@ object Catalog {
     maxSize.foreach(s => df = df.filter(col("p_size") <= s))
     minPrice.foreach(p => df = df.filter(col("p_retailprice") >= p))
     maxPrice.foreach(p => df = df.filter(col("p_retailprice") <= p))
+    if (onPromo.isDefined || storeId.isDefined) {
+      var obs = li.get
+      storeId.foreach(s => obs = obs.filter(col("l_suppkey") === s))
+      onPromo.foreach(p =>
+        obs = obs.filter(if (p) col("l_discount") > 0 else col("l_discount") === 0))
+      df = df.join(obs.select(col("l_partkey").as("p_partkey")).distinct(),
+        Seq("p_partkey"), "left_semi")
+    }
     df.select(col("p_partkey"), col("p_name"), col("p_brand"), col("p_type"),
         col("p_size"), round(col("p_retailprice"), 2).as("retail_price"))
       .orderBy("p_partkey")
@@ -54,14 +77,18 @@ object Catalog {
   }
 
   /** Products offered by one store with their best observed price
-    * (supermarkets.py get_supermarket_products). `part` is broadcast. */
+    * (supermarkets.py get_supermarket_products; `search` is the
+    * canonical_name ILIKE filter of supermarkets.py:55). `part` is
+    * broadcast with both filters applied before the join. */
   def storeProducts(
       li: DataFrame,
       part: DataFrame,
       suppkey: Long,
       category: Option[String] = None,
+      search: Option[String] = None,
       limit: Int = 100): DataFrame = {
-    val dim = category.fold(part)(c => part.filter(col("p_type") === c))
+    var dim = category.fold(part)(c => part.filter(col("p_type") === c))
+    search.foreach(q => dim = dim.filter(lower(col("p_name")).contains(q.toLowerCase)))
     li.filter(col("l_suppkey") === suppkey)
       .join(broadcast(dim), col("l_partkey") === col("p_partkey"))
       .groupBy("p_partkey", "p_name", "p_brand", "p_type")
@@ -143,6 +170,31 @@ object Catalog {
         round(col("target_price") - col("best_eff"), 2).as("savings"))
       .orderBy(col("best_price"), col("p_partkey"))
       .limit(limit)
+  }
+
+  /** Filtered store-dimension lookup (mcp.py:469 handle_get_stores:
+    * city/name ILIKE %..% filters over the supermarkets table). Mapping:
+    * store = supplier, city = nation name. Pure dimension scan with
+    * sargable contains-filters + broadcast geo joins — no fact table. */
+  def storeLookup(
+      supplier: DataFrame,
+      nation: DataFrame,
+      region: DataFrame,
+      nameContains: Option[String] = None,
+      cityContains: Option[String] = None): DataFrame = {
+    var dim = supplier
+    nameContains.foreach(q => dim = dim.filter(lower(col("s_name")).contains(q.toLowerCase)))
+    val geo = dim
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+    val filtered = cityContains.fold(geo)(q =>
+      geo.filter(lower(col("n_name")).contains(q.toLowerCase)))
+    filtered.select(
+        col("s_suppkey").as("store_id"),
+        col("s_name").as("store_name"),
+        col("n_name").as("city"),
+        col("r_name").as("region"))
+      .orderBy("store_id")
   }
 
   /** Store dimension rollup: suppliers per region/nation with average

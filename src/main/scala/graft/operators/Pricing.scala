@@ -66,24 +66,45 @@ object Pricing {
 
   /** Per-store minimum effective price and the product(s) attaining it,
     * with savings% vs the most expensive winning price. The global-max
-    * window runs over the |stores|-sized aggregate, never the fact table. */
-  def lowestPricePerStore(li: DataFrame): DataFrame = {
-    val eff = li.select(col("l_suppkey"), col("l_partkey"), effPrice.as("eff"))
+    * window runs over the |stores|-sized aggregate, never the fact table.
+    *
+    * `category` (products.py:87–90) scopes observations to one product
+    * category via a semi-join against the broadcast filtered catalog;
+    * `rowLimit` (products.py:115) keeps only the overall-cheapest
+    * winners — mirroring the reference, limited results are ordered
+    * cheapest-first and savings% is computed against the max of the
+    * RETURNED set. */
+  def lowestPricePerStore(
+      li: DataFrame,
+      part: Option[DataFrame] = None,
+      category: Option[String] = None,
+      rowLimit: Option[Int] = None): DataFrame = {
+    require(part.isDefined || category.isEmpty,
+      "category filter needs the product catalog (part)")
+    val obs = category.fold(li)(c =>
+      li.join(broadcast(part.get.filter(col("p_type") === c)
+          .select(col("p_partkey").as("l_partkey"))),
+        Seq("l_partkey"), "left_semi"))
+    val eff = obs.select(col("l_suppkey"), col("l_partkey"), effPrice.as("eff"))
     val perStore = eff.groupBy("l_suppkey").agg(min("eff").as("min_eff"))
     val winners = eff
       .join(perStore, Seq("l_suppkey"))
       .filter(col("eff") === col("min_eff"))
       .select("l_suppkey", "l_partkey", "eff")
       .distinct()
-    winners
-      .crossJoin(broadcast(winners.agg(max("eff").as("max_eff"))))
+    val returned = rowLimit.fold(winners)(n =>
+      winners.orderBy(col("eff"), col("l_suppkey"), col("l_partkey")).limit(n))
+    val ranked = returned
+      .crossJoin(broadcast(returned.agg(max("eff").as("max_eff"))))
       .select(
         col("l_suppkey"),
         col("l_partkey"),
         round(col("eff"), 2).as("effective_price"),
         round((col("max_eff") - col("eff")) / col("max_eff") * 100, 1)
           .as("savings_percent"))
-      .orderBy("l_suppkey", "l_partkey")
+    if (rowLimit.isDefined)
+      ranked.orderBy("effective_price", "l_suppkey", "l_partkey")
+    else ranked.orderBy("l_suppkey", "l_partkey")
   }
 
   /** Time-ranged price series for one product across stores, newest

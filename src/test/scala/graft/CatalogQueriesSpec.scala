@@ -32,6 +32,55 @@ class CatalogQueriesSpec extends AnyFunSuite with SparkSessionTestBase {
     assert(page.map(_.getLong(0)).toSeq === rows.slice(3, 6).map(_.getLong(0)).toSeq)
   }
 
+  test("searchProducts promo/store filters mirror observation EXISTS semantics") {
+    val part = Tables.part(spark, sfDir)
+    val li = Tables.lineitem(spark, sfDir)
+    val onSale = Catalog.searchProducts(part, li = Some(li),
+      onPromo = Some(true), storeId = Some(5L), limit = 1000).collect()
+    assert(onSale.nonEmpty)
+    val qualifying = li.filter(col("l_suppkey") === 5 && col("l_discount") > 0)
+      .select("l_partkey").distinct().collect().map(_.getLong(0)).toSet
+    assert(onSale.map(_.getLong(0)).forall(qualifying))
+    // regular-price filter is the complement condition, not the negation
+    val regular = Catalog.searchProducts(part, li = Some(li),
+      onPromo = Some(false), storeId = Some(5L), limit = 1000).collect()
+    val regularKeys = li.filter(col("l_suppkey") === 5 && col("l_discount") === 0)
+      .select("l_partkey").distinct().collect().map(_.getLong(0)).toSet
+    assert(regular.map(_.getLong(0)).forall(regularKeys))
+  }
+
+  test("storeLookup filters the dimension by name and city contains") {
+    // sf0.001's supplier dim is too small to match both filters
+    val dimDir = "/root/testdata/sf0.01"
+    val rows = Catalog.storeLookup(Tables.supplier(spark, dimDir),
+      Tables.nation(spark, dimDir), Tables.region(spark, dimDir),
+      nameContains = Some("5"), cityContains = Some("1")).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[String]("store_name").contains("5")))
+    assert(rows.forall(_.getAs[String]("city").contains("1")))
+  }
+
+  test("lowestPricePerStore with category and rowLimit returns cheapest-first") {
+    val li = Tables.lineitem(spark, sfDir)
+    val part = Tables.part(spark, sfDir)
+    val rows = Pricing.lowestPricePerStore(li, Some(part),
+      category = Some("STANDARD"), rowLimit = Some(5)).collect()
+    assert(rows.length <= 5 && rows.nonEmpty)
+    val prices = rows.map(_.getAs[Double]("effective_price"))
+    assert(prices.sameElements(prices.sorted))
+    // every returned product is in the category
+    val std = part.filter(col("p_type") === "STANDARD")
+      .select("p_partkey").collect().map(_.getLong(0)).toSet
+    assert(rows.map(_.getAs[Long]("l_partkey")).forall(std))
+  }
+
+  test("storeProducts name search restricts the joined catalog") {
+    val rows = Catalog.storeProducts(Tables.lineitem(spark, sfDir),
+      Tables.part(spark, sfDir), 7L, category = None, search = Some("red")).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[String]("p_name").toLowerCase.contains("red")))
+  }
+
   test("priceCompare sorts stores cheapest-first within each product") {
     val df = Pricing.priceCompare(Tables.lineitem(spark, sfDir), Seq(25L, 125L))
     val rows = df.collect()
