@@ -205,31 +205,47 @@ object Dedup {
   /** Word n-gram Jaccard similarity over candidate pairs (blocked by
     * `lang`; at corpus scale the block key would be an LSH bucket, and
     * the right side would be the LSH-survivor set instead of a full
-    * broadcast). Grams are xxhash64'd to longs so the per-pair set ops
-    * never touch strings, and pairs are pre-pruned by the lossless size
-    * bound J(A,B) ≥ t ⇒ |A| ≥ t·|B| ∧ |B| ≥ t·|A|. */
-  def ngramJaccard(docs: DataFrame, n: Int = 3, threshold: Double = 0.3): DataFrame = {
+    * broadcast). Grams are xxhash64'd to longs so set ops never touch
+    * strings.
+    *
+    * Candidate generation uses an inverted gram index with a
+    * document-frequency cap: grams appearing in more than `dfCap` docs
+    * (stopword runs, boilerplate) are dropped from the INDEX before the
+    * self-join — exactly those grams make candidate pairs quadratic at
+    * corpus scale. The verify step still computes EXACT Jaccard over the
+    * full gram sets of each surviving pair, so the cap only loses a pair
+    * when ALL of its shared grams exceed the cap — impossible for real
+    * near-duplicates above any useful threshold, asserted exact on the
+    * test corpus (LlmOpsSpec). Shuffle is O(capped gram instances +
+    * candidates), never O(docs²). */
+  def ngramJaccard(
+      docs: DataFrame, n: Int = 3, threshold: Double = 0.3,
+      dfCap: Long = 1000L): DataFrame = {
     val g = docs.withColumn("w", split(lower(col("text")), " ", -1))
       .filter(size(col("w")) >= n)
       .withColumn("grams", expr(
         s"array_distinct(transform(sequence(1, size(w)-${n - 1}), " +
           s"i -> xxhash64(concat_ws(' ', slice(w, i, $n)))))"))
       .select(col("doc_id"), col("lang"), col("grams"), size(col("grams")).as("sz"))
-    // Inverted index: |A∩B| via a (gram, lang) equi-join of the exploded
-    // gram stream + count per pair, |A∪B| = |A|+|B|-|A∩B|. Shuffle is
-    // O(gram instances + co-occurring pairs), never O(docs²), and no
-    // per-pair set structures are built. Ultra-frequent grams would need
-    // a frequency cap/salt at corpus scale.
-    val inv = g.select(col("doc_id"), col("lang"), col("sz"), explode(col("grams")).as("gh"))
-      // both self-join branches read the exploded index — cache once
+      // read by the index build and both verify-join branches
       .cache()
-    inv.as("a")
-      .join(inv.as("b"),
+    val inv = g.select(col("doc_id"), col("lang"), explode(col("grams")).as("gh"))
+    val rare = inv.groupBy("lang", "gh").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= dfCap)
+      .select("lang", "gh")
+    val capped = inv.join(rare, Seq("lang", "gh"), "left_semi")
+    val candidates = capped.as("a")
+      .join(capped.as("b"),
         col("a.gh") === col("b.gh") && col("a.lang") === col("b.lang") &&
           col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.sz").as("sz_a"), col("b.sz").as("sz_b"))
-      .agg(count(lit(1)).as("inter"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+    candidates
+      .join(g.select(col("doc_id").as("doc_a"), col("grams").as("grams_a"),
+        col("sz").as("sz_a")), "doc_a")
+      .join(g.select(col("doc_id").as("doc_b"), col("grams").as("grams_b"),
+        col("sz").as("sz_b")), "doc_b")
+      .withColumn("inter", size(array_intersect(col("grams_a"), col("grams_b"))))
       .withColumn("jaccard",
         col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")).cast("double"))
       .filter(col("jaccard") >= threshold)

@@ -84,20 +84,35 @@ object TextAnalysis {
     * corpus unigram frequencies, score each document by its mean token
     * negative log-probability — outliers (too predictable / too random
     * vs the corpus) are filter candidates. Two passes: one aggregation
-    * for the model, one broadcast join to score; per-token surprisals
-    * are snapped to 6 decimals so the engine-specific last ulp of ln()
-    * cannot perturb the mean. */
-  def perplexityScore(docs: DataFrame): DataFrame = {
+    * for the model, one join to score; per-token surprisals are snapped
+    * to 6 decimals so the engine-specific last ulp of ln() cannot
+    * perturb the mean.
+    *
+    * Scale posture: the model join carries NO broadcast hint — AQE
+    * broadcasts while the vocabulary fits the auto-broadcast threshold
+    * and falls back to a shuffle join beyond it (a web-scale vocab is
+    * unbounded). `minTokenCount` floors the model to tokens seen at
+    * least that often — the CCNet move that keeps the vocab bounded —
+    * with floored-out tokens scored at singleton surprisal
+    * (-ln(1/total)) via the left join's fallback. The default floor of
+    * 1 keeps every corpus token in the model, so results are identical
+    * to the unfloored formulation (the oracle's). */
+  def perplexityScore(docs: DataFrame, minTokenCount: Long = 1L): DataFrame = {
     val toks = docs.select(col("doc_id"), explode(split(lower(col("text")), " ", -1)).as("t"))
+    val total = toks.agg(count(lit(1)).as("total"))
     val model = toks.groupBy("t").agg(count(lit(1)).as("n"))
-      .crossJoin(broadcast(toks.agg(count(lit(1)).as("total"))))
+      .filter(col("n") >= minTokenCount)
+      .crossJoin(broadcast(total))
       .select(col("t"),
         round(-log(col("n").cast("double") / col("total")), 6).as("surprisal"))
-    toks.join(broadcast(model), Seq("t"))
+    toks.join(model, Seq("t"), "left")
+      .crossJoin(broadcast(total))
+      .withColumn("s",
+        coalesce(col("surprisal"), round(-log(lit(1.0) / col("total")), 6)))
       .groupBy("doc_id")
       .agg(
         count(lit(1)).as("n_tokens"),
-        round(round(sum("surprisal"), 4) / count("surprisal"), 4)
+        round(round(sum("s"), 4) / count("s"), 4)
           .as("avg_surprisal"))
       .orderBy("doc_id")
   }

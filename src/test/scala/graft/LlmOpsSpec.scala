@@ -42,6 +42,47 @@ class LlmOpsSpec extends AnyFunSuite with SparkSessionTestBase {
     }
   }
 
+  test("ngramJaccard df-cap drops index entries only, never true pairs") {
+    import spark.implicits._
+    // 30 filler docs share exactly one ultra-common trigram; docs
+    // 100/101 are true near-dups sharing rare grams
+    val docs = ((1 to 30).map(i =>
+      (i.toLong, "en", s"lorem ipsum dolor unique$i tail$i end$i")) ++
+      Seq((100L, "en", "alpha beta gamma delta epsilon"),
+        (101L, "en", "alpha beta gamma delta zeta"))).toDF("doc_id", "lang", "text")
+    // threshold 0 exposes every candidate the index generates
+    val capped = Dedup.ngramJaccard(docs, threshold = 0.0, dfCap = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val uncapped = Dedup.ngramJaccard(docs, threshold = 0.0, dfCap = Long.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // uncapped: the common gram pairs all 30 filler docs quadratically
+    assert(uncapped.size > 400)
+    // capped: the common gram is dropped from the index, the true pair
+    // survives via its rare grams
+    assert(capped === Set((100L, 101L)))
+    // at any useful threshold the outputs are identical (exact verify)
+    val cappedT = Dedup.ngramJaccard(docs, dfCap = 10).collect().map(_.toString).sorted
+    val uncappedT = Dedup.ngramJaccard(docs, dfCap = Long.MaxValue).collect().map(_.toString).sorted
+    assert(cappedT.toSeq === uncappedT.toSeq)
+    // corpus-level equality: the sf0.01 pair set is unchanged by the cap
+    val corpus = Tables.documents(spark, docDir)
+    assert(Dedup.ngramJaccard(corpus).collect().map(_.toString).sorted.toSeq ===
+      Dedup.ngramJaccard(corpus, dfCap = Long.MaxValue).collect().map(_.toString).sorted.toSeq)
+  }
+
+  test("perplexityScore frequency floor scores rare tokens at singleton surprisal") {
+    val docs = Tables.documents(spark, docDir)
+    // floor 1 is the exact formulation
+    val base = TextAnalysis.perplexityScore(docs).collect()
+    val floored = TextAnalysis.perplexityScore(docs, minTokenCount = 5L).collect()
+    assert(base.length === floored.length)
+    // floored model only raises surprisal for docs with rare tokens
+    val b = base.map(r => r.getLong(0) -> r.getAs[Double]("avg_surprisal")).toMap
+    floored.foreach { r =>
+      assert(r.getAs[Double]("avg_surprisal") >= b(r.getLong(0)) - 1e-9)
+    }
+  }
+
   test("duplicateClusters computes transitive closure of pairs") {
     import spark.implicits._
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (3L, 7L))
