@@ -162,6 +162,96 @@ object HyperplaneBuckets {
   }
 }
 
+/** One-permutation MinHash signature (Li et al., NIPS 2012) with
+  * circular densification, as a single narrow per-row expression:
+  * `graft_minhash(shingle_hashes, doc_id, k)` → array<long> of k slot
+  * minima.
+  *
+  * Bit-identical to the relational formulation it replaces —
+  * `groupBy(doc, pmod(h, k)).agg(min(h))` + map re-assembly +
+  * `coalesce(m[j], m[(j+1)%k], m[(j+2)%k], m[(j+3)%k],
+  * xxhash64(doc_id, j))` — asserted in VectorExpressionsSpec. The
+  * relational version shuffles |docs|·k slot rows TWICE (slot-min agg,
+  * then signature re-assembly); this expression computes the signature
+  * where the shingles already are, so signature construction costs zero
+  * shuffles at any corpus size.
+  */
+case class MinHashSignature(left: Expression, right: Expression, k: Int)
+    extends BinaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_minhash"
+
+  override def nullSafeEval(sh: Any, docId: Any): Any = {
+    val hs = sh.asInstanceOf[ArrayData]
+    val id = docId.asInstanceOf[Long]
+    val mins = Array.fill(k)(Long.MaxValue)
+    val filled = new Array[Boolean](k)
+    var i = 0
+    val n = hs.numElements()
+    while (i < n) {
+      val h = hs.getLong(i)
+      val j = (((h % k) + k) % k).toInt
+      if (!filled(j) || h < mins(j)) { mins(j) = h; filled(j) = true }
+      i += 1
+    }
+    val sig = new Array[Long](k)
+    var j = 0
+    while (j < k) {
+      var v = 0L
+      var found = false
+      var o = 0
+      while (o <= 3 && !found) {
+        val jj = (j + o) % k
+        if (filled(jj)) { v = mins(jj); found = true }
+        o += 1
+      }
+      sig(j) = if (found) v else XXH64.hashInt(j, XXH64.hashLong(id, 42L))
+      j += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (sh, id) => {
+      val mins = ctx.freshName("mins")
+      val filled = ctx.freshName("filled")
+      val sig = ctx.freshName("sig")
+      val n = ctx.freshName("n")
+      val h = ctx.freshName("h")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val jj = ctx.freshName("jj")
+      val o = ctx.freshName("o")
+      val v = ctx.freshName("v")
+      val found = ctx.freshName("found")
+      val xxh = classOf[XXH64].getName
+      s"""
+         |long[] $mins = new long[$k];
+         |boolean[] $filled = new boolean[$k];
+         |int $n = $sh.numElements();
+         |for (int $i = 0; $i < $n; $i++) {
+         |  long $h = $sh.getLong($i);
+         |  int $j = (int) ((($h % $k) + $k) % $k);
+         |  if (!$filled[$j] || $h < $mins[$j]) { $mins[$j] = $h; $filled[$j] = true; }
+         |}
+         |long[] $sig = new long[$k];
+         |for (int $j = 0; $j < $k; $j++) {
+         |  long $v = 0L; boolean $found = false;
+         |  for (int $o = 0; $o <= 3 && !$found; $o++) {
+         |    int $jj = ($j + $o) % $k;
+         |    if ($filled[$jj]) { $v = $mins[$jj]; $found = true; }
+         |  }
+         |  $sig[$j] = $found ? $v : $xxh.hashInt($j, $xxh.hashLong($id, 42L));
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($sig);
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** Registration for graft's native SQL functions. */
 object VectorFunctions {
   val dotInfo = new ExpressionInfo(classOf[DotProduct].getName, "graft_dot")
@@ -176,7 +266,9 @@ object VectorFunctions {
     "graft_nfc" -> (exprs => NfcNormalize(exprs.head)),
     "graft_sample" -> (exprs => BottomKByHash(exprs(0), intArg(exprs(1)))),
     "graft_lsh" -> (exprs =>
-      HyperplaneBuckets(exprs(0), intArg(exprs(1)), intArg(exprs(2)))))
+      HyperplaneBuckets(exprs(0), intArg(exprs(1)), intArg(exprs(2)))),
+    "graft_minhash" -> (exprs =>
+      MinHashSignature(exprs(0), exprs(1), intArg(exprs(2)))))
 
   /** Register on an existing session. Truly idempotent: already-present
     * functions are left alone so repeated calls (one per operator) don't
@@ -214,6 +306,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[HyperplaneBuckets].getName, "graft_lsh"),
       (exprs: Seq[Expression]) => HyperplaneBuckets(exprs(0),
         exprs(1).eval().asInstanceOf[Number].intValue(),
+        exprs(2).eval().asInstanceOf[Number].intValue())))
+    e.injectFunction((
+      FunctionIdentifier("graft_minhash"),
+      new ExpressionInfo(classOf[MinHashSignature].getName, "graft_minhash"),
+      (exprs: Seq[Expression]) => MinHashSignature(exprs(0), exprs(1),
         exprs(2).eval().asInstanceOf[Number].intValue())))
   }
 }

@@ -55,25 +55,16 @@ object Dedup {
     require(numHashes % bands == 0)
     val rowsPerBand = numHashes / bands
     val k = numHashes
-    // Bucket-min per (doc, hash mod k) as a relational aggregation —
-    // codegen'd hash-agg over the exploded shingle stream, O(|shingles|)
-    // total work (array-lambda formulations evaluate interpreted
-    // closures k times per shingle).
-    val slotMins = shingleHashes(docs, shingleLen)
-      .select(col("doc_id"), explode(col("sh")).as("h"))
-      .groupBy(col("doc_id"), pmod(col("h"), lit(k.toLong)).cast("int").as("j"))
-      .agg(min("h").as("mh"))
-    val borrow = (1 to 3).map(o => s"m[CAST(pmod(j + $o, $k) AS INT)]").mkString(", ")
-    val sigs = slotMins.groupBy("doc_id")
-      .agg(map_from_entries(collect_list(struct(col("j"), col("mh")))).as("m"))
-      // circular densification: borrow the next filled slot (3 hops
-      // cover P(empty)^4 ≈ 0 for realistic shingle counts), hashed
-      // fallback keeps the signature total.
-      .withColumn("sig", expr(
-        s"transform(sequence(0, ${k - 1}), j -> coalesce(m[j], $borrow, xxhash64(doc_id, j)))"))
-      .select("doc_id", "sig")
+    graft.functions.VectorFunctions.register(docs.sparkSession)
+    // Signature as a narrow per-row codegen expression (slot minima +
+    // circular densification in one pass over the shingle array) — the
+    // relational formulation (explode → slot-min agg → re-assembly)
+    // shuffled |docs|·k slot rows twice; graft_minhash computes the
+    // identical signature (asserted in spec) with ZERO shuffles.
+    val sigs = shingleHashes(docs, shingleLen)
+      .select(col("doc_id"), expr(s"graft_minhash(sh, doc_id, $k)").as("sig"))
       // reused by the bucket self-join (2 branches) and both signature
-      // re-joins — cache once instead of recomputing the shuffle 4×
+      // re-joins — cache once instead of recomputing 4×
       .cache()
 
     // Slim bucket table: |bands| rows per doc, key = (band, band hash).

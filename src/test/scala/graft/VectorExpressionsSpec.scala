@@ -86,6 +86,34 @@ class VectorExpressionsSpec extends AnyFunSuite with SparkSessionTestBase {
     }
   }
 
+  test("graft_minhash matches the relational slot-min + densify formulation") {
+    VectorFunctions.register(spark)
+    import spark.implicits._
+    val k = 16
+    // hash arrays with negatives, collisions, and few distinct slots
+    // (forces densification borrows and the hashed fallback)
+    val df = Seq(
+      (1L, Array(5L, -3L, 17L, 1000000007L, -999999937L, 64L)),
+      (2L, Array(2L)),
+      (3L, Array.tabulate(200)(i => i * 2654435761L - 100L)))
+      .toDF("doc_id", "sh")
+    val borrow = (1 to 3).map(o => s"m[CAST(pmod(j + $o, $k) AS INT)]").mkString(", ")
+    val relational = df
+      .select(col("doc_id"), explode(col("sh")).as("h"))
+      .groupBy(col("doc_id"), pmod(col("h"), lit(k.toLong)).cast("int").as("j"))
+      .agg(min("h").as("mh"))
+      .groupBy("doc_id")
+      .agg(map_from_entries(collect_list(struct(col("j"), col("mh")))).as("m"))
+      .withColumn("sig", expr(
+        s"transform(sequence(0, ${k - 1}), j -> coalesce(m[j], $borrow, xxhash64(doc_id, j)))"))
+      .select("doc_id", "sig")
+    val native = df.select(col("doc_id"), expr(s"graft_minhash(sh, doc_id, $k)").as("sig"))
+    val rel = relational.collect().map(r => r.getLong(0) -> r.getAs[scala.collection.Seq[Long]]("sig")).toMap
+    val nat = native.collect().map(r => r.getLong(0) -> r.getAs[scala.collection.Seq[Long]]("sig")).toMap
+    assert(nat.keySet === rel.keySet)
+    nat.foreach { case (id, sig) => assert(sig === rel(id), s"doc $id") }
+  }
+
   test("GraftExtensions injects graft_dot at session build time") {
     val s2 = SparkSession.builder().master("local[2]")
       .appName("graft-ext-test")
