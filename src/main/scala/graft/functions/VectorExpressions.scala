@@ -252,6 +252,75 @@ case class MinHashSignature(left: Expression, right: Expression, k: Int)
     copy(left = l, right = r)
 }
 
+/** 64-bit SimHash fingerprint over an array of tokens as a single
+  * narrow expression: `graft_simhash(tokens)` → long.
+  *
+  * Hashes each token with Spark's xxhash64 semantics
+  * (XXH64.hashUTF8String, seed 42), votes ±1 per bit, sets fingerprint
+  * bits where the vote is positive — bit-identical to the relational
+  * formulation (explode → 64 conditional-sum aggregates → bitwise
+  * re-assembly, asserted in spec) but with zero shuffles: the
+  * relational path pushed the entire exploded token stream through a
+  * 64-column hash aggregation.
+  */
+case class SimHash64(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash"
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[ArrayData]
+    val votes = new Array[Int](64)
+    val n = toks.numElements()
+    var i = 0
+    while (i < n) {
+      val h = XXH64.hashUTF8String(toks.getUTF8String(i), 42L)
+      var j = 0
+      while (j < 64) {
+        if (((h >> (63 - j)) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+        j += 1
+      }
+      i += 1
+    }
+    var fp = 0L
+    var j = 0
+    while (j < 64) {
+      if (votes(j) > 0) fp |= (1L << (63 - j))
+      j += 1
+    }
+    fp
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, toks => {
+      val votes = ctx.freshName("votes")
+      val n = ctx.freshName("n")
+      val h = ctx.freshName("h")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val fp = ctx.freshName("fp")
+      val xxh = classOf[XXH64].getName
+      s"""
+         |int[] $votes = new int[64];
+         |int $n = $toks.numElements();
+         |for (int $i = 0; $i < $n; $i++) {
+         |  long $h = $xxh.hashUTF8String($toks.getUTF8String($i), 42L);
+         |  for (int $j = 0; $j < 64; $j++) {
+         |    if ((($h >> (63 - $j)) & 1L) == 1L) $votes[$j]++; else $votes[$j]--;
+         |  }
+         |}
+         |long $fp = 0L;
+         |for (int $j = 0; $j < 64; $j++) {
+         |  if ($votes[$j] > 0) $fp |= (1L << (63 - $j));
+         |}
+         |${ev.value} = $fp;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Registration for graft's native SQL functions. */
 object VectorFunctions {
   val dotInfo = new ExpressionInfo(classOf[DotProduct].getName, "graft_dot")
@@ -268,7 +337,8 @@ object VectorFunctions {
     "graft_lsh" -> (exprs =>
       HyperplaneBuckets(exprs(0), intArg(exprs(1)), intArg(exprs(2)))),
     "graft_minhash" -> (exprs =>
-      MinHashSignature(exprs(0), exprs(1), intArg(exprs(2)))))
+      MinHashSignature(exprs(0), exprs(1), intArg(exprs(2)))),
+    "graft_simhash" -> (exprs => SimHash64(exprs.head)))
 
   /** Register on an existing session. Truly idempotent: already-present
     * functions are left alone so repeated calls (one per operator) don't
@@ -312,5 +382,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[MinHashSignature].getName, "graft_minhash"),
       (exprs: Seq[Expression]) => MinHashSignature(exprs(0), exprs(1),
         exprs(2).eval().asInstanceOf[Number].intValue())))
+    e.injectFunction((
+      FunctionIdentifier("graft_simhash"),
+      new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash"),
+      (exprs: Seq[Expression]) => SimHash64(exprs.head)))
   }
 }

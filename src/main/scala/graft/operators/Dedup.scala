@@ -94,24 +94,15 @@ object Dedup {
 
   /** 64-bit SimHash (sign of per-bit token-hash vote) + 16-bit chunk
     * LSH (hamming ≤ maxHamming ⇒ ≥1 of 4 chunks equal) → pairs.
-    * Per-bit votes are 64 codegen'd conditional-sum aggregates over the
-    * exploded token stream (one pass, no interpreted lambdas); the
-    * fingerprint is assembled with ANSI-safe bitwise ops. */
+    * The fingerprint is the native codegen `graft_simhash` over the
+    * token array — zero shuffles (the relational formulation pushed
+    * the exploded token stream through a 64-column vote aggregation;
+    * bit-equality asserted in VectorExpressionsSpec). */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
-    val tokens = docs.withColumn("toks", split(lower(col("text")), " ", -1))
+    graft.functions.VectorFunctions.register(docs.sparkSession)
+    val sims = docs.withColumn("toks", split(lower(col("text")), " ", -1))
       .filter(size(col("toks")) >= 1)
-      .select(col("doc_id"), explode(col("toks")).as("t"))
-      .withColumn("h", xxhash64(col("t")))
-    val voteCols = (0 until 64).map { j =>
-      sum(when((shiftright(col("h"), 63 - j).bitwiseAND(lit(1L))) === 1L, 1).otherwise(-1))
-        .as(s"b$j")
-    }
-    val fingerprint = (0 until 64)
-      .map(j => when(col(s"b$j") > 0, lit(1L << (63 - j))).otherwise(lit(0L)))
-      .reduce((a, b) => a.bitwiseOR(b))
-    val sims = tokens.groupBy("doc_id")
-      .agg(voteCols.head, voteCols.tail: _*)
-      .select(col("doc_id"), fingerprint.as("simhash"))
+      .select(col("doc_id"), expr("graft_simhash(toks)").as("simhash"))
 
     val chunks = sims.select(col("doc_id"), col("simhash"),
         explode(expr(

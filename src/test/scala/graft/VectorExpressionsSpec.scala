@@ -114,6 +114,31 @@ class VectorExpressionsSpec extends AnyFunSuite with SparkSessionTestBase {
     nat.foreach { case (id, sig) => assert(sig === rel(id), s"doc $id") }
   }
 
+  test("graft_simhash matches the relational vote aggregation") {
+    VectorFunctions.register(spark)
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "a"),
+      (3L, "x y z " * 40 + "tail")).toDF("doc_id", "text")
+    val base = docs.withColumn("toks", split(lower(col("text")), " ", -1))
+    val tokens = base.select(col("doc_id"), explode(col("toks")).as("t"))
+      .withColumn("h", xxhash64(col("t")))
+    val voteCols = (0 until 64).map { j =>
+      sum(when((shiftright(col("h"), 63 - j).bitwiseAND(lit(1L))) === 1L, 1).otherwise(-1))
+        .as(s"b$j")
+    }
+    val fingerprint = (0 until 64)
+      .map(j => when(col(s"b$j") > 0, lit(1L << (63 - j))).otherwise(lit(0L)))
+      .reduce((a, b) => a.bitwiseOR(b))
+    val rel = tokens.groupBy("doc_id").agg(voteCols.head, voteCols.tail: _*)
+      .select(col("doc_id"), fingerprint.as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val nat = base.select(col("doc_id"), expr("graft_simhash(toks)").as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(nat === rel)
+  }
+
   test("GraftExtensions injects graft_dot at session build time") {
     val s2 = SparkSession.builder().master("local[2]")
       .appName("graft-ext-test")
