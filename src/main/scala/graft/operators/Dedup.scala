@@ -212,10 +212,15 @@ object Dedup {
       // read by the index build and both verify-join branches
       .cache()
     val inv = g.select(col("doc_id"), col("lang"), explode(col("grams")).as("gh"))
-    val rare = inv.groupBy("lang", "gh").agg(count(lit(1)).as("df"))
+    // df filter as a window over the index: ONE shuffle on (lang, gh),
+    // whose partitioning the candidate self-join then reuses (both
+    // branches arrive hash-partitioned on the join key — no further
+    // Exchange), vs. a groupBy + semi-join costing two extra shuffles
+    val capped = inv
+      .withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("lang", "gh")))
       .filter(col("df") <= dfCap)
-      .select("lang", "gh")
-    val capped = inv.join(rare, Seq("lang", "gh"), "left_semi")
+      .drop("df")
     val candidates = capped.as("a")
       .join(capped.as("b"),
         col("a.gh") === col("b.gh") && col("a.lang") === col("b.lang") &&

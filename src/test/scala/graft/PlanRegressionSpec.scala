@@ -50,4 +50,36 @@ class PlanRegressionSpec extends AnyFunSuite with SparkSessionTestBase {
     val p = plan("q_embed_topk")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
   }
+
+  test("promo search semi-joins observations with pushed store/promo filters") {
+    val p = plan("q_search_promo")
+    assert(p.contains("LeftSemi"))
+    assert(p.contains("PushedFilters: [IsNotNull(l_suppkey)") ||
+      p.contains("PushedFilters: [IsNotNull(l_discount)"))
+  }
+
+  test("lowest-price category scope is a broadcast semi-join on the catalog") {
+    val p = plan("q_lowest_price_category")
+    assert(p.contains("LeftSemi"))
+    assert(p.contains("BroadcastHashJoin"))
+  }
+
+  test("sketch queries run on native codegen expressions, not lambdas") {
+    assert(plan("q_dedup_simhash").contains("graft_simhash"))
+    assert(plan("q_dedup_minhash").contains("graft_minhash"))
+    assert(plan("q_embed_neardup").contains("graft_lsh"))
+    assert(plan("q_embed_lsh_topk").contains("graft_dot"))
+  }
+
+  test("ngram df-cap self-join reuses the window's partitioning") {
+    val df = SparkEntry.queries("q_ngram_jaccard")(spark, sfDir)
+    val p = df.queryExecution.executedPlan.toString
+    // the capped index is computed once behind one Exchange; the
+    // candidate self-join must not insert additional Exchanges between
+    // the window and the join
+    val windowIdx = p.indexOf("Window")
+    assert(windowIdx >= 0)
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"))
+  }
 }
