@@ -221,13 +221,34 @@ object Dedup {
         org.apache.spark.sql.expressions.Window.partitionBy("lang", "gh")))
       .filter(col("df") <= dfCap)
       .drop("df")
-    val candidates = capped.as("a")
+    // per-doc count of capped-out (index-invisible) grams, for the
+    // lossless candidate bound below
+    val docMeta = g.select(col("doc_id"), col("sz"))
+      .join(capped.groupBy("doc_id").agg(count(lit(1)).as("n_idx")), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("sz"),
+        (col("sz") - coalesce(col("n_idx"), lit(0L))).as("n_capped"))
+    // shared-index-gram count per pair — map-side combine collapses the
+    // per-gram pair stream before the shuffle (a pair sharing 40 grams
+    // ships once, not 40×)
+    val pairCounts = capped.as("a")
       .join(capped.as("b"),
         col("a.gh") === col("b.gh") && col("a.lang") === col("b.lang") &&
           col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .dropDuplicates("doc_a", "doc_b")
-    candidates
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter_idx"))
+    // lossless prune: J ≥ t ⇔ inter ≥ t·(szA+szB)/(1+t), and the true
+    // intersection is at most inter_idx + min(capped_a, capped_b) —
+    // pairs failing the bound cannot reach the threshold, so only
+    // near-threshold survivors pay the exact array verify
+    val survivors = pairCounts
+      .join(broadcast(docMeta.select(col("doc_id").as("doc_a"),
+        col("sz").as("sz_a"), col("n_capped").as("cap_a"))), "doc_a")
+      .join(broadcast(docMeta.select(col("doc_id").as("doc_b"),
+        col("sz").as("sz_b"), col("n_capped").as("cap_b"))), "doc_b")
+      .filter((col("inter_idx") + least(col("cap_a"), col("cap_b"))).cast("double") *
+        (1.0 + threshold) >= lit(threshold) * (col("sz_a") + col("sz_b")) - 1e-9)
+      .select("doc_a", "doc_b")
+    survivors
       .join(g.select(col("doc_id").as("doc_a"), col("grams").as("grams_a"),
         col("sz").as("sz_a")), "doc_a")
       .join(g.select(col("doc_id").as("doc_b"), col("grams").as("grams_b"),

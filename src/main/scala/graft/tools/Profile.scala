@@ -20,6 +20,30 @@ object Profile {
       println(f"$name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s  (rows=$n)")
     }
 
+    // current ngramJaccard stage timings
+    val dfCap = 1000L
+    val gj = docs.withColumn("w", split(lower(col("text")), " ", -1))
+      .filter(size(col("w")) >= 3)
+      .withColumn("grams", expr(
+        "array_distinct(transform(sequence(1, size(w)-2), " +
+          "i -> xxhash64(concat_ws(' ', slice(w, i, 3)))))"))
+      .select(col("doc_id"), col("lang"), col("grams"), size(col("grams")).as("sz"))
+      .cache()
+    time("ngram: grams cached")(gj.count())
+    val invj = gj.select(col("doc_id"), col("lang"), explode(col("grams")).as("gh"))
+    time("ngram: index size")(invj.count())
+    val cappedj = invj.withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("lang", "gh")))
+      .filter(col("df") <= dfCap).drop("df")
+    val candj = cappedj.as("a").join(cappedj.as("b"),
+        col("a.gh") === col("b.gh") && col("a.lang") === col("b.lang") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+    time("ngram: candidates")(candj.count())
+    time("ngram: full result")(graft.operators.Dedup.ngramJaccard(docs).count())
+    gj.unpersist()
+
     val n = 3
     val g = docs.withColumn("w", split(lower(col("text")), " ", -1))
       .filter(size(col("w")) >= n)
