@@ -25,6 +25,10 @@ object SparkEntry {
   private val basketParts = Seq(3L, 42L, 77L, 256L, 512L, 999L, 1024L, 1500L, 1776L, 1999L)
   private val historyPart = 42L
 
+  // Mixture rates for q_mix_sources (sources not listed keep rate 1.0).
+  private val mixRates = Map(
+    "src0" -> 0.0, "src1" -> 0.25, "src2" -> 0.5, "src3" -> 0.75)
+
   /** MinHash pair set shared by q_dedup_minhash and q_dedup_clusters:
     * cluster resolution consumes the SAME persisted pair frame instead
     * of re-deriving signatures + bucket join from scratch (the pair set
@@ -130,6 +134,16 @@ object SparkEntry {
     "q_retention_cohorts" -> ((s, d) => Purchases.retentionCohorts(Tables.orders(s, d))),
     "q_price_percentiles" -> ((s, d) => Purchases.pricePercentiles(Tables.part(s, d))),
     "q_train_split" -> ((s, d) => Curation.splitCounts(Tables.documents(s, d))),
+    "q_mix_sources" -> ((s, d) =>
+      Curation.mixSources(Tables.documents(s, d), mixRates)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), min("doc_id").as("first_doc"))
+        .orderBy("source")),
+    "q_decontaminate" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Curation.flagContaminated(
+        docs.filter(col("doc_id") >= 25), docs.filter(col("doc_id") < 25), n = 5)
+    }),
     "q_dedup_clusters" -> ((s, d) =>
       Dedup.duplicateClusters(minhashPairsShared(s, d))
         .drop("members")),
@@ -546,6 +560,28 @@ object SparkEntry {
         |SELECT p_type AS category,
         | array_to_string(list_slice(list(p_name ORDER BY md5(p_name), p_name), 1, 3), ',') AS sample
         |FROM d GROUP BY p_type ORDER BY category""".stripMargin,
+    "q_mix_sources" ->
+      """WITH kept AS (
+        | SELECT * FROM documents
+        | WHERE ('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+        |         / 4294967296.0
+        |   < CASE source WHEN 'src0' THEN 0.0 WHEN 'src1' THEN 0.25
+        |                 WHEN 'src2' THEN 0.5 WHEN 'src3' THEN 0.75 ELSE 1.0 END)
+        |SELECT source, count(*) AS n_docs, min(doc_id) AS first_doc
+        |FROM kept GROUP BY source ORDER BY source""".stripMargin,
+    "q_decontaminate" ->
+      """WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+        |g AS (SELECT doc_id, list_distinct(list_transform(range(1, len(w)-3),
+        |   i -> w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||w[i+4])) AS grams
+        | FROM d WHERE len(w) >= 5),
+        |bg AS (SELECT DISTINCT unnest(grams) AS gr FROM g WHERE doc_id < 25),
+        |dg AS (SELECT doc_id, unnest(grams) AS gr FROM g WHERE doc_id >= 25),
+        |hits AS (SELECT doc_id, count(*) AS n FROM dg JOIN bg USING (gr) GROUP BY doc_id)
+        |SELECT b.doc_id, coalesce(hits.n, 0) AS n_contaminated_grams,
+        | coalesce(hits.n, 0) > 0 AS contaminated
+        |FROM (SELECT doc_id FROM documents WHERE doc_id >= 25) b
+        |LEFT JOIN hits USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     "q_cohort_pivot" ->
       """WITH fo AS (SELECT o_custkey,
         |  date_trunc('month', min(o_orderdate)) AS cohort_month

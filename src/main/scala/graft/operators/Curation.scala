@@ -45,4 +45,51 @@ object Curation {
       df: DataFrame, strataCol: String,
       fractions: Map[String, Double], seed: Long = 42L): DataFrame =
     df.stat.sampleBy(strataCol, fractions, seed)
+
+  /** Deterministic source-mixture sampling (training-data mixing):
+    * keep each doc with its source's rate, decided by a uniform hash of
+    * the doc id — md5-prefix based so ANY engine reproduces the exact
+    * row set (the DuckDB oracle twin does, bit-for-bit), independent of
+    * partitioning and cluster size. Pure narrow map: no shuffle, no RNG
+    * state. Sources absent from `rates` keep `defaultRate`. */
+  def mixSources(
+      docs: DataFrame,
+      rates: Map[String, Double],
+      defaultRate: Double = 1.0,
+      seed: String = "mix"): DataFrame = {
+    val u = conv(substring(md5(concat_ws(":", lit(seed), col("doc_id").cast("string"))), 1, 8),
+      16, 10).cast("long").cast("double") / 4294967296.0
+    val rate = rates.foldLeft(lit(defaultRate)) { case (acc, (src, r)) =>
+      when(col("source") === src, lit(r)).otherwise(acc)
+    }
+    docs.filter(u < rate)
+  }
+
+  /** Benchmark decontamination: flag training docs sharing any word
+    * n-gram with a benchmark/eval set (the standard n-gram overlap
+    * check). Benchmark grams are hash-distinct and broadcast (eval sets
+    * are tiny by construction — for a genuinely large right side drop
+    * the hint and AQE shuffles); doc grams stream through the join, so
+    * the cost is one scan of the corpus + a per-doc count. Output: one
+    * row per doc with the overlapping-gram count and flag. */
+  def flagContaminated(
+      docs: DataFrame, benchmark: DataFrame, n: Int = 8): DataFrame = {
+    def grams(df: DataFrame) = df
+      .withColumn("w", split(lower(col("text")), " ", -1))
+      .filter(size(col("w")) >= n)
+      .select(col("doc_id"), explode(expr(
+        s"array_distinct(transform(sequence(1, size(w)-${n - 1}), " +
+          s"i -> xxhash64(concat_ws(' ', slice(w, i, $n)))))")).as("gh"))
+    val benchGrams = grams(benchmark).select("gh").distinct()
+    val hits = grams(docs)
+      .join(broadcast(benchGrams), Seq("gh"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_contaminated_grams"))
+    docs.select("doc_id")
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_contaminated_grams"), lit(0L)).as("n_contaminated_grams"))
+      .withColumn("contaminated", col("n_contaminated_grams") > 0)
+      .orderBy("doc_id")
+  }
 }

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{Dedup, Similarity, TextAnalysis}
+import graft.operators.{Curation, Dedup, Similarity, TextAnalysis}
 import graft.sources.Multimodal
 
 /** Section C (LLM-training-data operators) specs on sf0.001/sf0.01. */
@@ -167,6 +167,32 @@ class LlmOpsSpec extends AnyFunSuite with SparkSessionTestBase {
     assert(pairs.nonEmpty)
     assert(pairs.forall(_.getAs[Double]("cos_sim") >= 0.35))
     assert(pairs.forall(r => r.getLong(0) < r.getLong(1)))
+  }
+
+  test("mixSources keeps deterministic per-source rates") {
+    val docs = Tables.documents(spark, docDir)
+    val rates = Map("src0" -> 0.0, "src1" -> 1.0, "src2" -> 0.5)
+    val mixed = Curation.mixSources(docs, rates)
+    val counts = mixed.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!counts.contains("src0")) // rate 0 drops the source entirely
+    assert(counts("src1") === 25)    // rate 1 keeps every doc
+    assert(counts("src2") > 0 && counts("src2") < 25)
+    // deterministic: same ids on re-run, no RNG state
+    val again = Curation.mixSources(docs, rates)
+    assert(mixed.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq ===
+      again.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq)
+  }
+
+  test("flagContaminated flags exactly the docs sharing benchmark n-grams") {
+    val docs = Tables.documents(spark, docDir)
+    val out = Curation.flagContaminated(
+      docs.filter(col("doc_id") >= 25), docs.filter(col("doc_id") < 25), n = 5).collect()
+    assert(out.length === 475) // one row per train doc, hits or not
+    assert(out.exists(_.getAs[Boolean]("contaminated")))
+    assert(out.exists(!_.getAs[Boolean]("contaminated")))
+    assert(out.forall(r =>
+      (r.getAs[Long]("n_contaminated_grams") > 0) == r.getAs[Boolean]("contaminated")))
   }
 
   test("langId predicts deterministically with scores present") {
