@@ -62,6 +62,17 @@ object EventsStream {
       }
       .start()
 
+  /** Streaming exactly-once-per-event dedup: the raw_hash idempotency
+    * rule (rabbitmq-to-postgres) as a streaming operator. State is
+    * bounded by the watermark — a duplicate arriving within the
+    * watermark horizon is dropped even if its timestamp differs
+    * (dropDuplicatesWithinWatermark keys on event_id only); older
+    * duplicates were already excluded by the file-source checkpoint. */
+  def dedupStream(events: DataFrame, horizon: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", horizon)
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Stateful gap sessionization via flatMapGroupsWithState: emits a
     * session row when the gap timeout fires (streaming form of
     * Etl.sessionize). */

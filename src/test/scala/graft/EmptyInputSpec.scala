@@ -44,4 +44,27 @@ class EmptyInputSpec extends AnyFunSuite with SparkSessionTestBase {
     val empty = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
     assert(Dedup.duplicateClusters(empty).count() === 0)
   }
+
+  test("round-2 operators on empty inputs") {
+    lazy val emptyPart = Tables.part(spark, sfDir).limit(0)
+    val li = Tables.lineitem(spark, sfDir)
+    assert(Catalog.searchProducts(emptyPart, li = Some(emptyLi),
+      onPromo = Some(true), storeId = Some(1L)).count() === 0)
+    // non-empty catalog + empty observations: promo filter keeps nothing
+    assert(Catalog.searchProducts(Tables.part(spark, sfDir), li = Some(emptyLi),
+      onPromo = Some(true)).count() === 0)
+    assert(Catalog.storeLookup(Tables.supplier(spark, sfDir).limit(0),
+      Tables.nation(spark, sfDir), Tables.region(spark, sfDir)).count() === 0)
+    assert(Pricing.lowestPricePerStore(emptyLi,
+      Some(emptyPart), category = Some("X"), rowLimit = Some(5)).count() === 0)
+    assert(Similarity.embedNearDupPairs(emptyEmb).count() === 0)
+    assert(Similarity.embedLshTopK(emptyEmb).count() === 0)
+    assert(Curation.mixSources(emptyDocs, Map("src0" -> 0.5)).count() === 0)
+    assert(Curation.flagContaminated(emptyDocs, emptyDocs).count() === 0)
+    // empty benchmark ⇒ nothing is contaminated, every doc still rowed
+    val docs = Tables.documents(spark, sfDir)
+    val flagged = Curation.flagContaminated(docs, emptyDocs)
+    assert(flagged.count() === docs.count())
+    assert(flagged.filter(org.apache.spark.sql.functions.col("contaminated")).count() === 0)
+  }
 }

@@ -31,6 +31,25 @@ class StreamingSpec extends AnyFunSuite with SparkSessionTestBase {
     } finally q.stop()
   }
 
+  test("dedupStream drops replayed events within the watermark horizon") {
+    val dir = java.nio.file.Files.createTempDirectory("dedupstream").toString
+    val events = Tables.events(spark, sfDir)
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .limit(500)
+    // replay the feed: every event lands twice (the queue-redelivery case)
+    events.unionAll(events).write.mode("overwrite").parquet(dir)
+
+    val q = EventsStream.dedupStream(EventsStream.readEvents(spark, dir))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("dedup_out")
+      assert(got.count() === 500)
+      assert(got.select("event_id").distinct().count() === 500)
+    } finally q.stop()
+  }
+
   test("sessionizeStream emits gap-closed sessions") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("sessstream").toString
