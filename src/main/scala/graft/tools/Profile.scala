@@ -20,6 +20,32 @@ object Profile {
       println(f"$name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s  (rows=$n)")
     }
 
+    // cluster pipeline stage timings
+    time("minhash pairs persist")(
+      { val p = graft.operators.Dedup.minhashPairs(docs).persist(); p.count() })
+    val pairsP = graft.operators.Dedup.minhashPairs(docs).persist()
+    pairsP.count()
+    time("clusters from warm pairs")(
+      graft.operators.Dedup.duplicateClusters(pairsP).count())
+    time("minhash pairs WARM rerun")(graft.operators.Dedup.minhashPairs(docs).count())
+    graft.functions.VectorFunctions.register(spark)
+    val shw = docs.withColumn("toks", split(lower(col("text")), " ", -1))
+      .filter(size(col("toks")) >= 3)
+      .withColumn("sh", expr(
+        "array_distinct(transform(sequence(1, size(toks)-2), " +
+          "i -> xxhash64(concat_ws(' ', slice(toks, i, 3)))))"))
+      .select("doc_id", "sh")
+    time("warm shingleHashes")(shw.count())
+    val sigw = shw.select(col("doc_id"), expr("graft_minhash(sh, doc_id, 64)").as("sig"))
+    time("warm signatures")(sigw.count())
+    val bk = sigw.select(col("doc_id"), explode(expr(
+        "transform(sequence(0, 15), b -> named_struct('band', b, 'bh', xxhash64(slice(sig, b*4 + 1, 4), b)))")).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bh").as("bh"))
+    time("warm buckets")(bk.count())
+    time("warm bucket self-join")(bk.as("a").join(bk.as("b"),
+      col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+        col("a.doc_id") < col("b.doc_id")).count())
+
     // current ngramJaccard stage timings
     val dfCap = 1000L
     val gj = docs.withColumn("w", split(lower(col("text")), " ", -1))
