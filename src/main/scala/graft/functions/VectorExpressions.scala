@@ -386,5 +386,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_simhash"),
       new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash"),
       (exprs: Seq[Expression]) => SimHash64(exprs.head)))
+    // lambda dot products silently upgrade to the codegen expression
+    e.injectOptimizerRule(_ => RewriteDotProduct)
   }
 }

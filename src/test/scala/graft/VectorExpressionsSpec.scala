@@ -140,15 +140,48 @@ class VectorExpressionsSpec extends AnyFunSuite with SparkSessionTestBase {
   }
 
   test("GraftExtensions injects graft_dot at session build time") {
+    // force a genuinely fresh session (sharing the context) so the
+    // extensions config is actually applied — getOrCreate would return
+    // the suite-shared session otherwise
+    spark.sparkContext // materialize the shared context first
+    val prev = SparkSession.getDefaultSession
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    // withExtensions: the explicit form of spark.sql.extensions
+    // (the config-string path needs a fresh SparkContext — Verify and
+    // Bench exercise it on their own JVMs)
     val s2 = SparkSession.builder().master("local[2]")
       .appName("graft-ext-test")
       .config("spark.ui.enabled", "false")
-      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      .withExtensions(new graft.functions.GraftExtensions())
       .getOrCreate()
     try {
       val v = s2.sql("SELECT graft_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d")
         .collect().head.getDouble(0)
       assert(v === 11.0)
-    } finally s2.stop()
+
+      // the optimizer rule upgrades the composable lambda fold to the
+      // native expression — and leaves non-matching folds untouched
+      // (parquet-backed input so the optimizer can't pre-evaluate)
+      s2.read.parquet(s"$sfDir/embeddings.parquet")
+        .selectExpr("transform(embedding, x -> CAST(x AS DOUBLE)) AS a")
+        .createOrReplaceTempView("vec_in")
+      val df = s2.sql(
+        "SELECT aggregate(zip_with(a, a, (x, y) -> x * y), 0D, (acc, v) -> acc + v) AS d FROM vec_in")
+      assert(df.queryExecution.optimizedPlan.toString.contains("graft_dot"))
+      val norms = df.collect().map(_.getDouble(0))
+      val direct = s2.sql("SELECT graft_dot(a, a) AS d FROM vec_in")
+        .collect().map(_.getDouble(0))
+      assert(norms.toSeq === direct.toSeq)
+      val other = s2.sql(
+        "SELECT aggregate(zip_with(a, a, (x, y) -> x + y), 0D, (acc, v) -> acc + v) AS d FROM vec_in")
+      assert(!other.queryExecution.optimizedPlan.toString.contains("graft_dot"))
+    } finally {
+      // restore the shared session WITHOUT stopping the shared context
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      prev.foreach(SparkSession.setDefaultSession)
+      prev.foreach(SparkSession.setActiveSession)
+    }
   }
 }
