@@ -58,6 +58,8 @@ object SparkEntry {
     "q_lowest_price_category" -> ((s, d) =>
       Pricing.lowestPricePerStore(Tables.lineitem(s, d),
         part = Some(Tables.part(s, d)), category = Some("STANDARD"), rowLimit = Some(20))),
+    "q_price_anomalies" -> ((s, d) =>
+      Pricing.priceAnomalies(Tables.lineitem(s, d), sigma = 2.0)),
     "q_price_history" -> ((s, d) =>
       Pricing.priceHistory(Tables.lineitem(s, d), historyPart, "1996-01-01", "2001-12-31")),
     "q_price_trend" -> ((s, d) => Pricing.priceTrend(Tables.lineitem(s, d))),
@@ -262,6 +264,22 @@ object SparkEntry {
          | ${m("eff")} AS effective_price,
          | ${"CAST(" + dr("(max(eff) OVER () - eff) / max(eff) OVER () * 100", 1) + " AS DOUBLE)"} AS savings_percent
          |FROM w ORDER BY l_suppkey, l_partkey""".stripMargin,
+    "q_price_anomalies" ->
+      s"""WITH st AS (
+         | SELECT l_partkey, count(*) AS n,
+         |  ${"CAST(" + dr("sum(l_extendedprice)", 2) + " AS DOUBLE)"} AS s1,
+         |  ${"CAST(" + dr("sum(l_extendedprice*l_extendedprice)", 4) + " AS DOUBLE)"} AS s2
+         | FROM lineitem GROUP BY 1 HAVING count(*) >= 2),
+         |x AS (
+         | SELECT l.l_partkey, l_suppkey, l_orderkey, l_linenumber, l_extendedprice,
+         |  s1/n AS mean, sqrt(greatest((s2 - s1*s1/n)/(n-1), 0.0)) AS std
+         | FROM lineitem l JOIN st USING (l_partkey))
+         |SELECT l_partkey, l_suppkey, l_orderkey, l_linenumber,
+         | ${m("l_extendedprice")} AS price,
+         | ${m("mean")} AS mean_price,
+         | ${m("(l_extendedprice - mean)/std")} AS z_score
+         |FROM x WHERE std > 0 AND abs(l_extendedprice - mean) > 2.0*std
+         |ORDER BY l_partkey, l_orderkey, l_linenumber""".stripMargin,
     "q_price_history" ->
       s"""SELECT l_partkey, l_suppkey, l_shipdate AS collected_at,
          | ${m("l_extendedprice")} AS price,

@@ -42,4 +42,14 @@ object StableStats {
     * comparisons that must agree with the oracle's identical expression). */
   def stableAvgRaw(c: Column, exactScale: Int): Column =
     round(sum(c), exactScale) / count(c)
+
+  /** Engine-stable first and second moments: `sum(x)` exact at
+    * `exactScale` decimals and `sum(x²)` exact at `2·exactScale` —
+    * both land on the identical nearest double in every engine, so any
+    * downstream variance/stddev arithmetic composed from them (same
+    * operation order on both sides) is deterministic IEEE math. */
+  def stableSumRaw(c: Column, exactScale: Int): Column =
+    round(sum(c), exactScale)
+  def stableSumSqRaw(c: Column, exactScale: Int): Column =
+    round(sum(c * c), 2 * exactScale)
 }

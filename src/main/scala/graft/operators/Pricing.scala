@@ -139,6 +139,40 @@ object Pricing {
       .orderBy("l_partkey")
   }
 
+  /** Per-product price-anomaly detection: flag observations more than
+    * `sigma` sample standard deviations from the product's mean price —
+    * the data-quality screen a price pipeline runs before publishing
+    * (bad scrapes, unit-mixups, decimal shifts).
+    *
+    * Engine-stable by construction: the per-product first/second
+    * moments are exact-scale rounded (StableStats), so mean, variance,
+    * the σ-threshold comparison, and the emitted z-score are identical
+    * deterministic IEEE arithmetic in any engine — no knife-edge flag
+    * flips between Spark and the oracle. One aggregation shuffle on
+    * l_partkey plus one fact⋈stats join on the same key (stats is
+    * |products|-sized; AQE picks broadcast when it fits). */
+  def priceAnomalies(li: DataFrame, sigma: Double = 3.0): DataFrame = {
+    val stats = li.groupBy("l_partkey")
+      .agg(
+        count(lit(1)).as("n"),
+        StableStats.stableSumRaw(col("l_extendedprice"), 2).as("s1"),
+        StableStats.stableSumSqRaw(col("l_extendedprice"), 2).as("s2"))
+      .filter(col("n") >= 2)
+      .withColumn("mean", col("s1") / col("n"))
+      .withColumn("variance",
+        (col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1))
+      .withColumn("std", sqrt(greatest(col("variance"), lit(0.0))))
+    li.join(stats, "l_partkey")
+      .filter(col("std") > 0 &&
+        abs(col("l_extendedprice") - col("mean")) > lit(sigma) * col("std"))
+      .select(
+        col("l_partkey"), col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        round(col("l_extendedprice"), 2).as("price"),
+        round(col("mean"), 2).as("mean_price"),
+        round((col("l_extendedprice") - col("mean")) / col("std"), 2).as("z_score"))
+      .orderBy("l_partkey", "l_orderkey", "l_linenumber")
+  }
+
   /** Best shopping basket (mcp.py find_best_basket): per store, the
     * basket products it carries at their best effective price, ranked by
     * coverage (stores carrying the whole basket first, generalizing the

@@ -101,6 +101,18 @@ class CatalogQueriesSpec extends AnyFunSuite with SparkSessionTestBase {
     assert(rows.exists(_.getAs[Double]("savings_percent") == 0.0))
   }
 
+  test("priceAnomalies flags only beyond-sigma deviations") {
+    // sf0.001 groups are ~3 observations (max attainable z ≈ 1.15), so
+    // use sf0.01 where 2σ outliers exist
+    val li = Tables.lineitem(spark, "/root/testdata/sf0.01")
+    val rows = Pricing.priceAnomalies(li, sigma = 2.0).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => math.abs(r.getAs[Double]("z_score")) >= 1.99))
+    // determinism across runs
+    val again = Pricing.priceAnomalies(li, sigma = 2.0).collect()
+    assert(rows.map(_.toString).toSeq === again.map(_.toString).toSeq)
+  }
+
   test("priceHistory is newest-first and range-bounded") {
     val df = Pricing.priceHistory(Tables.lineitem(spark, sfDir), 42L, "1996-01-01", "2001-12-31")
     val ms = df.collect()
