@@ -79,6 +79,9 @@ object SparkEntry {
       Catalog.storeDim(Tables.supplier(s, d), Tables.nation(s, d), Tables.region(s, d))),
     // Section B — ETL / transform stages
     "q_ingest_normalize" -> ((s, d) => Etl.normalizeEvents(Tables.events(s, d))),
+    "q_profile_observations" -> ((s, d) =>
+      Etl.profileColumns(Tables.lineitem(s, d),
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))),
     "q_dedup_exact" -> ((s, d) => Etl.dedupExactReplay(Tables.lineitem(s, d))),
     "q_latest_per_key" -> ((s, d) => Etl.latestPerKey(Tables.lineitem(s, d))),
     "q_scd_price_changes" -> ((s, d) => Etl.priceChanges(Tables.lineitem(s, d))),
@@ -349,6 +352,16 @@ object SparkEntry {
          | ${m("value")} AS value,
          | CAST(json_extract_string(props,'$$.k') AS INTEGER) AS prop_k
          |FROM events ORDER BY event_id""".stripMargin,
+    "q_profile_observations" -> {
+      def one(c: String) =
+        s"""SELECT '$c' AS column_name, (SELECT count(*) FROM lineitem) AS n_rows,
+           | count($c) AS n_nonnull, count(DISTINCT $c) AS n_distinct,
+           | CAST(min($c) AS DOUBLE) AS min_value, CAST(max($c) AS DOUBLE) AS max_value,
+           | ${sAvg(c, 2, 4)} AS mean_value
+           |FROM lineitem""".stripMargin
+      Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+        .map(one).mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
+    },
     "q_dedup_exact" ->
       """SELECT count(*) AS n_rows_after_dedup FROM (
         | SELECT DISTINCT * FROM (

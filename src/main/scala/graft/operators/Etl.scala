@@ -78,6 +78,37 @@ object Etl {
       .orderBy("l_suppkey", "l_partkey", "changed_at", "l_orderkey", "l_linenumber")
   }
 
+  /** Single-pass numeric column profiling (the data-quality summary an
+    * ingest pipeline publishes with each load): per column, non-null
+    * and distinct counts, min/max, engine-stable mean. One aggregation
+    * over one scan — the distinct counts share the Expand; the wide
+    * one-row result is unpivoted to long form with `stack` (no extra
+    * shuffle). Raw min/max are untouched data values (already
+    * bit-identical across engines); the mean uses the StableStats
+    * shape. */
+  def profileColumns(
+      df: DataFrame, cols: Seq[String], exactScale: Int = 2): DataFrame = {
+    require(cols.nonEmpty)
+    val aggs = cols.flatMap { c =>
+      Seq(
+        count(col(c)).as(s"${c}__nonnull"),
+        countDistinct(col(c)).as(s"${c}__distinct"),
+        min(col(c)).cast("double").as(s"${c}__min"),
+        max(col(c)).cast("double").as(s"${c}__max"),
+        StableStats.stableAvg(col(c), exactScale, 4).as(s"${c}__mean"))
+    }
+    val wide = df.agg(count(lit(1)).as("n_rows"), aggs: _*)
+    val stackArgs = cols.map(c =>
+      s"'$c', ${c}__nonnull, ${c}__distinct, ${c}__min, ${c}__max, ${c}__mean")
+      .mkString(", ")
+    wide.selectExpr("n_rows",
+        s"stack(${cols.size}, $stackArgs) AS " +
+          "(column_name, n_nonnull, n_distinct, min_value, max_value, mean_value)")
+      .select(col("column_name"), col("n_rows"), col("n_nonnull"),
+        col("n_distinct"), col("min_value"), col("max_value"), col("mean_value"))
+      .orderBy("column_name")
+  }
+
   /** Gap-based sessionization: a new session starts after `gapMinutes`
     * of user inactivity. lag → flag → running sum → session rollup; one
     * shuffle on user_id, both windows share it. */

@@ -112,4 +112,20 @@ class EtlSpec extends AnyFunSuite with SparkSessionTestBase {
     assert(rows(0).getAs[java.math.BigDecimal]("item_price").doubleValue === 5.90)
     assert(rows.map(_.getAs[String]("raw_hash")).distinct.length === 2)
   }
+
+  test("profileColumns summarizes each column in one pass") {
+    val li = Tables.lineitem(spark, sfDir)
+    val rows = Etl.profileColumns(li,
+      Seq("l_quantity", "l_discount")).collect()
+    assert(rows.map(_.getAs[String]("column_name")).toSeq ===
+      Seq("l_discount", "l_quantity"))
+    val n = li.count()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_rows") === n)
+      assert(r.getAs[Long]("n_nonnull") <= n)
+      assert(r.getAs[Double]("min_value") <= r.getAs[Double]("max_value"))
+      assert(r.getAs[Double]("mean_value") >= r.getAs[Double]("min_value"))
+      assert(r.getAs[Double]("mean_value") <= r.getAs[Double]("max_value"))
+    }
+  }
 }
