@@ -104,6 +104,7 @@ object SparkEntry {
     "q_token_count" -> ((s, d) => TextAnalysis.tokenCount(Tables.documents(s, d))),
     "q_doc_fingerprint" -> ((s, d) => TextAnalysis.docFingerprint(Tables.documents(s, d))),
     "q_perplexity" -> ((s, d) => TextAnalysis.perplexityScore(Tables.documents(s, d))),
+    "q_repetition" -> ((s, d) => TextAnalysis.repetitionScore(Tables.documents(s, d))),
     "q_multimodal_features" -> ((s, d) =>
       graft.sources.Multimodal.extractFeatures(
         graft.sources.Multimodal.mediaFromDocuments(Tables.documents(s, d)))
@@ -494,6 +495,17 @@ object SparkEntry {
          |FROM toks JOIN model USING (t)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin
     },
+    "q_repetition" ->
+      s"""WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+         |g AS (SELECT doc_id,
+         |  unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS gr
+         | FROM t WHERE len(w) >= 2),
+         |c AS (SELECT doc_id, gr, count(*) AS n FROM g GROUP BY 1, 2),
+         |s AS (SELECT doc_id, sum(n) AS total, max(n) AS top FROM c GROUP BY 1)
+         |SELECT doc_id, CAST(total AS BIGINT) AS n_ngrams, CAST(top AS BIGINT) AS top_count,
+         | ${m("CAST(top AS DOUBLE)/total", 6)} AS top_fraction,
+         | (top > 1 AND CAST(top AS DOUBLE)/total > 0.1) AS flagged
+         |FROM s ORDER BY doc_id""".stripMargin,
     "q_revenue_by_nation" ->
       s"""SELECT r_name AS region, n_name AS nation,
          | ${sSum(eff, 4)} AS revenue,

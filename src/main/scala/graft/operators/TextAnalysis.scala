@@ -117,6 +117,37 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Repetition-based quality filter (the Gopher/MassiveText
+    * repeated-n-gram rule): fraction of a document's word n-grams taken
+    * by its single most frequent n-gram — boilerplate and
+    * degenerate-loop text score high. Relational shape: explode n-gram
+    * hashes → per-(doc, gram) count → per-doc total/max; one shuffle
+    * keyed on (doc, gram), partial-combined map-side, then a per-doc
+    * aggregation reusing the doc_id-prefixed partitioning. The flag
+    * compare is on an exact rational (count/count in double), so it is
+    * engine-identical. */
+  def repetitionScore(
+      docs: DataFrame, n: Int = 2, maxTopFraction: Double = 0.1): DataFrame = {
+    val g = docs.withColumn("w", split(lower(col("text")), " ", -1))
+      .filter(size(col("w")) >= n)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(1, size(w)-${n - 1}), " +
+          s"i -> xxhash64(concat_ws(' ', slice(w, i, $n))))")).as("gh"))
+    g.groupBy("doc_id", "gh").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum("c").as("n_ngrams"), max("c").as("top_count"))
+      .select(
+        col("doc_id"),
+        col("n_ngrams"),
+        col("top_count"),
+        round(col("top_count").cast("double") / col("n_ngrams"), 6).as("top_fraction"),
+        // a doc whose grams are all unique is not repetitive, however
+        // short — require an actually-repeated gram above the fraction
+        (col("top_count") > 1 &&
+          col("top_count").cast("double") / col("n_ngrams") > maxTopFraction).as("flagged"))
+      .orderBy("doc_id")
+  }
+
   /** Winnowing fingerprint: per-window minimum of word 5-gram hashes
     * (window 4), deduplicated — the standard near-copy sketch. */
   def docFingerprint(docs: DataFrame, gramLen: Int = 5, window: Int = 4): DataFrame =

@@ -220,6 +220,23 @@ class LlmOpsSpec extends AnyFunSuite with SparkSessionTestBase {
     assert(scores.distinct.length > 100) // actually discriminates
   }
 
+  test("repetitionScore flags degenerate repeated-ngram text") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "spam spam spam spam spam spam spam spam"),
+      (2L, "a perfectly ordinary sentence with distinct words here")).toDF("doc_id", "text")
+    val rows = TextAnalysis.repetitionScore(docs).collect()
+    val byId = rows.map(r => r.getLong(0) -> r).toMap
+    assert(byId(1L).getAs[Boolean]("flagged"))       // one bigram dominates
+    assert(!byId(2L).getAs[Boolean]("flagged"))
+    assert(byId(1L).getAs[Double]("top_fraction") === 1.0)
+    // corpus run: fractions in (0, 1], totals positive
+    val corpus = TextAnalysis.repetitionScore(Tables.documents(spark, docDir)).collect()
+    assert(corpus.length === 500)
+    assert(corpus.forall(r => r.getAs[Double]("top_fraction") > 0
+      && r.getAs[Double]("top_fraction") <= 1.0))
+  }
+
   test("tokenCount counts alpha/digit runs and symbols") {
     import spark.implicits._
     val df = Seq((1L, "abc 12 d!e")).toDF("doc_id", "text")
