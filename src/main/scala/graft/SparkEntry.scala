@@ -105,6 +105,7 @@ object SparkEntry {
     "q_doc_fingerprint" -> ((s, d) => TextAnalysis.docFingerprint(Tables.documents(s, d))),
     "q_perplexity" -> ((s, d) => TextAnalysis.perplexityScore(Tables.documents(s, d))),
     "q_repetition" -> ((s, d) => TextAnalysis.repetitionScore(Tables.documents(s, d))),
+    "q_classifier_score" -> ((s, d) => TextAnalysis.classifierScore(Tables.documents(s, d))),
     "q_multimodal_features" -> ((s, d) =>
       graft.sources.Multimodal.extractFeatures(
         graft.sources.Multimodal.mediaFromDocuments(Tables.documents(s, d)))
@@ -495,6 +496,16 @@ object SparkEntry {
          |FROM toks JOIN model USING (t)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin
     },
+    "q_classifier_score" ->
+      s"""WITH toks AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t FROM documents),
+         |w AS (SELECT doc_id,
+         |  ('0x' || substr(md5('qc-v1:' || t), 1, 8))::UBIGINT::BIGINT % 1001 - 500 AS wgt
+         | FROM toks),
+         |s AS (SELECT doc_id, count(*) AS n_tokens, sum(wgt) AS margin FROM w GROUP BY 1)
+         |SELECT doc_id, n_tokens, CAST(margin AS BIGINT) AS margin,
+         | ${m("1.0/(1.0 + exp(-(CAST(margin AS DOUBLE)/(n_tokens*1000.0))))", 6)} AS score,
+         | margin > 0 AS keep
+         |FROM s ORDER BY doc_id""".stripMargin,
     "q_repetition" ->
       s"""WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
          |g AS (SELECT doc_id,

@@ -117,6 +117,34 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Hashed-linear classifier inference (the fasttext-style quality
+    * classifier step of a training-data pipeline): per-token integer
+    * weights in [-500, 500] derived from an md5 prefix — the honest
+    * stand-in for trained weights, since no model artifacts exist in
+    * this environment — summed per doc and squashed through a sigmoid.
+    * The INFERENCE PLUMBING is the real part: hashed features need no
+    * vocab broadcast at all, the per-doc sum is an exact integer (order
+    * independent, engine identical), and `keep` compares the raw
+    * integer margin so no float boundary can flip it. One
+    * partial-combined shuffle on doc_id. */
+  def classifierScore(docs: DataFrame, seed: String = "qc-v1"): DataFrame =
+    docs.select(col("doc_id"),
+        explode(split(lower(col("text")), " ", -1)).as("t"))
+      .withColumn("wgt",
+        conv(substring(md5(concat_ws(":", lit(seed), col("t"))), 1, 8), 16, 10)
+          .cast("long") % 1001 - 500)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum("wgt").as("margin"))
+      .select(
+        col("doc_id"),
+        col("n_tokens"),
+        col("margin"),
+        round(lit(1.0) / (lit(1.0) +
+          exp(-(col("margin").cast("double") / (col("n_tokens") * 1000.0)))), 6)
+          .as("score"),
+        (col("margin") > 0).as("keep"))
+      .orderBy("doc_id")
+
   /** Repetition-based quality filter (the Gopher/MassiveText
     * repeated-n-gram rule): fraction of a document's word n-grams taken
     * by its single most frequent n-gram — boilerplate and

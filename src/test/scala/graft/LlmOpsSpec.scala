@@ -220,6 +220,22 @@ class LlmOpsSpec extends AnyFunSuite with SparkSessionTestBase {
     assert(scores.distinct.length > 100) // actually discriminates
   }
 
+  test("classifierScore is deterministic with exact integer margins") {
+    val docs = Tables.documents(spark, docDir)
+    val rows = TextAnalysis.classifierScore(docs).collect()
+    assert(rows.length === 500)
+    rows.foreach { r =>
+      val s = r.getAs[Double]("score")
+      assert(s > 0.0 && s < 1.0)
+      assert(r.getAs[Boolean]("keep") === (r.getAs[Long]("margin") > 0))
+    }
+    // both keep decisions occur on real data
+    assert(rows.exists(_.getAs[Boolean]("keep")))
+    assert(rows.exists(!_.getAs[Boolean]("keep")))
+    val again = TextAnalysis.classifierScore(docs).collect()
+    assert(rows.map(_.toString).toSeq === again.map(_.toString).toSeq)
+  }
+
   test("repetitionScore flags degenerate repeated-ngram text") {
     import spark.implicits._
     val docs = Seq(
