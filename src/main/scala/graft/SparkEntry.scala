@@ -36,9 +36,15 @@ object SparkEntry {
     * at any scale). */
   private val minhashPairsCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
-  private def minhashPairsShared(s: SparkSession, d: String): DataFrame =
+  private def minhashPairsShared(s: SparkSession, d: String): DataFrame = {
+    // evict entries whose session is gone so a long-lived process never
+    // pins stopped sessions or their cached blocks
+    minhashPairsCache.keys
+      .filter(_._1.sparkContext.isStopped)
+      .foreach(minhashPairsCache.remove)
     minhashPairsCache.getOrElseUpdate((s, d),
       Dedup.minhashPairs(Tables.documents(s, d)).persist())
+  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary" -> ((s, d) => Pricing.pricingSummary(Tables.lineitem(s, d))),
@@ -126,12 +132,17 @@ object SparkEntry {
       Catalog.substitutes(Tables.lineitem(s, d), Tables.part(s, d), 42L)),
     "q_stats_approx" -> ((s, d) => Catalog.statsApprox(Tables.lineitem(s, d))),
     "q_embed_neardup" -> ((s, d) =>
-      // 14 planes keep per-table buckets fine-grained (candidate pairs
-      // stay near-linear in corpus size); 8 tables recover recall for
-      // genuinely-similar pairs. 5 planes = 32 buckets/table grew
-      // candidates ~O(n²/32) — a quadratic scale-killer.
+      // Low-threshold hyperplane LSH trades recall against candidate
+      // mass ∝ tables/2^planes: at cos 0.35 (per-plane agreement
+      // p≈0.614), 8 planes × 16 tables gives ~28% recall at n²/16
+      // candidate mass — more recall per unit of work than the round-1
+      // 5×4 (31% at n²/8), without its 32-buckets-per-table blowup.
+      // Production semantic dedup thresholds (0.9+) instead use
+      // planes=14/tables=8: ~87% recall with near-linear candidates;
+      // this corpus has no pairs above cos 0.7, so the entry
+      // demonstrates the low-threshold regime.
       Similarity.embedNearDupPairs(Tables.embeddings(s, d),
-        threshold = 0.35, planes = 14, tables = 8)),
+        threshold = 0.35, planes = 8, tables = 16)),
     "q_pii_redact" -> ((s, d) =>
       TextCleaning.piiRedact(TextCleaning.withSyntheticPii(Tables.documents(s, d)))),
     "q_normalize_unicode" -> ((s, d) =>

@@ -20,6 +20,16 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType}
   * the two zip_with lambda variables (either order), literal 0.0 zero,
   * add of exactly the two aggregate lambda variables (either order),
   * identity finish. Anything else is left untouched.
+  *
+  * Exactness on degenerate inputs: zip_with pads ragged arrays with
+  * nulls and the fold then returns NULL, so the rewrite guards with a
+  * runtime length-equality check yielding NULL on mismatch; a NULL
+  * array makes the If condition non-true → NULL, matching the fold;
+  * and the emitted DotProduct is `nullAware`, null-propagating null
+  * ELEMENTS exactly like the fold (the per-element check is only
+  * generated when the input type can contain nulls). The guard emits
+  * no ArrayAggregate, so the rule is idempotent under fixed-point
+  * iteration.
   */
 object RewriteDotProduct extends Rule[LogicalPlan] {
 
@@ -50,6 +60,8 @@ object RewriteDotProduct extends Rule[LogicalPlan] {
           if isVars(m1, m2, x, y) && isVars(a1, a2, acc, el) &&
             fin.exprId == fv.exprId &&
             isDoubleArray(left) && isDoubleArray(right) =>
-        DotProduct(left, right)
+        If(EqualTo(Size(left, legacySizeOfNull = false),
+            Size(right, legacySizeOfNull = false)),
+          DotProduct(left, right, nullAware = true), Literal(null, DoubleType))
     }
 }

@@ -17,19 +17,39 @@ import org.apache.spark.sql.SparkSessionExtensions
   * (left-to-right accumulation, bit-identical to the sequential fold it
   * replaces). Null if either side is null; arrays shorter side bounds
   * the loop.
+  *
+  * `nullAware = true` (used only by [[RewriteDotProduct]]) instead
+  * null-propagates a null ELEMENT — the lambda fold's semantics — so
+  * the optimizer rewrite is exact on nullable arrays. The null checks
+  * are only generated when an input's type can actually contain nulls,
+  * so null-free hot paths keep the tight loop either way.
   */
-case class DotProduct(left: Expression, right: Expression)
-    extends BinaryExpression {
+case class DotProduct(left: Expression, right: Expression,
+    nullAware: Boolean = false) extends BinaryExpression {
 
   // Callers pass array<double> (built via an explicit CAST); no
   // ExpectsInputTypes because AbstractDataType is private[sql] in 4.x.
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_dot"
+  override def nullable: Boolean = super.nullable || nullAware
+
+  private def mayHaveNullElements: Boolean = nullAware &&
+    Seq(left, right).exists(_.dataType match {
+      case ArrayType(_, containsNull) => containsNull
+      case _ => true
+    })
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val n = math.min(x.numElements(), y.numElements())
+    if (mayHaveNullElements) {
+      var i = 0
+      while (i < n) {
+        if (x.isNullAt(i) || y.isNullAt(i)) return null
+        i += 1
+      }
+    }
     var s = 0.0
     var i = 0
     while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
@@ -41,11 +61,21 @@ case class DotProduct(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       val s = ctx.freshName("s")
+      val nullCheck = if (mayHaveNullElements) {
+        s"""
+           |for (int $i = 0; $i < $n && !${ev.isNull}; $i++) {
+           |  if ($a.isNullAt($i) || $b.isNullAt($i)) ${ev.isNull} = true;
+           |}
+         """.stripMargin
+      } else ""
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $s = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $s += $a.getDouble($i) * $b.getDouble($i);
+         |$nullCheck
+         |if (!${ev.isNull}) {
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $s += $a.getDouble($i) * $b.getDouble($i);
+         |  }
          |}
          |${ev.value} = $s;
        """.stripMargin
@@ -71,6 +101,9 @@ case class DotProduct(left: Expression, right: Expression)
   * Coefficients for dims < 64 come from the precomputed table; the
   * i ≥ 64 tail (not hit by the 64-dim test corpus) falls back to
   * hashing inline, keeping the function total for any input width.
+  * Bit-compatibility holds for null-free arrays (the only shape the
+  * operators produce); null slots contribute nothing to the
+  * projection instead of null-propagating like the lambda form.
   */
 case class HyperplaneBuckets(child: Expression, planes: Int, tables: Int)
     extends UnaryExpression {
@@ -104,8 +137,16 @@ case class HyperplaneBuckets(child: Expression, planes: Int, tables: Int)
         var s = 0.0
         var i = 0
         val bound = math.min(dim, maxDim)
-        while (i < bound) { s += v.getDouble(i) * coefs(base + i); i += 1 }
-        while (i < dim) { s += v.getDouble(i) * HyperplaneBuckets.coefAt(base + i); i += 1 }
+        // null slots contribute nothing (the pipelines never produce
+        // them; guarded so arbitrary user arrays cannot NPE)
+        while (i < bound) {
+          if (!v.isNullAt(i)) s += v.getDouble(i) * coefs(base + i)
+          i += 1
+        }
+        while (i < dim) {
+          if (!v.isNullAt(i)) s += v.getDouble(i) * HyperplaneBuckets.coefAt(base + i)
+          i += 1
+        }
         code = code * 2 + (if (s > 0.0) 1L else 0L)
         j += 1
       }
@@ -138,8 +179,12 @@ case class HyperplaneBuckets(child: Expression, planes: Int, tables: Int)
          |    double $s = 0.0;
          |    int $bound = $dim < $maxDim ? $dim : $maxDim;
          |    int $i = 0;
-         |    for (; $i < $bound; $i++) { $s += $v.getDouble($i) * $coefRef[$base + $i]; }
-         |    for (; $i < $dim; $i++) { $s += $v.getDouble($i) * $companion.coefAt($base + $i); }
+         |    for (; $i < $bound; $i++) {
+         |      if (!$v.isNullAt($i)) $s += $v.getDouble($i) * $coefRef[$base + $i];
+         |    }
+         |    for (; $i < $dim; $i++) {
+         |      if (!$v.isNullAt($i)) $s += $v.getDouble($i) * $companion.coefAt($base + $i);
+         |    }
          |    $code = $code * 2L + ($s > 0.0 ? 1L : 0L);
          |  }
          |  $out[$l] = $code;
@@ -184,15 +229,20 @@ case class MinHashSignature(left: Expression, right: Expression, k: Int)
 
   override def nullSafeEval(sh: Any, docId: Any): Any = {
     val hs = sh.asInstanceOf[ArrayData]
-    val id = docId.asInstanceOf[Long]
+    // interpreted eval must widen like the codegen path does (an
+    // integer doc_id arrives as java.lang.Integer, e.g. under
+    // constant folding)
+    val id = docId.asInstanceOf[Number].longValue()
     val mins = Array.fill(k)(Long.MaxValue)
     val filled = new Array[Boolean](k)
     var i = 0
     val n = hs.numElements()
     while (i < n) {
-      val h = hs.getLong(i)
-      val j = (((h % k) + k) % k).toInt
-      if (!filled(j) || h < mins(j)) { mins(j) = h; filled(j) = true }
+      if (!hs.isNullAt(i)) {
+        val h = hs.getLong(i)
+        val j = (((h % k) + k) % k).toInt
+        if (!filled(j) || h < mins(j)) { mins(j) = h; filled(j) = true }
+      }
       i += 1
     }
     val sig = new Array[Long](k)
@@ -231,6 +281,7 @@ case class MinHashSignature(left: Expression, right: Expression, k: Int)
          |boolean[] $filled = new boolean[$k];
          |int $n = $sh.numElements();
          |for (int $i = 0; $i < $n; $i++) {
+         |  if ($sh.isNullAt($i)) continue;
          |  long $h = $sh.getLong($i);
          |  int $j = (int) ((($h % $k) + $k) % $k);
          |  if (!$filled[$j] || $h < $mins[$j]) { $mins[$j] = $h; $filled[$j] = true; }
@@ -261,7 +312,8 @@ case class MinHashSignature(left: Expression, right: Expression, k: Int)
   * formulation (explode → 64 conditional-sum aggregates → bitwise
   * re-assembly, asserted in spec) but with zero shuffles: the
   * relational path pushed the entire exploded token stream through a
-  * 64-column hash aggregation.
+  * 64-column hash aggregation. Null tokens cast no votes (split()
+  * never produces them; guarded for arbitrary user arrays).
   */
 case class SimHash64(child: Expression) extends UnaryExpression {
 
@@ -274,11 +326,15 @@ case class SimHash64(child: Expression) extends UnaryExpression {
     val n = toks.numElements()
     var i = 0
     while (i < n) {
-      val h = XXH64.hashUTF8String(toks.getUTF8String(i), 42L)
-      var j = 0
-      while (j < 64) {
-        if (((h >> (63 - j)) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
-        j += 1
+      // null tokens cast no votes (split() never yields them; guarded
+      // so arbitrary user arrays cannot NPE)
+      if (!toks.isNullAt(i)) {
+        val h = XXH64.hashUTF8String(toks.getUTF8String(i), 42L)
+        var j = 0
+        while (j < 64) {
+          if (((h >> (63 - j)) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+          j += 1
+        }
       }
       i += 1
     }
@@ -304,6 +360,7 @@ case class SimHash64(child: Expression) extends UnaryExpression {
          |int[] $votes = new int[64];
          |int $n = $toks.numElements();
          |for (int $i = 0; $i < $n; $i++) {
+         |  if ($toks.isNullAt($i)) continue;
          |  long $h = $xxh.hashUTF8String($toks.getUTF8String($i), 42L);
          |  for (int $j = 0; $j < 64; $j++) {
          |    if ((($h >> (63 - $j)) & 1L) == 1L) $votes[$j]++; else $votes[$j]--;

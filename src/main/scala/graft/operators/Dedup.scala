@@ -240,11 +240,13 @@ object Dedup {
     // intersection is at most inter_idx + min(capped_a, capped_b) —
     // pairs failing the bound cannot reach the threshold, so only
     // near-threshold survivors pay the exact array verify
+    // docMeta is one row PER DOCUMENT — never broadcast it (the corpus
+    // can be arbitrarily large); AQE picks the join strategy
     val survivors = pairCounts
-      .join(broadcast(docMeta.select(col("doc_id").as("doc_a"),
-        col("sz").as("sz_a"), col("n_capped").as("cap_a"))), "doc_a")
-      .join(broadcast(docMeta.select(col("doc_id").as("doc_b"),
-        col("sz").as("sz_b"), col("n_capped").as("cap_b"))), "doc_b")
+      .join(docMeta.select(col("doc_id").as("doc_a"),
+        col("sz").as("sz_a"), col("n_capped").as("cap_a")), "doc_a")
+      .join(docMeta.select(col("doc_id").as("doc_b"),
+        col("sz").as("sz_b"), col("n_capped").as("cap_b")), "doc_b")
       .filter((col("inter_idx") + least(col("cap_a"), col("cap_b"))).cast("double") *
         (1.0 + threshold) >= lit(threshold) * (col("sz_a") + col("sz_b")) - 1e-9)
       .select("doc_a", "doc_b")

@@ -20,14 +20,14 @@ object Profile {
       println(f"$name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s  (rows=$n)")
     }
 
-    // cluster pipeline stage timings
-    time("minhash pairs persist")(
-      { val p = graft.operators.Dedup.minhashPairs(docs).persist(); p.count() })
+    // cluster pipeline stage timings (single persisted handle, freed
+    // before the ngram timings so the cache can't skew them)
     val pairsP = graft.operators.Dedup.minhashPairs(docs).persist()
-    pairsP.count()
+    time("minhash pairs persist")(pairsP.count())
     time("clusters from warm pairs")(
       graft.operators.Dedup.duplicateClusters(pairsP).count())
     time("minhash pairs WARM rerun")(graft.operators.Dedup.minhashPairs(docs).count())
+    pairsP.unpersist()
     graft.functions.VectorFunctions.register(spark)
     val shw = docs.withColumn("toks", split(lower(col("text")), " ", -1))
       .filter(size(col("toks")) >= 3)

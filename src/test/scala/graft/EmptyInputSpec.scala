@@ -47,7 +47,6 @@ class EmptyInputSpec extends AnyFunSuite with SparkSessionTestBase {
 
   test("round-2 operators on empty inputs") {
     lazy val emptyPart = Tables.part(spark, sfDir).limit(0)
-    val li = Tables.lineitem(spark, sfDir)
     assert(Catalog.searchProducts(emptyPart, li = Some(emptyLi),
       onPromo = Some(true), storeId = Some(1L)).count() === 0)
     // non-empty catalog + empty observations: promo filter keeps nothing

@@ -176,6 +176,17 @@ class VectorExpressionsSpec extends AnyFunSuite with SparkSessionTestBase {
       val other = s2.sql(
         "SELECT aggregate(zip_with(a, a, (x, y) -> x + y), 0D, (acc, v) -> acc + v) AS d FROM vec_in")
       assert(!other.queryExecution.optimizedPlan.toString.contains("graft_dot"))
+      // degenerate inputs keep the fold's answers after the rewrite:
+      // a null element and a ragged pair both yield NULL
+      val withNull = s2.sql(
+        """SELECT aggregate(zip_with(array(a[0], CAST(NULL AS DOUBLE)), array(a[0], a[1]),
+          |  (x, y) -> x * y), 0D, (acc, v) -> acc + v) AS d FROM vec_in""".stripMargin)
+      assert(withNull.queryExecution.optimizedPlan.toString.contains("graft_dot"))
+      assert(withNull.collect().forall(_.isNullAt(0)))
+      val ragged = s2.sql(
+        """SELECT aggregate(zip_with(slice(a, 1, 3), a, (x, y) -> x * y),
+          |  0D, (acc, v) -> acc + v) AS d FROM vec_in""".stripMargin)
+      assert(ragged.collect().forall(_.isNullAt(0)))
     } finally {
       // restore the shared session WITHOUT stopping the shared context
       SparkSession.clearActiveSession()

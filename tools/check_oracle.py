@@ -1,8 +1,10 @@
 #!/usr/bin/env python3
 """Local pre-validation mimicking the driver's correctness gate:
 run graft.Verify at a given SF, then execute each oracle_sql.json entry
-in DuckDB over the same parquet tables and compare (schema-insensitive:
-columns sorted by name, rows sorted, values rounded for floats).
+in DuckDB over the same parquet tables and compare EXACTLY
+(schema-insensitive: columns sorted by name, rows sorted; values
+stringified with no float rounding and no decimal-scale forgiveness,
+dtype mismatches fail — so local green predicts the driver's hash).
 
 Usage: python3 tools/check_oracle.py [sfdir] [outdir]
 """
