@@ -378,6 +378,95 @@ case class SimHash64(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Hashed word n-grams as a single narrow expression:
+  * `graft_grams(words, n, dedup)` → array<long> of
+  * xxhash64(space-joined n-gram) for every window, optionally
+  * first-occurrence-deduplicated (array_distinct semantics).
+  *
+  * Bit-identical to the composable
+  * `transform(sequence(1, size(w)-(n-1)), i -> xxhash64(concat_ws(' ',
+  * slice(w, i, n))))` (+ array_distinct) — asserted in spec — but that
+  * form evaluates an interpreted lambda per window and rebuilds the
+  * joined string through generic codepaths; this is the hottest per-row
+  * map of the dedup/fingerprint/decontamination family at corpus
+  * scale. Fewer than n words → empty array (callers filter first).
+  * Null words are skipped inside a window exactly as concat_ws skips
+  * null inputs.
+  */
+case class WordGramHashes(child: Expression, n: Int, dedup: Boolean)
+    extends UnaryExpression {
+
+  require(n >= 1)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_grams"
+
+  override def nullSafeEval(input: Any): Any = {
+    val words = input.asInstanceOf[ArrayData]
+    val m = words.numElements()
+    if (m < n) return new GenericArrayData(Array.empty[Long])
+    val space = org.apache.spark.unsafe.types.UTF8String.fromString(" ")
+    val window = new Array[org.apache.spark.unsafe.types.UTF8String](n)
+    val out = new java.util.ArrayList[java.lang.Long](m - n + 1)
+    val seen = if (dedup) new java.util.HashSet[java.lang.Long]() else null
+    var i = 0
+    while (i <= m - n) {
+      var j = 0
+      while (j < n) {
+        window(j) = if (words.isNullAt(i + j)) null else words.getUTF8String(i + j)
+        j += 1
+      }
+      val joined = org.apache.spark.unsafe.types.UTF8String.concatWs(space, window: _*)
+      val h = XXH64.hashUTF8String(joined, 42L)
+      if (seen == null || seen.add(h)) out.add(h)
+      i += 1
+    }
+    val arr = new Array[Long](out.size())
+    var k2 = 0
+    while (k2 < arr.length) { arr(k2) = out.get(k2); k2 += 1 }
+    new GenericArrayData(arr)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, words => {
+      val m = ctx.freshName("m")
+      val window = ctx.freshName("window")
+      val out = ctx.freshName("out")
+      val seen = ctx.freshName("seen")
+      val joined = ctx.freshName("joined")
+      val h = ctx.freshName("h")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val k2 = ctx.freshName("k2")
+      val arr = ctx.freshName("arr")
+      val utf8 = "org.apache.spark.unsafe.types.UTF8String"
+      val xxh = classOf[XXH64].getName
+      val dedupDecl = if (dedup) s"java.util.HashSet<Long> $seen = new java.util.HashSet<Long>();" else ""
+      val addCond = if (dedup) s"if ($seen.add($h)) $out.add($h);" else s"$out.add($h);"
+      s"""
+         |int $m = $words.numElements();
+         |java.util.ArrayList<Long> $out =
+         |  new java.util.ArrayList<Long>($m >= $n ? $m - $n + 1 : 0);
+         |$dedupDecl
+         |$utf8[] $window = new $utf8[$n];
+         |$utf8 ${joined}_sep = $utf8.fromString(" ");
+         |for (int $i = 0; $i + $n <= $m; $i++) {
+         |  for (int $j = 0; $j < $n; $j++) {
+         |    $window[$j] = $words.isNullAt($i + $j) ? null : $words.getUTF8String($i + $j);
+         |  }
+         |  $utf8 $joined = $utf8.concatWs(${joined}_sep, $window);
+         |  long $h = $xxh.hashUTF8String($joined, 42L);
+         |  $addCond
+         |}
+         |long[] $arr = new long[$out.size()];
+         |for (int $k2 = 0; $k2 < $arr.length; $k2++) { $arr[$k2] = $out.get($k2); }
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($arr);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Registration for graft's native SQL functions. */
 object VectorFunctions {
   val dotInfo = new ExpressionInfo(classOf[DotProduct].getName, "graft_dot")
@@ -395,7 +484,9 @@ object VectorFunctions {
       HyperplaneBuckets(exprs(0), intArg(exprs(1)), intArg(exprs(2)))),
     "graft_minhash" -> (exprs =>
       MinHashSignature(exprs(0), exprs(1), intArg(exprs(2)))),
-    "graft_simhash" -> (exprs => SimHash64(exprs.head)))
+    "graft_simhash" -> (exprs => SimHash64(exprs.head)),
+    "graft_grams" -> (exprs => WordGramHashes(exprs(0), intArg(exprs(1)),
+      exprs(2).eval().asInstanceOf[Boolean])))
 
   /** Register on an existing session. Truly idempotent: already-present
     * functions are left alone so repeated calls (one per operator) don't
@@ -443,6 +534,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_simhash"),
       new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash"),
       (exprs: Seq[Expression]) => SimHash64(exprs.head)))
+    e.injectFunction((
+      FunctionIdentifier("graft_grams"),
+      new ExpressionInfo(classOf[WordGramHashes].getName, "graft_grams"),
+      (exprs: Seq[Expression]) => WordGramHashes(exprs(0),
+        exprs(1).eval().asInstanceOf[Number].intValue(),
+        exprs(2).eval().asInstanceOf[Boolean])))
     // lambda dot products silently upgrade to the codegen expression
     e.injectOptimizerRule(_ => RewriteDotProduct)
   }

@@ -74,12 +74,11 @@ object Curation {
     * row per doc with the overlapping-gram count and flag. */
   def flagContaminated(
       docs: DataFrame, benchmark: DataFrame, n: Int = 8): DataFrame = {
+    graft.functions.VectorFunctions.register(docs.sparkSession)
     def grams(df: DataFrame) = df
       .withColumn("w", split(lower(col("text")), " ", -1))
       .filter(size(col("w")) >= n)
-      .select(col("doc_id"), explode(expr(
-        s"array_distinct(transform(sequence(1, size(w)-${n - 1}), " +
-          s"i -> xxhash64(concat_ws(' ', slice(w, i, $n)))))")).as("gh"))
+      .select(col("doc_id"), explode(expr(s"graft_grams(w, $n, true)")).as("gh"))
     val benchGrams = grams(benchmark).select("gh").distinct()
     val hits = grams(docs)
       .join(broadcast(benchGrams), Seq("gh"))

@@ -30,14 +30,16 @@ object Dedup {
       .select("keep_doc_id", "n_copies", "content_hash")
       .orderBy("keep_doc_id")
 
-  /** doc_id + xxhash64'd word n-gram shingles. */
-  private def shingleHashes(docs: DataFrame, n: Int): DataFrame =
+  /** doc_id + xxhash64'd word n-gram shingles (native codegen
+    * graft_grams — bit-identical to the transform/concat_ws lambda
+    * form, asserted in spec, with no interpreted per-window closure). */
+  private def shingleHashes(docs: DataFrame, n: Int): DataFrame = {
+    graft.functions.VectorFunctions.register(docs.sparkSession)
     docs.withColumn("toks", split(lower(col("text")), " ", -1))
       .filter(size(col("toks")) >= n)
-      .withColumn("sh", expr(
-        s"array_distinct(transform(sequence(1, size(toks)-${n - 1}), " +
-          s"i -> xxhash64(concat_ws(' ', slice(toks, i, $n)))))"))
+      .withColumn("sh", expr(s"graft_grams(toks, $n, true)"))
       .select("doc_id", "sh")
+  }
 
   /** One-permutation MinHash (Li et al., NIPS 2012) + banded LSH
     * self-join → near-duplicate pairs with the estimated Jaccard from
@@ -203,11 +205,10 @@ object Dedup {
   def ngramJaccard(
       docs: DataFrame, n: Int = 3, threshold: Double = 0.3,
       dfCap: Long = 1000L): DataFrame = {
+    graft.functions.VectorFunctions.register(docs.sparkSession)
     val g = docs.withColumn("w", split(lower(col("text")), " ", -1))
       .filter(size(col("w")) >= n)
-      .withColumn("grams", expr(
-        s"array_distinct(transform(sequence(1, size(w)-${n - 1}), " +
-          s"i -> xxhash64(concat_ws(' ', slice(w, i, $n)))))"))
+      .withColumn("grams", expr(s"graft_grams(w, $n, true)"))
       .select(col("doc_id"), col("lang"), col("grams"), size(col("grams")).as("sz"))
       // read by the index build and both verify-join branches
       .cache()

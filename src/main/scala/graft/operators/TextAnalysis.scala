@@ -156,11 +156,10 @@ object TextAnalysis {
     * engine-identical. */
   def repetitionScore(
       docs: DataFrame, n: Int = 2, maxTopFraction: Double = 0.1): DataFrame = {
+    graft.functions.VectorFunctions.register(docs.sparkSession)
     val g = docs.withColumn("w", split(lower(col("text")), " ", -1))
       .filter(size(col("w")) >= n)
-      .select(col("doc_id"), explode(expr(
-        s"transform(sequence(1, size(w)-${n - 1}), " +
-          s"i -> xxhash64(concat_ws(' ', slice(w, i, $n))))")).as("gh"))
+      .select(col("doc_id"), explode(expr(s"graft_grams(w, $n, false)")).as("gh"))
     g.groupBy("doc_id", "gh").agg(count(lit(1)).as("c"))
       .groupBy("doc_id")
       .agg(sum("c").as("n_ngrams"), max("c").as("top_count"))
@@ -178,16 +177,16 @@ object TextAnalysis {
 
   /** Winnowing fingerprint: per-window minimum of word 5-gram hashes
     * (window 4), deduplicated — the standard near-copy sketch. */
-  def docFingerprint(docs: DataFrame, gramLen: Int = 5, window: Int = 4): DataFrame =
+  def docFingerprint(docs: DataFrame, gramLen: Int = 5, window: Int = 4): DataFrame = {
+    graft.functions.VectorFunctions.register(docs.sparkSession)
     docs.withColumn("toks", split(lower(col("text")), " ", -1))
       .filter(size(col("toks")) >= gramLen + window - 1)
-      .withColumn("hs", expr(
-        s"transform(sequence(1, size(toks)-${gramLen - 1}), " +
-          s"i -> xxhash64(concat_ws(' ', slice(toks, i, $gramLen))))"))
+      .withColumn("hs", expr(s"graft_grams(toks, $gramLen, false)"))
       .withColumn("fps", expr(
         s"array_distinct(transform(sequence(1, size(hs)-${window - 1}), " +
           s"i -> array_min(slice(hs, i, $window))))"))
       .select(col("doc_id"), size(col("fps")).as("n_fingerprints"),
         expr("xxhash64(fps)").as("fp_hash"))
       .orderBy("doc_id")
+  }
 }

@@ -114,6 +114,30 @@ class VectorExpressionsSpec extends AnyFunSuite with SparkSessionTestBase {
     nat.foreach { case (id, sig) => assert(sig === rel(id), s"doc $id") }
   }
 
+  test("graft_grams matches the transform/concat_ws lambda form bit-for-bit") {
+    VectorFunctions.register(spark)
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "a b a b a b a b"), // repeated grams exercise the dedup flag
+      (3L, "x y z")).toDF("doc_id", "text")
+    for (n <- Seq(2, 3); dedup <- Seq(true, false)) {
+      val base = docs.withColumn("w", split(lower(col("text")), " ", -1))
+        .filter(size(col("w")) >= n)
+      val lambda =
+        s"transform(sequence(1, size(w)-${n - 1}), " +
+          s"i -> xxhash64(concat_ws(' ', slice(w, i, $n))))"
+      val composed = if (dedup) s"array_distinct($lambda)" else lambda
+      val rows = base.select(
+        expr(s"graft_grams(w, $n, $dedup)").as("native"),
+        expr(composed).as("lambda")).collect()
+      rows.foreach { r =>
+        assert(r.getAs[scala.collection.Seq[Long]]("native") ===
+          r.getAs[scala.collection.Seq[Long]]("lambda"), s"n=$n dedup=$dedup")
+      }
+    }
+  }
+
   test("graft_simhash matches the relational vote aggregation") {
     VectorFunctions.register(spark)
     import spark.implicits._
