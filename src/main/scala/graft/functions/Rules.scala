@@ -21,15 +21,14 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType}
   * add of exactly the two aggregate lambda variables (either order),
   * identity finish. Anything else is left untouched.
   *
-  * Exactness on degenerate inputs: zip_with pads ragged arrays with
-  * nulls and the fold then returns NULL, so the rewrite guards with a
-  * runtime length-equality check yielding NULL on mismatch; a NULL
-  * array makes the If condition non-true → NULL, matching the fold;
-  * and the emitted DotProduct is `nullAware`, null-propagating null
-  * ELEMENTS exactly like the fold (the per-element check is only
-  * generated when the input type can contain nulls). The guard emits
-  * no ArrayAggregate, so the rule is idempotent under fixed-point
-  * iteration.
+  * Exactness on degenerate inputs: the emitted DotProduct runs in
+  * `foldCompat` mode — NULL on length mismatch (zip_with would
+  * null-pad and the fold return NULL), NULL on null elements, NULL on
+  * a NULL array — so semantics match the fold for every input while
+  * each operand is evaluated exactly once (no guard expression that
+  * would double-evaluate expensive or non-deterministic operands).
+  * The rewrite emits no ArrayAggregate, so the rule is idempotent
+  * under fixed-point iteration.
   */
 object RewriteDotProduct extends Rule[LogicalPlan] {
 
@@ -60,8 +59,6 @@ object RewriteDotProduct extends Rule[LogicalPlan] {
           if isVars(m1, m2, x, y) && isVars(a1, a2, acc, el) &&
             fin.exprId == fv.exprId &&
             isDoubleArray(left) && isDoubleArray(right) =>
-        If(EqualTo(Size(left, legacySizeOfNull = false),
-            Size(right, legacySizeOfNull = false)),
-          DotProduct(left, right, nullAware = true), Literal(null, DoubleType))
+        DotProduct(left, right, foldCompat = true)
     }
 }

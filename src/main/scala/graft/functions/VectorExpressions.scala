@@ -18,22 +18,24 @@ import org.apache.spark.sql.SparkSessionExtensions
   * replaces). Null if either side is null; arrays shorter side bounds
   * the loop.
   *
-  * `nullAware = true` (used only by [[RewriteDotProduct]]) instead
-  * null-propagates a null ELEMENT — the lambda fold's semantics — so
-  * the optimizer rewrite is exact on nullable arrays. The null checks
-  * are only generated when an input's type can actually contain nulls,
-  * so null-free hot paths keep the tight loop either way.
+  * `foldCompat = true` (used only by [[RewriteDotProduct]]) instead
+  * reproduces the lambda fold's semantics exactly: NULL when the
+  * lengths differ (zip_with would null-pad) and NULL when any element
+  * is null. Each operand is still evaluated exactly once, and the
+  * per-element null checks are only generated when an input's type can
+  * actually contain nulls, so null-free hot paths keep the tight loop
+  * either way.
   */
 case class DotProduct(left: Expression, right: Expression,
-    nullAware: Boolean = false) extends BinaryExpression {
+    foldCompat: Boolean = false) extends BinaryExpression {
 
   // Callers pass array<double> (built via an explicit CAST); no
   // ExpectsInputTypes because AbstractDataType is private[sql] in 4.x.
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_dot"
-  override def nullable: Boolean = super.nullable || nullAware
+  override def nullable: Boolean = super.nullable || foldCompat
 
-  private def mayHaveNullElements: Boolean = nullAware &&
+  @transient private lazy val mayHaveNullElements: Boolean = foldCompat &&
     Seq(left, right).exists(_.dataType match {
       case ArrayType(_, containsNull) => containsNull
       case _ => true
@@ -42,6 +44,7 @@ case class DotProduct(left: Expression, right: Expression,
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
+    if (foldCompat && x.numElements() != y.numElements()) return null
     val n = math.min(x.numElements(), y.numElements())
     if (mayHaveNullElements) {
       var i = 0
@@ -61,6 +64,9 @@ case class DotProduct(left: Expression, right: Expression,
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       val s = ctx.freshName("s")
+      val lengthCheck = if (foldCompat) {
+        s"if ($a.numElements() != $b.numElements()) ${ev.isNull} = true;"
+      } else ""
       val nullCheck = if (mayHaveNullElements) {
         s"""
            |for (int $i = 0; $i < $n && !${ev.isNull}; $i++) {
@@ -71,6 +77,7 @@ case class DotProduct(left: Expression, right: Expression,
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $s = 0.0;
+         |$lengthCheck
          |$nullCheck
          |if (!${ev.isNull}) {
          |  for (int $i = 0; $i < $n; $i++) {
@@ -406,7 +413,8 @@ case class WordGramHashes(child: Expression, n: Int, dedup: Boolean)
     if (m < n) return new GenericArrayData(Array.empty[Long])
     val space = org.apache.spark.unsafe.types.UTF8String.fromString(" ")
     val window = new Array[org.apache.spark.unsafe.types.UTF8String](n)
-    val out = new java.util.ArrayList[java.lang.Long](m - n + 1)
+    val buf = new Array[Long](m - n + 1)
+    var cnt = 0
     val seen = if (dedup) new java.util.HashSet[java.lang.Long]() else null
     var i = 0
     while (i <= m - n) {
@@ -417,49 +425,51 @@ case class WordGramHashes(child: Expression, n: Int, dedup: Boolean)
       }
       val joined = org.apache.spark.unsafe.types.UTF8String.concatWs(space, window: _*)
       val h = XXH64.hashUTF8String(joined, 42L)
-      if (seen == null || seen.add(h)) out.add(h)
+      if (seen == null || seen.add(h)) { buf(cnt) = h; cnt += 1 }
       i += 1
     }
-    val arr = new Array[Long](out.size())
-    var k2 = 0
-    while (k2 < arr.length) { arr(k2) = out.get(k2); k2 += 1 }
-    new GenericArrayData(arr)
+    new GenericArrayData(java.util.Arrays.copyOf(buf, cnt))
   }
 
+  // NOTE: generated Java must stay generics-free — Janino (Spark's
+  // runtime compiler) rejects type arguments, and a codegen compile
+  // failure silently degrades the whole stage to interpreted eval.
+  // Primitive buffer + raw HashSet only.
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, words => {
       val m = ctx.freshName("m")
       val window = ctx.freshName("window")
-      val out = ctx.freshName("out")
+      val buf = ctx.freshName("buf")
+      val cnt = ctx.freshName("cnt")
       val seen = ctx.freshName("seen")
+      val sep = ctx.freshName("sep")
       val joined = ctx.freshName("joined")
       val h = ctx.freshName("h")
       val i = ctx.freshName("i")
       val j = ctx.freshName("j")
-      val k2 = ctx.freshName("k2")
-      val arr = ctx.freshName("arr")
       val utf8 = "org.apache.spark.unsafe.types.UTF8String"
       val xxh = classOf[XXH64].getName
-      val dedupDecl = if (dedup) s"java.util.HashSet<Long> $seen = new java.util.HashSet<Long>();" else ""
-      val addCond = if (dedup) s"if ($seen.add($h)) $out.add($h);" else s"$out.add($h);"
+      val dedupDecl = if (dedup) s"java.util.HashSet $seen = new java.util.HashSet();" else ""
+      val addCond =
+        if (dedup) s"if ($seen.add(java.lang.Long.valueOf($h))) { $buf[$cnt++] = $h; }"
+        else s"$buf[$cnt++] = $h;"
       s"""
          |int $m = $words.numElements();
-         |java.util.ArrayList<Long> $out =
-         |  new java.util.ArrayList<Long>($m >= $n ? $m - $n + 1 : 0);
+         |long[] $buf = new long[$m >= $n ? $m - $n + 1 : 0];
+         |int $cnt = 0;
          |$dedupDecl
          |$utf8[] $window = new $utf8[$n];
-         |$utf8 ${joined}_sep = $utf8.fromString(" ");
+         |$utf8 $sep = $utf8.fromString(" ");
          |for (int $i = 0; $i + $n <= $m; $i++) {
          |  for (int $j = 0; $j < $n; $j++) {
          |    $window[$j] = $words.isNullAt($i + $j) ? null : $words.getUTF8String($i + $j);
          |  }
-         |  $utf8 $joined = $utf8.concatWs(${joined}_sep, $window);
+         |  $utf8 $joined = $utf8.concatWs($sep, $window);
          |  long $h = $xxh.hashUTF8String($joined, 42L);
          |  $addCond
          |}
-         |long[] $arr = new long[$out.size()];
-         |for (int $k2 = 0; $k2 < $arr.length; $k2++) { $arr[$k2] = $out.get($k2); }
-         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($arr);
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  java.util.Arrays.copyOf($buf, $cnt));
        """.stripMargin
     })
 

@@ -75,6 +75,7 @@ object Curation {
   def flagContaminated(
       docs: DataFrame, benchmark: DataFrame, n: Int = 8): DataFrame = {
     graft.functions.VectorFunctions.register(docs.sparkSession)
+    graft.functions.VectorFunctions.register(benchmark.sparkSession)
     def grams(df: DataFrame) = df
       .withColumn("w", split(lower(col("text")), " ", -1))
       .filter(size(col("w")) >= n)

@@ -114,6 +114,42 @@ class VectorExpressionsSpec extends AnyFunSuite with SparkSessionTestBase {
     nat.foreach { case (id, sig) => assert(sig === rel(id), s"doc $id") }
   }
 
+  test("every graft expression compiles under forced codegen (no Janino fallback)") {
+    // CODEGEN_ONLY + fallback off: a generated-Java compile error (e.g.
+    // generics, which Janino rejects) fails the query instead of
+    // silently degrading the stage to interpreted eval
+    spark.sparkContext // materialize shared context
+    val prev = SparkSession.getDefaultSession
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s2 = SparkSession.builder().master("local[2]")
+      .appName("graft-codegen-test")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+      .config("spark.sql.codegen.fallback", "false")
+      .withExtensions(new graft.functions.GraftExtensions())
+      .getOrCreate()
+    try {
+      s2.read.parquet(s"$sfDir/documents.parquet").createOrReplaceTempView("cg_docs")
+      s2.read.parquet(s"$sfDir/embeddings.parquet")
+        .selectExpr("vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS v")
+        .createOrReplaceTempView("cg_emb")
+      assert(s2.sql("SELECT graft_dot(v, v) AS d FROM cg_emb").count() > 0)
+      assert(s2.sql("SELECT graft_lsh(v, 5, 3) AS b FROM cg_emb").count() > 0)
+      assert(s2.sql(
+        """SELECT graft_minhash(graft_grams(split(lower(text), ' '), 3, true), doc_id, 64) AS sig
+          |FROM cg_docs WHERE size(split(lower(text), ' ')) >= 3""".stripMargin).count() > 0)
+      assert(s2.sql("SELECT graft_simhash(split(lower(text), ' ')) AS fp FROM cg_docs").count() > 0)
+      assert(s2.sql("SELECT graft_grams(split(lower(text), ' '), 2, false) AS g FROM cg_docs").count() > 0)
+      assert(s2.sql("SELECT graft_nfc(text) AS t FROM cg_docs").count() > 0)
+    } finally {
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      prev.foreach(SparkSession.setDefaultSession)
+      prev.foreach(SparkSession.setActiveSession)
+    }
+  }
+
   test("graft_grams matches the transform/concat_ws lambda form bit-for-bit") {
     VectorFunctions.register(spark)
     import spark.implicits._
@@ -121,9 +157,14 @@ class VectorExpressionsSpec extends AnyFunSuite with SparkSessionTestBase {
       (1L, "the quick brown fox jumps over the lazy dog"),
       (2L, "a b a b a b a b"), // repeated grams exercise the dedup flag
       (3L, "x y z")).toDF("doc_id", "text")
+    // null words must behave exactly like concat_ws's null-skip
+    val nullWords = spark.sql(
+      "SELECT array('alpha', CAST(NULL AS STRING), 'beta', 'alpha') AS w")
     for (n <- Seq(2, 3); dedup <- Seq(true, false)) {
       val base = docs.withColumn("w", split(lower(col("text")), " ", -1))
         .filter(size(col("w")) >= n)
+        .select("w")
+        .unionAll(nullWords)
       val lambda =
         s"transform(sequence(1, size(w)-${n - 1}), " +
           s"i -> xxhash64(concat_ws(' ', slice(w, i, $n))))"
