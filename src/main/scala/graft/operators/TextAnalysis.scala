@@ -4,12 +4,16 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text analysis for training-data curation: language ID, quality
-  * scoring, token counting, document fingerprinting.
+  * scoring, token counting, document fingerprinting, perplexity,
+  * repetition and classifier quality gates.
   *
-  * Scale posture: every operator is a narrow per-row map built from
-  * codegen'd string/array expressions (split, regexp, array_intersect,
-  * xxhash64 folds) — no shuffles except the caller's, no UDFs, no
-  * vocabulary broadcast beyond literal stopword arrays.
+  * Scale posture: the per-doc signals (langId, quality, tokens,
+  * fingerprints) are narrow per-row maps built from codegen'd
+  * string/array expressions — no shuffles, no UDFs, no vocabulary
+  * broadcast beyond literal stopword arrays. The corpus-statistics
+  * operators (perplexity, repetition, classifier) add only
+  * partial-combined aggregations on high-cardinality keys; the
+  * perplexity model join is AQE-planned, never force-broadcast.
   */
 object TextAnalysis {
 
