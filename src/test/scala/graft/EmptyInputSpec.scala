@@ -65,5 +65,12 @@ class EmptyInputSpec extends AnyFunSuite with SparkSessionTestBase {
     val flagged = Curation.flagContaminated(docs, emptyDocs)
     assert(flagged.count() === docs.count())
     assert(flagged.filter(org.apache.spark.sql.functions.col("contaminated")).count() === 0)
+    // text/quality/profiling operators
+    assert(TextAnalysis.repetitionScore(emptyDocs).count() === 0)
+    assert(TextAnalysis.classifierScore(emptyDocs).count() === 0)
+    assert(Pricing.priceAnomalies(emptyLi).count() === 0)
+    val profile = Etl.profileColumns(emptyLi, Seq("l_quantity", "l_discount")).collect()
+    assert(profile.length === 2) // one row per column, zero counts
+    assert(profile.forall(_.getAs[Long]("n_rows") === 0L))
   }
 }
