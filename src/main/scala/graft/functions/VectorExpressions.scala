@@ -411,7 +411,7 @@ case class WordGramHashes(child: Expression, n: Int, dedup: Boolean)
     val words = input.asInstanceOf[ArrayData]
     val m = words.numElements()
     if (m < n) return new GenericArrayData(Array.empty[Long])
-    val space = org.apache.spark.unsafe.types.UTF8String.fromString(" ")
+    val space = WordGramHashes.separator
     val window = new Array[org.apache.spark.unsafe.types.UTF8String](n)
     val buf = new Array[Long](m - n + 1)
     var cnt = 0
@@ -453,18 +453,22 @@ case class WordGramHashes(child: Expression, n: Int, dedup: Boolean)
       val addCond =
         if (dedup) s"if ($seen.add(java.lang.Long.valueOf($h))) { $buf[$cnt++] = $h; }"
         else s"$buf[$cnt++] = $h;"
+      // hoisted once per operator: separator as a reference object, the
+      // window buffer as mutable state — no per-row allocation
+      val sepRef = ctx.addReferenceObj("gramSep", WordGramHashes.separator, utf8)
+      val windowState = ctx.addMutableState(s"$utf8[]", window,
+        v => s"$v = new $utf8[$n];")
       s"""
          |int $m = $words.numElements();
          |long[] $buf = new long[$m >= $n ? $m - $n + 1 : 0];
          |int $cnt = 0;
          |$dedupDecl
-         |$utf8[] $window = new $utf8[$n];
-         |$utf8 $sep = $utf8.fromString(" ");
+         |$utf8 $sep = $sepRef;
          |for (int $i = 0; $i + $n <= $m; $i++) {
          |  for (int $j = 0; $j < $n; $j++) {
-         |    $window[$j] = $words.isNullAt($i + $j) ? null : $words.getUTF8String($i + $j);
+         |    $windowState[$j] = $words.isNullAt($i + $j) ? null : $words.getUTF8String($i + $j);
          |  }
-         |  $utf8 $joined = $utf8.concatWs($sep, $window);
+         |  $utf8 $joined = $utf8.concatWs($sep, $windowState);
          |  long $h = $xxh.hashUTF8String($joined, 42L);
          |  $addCond
          |}
@@ -477,33 +481,56 @@ case class WordGramHashes(child: Expression, n: Int, dedup: Boolean)
     copy(child = newChild)
 }
 
+object WordGramHashes {
+  /** Shared single-space separator (UTF8String is immutable). */
+  val separator: org.apache.spark.unsafe.types.UTF8String =
+    org.apache.spark.unsafe.types.UTF8String.fromString(" ")
+}
+
 /** Registration for graft's native SQL functions. */
 object VectorFunctions {
-  val dotInfo = new ExpressionInfo(classOf[DotProduct].getName, "graft_dot")
+  private def intArg(e: Expression): Int = e.eval() match {
+    case n: Number => n.intValue()
+    case other => throw new IllegalArgumentException(
+      s"graft function expected an integer literal argument, got: $other")
+  }
 
-  private def intArg(e: Expression): Int =
-    e.eval().asInstanceOf[Number].intValue()
+  private def boolArg(e: Expression): Boolean = e.eval() match {
+    case b: java.lang.Boolean => b.booleanValue()
+    case other => throw new IllegalArgumentException(
+      s"graft function expected a boolean literal argument, got: $other")
+  }
 
-  /** (name, builder) for every native function — single source of truth
-    * for both registration paths. */
-  private val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
-    "graft_dot" -> (exprs => DotProduct(exprs(0), exprs(1))),
-    "graft_nfc" -> (exprs => NfcNormalize(exprs.head)),
-    "graft_sample" -> (exprs => BottomKByHash(exprs(0), intArg(exprs(1)))),
-    "graft_lsh" -> (exprs =>
-      HyperplaneBuckets(exprs(0), intArg(exprs(1)), intArg(exprs(2)))),
-    "graft_minhash" -> (exprs =>
-      MinHashSignature(exprs(0), exprs(1), intArg(exprs(2)))),
-    "graft_simhash" -> (exprs => SimHash64(exprs.head)),
-    "graft_grams" -> (exprs => WordGramHashes(exprs(0), intArg(exprs(1)),
-      exprs(2).eval().asInstanceOf[Boolean])))
+  /** (name, implementing class, builder) for every native function —
+    * single source of truth for BOTH registration paths (session-level
+    * register() and GraftExtensions injection), so argument coercion
+    * can never drift between them. */
+  private[functions] val builders
+      : Seq[(String, Class[_], Seq[Expression] => Expression)] = Seq(
+    ("graft_dot", classOf[DotProduct],
+      (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1))),
+    ("graft_nfc", classOf[NfcNormalize],
+      (exprs: Seq[Expression]) => NfcNormalize(exprs.head)),
+    ("graft_sample", classOf[BottomKByHash],
+      (exprs: Seq[Expression]) => BottomKByHash(exprs(0), intArg(exprs(1)))),
+    ("graft_lsh", classOf[HyperplaneBuckets],
+      (exprs: Seq[Expression]) =>
+        HyperplaneBuckets(exprs(0), intArg(exprs(1)), intArg(exprs(2)))),
+    ("graft_minhash", classOf[MinHashSignature],
+      (exprs: Seq[Expression]) =>
+        MinHashSignature(exprs(0), exprs(1), intArg(exprs(2)))),
+    ("graft_simhash", classOf[SimHash64],
+      (exprs: Seq[Expression]) => SimHash64(exprs.head)),
+    ("graft_grams", classOf[WordGramHashes],
+      (exprs: Seq[Expression]) =>
+        WordGramHashes(exprs(0), intArg(exprs(1)), boolArg(exprs(2)))))
 
   /** Register on an existing session. Truly idempotent: already-present
     * functions are left alone so repeated calls (one per operator) don't
     * spam `SimpleFunctionRegistry` replacement WARNs. */
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
-    builders.foreach { case (name, builder) =>
+    builders.foreach { case (name, _, builder) =>
       if (!registry.functionExists(FunctionIdentifier(name))) {
         registry.createOrReplaceTempFunction(name, builder, "built-in")
       }
@@ -516,40 +543,12 @@ object VectorFunctions {
   * native functions at session build time. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
-    e.injectFunction((
-      FunctionIdentifier("graft_dot"),
-      VectorFunctions.dotInfo,
-      (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1))))
-    e.injectFunction((
-      FunctionIdentifier("graft_nfc"),
-      new ExpressionInfo(classOf[NfcNormalize].getName, "graft_nfc"),
-      (exprs: Seq[Expression]) => NfcNormalize(exprs.head)))
-    e.injectFunction((
-      FunctionIdentifier("graft_sample"),
-      new ExpressionInfo(classOf[BottomKByHash].getName, "graft_sample"),
-      (exprs: Seq[Expression]) => BottomKByHash(exprs(0),
-        exprs(1).eval().asInstanceOf[Number].intValue())))
-    e.injectFunction((
-      FunctionIdentifier("graft_lsh"),
-      new ExpressionInfo(classOf[HyperplaneBuckets].getName, "graft_lsh"),
-      (exprs: Seq[Expression]) => HyperplaneBuckets(exprs(0),
-        exprs(1).eval().asInstanceOf[Number].intValue(),
-        exprs(2).eval().asInstanceOf[Number].intValue())))
-    e.injectFunction((
-      FunctionIdentifier("graft_minhash"),
-      new ExpressionInfo(classOf[MinHashSignature].getName, "graft_minhash"),
-      (exprs: Seq[Expression]) => MinHashSignature(exprs(0), exprs(1),
-        exprs(2).eval().asInstanceOf[Number].intValue())))
-    e.injectFunction((
-      FunctionIdentifier("graft_simhash"),
-      new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash"),
-      (exprs: Seq[Expression]) => SimHash64(exprs.head)))
-    e.injectFunction((
-      FunctionIdentifier("graft_grams"),
-      new ExpressionInfo(classOf[WordGramHashes].getName, "graft_grams"),
-      (exprs: Seq[Expression]) => WordGramHashes(exprs(0),
-        exprs(1).eval().asInstanceOf[Number].intValue(),
-        exprs(2).eval().asInstanceOf[Boolean])))
+    VectorFunctions.builders.foreach { case (name, cls, builder) =>
+      e.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo(cls.getName, name),
+        builder))
+    }
     // lambda dot products silently upgrade to the codegen expression
     e.injectOptimizerRule(_ => RewriteDotProduct)
   }

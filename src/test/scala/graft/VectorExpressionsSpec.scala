@@ -120,28 +120,38 @@ class VectorExpressionsSpec extends AnyFunSuite with SparkSessionTestBase {
     // silently degrading the stage to interpreted eval
     spark.sparkContext // materialize shared context
     val prev = SparkSession.getDefaultSession
-    SparkSession.clearActiveSession()
-    SparkSession.clearDefaultSession()
-    val s2 = SparkSession.builder().master("local[2]")
-      .appName("graft-codegen-test")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
-      .config("spark.sql.codegen.fallback", "false")
-      .withExtensions(new graft.functions.GraftExtensions())
-      .getOrCreate()
     try {
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      val s2 = SparkSession.builder().master("local[2]")
+        .appName("graft-codegen-test")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+        .config("spark.sql.codegen.fallback", "false")
+        .withExtensions(new graft.functions.GraftExtensions())
+        .getOrCreate()
       s2.read.parquet(s"$sfDir/documents.parquet").createOrReplaceTempView("cg_docs")
       s2.read.parquet(s"$sfDir/embeddings.parquet")
         .selectExpr("vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS v")
         .createOrReplaceTempView("cg_emb")
-      assert(s2.sql("SELECT graft_dot(v, v) AS d FROM cg_emb").count() > 0)
-      assert(s2.sql("SELECT graft_lsh(v, 5, 3) AS b FROM cg_emb").count() > 0)
+      // every query CONSUMES the expression output (collect, or a
+      // filter referencing it) — a bare count() would let column
+      // pruning drop the projection and never compile the generated
+      // Java, making the whole gate vacuous
+      assert(s2.sql("SELECT graft_dot(v, v) AS d FROM cg_emb")
+        .collect().forall(!_.isNullAt(0)))
+      assert(s2.sql("SELECT graft_lsh(v, 5, 3) AS b FROM cg_emb")
+        .collect().forall(_.getAs[scala.collection.Seq[Long]]("b").length == 3))
       assert(s2.sql(
         """SELECT graft_minhash(graft_grams(split(lower(text), ' '), 3, true), doc_id, 64) AS sig
-          |FROM cg_docs WHERE size(split(lower(text), ' ')) >= 3""".stripMargin).count() > 0)
-      assert(s2.sql("SELECT graft_simhash(split(lower(text), ' ')) AS fp FROM cg_docs").count() > 0)
-      assert(s2.sql("SELECT graft_grams(split(lower(text), ' '), 2, false) AS g FROM cg_docs").count() > 0)
-      assert(s2.sql("SELECT graft_nfc(text) AS t FROM cg_docs").count() > 0)
+          |FROM cg_docs WHERE size(split(lower(text), ' ')) >= 3""".stripMargin)
+        .collect().forall(_.getAs[scala.collection.Seq[Long]]("sig").length == 64))
+      assert(s2.sql("SELECT graft_simhash(split(lower(text), ' ')) AS fp FROM cg_docs")
+        .where("fp IS NOT NULL").count() > 0)
+      assert(s2.sql("SELECT graft_grams(split(lower(text), ' '), 2, false) AS g FROM cg_docs")
+        .where("size(g) > 0").count() > 0)
+      assert(s2.sql("SELECT graft_nfc(text) AS t FROM cg_docs")
+        .where("t IS NOT NULL").count() > 0)
     } finally {
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()
@@ -210,17 +220,17 @@ class VectorExpressionsSpec extends AnyFunSuite with SparkSessionTestBase {
     // the suite-shared session otherwise
     spark.sparkContext // materialize the shared context first
     val prev = SparkSession.getDefaultSession
-    SparkSession.clearActiveSession()
-    SparkSession.clearDefaultSession()
-    // withExtensions: the explicit form of spark.sql.extensions
-    // (the config-string path needs a fresh SparkContext — Verify and
-    // Bench exercise it on their own JVMs)
-    val s2 = SparkSession.builder().master("local[2]")
-      .appName("graft-ext-test")
-      .config("spark.ui.enabled", "false")
-      .withExtensions(new graft.functions.GraftExtensions())
-      .getOrCreate()
     try {
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      // withExtensions: the explicit form of spark.sql.extensions
+      // (the config-string path needs a fresh SparkContext — Verify and
+      // Bench exercise it on their own JVMs)
+      val s2 = SparkSession.builder().master("local[2]")
+        .appName("graft-ext-test")
+        .config("spark.ui.enabled", "false")
+        .withExtensions(new graft.functions.GraftExtensions())
+        .getOrCreate()
       val v = s2.sql("SELECT graft_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d")
         .collect().head.getDouble(0)
       assert(v === 11.0)
