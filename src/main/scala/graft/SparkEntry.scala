@@ -33,7 +33,13 @@ object SparkEntry {
     * cluster resolution consumes the SAME persisted pair frame instead
     * of re-deriving signatures + bucket join from scratch (the pair set
     * is tiny relative to the corpus — MEMORY_AND_DISK persist is safe
-    * at any scale). */
+    * at any scale).
+    *
+    * ASSUMPTION: entries are keyed by (session, dir) with no data-change
+    * invalidation — correct because the harness treats testdata dirs as
+    * immutable within a run. If a deployment rewrites parquet under a
+    * live dir, key this cache by a data fingerprint (e.g. max file
+    * mtime / snapshot id) instead, or drop the entry on rewrite. */
   private val minhashPairsCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
   private def minhashPairsShared(s: SparkSession, d: String): DataFrame = {

@@ -108,6 +108,15 @@ case class DotProduct(left: Expression, right: Expression,
   * Coefficients for dims < 64 come from the precomputed table; the
   * i ≥ 64 tail (not hit by the 64-dim test corpus) falls back to
   * hashing inline, keeping the function total for any input width.
+  * CAVEAT for vectors wider than 64 dims: the flat hash input
+  * `(l*planes + j)*64 + i` aliases into plane j+1's coefficient range
+  * once i ≥ 64 (plane j's dim-64 coefficient equals plane j+1's dim-0
+  * coefficient), so adjacent planes are partially correlated and
+  * recall-per-table degrades vs truly independent hyperplanes. This is
+  * kept deliberately: it is bit-compatible with the lambda formulation
+  * the expression replaced (asserted in spec). If >64-dim corpora ever
+  * matter, stride the hash input by a larger max-dim constant instead —
+  * a bucket-format change that invalidates persisted bucket tables.
   * Bit-compatibility holds for null-free arrays (the only shape the
   * operators produce); null slots contribute nothing to the
   * projection instead of null-propagating like the lambda form.
@@ -525,14 +534,20 @@ object VectorFunctions {
       (exprs: Seq[Expression]) =>
         WordGramHashes(exprs(0), intArg(exprs(1)), boolArg(exprs(2)))))
 
-  /** Register on an existing session. Truly idempotent: already-present
-    * functions are left alone so repeated calls (one per operator) don't
-    * spam `SimpleFunctionRegistry` replacement WARNs. */
+  /** Register on an existing session. Idempotent without being
+    * shadowable: a name is skipped only when the existing registration
+    * is graft's own (checked via the ExpressionInfo class), so repeated
+    * calls (one per operator) don't spam `SimpleFunctionRegistry`
+    * replacement WARNs, while a pre-existing user temp function under a
+    * graft name is still replaced — operators never silently compute
+    * with a foreign implementation. */
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
-    builders.foreach { case (name, _, builder) =>
-      if (!registry.functionExists(FunctionIdentifier(name))) {
-        registry.createOrReplaceTempFunction(name, builder, "built-in")
+    builders.foreach { case (name, cls, builder) =>
+      val id = FunctionIdentifier(name)
+      val isOurs = registry.lookupFunction(id).exists(_.getClassName == cls.getName)
+      if (!isOurs) {
+        registry.registerFunction(id, new ExpressionInfo(cls.getName, name), builder)
       }
     }
   }
