@@ -28,9 +28,15 @@ object Bench {
       catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    // The harness keeps only the last ~2000 chars of stdout (plus sbt's
+    // trailing "[success]" line), so the JSON line must stay well under
+    // that or its head — including the opening brace — is cut off and
+    // the line is unparseable. 3-decimal seconds and a short sf tag keep
+    // the full 62-query line ~1.6k chars.
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val sfTag = sfDir.split('/').last
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfTag"}""")
     spark.stop()
   }
 }

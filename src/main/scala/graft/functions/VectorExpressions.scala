@@ -543,11 +543,17 @@ object VectorFunctions {
     * with a foreign implementation. */
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
-    builders.foreach { case (name, cls, builder) =>
-      val id = FunctionIdentifier(name)
-      val isOurs = registry.lookupFunction(id).exists(_.getClassName == cls.getName)
-      if (!isOurs) {
-        registry.registerFunction(id, new ExpressionInfo(cls.getName, name), builder)
+    // lookup+register below is check-then-act; serialize concurrent
+    // register() calls on the same session so both can't pass the
+    // isOurs check and double-register (a WARN-only race, but the
+    // contract here is WARN-free repeated registration)
+    registry.synchronized {
+      builders.foreach { case (name, cls, builder) =>
+        val id = FunctionIdentifier(name)
+        val isOurs = registry.lookupFunction(id).exists(_.getClassName == cls.getName)
+        if (!isOurs) {
+          registry.registerFunction(id, new ExpressionInfo(cls.getName, name), builder)
+        }
       }
     }
   }

@@ -270,4 +270,42 @@ class VectorExpressionsSpec extends AnyFunSuite with SparkSessionTestBase {
       prev.foreach(SparkSession.setActiveSession)
     }
   }
+
+  test("register() skips its own registrations but replaces foreign ones") {
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+    // isolated registry: newSession shares the context but owns its
+    // sessionState, so registry surgery here can't leak into other suites
+    val s2 = spark.newSession()
+    val registry = s2.sessionState.functionRegistry
+    val id = FunctionIdentifier("graft_dot")
+    val sentinel: Seq[Expression] => Expression = _ => Literal(42.0)
+
+    // skip branch: an entry whose ExpressionInfo says it IS our class
+    // must be left alone (observable: the sentinel builder survives)
+    registry.registerFunction(
+      id, new ExpressionInfo(classOf[graft.functions.DotProduct].getName, "graft_dot"), sentinel)
+    VectorFunctions.register(s2)
+    s2.sql("SELECT 1 AS x").createOrReplaceTempView("reg_probe")
+    val skipped = s2.sql(
+      "SELECT graft_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d FROM reg_probe").collect()
+    assert(skipped.head.getDouble(0) === 42.0,
+      "register() must not re-register when the existing entry is graft's own class")
+
+    // replace branch: a foreign temp function squatting on a graft name
+    // must be replaced with the native expression
+    registry.registerFunction(
+      id, new ExpressionInfo("user.FakeDot", "graft_dot"), sentinel)
+    VectorFunctions.register(s2)
+    val replaced = s2.sql(
+      "SELECT graft_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d FROM reg_probe").collect()
+    assert(replaced.head.getDouble(0) === 11.0,
+      "register() must replace a foreign registration under a graft name")
+
+    // idempotence on the normal path: repeated register() keeps working
+    VectorFunctions.register(s2)
+    val again = s2.sql(
+      "SELECT graft_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d FROM reg_probe").collect()
+    assert(again.head.getDouble(0) === 11.0)
+  }
 }
