@@ -111,6 +111,11 @@ object SparkEntry {
     "q_embed_lsh" -> ((s, d) => Similarity.embedLshBuckets(Tables.embeddings(s, d))),
     "q_embed_lsh_topk" -> ((s, d) => Similarity.embedLshTopK(Tables.embeddings(s, d))),
     "q_embed_ivf_topk" -> ((s, d) => Similarity.embedIvfTopK(Tables.embeddings(s, d))),
+    "q_chunk_dedup" -> ((s, d) => Dedup.chunkDedup(Tables.documents(s, d))),
+    "q_tfidf_topterms" -> ((s, d) => TextAnalysis.tfidfTopTerms(Tables.documents(s, d))),
+    "q_top_terms" -> ((s, d) => TextAnalysis.topTerms(Tables.documents(s, d))),
+    "q_domain_stats" -> ((s, d) =>
+      TextCleaning.domainStats(TextCleaning.withSyntheticUrls(Tables.documents(s, d)))),
     "q_lang_id" -> ((s, d) => TextAnalysis.langId(Tables.documents(s, d))),
     "q_quality_score" -> ((s, d) => TextAnalysis.qualityScore(Tables.documents(s, d))),
     "q_token_count" -> ((s, d) => TextAnalysis.tokenCount(Tables.documents(s, d))),
@@ -631,6 +636,57 @@ object SparkEntry {
         |SELECT p_type AS category,
         | array_to_string(list_slice(list(p_name ORDER BY md5(p_name), p_name), 1, 3), ',') AS sample
         |FROM d GROUP BY p_type ORDER BY category""".stripMargin,
+    "q_chunk_dedup" ->
+      s"""WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+         |e AS (SELECT doc_id, w, len(w)//10 AS n_full FROM d WHERE len(w)//10 >= 1),
+         |x AS (SELECT doc_id, unnest(range(1, n_full+1)) AS i, w FROM e),
+         |c AS (SELECT doc_id, CAST(i AS INTEGER) AS chunk_idx,
+         |  md5(array_to_string(list_slice(w, CAST((i-1)*10+1 AS INTEGER), CAST(i*10 AS INTEGER)), ' ')) AS h
+         | FROM x),
+         |f AS (SELECT doc_id, chunk_idx,
+         |  row_number() OVER (PARTITION BY h ORDER BY doc_id, chunk_idx) AS rn FROM c)
+         |SELECT doc_id, count(*) AS n_chunks,
+         | CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+         | ${m("sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) / count(*)", 4)} AS dup_ratio
+         |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_tfidf_topterms" -> {
+      val idf = dr("ln(CAST(n_docs AS DOUBLE) / df)", 6)
+      s"""WITH toks AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+         |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         |n AS (SELECT count(*) AS n_docs FROM documents),
+         |scored AS (SELECT doc_id, term, tf, df,
+         |  CAST(${dr(s"tf * CAST($idf AS DOUBLE)", 6)} AS DOUBLE) AS tfidf
+         | FROM tf JOIN dfq USING (term), n),
+         |rk AS (SELECT *, CAST(row_number() OVER
+         |  (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS INTEGER) AS rank FROM scored)
+         |SELECT doc_id, rank, term, tf, df, tfidf FROM rk WHERE rank <= 3
+         |ORDER BY doc_id, rank""".stripMargin
+    },
+    "q_top_terms" ->
+      """WITH d AS (SELECT doc_id, unnest(list_distinct(string_split(lower(text), ' '))) AS term
+        | FROM documents)
+        |SELECT term, count(*) AS doc_freq FROM d GROUP BY term
+        |ORDER BY doc_freq DESC, term LIMIT 20""".stripMargin,
+    "q_domain_stats" ->
+      """WITH t AS (SELECT doc_id,
+        |  text || ' see https://site' || CAST(doc_id % 7 AS VARCHAR)
+        |       || '.example.org/p/' || CAST(doc_id AS VARCHAR)
+        |       || ' and http://cdn' || CAST(doc_id % 3 AS VARCHAR)
+        |       || '.example.net/a/' || CAST(doc_id AS VARCHAR) AS text
+        | FROM documents),
+        |u AS (SELECT doc_id, unnest(regexp_extract_all(text, 'https?://[^ ]+')) AS url FROM t)
+        |SELECT regexp_extract(url, 'https?://([^/ ]+)', 1) AS domain,
+        | count(DISTINCT doc_id) AS n_docs, count(*) AS n_urls
+        |FROM u GROUP BY domain ORDER BY domain""".stripMargin,
+    "q_train_split" ->
+      """WITH b AS (SELECT ('0x' || substr(md5('graft-split-v1:' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT % 100 AS bucket
+        | FROM documents)
+        |SELECT CASE WHEN bucket < 90 THEN 'train'
+        |            WHEN bucket < 95 THEN 'val'
+        |            ELSE 'test' END AS split,
+        | count(*) AS n_docs
+        |FROM b GROUP BY split ORDER BY split""".stripMargin,
     "q_mix_sources" ->
       """WITH kept AS (
         | SELECT * FROM documents

@@ -16,14 +16,22 @@ object Curation {
 
   /** Stable split assignment: hash the id with a salt, bucket into
     * percent space, map cumulative weight ranges to split names.
-    * Same row → same split, forever, on any cluster. */
+    * Same row → same split, forever, on any cluster.
+    *
+    * The bucket hash is an md5 prefix (like [[mixSources]]), not
+    * xxhash64: a train/val/test assignment must be reproducible by ANY
+    * engine auditing the dataset later — md5 is universal, xxhash64's
+    * seeding is Spark-specific. It also makes the assignment
+    * oracle-checkable (the DuckDB twin reproduces it bit-for-bit). */
   def assignSplits(
       df: DataFrame,
       idCol: String = "doc_id",
       weights: Seq[(String, Int)] = Seq("train" -> 90, "val" -> 5, "test" -> 5),
       salt: String = "graft-split-v1"): DataFrame = {
     require(weights.map(_._2).sum == 100, "split weights must total 100")
-    val bucket = pmod(xxhash64(col(idCol), lit(salt)), lit(100L))
+    val bucket =
+      conv(substring(md5(concat_ws(":", lit(salt), col(idCol).cast("string"))), 1, 8),
+        16, 10).cast("long") % 100
     val cum = weights.scanLeft(0) { case (acc, (_, w)) => acc + w }.tail
     val split = weights.zip(cum).foldLeft(lit(null).cast("string")) {
       case (acc, ((name, _), upper)) =>

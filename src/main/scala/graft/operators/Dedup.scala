@@ -30,6 +30,46 @@ object Dedup {
       .select("keep_doc_id", "n_copies", "content_hash")
       .orderBy("keep_doc_id")
 
+  /** Chunk-level exact dedup (the paragraph-dedup shape for corpora
+    * without paragraph structure): each document is cut into
+    * fixed-width word chunks, chunks are keyed by an md5 content hash,
+    * and the corpus-wide FIRST occurrence (min (doc_id, chunk_idx))
+    * owns each distinct chunk — every later occurrence is a duplicate.
+    * Output: per-doc chunk counts and duplicate ratio, the signal a
+    * curation pass thresholds to drop boilerplate-heavy documents.
+    *
+    * Scale posture: ownership is a partial-combined min-of-struct
+    * aggregation on the chunk hash — map-side combine collapses
+    * mega-duplicated boilerplate chunks BEFORE the shuffle, which a
+    * window-rank formulation cannot (one partition per hash value would
+    * hot-spot on boilerplate). The join back to occurrences is
+    * AQE-planned on the same hash key. md5 (not xxhash64) so any engine
+    * reproduces the ownership decision. */
+  def chunkDedup(docs: DataFrame, chunkWords: Int = 10): DataFrame = {
+    val chunks = docs
+      .withColumn("w", split(lower(col("text")), " ", -1))
+      .withColumn("n_full", (size(col("w")) / chunkWords).cast("int"))
+      .filter(col("n_full") >= 1)
+      .select(col("doc_id"), explode(expr(
+        s"""transform(sequence(1, n_full),
+           |  i -> struct(i AS idx,
+           |    md5(concat_ws(' ', slice(w, (i-1)*$chunkWords+1, $chunkWords))) AS h))"""
+          .stripMargin)).as("c"))
+      .select(col("doc_id"), col("c.idx").as("chunk_idx"), col("c.h").as("h"))
+    val owners = chunks.groupBy("h")
+      .agg(min(struct(col("doc_id"), col("chunk_idx"))).as("owner"))
+    chunks.join(owners, Seq("h"))
+      .withColumn("is_dup",
+        (col("doc_id") =!= col("owner.doc_id")) ||
+          (col("chunk_idx") =!= col("owner.chunk_idx")))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(col("is_dup").cast("long")).as("n_dup_chunks"))
+      .withColumn("dup_ratio",
+        round(col("n_dup_chunks").cast("double") / col("n_chunks"), 4))
+      .orderBy("doc_id")
+  }
+
   /** doc_id + xxhash64'd word n-gram shingles (native codegen
     * graft_grams — bit-identical to the transform/concat_ws lambda
     * form, asserted in spec, with no interpreted per-window closure). */

@@ -179,6 +179,47 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Per-document top-k TF-IDF terms (keyword extraction for corpus
+    * triage / topic tagging). Three partial-combined aggregations: term
+    * frequency keyed (doc, term), document frequency keyed term, and
+    * the scalar corpus size broadcast in. The idf ln() is snapped to 6
+    * decimals (same move as [[perplexityScore]]) so the engine-specific
+    * last ulp cannot reorder the top-k; ties break on the term string,
+    * so ranks are total and deterministic.
+    *
+    * Scale posture: no vocabulary broadcast — the df side joins tf on
+    * the term key under AQE (broadcast while it fits, shuffle beyond);
+    * the per-doc top-k is a bounded window rank, not a collect. */
+  def tfidfTopTerms(docs: DataFrame, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val tf = docs
+      .select(col("doc_id"), explode(split(lower(col("text")), " ", -1)).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("term"))
+    tf.join(dfreq, Seq("term"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("tfidf",
+        round(col("tf") * round(log(col("n_docs").cast("double") / col("df")), 6), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("rank"), col("term"), col("tf"), col("df"), col("tfidf"))
+      .orderBy("doc_id", "rank")
+  }
+
+  /** Corpus-wide top-k terms by document frequency (vocabulary triage /
+    * stopword discovery). Distinct-within-doc is a narrow map before the
+    * single term-keyed shuffle; the top-k is a TakeOrdered, never a full
+    * sort. */
+  def topTerms(docs: DataFrame, k: Int = 20): DataFrame =
+    docs
+      .select(col("doc_id"),
+        explode(array_distinct(split(lower(col("text")), " ", -1))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("doc_freq"))
+      .orderBy(col("doc_freq").desc, col("term"))
+      .limit(k)
+
   /** Winnowing fingerprint: per-window minimum of word 5-gram hashes
     * (window 4), deduplicated — the standard near-copy sketch. */
   def docFingerprint(docs: DataFrame, gramLen: Int = 5, window: Int = 4): DataFrame = {

@@ -37,6 +37,32 @@ object TextCleaning {
       lit(" contact user"), col("doc_id"), lit("@example.com or +1-555-01"),
       col("doc_id"), lit(" via https://example.com/d/"), col("doc_id")))
 
+  /** Append deterministic synthetic URLs per doc (two URLs across a
+    * small rotating set of domains) so the extraction operators are
+    * observable on the synthetic corpus. */
+  def withSyntheticUrls(docs: DataFrame): DataFrame =
+    docs.withColumn("text", concat(col("text"),
+      lit(" see https://site"), pmod(col("doc_id"), lit(7)),
+      lit(".example.org/p/"), col("doc_id"),
+      lit(" and http://cdn"), pmod(col("doc_id"), lit(3)),
+      lit(".example.net/a/"), col("doc_id")))
+
+  /** Per-domain URL statistics (the domain-frequency pass a web-crawl
+    * curation pipeline runs before blocklist filtering): extract every
+    * URL, parse its domain, count referencing docs and total URLs.
+    * Narrow regexp extraction (codegen, RE2∩Java subset) followed by
+    * one domain-keyed aggregation; count(DISTINCT doc_id) expands to
+    * Spark's standard two-phase distinct-aggregate — no collect, no
+    * broadcast. */
+  def domainStats(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"),
+        explode(regexp_extract_all(col("text"), lit(urlRe), lit(0))).as("url"))
+      .withColumn("domain", regexp_extract(col("url"), "https?://([^/ ]+)", 1))
+      .groupBy("domain")
+      .agg(countDistinct("doc_id").as("n_docs"), count(lit(1)).as("n_urls"))
+      .orderBy("domain")
+
   /** Unicode NFC normalization via the native graft_nfc expression. */
   def normalizeUnicode(docs: DataFrame): DataFrame = {
     graft.functions.VectorFunctions.register(docs.sparkSession)

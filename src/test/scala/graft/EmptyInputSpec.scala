@@ -68,6 +68,10 @@ class EmptyInputSpec extends AnyFunSuite with SparkSessionTestBase {
     // text/quality/profiling operators
     assert(TextAnalysis.repetitionScore(emptyDocs).count() === 0)
     assert(TextAnalysis.classifierScore(emptyDocs).count() === 0)
+    assert(TextAnalysis.tfidfTopTerms(emptyDocs).count() === 0)
+    assert(TextAnalysis.topTerms(emptyDocs).count() === 0)
+    assert(graft.operators.Dedup.chunkDedup(emptyDocs).count() === 0)
+    assert(graft.operators.TextCleaning.domainStats(emptyDocs).count() === 0)
     assert(Pricing.priceAnomalies(emptyLi).count() === 0)
     val profile = Etl.profileColumns(emptyLi, Seq("l_quantity", "l_discount")).collect()
     assert(profile.length === 2) // one row per column, zero counts

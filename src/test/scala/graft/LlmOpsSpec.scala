@@ -267,6 +267,66 @@ class LlmOpsSpec extends AnyFunSuite with SparkSessionTestBase {
     assert(rows.forall(_.getAs[Int]("n_fingerprints") > 0))
   }
 
+  test("chunkDedup assigns ownership to the first occurrence, corpus-wide") {
+    import spark.implicits._
+    val ten = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
+    val other = "x1 x2 x3 x4 x5 x6 x7 x8 x9 x10"
+    val docs = Seq(
+      (1L, s"$ten $other"),        // owns both chunks
+      (2L, s"$other $ten"),        // both chunks are dups of doc 1
+      (3L, s"$ten $ten"),          // chunk 1 dups doc 1, chunk 2 dups chunk 1
+      (4L, "short text only"),     // < 10 words: no full chunk, no row
+      (5L, "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10 tail words ignored")) // partial tail dropped
+      .toDF("doc_id", "text")
+    val rows = Dedup.chunkDedup(docs).collect()
+    val byId = rows.map(r => r.getLong(0) -> r).toMap
+    assert(!byId.contains(4L))
+    assert(byId(1L).getAs[Long]("n_dup_chunks") === 0L)
+    assert(byId(2L).getAs[Long]("n_chunks") === 2L)
+    assert(byId(2L).getAs[Long]("n_dup_chunks") === 2L)
+    assert(byId(2L).getAs[Double]("dup_ratio") === 1.0)
+    assert(byId(3L).getAs[Long]("n_dup_chunks") === 2L)
+    assert(byId(5L).getAs[Long]("n_chunks") === 1L) // tail < 10 words dropped
+    assert(byId(5L).getAs[Long]("n_dup_chunks") === 0L)
+    // corpus run is deterministic across partitionings
+    val corpus = Tables.documents(spark, docDir)
+    val a = Dedup.chunkDedup(corpus).collect()
+    val b = Dedup.chunkDedup(corpus.repartition(13)).collect()
+    assert(a.map(_.toString).toSeq === b.map(_.toString).toSeq)
+  }
+
+  test("tfidfTopTerms ranks doc-distinctive terms first, deterministically") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "shared shared shared zebra"),
+      (2L, "shared shared shared"),
+      (3L, "shared quokka quokka")).toDF("doc_id", "text")
+    val rows = TextAnalysis.tfidfTopTerms(docs, k = 2).collect()
+    val top = rows.filter(_.getAs[Int]("rank") == 1)
+      .map(r => r.getLong(0) -> r.getAs[String]("term")).toMap
+    // the term unique to each doc beats the corpus-wide one
+    assert(top(1L) === "zebra")
+    assert(top(3L) === "quokka")
+    // 'shared' appears in all 3 docs → idf = ln(1) = 0 → tfidf 0
+    assert(rows.filter(r => r.getAs[String]("term") == "shared")
+      .forall(_.getAs[Double]("tfidf") === 0.0))
+    // ranks are 1..k, contiguous per doc
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      assert(rs.map(_.getAs[Int]("rank")).sorted.toSeq === (1 to rs.length).toSeq)
+    }
+  }
+
+  test("topTerms returns the k most document-frequent terms") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma"),
+      (2L, "alpha beta"),
+      (3L, "alpha alpha alpha")).toDF("doc_id", "text") // repeats count once per doc
+    val rows = TextAnalysis.topTerms(docs, k = 2).collect()
+    assert(rows.map(r => (r.getAs[String]("term"), r.getAs[Long]("doc_freq"))).toSeq ===
+      Seq(("alpha", 3L), ("beta", 2L)))
+  }
+
   test("multimodal plumbing: schema, determinism, narrow extraction") {
     val docs = Tables.documents(spark, docDir)
     val media = Multimodal.mediaFromDocuments(docs)

@@ -31,6 +31,24 @@ class TextCleaningSpec extends AnyFunSuite with SparkSessionTestBase {
     assert(out(1).getAs[String]("norm_text") === "plain ascii")
   }
 
+  test("domainStats counts docs and urls per extracted domain") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "visit https://a.example.org/x and https://a.example.org/y today"),
+      (2L, "see http://b.example.net/z"),
+      (3L, "no urls at all")).toDF("doc_id", "text")
+    val rows = TextCleaning.domainStats(docs).collect()
+    val byDomain = rows.map(r => r.getAs[String]("domain") -> r).toMap
+    assert(byDomain.keySet === Set("a.example.org", "b.example.net"))
+    assert(byDomain("a.example.org").getAs[Long]("n_docs") === 1L)
+    assert(byDomain("a.example.org").getAs[Long]("n_urls") === 2L)
+    assert(byDomain("b.example.net").getAs[Long]("n_urls") === 1L)
+    // synthetic injection yields the full rotating domain set
+    val injected = TextCleaning.domainStats(
+      TextCleaning.withSyntheticUrls(Tables.documents(spark, sfDir)))
+    assert(injected.count() === 10) // site0-6.example.org + cdn0-2.example.net
+  }
+
   test("assignSplits is complete, disjoint, deterministic, and near the weights") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.01")
     val a = graft.operators.Curation.assignSplits(docs).select("doc_id", "split").collect()
