@@ -71,6 +71,32 @@ class PlanRegressionSpec extends AnyFunSuite with SparkSessionTestBase {
     assert(plan("q_embed_lsh_topk").contains("graft_dot"))
   }
 
+  test("top-terms is a partial-combined aggregate with fused top-k") {
+    val p = plan("q_top_terms")
+    // two HashAggregates around one Exchange (map-side combine), then
+    // TakeOrderedAndProject — never a global sort of the vocabulary
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(p.sliding("HashAggregate".length).count(_ == "HashAggregate") >= 2)
+  }
+
+  test("tfidf top-k rank is group-limited before the window sort") {
+    val p = plan("q_tfidf_topterms")
+    // WindowGroupLimit prunes each doc's terms to k before/inside the
+    // window sort — the property that keeps per-doc state bounded
+    assert(p.contains("WindowGroupLimit"))
+    // the scalar corpus size rides a broadcast, not a shuffle
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"))
+  }
+
+  test("chunk dedup ownership is a partial-combined min aggregation") {
+    val p = plan("q_chunk_dedup")
+    // min(struct(doc,idx)) must partial-aggregate map-side so
+    // boilerplate mega-chunks collapse before the shuffle (a window
+    // rank over the hash would hot-spot instead)
+    assert(!p.contains("Window ["))
+    assert(p.sliding("HashAggregate".length).count(_ == "HashAggregate") >= 2)
+  }
+
   test("ngram df-cap self-join reuses the window's partitioning") {
     val df = SparkEntry.queries("q_ngram_jaccard")(spark, sfDir)
     val p = df.queryExecution.executedPlan.toString
