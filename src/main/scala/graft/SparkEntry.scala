@@ -114,6 +114,7 @@ object SparkEntry {
     "q_chunk_dedup" -> ((s, d) => Dedup.chunkDedup(Tables.documents(s, d))),
     "q_tfidf_topterms" -> ((s, d) => TextAnalysis.tfidfTopTerms(Tables.documents(s, d))),
     "q_top_terms" -> ((s, d) => TextAnalysis.topTerms(Tables.documents(s, d))),
+    "q_heavy_hitters" -> ((s, d) => TextAnalysis.heavyHitterTerms(Tables.documents(s, d))),
     "q_domain_stats" -> ((s, d) =>
       TextCleaning.domainStats(TextCleaning.withSyntheticUrls(Tables.documents(s, d)))),
     "q_lang_id" -> ((s, d) => TextAnalysis.langId(Tables.documents(s, d))),
@@ -668,6 +669,12 @@ object SparkEntry {
         | FROM documents)
         |SELECT term, count(*) AS doc_freq FROM d GROUP BY term
         |ORDER BY doc_freq DESC, term LIMIT 20""".stripMargin,
+    // exact oracle is valid: the test corpus's 10th term count is far
+    // above N/257, the MG bound under which candidates are guaranteed
+    "q_heavy_hitters" ->
+      """WITH toks AS (SELECT unnest(string_split(lower(text), ' ')) AS term FROM documents)
+        |SELECT term, count(*) AS n_occurrences FROM toks GROUP BY term
+        |ORDER BY n_occurrences DESC, term LIMIT 10""".stripMargin,
     "q_domain_stats" ->
       """WITH t AS (SELECT doc_id,
         |  text || ' see https://site' || CAST(doc_id % 7 AS VARCHAR)

@@ -532,7 +532,9 @@ object VectorFunctions {
       (exprs: Seq[Expression]) => SimHash64(exprs.head)),
     ("graft_grams", classOf[WordGramHashes],
       (exprs: Seq[Expression]) =>
-        WordGramHashes(exprs(0), intArg(exprs(1)), boolArg(exprs(2)))))
+        WordGramHashes(exprs(0), intArg(exprs(1)), boolArg(exprs(2)))),
+    ("graft_heavyhits", classOf[MisraGries],
+      (exprs: Seq[Expression]) => MisraGries(exprs(0), intArg(exprs(1)))))
 
   /** Register on an existing session. Idempotent without being
     * shadowable: a name is skipped only when the existing registration

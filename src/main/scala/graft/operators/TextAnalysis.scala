@@ -208,6 +208,33 @@ object TextAnalysis {
       .orderBy("doc_id", "rank")
   }
 
+  /** Exact top-k terms by TOTAL occurrence via a bounded-memory
+    * two-pass: Misra-Gries candidate generation (native
+    * `graft_heavyhits` TypedImperativeAggregate — fixed `capacity`
+    * counters per buffer, NO key-space shuffle in pass 1), then an
+    * exact recount restricted to the candidates by broadcast semi-join.
+    *
+    * This is the 100 TB form of frequency top-k when the key
+    * cardinality is itself unbounded (URLs, n-grams): a plain
+    * groupBy(term) shuffles the whole key space; pass 1 here moves only
+    * `capacity`-sized summaries. The result is exact and deterministic
+    * whenever the k-th true count exceeds N/(capacity+1) — the MG
+    * guarantee that every such key survives candidate generation
+    * regardless of the aggregation tree; size capacity accordingly
+    * (counts are Zipfian in practice, so modest capacities cover large
+    * k). The recount makes the output independent of which
+    * below-threshold keys happened to survive. */
+  def heavyHitterTerms(docs: DataFrame, k: Int = 10, capacity: Int = 256): DataFrame = {
+    graft.functions.VectorFunctions.register(docs.sparkSession)
+    val toks = docs.select(explode(split(lower(col("text")), " ", -1)).as("term"))
+    val cands = toks.agg(expr(s"graft_heavyhits(term, $capacity)").as("cand"))
+      .select(explode(col("cand")).as("term"))
+    toks.join(broadcast(cands), Seq("term"), "left_semi")
+      .groupBy("term").agg(count(lit(1)).as("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("term"))
+      .limit(k)
+  }
+
   /** Corpus-wide top-k terms by document frequency (vocabulary triage /
     * stopword discovery). Distinct-within-doc is a narrow map before the
     * single term-keyed shuffle; the top-k is a TakeOrdered, never a full

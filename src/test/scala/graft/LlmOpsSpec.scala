@@ -327,6 +327,30 @@ class LlmOpsSpec extends AnyFunSuite with SparkSessionTestBase {
       Seq(("alpha", 3L), ("beta", 2L)))
   }
 
+  test("heavyHitterTerms matches exact top-k and is partition-independent") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, docDir)
+    // exact reference: full groupBy over all tokens
+    val exact = docs
+      .select(explode(split(lower(col("text")), " ", -1)).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("term")).limit(10)
+      .collect().map(_.toString).toSeq
+    val mg = TextAnalysis.heavyHitterTerms(docs).collect().map(_.toString).toSeq
+    assert(mg === exact)
+    // partial-aggregation tree must not change the answer
+    val repart = TextAnalysis.heavyHitterTerms(docs.repartition(17)).collect()
+      .map(_.toString).toSeq
+    assert(repart === exact)
+    // tiny capacity on a skewed stream: the guaranteed hitter (freq >
+    // N/(cap+1)) always survives candidate generation and recounts top
+    val skewed = ((1 to 500).map(i => (i.toLong, "hot")) ++
+      (1 to 400).map(i => (i.toLong, s"cold$i"))).toDF("doc_id", "text")
+    val tiny = TextAnalysis.heavyHitterTerms(skewed, k = 1, capacity = 4).collect()
+    assert(tiny.head.getAs[String]("term") === "hot")
+    assert(tiny.head.getAs[Long]("n_occurrences") === 500L)
+  }
+
   test("multimodal plumbing: schema, determinism, narrow extraction") {
     val docs = Tables.documents(spark, docDir)
     val media = Multimodal.mediaFromDocuments(docs)
