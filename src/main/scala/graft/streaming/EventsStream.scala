@@ -62,6 +62,19 @@ object EventsStream {
       }
       .start()
 
+  /** Stream-static enrichment join: attach a (slowly-changing)
+    * dimension snapshot to the event stream — the streaming form of the
+    * reference's store upsert/lookup step (each incoming item resolves
+    * its supermarket row before landing). A stream-static equi-join is
+    * STATELESS in Structured Streaming: every micro-batch joins against
+    * the dimension's current snapshot, so dimension updates between
+    * batches are picked up automatically; `broadcast` keeps each batch
+    * shuffle-free on the stream side. Left join preserves events whose
+    * key has no dimension row yet (the get-or-create case surfaces as
+    * nulls for downstream handling). */
+  def enrichStream(events: DataFrame, dim: DataFrame, key: String = "user_id"): DataFrame =
+    events.join(broadcast(dim), Seq(key), "left")
+
   /** Streaming exactly-once-per-event dedup: the raw_hash idempotency
     * rule (rabbitmq-to-postgres) as a streaming operator. State is
     * bounded by the watermark — a duplicate arriving within the

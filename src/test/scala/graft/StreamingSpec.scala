@@ -50,6 +50,31 @@ class StreamingSpec extends AnyFunSuite with SparkSessionTestBase {
     } finally q.stop()
   }
 
+  test("enrichStream joins the static dimension per micro-batch, keeping misses") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("enrichstream").toString
+    val events = Tables.events(spark, sfDir)
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .limit(200)
+    events.write.mode("overwrite").parquet(dir)
+    // dimension covering only even user ids — odd ids must survive as nulls
+    val dim = events.select("user_id").distinct()
+      .filter(col("user_id") % 2 === 0)
+      .withColumn("segment", concat(lit("seg"), col("user_id") % 3))
+    val q = EventsStream.enrichStream(EventsStream.readEvents(spark, dir), dim)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("enrich_out").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("enrich_out")
+      assert(got.count() === 200) // left join: no event dropped
+      assert(got.filter(col("user_id") % 2 === 0)
+        .filter(col("segment").isNull).count() === 0)
+      assert(got.filter(col("user_id") % 2 === 1)
+        .filter(col("segment").isNotNull).count() === 0)
+    } finally q.stop()
+  }
+
   test("sessionizeStream emits gap-closed sessions") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("sessstream").toString
