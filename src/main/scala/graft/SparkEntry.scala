@@ -174,6 +174,11 @@ object SparkEntry {
       Curation.flagContaminated(
         docs.filter(col("doc_id") >= 25), docs.filter(col("doc_id") < 25), n = 5)
     }),
+    "q_decontaminate_bloom" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Curation.flagContaminatedBloom(
+        docs.filter(col("doc_id") >= 25), docs.filter(col("doc_id") < 25), n = 5)
+    }),
     "q_dedup_clusters" -> ((s, d) =>
       Dedup.duplicateClusters(minhashPairsShared(s, d))
         .drop("members")),
@@ -703,6 +708,22 @@ object SparkEntry {
         |                 WHEN 'src2' THEN 0.5 WHEN 'src3' THEN 0.75 ELSE 1.0 END)
         |SELECT source, count(*) AS n_docs, min(doc_id) AS first_doc
         |FROM kept GROUP BY source ORDER BY source""".stripMargin,
+    // bit-equal to q_decontaminate by construction (the bloom prune has
+    // no false negatives and the exact join kills false positives), so
+    // it shares the oracle — the driver verifies that equality holds
+    "q_decontaminate_bloom" ->
+      """WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+        |g AS (SELECT doc_id, list_distinct(list_transform(range(1, len(w)-3),
+        |   i -> w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||w[i+4])) AS grams
+        | FROM d WHERE len(w) >= 5),
+        |bg AS (SELECT DISTINCT unnest(grams) AS gr FROM g WHERE doc_id < 25),
+        |dg AS (SELECT doc_id, unnest(grams) AS gr FROM g WHERE doc_id >= 25),
+        |hits AS (SELECT doc_id, count(*) AS n FROM dg JOIN bg USING (gr) GROUP BY doc_id)
+        |SELECT b.doc_id, coalesce(hits.n, 0) AS n_contaminated_grams,
+        | coalesce(hits.n, 0) > 0 AS contaminated
+        |FROM (SELECT doc_id FROM documents WHERE doc_id >= 25) b
+        |LEFT JOIN hits USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     "q_decontaminate" ->
       """WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
         |g AS (SELECT doc_id, list_distinct(list_transform(range(1, len(w)-3),

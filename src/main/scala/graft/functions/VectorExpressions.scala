@@ -510,6 +510,12 @@ object VectorFunctions {
       s"graft function expected a boolean literal argument, got: $other")
   }
 
+  private def bytesArg(e: Expression): Array[Byte] = e.eval() match {
+    case b: Array[Byte] => b
+    case other => throw new IllegalArgumentException(
+      s"graft function expected a binary literal argument, got: $other")
+  }
+
   /** (name, implementing class, builder) for every native function —
     * single source of truth for BOTH registration paths (session-level
     * register() and GraftExtensions injection), so argument coercion
@@ -534,7 +540,9 @@ object VectorFunctions {
       (exprs: Seq[Expression]) =>
         WordGramHashes(exprs(0), intArg(exprs(1)), boolArg(exprs(2)))),
     ("graft_heavyhits", classOf[MisraGries],
-      (exprs: Seq[Expression]) => MisraGries(exprs(0), intArg(exprs(1)))))
+      (exprs: Seq[Expression]) => MisraGries(exprs(0), intArg(exprs(1)))),
+    ("graft_bloom_contains", classOf[BloomContains],
+      (exprs: Seq[Expression]) => BloomContains(exprs(0), bytesArg(exprs(1)))))
 
   /** Register on an existing session. Idempotent without being
     * shadowable: a name is skipped only when the existing registration

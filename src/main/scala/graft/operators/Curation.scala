@@ -73,6 +73,51 @@ object Curation {
     docs.filter(u < rate)
   }
 
+  /** [[flagContaminated]] with a Bloom-filter pre-prune on the doc-gram
+    * stream — the form that scales when the corpus side dwarfs the
+    * benchmark side: a compact sketch of the benchmark grams rides the
+    * plan, and the corpus grams that cannot match (1 − fpp of them) are
+    * dropped NARROWLY, before the join ever shuffles or probes. The
+    * exact join over the survivors eliminates the sketch's false
+    * positives, so output is bit-equal to [[flagContaminated]]
+    * (asserted in spec) — the sketch only cuts shuffle volume.
+    *
+    * At 100 TB this is the difference between joining every corpus gram
+    * and joining ~only the contaminated ones; it also lifts the
+    * requirement that the benchmark grams broadcast — the exact join is
+    * AQE-planned here, because after the prune both sides are small. */
+  def flagContaminatedBloom(
+      docs: DataFrame, benchmark: DataFrame, n: Int = 8,
+      fpp: Double = 0.01): DataFrame = {
+    graft.functions.VectorFunctions.register(docs.sparkSession)
+    def grams(df: DataFrame) = df
+      .withColumn("w", split(lower(col("text")), " ", -1))
+      .filter(size(col("w")) >= n)
+      .select(col("doc_id"), explode(expr(s"graft_grams(w, $n, true)")).as("gh"))
+    val benchGrams = grams(benchmark).select("gh").distinct()
+    // two actions over the (small) benchmark side: size, then sketch —
+    // the sketch is a few MB however large the corpus is
+    val nGrams = math.max(benchGrams.count(), 1L)
+    val bloom = benchGrams.stat.bloomFilter("gh", nGrams, fpp)
+    val bloomBytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bloom.writeTo(bos)
+      bos.toByteArray
+    }
+    val pruned = grams(docs)
+      .filter(call_udf("graft_bloom_contains", col("gh"), lit(bloomBytes)))
+    val hits = pruned
+      .join(benchGrams, Seq("gh"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_contaminated_grams"))
+    docs.select("doc_id")
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_contaminated_grams"), lit(0L)).as("n_contaminated_grams"))
+      .withColumn("contaminated", col("n_contaminated_grams") > 0)
+      .orderBy("doc_id")
+  }
+
   /** Benchmark decontamination: flag training docs sharing any word
     * n-gram with a benchmark/eval set (the standard n-gram overlap
     * check). Benchmark grams are hash-distinct and broadcast (eval sets

@@ -327,6 +327,22 @@ class LlmOpsSpec extends AnyFunSuite with SparkSessionTestBase {
       Seq(("alpha", 3L), ("beta", 2L)))
   }
 
+  test("flagContaminatedBloom is bit-equal to the exact join and actually prunes") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, docDir)
+    val train = docs.filter(col("doc_id") >= 25)
+    val bench = docs.filter(col("doc_id") < 25)
+    val exact = Curation.flagContaminated(train, bench, n = 5).collect().map(_.toString).toSeq
+    val bloomed = Curation.flagContaminatedBloom(train, bench, n = 5).collect().map(_.toString).toSeq
+    assert(bloomed === exact)
+    // the sketch must reject (almost all) non-matching grams: disjoint
+    // vocabularies → a probe of the train grams keeps ~fpp of them
+    graft.functions.VectorFunctions.register(spark)
+    val disjointBench = Seq((9999L, "zz1 zz2 zz3 zz4 zz5 zz6 zz7")).toDF("doc_id", "text")
+    val none = Curation.flagContaminatedBloom(train, disjointBench, n = 5)
+    assert(none.filter(col("contaminated")).count() === 0)
+  }
+
   test("heavyHitterTerms matches exact top-k and is partition-independent") {
     import spark.implicits._
     val docs = Tables.documents(spark, docDir)

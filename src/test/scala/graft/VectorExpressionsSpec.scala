@@ -152,6 +152,17 @@ class VectorExpressionsSpec extends AnyFunSuite with SparkSessionTestBase {
         .where("size(g) > 0").count() > 0)
       assert(s2.sql("SELECT graft_nfc(text) AS t FROM cg_docs")
         .where("t IS NOT NULL").count() > 0)
+      // bloom probe: membership of planted longs under forced codegen
+      val bf = org.apache.spark.util.sketch.BloomFilter.create(100, 0.01)
+      (1L to 50L).foreach(bf.putLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos)
+      val probed = s2.range(1, 101)
+        .select(call_udf("graft_bloom_contains", col("id"), lit(bos.toByteArray)).as("m"),
+          col("id"))
+        .collect()
+      assert(probed.filter(_.getLong(1) <= 50).forall(_.getBoolean(0))) // no false negatives
+      assert(probed.count(r => r.getLong(1) > 50 && r.getBoolean(0)) < 10) // few false positives
     } finally {
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()
