@@ -33,10 +33,17 @@ object Bench {
     // that or its head — including the opening brace — is cut off and
     // the line is unparseable. 3-decimal seconds and a short sf tag keep
     // the full 62-query line ~1.6k chars.
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val sfTag = sfDir.split('/').last
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfTag"}""")
+    def line(dp: Int): String = {
+      val qs = results.map { case (k, v) => "\"" + k + "\":" + s"%.${dp}f".format(v) }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfTag"}"""
+    }
+    // drop to 2-decimal per-query seconds if the query count ever pushes
+    // the line toward the tail-capture limit
+    val out = if (line(3).length <= 1850) line(3) else line(2)
+    println(out)
     spark.stop()
   }
 }
