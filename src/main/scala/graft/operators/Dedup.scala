@@ -42,29 +42,33 @@ object Dedup {
     * aggregation on the chunk hash — map-side combine collapses
     * mega-duplicated boilerplate chunks BEFORE the shuffle, which a
     * window-rank formulation cannot (one partition per hash value would
-    * hot-spot on boilerplate). The join back to occurrences is
-    * AQE-planned on the same hash key. md5 (not xxhash64) so any engine
+    * hot-spot on boilerplate). There is NO join back on the hash:
+    * per-doc duplicate counts follow from n_dups(doc) = n_chunks(doc) −
+    * n_owned(doc) (each distinct chunk contributes exactly one owned
+    * occurrence), so chunk-level rows cross exactly one shuffle and the
+    * 32-char hashes never ride a join. n_chunks itself is a narrow
+    * arithmetic on the doc row. md5 (not xxhash64) so any engine
     * reproduces the ownership decision. */
   def chunkDedup(docs: DataFrame, chunkWords: Int = 10): DataFrame = {
-    val chunks = docs
+    val base = docs
       .withColumn("w", split(lower(col("text")), " ", -1))
       .withColumn("n_full", (size(col("w")) / chunkWords).cast("int"))
       .filter(col("n_full") >= 1)
+    val chunks = base
       .select(col("doc_id"), explode(expr(
         s"""transform(sequence(1, n_full),
            |  i -> struct(i AS idx,
            |    md5(concat_ws(' ', slice(w, (i-1)*$chunkWords+1, $chunkWords))) AS h))"""
           .stripMargin)).as("c"))
       .select(col("doc_id"), col("c.idx").as("chunk_idx"), col("c.h").as("h"))
-    val owners = chunks.groupBy("h")
-      .agg(min(struct(col("doc_id"), col("chunk_idx"))).as("owner"))
-    chunks.join(owners, Seq("h"))
-      .withColumn("is_dup",
-        (col("doc_id") =!= col("owner.doc_id")) ||
-          (col("chunk_idx") =!= col("owner.chunk_idx")))
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_chunks"),
-        sum(col("is_dup").cast("long")).as("n_dup_chunks"))
+    val ownedPerDoc = chunks
+      .groupBy("h").agg(min(struct(col("doc_id"), col("chunk_idx"))).as("owner"))
+      .groupBy(col("owner.doc_id").as("doc_id"))
+      .agg(count(lit(1)).as("n_owned"))
+    base.select(col("doc_id"), col("n_full").cast("long").as("n_chunks"))
+      .join(ownedPerDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_chunks"),
+        (col("n_chunks") - coalesce(col("n_owned"), lit(0L))).as("n_dup_chunks"))
       .withColumn("dup_ratio",
         round(col("n_dup_chunks").cast("double") / col("n_chunks"), 4))
       .orderBy("doc_id")
