@@ -87,6 +87,7 @@ object SparkEntry {
     "q_distinct_categories" -> ((s, d) => Catalog.distinctCategories(Tables.part(s, d))),
     "q_distinct_brands" -> ((s, d) => Catalog.distinctBrands(Tables.part(s, d))),
     "q_stats" -> ((s, d) => Catalog.stats(Tables.lineitem(s, d))),
+    "q_stats_rollup" -> ((s, d) => Catalog.statsRollup(Tables.part(s, d))),
     "q_store_dim" -> ((s, d) =>
       Catalog.storeDim(Tables.supplier(s, d), Tables.nation(s, d), Tables.region(s, d))),
     // Section B — ETL / transform stages
@@ -360,6 +361,16 @@ object SparkEntry {
       "SELECT DISTINCT p_type AS category FROM part ORDER BY category",
     "q_distinct_brands" ->
       "SELECT DISTINCT p_brand AS brand FROM part ORDER BY brand",
+    "q_stats_rollup" ->
+      s"""SELECT coalesce(category, 'ALL') AS category,
+         | coalesce(brand, 'ALL') AS brand,
+         | count(*) AS n_products,
+         | ${sAvg("p_retailprice", 2)} AS avg_price,
+         | ${m("min(p_retailprice)")} AS min_price,
+         | ${m("max(p_retailprice)")} AS max_price
+         |FROM (SELECT p_type AS category, p_brand AS brand, p_retailprice FROM part)
+         |GROUP BY ROLLUP (category, brand)
+         |ORDER BY category, brand""".stripMargin,
     "q_stats" ->
       s"""SELECT count(*) AS total_observations,
          | count(DISTINCT l_suppkey) AS total_stores,

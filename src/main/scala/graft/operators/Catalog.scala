@@ -119,6 +119,28 @@ object Catalog {
       .withColumn("promo_percent",
         round(col("on_promo") * 100.0 / col("total_observations"), 1))
 
+  /** Multi-granularity catalog stats via ROLLUP: (category, brand)
+    * cells, per-category subtotals, and the grand total in ONE pass —
+    * Spark's Expand + partial aggregation keeps it a single shuffle
+    * over grouping-set-tagged rows instead of three scans unioned. The
+    * OLAP form of the `/stats` endpoint for dashboard drill-down.
+    * Subtotal rows are labeled 'ALL' (these dims carry no real nulls),
+    * which also keeps oracle ordering engine-neutral: Spark sorts ASC
+    * NULLS FIRST, DuckDB NULLS LAST, so sorting on labels instead of
+    * grouping nulls sidesteps the divergence. */
+  def statsRollup(part: DataFrame): DataFrame =
+    part.rollup(col("p_type").as("category"), col("p_brand").as("brand"))
+      .agg(
+        count(lit(1)).as("n_products"),
+        StableStats.stableAvg(col("p_retailprice"), 2).as("avg_price"),
+        round(min(col("p_retailprice")), 2).as("min_price"),
+        round(max(col("p_retailprice")), 2).as("max_price"))
+      .select(
+        coalesce(col("category"), lit("ALL")).as("category"),
+        coalesce(col("brand"), lit("ALL")).as("brand"),
+        col("n_products"), col("avg_price"), col("min_price"), col("max_price"))
+      .orderBy("category", "brand")
+
   /** Approximate global stats — the 100 TB form of `stats`: HLL++
     * distinct counts and approximate price quantiles replace exact
     * countDistinct (whose dedup shuffle dominates at scale). Bounded

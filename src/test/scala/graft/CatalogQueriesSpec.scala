@@ -177,6 +177,26 @@ class CatalogQueriesSpec extends AnyFunSuite with SparkSessionTestBase {
     assert(rows.forall(_.getLong(0) != 42L))
   }
 
+  test("statsRollup subtotals are consistent at every grouping level") {
+    val part = Tables.part(spark, sfDir)
+    val rows = graft.operators.Catalog.statsRollup(part).collect()
+    val grand = rows.filter(r => r.getString(0) == "ALL" && r.getString(1) == "ALL")
+    assert(grand.length === 1)
+    assert(grand.head.getAs[Long]("n_products") === part.count())
+    // each category subtotal equals the sum of its brand cells
+    val cells = rows.filter(r => r.getString(0) != "ALL" && r.getString(1) != "ALL")
+    val subtotals = rows.filter(r => r.getString(0) != "ALL" && r.getString(1) == "ALL")
+    subtotals.foreach { s =>
+      val cat = s.getString(0)
+      val cellSum = cells.filter(_.getString(0) == cat).map(_.getAs[Long]("n_products")).sum
+      assert(s.getAs[Long]("n_products") === cellSum, s"category $cat")
+    }
+    // one Expand pass: a single shuffle, not a union of three scans
+    val plan = graft.operators.Catalog.statsRollup(part).queryExecution.executedPlan.toString
+    assert(plan.contains("Expand"))
+    assert(plan.sliding("Scan parquet".length).count(_ == "Scan parquet") === 1)
+  }
+
   test("entry flagship returns rows on sf0.001") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
