@@ -141,6 +141,9 @@ object SparkEntry {
         Tables.lineitem(s, d))),
     "q_segment_stats" -> ((s, d) =>
       Purchases.segmentStats(Tables.customer(s, d), Tables.orders(s, d))),
+    "q_late_priority" -> ((s, d) =>
+      Purchases.latePriorityCounts(Tables.orders(s, d), Tables.lineitem(s, d))),
+    "q_funnel" -> ((s, d) => Etl.funnelConversion(Tables.events(s, d))),
     "q_substitutes" -> ((s, d) =>
       Catalog.substitutes(Tables.lineitem(s, d), Tables.part(s, d), 42L)),
     "q_stats_approx" -> ((s, d) => Catalog.statsApprox(Tables.lineitem(s, d))),
@@ -361,6 +364,32 @@ object SparkEntry {
       "SELECT DISTINCT p_type AS category FROM part ORDER BY category",
     "q_distinct_brands" ->
       "SELECT DISTINCT p_brand AS brand FROM part ORDER BY brand",
+    "q_late_priority" ->
+      """SELECT o_orderpriority, count(*) AS n_late_orders
+        |FROM orders o
+        |WHERE EXISTS (SELECT 1 FROM lineitem l
+        |  WHERE l.l_orderkey = o.o_orderkey
+        |    AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_funnel" ->
+      s"""WITH f AS (SELECT user_id,
+         |  min(CASE WHEN event_type = 'signup' THEN ts END) AS t0,
+         |  min(CASE WHEN event_type = 'view' THEN ts END) AS t1,
+         |  min(CASE WHEN event_type = 'click' THEN ts END) AS t2,
+         |  min(CASE WHEN event_type = 'purchase' THEN ts END) AS t3
+         | FROM events GROUP BY user_id),
+         |r AS (SELECT
+         |  CAST(sum(CASE WHEN t0 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+         |  CAST(sum(CASE WHEN t0 IS NOT NULL AND t1 >= t0 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         |  CAST(sum(CASE WHEN t0 IS NOT NULL AND t1 >= t0 AND t2 >= t1 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+         |  CAST(sum(CASE WHEN t0 IS NOT NULL AND t1 >= t0 AND t2 >= t1 AND t3 >= t2 THEN 1 ELSE 0 END) AS BIGINT) AS n3
+         | FROM f)
+         |SELECT stage_idx, stage, n_users, pct_of_first FROM (
+         | SELECT 1 AS stage_idx, 'signup' AS stage, n0 AS n_users, ${m("n0 * 100.0 / n0")} AS pct_of_first FROM r
+         | UNION ALL SELECT 2, 'view', n1, ${m("n1 * 100.0 / n0")} FROM r
+         | UNION ALL SELECT 3, 'click', n2, ${m("n2 * 100.0 / n0")} FROM r
+         | UNION ALL SELECT 4, 'purchase', n3, ${m("n3 * 100.0 / n0")} FROM r)
+         |ORDER BY stage_idx""".stripMargin,
     "q_stats_rollup" ->
       s"""SELECT coalesce(category, 'ALL') AS category,
          | coalesce(brand, 'ALL') AS brand,

@@ -159,4 +159,44 @@ object Etl {
       .select(col("w.start").as("window_start"), col("event_type"),
         col("n_events"), col("total_value"), col("avg_value"))
       .orderBy("window_start", "event_type")
+
+  /** Ordered funnel conversion over the event stream: a user reaches
+    * stage k when the FIRST touch of every stage 1..k forms a
+    * non-decreasing timestamp chain (the standard first-touch funnel).
+    * One user-keyed shuffle computes all per-stage first touches as
+    * conditional mins in a single aggregation; the chain flags and the
+    * final per-stage counts are then a scalar aggregate — no joins, no
+    * per-stage passes, no collect. Output: one row per stage with
+    * reached-user counts and percent of the entry stage. */
+  def funnelConversion(
+      events: DataFrame,
+      stages: Seq[String] = Seq("signup", "view", "click", "purchase")): DataFrame = {
+    require(stages.nonEmpty)
+    val firsts = events
+      .filter(col("event_type").isin(stages: _*))
+      .groupBy("user_id")
+      .agg(
+        min(when(col("event_type") === stages.head, col("ts"))).as(s"t_0"),
+        stages.tail.zipWithIndex.map { case (s, i) =>
+          min(when(col("event_type") === s, col("ts"))).as(s"t_${i + 1}")
+        }: _*)
+    val reached = stages.indices.map { k =>
+      (1 to k).map(i => col(s"t_$i") >= col(s"t_${i - 1}"))
+        .foldLeft(col("t_0").isNotNull)(_ && _)
+    }
+    val counts = firsts.agg(
+      sum(reached.head.cast("long")).as("n_0"),
+      reached.tail.zipWithIndex.map { case (c, i) =>
+        sum(c.cast("long")).as(s"n_${i + 1}")
+      }: _*)
+    val stageRows = stages.indices.map { i =>
+      struct(
+        lit(i + 1).as("stage_idx"), lit(stages(i)).as("stage"),
+        col(s"n_$i").as("n_users"),
+        round(col(s"n_$i") * 100.0 / col("n_0"), 2).as("pct_of_first"))
+    }
+    counts.select(explode(array(stageRows: _*)).as("s"))
+      .select(col("s.stage_idx"), col("s.stage"), col("s.n_users"), col("s.pct_of_first"))
+      .orderBy("stage_idx")
+  }
 }

@@ -139,4 +139,21 @@ object Purchases {
         StableStats.stableSum(col("o_totalprice"), 2).as("total_spend"),
         StableStats.stableAvg(col("o_totalprice"), 2).as("avg_order_value"))
       .orderBy("segment")
+
+  /** Late-shipment counts per order priority (TPC-H Q4 shape): orders
+    * with ANY line shipped more than `lateDays` after the order date,
+    * counted by priority. The EXISTS is a left-semi join carrying the
+    * correlated date condition — the semi join stops probing an order
+    * on its first late line (never materializes the multiplicity), and
+    * both scans keep only the two join/date columns. */
+  def latePriorityCounts(
+      orders: DataFrame, lineitem: DataFrame, lateDays: Int = 90): DataFrame =
+    orders
+      .join(lineitem.select("l_orderkey", "l_shipdate"),
+        col("o_orderkey") === col("l_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr(s"INTERVAL $lateDays DAYS"),
+        "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_late_orders"))
+      .orderBy("o_orderpriority")
 }

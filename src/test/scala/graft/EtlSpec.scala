@@ -113,6 +113,31 @@ class EtlSpec extends AnyFunSuite with SparkSessionTestBase {
     assert(rows.map(_.getAs[String]("raw_hash")).distinct.length === 2)
   }
 
+  test("funnelConversion counts monotone first-touch chains only") {
+    import spark.implicits._
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val events = Seq(
+      // user 1: full ordered funnel
+      (1L, ts(1), 10L, "signup"), (2L, ts(2), 10L, "view"),
+      (3L, ts(3), 10L, "click"), (4L, ts(4), 10L, "purchase"),
+      // user 2: clicked BEFORE viewing → chain breaks at click
+      (5L, ts(1), 20L, "signup"), (6L, ts(5), 20L, "view"),
+      (7L, ts(2), 20L, "click"), (8L, ts(9), 20L, "purchase"),
+      // user 3: never signed up → reaches nothing
+      (9L, ts(1), 30L, "view"), (10L, ts(2), 30L, "purchase"),
+      // user 4: signup only
+      (11L, ts(7), 40L, "signup"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+      .withColumn("value", lit(1.0))
+    val rows = Etl.funnelConversion(events).collect()
+    val byStage = rows.map(r => r.getAs[String]("stage") -> r.getAs[Long]("n_users")).toMap
+    assert(byStage === Map("signup" -> 3L, "view" -> 2L, "click" -> 1L, "purchase" -> 1L))
+    assert(rows.map(_.getAs[Int]("stage_idx")).toSeq === Seq(1, 2, 3, 4))
+    val pct = rows.map(r => r.getAs[String]("stage") -> r.getAs[Double]("pct_of_first")).toMap
+    assert(pct("signup") === 100.0)
+    assert(pct("click") === 33.33)
+  }
+
   test("profileColumns summarizes each column in one pass") {
     val li = Tables.lineitem(spark, sfDir)
     val rows = Etl.profileColumns(li,

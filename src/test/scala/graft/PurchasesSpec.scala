@@ -62,6 +62,23 @@ class PurchasesSpec extends AnyFunSuite with SparkSessionTestBase {
       manual.map(_.getAs[Long]("n_events")).sum)
   }
 
+  test("latePriorityCounts counts each late order once via semi join") {
+    val orders = Tables.orders(spark, sfDir)
+    val li = Tables.lineitem(spark, sfDir)
+    val out = graft.operators.Purchases.latePriorityCounts(orders, li).collect()
+    assert(out.nonEmpty)
+    // semi join: per-priority counts can never exceed the order counts
+    val totals = orders.groupBy("o_orderpriority").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_late_orders") <= totals(r.getString(0)))
+    }
+    // plan: left-semi, no multiplicity-preserving join
+    val plan = graft.operators.Purchases.latePriorityCounts(orders, li)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"))
+  }
+
   test("gz-compressed XML store feed parses identically to plain") {
     val plain = graft.sources.RawIngest.storesFromXml(spark,
       "/root/reference/StoresFull7290700100008-000-000-20250821-002217").collect()
