@@ -186,6 +186,9 @@ object SparkEntry {
     "q_dedup_clusters" -> ((s, d) =>
       Dedup.duplicateClusters(minhashPairsShared(s, d))
         .drop("members")),
+    "q_dedup_survivors" -> ((s, d) =>
+      Dedup.dedupSurvivors(Tables.documents(s, d), minhashPairsShared(s, d))
+        .select("doc_id", "source", "n_chars")),
     "q_asof_view_before_purchase" -> ((s, d) => {
       val ev = Tables.events(s, d)
       val purchases = ev.filter(col("event_type") === "purchase")

@@ -178,6 +178,19 @@ object Dedup {
     * Returns one row per cluster: representative (min doc_id), size,
     * sorted members. */
   def duplicateClusters(
+      pairs: DataFrame, maxIter: Int = 10, driverThreshold: Long = 1000000L): DataFrame =
+    duplicateLabels(pairs, maxIter, driverThreshold)
+      .groupBy(col("label").as("cluster_rep"))
+      .agg(count(lit(1)).as("n_docs"), collect_list("id").as("member_sample"))
+      .select(col("cluster_rep"), col("n_docs"),
+        sort_array(col("member_sample")).as("members"))
+      .orderBy("cluster_rep")
+
+  /** (id, label) connected-component labels for every doc appearing in
+    * a pair — label = the component's minimum doc_id. The slim form
+    * [[duplicateClusters]] aggregates and [[dedupSurvivors]] anti-joins
+    * on. */
+  def duplicateLabels(
       pairs: DataFrame, maxIter: Int = 10, driverThreshold: Long = 1000000L): DataFrame = {
     val spark = pairs.sparkSession
     val cached = pairs.select(col("doc_a"), col("doc_b")).cache()
@@ -223,11 +236,22 @@ object Dedup {
         }
         l
       }
-    labels.groupBy(col("label").as("cluster_rep"))
-      .agg(count(lit(1)).as("n_docs"), collect_list("id").as("member_sample"))
-      .select(col("cluster_rep"), col("n_docs"),
-        sort_array(col("member_sample")).as("members"))
-      .orderBy("cluster_rep")
+    labels
+  }
+
+  /** End-to-end dedup: keep exactly one document per near-duplicate
+    * cluster (the cluster's minimum doc_id) plus every unpaired
+    * document — the operator that actually SHRINKS the corpus, closing
+    * the pairs → clusters → survivors pipeline. The drop set is the
+    * slim (id ≠ label) half of the label table, removed by a LEFT ANTI
+    * join on doc_id — ids only, no text or vectors ride the shuffle,
+    * and the corpus side streams through unaggregated. */
+  def dedupSurvivors(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val drop = duplicateLabels(pairs)
+      .filter(col("id") =!= col("label"))
+      .select(col("id").as("doc_id"))
+    docs.join(drop, Seq("doc_id"), "left_anti")
+      .orderBy("doc_id")
   }
 
   /** Word n-gram Jaccard similarity over candidate pairs (blocked by

@@ -107,6 +107,26 @@ class LlmOpsSpec extends AnyFunSuite with SparkSessionTestBase {
     assert(clusters.forall(_.getAs[Long]("n_docs") >= 2))
   }
 
+  test("dedupSurvivors keeps exactly one doc per cluster plus unpaired docs") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, docDir)
+    val pairs = Dedup.minhashPairs(docs)
+    val survivors = Dedup.dedupSurvivors(docs, pairs)
+    val labels = Dedup.duplicateLabels(pairs).collect()
+    val paired = labels.map(_.getLong(0)).toSet
+    val reps = labels.map(_.getLong(1)).toSet
+    // survivors = all docs − (paired − representatives)
+    assert(survivors.count() === docs.count() - (paired.size - reps.size))
+    val kept = survivors.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(reps.subsetOf(kept))
+    assert((paired -- reps).forall(id => !kept.contains(id)))
+    // synthetic closure: chain a-b, b-c collapses to one survivor
+    val chain = Seq((1L, 2L), (2L, 3L)).toDF("doc_a", "doc_b")
+    val tiny = Seq((1L, "x"), (2L, "y"), (3L, "z"), (9L, "w")).toDF("doc_id", "text")
+    val out = Dedup.dedupSurvivors(tiny, chain).select("doc_id").collect().map(_.getLong(0))
+    assert(out.toSeq === Seq(1L, 9L))
+  }
+
   test("simhashPairs emits low-hamming pairs only") {
     val pairs = Dedup.simhashPairs(Tables.documents(spark, docDir)).collect()
     assert(pairs.nonEmpty)
