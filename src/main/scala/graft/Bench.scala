@@ -32,18 +32,21 @@ object Bench {
     // trailing "[success]" line), so the JSON line must stay well under
     // that or its head — including the opening brace — is cut off and
     // the line is unparseable. 3-decimal seconds and a short sf tag keep
-    // the full 62-query line ~1.6k chars.
+    // the current ~70-query line under the cutoff, with a 2-decimal
+    // fallback as the query count grows.
     val total = results.map(_._2).sum
     val sfTag = sfDir.split('/').last
+    // Locale.ROOT: a comma-decimal default locale (de_DE, fr_FR) would
+    // format 71.234 as "71,234" and corrupt the JSON
+    def fmt(dp: Int, v: Double): String =
+      String.format(java.util.Locale.ROOT, s"%.${dp}f", Double.box(v))
     def line(dp: Int): String = {
-      val qs = results.map { case (k, v) => "\"" + k + "\":" + s"%.${dp}f".format(v) }
+      val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(dp, v) }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfTag"}"""
+      s"""{"metric":"total","value":${fmt(3, total)},"unit":"sec","queries":$qs,"sf":"$sfTag"}"""
     }
-    // drop to 2-decimal per-query seconds if the query count ever pushes
-    // the line toward the tail-capture limit
-    val out = if (line(3).length <= 1850) line(3) else line(2)
-    println(out)
+    val line3 = line(3)
+    println(if (line3.length <= 1850) line3 else line(2))
     spark.stop()
   }
 }

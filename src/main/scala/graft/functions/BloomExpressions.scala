@@ -2,9 +2,10 @@ package graft.functions
 
 import java.io.ByteArrayInputStream
 
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.types.{BooleanType, DataType}
+import org.apache.spark.sql.types.{BooleanType, DataType, LongType}
 import org.apache.spark.util.sketch.BloomFilter
 
 /** Bloom-filter membership probe over a long-hash column — the
@@ -20,14 +21,24 @@ import org.apache.spark.util.sketch.BloomFilter
   * expression instance, not per row. The probe itself is a codegen'd
   * bit test.
   */
-case class BloomContains(child: Expression, bloomBytes: Array[Byte])
+case class BloomContains(child: Expression, bloomBytes: Seq[Byte])
   extends UnaryExpression {
 
   override def dataType: DataType = BooleanType
   override def prettyName: String = "graft_bloom_contains"
 
+  // Seq[Byte], not Array[Byte]: case-class equality on an Array field is
+  // reference-based, which would defeat semanticEquals-driven plan reuse
+  // (common-subexpression elimination, exchange reuse) for identical
+  // probes
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == LongType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a BIGINT probe column, got ${child.dataType.sql}")
+
   @transient lazy val filter: BloomFilter =
-    BloomFilter.readFrom(new ByteArrayInputStream(bloomBytes))
+    BloomFilter.readFrom(new ByteArrayInputStream(bloomBytes.toArray))
 
   override protected def nullSafeEval(v: Any): Any =
     filter.mightContainLong(v.asInstanceOf[Long])

@@ -62,12 +62,20 @@ case class MisraGries(
       buf.entries.toArray.sortBy { case (k, c) => (-c, k) }
         .map { case (k, _) => UTF8String.fromString(k): Any })
 
+  // length-prefixed raw UTF-8, not writeUTF: a pathological key (long
+  // base64 blob, minified-JS line) over 64 KiB would make writeUTF
+  // throw mid-shuffle
   override def serialize(buf: MGBuffer): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
     val es = buf.entries.toArray
     out.writeInt(es.length)
-    es.foreach { case (k, c) => out.writeUTF(k); out.writeLong(c) }
+    es.foreach { case (k, c) =>
+      val kb = k.getBytes("UTF-8")
+      out.writeInt(kb.length)
+      out.write(kb)
+      out.writeLong(c)
+    }
     out.flush()
     bos.toByteArray
   }
@@ -77,8 +85,9 @@ case class MisraGries(
     val buf = new MGBuffer(capacity)
     val n = in.readInt()
     (1 to n).foreach { _ =>
-      val k = in.readUTF(); val c = in.readLong()
-      buf.add(k, c)
+      val kb = new Array[Byte](in.readInt())
+      in.readFully(kb)
+      buf.add(new String(kb, "UTF-8"), in.readLong())
     }
     buf
   }

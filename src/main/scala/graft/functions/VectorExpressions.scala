@@ -542,7 +542,9 @@ object VectorFunctions {
     ("graft_heavyhits", classOf[MisraGries],
       (exprs: Seq[Expression]) => MisraGries(exprs(0), intArg(exprs(1)))),
     ("graft_bloom_contains", classOf[BloomContains],
-      (exprs: Seq[Expression]) => BloomContains(exprs(0), bytesArg(exprs(1)))))
+      (exprs: Seq[Expression]) =>
+        BloomContains(exprs(0), scala.collection.immutable.ArraySeq.unsafeWrapArray(
+          bytesArg(exprs(1))))))
 
   /** Register on an existing session. Idempotent without being
     * shadowable: a name is skipped only when the existing registration

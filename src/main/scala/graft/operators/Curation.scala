@@ -16,7 +16,11 @@ object Curation {
 
   /** Stable split assignment: hash the id with a salt, bucket into
     * percent space, map cumulative weight ranges to split names.
-    * Same row → same split, forever, on any cluster.
+    * Same row → same split across runs, partitionings, and cluster
+    * sizes FOR A GIVEN (salt, hash) convention — the hash changed from
+    * xxhash64 to the md5 prefix below in round 4, which reassigned
+    * splits once; pin `salt` per dataset generation and treat any
+    * future hash change as a new generation.
     *
     * The bucket hash is an md5 prefix (like [[mixSources]]), not
     * xxhash64: a train/val/test assignment must be reproducible by ANY
@@ -94,10 +98,20 @@ object Curation {
       .withColumn("w", split(lower(col("text")), " ", -1))
       .filter(size(col("w")) >= n)
       .select(col("doc_id"), explode(expr(s"graft_grams(w, $n, true)")).as("gh"))
-    val benchGrams = grams(benchmark).select("gh").distinct()
-    // two actions over the (small) benchmark side: size, then sketch —
-    // the sketch is a few MB however large the corpus is
-    val nGrams = math.max(benchGrams.count(), 1L)
+    // persist: the benchmark gram set feeds three evaluations (the size
+    // count, the sketch build, and the exact join in the returned plan)
+    // — without it the explode+distinct lineage recomputes each time
+    val benchGrams = grams(benchmark).select("gh").distinct().persist()
+    val nGrams = benchGrams.count()
+    if (nGrams == 0) {
+      // no benchmark grams → nothing is contaminated (stat.bloomFilter
+      // cannot sketch an empty frame)
+      benchGrams.unpersist()
+      return docs.select(col("doc_id"))
+        .withColumn("n_contaminated_grams", lit(0L))
+        .withColumn("contaminated", lit(false))
+        .orderBy("doc_id")
+    }
     val bloom = benchGrams.stat.bloomFilter("gh", nGrams, fpp)
     val bloomBytes = {
       val bos = new java.io.ByteArrayOutputStream()

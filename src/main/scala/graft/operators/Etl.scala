@@ -184,16 +184,19 @@ object Etl {
       (1 to k).map(i => col(s"t_$i") >= col(s"t_${i - 1}"))
         .foldLeft(col("t_0").isNotNull)(_ && _)
     }
+    // coalesce: sum over zero rows is NULL — an empty event stream must
+    // yield zero counts, not null rows
     val counts = firsts.agg(
-      sum(reached.head.cast("long")).as("n_0"),
+      coalesce(sum(reached.head.cast("long")), lit(0L)).as("n_0"),
       reached.tail.zipWithIndex.map { case (c, i) =>
-        sum(c.cast("long")).as(s"n_${i + 1}")
+        coalesce(sum(c.cast("long")), lit(0L)).as(s"n_${i + 1}")
       }: _*)
     val stageRows = stages.indices.map { i =>
       struct(
         lit(i + 1).as("stage_idx"), lit(stages(i)).as("stage"),
         col(s"n_$i").as("n_users"),
-        round(col(s"n_$i") * 100.0 / col("n_0"), 2).as("pct_of_first"))
+        when(col("n_0") > 0, round(col(s"n_$i") * 100.0 / col("n_0"), 2))
+          .otherwise(lit(null).cast("double")).as("pct_of_first"))
     }
     counts.select(explode(array(stageRows: _*)).as("s"))
       .select(col("s.stage_idx"), col("s.stage"), col("s.n_users"), col("s.pct_of_first"))

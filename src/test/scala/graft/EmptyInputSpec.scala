@@ -72,6 +72,26 @@ class EmptyInputSpec extends AnyFunSuite with SparkSessionTestBase {
     assert(TextAnalysis.topTerms(emptyDocs).count() === 0)
     assert(graft.operators.Dedup.chunkDedup(emptyDocs).count() === 0)
     assert(graft.operators.TextCleaning.domainStats(emptyDocs).count() === 0)
+    // heavy hitters: empty MG buffer evals to an empty candidate set
+    assert(TextAnalysis.heavyHitterTerms(emptyDocs).count() === 0)
+    assert(graft.operators.Catalog.statsRollup(Tables.part(spark, sfDir).limit(0))
+      .count() === 0)
+    assert(Purchases.latePriorityCounts(
+      Tables.orders(spark, sfDir).limit(0), emptyLi).count() === 0)
+    // funnel on no events: one row per stage, zero users, null pct (0/0)
+    val funnel = Etl.funnelConversion(emptyEvents).collect()
+    assert(funnel.length === 4)
+    assert(funnel.forall(_.getAs[Long]("n_users") === 0L))
+    // bloom decontamination with empty benchmark AND empty corpus
+    assert(Curation.flagContaminatedBloom(emptyDocs, emptyDocs).count() === 0)
+    val docsAll = Tables.documents(spark, sfDir)
+    val bloomed = Curation.flagContaminatedBloom(docsAll, emptyDocs)
+    assert(bloomed.count() === docsAll.count())
+    assert(bloomed.filter(org.apache.spark.sql.functions.col("contaminated")).count() === 0)
+    // survivors of an empty pair set = the whole corpus
+    import spark.implicits._
+    val noPairs = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    assert(Dedup.dedupSurvivors(docsAll, noPairs).count() === docsAll.count())
     assert(Pricing.priceAnomalies(emptyLi).count() === 0)
     val profile = Etl.profileColumns(emptyLi, Seq("l_quantity", "l_discount")).collect()
     assert(profile.length === 2) // one row per column, zero counts

@@ -53,12 +53,14 @@ class StreamingSpec extends AnyFunSuite with SparkSessionTestBase {
   test("enrichStream joins the static dimension per micro-batch, keeping misses") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("enrichstream").toString
-    val events = Tables.events(spark, sfDir)
+    Tables.events(spark, sfDir)
       .withColumn("ts", col("ts").cast("timestamp"))
       .limit(200)
-    events.write.mode("overwrite").parquet(dir)
-    // dimension covering only even user ids — odd ids must survive as nulls
-    val dim = events.select("user_id").distinct()
+      .write.mode("overwrite").parquet(dir)
+    // derive the dim from the parquet actually written: re-evaluating the
+    // limit(200) plan could pick a different row set
+    // (dimension covers only even user ids — odd ids must survive as nulls)
+    val dim = spark.read.parquet(dir).select("user_id").distinct()
       .filter(col("user_id") % 2 === 0)
       .withColumn("segment", concat(lit("seg"), col("user_id") % 3))
     val q = EventsStream.enrichStream(EventsStream.readEvents(spark, dir), dim)
