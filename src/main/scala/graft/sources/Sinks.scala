@@ -52,6 +52,40 @@ object Sinks {
     spark.read.parquet(tmp).write.mode(SaveMode.Overwrite).parquet(path)
   }
 
+  /** Small-file compaction: rewrite a parquet directory into
+    * ~`targetFileBytes` files. Streaming upserts and incremental loads
+    * accrete files over time; at cluster scale the resulting
+    * file-open/footers overhead dominates scan cost long before data
+    * volume does. File count = ceil(bytes-on-disk / target), measured
+    * from the source files themselves (no count() job, no sampling
+    * pass); two-phase rewrite because a parquet source cannot
+    * overwrite itself. */
+  def compact(
+      spark: SparkSession, path: String,
+      targetFileBytes: Long = 128L * 1024 * 1024): Unit = {
+    val df = spark.read.parquet(path)
+    val bytes = df.inputFiles.map(f =>
+      new java.io.File(new java.net.URI(f).getPath).length()).sum
+    val nFiles = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+    val tmp = path + "__compact"
+    df.repartition(nFiles).write.mode(SaveMode.Overwrite).parquet(tmp)
+    spark.read.parquet(tmp).write.mode(SaveMode.Overwrite).parquet(path)
+  }
+
+  /** Range-partitioned, sorted-within-file write: rows are range
+    * partitioned then sorted on `rangeCol`, so each output file covers
+    * a DISJOINT value range and its parquet min/max statistics actually
+    * prune — a point or range predicate on `rangeCol` skips every other
+    * file (row-group stats do the same within files). The
+    * Spark-native form of clustering/Z-ordering on one key; the
+    * standard layout for time-series landing zones queried by time
+    * range. */
+  def writeRangePartitioned(
+      df: DataFrame, path: String, rangeCol: String, partitions: Int): Unit =
+    df.repartitionByRange(partitions, col(rangeCol))
+      .sortWithinPartitions(rangeCol)
+      .write.mode(SaveMode.Overwrite).parquet(path)
+
   /** Persist as a bucketed+sorted table: pays the shuffle once at write
     * time; later equi-joins between tables bucketed on the same key
     * plan without an Exchange. */

@@ -49,4 +49,47 @@ class SinksSpec extends AnyFunSuite with SparkSessionTestBase {
     assert(!plan.contains("Exchange"), s"unexpected shuffle in:\n$plan")
     assert(joined.count() > 0)
   }
+
+  test("compact rewrites a fragmented directory into fewer files, data intact") {
+    val path = java.nio.file.Files.createTempDirectory("compact").toString + "/frag"
+    val li = Tables.lineitem(spark, sfDir)
+    li.repartition(40).write.parquet(path) // simulate incremental-load fragmentation
+    def files(p: String) = new java.io.File(p).listFiles()
+      .filter(f => f.getName.endsWith(".parquet")).length
+    val before = files(path)
+    assert(before >= 40)
+    val rows = li.count()
+    def xorsum(p: String) = spark.read.parquet(p)
+      .agg(bit_xor(xxhash64(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))))
+      .collect().head.getLong(0)
+    val checksum = xorsum(path)
+    Sinks.compact(spark, path, targetFileBytes = 64L * 1024 * 1024)
+    assert(files(path) < before)
+    val back = spark.read.parquet(path)
+    assert(back.count() === rows)
+    assert(xorsum(path) === checksum)
+  }
+
+  test("range-partitioned write produces files with disjoint key ranges") {
+    val path = java.nio.file.Files.createTempDirectory("rangepart").toString + "/bytime"
+    val li = Tables.lineitem(spark, sfDir)
+    Sinks.writeRangePartitioned(li, path, "l_shipdate", partitions = 8)
+    val back = spark.read.parquet(path)
+    assert(back.count() === li.count())
+    // each file covers a disjoint l_shipdate range → parquet min/max
+    // stats prune every other file on a time predicate
+    val parts = new java.io.File(path).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath)
+    assert(parts.length >= 4)
+    val ranges = parts.map { f =>
+      val r = spark.read.parquet(f)
+        .agg(min("l_shipdate").as("lo"), max("l_shipdate").as("hi"))
+        .collect().head
+      (r.getAs[java.time.LocalDateTime]("lo"), r.getAs[java.time.LocalDateTime]("hi"))
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, hi), (lo2, _)) => assert(!hi.isAfter(lo2))
+      case _ =>
+    }
+  }
 }
