@@ -143,6 +143,7 @@ object SparkEntry {
       Purchases.segmentStats(Tables.customer(s, d), Tables.orders(s, d))),
     "q_late_priority" -> ((s, d) =>
       Purchases.latePriorityCounts(Tables.orders(s, d), Tables.lineitem(s, d))),
+    "q_copurchase" -> ((s, d) => Purchases.coPurchasePairs(Tables.lineitem(s, d))),
     "q_funnel" -> ((s, d) => Etl.funnelConversion(Tables.events(s, d))),
     "q_substitutes" -> ((s, d) =>
       Catalog.substitutes(Tables.lineitem(s, d), Tables.part(s, d), 42L)),
@@ -367,6 +368,13 @@ object SparkEntry {
       "SELECT DISTINCT p_type AS category FROM part ORDER BY category",
     "q_distinct_brands" ->
       "SELECT DISTINCT p_brand AS brand FROM part ORDER BY brand",
+    "q_copurchase" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey AS okey, l_partkey FROM lineitem)
+        |SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS n_orders
+        |FROM items a JOIN items b
+        |  ON a.okey = b.okey AND a.l_partkey < b.l_partkey
+        |GROUP BY part_a, part_b
+        |ORDER BY n_orders DESC, part_a, part_b LIMIT 20""".stripMargin,
     "q_late_priority" ->
       """SELECT o_orderpriority, count(*) AS n_late_orders
         |FROM orders o

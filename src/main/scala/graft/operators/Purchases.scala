@@ -140,6 +140,26 @@ object Purchases {
         StableStats.stableAvg(col("o_totalprice"), 2).as("avg_order_value"))
       .orderBy("segment")
 
+  /** Frequently-bought-together pairs (market-basket co-occurrence):
+    * distinct parts per order self-joined within the order key,
+    * counted per unordered pair, exact top-k. The self-join is an
+    * equi-join on the order key, so candidate pairs are O(Σ basket²)
+    * bounded by basket size — never a corpus-level product — and ride
+    * the join as two part keys only. Distinct-within-order first so
+    * multi-line items (same part, several lines) cannot inflate counts.
+    * Top-k is a TakeOrdered with a total (count desc, pair asc) order. */
+  def coPurchasePairs(lineitem: DataFrame, k: Int = 20): DataFrame = {
+    val items = lineitem.select(col("l_orderkey").as("okey"), col("l_partkey"))
+      .distinct()
+    items.as("a")
+      .join(items.as("b"),
+        col("a.okey") === col("b.okey") && col("a.l_partkey") < col("b.l_partkey"))
+      .groupBy(col("a.l_partkey").as("part_a"), col("b.l_partkey").as("part_b"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("n_orders").desc, col("part_a"), col("part_b"))
+      .limit(k)
+  }
+
   /** Late-shipment counts per order priority (TPC-H Q4 shape): orders
     * with ANY line shipped more than `lateDays` after the order date,
     * counted by priority. The EXISTS is a left-semi join carrying the

@@ -62,6 +62,24 @@ class PurchasesSpec extends AnyFunSuite with SparkSessionTestBase {
       manual.map(_.getAs[Long]("n_events")).sum)
   }
 
+  test("coPurchasePairs counts unordered pairs once per order") {
+    import spark.implicits._
+    val li = Seq(
+      (100L, 1L), (100L, 2L), (100L, 3L),
+      (200L, 1L), (200L, 2L),
+      (300L, 1L), (300L, 2L),
+      (300L, 2L)) // duplicate line: same part twice in one order
+      .toDF("l_orderkey", "l_partkey")
+    val out = graft.operators.Purchases.coPurchasePairs(li, k = 10).collect()
+    val asMap = out.map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(asMap((1L, 2L)) === 3L) // co-occurs in all three orders
+    assert(asMap((1L, 3L)) === 1L)
+    assert(asMap((2L, 3L)) === 1L)
+    assert(out.head.getLong(2) === 3L) // ranked by count desc
+    // no (a, a) self pairs, no reversed duplicates
+    assert(out.forall(r => r.getLong(0) < r.getLong(1)))
+  }
+
   test("latePriorityCounts counts each late order once via semi join") {
     val orders = Tables.orders(spark, sfDir)
     val li = Tables.lineitem(spark, sfDir)
