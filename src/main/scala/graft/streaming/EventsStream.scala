@@ -62,6 +62,35 @@ object EventsStream {
       }
       .start()
 
+  /** Watermarked stream-stream attribution join: attribute each
+    * purchase to the user's views in the preceding `horizon` — the
+    * streaming form of the as-of/attribution analysis
+    * (`Temporal.asOfJoin` is the batch twin). Both sides carry
+    * watermarks and the join condition bounds the event-time skew, so
+    * Spark buffers only `horizon`-worth of state per side and evicts
+    * closed ranges exactly-once — unbounded-state stream joins are the
+    * canonical streaming OOM, and the time bound is what prevents it.
+    * Inner join: a purchase emits once per qualifying view; downstream
+    * pick-latest (or first-touch) runs per micro-batch. */
+  def attributionJoin(
+      views: DataFrame, purchases: DataFrame,
+      horizon: String = "1 hour"): DataFrame = {
+    val v = views
+      .withWatermark("ts", horizon)
+      .select(col("user_id"), col("ts").as("view_ts"),
+        col("event_id").as("view_id"))
+    val p = purchases
+      .withWatermark("ts", horizon)
+      .select(col("user_id"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"), col("value"))
+    p.join(v,
+      p("user_id") === v("user_id") &&
+        col("view_ts") <= col("purchase_ts") &&
+        col("view_ts") >= col("purchase_ts") - expr(s"INTERVAL $horizon"))
+      .select(p("user_id"), col("purchase_id"), col("purchase_ts"),
+        col("view_id"), col("view_ts"), col("value"))
+  }
+
   /** Stream-static enrichment join: attach a (slowly-changing)
     * dimension snapshot to the event stream — the streaming form of the
     * reference's store upsert/lookup step (each incoming item resolves

@@ -77,6 +77,39 @@ class StreamingSpec extends AnyFunSuite with SparkSessionTestBase {
     } finally q.stop()
   }
 
+  test("attributionJoin matches purchases to in-horizon views only") {
+    val dir = java.nio.file.Files.createTempDirectory("attrstream").toString
+    val ev = Tables.events(spark, sfDir)
+      .withColumn("ts", col("ts").cast("timestamp"))
+    ev.write.mode("overwrite").parquet(dir)
+    val stream = EventsStream.readEvents(spark, dir)
+    val q = EventsStream.attributionJoin(
+        stream.filter(col("event_type") === "view"),
+        stream.filter(col("event_type") === "purchase"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("attr_out").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("attr_out")
+      // batch twin: plain inner join with the same time-range condition
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts").as("view_ts"), col("event_id").as("view_id"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("purchase_ts"),
+          col("event_id").as("purchase_id"))
+      val expected = purchases.join(views, Seq("user_id"))
+        .filter(col("view_ts") <= col("purchase_ts") &&
+          col("view_ts") >= col("purchase_ts") - expr("INTERVAL 1 HOUR"))
+        .count()
+      assert(got.count() === expected)
+      assert(expected > 0)
+      // every emitted pair respects the horizon
+      assert(got.filter(col("view_ts") > col("purchase_ts")).count() === 0)
+      assert(got.filter(
+        col("view_ts") < col("purchase_ts") - expr("INTERVAL 1 HOUR")).count() === 0)
+    } finally q.stop()
+  }
+
   test("sessionizeStream emits gap-closed sessions") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("sessstream").toString
