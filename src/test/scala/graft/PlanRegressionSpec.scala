@@ -97,6 +97,20 @@ class PlanRegressionSpec extends AnyFunSuite with SparkSessionTestBase {
     assert(p.sliding("HashAggregate".length).count(_ == "HashAggregate") >= 2)
   }
 
+  test("bloom decontamination probes narrowly and joins after the prune") {
+    val p = plan("q_decontaminate_bloom")
+    // the sketch probe must exist as a Filter (narrow prune) and the
+    // exact gram join must still be present to kill false positives
+    assert(p.contains("graft_bloom_contains"))
+    assert(p.contains("Join") || p.contains("BroadcastHashJoin") ||
+      p.contains("SortMergeJoin"))
+  }
+
+  test("co-purchase top-k fuses sort and limit") {
+    val p = plan("q_copurchase")
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
   test("ngram df-cap self-join reuses the window's partitioning") {
     val df = SparkEntry.queries("q_ngram_jaccard")(spark, sfDir)
     val p = df.queryExecution.executedPlan.toString
