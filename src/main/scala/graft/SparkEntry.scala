@@ -88,6 +88,9 @@ object SparkEntry {
     "q_distinct_brands" -> ((s, d) => Catalog.distinctBrands(Tables.part(s, d))),
     "q_stats" -> ((s, d) => Catalog.stats(Tables.lineitem(s, d))),
     "q_stats_rollup" -> ((s, d) => Catalog.statsRollup(Tables.part(s, d))),
+    "q_store_info" -> ((s, d) =>
+      Catalog.storeInfo(Tables.lineitem(s, d), Tables.part(s, d),
+        Tables.supplier(s, d), 7L)),
     "q_store_dim" -> ((s, d) =>
       Catalog.storeDim(Tables.supplier(s, d), Tables.nation(s, d), Tables.region(s, d))),
     // Section B — ETL / transform stages
@@ -368,6 +371,19 @@ object SparkEntry {
       "SELECT DISTINCT p_type AS category FROM part ORDER BY category",
     "q_distinct_brands" ->
       "SELECT DISTINCT p_brand AS brand FROM part ORDER BY brand",
+    "q_store_info" ->
+      s"""WITH obs AS (SELECT l_partkey, l_discount, p_type
+         |  FROM lineitem JOIN part ON l_partkey = p_partkey WHERE l_suppkey = 7),
+         |a AS (SELECT count(DISTINCT l_partkey) AS total_products,
+         |  count(DISTINCT CASE WHEN l_discount > 0 THEN l_partkey END) AS products_on_sale,
+         |  count(DISTINCT p_type) AS categories_available,
+         |  array_to_string(list_sort(list(DISTINCT p_type)), ',') AS category_list
+         | FROM obs)
+         |SELECT s_suppkey AS store_id, s_name AS store_name, total_products,
+         | products_on_sale,
+         | ${m("products_on_sale * 100.0 / total_products")} AS sale_percentage,
+         | categories_available, category_list
+         |FROM supplier, a WHERE s_suppkey = 7""".stripMargin,
     "q_copurchase" ->
       """WITH items AS (SELECT DISTINCT l_orderkey AS okey, l_partkey FROM lineitem)
         |SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS n_orders

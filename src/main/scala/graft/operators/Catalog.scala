@@ -119,6 +119,33 @@ object Catalog {
       .withColumn("promo_percent",
         round(col("on_promo") * 100.0 / col("total_observations"), 1))
 
+  /** Single-store profile card (mcp.py:519 handle_get_store_info):
+    * the store dimension row plus aggregated product statistics —
+    * distinct products carried, distinct products on promo, sale
+    * percentage, distinct categories and their sorted list. One
+    * filtered fact scan (store filter pushed to the parquet scan) with
+    * a broadcast catalog join; the scalar aggregate rides a broadcast
+    * cross join onto the single dimension row. */
+  def storeInfo(
+      li: DataFrame, part: DataFrame, supplier: DataFrame, storeId: Long): DataFrame = {
+    val obs = li.filter(col("l_suppkey") === storeId)
+      .join(broadcast(part.select(col("p_partkey"), col("p_type"))),
+        col("l_partkey") === col("p_partkey"))
+    val agg = obs.agg(
+      countDistinct("l_partkey").as("total_products"),
+      countDistinct(when(col("l_discount") > 0, col("l_partkey"))).as("products_on_sale"),
+      countDistinct("p_type").as("categories_available"),
+      concat_ws(",", array_sort(collect_set("p_type"))).as("category_list"))
+    supplier.filter(col("s_suppkey") === storeId)
+      .select(col("s_suppkey").as("store_id"), col("s_name").as("store_name"))
+      .crossJoin(broadcast(agg))
+      .withColumn("sale_percentage",
+        round(col("products_on_sale") * 100.0 / col("total_products"), 2))
+      .select(col("store_id"), col("store_name"), col("total_products"),
+        col("products_on_sale"), col("sale_percentage"),
+        col("categories_available"), col("category_list"))
+  }
+
   /** Multi-granularity catalog stats via ROLLUP: (category, brand)
     * cells, per-category subtotals, and the grand total in ONE pass —
     * Spark's Expand + partial aggregation keeps it a single shuffle

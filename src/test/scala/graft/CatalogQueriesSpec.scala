@@ -177,6 +177,21 @@ class CatalogQueriesSpec extends AnyFunSuite with SparkSessionTestBase {
     assert(rows.forall(_.getLong(0) != 42L))
   }
 
+  test("storeInfo returns one profile row with pushed store filter") {
+    val df = graft.operators.Catalog.storeInfo(
+      Tables.lineitem(spark, sfDir), Tables.part(spark, sfDir),
+      Tables.supplier(spark, sfDir), 7L)
+    val rows = df.collect()
+    assert(rows.length === 1)
+    val r = rows.head
+    assert(r.getAs[Long]("store_id") === 7L)
+    assert(r.getAs[Long]("products_on_sale") <= r.getAs[Long]("total_products"))
+    assert(r.getAs[String]("category_list").split(",").length ===
+      r.getAs[Long]("categories_available"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(l_suppkey)"))
+  }
+
   test("statsRollup subtotals are consistent at every grouping level") {
     val part = Tables.part(spark, sfDir)
     val rows = graft.operators.Catalog.statsRollup(part).collect()
