@@ -96,7 +96,9 @@ object Similarity {
     * aggregation (posexplode → per-dimension mean → re-assemble), then
     * probe: each query searches only the `nProbe` nearest centroid
     * lists, exact-reranked with graft_dot. The 100 TB shape: assignment
-    * is corpus × broadcast(centroids) with a constant fan-out; list
+    * is a NARROW map — each row folds over a broadcast array of all
+    * centroids (single-row collect_list, constant size) and keeps the
+    * argmax, so no row blow-up and no shuffle per Lloyd pass; list
     * probing replaces the full scan with O(corpus·nProbe/nCentroids)
     * candidates. */
   def embedIvfTopK(
@@ -113,14 +115,20 @@ object Similarity {
       .limit(nCentroids)
       .select(row_number().over(Window.orderBy("vec_id")).as("cid"), col("vn").as("cvec"))
 
-    def assign(vectors: DataFrame): DataFrame = {
-      val w = Window.partitionBy("vec_id").orderBy(col("sim").desc, col("cid"))
-      vectors.crossJoin(broadcast(centroids))
-        .withColumn("sim", expr("graft_dot(vn, cvec)"))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
+    // all centroids as ONE broadcast row (cid-ascending array): argmax
+    // per vector is then a projection, not a 16×-row window shuffle.
+    // Ties pick the smallest cid (array_position returns the first
+    // maximum; the array is cid-sorted), matching the window
+    // formulation's (sim desc, cid asc) order.
+    def centArray(c: DataFrame): DataFrame =
+      c.agg(expr("array_sort(collect_list(struct(cid, cvec)))").as("cents"))
+
+    def assign(vectors: DataFrame): DataFrame =
+      vectors.crossJoin(broadcast(centArray(centroids)))
+        .withColumn("sims", expr("transform(cents, c -> graft_dot(vn, c.cvec))"))
+        .withColumn("cid",
+          expr("element_at(cents, CAST(array_position(sims, array_max(sims)) AS INT)).cid"))
         .select("vec_id", "vn", "cid")
-    }
 
     for (_ <- 1 to lloydIters) {
       val means = assign(e)
@@ -144,10 +152,12 @@ object Similarity {
       .filter(col("rn") <= nProbe)
       .select(col("vec_id").as("query_id"), col("vn").as("qv"), col("cid"))
     val wk = Window.partitionBy("query_id").orderBy(col("cos_r").desc, col("vec_id"))
+    // no dedup needed: each vector carries exactly one cid and a
+    // query's probe cids are distinct, so (query_id, vec_id) pairs are
+    // unique by construction
     assigned.join(broadcast(probes),
         Seq("cid")).filter(col("vec_id") =!= col("query_id"))
       .withColumn("cos_r", round(expr("graft_dot(vn, qv)"), 6))
-      .dropDuplicates("query_id", "vec_id")
       .withColumn("rank", row_number().over(wk))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
