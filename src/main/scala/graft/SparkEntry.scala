@@ -118,6 +118,7 @@ object SparkEntry {
     "q_chunk_dedup" -> ((s, d) => Dedup.chunkDedup(Tables.documents(s, d))),
     "q_tfidf_topterms" -> ((s, d) => TextAnalysis.tfidfTopTerms(Tables.documents(s, d))),
     "q_top_terms" -> ((s, d) => TextAnalysis.topTerms(Tables.documents(s, d))),
+    "q_corpus_stats" -> ((s, d) => TextAnalysis.corpusStats(Tables.documents(s, d))),
     "q_heavy_hitters" -> ((s, d) => TextAnalysis.heavyHitterTerms(Tables.documents(s, d))),
     "q_domain_stats" -> ((s, d) =>
       TextCleaning.domainStats(TextCleaning.withSyntheticUrls(Tables.documents(s, d)))),
@@ -187,6 +188,7 @@ object SparkEntry {
       Curation.flagContaminatedBloom(
         docs.filter(col("doc_id") >= 25), docs.filter(col("doc_id") < 25), n = 5)
     }),
+    "q_curation_pipeline" -> ((s, d) => Curation.curationPipeline(Tables.documents(s, d))),
     "q_dedup_clusters" -> ((s, d) =>
       Dedup.duplicateClusters(minhashPairsShared(s, d))
         .drop("members")),
@@ -741,6 +743,17 @@ object SparkEntry {
         | FROM documents)
         |SELECT term, count(*) AS doc_freq FROM d GROUP BY term
         |ORDER BY doc_freq DESC, term LIMIT 20""".stripMargin,
+    "q_corpus_stats" ->
+      s"""WITH t AS (SELECT source, n_chars,
+         |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|\\S')) AS INTEGER) AS n_tokens
+         | FROM documents)
+         |SELECT source, count(*) AS n_docs,
+         | CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+         | min(n_tokens) AS min_tokens, max(n_tokens) AS max_tokens,
+         | ${m("quantile_cont(n_tokens, 0.5)")} AS p50_tokens,
+         | ${m("quantile_cont(n_tokens, 0.9)")} AS p90_tokens,
+         | ${sAvg("n_chars", 0)} AS avg_chars
+         |FROM t GROUP BY source ORDER BY source""".stripMargin,
     // exact oracle is valid: the test corpus's 10th term count is far
     // above N/257, the MG bound under which candidates are guaranteed
     "q_heavy_hitters" ->
@@ -804,6 +817,61 @@ object SparkEntry {
         |FROM (SELECT doc_id FROM documents WHERE doc_id >= 25) b
         |LEFT JOIN hits USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+    // composed from the exact formulations of q_lang_id /
+    // q_token_count / q_quality_score / q_repetition plus an exact-dup
+    // window, so each stage's parity is already proven by its
+    // standalone oracle
+    "q_curation_pipeline" -> {
+      def l(lang: String) = graft.operators.TextAnalysis.stopwords
+        .find(_._1 == lang).get._2.map(w => s"'$w'").mkString("[", ", ", "]")
+      val swList = graft.operators.TextAnalysis.stopwords.head._2
+        .map(w => s"'$w'").mkString("[", ", ", "]")
+      s"""WITH t AS (SELECT doc_id, text, string_split(lower(text), ' ') AS w FROM documents),
+         |ls AS (SELECT doc_id,
+         |  CAST(len(list_intersect(list_distinct(w), ${l("en")})) AS INTEGER) AS s_en,
+         |  CAST(len(list_intersect(list_distinct(w), ${l("de")})) AS INTEGER) AS s_de,
+         |  CAST(len(list_intersect(list_distinct(w), ${l("es")})) AS INTEGER) AS s_es,
+         |  CAST(len(list_intersect(list_distinct(w), ${l("fr")})) AS INTEGER) AS s_fr,
+         |  CAST(len(list_intersect(list_distinct(w), ${l("zh")})) AS INTEGER) AS s_zh
+         | FROM t),
+         |lang AS (SELECT doc_id,
+         |  CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+         |       WHEN s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+         |       WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+         |       WHEN s_fr >= s_zh THEN 'fr'
+         |       ELSE 'zh' END AS predicted
+         | FROM ls),
+         |tok AS (SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|\\S')) AS INTEGER) AS n_tokens
+         | FROM documents),
+         |qual AS (SELECT doc_id,
+         |  (CAST(length(regexp_replace(lower(text), '[^a-z ]', '', 'g')) AS DOUBLE)
+         |     / length(text) * 0.5
+         |   + CAST(len(list_filter(w, t2 -> list_contains($swList, t2))) AS DOUBLE)
+         |     / len(w) * 0.5 >= 0.3
+         |   AND len(w) >= 10) AS q_keep
+         | FROM t),
+         |g AS (SELECT doc_id,
+         |  unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS gr
+         | FROM t WHERE len(w) >= 2),
+         |c AS (SELECT doc_id, gr, count(*) AS n FROM g GROUP BY 1, 2),
+         |reps AS (SELECT doc_id, sum(n) AS total, max(n) AS top FROM c GROUP BY 1),
+         |rep AS (SELECT doc_id,
+         |  (top > 1 AND CAST(top AS DOUBLE)/total > 0.1) AS flagged FROM reps),
+         |dup AS (SELECT doc_id,
+         |  doc_id <> min(doc_id) OVER (PARTITION BY sha256(text)) AS is_dup FROM documents),
+         |r AS (SELECT lang.doc_id, predicted, n_tokens,
+         |  CASE WHEN predicted <> 'en' THEN 'lang'
+         |       WHEN n_tokens < 20 OR n_tokens > 5000 THEN 'length'
+         |       WHEN NOT q_keep THEN 'quality'
+         |       WHEN coalesce(flagged, false) THEN 'repetition'
+         |       WHEN is_dup THEN 'duplicate' END AS reason
+         | FROM lang JOIN tok USING (doc_id) JOIN qual USING (doc_id)
+         |  LEFT JOIN rep USING (doc_id) JOIN dup USING (doc_id))
+         |SELECT doc_id, predicted AS lang_pred, n_tokens,
+         | reason IS NULL AS keep, reason
+         |FROM r ORDER BY doc_id""".stripMargin
+    },
     "q_cohort_pivot" ->
       """WITH fo AS (SELECT o_custkey,
         |  date_trunc('month', min(o_orderdate)) AS cohort_month

@@ -132,6 +132,50 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** End-to-end curation gate (the quality funnel a training-data run
+    * applies before mixing): every document gets a keep/drop decision
+    * and the FIRST failing stage as its reason, in fixed precedence —
+    * `lang` (heuristic prediction ≠ wanted), `length` (token count out
+    * of bounds), `quality` (composite score gate), `repetition`
+    * (Gopher repeated-n-gram rule), `duplicate` (exact-content loser:
+    * any doc whose content hash is owned by a smaller doc_id). Keeps
+    * carry reason NULL.
+    *
+    * Shape: the per-row signals (lang/quality/tokens) are narrow maps;
+    * repetition adds its own (doc, gram)-keyed aggregation; the
+    * duplicate stage shuffles a SLIM (doc_id, content-hash) projection
+    * once. Everything re-keys to doc_id, so the final joins co-locate
+    * under AQE. Reusing the exact component formulations keeps every
+    * stage bit-identical to its standalone (oracle-proven) operator. */
+  def curationPipeline(
+      docs: DataFrame, wantLang: String = "en",
+      minTokens: Int = 20, maxTokens: Int = 5000): DataFrame = {
+    val lang = TextAnalysis.langId(docs).select(col("doc_id"), col("predicted"))
+    val qual = TextAnalysis.qualityScore(docs).select(col("doc_id"), col("keep").as("q_keep"))
+    val toks = TextAnalysis.tokenCount(docs).select(col("doc_id"), col("n_tokens"))
+    // repetitionScore omits docs with < 2 words (no bigrams) — they are
+    // not repetitive, so the left join's NULL coalesces to false
+    val rep = TextAnalysis.repetitionScore(docs).select(col("doc_id"), col("flagged"))
+    val dup = docs.select(col("doc_id"), sha2(col("text"), 256).as("h"))
+      .withColumn("keep_id",
+        min("doc_id").over(org.apache.spark.sql.expressions.Window.partitionBy("h")))
+      .select(col("doc_id"), (col("doc_id") =!= col("keep_id")).as("is_dup"))
+    lang.join(toks, Seq("doc_id"))
+      .join(qual, Seq("doc_id"))
+      .join(rep, Seq("doc_id"), "left")
+      .join(dup, Seq("doc_id"))
+      .withColumn("reason",
+        when(col("predicted") =!= wantLang, "lang")
+          .when(col("n_tokens") < minTokens || col("n_tokens") > maxTokens, "length")
+          .when(!col("q_keep"), "quality")
+          .when(coalesce(col("flagged"), lit(false)), "repetition")
+          .when(col("is_dup"), "duplicate")
+          .otherwise(lit(null).cast("string")))
+      .select(col("doc_id"), col("predicted").as("lang_pred"), col("n_tokens"),
+        col("reason").isNull.as("keep"), col("reason"))
+      .orderBy("doc_id")
+  }
+
   /** Benchmark decontamination: flag training docs sharing any word
     * n-gram with a benchmark/eval set (the standard n-gram overlap
     * check). Benchmark grams are hash-distinct and broadcast (eval sets

@@ -247,6 +247,29 @@ object TextAnalysis {
       .orderBy(col("doc_freq").desc, col("term"))
       .limit(k)
 
+  /** Per-source corpus profile (the triage report a mixing run starts
+    * from): document counts, exact token totals, token-count extremes
+    * and percentiles, engine-stable mean char length. One
+    * partial-combined shuffle keyed by source; the token count is the
+    * same codegen'd pre-tokenizer split as [[tokenCount]], computed as
+    * a narrow map before the aggregation. Percentiles are exact
+    * (sort-based `percentile`) — at 100 TB swap to approx_percentile
+    * per the [[graft.operators.Catalog.statsApprox]] pattern if the
+    * per-source row sets outgrow a partition. */
+  def corpusStats(docs: DataFrame): DataFrame = {
+    val t = docs.select(col("source"), col("n_chars"),
+      size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+|\\S"), lit(0))).as("n_tokens"))
+    t.groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("total_tokens"),
+        min("n_tokens").as("min_tokens"),
+        max("n_tokens").as("max_tokens"),
+        round(percentile(col("n_tokens"), lit(0.5)), 2).as("p50_tokens"),
+        round(percentile(col("n_tokens"), lit(0.9)), 2).as("p90_tokens"),
+        graft.functions.StableStats.stableAvg(col("n_chars"), 0, 2).as("avg_chars"))
+      .orderBy("source")
+  }
+
   /** Winnowing fingerprint: per-window minimum of word 5-gram hashes
     * (window 4), deduplicated — the standard near-copy sketch. */
   def docFingerprint(docs: DataFrame, gramLen: Int = 5, window: Int = 4): DataFrame = {

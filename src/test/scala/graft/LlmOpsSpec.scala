@@ -347,6 +347,47 @@ class LlmOpsSpec extends AnyFunSuite with SparkSessionTestBase {
       Seq(("alpha", 3L), ("beta", 2L)))
   }
 
+  test("corpusStats profiles token counts per source") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c", "s1"), (2L, "a b c d e", "s1"), (3L, "xyz", "s2"))
+      .toDF("doc_id", "text", "source")
+      .withColumn("n_chars", length(col("text")))
+    val rows = TextAnalysis.corpusStats(docs).collect()
+    assert(rows.map(_.getString(0)).toSeq === Seq("s1", "s2")) // ordered
+    val s1 = rows(0)
+    assert(s1.getAs[Long]("n_docs") === 2L)
+    assert(s1.getAs[Long]("total_tokens") === 8L)
+    assert(s1.getAs[Int]("min_tokens") === 3)
+    assert(s1.getAs[Int]("max_tokens") === 5)
+    assert(s1.getAs[Double]("p50_tokens") === 4.0) // midpoint of 3 and 5
+    assert(s1.getAs[Double]("avg_chars") === 7.0)  // (5 + 9) / 2
+    assert(rows(1).getAs[Long]("n_docs") === 1L)
+  }
+
+  test("curationPipeline assigns first-fail reasons in precedence order") {
+    import spark.implicits._
+    val en10 = "the and of to a in is you that it" // 10 words, all stopwords
+    val docs = Seq(
+      (1L, en10 + " extra words here", "s1"),             // keeps
+      (2L, "der die das und ist nicht mit ein ich zu " +
+           "der die das und ist nicht", "s1"),            // german -> lang
+      (3L, "the and", "s1"),                              // too short -> length
+      (4L, ("rep rep " * 40) + en10, "s1"),               // repeated bigram -> repetition
+      (5L, en10 + " extra words here", "s1"))             // dup of 1 -> duplicate
+      .toDF("doc_id", "text", "source")
+      .withColumn("n_chars", length(col("text")))
+      .withColumn("lang", lit("xx")) // metadata column langId carries through
+    val rows = Curation.curationPipeline(docs, minTokens = 5, maxTokens = 500)
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Boolean]("keep"), r.getAs[String]("reason"))).toMap
+    assert(rows(1L) === ((true, null)))
+    assert(rows(2L) === ((false, "lang")))
+    assert(rows(3L) === ((false, "length")))
+    assert(rows(4L) === ((false, "repetition")))
+    assert(rows(5L) === ((false, "duplicate")))
+  }
+
   test("flagContaminatedBloom is bit-equal to the exact join and actually prunes") {
     import spark.implicits._
     val docs = Tables.documents(spark, docDir)
