@@ -45,8 +45,10 @@ object Bench {
         .mkString("{", ",", "}")
       s"""{"metric":"total","value":${fmt(3, total)},"unit":"sec","queries":$qs,"sf":"$sfTag"}"""
     }
-    val line3 = line(3)
-    println(if (line3.length <= 1850) line3 else line(2))
+    // cascade 3 → 2 → 1 decimals as the query count grows; 1dp holds
+    // ~115 queries under the cutoff and per-query precision matters
+    // less than the line surviving the tail truncation
+    println(Seq(line(3), line(2), line(1)).find(_.length <= 1850).getOrElse(line(1)))
     spark.stop()
   }
 }

@@ -541,6 +541,8 @@ object VectorFunctions {
         WordGramHashes(exprs(0), intArg(exprs(1)), boolArg(exprs(2)))),
     ("graft_heavyhits", classOf[MisraGries],
       (exprs: Seq[Expression]) => MisraGries(exprs(0), intArg(exprs(1)))),
+    ("graft_topk", classOf[TopKByScore],
+      (exprs: Seq[Expression]) => TopKByScore(exprs(0), exprs(1), intArg(exprs(2)))),
     ("graft_bloom_contains", classOf[BloomContains],
       (exprs: Seq[Expression]) =>
         BloomContains(exprs(0), scala.collection.immutable.ArraySeq.unsafeWrapArray(

@@ -27,19 +27,29 @@ object Similarity {
   }
 
   /** Exact cosine top-k: neighbors of each query vector (vec_id <
-    * nQueries) over the whole corpus, ranked by snapped cosine. */
+    * nQueries) over the whole corpus, ranked by snapped cosine.
+    *
+    * The rank is a bounded `graft_topk` aggregate, not a window: the
+    * window form shuffles ALL |queries|×|corpus| scored candidates and
+    * sorts each query's partition, while the aggregate's map-side
+    * partial pass collapses every partition to k candidates per query
+    * before the exchange — the shuffle carries O(k·partitions) rows
+    * per query. Equality with the window formulation is asserted in
+    * spec (the (score DESC, id ASC) order is total, so both are
+    * deterministic and identical). */
   def embedTopK(emb: DataFrame, nQueries: Int = 10, k: Int = 5): DataFrame = {
+    graft.functions.VectorFunctions.register(emb.sparkSession)
     val e = withNorm(emb)
     val q = e.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm").as("qn"))
     e.join(broadcast(q), col("vec_id") =!= col("query_id"))
       .withColumn("dot", expr("graft_dot(v, qv)"))
       .withColumn("cos_r", round(col("dot") / (col("norm") * col("qn")), 6))
-      .withColumn("rank", row_number().over(
-        Window.partitionBy("query_id").orderBy(col("cos_r").desc, col("vec_id"))))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        col("cos_r").as("cos_sim"), col("rank"))
+      .groupBy("query_id")
+      .agg(expr(s"graft_topk(cos_r, vec_id, $k)").as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("idx", "s")))
+      .select(col("query_id"), col("s.id").as("neighbor_id"),
+        col("s.score").as("cos_sim"), (col("idx") + 1).cast("int").as("rank"))
       .orderBy("query_id", "rank")
   }
 

@@ -49,6 +49,12 @@ class PlanRegressionSpec extends AnyFunSuite with SparkSessionTestBase {
   test("embed top-k broadcasts the query set, not the corpus") {
     val p = plan("q_embed_topk")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
+    // rank via the bounded graft_topk aggregate with a map-side partial
+    // pass — the shuffle carries k rows per query per partition, never
+    // the full scored candidate set (the window formulation's cost)
+    assert(p.contains("graft_topk"))
+    assert(p.contains("partial_graft_topk"))
+    assert(!p.contains("row_number"))
   }
 
   test("promo search semi-joins observations with pushed store/promo filters") {

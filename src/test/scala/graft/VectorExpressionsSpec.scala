@@ -60,6 +60,41 @@ class VectorExpressionsSpec extends AnyFunSuite with SparkSessionTestBase {
     assert(out(1).getAs[scala.collection.Seq[String]]("s").toSeq === expected) // g1
   }
 
+  test("graft_topk matches the row_number window formulation exactly") {
+    VectorFunctions.register(spark)
+    import spark.implicits._
+    // deterministic scores with ties: same score for ids 10/11 per group
+    val rows = (1L to 500L).map(i =>
+      ("g" + (i % 4), (i % 97).toDouble / 7.0, i))
+    val df = rows.toDF("g", "score", "id").repartition(13)
+    val viaAgg = df.groupBy("g")
+      .agg(expr("graft_topk(score, id, 7)").as("top"))
+      .select(col("g"), posexplode(col("top")).as(Seq("idx", "s")))
+      .select(col("g"), col("s.score").as("score"), col("s.id").as("id"),
+        (col("idx") + 1).cast("int").as("rank"))
+      .orderBy("g", "rank").collect().map(_.toString).toSeq
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("g").orderBy(col("score").desc, col("id"))
+    val viaWindow = df.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 7)
+      .select("g", "score", "id", "rank")
+      .orderBy("g", "rank").collect().map(_.toString).toSeq
+    assert(viaAgg === viaWindow)
+    // partition-count independence (merge order cannot matter)
+    val again = df.repartition(31).groupBy("g")
+      .agg(expr("graft_topk(score, id, 7)").as("top"))
+      .select(col("g"), posexplode(col("top")).as(Seq("idx", "s")))
+      .select(col("g"), col("s.score").as("score"), col("s.id").as("id"),
+        (col("idx") + 1).cast("int").as("rank"))
+      .orderBy("g", "rank").collect().map(_.toString).toSeq
+    assert(again === viaAgg)
+    // groups smaller than k return their whole membership, ranked
+    val small = Seq(("a", 1.0, 1L), ("a", 2.0, 2L)).toDF("g", "score", "id")
+      .groupBy("g").agg(expr("graft_topk(score, id, 7)").as("top"))
+      .select(size(col("top"))).collect()
+    assert(small.head.getInt(0) === 2)
+  }
+
   test("graft_lsh matches the interpreted hyperplane formula bit-for-bit") {
     VectorFunctions.register(spark)
     import spark.implicits._
