@@ -115,6 +115,7 @@ object SparkEntry {
     "q_embed_lsh" -> ((s, d) => Similarity.embedLshBuckets(Tables.embeddings(s, d))),
     "q_embed_lsh_topk" -> ((s, d) => Similarity.embedLshTopK(Tables.embeddings(s, d))),
     "q_embed_ivf_topk" -> ((s, d) => Similarity.embedIvfTopK(Tables.embeddings(s, d))),
+    "q_embed_clusters" -> ((s, d) => Similarity.embedClusterStats(Tables.embeddings(s, d))),
     "q_chunk_dedup" -> ((s, d) => Dedup.chunkDedup(Tables.documents(s, d))),
     "q_tfidf_topterms" -> ((s, d) => TextAnalysis.tfidfTopTerms(Tables.documents(s, d))),
     "q_top_terms" -> ((s, d) => TextAnalysis.topTerms(Tables.documents(s, d))),
@@ -166,6 +167,9 @@ object SparkEntry {
         threshold = 0.35, planes = 8, tables = 16)),
     "q_pii_redact" -> ((s, d) =>
       TextCleaning.piiRedact(TextCleaning.withSyntheticPii(Tables.documents(s, d)))),
+    "q_pii_stats" -> ((s, d) =>
+      TextCleaning.piiStats(TextCleaning.withSyntheticPii(Tables.documents(s, d)))),
+    "q_quality_sample" -> ((s, d) => Curation.qualitySample(Tables.documents(s, d))),
     "q_normalize_unicode" -> ((s, d) =>
       TextCleaning.normalizeUnicode(Tables.documents(s, d))),
     "q_seq_pack" -> ((s, d) => TextCleaning.packSequences(Tables.documents(s, d))),
@@ -677,6 +681,42 @@ object SparkEntry {
          |   '$phoneRe', '<PHONE>', 'g') AS clean_text
          |FROM pii ORDER BY doc_id""".stripMargin
     },
+    "q_pii_stats" -> {
+      import graft.operators.TextCleaning.{emailRe, phoneRe, urlRe}
+      s"""WITH pii AS (SELECT doc_id,
+         |  text || ' contact user' || doc_id || '@example.com or +1-555-01' || doc_id
+         |       || ' via https://example.com/d/' || doc_id AS text
+         | FROM documents),
+         |c AS (SELECT doc_id, text,
+         |  regexp_replace(text, '$urlRe', '<URL>', 'g') AS no_url
+         | FROM pii),
+         |c2 AS (SELECT doc_id, text, no_url,
+         |  regexp_replace(no_url, '$emailRe', '<EMAIL>', 'g') AS no_email
+         | FROM c),
+         |n AS (SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text, '$urlRe')) AS INTEGER) AS n_urls,
+         |  CAST(len(regexp_extract_all(no_url, '$emailRe')) AS INTEGER) AS n_emails,
+         |  CAST(len(regexp_extract_all(no_email, '$phoneRe')) AS INTEGER) AS n_phones
+         | FROM c2)
+         |SELECT doc_id, n_urls, n_emails, n_phones,
+         | (n_urls + n_emails + n_phones > 0) AS has_pii
+         |FROM n ORDER BY doc_id""".stripMargin
+    },
+    // the score CTEs mirror q_classifier_score exactly; the coin flip
+    // mirrors q_mix_sources' md5-prefix uniform
+    "q_quality_sample" ->
+      s"""WITH toks AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t FROM documents),
+         |w AS (SELECT doc_id,
+         |  ('0x' || substr(md5('qc-v1:' || t), 1, 8))::UBIGINT::BIGINT % 1001 - 500 AS wgt
+         | FROM toks),
+         |s AS (SELECT doc_id, count(*) AS n_tokens, sum(wgt) AS margin FROM w GROUP BY 1),
+         |sc AS (SELECT doc_id,
+         |  ${m("1.0/(1.0 + exp(-(CAST(margin AS DOUBLE)/(n_tokens*1000.0))))", 6)} AS score
+         | FROM s)
+         |SELECT doc_id, score,
+         | (('0x' || substr(md5('qsample-v1:' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+         |    / 4294967296.0) < score AS kept
+         |FROM sc ORDER BY doc_id""".stripMargin,
     "q_normalize_unicode" ->
       """SELECT doc_id, nfc_normalize(text) AS norm_text
         |FROM documents ORDER BY doc_id""".stripMargin,

@@ -132,6 +132,23 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** Quality-weighted (importance) sampling: keep each document with
+    * probability equal to its classifier quality score — the standard
+    * move for up-weighting high-quality text in a training mix without
+    * a hard threshold. The coin flip is the same md5-prefix uniform as
+    * [[mixSources]] (bit-reproducible in any engine, no RNG state);
+    * the score is the exact [[TextAnalysis.classifierScore]]
+    * formulation, already oracle-proven. One doc_id-keyed aggregation
+    * (the classifier's token sum); the sampling itself is narrow. */
+  def qualitySample(docs: DataFrame, seed: String = "qsample-v1"): DataFrame = {
+    val u = conv(substring(md5(concat_ws(":", lit(seed), col("doc_id").cast("string"))),
+      1, 8), 16, 10).cast("long").cast("double") / 4294967296.0
+    TextAnalysis.classifierScore(docs)
+      .select(col("doc_id"), col("score"))
+      .withColumn("kept", u < col("score"))
+      .orderBy("doc_id")
+  }
+
   /** End-to-end curation gate (the quality funnel a training-data run
     * applies before mixing): every document gets a keep/drop decision
     * and the FIRST failing stage as its reason, in fixed precedence —

@@ -101,19 +101,12 @@ object Similarity {
       .orderBy("vec_a", "vec_b")
   }
 
-  /** IVF (inverted-file) ANN index: deterministic seed centroids
-    * (hash-ranked corpus vectors), Lloyd refinement via relational
-    * aggregation (posexplode → per-dimension mean → re-assemble), then
-    * probe: each query searches only the `nProbe` nearest centroid
-    * lists, exact-reranked with graft_dot. The 100 TB shape: assignment
-    * is a NARROW map — each row folds over a broadcast array of all
-    * centroids (single-row collect_list, constant size) and keeps the
-    * argmax, so no row blow-up and no shuffle per Lloyd pass; list
-    * probing replaces the full scan with O(corpus·nProbe/nCentroids)
-    * candidates. */
-  def embedIvfTopK(
-      emb: DataFrame, nQueries: Int = 10, k: Int = 5,
-      nCentroids: Int = 16, lloydIters: Int = 2, nProbe: Int = 4): DataFrame = {
+  /** Normalized corpus + deterministic Lloyd-refined centroids — the
+    * shared IVF model behind [[embedIvfTopK]] and
+    * [[embedClusterStats]]. Returns (corpus (vec_id, vn), centroids
+    * (cid, cvec)). */
+  private def ivfModel(
+      emb: DataFrame, nCentroids: Int, lloydIters: Int): (DataFrame, DataFrame) = {
     graft.functions.VectorFunctions.register(emb.sparkSession)
     val e = withNorm(emb)
       .withColumn("vn", expr("transform(v, x -> x / norm)"))
@@ -125,23 +118,8 @@ object Similarity {
       .limit(nCentroids)
       .select(row_number().over(Window.orderBy("vec_id")).as("cid"), col("vn").as("cvec"))
 
-    // all centroids as ONE broadcast row (cid-ascending array): argmax
-    // per vector is then a projection, not a 16×-row window shuffle.
-    // Ties pick the smallest cid (array_position returns the first
-    // maximum; the array is cid-sorted), matching the window
-    // formulation's (sim desc, cid asc) order.
-    def centArray(c: DataFrame): DataFrame =
-      c.agg(expr("array_sort(collect_list(struct(cid, cvec)))").as("cents"))
-
-    def assign(vectors: DataFrame): DataFrame =
-      vectors.crossJoin(broadcast(centArray(centroids)))
-        .withColumn("sims", expr("transform(cents, c -> graft_dot(vn, c.cvec))"))
-        .withColumn("cid",
-          expr("element_at(cents, CAST(array_position(sims, array_max(sims)) AS INT)).cid"))
-        .select("vec_id", "vn", "cid")
-
     for (_ <- 1 to lloydIters) {
-      val means = assign(e)
+      val means = assignTo(e, centroids)
         .select(col("cid"), posexplode(col("vn")).as(Seq("pos", "x")))
         .groupBy("cid", "pos").agg(avg("x").as("mx"))
         .groupBy("cid")
@@ -151,8 +129,57 @@ object Similarity {
         expr("transform(cvec, x -> x / sqrt(graft_dot(cvec, cvec)))").as("cvec"))
         .localCheckpoint()
     }
+    (e, centroids)
+  }
 
-    val assigned = assign(e).cache()
+  /** Nearest-centroid assignment as a NARROW map: all centroids ride
+    * as one broadcast cid-ascending array and each row folds to its
+    * argmax centroid — no row blow-up, no shuffle per Lloyd pass. Ties
+    * pick the smallest cid (array_position returns the first maximum;
+    * the array is cid-sorted), matching a (sim DESC, cid ASC) window.
+    * Output: vec_id, vn, cid, sim (cosine to the winning centroid). */
+  private def assignTo(vectors: DataFrame, centroids: DataFrame): DataFrame = {
+    val cents = centroids.agg(expr("array_sort(collect_list(struct(cid, cvec)))").as("cents"))
+    vectors.crossJoin(broadcast(cents))
+      .withColumn("sims", expr("transform(cents, c -> graft_dot(vn, c.cvec))"))
+      .withColumn("sim", expr("array_max(sims)"))
+      .withColumn("cid",
+        expr("element_at(cents, CAST(array_position(sims, sim) AS INT)).cid"))
+      .select("vec_id", "vn", "cid", "sim")
+  }
+
+  /** IVF cluster occupancy report (the diversity/coverage summary a
+    * semantic-clustering pass produces): per-cluster sizes, smallest
+    * member id as a stable exemplar, and the mean cosine of members to
+    * their centroid (cluster coherence). Sizes and exemplars are
+    * exact; the mean rides per-row 6-decimal snapped cosines through
+    * an engine-stable two-round mean. */
+  def embedClusterStats(
+      emb: DataFrame, nCentroids: Int = 16, lloydIters: Int = 2): DataFrame = {
+    val (e, centroids) = ivfModel(emb, nCentroids, lloydIters)
+    assignTo(e, centroids)
+      .select(col("cid"), col("vec_id"), round(col("sim"), 6).as("cos_sim"))
+      .groupBy("cid")
+      .agg(
+        count(lit(1)).as("n_vectors"),
+        min("vec_id").as("exemplar_id"),
+        round(round(sum("cos_sim"), 4) / count(lit(1)), 4).as("mean_cos"))
+      .orderBy("cid")
+  }
+
+  /** IVF (inverted-file) ANN index: deterministic seed centroids
+    * (hash-ranked corpus vectors), Lloyd refinement via relational
+    * aggregation (posexplode → per-dimension mean → re-assemble), then
+    * probe: each query searches only the `nProbe` nearest centroid
+    * lists, exact-reranked with graft_dot. The 100 TB shape: assignment
+    * is a narrow map ([[assignTo]]), list probing replaces the full
+    * scan with O(corpus·nProbe/nCentroids) candidates, and the final
+    * rank is a bounded graft_topk partial aggregate. */
+  def embedIvfTopK(
+      emb: DataFrame, nQueries: Int = 10, k: Int = 5,
+      nCentroids: Int = 16, lloydIters: Int = 2, nProbe: Int = 4): DataFrame = {
+    val (e, centroids) = ivfModel(emb, nCentroids, lloydIters)
+    val assigned = assignTo(e, centroids).select("vec_id", "vn", "cid").cache()
     // each query probes its nProbe nearest centroid lists
     val wq = Window.partitionBy("vec_id").orderBy(col("sim").desc, col("cid"))
     val probes = e.filter(col("vec_id") < nQueries)
@@ -161,17 +188,19 @@ object Similarity {
       .withColumn("rn", row_number().over(wq))
       .filter(col("rn") <= nProbe)
       .select(col("vec_id").as("query_id"), col("vn").as("qv"), col("cid"))
-    val wk = Window.partitionBy("query_id").orderBy(col("cos_r").desc, col("vec_id"))
     // no dedup needed: each vector carries exactly one cid and a
     // query's probe cids are distinct, so (query_id, vec_id) pairs are
-    // unique by construction
+    // unique by construction. Rank via the bounded graft_topk partial
+    // aggregate (see embedTopK) — probed candidates never ride a
+    // window sort.
     assigned.join(broadcast(probes),
         Seq("cid")).filter(col("vec_id") =!= col("query_id"))
       .withColumn("cos_r", round(expr("graft_dot(vn, qv)"), 6))
-      .withColumn("rank", row_number().over(wk))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        col("cos_r").as("cos_sim"), col("rank"))
+      .groupBy("query_id")
+      .agg(expr(s"graft_topk(cos_r, vec_id, $k)").as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("idx", "s")))
+      .select(col("query_id"), col("s.id").as("neighbor_id"),
+        col("s.score").as("cos_sim"), (col("idx") + 1).cast("int").as("rank"))
       .orderBy("query_id", "rank")
   }
 
@@ -214,11 +243,11 @@ object Similarity {
       .join(e, "vec_id")
       .join(broadcast(q), "query_id")
       .withColumn("cos_r", round(expr("graft_dot(v, qv)") / (col("norm") * col("qn")), 6))
-      .withColumn("rank", row_number().over(
-        Window.partitionBy("query_id").orderBy(col("cos_r").desc, col("vec_id"))))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        col("cos_r").as("cos_sim"), col("rank"))
+      .groupBy("query_id")
+      .agg(expr(s"graft_topk(cos_r, vec_id, $k)").as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("idx", "s")))
+      .select(col("query_id"), col("s.id").as("neighbor_id"),
+        col("s.score").as("cos_sim"), (col("idx") + 1).cast("int").as("rank"))
       .orderBy("query_id", "rank")
   }
 }

@@ -31,6 +31,26 @@ object TextCleaning {
           phoneRe, "<PHONE>").as("clean_text"))
       .orderBy("doc_id")
 
+  /** Per-document PII inventory (the audit report that decides whether
+    * a source needs redaction at all): counts of URLs, emails and
+    * phone numbers per doc, matched in the SAME cascade order as
+    * [[piiRedact]] (emails counted after URL stripping, phones after
+    * both) so the counts equal the number of placeholders redaction
+    * would emit. Pure narrow map — three codegen regexp passes, no
+    * shuffle. */
+  def piiStats(docs: DataFrame): DataFrame = {
+    val noUrl = regexp_replace(col("text"), urlRe, "<URL>")
+    val noEmail = regexp_replace(noUrl, emailRe, "<EMAIL>")
+    docs.select(
+        col("doc_id"),
+        size(regexp_extract_all(col("text"), lit(urlRe), lit(0))).as("n_urls"),
+        size(regexp_extract_all(noUrl, lit(emailRe), lit(0))).as("n_emails"),
+        size(regexp_extract_all(noEmail, lit(phoneRe), lit(0))).as("n_phones"))
+      .withColumn("has_pii",
+        col("n_urls") + col("n_emails") + col("n_phones") > 0)
+      .orderBy("doc_id")
+  }
+
   /** Append deterministic synthetic PII (email, phone, url) per doc. */
   def withSyntheticPii(docs: DataFrame): DataFrame =
     docs.withColumn("text", concat(col("text"),

@@ -388,6 +388,36 @@ class LlmOpsSpec extends AnyFunSuite with SparkSessionTestBase {
     assert(rows(5L) === ((false, "duplicate")))
   }
 
+  test("qualitySample keeps docs with probability equal to their score") {
+    val docs = Tables.documents(spark, docDir)
+    val rows = Curation.qualitySample(docs).collect()
+    assert(rows.length === docs.count())
+    // the coin flip is the documented md5-prefix uniform vs the score
+    rows.foreach { r =>
+      val u = BigInt(graft.functions.BottomKBuffer
+        .md5Hex(s"qsample-v1:${r.getLong(0)}").take(8), 16).toDouble / 4294967296.0
+      assert(r.getAs[Boolean]("kept") === (u < r.getAs[Double]("score")))
+    }
+    // deterministic across runs
+    val again = Curation.qualitySample(docs).collect()
+    assert(rows.map(_.toString).toSeq === again.map(_.toString).toSeq)
+  }
+
+  test("embedClusterStats partitions the corpus into coherent clusters") {
+    val emb = Tables.embeddings(spark, docDir)
+    val rows = Similarity.embedClusterStats(emb, nCentroids = 8, lloydIters = 1).collect()
+    // every vector lands in exactly one cluster
+    assert(rows.map(_.getAs[Long]("n_vectors")).sum === emb.count())
+    // exemplar is a member id, mean cosine is a valid cosine
+    rows.foreach { r =>
+      assert(r.getAs[Double]("mean_cos") <= 1.000001)
+      assert(r.getAs[Double]("mean_cos") >= -1.000001)
+    }
+    // deterministic: hash-seeded centroids, no RNG
+    val again = Similarity.embedClusterStats(emb, nCentroids = 8, lloydIters = 1).collect()
+    assert(rows.map(_.toString).toSeq === again.map(_.toString).toSeq)
+  }
+
   test("flagContaminatedBloom is bit-equal to the exact join and actually prunes") {
     import spark.implicits._
     val docs = Tables.documents(spark, docDir)

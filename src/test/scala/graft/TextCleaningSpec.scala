@@ -21,6 +21,26 @@ class TextCleaningSpec extends AnyFunSuite with SparkSessionTestBase {
     }
   }
 
+  test("piiStats counts match what piiRedact would replace") {
+    val docs = TextCleaning.withSyntheticPii(Tables.documents(spark, sfDir))
+    val rows = TextCleaning.piiStats(docs).collect()
+    assert(rows.nonEmpty)
+    // every synthetic doc plants exactly one of each PII kind
+    rows.foreach { r =>
+      assert(r.getAs[Int]("n_urls") === 1)
+      assert(r.getAs[Int]("n_emails") === 1)
+      assert(r.getAs[Int]("n_phones") === 1)
+      assert(r.getAs[Boolean]("has_pii"))
+    }
+    // clean text has no PII
+    import spark.implicits._
+    val clean = Seq((1L, "nothing to see here")).toDF("doc_id", "text")
+    val c = TextCleaning.piiStats(clean).collect().head
+    assert(c.getAs[Int]("n_urls") + c.getAs[Int]("n_emails") +
+      c.getAs[Int]("n_phones") === 0)
+    assert(!c.getAs[Boolean]("has_pii"))
+  }
+
   test("graft_nfc normalizes decomposed unicode and keeps ascii intact") {
     graft.functions.VectorFunctions.register(spark)
     import spark.implicits._
