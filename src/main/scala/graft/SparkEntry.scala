@@ -66,6 +66,8 @@ object SparkEntry {
         li = Some(Tables.lineitem(s, d)), onPromo = Some(true), storeId = Some(5L),
         limit = 50)),
     "q_price_compare" -> ((s, d) => Pricing.priceCompare(Tables.lineitem(s, d), comparedParts)),
+    "q_product_card" -> ((s, d) =>
+      Pricing.productCard(Tables.lineitem(s, d), Tables.supplier(s, d), historyPart)),
     "q_lowest_price_per_store" -> ((s, d) => Pricing.lowestPricePerStore(Tables.lineitem(s, d))),
     "q_lowest_price_category" -> ((s, d) =>
       Pricing.lowestPricePerStore(Tables.lineitem(s, d),
@@ -305,6 +307,19 @@ object SparkEntry {
          |FROM lineitem WHERE l_partkey IN (25,125,615,1111)
          |GROUP BY l_partkey, l_suppkey
          |ORDER BY l_partkey, effective_price, l_suppkey""".stripMargin,
+    "q_product_card" ->
+      s"""WITH latest AS (SELECT *,
+         |  row_number() OVER (PARTITION BY l_suppkey
+         |    ORDER BY l_shipdate DESC, l_orderkey DESC, l_linenumber DESC) AS rn
+         | FROM lineitem WHERE l_partkey = 42)
+         |SELECT l_suppkey AS store_id, s_name AS store_name,
+         | l_shipdate AS collected_at,
+         | ${m("l_extendedprice")} AS list_price,
+         | ${m(eff)} AS effective_price,
+         | l_discount > 0 AS on_promo
+         |FROM latest JOIN supplier ON l_suppkey = s_suppkey
+         |WHERE rn = 1
+         |ORDER BY effective_price, store_id""".stripMargin,
     "q_lowest_price_per_store" ->
       s"""WITH eff AS (SELECT l_suppkey, l_partkey, $eff AS eff FROM lineitem),
          |m AS (SELECT l_suppkey, min(eff) AS min_eff FROM eff GROUP BY 1),

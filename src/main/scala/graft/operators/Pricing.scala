@@ -64,6 +64,33 @@ object Pricing {
         count(lit(1)).as("n_observations"))
       .orderBy(col("l_partkey"), col("effective_price"), col("l_suppkey"))
 
+  /** Product comparison card (mcp.py:197 `handle_compare_results` /
+    * products.py:148 `get_product`): one product's CURRENT state per
+    * store — each store's latest observation (the upsert-read
+    * semantics of latestPerKey, scoped to one product) joined to the
+    * store dimension for names, sorted cheapest-effective first. The
+    * partkey filter pushes to the scan, the per-store latest is a
+    * window over the already-filtered slice, and the dimension join
+    * broadcasts. */
+  def productCard(li: DataFrame, supplier: DataFrame, partKey: Long): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("l_suppkey")
+      .orderBy(col("l_shipdate").desc, col("l_orderkey").desc, col("l_linenumber").desc)
+    li.filter(col("l_partkey") === partKey)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .join(broadcast(supplier.select(col("s_suppkey").as("l_suppkey"), col("s_name"))),
+        Seq("l_suppkey"))
+      .select(
+        col("l_suppkey").as("store_id"),
+        col("s_name").as("store_name"),
+        col("l_shipdate").as("collected_at"),
+        round(col("l_extendedprice"), 2).as("list_price"),
+        round(effPrice, 2).as("effective_price"),
+        (col("l_discount") > 0).as("on_promo"))
+      .orderBy(col("effective_price"), col("store_id"))
+  }
+
   /** Per-store minimum effective price and the product(s) attaining it,
     * with savings% vs the most expensive winning price. The global-max
     * window runs over the |stores|-sized aggregate, never the fact table.

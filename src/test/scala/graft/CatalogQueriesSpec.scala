@@ -91,6 +91,23 @@ class CatalogQueriesSpec extends AnyFunSuite with SparkSessionTestBase {
     }
   }
 
+  test("productCard shows one latest observation per carrying store") {
+    val li = Tables.lineitem(spark, sfDir)
+    val rows = Pricing.productCard(li, Tables.supplier(spark, sfDir), 42L).collect()
+    assert(rows.nonEmpty)
+    // one row per store, sorted cheapest-effective first
+    val stores = rows.map(_.getAs[Long]("store_id"))
+    assert(stores.distinct.length === stores.length)
+    val prices = rows.map(_.getAs[Double]("effective_price"))
+    assert(prices.sameElements(prices.sorted))
+    // the row really is the store's latest observation of the product
+    val latest = li.filter(col("l_partkey") === 42L)
+      .groupBy("l_suppkey").agg(max("l_shipdate").as("m"))
+      .collect().map(r => r.getLong(0) -> r.get(1)).toMap
+    rows.foreach(r =>
+      assert(r.getAs[Any]("collected_at") === latest(r.getAs[Long]("store_id"))))
+  }
+
   test("lowestPricePerStore yields one (or tied) winner rows per store") {
     val li = Tables.lineitem(spark, sfDir)
     val df = Pricing.lowestPricePerStore(li)
