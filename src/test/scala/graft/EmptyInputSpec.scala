@@ -97,4 +97,16 @@ class EmptyInputSpec extends AnyFunSuite with SparkSessionTestBase {
     assert(profile.length === 2) // one row per column, zero counts
     assert(profile.forall(_.getAs[Long]("n_rows") === 0L))
   }
+
+  test("round-4 operators on empty inputs") {
+    assert(TextAnalysis.corpusStats(emptyDocs).count() === 0)
+    assert(Curation.curationPipeline(emptyDocs).count() === 0)
+    assert(Curation.qualitySample(emptyDocs).count() === 0)
+    assert(TextCleaning.piiStats(emptyDocs).count() === 0)
+    assert(Pricing.productCard(emptyLi,
+      Tables.supplier(spark, sfDir), 42L).count() === 0)
+    // cluster stats: empty corpus means no centroids and no clusters
+    assert(Similarity.embedClusterStats(emptyEmb).count() === 0)
+    assert(Similarity.embedIvfTopK(emptyEmb).count() === 0)
+  }
 }
