@@ -151,6 +151,7 @@ object SparkEntry {
     "q_late_priority" -> ((s, d) =>
       Purchases.latePriorityCounts(Tables.orders(s, d), Tables.lineitem(s, d))),
     "q_copurchase" -> ((s, d) => Purchases.coPurchasePairs(Tables.lineitem(s, d))),
+    "q_basket_rules" -> ((s, d) => Purchases.basketRules(Tables.lineitem(s, d))),
     "q_funnel" -> ((s, d) => Etl.funnelConversion(Tables.events(s, d))),
     "q_substitutes" -> ((s, d) =>
       Catalog.substitutes(Tables.lineitem(s, d), Tables.part(s, d), 42L)),
@@ -412,6 +413,23 @@ object SparkEntry {
         |  ON a.okey = b.okey AND a.l_partkey < b.l_partkey
         |GROUP BY part_a, part_b
         |ORDER BY n_orders DESC, part_a, part_b LIMIT 20""".stripMargin,
+    "q_basket_rules" ->
+      s"""WITH items AS (SELECT DISTINCT l_orderkey AS okey, l_partkey FROM lineitem),
+         |n AS (SELECT count(DISTINCT okey) AS n_total FROM items),
+         |isup AS (SELECT l_partkey, count(*) AS n_item FROM items GROUP BY 1),
+         |pairs AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+         |   count(*) AS n_both
+         | FROM items a JOIN items b
+         |   ON a.okey = b.okey AND a.l_partkey < b.l_partkey
+         | GROUP BY 1, 2 HAVING count(*) >= 2)
+         |SELECT part_a, part_b, n_both, sa.n_item AS n_a, sb.n_item AS n_b,
+         | ${m("CAST(n_both AS DOUBLE) / n_total", 6)} AS support,
+         | ${m("CAST(n_both AS DOUBLE) / sa.n_item", 6)} AS confidence,
+         | ${m("CAST(n_total AS DOUBLE) * n_both / (CAST(sa.n_item AS DOUBLE) * sb.n_item)", 6)} AS lift
+         |FROM pairs
+         |JOIN isup sa ON part_a = sa.l_partkey
+         |JOIN isup sb ON part_b = sb.l_partkey, n
+         |ORDER BY lift DESC, part_a, part_b LIMIT 20""".stripMargin,
     "q_late_priority" ->
       """SELECT o_orderpriority, count(*) AS n_late_orders
         |FROM orders o

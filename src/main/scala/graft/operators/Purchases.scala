@@ -160,6 +160,45 @@ object Purchases {
       .limit(k)
   }
 
+  /** Market-basket association rules: support / confidence / lift for
+    * the most frequent unordered co-purchase pairs. Builds on the
+    * [[coPurchasePairs]] shape (order-keyed self-join over distinct
+    * basket items, O(Σ basket²)); per-item order counts join back onto
+    * the pair set BY PART KEY after pair aggregation, so the heavy
+    * basket join carries part keys only and the metric joins run on
+    * the |pairs| and |parts| aggregates, never the fact table. `minCount`
+    * prunes the rule set before the metric joins; the final top-k is a
+    * TakeOrdered on a total (lift desc, pair asc) order. The ratio math
+    * is exact-integer division in double, deterministic IEEE on any
+    * engine, snapped at 6 decimals. */
+  def basketRules(lineitem: DataFrame, k: Int = 20, minCount: Long = 2L): DataFrame = {
+    val items = lineitem.select(col("l_orderkey").as("okey"), col("l_partkey"))
+      .distinct()
+    val nOrders = items.select("okey").distinct()
+      .agg(count(lit(1)).as("n_total"))
+    val itemSupport = items.groupBy("l_partkey").agg(count(lit(1)).as("n_item"))
+    val pairs = items.as("a")
+      .join(items.as("b"),
+        col("a.okey") === col("b.okey") && col("a.l_partkey") < col("b.l_partkey"))
+      .groupBy(col("a.l_partkey").as("part_a"), col("b.l_partkey").as("part_b"))
+      .agg(count(lit(1)).as("n_both"))
+      .filter(col("n_both") >= minCount)
+    pairs
+      .join(itemSupport.select(col("l_partkey").as("part_a"), col("n_item").as("n_a")), "part_a")
+      .join(itemSupport.select(col("l_partkey").as("part_b"), col("n_item").as("n_b")), "part_b")
+      .crossJoin(broadcast(nOrders))
+      .select(
+        col("part_a"), col("part_b"), col("n_both"), col("n_a"), col("n_b"),
+        round(col("n_both").cast("double") / col("n_total"), 6).as("support"),
+        round(col("n_both").cast("double") / col("n_a"), 6).as("confidence"),
+        // denominator in double BEFORE multiplying: a long product of
+        // two web-scale item counts overflows, a double product cannot
+        round(col("n_total").cast("double") * col("n_both")
+          / (col("n_a").cast("double") * col("n_b")), 6).as("lift"))
+      .orderBy(col("lift").desc, col("part_a"), col("part_b"))
+      .limit(k)
+  }
+
   /** Late-shipment counts per order priority (TPC-H Q4 shape): orders
     * with ANY line shipped more than `lateDays` after the order date,
     * counted by priority. The EXISTS is a left-semi join carrying the

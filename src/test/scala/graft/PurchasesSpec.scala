@@ -80,6 +80,25 @@ class PurchasesSpec extends AnyFunSuite with SparkSessionTestBase {
     assert(out.forall(r => r.getLong(0) < r.getLong(1)))
   }
 
+  test("basketRules computes support/confidence/lift from exact counts") {
+    import spark.implicits._
+    // 4 orders: {1,2} x3 and {3} alone -> rule (1,2) has full confidence
+    val li = Seq(
+      (100L, 1L), (100L, 2L),
+      (200L, 1L), (200L, 2L),
+      (300L, 1L), (300L, 2L),
+      (400L, 3L))
+      .toDF("l_orderkey", "l_partkey")
+    val out = graft.operators.Purchases.basketRules(li, k = 5, minCount = 2L).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert((r.getLong(0), r.getLong(1)) === ((1L, 2L)))
+    assert(r.getAs[Long]("n_both") === 3L)
+    assert(r.getAs[Double]("support") === 0.75)    // 3 of 4 orders
+    assert(r.getAs[Double]("confidence") === 1.0)  // every order with 1 has 2
+    assert(r.getAs[Double]("lift") === 1.333333) // round(4*3/(3*3), 6)
+  }
+
   test("latePriorityCounts counts each late order once via semi join") {
     val orders = Tables.orders(spark, sfDir)
     val li = Tables.lineitem(spark, sfDir)
