@@ -172,15 +172,31 @@ object Purchases {
     * is exact-integer division in double, deterministic IEEE on any
     * engine, snapped at 6 decimals. */
   def basketRules(lineitem: DataFrame, k: Int = 20, minCount: Long = 2L): DataFrame = {
-    val items = lineitem.select(col("l_orderkey").as("okey"), col("l_partkey"))
-      .distinct()
-    val nOrders = items.select("okey").distinct()
-      .agg(count(lit(1)).as("n_total"))
-    val itemSupport = items.groupBy("l_partkey").agg(count(lit(1)).as("n_item"))
-    val pairs = items.as("a")
-      .join(items.as("b"),
-        col("a.okey") === col("b.okey") && col("a.l_partkey") < col("b.l_partkey"))
-      .groupBy(col("a.l_partkey").as("part_a"), col("b.l_partkey").as("part_b"))
+    // ONE wide pass: per-order sorted distinct item arrays. Item
+    // support and pair counts both branch from this identical subplan,
+    // so the physical planner reuses its exchange — the fact table is
+    // scanned once for both heavy aggregates (a self-join formulation
+    // rescans it per branch). Pair generation explodes a<b pairs from
+    // the sorted array per order: O(basket²) per row like the
+    // self-join, but with no join and no rescan; basket sizes are
+    // bounded in practice, so the per-row lambda cost stays small.
+    val baskets = lineitem.select(col("l_orderkey").as("okey"), col("l_partkey"))
+      .groupBy("okey")
+      .agg(sort_array(collect_set(col("l_partkey"))).as("parts"))
+    // column pruning reduces this branch to a single-column scan +
+    // distinct count — it cannot share the wide exchange, and should
+    // not pay for it
+    val nOrders = baskets.agg(count(lit(1)).as("n_total"))
+    val itemSupport = baskets
+      .select(explode(col("parts")).as("l_partkey"))
+      .groupBy("l_partkey").agg(count(lit(1)).as("n_item"))
+    val pairs = baskets
+      .select(explode(expr(
+        """flatten(transform(parts, (x, i) ->
+          |  transform(slice(parts, i + 2, size(parts)),
+          |    y -> struct(x AS part_a, y AS part_b))))""".stripMargin)).as("p"))
+      .select(col("p.part_a"), col("p.part_b"))
+      .groupBy("part_a", "part_b")
       .agg(count(lit(1)).as("n_both"))
       .filter(col("n_both") >= minCount)
     pairs
