@@ -140,25 +140,37 @@ object Purchases {
         StableStats.stableAvg(col("o_totalprice"), 2).as("avg_order_value"))
       .orderBy("segment")
 
+  /** Per-order sorted distinct item arrays — the shared single-pass
+    * basket shape behind [[coPurchasePairs]] and [[basketRules]]: one
+    * fact scan, one order-keyed shuffle with map-side combine. */
+  private def orderBaskets(lineitem: DataFrame): DataFrame =
+    lineitem.select(col("l_orderkey").as("okey"), col("l_partkey"))
+      .groupBy("okey")
+      .agg(sort_array(collect_set(col("l_partkey"))).as("parts"))
+
+  /** Unordered co-occurrence counts from basket arrays: a<b pairs
+    * explode from each sorted array (O(basket²) per order — bounded by
+    * basket size, never a corpus-level product — with no self-join and
+    * no fact rescan), then one pair-keyed partial-combined count. */
+  private def basketPairCounts(baskets: DataFrame, countName: String): DataFrame =
+    baskets
+      .select(explode(expr(
+        """flatten(transform(parts, (x, i) ->
+          |  transform(slice(parts, i + 2, size(parts)),
+          |    y -> struct(x AS part_a, y AS part_b))))""".stripMargin)).as("p"))
+      .select(col("p.part_a"), col("p.part_b"))
+      .groupBy("part_a", "part_b")
+      .agg(count(lit(1)).as(countName))
+
   /** Frequently-bought-together pairs (market-basket co-occurrence):
-    * distinct parts per order self-joined within the order key,
-    * counted per unordered pair, exact top-k. The self-join is an
-    * equi-join on the order key, so candidate pairs are O(Σ basket²)
-    * bounded by basket size — never a corpus-level product — and ride
-    * the join as two part keys only. Distinct-within-order first so
-    * multi-line items (same part, several lines) cannot inflate counts.
-    * Top-k is a TakeOrdered with a total (count desc, pair asc) order. */
-  def coPurchasePairs(lineitem: DataFrame, k: Int = 20): DataFrame = {
-    val items = lineitem.select(col("l_orderkey").as("okey"), col("l_partkey"))
-      .distinct()
-    items.as("a")
-      .join(items.as("b"),
-        col("a.okey") === col("b.okey") && col("a.l_partkey") < col("b.l_partkey"))
-      .groupBy(col("a.l_partkey").as("part_a"), col("b.l_partkey").as("part_b"))
-      .agg(count(lit(1)).as("n_orders"))
+    * distinct parts per order, counted per unordered pair, exact
+    * top-k. Distinct-within-order (the basket set) so multi-line items
+    * (same part, several lines) cannot inflate counts. Top-k is a
+    * TakeOrdered with a total (count desc, pair asc) order. */
+  def coPurchasePairs(lineitem: DataFrame, k: Int = 20): DataFrame =
+    basketPairCounts(orderBaskets(lineitem), "n_orders")
       .orderBy(col("n_orders").desc, col("part_a"), col("part_b"))
       .limit(k)
-  }
 
   /** Market-basket association rules: support / confidence / lift for
     * the most frequent unordered co-purchase pairs. Builds on the
@@ -180,9 +192,7 @@ object Purchases {
     // the sorted array per order: O(basket²) per row like the
     // self-join, but with no join and no rescan; basket sizes are
     // bounded in practice, so the per-row lambda cost stays small.
-    val baskets = lineitem.select(col("l_orderkey").as("okey"), col("l_partkey"))
-      .groupBy("okey")
-      .agg(sort_array(collect_set(col("l_partkey"))).as("parts"))
+    val baskets = orderBaskets(lineitem)
     // column pruning reduces this branch to a single-column scan +
     // distinct count — it cannot share the wide exchange, and should
     // not pay for it
@@ -190,14 +200,7 @@ object Purchases {
     val itemSupport = baskets
       .select(explode(col("parts")).as("l_partkey"))
       .groupBy("l_partkey").agg(count(lit(1)).as("n_item"))
-    val pairs = baskets
-      .select(explode(expr(
-        """flatten(transform(parts, (x, i) ->
-          |  transform(slice(parts, i + 2, size(parts)),
-          |    y -> struct(x AS part_a, y AS part_b))))""".stripMargin)).as("p"))
-      .select(col("p.part_a"), col("p.part_b"))
-      .groupBy("part_a", "part_b")
-      .agg(count(lit(1)).as("n_both"))
+    val pairs = basketPairCounts(baskets, "n_both")
       .filter(col("n_both") >= minCount)
     pairs
       .join(itemSupport.select(col("l_partkey").as("part_a"), col("n_item").as("n_a")), "part_a")
