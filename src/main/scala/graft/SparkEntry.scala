@@ -173,6 +173,7 @@ object SparkEntry {
     "q_pii_stats" -> ((s, d) =>
       TextCleaning.piiStats(TextCleaning.withSyntheticPii(Tables.documents(s, d)))),
     "q_quality_sample" -> ((s, d) => Curation.qualitySample(Tables.documents(s, d))),
+    "q_shard_assign" -> ((s, d) => Curation.shardAssign(Tables.documents(s, d))),
     "q_normalize_unicode" -> ((s, d) =>
       TextCleaning.normalizeUnicode(Tables.documents(s, d))),
     "q_seq_pack" -> ((s, d) => TextCleaning.packSequences(Tables.documents(s, d))),
@@ -750,6 +751,14 @@ object SparkEntry {
          | (('0x' || substr(md5('qsample-v1:' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
          |    / 4294967296.0) < score AS kept
          |FROM sc ORDER BY doc_id""".stripMargin,
+    "q_shard_assign" ->
+      """WITH h AS (SELECT doc_id,
+        |  CAST(('0x' || substr(md5('shard-v1:' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+        |    AS BIGINT) AS h
+        | FROM documents)
+        |SELECT doc_id, h % 8 AS shard,
+        | CAST(row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) AS INTEGER) AS pos
+        |FROM h ORDER BY doc_id""".stripMargin,
     "q_normalize_unicode" ->
       """SELECT doc_id, nfc_normalize(text) AS norm_text
         |FROM documents ORDER BY doc_id""".stripMargin,

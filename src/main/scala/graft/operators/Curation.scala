@@ -132,6 +132,26 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** Deterministic training-shard assignment + within-shard order: the
+    * reproducible global shuffle a distributed training run needs.
+    * Shard = md5-prefix hash mod nShards (any engine reproduces it,
+    * like [[assignSplits]]); position = rank of the hash within the
+    * shard (ties broken by doc_id, so the order is total). One shuffle
+    * keyed by shard; at 100 TB the window sorts each shard's slice,
+    * which is exactly the sort a shard writer needs anyway. */
+  def shardAssign(
+      docs: DataFrame, nShards: Int = 8, seed: String = "shard-v1"): DataFrame = {
+    val h = conv(substring(md5(concat_ws(":", lit(seed), col("doc_id").cast("string"))),
+      1, 8), 16, 10).cast("long")
+    docs.select(col("doc_id"), h.as("h"))
+      .withColumn("shard", col("h") % nShards)
+      .withColumn("pos",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy("shard").orderBy(col("h"), col("doc_id"))))
+      .select(col("doc_id"), col("shard"), col("pos"))
+      .orderBy("doc_id")
+  }
+
   /** Quality-weighted (importance) sampling: keep each document with
     * probability equal to its classifier quality score — the standard
     * move for up-weighting high-quality text in a training mix without

@@ -403,6 +403,21 @@ class LlmOpsSpec extends AnyFunSuite with SparkSessionTestBase {
     assert(rows.map(_.toString).toSeq === again.map(_.toString).toSeq)
   }
 
+  test("shardAssign gives every doc a shard and a dense within-shard rank") {
+    val docs = Tables.documents(spark, docDir)
+    val rows = Curation.shardAssign(docs, nShards = 4).collect()
+    assert(rows.length === docs.count())
+    // shards are 0..3 and positions are dense 1..|shard|
+    rows.groupBy(_.getAs[Long]("shard")).foreach { case (s, rs) =>
+      assert(s >= 0 && s < 4)
+      assert(rs.map(_.getAs[Int]("pos")).sorted.toSeq === (1 to rs.length).toSeq)
+    }
+    // deterministic across runs and partitionings
+    val again = Curation.shardAssign(docs.repartition(7), nShards = 4)
+      .orderBy("doc_id").collect()
+    assert(rows.map(_.toString).toSeq === again.map(_.toString).toSeq)
+  }
+
   test("embedClusterStats partitions the corpus into coherent clusters") {
     val emb = Tables.embeddings(spark, docDir)
     val rows = Similarity.embedClusterStats(emb, nCentroids = 8, lloydIters = 1).collect()
