@@ -187,9 +187,10 @@ object Curation {
   def curationPipeline(
       docs: DataFrame, wantLang: String = "en",
       minTokens: Int = 20, maxTokens: Int = 5000): DataFrame = {
-    val lang = TextAnalysis.langId(docs).select(col("doc_id"), col("predicted"))
-    val qual = TextAnalysis.qualityScore(docs).select(col("doc_id"), col("keep").as("q_keep"))
-    val toks = TextAnalysis.tokenCount(docs).select(col("doc_id"), col("n_tokens"))
+    // per-row stages in ONE narrow pass (shared with curationSignals)
+    val signals = curationSignals(docs, wantLang, minTokens, maxTokens)
+      .select(col("doc_id"), col("lang_pred"), col("n_tokens"),
+        col("row_reason"))
     // repetitionScore omits docs with < 2 words (no bigrams) — they are
     // not repetitive, so the left join's NULL coalesces to false
     val rep = TextAnalysis.repetitionScore(docs).select(col("doc_id"), col("flagged"))
@@ -197,20 +198,44 @@ object Curation {
       .withColumn("keep_id",
         min("doc_id").over(org.apache.spark.sql.expressions.Window.partitionBy("h")))
       .select(col("doc_id"), (col("doc_id") =!= col("keep_id")).as("is_dup"))
-    lang.join(toks, Seq("doc_id"))
-      .join(qual, Seq("doc_id"))
+    signals
       .join(rep, Seq("doc_id"), "left")
       .join(dup, Seq("doc_id"))
       .withColumn("reason",
-        when(col("predicted") =!= wantLang, "lang")
-          .when(col("n_tokens") < minTokens || col("n_tokens") > maxTokens, "length")
-          .when(!col("q_keep"), "quality")
-          .when(coalesce(col("flagged"), lit(false)), "repetition")
-          .when(col("is_dup"), "duplicate")
-          .otherwise(lit(null).cast("string")))
-      .select(col("doc_id"), col("predicted").as("lang_pred"), col("n_tokens"),
+        coalesce(col("row_reason"),
+          when(coalesce(col("flagged"), lit(false)), "repetition")
+            .when(col("is_dup"), "duplicate")
+            .otherwise(lit(null).cast("string"))))
+      .select(col("doc_id"), col("lang_pred"), col("n_tokens"),
         col("reason").isNull.as("keep"), col("reason"))
       .orderBy("doc_id")
+  }
+
+  /** The STATELESS per-row stages of [[curationPipeline]] (lang /
+    * length / quality) as one narrow projection — no sort, no join, no
+    * shuffle, so the same frame works on a batch table or a streaming
+    * source unchanged (the streaming quality gate in front of a
+    * landing sink; pair with `dropDuplicatesWithinWatermark` for the
+    * duplicate stage). `row_reason` is the first failing per-row stage
+    * or NULL; the corpus-level stages (repetition, duplicate) are
+    * batch concerns layered on top by [[curationPipeline]], sharing
+    * these exact expressions via [[TextAnalysis]]'s column builders. */
+  def curationSignals(
+      docs: DataFrame, wantLang: String = "en",
+      minTokens: Int = 20, maxTokens: Int = 5000): DataFrame = {
+    val w = split(lower(col("text")), " ", -1)
+    val scores = TextAnalysis.langScoreCols(array_distinct(w))
+    docs.select(
+        col("doc_id"),
+        TextAnalysis.predictedLangCol(scores).as("lang_pred"),
+        TextAnalysis.tokenCountCol(col("text")).as("n_tokens"),
+        TextAnalysis.qualityKeepCol(col("text"), w).as("q_keep"))
+      .withColumn("row_reason",
+        when(col("lang_pred") =!= wantLang, "lang")
+          .when(col("n_tokens") < minTokens || col("n_tokens") > maxTokens, "length")
+          .when(!col("q_keep"), "quality")
+          .otherwise(lit(null).cast("string")))
+      .withColumn("row_keep", col("row_reason").isNull)
   }
 
   /** Benchmark decontamination: flag training docs sharing any word

@@ -25,24 +25,58 @@ object TextAnalysis {
     "fr" -> Seq("le", "la", "de", "et", "un", "que", "pour", "dans", "ce", "pas"),
     "zh" -> Seq("的", "一", "是", "不", "了", "人", "我", "在", "有", "他"))
 
+  // ---- Column-level per-row signal builders --------------------------
+  // Pure narrow expressions (no sort, no shuffle, no state): the single
+  // source of truth shared by the batch operators below and the
+  // stream-safe curation gate (Curation.curationSignals) — batch and
+  // streaming results are bit-identical by construction.
+
+  /** Per-language stopword-hit scores over a DISTINCT word array. */
+  private[operators] def langScoreCols(wDistinct: Column): Seq[(String, Column)] =
+    stopwords.map { case (lang, words) =>
+      lang -> size(array_intersect(wDistinct, typedLit(words)))
+    }
+
+  /** First language (declaration order) attaining the max score. */
+  private[operators] def predictedLangCol(scores: Seq[(String, Column)]): Column = {
+    val Seq(en, de, es, fr, zh) = scores.map(_._2)
+    when(en >= de && en >= es && en >= fr && en >= zh, "en")
+      .when(de >= es && de >= fr && de >= zh, "de")
+      .when(es >= fr && es >= zh, "es")
+      .when(fr >= zh, "fr")
+      .otherwise("zh")
+  }
+
+  /** BPE-ish token count (alpha runs, digit runs, single symbols). */
+  private[operators] def tokenCountCol(text: Column): Column =
+    size(regexp_extract_all(text, lit("[a-z]+|[0-9]+|\\S"), lit(0)))
+
+  /** Composite quality keep decision over (text, words). Exactly the
+    * [[qualityScore]] formulation: raw (un-snapped) ratios, weighted
+    * half/half, thresholded with a minimum word count. */
+  private[operators] def qualityKeepCol(text: Column, w: Column): Column = {
+    val sw = stopwords.head._2
+    val nChars = length(text)
+    val nWords = size(w)
+    val alpha = length(regexp_replace(lower(text), "[^a-z ]", "")).cast("double") / nChars
+    val stop = size(filter(w, t => t.isin(sw: _*))).cast("double") / nWords
+    (alpha * 0.5 + stop * 0.5 >= 0.3) && (nWords >= 10)
+  }
+
   /** Stopword-hit language ID: score = |distinct tokens ∩ stopwords_L|,
     * prediction = first language (in declaration order) attaining the
     * max — a deterministic n-gram-free heuristic. */
   def langId(docs: DataFrame): DataFrame = {
     val base = docs
       .withColumn("w", array_distinct(split(lower(col("text")), " ", -1)))
-    val scored = stopwords.foldLeft(base) { case (df, (lang, words)) =>
-      df.withColumn(s"s_$lang", size(array_intersect(col("w"), typedLit(words))))
+    val scores = langScoreCols(col("w"))
+    val scored = scores.foldLeft(base) { case (df, (lang, c)) =>
+      df.withColumn(s"s_$lang", c)
     }
-    val Seq(en, de, es, fr, zh) = stopwords.map { case (l, _) => col(s"s_$l") }
     scored.select(
-        col("doc_id"), col("lang"),
-        when(en >= de && en >= es && en >= fr && en >= zh, "en")
-          .when(de >= es && de >= fr && de >= zh, "de")
-          .when(es >= fr && es >= zh, "es")
-          .when(fr >= zh, "fr")
-          .otherwise("zh").as("predicted"),
-        en.as("s_en"), de.as("s_de"), es.as("s_es"), fr.as("s_fr"), zh.as("s_zh"))
+        col("doc_id") +: col("lang") +:
+          predictedLangCol(scores.map { case (l, _) => l -> col(s"s_$l") }).as("predicted") +:
+          stopwords.map { case (l, _) => col(s"s_$l") }: _*)
       .orderBy("doc_id")
   }
 
@@ -71,7 +105,7 @@ object TextAnalysis {
         round(col("alpha_ratio_raw"), 4).as("alpha_ratio"),
         round(col("stopword_ratio_raw"), 4).as("stopword_ratio"),
         round(col("score_raw"), 4).as("quality_score"),
-        (col("score_raw") >= 0.3 && col("n_words") >= 10).as("keep"))
+        qualityKeepCol(col("text"), col("w")).as("keep"))
       .orderBy("doc_id")
   }
 
@@ -81,7 +115,7 @@ object TextAnalysis {
     docs.select(
         col("doc_id"),
         length(col("text")).as("n_chars"),
-        size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+|\\S"), lit(0))).as("n_tokens"))
+        tokenCountCol(col("text")).as("n_tokens"))
       .orderBy("doc_id")
 
   /** Unigram "perplexity" quality score (CCNet-style filtering): build

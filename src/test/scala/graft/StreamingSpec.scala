@@ -110,6 +110,26 @@ class StreamingSpec extends AnyFunSuite with SparkSessionTestBase {
     } finally q.stop()
   }
 
+  test("curationSignals is stream-safe and matches its batch twin exactly") {
+    val dir = java.nio.file.Files.createTempDirectory("curatestream").toString
+    Tables.documents(spark, sfDir).write.mode("overwrite").parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    val q = graft.operators.Curation
+      .curationSignals(spark.readStream.schema(schema).parquet(dir))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("curate_out").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("curate_out").orderBy("doc_id")
+        .collect().map(_.toString).toSeq
+      val batch = graft.operators.Curation
+        .curationSignals(spark.read.parquet(dir)).orderBy("doc_id")
+        .collect().map(_.toString).toSeq
+      assert(got === batch)
+      assert(got.nonEmpty)
+    } finally q.stop()
+  }
+
   test("sessionizeStream emits gap-closed sessions") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("sessstream").toString
