@@ -184,24 +184,37 @@ object Purchases {
     * is exact-integer division in double, deterministic IEEE on any
     * engine, snapped at 6 decimals. */
   def basketRules(lineitem: DataFrame, k: Int = 20, minCount: Long = 2L): DataFrame = {
-    // ONE wide pass: per-order sorted distinct item arrays. Item
-    // support and pair counts both branch from this identical subplan,
-    // so the physical planner reuses its exchange — the fact table is
-    // scanned once for both heavy aggregates (a self-join formulation
-    // rescans it per branch). Pair generation explodes a<b pairs from
-    // the sorted array per order: O(basket²) per row like the
-    // self-join, but with no join and no rescan; basket sizes are
-    // bounded in practice, so the per-row lambda cost stays small.
-    val baskets = orderBaskets(lineitem)
-    // column pruning reduces this branch to a single-column scan +
-    // distinct count — it cannot share the wide exchange, and should
-    // not pay for it
-    val nOrders = baskets.agg(count(lit(1)).as("n_total"))
-    val itemSupport = baskets
-      .select(explode(col("parts")).as("l_partkey"))
-      .groupBy("l_partkey").agg(count(lit(1)).as("n_item"))
-    val pairs = basketPairCounts(baskets, "n_both")
-      .filter(col("n_both") >= minCount)
+    // ONE wide pass over the baskets emits every count the rule
+    // metrics need as kind-tagged keys — (0,·,·) one token per order,
+    // (1,part,·) per distinct item, (2,a,b) per a<b pair — through a
+    // SINGLE partial-combined shuffle. The resulting aggregate (order
+    // count + item supports + minCount-surviving pairs, tiny next to
+    // the fact table) is localCheckpoint'd because three consumers
+    // branch from it and Spark does not reuse aggregate stages across
+    // consumers: without the checkpoint each branch would re-scan the
+    // fact table (measured: 3 wide scans), with it the whole rule set
+    // costs one scan + one shuffle.
+    val counted = orderBaskets(lineitem)
+      .select(explode(expr(
+        """concat(
+          |  array(named_struct('kind', 0L, 'k1', CAST(NULL AS BIGINT),
+          |                     'k2', CAST(NULL AS BIGINT))),
+          |  transform(parts, x -> named_struct('kind', 1L, 'k1', x,
+          |                                     'k2', CAST(NULL AS BIGINT))),
+          |  flatten(transform(parts, (x, i) ->
+          |    transform(slice(parts, i + 2, size(parts)),
+          |      y -> named_struct('kind', 2L, 'k1', x, 'k2', y)))))"""
+          .stripMargin)).as("t"))
+      .groupBy(col("t.kind").as("kind"), col("t.k1").as("k1"), col("t.k2").as("k2"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("kind") < 2 || col("n") >= minCount)
+      .localCheckpoint()
+    val nOrders = counted.filter(col("kind") === 0)
+      .select(col("n").as("n_total"))
+    val itemSupport = counted.filter(col("kind") === 1)
+      .select(col("k1").as("l_partkey"), col("n").as("n_item"))
+    val pairs = counted.filter(col("kind") === 2)
+      .select(col("k1").as("part_a"), col("k2").as("part_b"), col("n").as("n_both"))
     pairs
       .join(itemSupport.select(col("l_partkey").as("part_a"), col("n_item").as("n_a")), "part_a")
       .join(itemSupport.select(col("l_partkey").as("part_b"), col("n_item").as("n_b")), "part_b")

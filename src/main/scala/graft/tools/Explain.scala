@@ -16,9 +16,18 @@ object Explain {
     val names = if (args.nonEmpty) args.toSeq else Seq(
       "q_search_products", "q_store_products", "q1_pricing_summary",
       "q_lowest_price_per_store", "q_best_basket", "q_price_history")
-    names.foreach { n =>
+    // "-exec" first arg: run each query, then print the FINAL adaptive
+    // plan (shows runtime decisions — ReusedQueryStage / broadcast
+    // conversions — that static explain can't)
+    val (exec, queryNames) =
+      if (names.headOption.contains("-exec")) (true, names.tail) else (false, names)
+    queryNames.foreach { n =>
       println(s"\n========== $n ==========")
-      graft.SparkEntry.queries(n)(spark, dir).explain("formatted")
+      val df = graft.SparkEntry.queries(n)(spark, dir)
+      if (exec) {
+        df.write.format("noop").mode("overwrite").save()
+        println(df.queryExecution.executedPlan.toString)
+      } else df.explain("formatted")
     }
     spark.stop()
   }

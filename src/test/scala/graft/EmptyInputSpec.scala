@@ -108,5 +108,8 @@ class EmptyInputSpec extends AnyFunSuite with SparkSessionTestBase {
     // cluster stats: empty corpus means no centroids and no clusters
     assert(Similarity.embedClusterStats(emptyEmb).count() === 0)
     assert(Similarity.embedIvfTopK(emptyEmb).count() === 0)
+    assert(Purchases.basketRules(emptyLi).count() === 0)
+    assert(Purchases.coPurchasePairs(emptyLi).count() === 0)
+    assert(Curation.shardAssign(emptyDocs).count() === 0)
   }
 }
