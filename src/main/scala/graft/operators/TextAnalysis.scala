@@ -137,8 +137,17 @@ object TextAnalysis {
     * to the unfloored formulation (the oracle's). */
   def perplexityScore(docs: DataFrame, minTokenCount: Long = 1L): DataFrame = {
     val toks = docs.select(col("doc_id"), explode(split(lower(col("text")), " ", -1)).as("t"))
-    val total = toks.agg(count(lit(1)).as("total"))
-    val model = toks.groupBy("t").agg(count(lit(1)).as("n"))
+    // One tokenization pass builds the vocabulary; localCheckpoint it
+    // because two consumers branch from it (the scalar token total and
+    // the model) and Spark re-executes a subplan per consumer — without
+    // it the corpus is tokenized once per branch (the scoring join
+    // below makes pass two; this held passes three and four). The
+    // materialized frame is the vocab — the shuffle already produced
+    // exactly these rows, so the checkpoint adds storage, not compute.
+    val counts = toks.groupBy("t").agg(count(lit(1)).as("n")).localCheckpoint()
+    // exact corpus token count: the vocab already carries it
+    val total = counts.agg(sum("n").as("total"))
+    val model = counts
       .filter(col("n") >= minTokenCount)
       .crossJoin(broadcast(total))
       .select(col("t"),
@@ -230,9 +239,15 @@ object TextAnalysis {
     val tf = docs
       .select(col("doc_id"), explode(split(lower(col("text")), " ", -1)).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    // df as a window count over tf — one tokenization pass total. The
+    // former groupBy+join formulation branched tf into two consumers,
+    // and Spark re-executes a subplan per consumer, so the corpus was
+    // tokenized and tf-aggregated twice; the window re-keys the same
+    // rows by term instead (same shuffle volume as the join's build
+    // side, no second scan).
+    val withDf = tf.withColumn("df", count(lit(1)).over(Window.partitionBy("term")))
     val w = Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("term"))
-    tf.join(dfreq, Seq("term"))
+    withDf
       .crossJoin(broadcast(nDocs))
       .withColumn("tfidf",
         round(col("tf") * round(log(col("n_docs").cast("double") / col("df")), 6), 6))
