@@ -61,13 +61,15 @@ object Purchases {
       .limit(topN)
 
   /** Retention cohorts: customers grouped by first-order month, counted
-    * by activity month — the classic engagement matrix. Two aggregation
-    * passes over orders plus a broadcast-sized first-order dimension. */
+    * by activity month — the classic engagement matrix. */
   def retentionCohorts(orders: DataFrame): DataFrame = {
-    val firstOrder = orders.groupBy("o_custkey")
-      .agg(date_trunc("month", min("o_orderdate")).as("cohort_month"))
+    // cohort month as a per-customer window min: one scan and one
+    // customer-keyed shuffle (the aggregate-then-self-join form scans
+    // orders twice — Spark re-executes a subplan per consumer)
     orders
-      .join(firstOrder, Seq("o_custkey"))
+      .withColumn("cohort_month", date_trunc("month",
+        min("o_orderdate").over(org.apache.spark.sql.expressions.Window
+          .partitionBy("o_custkey"))))
       .groupBy(col("cohort_month"),
         date_trunc("month", col("o_orderdate")).as("activity_month"))
       .agg(
@@ -81,15 +83,16 @@ object Purchases {
     * aggregates rather than `pivot` so the column set is static and
     * the plan stays a single pass. */
   def cohortPivot(orders: DataFrame, horizon: Int = 5): DataFrame = {
-    val firstOrder = orders.groupBy("o_custkey")
-      .agg(date_trunc("month", min("o_orderdate")).as("cohort_month"))
     val monthsAfter =
       (year(col("o_orderdate")) * 12 + month(col("o_orderdate"))) -
         (year(col("cohort_month")) * 12 + month(col("cohort_month")))
     val cols = (0 to horizon).map(k =>
       countDistinct(when(col("months_after") === k, col("o_custkey"))).as(s"m$k"))
+    // same single-pass window shape as retentionCohorts
     orders
-      .join(firstOrder, Seq("o_custkey"))
+      .withColumn("cohort_month", date_trunc("month",
+        min("o_orderdate").over(org.apache.spark.sql.expressions.Window
+          .partitionBy("o_custkey"))))
       .withColumn("months_after", monthsAfter)
       .groupBy("cohort_month")
       .agg(cols.head, cols.tail: _*)
