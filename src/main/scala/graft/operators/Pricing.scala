@@ -112,17 +112,22 @@ object Pricing {
       li.join(broadcast(part.get.filter(col("p_type") === c)
           .select(col("p_partkey").as("l_partkey"))),
         Seq("l_partkey"), "left_semi"))
+    // per-store min as a window (the aggregate-then-join-back form
+    // re-executes the scan per consumer); the global max for savings%
+    // is a single-partition window over the ALREADY-REDUCED winner set
+    // (≤ one row per store after distinct), mirroring the oracle's
+    // max(eff) OVER () — never over the fact table
+    val w = org.apache.spark.sql.expressions.Window
     val eff = obs.select(col("l_suppkey"), col("l_partkey"), effPrice.as("eff"))
-    val perStore = eff.groupBy("l_suppkey").agg(min("eff").as("min_eff"))
     val winners = eff
-      .join(perStore, Seq("l_suppkey"))
+      .withColumn("min_eff", min("eff").over(w.partitionBy("l_suppkey")))
       .filter(col("eff") === col("min_eff"))
       .select("l_suppkey", "l_partkey", "eff")
       .distinct()
     val returned = rowLimit.fold(winners)(n =>
       winners.orderBy(col("eff"), col("l_suppkey"), col("l_partkey")).limit(n))
     val ranked = returned
-      .crossJoin(broadcast(returned.agg(max("eff").as("max_eff"))))
+      .withColumn("max_eff", max("eff").over(w.partitionBy()))
       .select(
         col("l_suppkey"),
         col("l_partkey"),
