@@ -117,6 +117,23 @@ class PlanRegressionSpec extends AnyFunSuite with SparkSessionTestBase {
     assert(p.contains("TakeOrderedAndProject"))
   }
 
+  private def scanCount(p: String): Int =
+    p.linesIterator.count(_.contains("Scan parquet"))
+
+  test("single-scan rewrites stay single-scan (no per-consumer rescans)") {
+    // Spark re-executes a branching subplan per consumer; these
+    // operators were rewritten to key the same rows through windows /
+    // kind-tagged unions instead of aggregate-then-join-back, and a
+    // refactor must not quietly reintroduce the extra fact scans.
+    // tfidf: one wide tokenization scan + the scalar n_docs count
+    // (column-pruned to zero columns — parquet answers from footers)
+    assert(scanCount(plan("q_tfidf_topterms")) === 2)
+    assert(scanCount(plan("q_retention_cohorts")) === 1)
+    assert(scanCount(plan("q_cohort_pivot")) === 1)
+    assert(scanCount(plan("q_lowest_price_per_store")) === 1)
+    assert(scanCount(plan("q_copurchase")) === 1)
+  }
+
   test("ngram df-cap self-join reuses the window's partitioning") {
     val df = SparkEntry.queries("q_ngram_jaccard")(spark, sfDir)
     val p = df.queryExecution.executedPlan.toString
