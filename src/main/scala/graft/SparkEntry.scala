@@ -203,6 +203,16 @@ object SparkEntry {
     "q_dedup_survivors" -> ((s, d) =>
       Dedup.dedupSurvivors(Tables.documents(s, d), minhashPairsShared(s, d))
         .select("doc_id", "source", "n_chars")),
+    // semantic (embedding-space) twin of q_dedup_survivors: LSH
+    // near-dup pairs -> connected components -> one doc per cluster.
+    // vec_id and doc_id share the id space by testdata construction.
+    "q_semantic_survivors" -> ((s, d) => {
+      val pairs = Similarity.embedNearDupPairs(Tables.embeddings(s, d),
+          threshold = 0.35, planes = 8, tables = 16)
+        .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+      Dedup.dedupSurvivors(Tables.documents(s, d), pairs)
+        .select("doc_id", "source", "n_chars")
+    }),
     "q_asof_view_before_purchase" -> ((s, d) => {
       val ev = Tables.events(s, d)
       val purchases = ev.filter(col("event_type") === "purchase")

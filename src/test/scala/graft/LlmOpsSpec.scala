@@ -403,6 +403,25 @@ class LlmOpsSpec extends AnyFunSuite with SparkSessionTestBase {
     assert(rows.map(_.toString).toSeq === again.map(_.toString).toSeq)
   }
 
+  test("semantic survivors drop exactly the non-representative neardup docs") {
+    val docs = Tables.documents(spark, docDir)
+    val emb = Tables.embeddings(spark, docDir)
+    val pairs = Similarity.embedNearDupPairs(emb, threshold = 0.35,
+        planes = 8, tables = 16)
+      .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+    val survivors = Dedup.dedupSurvivors(docs, pairs)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val dropped = Dedup.duplicateLabels(pairs)
+      .filter(col("id") =!= col("label"))
+      .collect().map(_.getLong(0)).toSet
+    assert(survivors.size + dropped.size === docs.count())
+    assert(survivors.intersect(dropped).isEmpty)
+    // every cluster representative survives
+    val reps = Dedup.duplicateLabels(pairs)
+      .select("label").distinct().collect().map(_.getLong(0)).toSet
+    assert(reps.subsetOf(survivors))
+  }
+
   test("shardAssign gives every doc a shard and a dense within-shard rank") {
     val docs = Tables.documents(spark, docDir)
     val rows = Curation.shardAssign(docs, nShards = 4).collect()
