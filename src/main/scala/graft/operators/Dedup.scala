@@ -54,13 +54,15 @@ object Dedup {
       .withColumn("w", split(lower(col("text")), " ", -1))
       .withColumn("n_full", (size(col("w")) / chunkWords).cast("int"))
       .filter(col("n_full") >= 1)
+    // explode the chunk INDEX, then hash with plain projections: slice/
+    // concat_ws/md5 are all codegen'd, where the equivalent transform()
+    // lambda would evaluate an interpreted closure per chunk
     val chunks = base
-      .select(col("doc_id"), explode(expr(
-        s"""transform(sequence(1, n_full),
-           |  i -> struct(i AS idx,
-           |    md5(concat_ws(' ', slice(w, (i-1)*$chunkWords+1, $chunkWords))) AS h))"""
-          .stripMargin)).as("c"))
-      .select(col("doc_id"), col("c.idx").as("chunk_idx"), col("c.h").as("h"))
+      .select(col("doc_id"), col("w"),
+        explode(sequence(lit(1), col("n_full"))).as("chunk_idx"))
+      .select(col("doc_id"), col("chunk_idx"),
+        md5(concat_ws(" ",
+          slice(col("w"), (col("chunk_idx") - 1) * chunkWords + 1, lit(chunkWords)))).as("h"))
     val ownedPerDoc = chunks
       .groupBy("h").agg(min(struct(col("doc_id"), col("chunk_idx"))).as("owner"))
       .groupBy(col("owner.doc_id").as("doc_id"))
