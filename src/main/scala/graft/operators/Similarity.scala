@@ -22,7 +22,7 @@ object Similarity {
     * codegen'd graft_dot — see graft.functions.DotProduct). */
   private def withNorm(emb: DataFrame): DataFrame = {
     graft.functions.VectorFunctions.register(emb.sparkSession)
-    emb.select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+    emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("norm", expr("sqrt(graft_dot(v, v))"))
   }
 
@@ -60,7 +60,7 @@ object Similarity {
     * formulation it replaced, asserted in VectorExpressionsSpec). */
   private def withBucket(emb: DataFrame, planes: Int): DataFrame = {
     graft.functions.VectorFunctions.register(emb.sparkSession)
-    emb.select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+    emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("bucket", expr(s"element_at(graft_lsh(v, $planes, 1), 1)"))
   }
 
@@ -217,7 +217,7 @@ object Similarity {
     * buckets only — vectors are re-joined after candidate dedup. */
   private def bucketed(emb: DataFrame, planes: Int, tables: Int): DataFrame = {
     graft.functions.VectorFunctions.register(emb.sparkSession)
-    emb.select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+    emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .select(col("vec_id"),
         posexplode(expr(s"graft_lsh(v, $planes, $tables)")).as(Seq("t", "bucket")))
   }
