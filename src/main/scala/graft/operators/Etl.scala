@@ -49,14 +49,21 @@ object Etl {
   /** Upsert read: latest observation per (store, product) — the
     * "current price" view over an append-only observation log. */
   def latestPerKey(li: DataFrame): DataFrame = {
-    val w = Window.partitionBy("l_suppkey", "l_partkey")
-      .orderBy(col("l_shipdate").desc, col("l_orderkey").desc, col("l_linenumber").desc)
-    li.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
+    // max_by instead of a row_number window: the window form shuffles
+    // EVERY observation and sorts whole key partitions, while the
+    // aggregate partial-combines map-side, so the exchange carries one
+    // row per (store, product) per partition — at 100 TB that is the
+    // observation count vs the key count. The (shipdate, orderkey,
+    // linenumber) struct is a total order, so the winner is identical.
+    li.groupBy("l_suppkey", "l_partkey")
+      .agg(max_by(
+        struct(col("l_shipdate").as("collected_at"),
+          round(col("l_extendedprice"), 2).as("price")),
+        struct(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))).as("m"))
       .select(
         col("l_suppkey"), col("l_partkey"),
-        col("l_shipdate").as("collected_at"),
-        round(col("l_extendedprice"), 2).as("price"))
+        col("m.collected_at").as("collected_at"),
+        col("m.price").as("price"))
       .orderBy("l_suppkey", "l_partkey")
   }
 
