@@ -112,6 +112,14 @@ object SparkEntry {
     "q_dedup_exact_docs" -> ((s, d) => Dedup.exactDocs(Tables.documents(s, d))),
     "q_dedup_minhash" -> ((s, d) => minhashPairsShared(s, d)),
     "q_dedup_simhash" -> ((s, d) => Dedup.simhashPairs(Tables.documents(s, d))),
+    // incremental mode: docs >= 400 arrive as a new batch and dedup
+    // against the signature index of the existing corpus (doc_id < 400)
+    "q_dedup_incremental" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.minhashPairsAgainst(
+        docs.filter(col("doc_id") >= 400),
+        Dedup.minhashSignatures(docs.filter(col("doc_id") < 400)))
+    }),
     "q_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(Tables.documents(s, d))),
     "q_embed_topk" -> ((s, d) => Similarity.embedTopK(Tables.embeddings(s, d))),
     "q_embed_lsh" -> ((s, d) => Similarity.embedLshBuckets(Tables.embeddings(s, d))),

@@ -94,6 +94,35 @@ object Dedup {
     * minimum, with circular densification for empty buckets — k×
     * cheaper signatures than classic k-permutation MinHash at equal
     * sketch width. Deterministic by construction (no RNG). */
+  /** Corpus MinHash signature index: one (doc_id, sig) row per doc,
+    * computed in a single narrow codegen pass (graft_minhash). This is
+    * the frame to PERSIST (parquet) in production: incoming batches
+    * dedup against it via [[minhashPairsAgainst]] without ever
+    * re-shingling the corpus — band keys re-derive from signatures
+    * narrowly. */
+  def minhashSignatures(
+      docs: DataFrame, shingleLen: Int = 3, numHashes: Int = 64): DataFrame = {
+    graft.functions.VectorFunctions.register(docs.sparkSession)
+    shingleHashes(docs, shingleLen)
+      .select(col("doc_id"), expr(s"graft_minhash(sh, doc_id, $numHashes)").as("sig"))
+  }
+
+  /** Slim banded bucket table from a signature frame: |bands| rows per
+    * doc, key = (band, band hash) — a narrow explode, no shuffle. */
+  private def bandKeys(sigs: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    sigs.select(col("doc_id"),
+        explode(expr(
+          s"transform(sequence(0, ${bands - 1}), " +
+            s"b -> named_struct('band', b, 'bh', xxhash64(slice(sig, b*$rowsPerBand + 1, $rowsPerBand), b)))")).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bh").as("bh"))
+  }
+
+  /** Signature-agreement Jaccard estimate for two `sig` columns. */
+  private def estJaccard(numHashes: Int): org.apache.spark.sql.Column = expr(
+    s"aggregate(zip_with(sig_a, sig_b, (x, y) -> CASE WHEN x = y THEN 1 ELSE 0 END), " +
+      s"0, (acc, v) -> acc + v) / ${numHashes}.0D")
+
   def minhashPairs(
       docs: DataFrame,
       shingleLen: Int = 3,
@@ -101,27 +130,16 @@ object Dedup {
       bands: Int = 16,
       threshold: Double = 0.5): DataFrame = {
     require(numHashes % bands == 0)
-    val rowsPerBand = numHashes / bands
-    val k = numHashes
-    graft.functions.VectorFunctions.register(docs.sparkSession)
     // Signature as a narrow per-row codegen expression (slot minima +
     // circular densification in one pass over the shingle array) — the
     // relational formulation (explode → slot-min agg → re-assembly)
     // shuffled |docs|·k slot rows twice; graft_minhash computes the
     // identical signature (asserted in spec) with ZERO shuffles.
-    val sigs = shingleHashes(docs, shingleLen)
-      .select(col("doc_id"), expr(s"graft_minhash(sh, doc_id, $k)").as("sig"))
-      // reused by the bucket self-join (2 branches) and both signature
-      // re-joins — cache once instead of recomputing 4×
-      .cache()
+    // Cached: reused by the bucket self-join (2 branches) and both
+    // signature re-joins — once instead of 4×.
+    val sigs = minhashSignatures(docs, shingleLen, numHashes).cache()
 
-    // Slim bucket table: |bands| rows per doc, key = (band, band hash).
-    val buckets = sigs.select(col("doc_id"),
-        explode(expr(
-          s"transform(sequence(0, ${bands - 1}), " +
-            s"b -> named_struct('band', b, 'bh', xxhash64(slice(sig, b*$rowsPerBand + 1, $rowsPerBand), b)))")).as("bk"))
-      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bh").as("bh"))
-
+    val buckets = bandKeys(sigs, numHashes, bands)
     val candidates = buckets.as("a")
       .join(buckets.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
@@ -132,12 +150,43 @@ object Dedup {
     candidates
       .join(sigs.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sig", "sig_a"), "doc_a")
       .join(sigs.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sig", "sig_b"), "doc_b")
-      .withColumn("est_jaccard", expr(
-        s"aggregate(zip_with(sig_a, sig_b, (x, y) -> CASE WHEN x = y THEN 1 ELSE 0 END), " +
-          s"0, (acc, v) -> acc + v) / ${numHashes}.0D"))
+      .withColumn("est_jaccard", estJaccard(numHashes))
       .filter(col("est_jaccard") >= threshold)
       .select("doc_a", "doc_b", "est_jaccard")
       .orderBy("doc_a", "doc_b")
+  }
+
+  /** Incremental near-dup: an incoming batch against a PERSISTED
+    * corpus signature index ([[minhashSignatures]]) — the operational
+    * 100 TB mode, where re-sketching the corpus per batch is the cost
+    * that matters. The batch sketches in one narrow pass; candidate
+    * generation is a band-key equi-join of batch bands against
+    * corpus bands (both derived narrowly from signatures); the exact
+    * signature rerank uses the same agreement math as
+    * [[minhashPairs]], so batch-vs-corpus results are identical to the
+    * cross-group subset of a full-corpus run (asserted in spec).
+    * Returns (doc_new, doc_corpus, est_jaccard). */
+  def minhashPairsAgainst(
+      newDocs: DataFrame,
+      index: DataFrame,
+      shingleLen: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      threshold: Double = 0.5): DataFrame = {
+    require(numHashes % bands == 0)
+    val newSigs = minhashSignatures(newDocs, shingleLen, numHashes).cache()
+    val candidates = bandKeys(newSigs, numHashes, bands).as("a")
+      .join(bandKeys(index, numHashes, bands).as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh"))
+      .select(col("a.doc_id").as("doc_new"), col("b.doc_id").as("doc_corpus"))
+      .dropDuplicates("doc_new", "doc_corpus")
+    candidates
+      .join(newSigs.select(col("doc_id").as("doc_new"), col("sig").as("sig_a")), "doc_new")
+      .join(index.select(col("doc_id").as("doc_corpus"), col("sig").as("sig_b")), "doc_corpus")
+      .withColumn("est_jaccard", estJaccard(numHashes))
+      .filter(col("est_jaccard") >= threshold)
+      .select("doc_new", "doc_corpus", "est_jaccard")
+      .orderBy("doc_new", "doc_corpus")
   }
 
   /** 64-bit SimHash (sign of per-bit token-hash vote) + 16-bit chunk

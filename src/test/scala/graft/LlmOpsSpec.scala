@@ -403,6 +403,24 @@ class LlmOpsSpec extends AnyFunSuite with SparkSessionTestBase {
     assert(rows.map(_.toString).toSeq === again.map(_.toString).toSeq)
   }
 
+  test("incremental minhash equals the cross-group subset of a full run") {
+    val docs = Tables.documents(spark, docDir)
+    val corpus = docs.filter(col("doc_id") < 400)
+    val batch = docs.filter(col("doc_id") >= 400)
+    val incremental = Dedup.minhashPairsAgainst(
+        batch, Dedup.minhashSignatures(corpus))
+      .collect()
+      .map(r => (r.getLong(1), r.getLong(0), r.getDouble(2))) // (corpus, new, j)
+      .toSet
+    // full-corpus run restricted to pairs crossing the split: doc_a <
+    // doc_b and the split is by id, so doc_a is the corpus side
+    val cross = Dedup.minhashPairs(docs).collect()
+      .filter(r => r.getLong(0) < 400 && r.getLong(1) >= 400)
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    assert(incremental === cross)
+  }
+
   test("semantic survivors drop exactly the non-representative neardup docs") {
     val docs = Tables.documents(spark, docDir)
     val emb = Tables.embeddings(spark, docDir)
