@@ -45,10 +45,29 @@ object Bench {
         .mkString("{", ",", "}")
       s"""{"metric":"total","value":${fmt(3, total)},"unit":"sec","queries":$qs,"sf":"$sfTag"}"""
     }
-    // cascade 3 → 2 → 1 decimals as the query count grows; 1dp holds
-    // ~115 queries under the cutoff and per-query precision matters
-    // less than the line surviving the tail truncation
-    println(Seq(line(3), line(2), line(1)).find(_.length <= 1850).getOrElse(line(1)))
+    // the harness keeps the last ~2000 stdout chars and sbt appends a
+    // ~70-char [success] line, so the printed line must stay ≤ ~1880 or
+    // its head (the opening brace) is cut off. Cascade 3 → 2 → 1
+    // decimals; when even 1dp no longer fits (the query count keeps
+    // growing), keep the slowest queries individually and fold the
+    // rest into "_rest" — the heavy tail is what per-query numbers are
+    // for. The FULL 3dp line always lands in target/bench_full.json.
+    def lineTop(dp: Int, topN: Int): String = {
+      val bySlowest = results.sortBy(-_._2)
+      val top = bySlowest.take(topN).sortBy(_._1)
+      val rest = bySlowest.drop(topN).map(_._2).sum
+      val qs = (top.map { case (k, v) => "\"" + k + "\":" + fmt(dp, v) } :+
+        ("\"_rest\":" + fmt(dp, rest))).mkString("{", ",", "}")
+      s"""{"metric":"total","value":${fmt(3, total)},"unit":"sec","queries":$qs,"sf":"$sfTag"}"""
+    }
+    try {
+      val dir = java.nio.file.Paths.get("target")
+      java.nio.file.Files.createDirectories(dir)
+      java.nio.file.Files.write(dir.resolve("bench_full.json"),
+        (line(3) + "\n").getBytes("UTF-8"))
+    } catch { case _: Throwable => () } // forensic copy only — never fail the bench
+    println(Seq(line(3), line(2), line(1), lineTop(2, 45))
+      .find(_.length <= 1880).getOrElse(lineTop(1, 30)))
     spark.stop()
   }
 }
