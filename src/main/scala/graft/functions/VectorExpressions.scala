@@ -496,6 +496,78 @@ object WordGramHashes {
     org.apache.spark.unsafe.types.UTF8String.fromString(" ")
 }
 
+/** Sliding-window minima over a long array — the winnowing selection
+  * step of document fingerprinting: output[i] = min(input[i..i+w-1]),
+  * length max(0, n-w+1).
+  *
+  * Bit-identical to the composable `transform(sequence(1, size(h)-w+1),
+  * i -> array_min(slice(h, i, w)))` (asserted in spec), but that form
+  * evaluates an interpreted lambda per window and rescans w elements
+  * each time — O(n·w) generic calls per document. This is a codegen'd
+  * monotonic-deque pass: O(n) amortized, each element enters and
+  * leaves the deque once. Input elements must be non-null (callers
+  * feed graft_grams output, containsNull = false). */
+case class SlidingMinima(child: Expression, window: Int)
+    extends UnaryExpression {
+
+  require(window >= 1, "window must be >= 1")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_winnow"
+
+  override def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    val m = a.numElements()
+    val outLen = if (m >= window) m - window + 1 else 0
+    val out = new Array[Long](outLen)
+    val dq = new Array[Int](if (m > 0) m else 1)
+    var head = 0
+    var tail = 0
+    var i = 0
+    while (i < m) {
+      val v = a.getLong(i)
+      while (tail > head && a.getLong(dq(tail - 1)) >= v) tail -= 1
+      dq(tail) = i
+      tail += 1
+      if (dq(head) <= i - window) head += 1
+      if (i >= window - 1) out(i - window + 1) = a.getLong(dq(head))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  // Janino-safe: primitives only, no generics (see WordGramHashes note)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr => {
+      val m = ctx.freshName("m")
+      val outLen = ctx.freshName("outLen")
+      val out = ctx.freshName("out")
+      val dq = ctx.freshName("dq")
+      val head = ctx.freshName("head")
+      val tail = ctx.freshName("tail")
+      val i = ctx.freshName("i")
+      val v = ctx.freshName("v")
+      s"""
+         |int $m = $arr.numElements();
+         |int $outLen = $m >= $window ? $m - $window + 1 : 0;
+         |long[] $out = new long[$outLen];
+         |int[] $dq = new int[$m > 0 ? $m : 1];
+         |int $head = 0;
+         |int $tail = 0;
+         |for (int $i = 0; $i < $m; $i++) {
+         |  long $v = $arr.getLong($i);
+         |  while ($tail > $head && $arr.getLong($dq[$tail - 1]) >= $v) $tail--;
+         |  $dq[$tail++] = $i;
+         |  if ($dq[$head] <= $i - $window) $head++;
+         |  if ($i >= $window - 1) $out[$i - $window + 1] = $arr.getLong($dq[$head]);
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Registration for graft's native SQL functions. */
 object VectorFunctions {
   private def intArg(e: Expression): Int = e.eval() match {
@@ -543,6 +615,8 @@ object VectorFunctions {
       (exprs: Seq[Expression]) => MisraGries(exprs(0), intArg(exprs(1)))),
     ("graft_topk", classOf[TopKByScore],
       (exprs: Seq[Expression]) => TopKByScore(exprs(0), exprs(1), intArg(exprs(2)))),
+    ("graft_winnow", classOf[SlidingMinima],
+      (exprs: Seq[Expression]) => SlidingMinima(exprs(0), intArg(exprs(1)))),
     ("graft_bloom_contains", classOf[BloomContains],
       (exprs: Seq[Expression]) =>
         BloomContains(exprs(0), scala.collection.immutable.ArraySeq.unsafeWrapArray(

@@ -320,15 +320,17 @@ object TextAnalysis {
   }
 
   /** Winnowing fingerprint: per-window minimum of word 5-gram hashes
-    * (window 4), deduplicated — the standard near-copy sketch. */
+    * (window 4), deduplicated — the standard near-copy sketch. The
+    * window minima run through the native codegen `graft_winnow`
+    * (O(n) monotonic deque) instead of an interpreted O(n·window)
+    * transform/array_min/slice lambda; bit-equality asserted in
+    * VectorExpressionsSpec. */
   def docFingerprint(docs: DataFrame, gramLen: Int = 5, window: Int = 4): DataFrame = {
     graft.functions.VectorFunctions.register(docs.sparkSession)
     docs.withColumn("toks", split(lower(col("text")), " ", -1))
       .filter(size(col("toks")) >= gramLen + window - 1)
       .withColumn("hs", expr(s"graft_grams(toks, $gramLen, false)"))
-      .withColumn("fps", expr(
-        s"array_distinct(transform(sequence(1, size(hs)-${window - 1}), " +
-          s"i -> array_min(slice(hs, i, $window))))"))
+      .withColumn("fps", expr(s"array_distinct(graft_winnow(hs, $window))"))
       .select(col("doc_id"), size(col("fps")).as("n_fingerprints"),
         expr("xxhash64(fps)").as("fp_hash"))
       .orderBy("doc_id")

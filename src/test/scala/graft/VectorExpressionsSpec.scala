@@ -187,6 +187,10 @@ class VectorExpressionsSpec extends AnyFunSuite with SparkSessionTestBase {
         .where("size(g) > 0").count() > 0)
       assert(s2.sql("SELECT graft_nfc(text) AS t FROM cg_docs")
         .where("t IS NOT NULL").count() > 0)
+      assert(s2.sql(
+        """SELECT graft_winnow(graft_grams(split(lower(text), ' '), 5, false), 4) AS fp
+          |FROM cg_docs WHERE size(split(lower(text), ' ')) >= 8""".stripMargin)
+        .where("size(fp) > 0").count() > 0)
       // bloom probe: membership of planted longs under forced codegen
       val bf = org.apache.spark.util.sketch.BloomFilter.create(100, 0.01)
       (1L to 50L).foreach(bf.putLong)
@@ -203,6 +207,35 @@ class VectorExpressionsSpec extends AnyFunSuite with SparkSessionTestBase {
       SparkSession.clearDefaultSession()
       prev.foreach(SparkSession.setDefaultSession)
       prev.foreach(SparkSession.setActiveSession)
+    }
+  }
+
+  test("graft_winnow matches the transform/array_min/slice lambda form") {
+    VectorFunctions.register(spark)
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val df = Seq(
+      1L -> Array.fill(200)(rnd.nextLong()),
+      2L -> Array(5L, 4L, 3L, 2L, 1L),          // strictly decreasing
+      3L -> Array(1L, 1L, 1L, 1L),              // all ties
+      4L -> Array(42L, 7L, 42L),                // shorter than some windows
+      5L -> Array(9L))                          // shorter than every window > 1
+      .toDF("id", "hs")
+    for (w <- Seq(1, 2, 4, 7)) {
+      val rows = df.select(col("id"), size(col("hs")).as("n"),
+        expr(s"graft_winnow(hs, $w)").as("native"),
+        // sequence(1, n) DESCENDS when n < 1, so the reference lambda
+        // needs the same short-array guard callers use
+        expr(s"""CASE WHEN size(hs) >= $w
+                 THEN transform(sequence(1, size(hs) - ${w - 1}), i -> array_min(slice(hs, i, $w)))
+                 ELSE CAST(array() AS ARRAY<BIGINT>) END""")
+          .as("lambda")).collect()
+      rows.foreach { r =>
+        val lambda = Option(r.getAs[scala.collection.Seq[Long]]("lambda"))
+          .getOrElse(Seq.empty) // sequence(1, 0) is empty/null for short arrays
+        val expected = if (r.getAs[Int]("n") < w) Seq.empty else lambda
+        assert(r.getAs[scala.collection.Seq[Long]]("native") === expected, s"w=$w id=${r.getLong(0)}")
+      }
     }
   }
 
