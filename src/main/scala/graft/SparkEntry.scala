@@ -126,6 +126,8 @@ object SparkEntry {
     "q_embed_lsh_topk" -> ((s, d) => Similarity.embedLshTopK(Tables.embeddings(s, d))),
     "q_embed_ivf_topk" -> ((s, d) => Similarity.embedIvfTopK(Tables.embeddings(s, d))),
     "q_embed_clusters" -> ((s, d) => Similarity.embedClusterStats(Tables.embeddings(s, d))),
+    "q_cluster_quality" -> ((s, d) =>
+      Similarity.clusterQuality(Tables.embeddings(s, d), Tables.documents(s, d))),
     "q_chunk_dedup" -> ((s, d) => Dedup.chunkDedup(Tables.documents(s, d))),
     "q_tfidf_topterms" -> ((s, d) => TextAnalysis.tfidfTopTerms(Tables.documents(s, d))),
     "q_top_terms" -> ((s, d) => TextAnalysis.topTerms(Tables.documents(s, d))),

@@ -175,6 +175,40 @@ object Similarity {
     * is a narrow map ([[assignTo]]), list probing replaces the full
     * scan with O(corpus·nProbe/nCentroids) candidates, and the final
     * rank is a bounded graft_topk partial aggregate. */
+  /** Cluster quality triage (prune-whole-clusters curation): joins the
+    * semantic cluster assignment with per-document text quality
+    * signals — per cluster: size, engine-stable mean classifier score,
+    * dominant predicted language with its share, stable exemplar. The
+    * doc-keyed quality frames join the slim (vec_id→cid) assignment on
+    * the id key; everything downstream runs on |clusters|-sized
+    * aggregates. */
+  def clusterQuality(emb: DataFrame, docs: DataFrame,
+      nCentroids: Int = 16, lloydIters: Int = 2): DataFrame = {
+    val (e, centroids) = ivfModel(emb, nCentroids, lloydIters)
+    val assigned = assignTo(e, centroids).select(col("vec_id").as("doc_id"), col("cid"))
+    val quality = graft.operators.TextAnalysis.classifierScore(docs)
+      .select(col("doc_id"), col("score"))
+    val lang = graft.operators.TextAnalysis.langId(docs)
+      .select(col("doc_id"), col("predicted"))
+    val joined = assigned.join(quality, "doc_id").join(lang, "doc_id")
+    val byLang = joined.groupBy("cid", "predicted")
+      .agg(count(lit(1)).as("n_lang"))
+    val topLang = byLang.groupBy("cid")
+      .agg(max_by(col("predicted"),
+        struct(col("n_lang"), col("predicted"))).as("dominant_lang"),
+        max("n_lang").as("n_dominant"))
+    joined.groupBy("cid")
+      .agg(count(lit(1)).as("n_docs"),
+        min("doc_id").as("exemplar_id"),
+        round(round(sum("score"), 4) / count(lit(1)), 4).as("mean_score"))
+      .join(topLang, "cid")
+      .withColumn("dominant_share",
+        round(col("n_dominant").cast("double") / col("n_docs"), 4))
+      .select(col("cid"), col("n_docs"), col("exemplar_id"), col("mean_score"),
+        col("dominant_lang"), col("dominant_share"))
+      .orderBy("cid")
+  }
+
   def embedIvfTopK(
       emb: DataFrame, nQueries: Int = 10, k: Int = 5,
       nCentroids: Int = 16, lloydIters: Int = 2, nProbe: Int = 4): DataFrame = {

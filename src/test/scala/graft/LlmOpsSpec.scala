@@ -440,6 +440,26 @@ class LlmOpsSpec extends AnyFunSuite with SparkSessionTestBase {
     assert(reps.subsetOf(survivors))
   }
 
+  test("clusterQuality summarizes score and language per semantic cluster") {
+    val emb = Tables.embeddings(spark, docDir)
+    val docs = Tables.documents(spark, docDir)
+    val rows = Similarity.clusterQuality(emb, docs, nCentroids = 8, lloydIters = 1)
+      .collect()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum === docs.count())
+    rows.foreach { r =>
+      assert(r.getAs[Double]("dominant_share") > 0.0 &&
+        r.getAs[Double]("dominant_share") <= 1.0)
+      assert(r.getAs[Double]("mean_score") >= 0.0 &&
+        r.getAs[Double]("mean_score") <= 1.0)
+      assert(Seq("en", "de", "es", "fr", "zh").contains(
+        r.getAs[String]("dominant_lang")))
+    }
+    // deterministic across runs
+    val again = Similarity.clusterQuality(emb, docs, nCentroids = 8, lloydIters = 1)
+      .collect()
+    assert(rows.map(_.toString).toSeq === again.map(_.toString).toSeq)
+  }
+
   test("shardAssign gives every doc a shard and a dense within-shard rank") {
     val docs = Tables.documents(spark, docDir)
     val rows = Curation.shardAssign(docs, nShards = 4).collect()
