@@ -46,8 +46,13 @@ case class TopKByScore(
   override def update(buf: TopKBuffer, input: InternalRow): TopKBuffer = {
     val s = score.eval(input)
     val i = id.eval(input)
-    if (s != null && i != null)
-      buf.add(s.asInstanceOf[Double], i.asInstanceOf[Long])
+    if (s != null && i != null) {
+      // SQL sorts normalize -0.0 to 0.0 (NormalizeFloatingNumbers), so
+      // the window formulation treats them as ties broken by id; match
+      // that here or a -0.0 score could order differently
+      val d = s.asInstanceOf[Double]
+      buf.add(if (d == 0.0d) 0.0d else d, i.asInstanceOf[Long])
+    }
     buf
   }
 

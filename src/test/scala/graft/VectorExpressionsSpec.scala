@@ -93,6 +93,12 @@ class VectorExpressionsSpec extends AnyFunSuite with SparkSessionTestBase {
       .groupBy("g").agg(expr("graft_topk(score, id, 7)").as("top"))
       .select(size(col("top"))).collect()
     assert(small.head.getInt(0) === 2)
+    // -0.0 normalizes to 0.0 like SQL sort keys: ties break by id, so
+    // the -0.0 row (smaller id) ranks first despite the sign
+    val zeros = Seq(("a", -0.0, 1L), ("a", 0.0, 2L)).toDF("g", "score", "id")
+      .groupBy("g").agg(expr("graft_topk(score, id, 2)").as("top"))
+      .select(expr("transform(top, s -> s.id)").as("ids")).collect()
+    assert(zeros.head.getAs[scala.collection.Seq[Long]]("ids") === Seq(1L, 2L))
   }
 
   test("graft_lsh matches the interpreted hyperplane formula bit-for-bit") {
