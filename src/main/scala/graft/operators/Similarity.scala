@@ -190,17 +190,24 @@ object Similarity {
       .select(col("doc_id"), col("score"))
     val lang = graft.operators.TextAnalysis.langId(docs)
       .select(col("doc_id"), col("predicted"))
-    val joined = assigned.join(quality, "doc_id").join(lang, "doc_id")
-    val byLang = joined.groupBy("cid", "predicted")
-      .agg(count(lit(1)).as("n_lang"))
-    val topLang = byLang.groupBy("cid")
+    // ONE pass to a (cluster, language)-grained aggregate; the two
+    // consumers below (dominant-language pick and cluster rollup) read
+    // the checkpointed tiny frame instead of re-executing the doc
+    // scans and joins (Spark re-runs a branching subplan per consumer)
+    val per = assigned.join(quality, "doc_id").join(lang, "doc_id")
+      .groupBy("cid", "predicted")
+      .agg(count(lit(1)).as("n_lang"),
+        min("doc_id").as("min_id"),
+        round(sum("score"), 4).as("s_score"))
+      .localCheckpoint()
+    val topLang = per.groupBy("cid")
       .agg(max_by(col("predicted"),
         struct(col("n_lang"), col("predicted"))).as("dominant_lang"),
         max("n_lang").as("n_dominant"))
-    joined.groupBy("cid")
-      .agg(count(lit(1)).as("n_docs"),
-        min("doc_id").as("exemplar_id"),
-        round(round(sum("score"), 4) / count(lit(1)), 4).as("mean_score"))
+    per.groupBy("cid")
+      .agg(sum("n_lang").as("n_docs"),
+        min("min_id").as("exemplar_id"),
+        round(round(sum("s_score"), 4) / sum("n_lang"), 4).as("mean_score"))
       .join(topLang, "cid")
       .withColumn("dominant_share",
         round(col("n_dominant").cast("double") / col("n_docs"), 4))
