@@ -1,0 +1,51 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The bench stdout contract: one JSON line that survives the
+  * harness's stdout tail cap at ANY query count — the property that
+  * silently broke in rounds 1-3 (parsed: null) and must not regress
+  * as operators keep being added. */
+class BenchLineSpec extends AnyFunSuite {
+
+  private def results(n: Int): Seq[(String, Double)] =
+    (1 to n).map(i => f"q_some_fairly_long_query_name_$i%03d" -> i * 0.137)
+
+  private def parseable(line: String): Boolean =
+    line.startsWith("{") && line.endsWith("}") &&
+      line.contains("\"metric\":\"total\"") && line.contains("\"queries\":{")
+
+  test("stdout line stays under the tail budget at any query count") {
+    for (n <- Seq(1, 40, 85, 120, 200, 500)) {
+      val rs = results(n)
+      val line = Bench.stdoutLine(rs, rs.map(_._2).sum, "sf0.1")
+      assert(line.length <= Bench.MaxLine, s"n=$n length=${line.length}")
+      assert(parseable(line), s"n=$n")
+    }
+  }
+
+  test("small result sets keep full 3-decimal per-query detail") {
+    val rs = results(40)
+    val line = Bench.stdoutLine(rs, rs.map(_._2).sum, "sf0.1")
+    assert(line === Bench.fullLine(rs, rs.map(_._2).sum, "sf0.1", 3))
+    assert(!line.contains("_rest"))
+  }
+
+  test("oversized result sets keep the slowest queries and fold the rest") {
+    val rs = results(200)
+    val line = Bench.stdoutLine(rs, rs.map(_._2).sum, "sf0.1")
+    assert(line.contains("\"_rest\":"))
+    // the single slowest query must survive individually
+    assert(line.contains("q_some_fairly_long_query_name_200"))
+    // totals are preserved exactly regardless of representation
+    assert(line.contains("\"value\":" + Bench.fmt(3, rs.map(_._2).sum)))
+  }
+
+  test("values format with a dot decimal separator in any locale") {
+    val prev = java.util.Locale.getDefault
+    try {
+      java.util.Locale.setDefault(java.util.Locale.GERMANY)
+      assert(Bench.fmt(3, 71.234) === "71.234")
+    } finally java.util.Locale.setDefault(prev)
+  }
+}
