@@ -111,5 +111,8 @@ class EmptyInputSpec extends AnyFunSuite with SparkSessionTestBase {
     assert(Purchases.basketRules(emptyLi).count() === 0)
     assert(Purchases.coPurchasePairs(emptyLi).count() === 0)
     assert(Curation.shardAssign(emptyDocs).count() === 0)
+    assert(Similarity.clusterQuality(emptyEmb, emptyDocs).count() === 0)
+    assert(Dedup.minhashPairsAgainst(emptyDocs,
+      Dedup.minhashSignatures(emptyDocs)).count() === 0)
   }
 }
