@@ -132,6 +132,7 @@ object SparkEntry {
     "q_tfidf_topterms" -> ((s, d) => TextAnalysis.tfidfTopTerms(Tables.documents(s, d))),
     "q_top_terms" -> ((s, d) => TextAnalysis.topTerms(Tables.documents(s, d))),
     "q_corpus_stats" -> ((s, d) => TextAnalysis.corpusStats(Tables.documents(s, d))),
+    "q_vocab_stats" -> ((s, d) => TextAnalysis.vocabStats(Tables.documents(s, d))),
     "q_heavy_hitters" -> ((s, d) => TextAnalysis.heavyHitterTerms(Tables.documents(s, d))),
     "q_domain_stats" -> ((s, d) =>
       TextCleaning.domainStats(TextCleaning.withSyntheticUrls(Tables.documents(s, d)))),
@@ -845,6 +846,13 @@ object SparkEntry {
         | FROM documents)
         |SELECT term, count(*) AS doc_freq FROM d GROUP BY term
         |ORDER BY doc_freq DESC, term LIMIT 20""".stripMargin,
+    "q_vocab_stats" ->
+      s"""WITH t AS (SELECT source, unnest(string_split(lower(text), ' ')) AS term
+         | FROM documents)
+         |SELECT source, count(*) AS n_tokens,
+         | count(DISTINCT term) AS n_terms,
+         | ${m("CAST(count(DISTINCT term) AS DOUBLE) / count(*)", 6)} AS type_token_ratio
+         |FROM t GROUP BY source ORDER BY source""".stripMargin,
     "q_corpus_stats" ->
       s"""WITH t AS (SELECT source, n_chars,
          |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|\\S')) AS INTEGER) AS n_tokens

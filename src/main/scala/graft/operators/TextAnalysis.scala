@@ -296,6 +296,21 @@ object TextAnalysis {
       .orderBy(col("doc_freq").desc, col("term"))
       .limit(k)
 
+  /** Per-source vocabulary profile (the Heaps-law / lexical-diversity
+    * triage view): token occurrences, distinct terms, and the
+    * type-token ratio per source — low TTR flags templated or
+    * machine-generated sources before they dilute a mix. One
+    * source-keyed aggregate with a partial-combined distinct. */
+  def vocabStats(docs: DataFrame): DataFrame =
+    docs.select(col("source"), explode(split(lower(col("text")), " ", -1)).as("term"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        countDistinct("term").as("n_terms"),
+        round(countDistinct("term").cast("double") / count(lit(1)), 6)
+          .as("type_token_ratio"))
+      .orderBy("source")
+
   /** Per-source corpus profile (the triage report a mixing run starts
     * from): document counts, exact token totals, token-count extremes
     * and percentiles, engine-stable mean char length. One

@@ -365,6 +365,22 @@ class LlmOpsSpec extends AnyFunSuite with SparkSessionTestBase {
     assert(rows(1).getAs[Long]("n_docs") === 1L)
   }
 
+  test("vocabStats computes type-token ratio per source") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b a b", "s1"),      // 4 tokens, 2 terms
+      (2L, "a c", "s1"),          // s1 total: 6 tokens, 3 terms
+      (3L, "x x x x", "s2"))      // 4 tokens, 1 term
+      .toDF("doc_id", "text", "source")
+    val rows = TextAnalysis.vocabStats(docs).collect()
+    val s1 = rows.find(_.getString(0) == "s1").get
+    assert(s1.getAs[Long]("n_tokens") === 6L)
+    assert(s1.getAs[Long]("n_terms") === 3L)
+    assert(s1.getAs[Double]("type_token_ratio") === 0.5)
+    val s2 = rows.find(_.getString(0) == "s2").get
+    assert(s2.getAs[Double]("type_token_ratio") === 0.25)
+  }
+
   test("curationPipeline assigns first-fail reasons in precedence order") {
     import spark.implicits._
     val en10 = "the and of to a in is you that it" // 10 words, all stopwords
