@@ -112,6 +112,7 @@ object SparkEntry {
     "q_dedup_exact_docs" -> ((s, d) => Dedup.exactDocs(Tables.documents(s, d))),
     "q_dedup_minhash" -> ((s, d) => minhashPairsShared(s, d)),
     "q_dedup_simhash" -> ((s, d) => Dedup.simhashPairs(Tables.documents(s, d))),
+    "q_dedup_calibration" -> ((s, d) => Dedup.minhashCalibration(Tables.documents(s, d))),
     // incremental mode: docs >= 400 arrive as a new batch and dedup
     // against the signature index of the existing corpus (doc_id < 400)
     "q_dedup_incremental" -> ((s, d) => {

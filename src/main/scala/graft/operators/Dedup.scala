@@ -189,6 +189,35 @@ object Dedup {
       .orderBy("doc_new", "doc_corpus")
   }
 
+  /** Sketch calibration report: for every MinHash candidate pair,
+    * the signature-agreement estimate next to the EXACT shingle
+    * Jaccard — the fidelity check a dedup rollout runs before trusting
+    * a threshold (64 hashes ⇒ σ ≈ √(J(1−J)/64) ≈ 0.06 near J=0.5).
+    * Exact verification touches only the LSH survivors (never all
+    * pairs): shingle sets re-join by doc id and intersect per pair.
+    * Same shingle definition on both paths, so `err` isolates pure
+    * sketch noise. */
+  def minhashCalibration(
+      docs: DataFrame,
+      shingleLen: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      threshold: Double = 0.5): DataFrame = {
+    val pairs = minhashPairs(docs, shingleLen, numHashes, bands, threshold)
+    val sets = shingleHashes(docs, shingleLen)
+      .select(col("doc_id"), array_distinct(col("sh")).as("g"))
+    pairs
+      .join(sets.select(col("doc_id").as("doc_a"), col("g").as("ga")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("g").as("gb")), "doc_b")
+      .withColumn("inter", size(array_intersect(col("ga"), col("gb"))))
+      .withColumn("exact_jaccard",
+        round(col("inter").cast("double") /
+          (size(col("ga")) + size(col("gb")) - col("inter")), 6))
+      .select(col("doc_a"), col("doc_b"), col("est_jaccard"), col("exact_jaccard"),
+        round(abs(col("est_jaccard") - col("exact_jaccard")), 6).as("err"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** 64-bit SimHash (sign of per-bit token-hash vote) + 16-bit chunk
     * LSH (hamming ≤ maxHamming ⇒ ≥1 of 4 chunks equal) → pairs.
     * The fingerprint is the native codegen `graft_simhash` over the

@@ -419,6 +419,26 @@ class LlmOpsSpec extends AnyFunSuite with SparkSessionTestBase {
     assert(rows.map(_.toString).toSeq === again.map(_.toString).toSeq)
   }
 
+  test("minhashCalibration bounds sketch error on surviving pairs") {
+    val docs = Tables.documents(spark, docDir)
+    val rows = Dedup.minhashCalibration(docs).collect()
+    assert(rows.nonEmpty)
+    // pairs are SELECTED by signature agreement, so estimates near the
+    // threshold are upward-biased (that is what the report exposes);
+    // individual deviation stays well under the full range and the
+    // mean stays near the multi-sigma band of a 64-hash sketch
+    val errs = rows.map(_.getAs[Double]("err"))
+    assert(errs.max < 0.45, s"max err ${errs.max}")
+    assert(errs.sum / errs.length < 0.15, s"mean err ${errs.sum / errs.length}")
+    // every surviving pair's estimate honors the LSH threshold
+    assert(rows.forall(_.getAs[Double]("est_jaccard") >= 0.5))
+    // exact values are genuine jaccards
+    rows.foreach { r =>
+      val e = r.getAs[Double]("exact_jaccard")
+      assert(e >= 0.0 && e <= 1.0)
+    }
+  }
+
   test("incremental minhash equals the cross-group subset of a full run") {
     val docs = Tables.documents(spark, docDir)
     val corpus = docs.filter(col("doc_id") < 400)
