@@ -238,6 +238,7 @@ object SparkEntry {
         .orderBy("event_id")
     }),
     "q_range_pairs" -> ((s, d) => Temporal.eventPairsWithin(Tables.events(s, d))),
+    "q_attribution" -> ((s, d) => Temporal.lastTouchAttribution(Tables.events(s, d))),
     "q_cohort_pivot" -> ((s, d) => Purchases.cohortPivot(Tables.orders(s, d))),
     "q_price_histogram" -> ((s, d) => Purchases.priceHistogram(Tables.part(s, d))),
     "q_sample_per_category" -> ((s, d) => {
@@ -804,6 +805,19 @@ object SparkEntry {
          |SELECT p.event_id, p.user_id, p.ts, p.purchase_value, v.viewed_at, v.view_value
          |FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.viewed_at
          |ORDER BY event_id""".stripMargin,
+    "q_attribution" ->
+      s"""WITH p AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+         |  ${m("value")} AS purchase_value FROM events WHERE event_type = 'purchase'),
+         |v AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS viewed_at,
+         |  ${m("value")} AS view_value FROM events WHERE event_type = 'view'),
+         |j AS (SELECT p.event_id, p.user_id, p.ts, p.purchase_value,
+         |  v.viewed_at, v.view_value
+         | FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.viewed_at)
+         |SELECT event_id, user_id, ts, purchase_value,
+         | CASE WHEN viewed_at >= ts - INTERVAL 60 MINUTE THEN viewed_at END AS attributed_view_at,
+         | CASE WHEN viewed_at >= ts - INTERVAL 60 MINUTE THEN view_value END AS attributed_value,
+         | coalesce(viewed_at >= ts - INTERVAL 60 MINUTE, false) AS attributed
+         |FROM j ORDER BY event_id""".stripMargin,
     "q_range_pairs" ->
       """WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events)
         |SELECT CAST(a.ts AS DATE) AS day, count(*) AS n_pairs

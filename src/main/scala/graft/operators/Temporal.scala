@@ -52,6 +52,32 @@ object Temporal {
     filled.filter(col("__isObs") === 0).drop("__ts", "__isObs")
   }
 
+  /** Last-touch attribution: every purchase attributed to the user's
+    * most recent view within `horizonMinutes` — the batch twin of the
+    * watermarked stream-stream attribution join
+    * (streaming/EventsStream.attributionJoin), built on [[asOfJoin]]
+    * (one shuffle) with the horizon applied as a post-join predicate:
+    * purchases whose nearest view is older than the horizon (or who
+    * have none) keep NULL attribution rather than dropping, so the
+    * output stays one row per purchase. */
+  def lastTouchAttribution(events: DataFrame, horizonMinutes: Int = 60): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"),
+        round(col("value"), 2).as("purchase_value"))
+    val views = events.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts").as("viewed_at"),
+        round(col("value"), 2).as("view_value"))
+    val inHorizon =
+      col("viewed_at") >= col("ts") - expr(s"INTERVAL $horizonMinutes MINUTES")
+    asOfJoin(purchases, views, Seq("user_id"), "ts", "viewed_at",
+        Seq("viewed_at", "view_value"))
+      .select(col("event_id"), col("user_id"), col("ts"), col("purchase_value"),
+        when(inHorizon, col("viewed_at")).as("attributed_view_at"),
+        when(inHorizon, col("view_value")).as("attributed_value"),
+        coalesce(inHorizon, lit(false)).as("attributed"))
+      .orderBy("event_id")
+  }
+
   /** Bounded range self-join on events: ordered pairs (a, b) from
     * DIFFERENT users with 0 < b.ts − a.ts ≤ `windowSeconds`, rolled up
     * per day. Time is bucketed at the window width and the left side

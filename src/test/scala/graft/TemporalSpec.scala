@@ -23,6 +23,25 @@ class TemporalSpec extends AnyFunSuite with SparkSessionTestBase {
     assert(out(2).isNullAt(out(2).fieldIndex("v"))) // no prior obs for k=200
   }
 
+  test("lastTouchAttribution keeps one row per purchase, horizon applied") {
+    import spark.implicits._
+    val events = Seq(
+      (1L, "2024-01-01 10:00:00", 7L, "view", 1.0),
+      (2L, "2024-01-01 10:30:00", 7L, "purchase", 50.0), // view 30m ago -> attributed
+      (3L, "2024-01-01 13:00:00", 7L, "purchase", 60.0), // view 3h ago -> NOT attributed
+      (4L, "2024-01-01 09:00:00", 8L, "purchase", 70.0)) // no view at all
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val out = Temporal.lastTouchAttribution(events, horizonMinutes = 60)
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Boolean]("attributed"), r.getAs[Any]("attributed_view_at"))).toMap
+    assert(out.size === 3) // one row per purchase
+    assert(out(2L)._1 === true)
+    assert(out(2L)._2 !== null)
+    assert(out(3L) === ((false, null))) // nearest view exists but is stale
+    assert(out(4L) === ((false, null))) // never viewed
+  }
+
   test("eventPairsWithin matches the naive inequality join") {
     val events = Tables.events(spark, sfDir)
     val bucketed = Temporal.eventPairsWithin(events, windowSeconds = 120).collect()
