@@ -43,6 +43,12 @@ case class MisraGries(
   override def dataType: DataType = ArrayType(StringType)
   override def prettyName: String = "graft_heavyhits"
 
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a STRING key column, got ${child.dataType.sql}")
+
   override def createAggregationBuffer(): MGBuffer = new MGBuffer(capacity)
 
   override def update(buf: MGBuffer, input: InternalRow): MGBuffer = {

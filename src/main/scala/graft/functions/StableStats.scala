@@ -53,3 +53,19 @@ object StableStats {
   def stableSumSqRaw(c: Column, exactScale: Int): Column =
     round(sum(c * c), 2 * exactScale)
 }
+
+/** Deterministic engine-agnostic hashing for curation decisions. */
+object DeterministicHash {
+
+  /** md5-prefix uniform hash: a long in [0, 2³²) from
+    * `md5("seed:" || x)`'s first 8 hex digits — the ONE definition
+    * behind split assignment, source mixing, shard assignment,
+    * quality sampling, and hashed classifier features. md5 (not
+    * xxhash64) so ANY engine reproduces the decision; the DuckDB twin
+    * is `('0x' || substr(md5('seed:' || x), 1, 8))::UBIGINT`. Keep a
+    * single definition: any drift silently reassigns splits/shards
+    * and breaks the oracle-parity contract of every caller. */
+  def md5Prefix(seed: String, c: Column): Column =
+    conv(substring(md5(concat_ws(":", lit(seed), c.cast("string"))), 1, 8), 16, 10)
+      .cast("long")
+}

@@ -41,6 +41,13 @@ case class TopKByScore(
     StructType(Seq(StructField("score", DoubleType), StructField("id", LongType))))
   override def prettyName: String = "graft_topk"
 
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (score.dataType == DoubleType && id.dataType == LongType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (DOUBLE score, BIGINT id), got " +
+        s"(${score.dataType.sql}, ${id.dataType.sql})")
+
   override def createAggregationBuffer(): TopKBuffer = new TopKBuffer(k)
 
   override def update(buf: TopKBuffer, input: InternalRow): TopKBuffer = {

@@ -33,9 +33,7 @@ object Curation {
       weights: Seq[(String, Int)] = Seq("train" -> 90, "val" -> 5, "test" -> 5),
       salt: String = "graft-split-v1"): DataFrame = {
     require(weights.map(_._2).sum == 100, "split weights must total 100")
-    val bucket =
-      conv(substring(md5(concat_ws(":", lit(salt), col(idCol).cast("string"))), 1, 8),
-        16, 10).cast("long") % 100
+    val bucket = graft.functions.DeterministicHash.md5Prefix(salt, col(idCol)) % 100
     val cum = weights.scanLeft(0) { case (acc, (_, w)) => acc + w }.tail
     val split = weights.zip(cum).foldLeft(lit(null).cast("string")) {
       case (acc, ((name, _), upper)) =>
@@ -69,8 +67,8 @@ object Curation {
       rates: Map[String, Double],
       defaultRate: Double = 1.0,
       seed: String = "mix"): DataFrame = {
-    val u = conv(substring(md5(concat_ws(":", lit(seed), col("doc_id").cast("string"))), 1, 8),
-      16, 10).cast("long").cast("double") / 4294967296.0
+    val u = graft.functions.DeterministicHash.md5Prefix(seed, col("doc_id"))
+      .cast("double") / 4294967296.0
     val rate = rates.foldLeft(lit(defaultRate)) { case (acc, (src, r)) =>
       when(col("source") === src, lit(r)).otherwise(acc)
     }
@@ -141,8 +139,7 @@ object Curation {
     * which is exactly the sort a shard writer needs anyway. */
   def shardAssign(
       docs: DataFrame, nShards: Int = 8, seed: String = "shard-v1"): DataFrame = {
-    val h = conv(substring(md5(concat_ws(":", lit(seed), col("doc_id").cast("string"))),
-      1, 8), 16, 10).cast("long")
+    val h = graft.functions.DeterministicHash.md5Prefix(seed, col("doc_id"))
     docs.select(col("doc_id"), h.as("h"))
       .withColumn("shard", col("h") % nShards)
       .withColumn("pos",
@@ -161,8 +158,8 @@ object Curation {
     * formulation, already oracle-proven. One doc_id-keyed aggregation
     * (the classifier's token sum); the sampling itself is narrow. */
   def qualitySample(docs: DataFrame, seed: String = "qsample-v1"): DataFrame = {
-    val u = conv(substring(md5(concat_ws(":", lit(seed), col("doc_id").cast("string"))),
-      1, 8), 16, 10).cast("long").cast("double") / 4294967296.0
+    val u = graft.functions.DeterministicHash.md5Prefix(seed, col("doc_id"))
+      .cast("double") / 4294967296.0
     TextAnalysis.classifierScore(docs)
       .select(col("doc_id"), col("score"))
       .withColumn("kept", u < col("score"))

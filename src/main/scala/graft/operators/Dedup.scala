@@ -175,14 +175,19 @@ object Dedup {
       threshold: Double = 0.5): DataFrame = {
     require(numHashes % bands == 0)
     val newSigs = minhashSignatures(newDocs, shingleLen, numHashes).cache()
+    // the index feeds two consumers (band keys + the signature
+    // re-join) and Spark re-executes a subplan per consumer — cache so
+    // a COMPUTED index is sketched once (idempotent when the caller
+    // already persisted it / reads it from parquet)
+    val idx = index.cache()
     val candidates = bandKeys(newSigs, numHashes, bands).as("a")
-      .join(bandKeys(index, numHashes, bands).as("b"),
+      .join(bandKeys(idx, numHashes, bands).as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh"))
       .select(col("a.doc_id").as("doc_new"), col("b.doc_id").as("doc_corpus"))
       .dropDuplicates("doc_new", "doc_corpus")
     candidates
       .join(newSigs.select(col("doc_id").as("doc_new"), col("sig").as("sig_a")), "doc_new")
-      .join(index.select(col("doc_id").as("doc_corpus"), col("sig").as("sig_b")), "doc_corpus")
+      .join(idx.select(col("doc_id").as("doc_corpus"), col("sig").as("sig_b")), "doc_corpus")
       .withColumn("est_jaccard", estJaccard(numHashes))
       .filter(col("est_jaccard") >= threshold)
       .select("doc_new", "doc_corpus", "est_jaccard")

@@ -18,6 +18,21 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** Shared rank tail of the ANN top-k family: bounded graft_topk per
+    * query (map-side partial top-k — see [[embedTopK]]), exploded back
+    * to (neighbor_id, cos_sim, rank) rows. NULL scores (undefined
+    * cosines, e.g. a zero-norm vector under non-ANSI division) are
+    * EXCLUDED from ranking — the row_number window this replaced
+    * ranked them last with NULL cos_sim; a similarity undefined for a
+    * degenerate vector should not occupy a top-k slot. */
+  private def topKByCos(scored: DataFrame, k: Int): DataFrame =
+    scored.groupBy("query_id")
+      .agg(expr(s"graft_topk(cos_r, vec_id, $k)").as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("idx", "s")))
+      .select(col("query_id"), col("s.id").as("neighbor_id"),
+        col("s.score").as("cos_sim"), (col("idx") + 1).cast("int").as("rank"))
+      .orderBy("query_id", "rank")
+
   /** vec_id + double-cast vector + L2 norm (norm via the native
     * codegen'd graft_dot — see graft.functions.DotProduct). */
   private def withNorm(emb: DataFrame): DataFrame = {
@@ -45,12 +60,7 @@ object Similarity {
     e.join(broadcast(q), col("vec_id") =!= col("query_id"))
       .withColumn("dot", expr("graft_dot(v, qv)"))
       .withColumn("cos_r", round(col("dot") / (col("norm") * col("qn")), 6))
-      .groupBy("query_id")
-      .agg(expr(s"graft_topk(cos_r, vec_id, $k)").as("top"))
-      .select(col("query_id"), posexplode(col("top")).as(Seq("idx", "s")))
-      .select(col("query_id"), col("s.id").as("neighbor_id"),
-        col("s.score").as("cos_sim"), (col("idx") + 1).cast("int").as("rank"))
-      .orderBy("query_id", "rank")
+      .transform(topKByCos(_, k))
   }
 
   /** vec_id, v, and the `planes`-bit random-hyperplane sign bucket via
@@ -167,14 +177,6 @@ object Similarity {
       .orderBy("cid")
   }
 
-  /** IVF (inverted-file) ANN index: deterministic seed centroids
-    * (hash-ranked corpus vectors), Lloyd refinement via relational
-    * aggregation (posexplode → per-dimension mean → re-assemble), then
-    * probe: each query searches only the `nProbe` nearest centroid
-    * lists, exact-reranked with graft_dot. The 100 TB shape: assignment
-    * is a narrow map ([[assignTo]]), list probing replaces the full
-    * scan with O(corpus·nProbe/nCentroids) candidates, and the final
-    * rank is a bounded graft_topk partial aggregate. */
   /** Cluster quality triage (prune-whole-clusters curation): joins the
     * semantic cluster assignment with per-document text quality
     * signals — per cluster: size, engine-stable mean classifier score,
@@ -216,6 +218,14 @@ object Similarity {
       .orderBy("cid")
   }
 
+  /** IVF (inverted-file) ANN index: deterministic seed centroids
+    * (hash-ranked corpus vectors), Lloyd refinement via relational
+    * aggregation (posexplode → per-dimension mean → re-assemble), then
+    * probe: each query searches only the `nProbe` nearest centroid
+    * lists, exact-reranked with graft_dot. The 100 TB shape: assignment
+    * is a narrow map ([[assignTo]]), list probing replaces the full
+    * scan with O(corpus·nProbe/nCentroids) candidates, and the final
+    * rank is a bounded graft_topk partial aggregate. */
   def embedIvfTopK(
       emb: DataFrame, nQueries: Int = 10, k: Int = 5,
       nCentroids: Int = 16, lloydIters: Int = 2, nProbe: Int = 4): DataFrame = {
@@ -237,12 +247,7 @@ object Similarity {
     assigned.join(broadcast(probes),
         Seq("cid")).filter(col("vec_id") =!= col("query_id"))
       .withColumn("cos_r", round(expr("graft_dot(vn, qv)"), 6))
-      .groupBy("query_id")
-      .agg(expr(s"graft_topk(cos_r, vec_id, $k)").as("top"))
-      .select(col("query_id"), posexplode(col("top")).as(Seq("idx", "s")))
-      .select(col("query_id"), col("s.id").as("neighbor_id"),
-        col("s.score").as("cos_sim"), (col("idx") + 1).cast("int").as("rank"))
-      .orderBy("query_id", "rank")
+      .transform(topKByCos(_, k))
   }
 
   /** Approximate top-k via multi-table LSH: `tables` independent
@@ -284,11 +289,6 @@ object Similarity {
       .join(e, "vec_id")
       .join(broadcast(q), "query_id")
       .withColumn("cos_r", round(expr("graft_dot(v, qv)") / (col("norm") * col("qn")), 6))
-      .groupBy("query_id")
-      .agg(expr(s"graft_topk(cos_r, vec_id, $k)").as("top"))
-      .select(col("query_id"), posexplode(col("top")).as(Seq("idx", "s")))
-      .select(col("query_id"), col("s.id").as("neighbor_id"),
-        col("s.score").as("cos_sim"), (col("idx") + 1).cast("int").as("rank"))
-      .orderBy("query_id", "rank")
+      .transform(topKByCos(_, k))
   }
 }

@@ -178,8 +178,7 @@ object TextAnalysis {
     docs.select(col("doc_id"),
         explode(split(lower(col("text")), " ", -1)).as("t"))
       .withColumn("wgt",
-        conv(substring(md5(concat_ws(":", lit(seed), col("t"))), 1, 8), 16, 10)
-          .cast("long") % 1001 - 500)
+        graft.functions.DeterministicHash.md5Prefix(seed, col("t")) % 1001 - 500)
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"), sum("wgt").as("margin"))
       .select(
@@ -236,18 +235,22 @@ object TextAnalysis {
   def tfidfTopTerms(docs: DataFrame, k: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    // tf is localCheckpoint'd because two consumers branch from it
+    // (document frequency and the scoring join) and Spark re-executes
+    // a subplan per consumer — without it the corpus is tokenized and
+    // tf-aggregated twice. df must NOT be a count().over(partitionBy
+    // term) window: a stopword's partition holds ~|docs| rows on one
+    // task with no map-side combine (the boilerplate hot-spot), where
+    // the groupBy partial-aggregates before the exchange. The
+    // materialized frame is tf itself — the shuffle already produced
+    // exactly these rows, so the checkpoint adds storage, not compute.
     val tf = docs
       .select(col("doc_id"), explode(split(lower(col("text")), " ", -1)).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    // df as a window count over tf — one tokenization pass total. The
-    // former groupBy+join formulation branched tf into two consumers,
-    // and Spark re-executes a subplan per consumer, so the corpus was
-    // tokenized and tf-aggregated twice; the window re-keys the same
-    // rows by term instead (same shuffle volume as the join's build
-    // side, no second scan).
-    val withDf = tf.withColumn("df", count(lit(1)).over(Window.partitionBy("term")))
+      .localCheckpoint()
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val w = Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("term"))
-    withDf
+    tf.join(dfreq, Seq("term"))
       .crossJoin(broadcast(nDocs))
       .withColumn("tfidf",
         round(col("tf") * round(log(col("n_docs").cast("double") / col("df")), 6), 6))

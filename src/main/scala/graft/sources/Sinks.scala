@@ -64,12 +64,25 @@ object Sinks {
       spark: SparkSession, path: String,
       targetFileBytes: Long = 128L * 1024 * 1024): Unit = {
     val df = spark.read.parquet(path)
-    val bytes = df.inputFiles.map(f =>
-      new java.io.File(new java.net.URI(f).getPath).length()).sum
+    // size via the Hadoop FileSystem of the path (works on HDFS/S3/
+    // local alike) — java.io.File would report 0 bytes for any remote
+    // URI and silently funnel the whole dataset into one file
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val bytes = df.inputFiles.map { f =>
+      val p = new org.apache.hadoop.fs.Path(f)
+      p.getFileSystem(hconf).getFileStatus(p).getLen
+    }.sum
     val nFiles = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
     val tmp = path + "__compact"
     df.repartition(nFiles).write.mode(SaveMode.Overwrite).parquet(tmp)
-    spark.read.parquet(tmp).write.mode(SaveMode.Overwrite).parquet(path)
+    // coalesce on the rewrite: the tmp read re-splits each file at
+    // spark.sql.files.maxPartitionBytes, so without it the final write
+    // would cap file sizes at the session split size instead of the
+    // requested target
+    spark.read.parquet(tmp).coalesce(nFiles)
+      .write.mode(SaveMode.Overwrite).parquet(path)
+    val tmpPath = new org.apache.hadoop.fs.Path(tmp)
+    tmpPath.getFileSystem(hconf).delete(tmpPath, true): Unit
   }
 
   /** Range-partitioned, sorted-within-file write: rows are range

@@ -125,9 +125,10 @@ class PlanRegressionSpec extends AnyFunSuite with SparkSessionTestBase {
     // operators were rewritten to key the same rows through windows /
     // kind-tagged unions instead of aggregate-then-join-back, and a
     // refactor must not quietly reintroduce the extra fact scans.
-    // tfidf: one wide tokenization scan + the scalar n_docs count
-    // (column-pruned to zero columns — parquet answers from footers)
-    assert(scanCount(plan("q_tfidf_topterms")) === 2)
+    // tfidf: the tokenization pass materializes once (checkpointed tf,
+    // an ExistingRDD leaf in the final plan); the only parquet scan
+    // left is the scalar n_docs count (column-pruned to zero columns)
+    assert(scanCount(plan("q_tfidf_topterms")) === 1)
     assert(scanCount(plan("q_retention_cohorts")) === 1)
     assert(scanCount(plan("q_cohort_pivot")) === 1)
     assert(scanCount(plan("q_lowest_price_per_store")) === 1)
