@@ -107,16 +107,14 @@ object Sinks {
     val spark = df.sparkSession
     spark.sql(s"DROP TABLE IF EXISTS $table")
     // clear a leftover managed-table location from a crashed writer —
-    // saveAsTable refuses to reuse it otherwise
+    // saveAsTable refuses to reuse it otherwise. Via the warehouse's
+    // Hadoop FileSystem so the cleanup also works when the warehouse
+    // lives on HDFS/S3 (java.io.File would silently no-op there and
+    // leave the stale location to fail the write)
     val warehouse = spark.conf.get("spark.sql.warehouse.dir")
-    val loc = new java.io.File(new java.net.URI(warehouse).getPath, table.toLowerCase)
-    if (loc.exists()) {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete(): Unit
-      }
-      rm(loc)
-    }
+    val loc = new org.apache.hadoop.fs.Path(warehouse, table.toLowerCase)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true): Unit
     df.write.mode(SaveMode.Overwrite)
       .bucketBy(buckets, bucketCol)
       .sortBy(bucketCol)
