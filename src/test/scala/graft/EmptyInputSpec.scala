@@ -114,5 +114,9 @@ class EmptyInputSpec extends AnyFunSuite with SparkSessionTestBase {
     assert(Similarity.clusterQuality(emptyEmb, emptyDocs).count() === 0)
     assert(Dedup.minhashPairsAgainst(emptyDocs,
       Dedup.minhashSignatures(emptyDocs)).count() === 0)
+    assert(Temporal.lastTouchAttribution(emptyEvents).count() === 0)
+    assert(TextAnalysis.vocabStats(emptyDocs).count() === 0)
+    assert(Dedup.minhashCalibration(emptyDocs).count() === 0)
+    assert(Curation.curationSignals(emptyDocs).count() === 0)
   }
 }
