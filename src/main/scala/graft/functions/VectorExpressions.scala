@@ -516,8 +516,15 @@ case class SlidingMinima(child: Expression, window: Int)
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     child.dataType match {
-      case ArrayType(LongType, _) =>
+      case ArrayType(LongType, false) =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case ArrayType(LongType, true) =>
+        // eval/codegen read raw long slots (getLong); a null element
+        // would silently decode as garbage — reject at analysis time
+        // (the function is SQL-registered, so arbitrary inputs reach it)
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires ARRAY<BIGINT> with non-null elements " +
+            "(wrap the argument in array_compact or filter(x, x -> x IS NOT NULL))")
       case other =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
           s"$prettyName requires ARRAY<BIGINT>, got ${other.sql}")

@@ -191,17 +191,24 @@ object Curation {
     // repetitionScore omits docs with < 2 words (no bigrams) — they are
     // not repetitive, so the left join's NULL coalesces to false
     val rep = TextAnalysis.repetitionScore(docs).select(col("doc_id"), col("flagged"))
-    val dup = docs.select(col("doc_id"), sha2(col("text"), 256).as("h"))
-      .withColumn("keep_id",
-        min("doc_id").over(org.apache.spark.sql.expressions.Window.partitionBy("h")))
-      .select(col("doc_id"), (col("doc_id") =!= col("keep_id")).as("is_dup"))
+    // duplicate stage: content-hash ownership via a partial-combined min
+    // aggregate (the [[Dedup.chunkDedup]] shape) — map-side combine
+    // collapses mega-duplicated boilerplate BEFORE the shuffle, where a
+    // window over the hash would land every copy of one hot value in a
+    // single task. No join back on the hash either: doc_id is unique, so
+    // a doc survives iff its OWN id won some hash group — a uniform
+    // doc_id-keyed left join marks owners; NULL ⇒ duplicate.
+    val owners = docs
+      .select(sha2(col("text"), 256).as("h"), col("doc_id"))
+      .groupBy("h").agg(min("doc_id").as("doc_id"))
+      .select(col("doc_id"), lit(true).as("is_owner"))
     signals
       .join(rep, Seq("doc_id"), "left")
-      .join(dup, Seq("doc_id"))
+      .join(owners, Seq("doc_id"), "left")
       .withColumn("reason",
         coalesce(col("row_reason"),
           when(coalesce(col("flagged"), lit(false)), "repetition")
-            .when(col("is_dup"), "duplicate")
+            .when(col("is_owner").isNull, "duplicate")
             .otherwise(lit(null).cast("string"))))
       .select(col("doc_id"), col("lang_pred"), col("n_tokens"),
         col("reason").isNull.as("keep"), col("reason"))

@@ -112,18 +112,21 @@ object Pricing {
       li.join(broadcast(part.get.filter(col("p_type") === c)
           .select(col("p_partkey").as("l_partkey"))),
         Seq("l_partkey"), "left_semi"))
-    // per-store min as a window (the aggregate-then-join-back form
-    // re-executes the scan per consumer); the global max for savings%
-    // is a single-partition window over the ALREADY-REDUCED winner set
-    // (≤ one row per store after distinct), mirroring the oracle's
-    // max(eff) OVER () — never over the fact table
+    // per-(store, product) mins first as a partial-combined aggregate —
+    // a hot store's observation history collapses map-side instead of
+    // sorting in one window task (the documented skew hazard) — then the
+    // per-store min window runs over at most |catalog| rows per store.
+    // Winner set (incl. ties) is identical: eff == store min ⇔ the
+    // product's own min == store min. The global max for savings% is a
+    // single-partition window over the ALREADY-REDUCED winner set
+    // (≤ one row per store), mirroring the oracle's max(eff) OVER ()
     val w = org.apache.spark.sql.expressions.Window
-    val eff = obs.select(col("l_suppkey"), col("l_partkey"), effPrice.as("eff"))
-    val winners = eff
+    val perProduct = obs.select(col("l_suppkey"), col("l_partkey"), effPrice.as("eff"))
+      .groupBy("l_suppkey", "l_partkey").agg(min("eff").as("eff"))
+    val winners = perProduct
       .withColumn("min_eff", min("eff").over(w.partitionBy("l_suppkey")))
       .filter(col("eff") === col("min_eff"))
       .select("l_suppkey", "l_partkey", "eff")
-      .distinct()
     val returned = rowLimit.fold(winners)(n =>
       winners.orderBy(col("eff"), col("l_suppkey"), col("l_partkey")).limit(n))
     val ranked = returned

@@ -103,6 +103,16 @@ class PlanRegressionSpec extends AnyFunSuite with SparkSessionTestBase {
     assert(p.sliding("HashAggregate".length).count(_ == "HashAggregate") >= 2)
   }
 
+  test("curation pipeline's duplicate stage aggregates, never windows the hash") {
+    val p = plan("q_curation_pipeline")
+    // content-hash ownership must be a partial-combined min aggregate
+    // (map-side combine collapses boilerplate-hot hash values before the
+    // shuffle); a Window.partitionBy(content hash) would put every copy
+    // of one hot value in a single task with no combine
+    assert(!p.contains("Window ["))
+    assert(p.sliding("HashAggregate".length).count(_ == "HashAggregate") >= 2)
+  }
+
   test("bloom decontamination probes narrowly and joins after the prune") {
     val p = plan("q_decontaminate_bloom")
     // the sketch probe must exist as a Filter (narrow prune) and the

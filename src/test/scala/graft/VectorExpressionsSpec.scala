@@ -245,6 +245,20 @@ class VectorExpressionsSpec extends AnyFunSuite with SparkSessionTestBase {
     }
   }
 
+  test("graft_winnow rejects arrays with nullable elements at analysis time") {
+    VectorFunctions.register(spark)
+    // getLong on a null slot would silently decode garbage — the type
+    // check must refuse nullable-element arrays (the function is
+    // SQL-registered, so arbitrary user input can reach it)
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT graft_winnow(array(1L, CAST(NULL AS BIGINT), 3L), 2)").collect()
+    }
+    assert(e.getMessage.contains("non-null"))
+    // the non-null literal form still analyzes and evaluates
+    val ok = spark.sql("SELECT graft_winnow(array(3L, 1L, 2L), 2) AS m").collect()
+    assert(ok.head.getAs[scala.collection.Seq[Long]]("m") === Seq(1L, 1L))
+  }
+
   test("graft_grams matches the transform/concat_ws lambda form bit-for-bit") {
     VectorFunctions.register(spark)
     import spark.implicits._
