@@ -65,6 +65,15 @@ object SparkEntry {
         category = Some("ECONOMY"),
         li = Some(Tables.lineitem(s, d)), onPromo = Some(true), storeId = Some(5L),
         limit = 50)),
+    // mcp.py:330–338: pick the bidirectional-containment best match
+    // from the search results ("small ring" ⊂ "small ring deluxe")
+    "q_search_best_match" -> ((s, d) =>
+      Catalog.searchProducts(Tables.part(s, d),
+        nameContains = Some("ring"), limit = 100,
+        bestMatchFor = Some("small ring deluxe"))),
+    // tables.sql:2,48 pg_trgm twin: typo-tolerant trigram ranking
+    "q_fuzzy_search" -> ((s, d) =>
+      Catalog.fuzzySearch(Tables.part(s, d), "smal ring", threshold = 0.3, limit = 15)),
     "q_price_compare" -> ((s, d) => Pricing.priceCompare(Tables.lineitem(s, d), comparedParts)),
     "q_product_card" -> ((s, d) =>
       Pricing.productCard(Tables.lineitem(s, d), Tables.supplier(s, d), historyPart)),
@@ -296,6 +305,32 @@ object SparkEntry {
          |WHERE p_type = 'ECONOMY' AND p_partkey IN (
          |  SELECT l_partkey FROM lineitem WHERE l_suppkey = 5 AND l_discount > 0)
          |ORDER BY p_partkey LIMIT 50""".stripMargin,
+    "q_search_best_match" ->
+      s"""WITH results AS (
+         | SELECT p_partkey, p_name, p_brand, p_type, p_size,
+         |  ${m("p_retailprice")} AS retail_price
+         | FROM part WHERE lower(p_name) LIKE '%ring%'
+         | ORDER BY p_partkey LIMIT 100)
+         |SELECT p_partkey, p_name, p_brand, p_type, p_size, retail_price,
+         | (contains(lower(p_name), 'small ring deluxe')
+         |  OR contains('small ring deluxe', lower(p_name))) AS matched
+         |FROM results ORDER BY matched DESC, p_partkey LIMIT 1""".stripMargin,
+    "q_fuzzy_search" -> {
+      val q = "smal ring"
+      val qg = (0 to q.length - 3).map(i => q.substring(i, i + 3)).distinct
+      val lst = qg.map(g => s"'$g'").mkString("[", ", ", "]")
+      s"""WITH g AS (SELECT p_partkey, p_name,
+         |  list_distinct(list_transform(range(1, length(lower(p_name)) - 1),
+         |    i -> substr(lower(p_name), CAST(i AS INTEGER), 3))) AS grams
+         | FROM part WHERE length(lower(p_name)) >= 3),
+         |s AS (SELECT p_partkey, p_name, len(grams) AS n_grams,
+         |  len(list_intersect(grams, $lst)) AS shared FROM g),
+         |sim AS (SELECT p_partkey, p_name,
+         |  ${m(s"CAST(shared AS DOUBLE) / (n_grams + ${qg.size} - shared)", 6)} AS similarity
+         | FROM s WHERE shared > 0)
+         |SELECT p_partkey, p_name, similarity FROM sim WHERE similarity >= 0.3
+         |ORDER BY similarity DESC, p_partkey LIMIT 15""".stripMargin
+    },
     "q_lowest_price_category" ->
       s"""WITH eff AS (SELECT l_suppkey, l_partkey, $eff AS eff FROM lineitem
          |  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_type = 'STANDARD')),

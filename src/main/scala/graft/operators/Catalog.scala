@@ -50,7 +50,8 @@ object Catalog {
       onPromo: Option[Boolean] = None,
       storeId: Option[Long] = None,
       limit: Int = 100,
-      offset: Int = 0): DataFrame = {
+      offset: Int = 0,
+      bestMatchFor: Option[String] = None): DataFrame = {
     require(li.isDefined || (onPromo.isEmpty && storeId.isEmpty),
       "onPromo/storeId filters need the observations frame (li)")
     var df = part
@@ -69,10 +70,71 @@ object Catalog {
       df = df.join(obs.select(col("l_partkey").as("p_partkey")).distinct(),
         Seq("p_partkey"), "left_semi")
     }
-    df.select(col("p_partkey"), col("p_name"), col("p_brand"), col("p_type"),
+    val paged = df
+      .select(col("p_partkey"), col("p_name"), col("p_brand"), col("p_type"),
         col("p_size"), round(col("p_retailprice"), 2).as("retail_price"))
       .orderBy("p_partkey")
       .offset(offset)
+      .limit(limit)
+    // mcp.py:330–338 best-match pick: among the returned results (in
+    // result order), prefer the first whose name contains the query or
+    // is contained in it (bidirectional ILIKE containment); fall back
+    // to the first result. A rank-and-limit over the ALREADY-paginated
+    // set (≤ `limit` rows), so cost is nil at any scale.
+    bestMatchFor.fold(paged) { bm =>
+      val q = bm.toLowerCase
+      paged
+        .withColumn("matched",
+          lower(col("p_name")).contains(q) || lit(q).contains(lower(col("p_name"))))
+        .orderBy(col("matched").desc, col("p_partkey"))
+        .limit(1)
+    }
+  }
+
+  /** Trigram fuzzy-name search — the Spark twin of the reference's
+    * pg_trgm GIN index (tables.sql:2 `CREATE EXTENSION pg_trgm`, :48
+    * GIN (canonical_name gin_trgm_ops)): rank catalog names by Jaccard
+    * similarity between character-3-gram sets of the lowercased name
+    * and the query, keep those at/above `threshold` (0.3 = pg_trgm's
+    * default similarity_threshold), best first.
+    *
+    * Shape: gram positions explode through codegen `sequence` +
+    * `substring` (no interpreted lambda); per-name distinct-gram and
+    * shared-distinct-gram counts come from ONE partial-combined
+    * aggregation keyed by the unique part key, with the query's gram
+    * set folded in as an `IN <literal set>` predicate — no join at
+    * all for a single query. The `shared > 0` filter is the GIN
+    * index-probe semantic (only names sharing ≥1 trigram are scored).
+    * At catalog scales where even one gram pass per query is too much,
+    * persist the exploded (gram, p_partkey, n_grams) frame as parquet
+    * bucketed by gram — the literal GIN analog — and semi-join the
+    * query grams against it; the scoring aggregate is unchanged. */
+  def fuzzySearch(
+      part: DataFrame,
+      query: String,
+      threshold: Double = 0.3,
+      limit: Int = 10): DataFrame = {
+    val q = query.toLowerCase
+    val qGrams: Seq[String] = (0 to q.length - 3).map(i => q.substring(i, i + 3)).distinct
+    require(qGrams.nonEmpty, "query must be at least 3 characters")
+    val stats = part
+      .select(col("p_partkey"), col("p_name"), lower(col("p_name")).as("s"))
+      .filter(length(col("s")) >= 3)
+      .select(col("p_partkey"), col("p_name"), col("s"),
+        explode(sequence(lit(1), length(col("s")) - 2)).as("pos"))
+      .select(col("p_partkey"), col("p_name"), expr("substring(s, pos, 3)").as("g"))
+      .groupBy("p_partkey", "p_name")
+      .agg(
+        countDistinct(col("g")).as("n_grams"),
+        countDistinct(when(col("g").isInCollection(qGrams), col("g"))).as("shared"))
+      .filter(col("shared") > 0)
+    stats
+      .withColumn("similarity",
+        round(col("shared").cast("double") /
+          (col("n_grams") + lit(qGrams.size) - col("shared")), 6))
+      .filter(col("similarity") >= threshold)
+      .select(col("p_partkey"), col("p_name"), col("similarity"))
+      .orderBy(col("similarity").desc, col("p_partkey"))
       .limit(limit)
   }
 

@@ -49,6 +49,46 @@ class CatalogQueriesSpec extends AnyFunSuite with SparkSessionTestBase {
     assert(regular.map(_.getLong(0)).forall(regularKeys))
   }
 
+  test("searchProducts best-match prefers bidirectional name containment") {
+    val part = Tables.part(spark, sfDir)
+    // "small ring" ⊂ "small ring deluxe": the name-in-query direction
+    val hit = Catalog.searchProducts(part, nameContains = Some("ring"),
+      limit = 100, bestMatchFor = Some("small ring deluxe")).collect()
+    assert(hit.length === 1)
+    assert(hit.head.getAs[Boolean]("matched"))
+    assert(hit.head.getAs[String]("p_name") === "small ring")
+    // no containment either way → falls back to the first result
+    val all = Catalog.searchProducts(part, nameContains = Some("ring"),
+      limit = 100).collect()
+    val fallback = Catalog.searchProducts(part, nameContains = Some("ring"),
+      limit = 100, bestMatchFor = Some("zzz unmatchable zzz")).collect()
+    assert(fallback.length === 1)
+    assert(!fallback.head.getAs[Boolean]("matched"))
+    assert(fallback.head.getLong(0) === all.head.getLong(0))
+  }
+
+  test("fuzzySearch ranks trigram-Jaccard matches, typo-tolerant") {
+    val part = Tables.part(spark, sfDir)
+    val rows = Catalog.fuzzySearch(part, "smal ring", threshold = 0.3, limit = 15).collect()
+    assert(rows.nonEmpty)
+    // the typo's near-exact target outranks every shared-suffix name
+    assert(rows.head.getAs[String]("p_name") === "small ring")
+    // similarity is a true Jaccard over distinct char-3-gram sets
+    def grams(t: String) = t.sliding(3).toSet
+    rows.foreach { r =>
+      val g = grams(r.getAs[String]("p_name").toLowerCase)
+      val q = grams("smal ring")
+      val expected = g.intersect(q).size.toDouble / g.union(q).size
+      assert(math.abs(r.getAs[Double]("similarity") - expected) < 1e-6)
+      assert(r.getAs[Double]("similarity") >= 0.3)
+    }
+    // descending, tie-broken by key: deterministic pagination
+    val sims = rows.map(r => (-r.getAs[Double]("similarity"), r.getLong(0))).toSeq
+    assert(sims === sims.sorted)
+    // sub-threshold queries return nothing rather than noise
+    assert(Catalog.fuzzySearch(part, "qqqxyzvv", threshold = 0.3).collect().isEmpty)
+  }
+
   test("storeLookup filters the dimension by name and city contains") {
     // sf0.001's supplier dim is too small to match both filters
     val dimDir = "/root/testdata/sf0.01"
