@@ -111,17 +111,42 @@ object Similarity {
       .orderBy("vec_a", "vec_b")
   }
 
+  /** Deterministic training sample for Lloyd refinement: the corpus's
+    * `trainFactor · nCentroids` xxhash64-ranked vectors (the seed
+    * centroids are this ordering's prefix, so seeds ⊂ sample by
+    * construction). Exposed for the spec that pins the train/add
+    * split. */
+  private[graft] def ivfTrainingSample(
+      normalized: DataFrame, nCentroids: Int, trainFactor: Int): DataFrame =
+    normalized.orderBy(xxhash64(col("vec_id")), col("vec_id"))
+      .limit(trainFactor * nCentroids)
+
   /** Normalized corpus + deterministic Lloyd-refined centroids — the
     * shared IVF model behind [[embedIvfTopK]] and
     * [[embedClusterStats]]. Returns (corpus (vec_id, vn), centroids
-    * (cid, cvec)). */
+    * (cid, cvec)).
+    *
+    * Lloyd trains on a SAMPLE (the FAISS-style train/add split):
+    * centroid statistics converge on ~tens of vectors per centroid
+    * long before the full corpus adds information, so each refinement
+    * pass costs sample×dim instead of corpus×dim — at 100 TB that is
+    * the difference between an iteration touching everything and one
+    * touching a bounded frame. The sample is the deterministic
+    * xxhash64 rank order (no RNG; reproducible across runs and
+    * cluster sizes); the FULL corpus is assigned exactly once, by the
+    * caller's final [[assignTo]]. */
   private def ivfModel(
-      emb: DataFrame, nCentroids: Int, lloydIters: Int): (DataFrame, DataFrame) = {
+      emb: DataFrame, nCentroids: Int, lloydIters: Int,
+      trainFactor: Int = 64): (DataFrame, DataFrame) = {
     graft.functions.VectorFunctions.register(emb.sparkSession)
     val e = withNorm(emb)
       .withColumn("vn", expr("transform(v, x -> x / norm)"))
       .select("vec_id", "vn")
       .cache()
+
+    // localCheckpoint: the sample feeds every Lloyd pass — materialize
+    // the TakeOrdered once instead of re-sorting the corpus per iter
+    val train = ivfTrainingSample(e, nCentroids, trainFactor).localCheckpoint()
 
     // deterministic seed centroids: hash-ranked corpus vectors
     var centroids = e.orderBy(xxhash64(col("vec_id")), col("vec_id"))
@@ -129,7 +154,7 @@ object Similarity {
       .select(row_number().over(Window.orderBy("vec_id")).as("cid"), col("vn").as("cvec"))
 
     for (_ <- 1 to lloydIters) {
-      val means = assignTo(e, centroids)
+      val means = assignTo(train, centroids)
         .select(col("cid"), posexplode(col("vn")).as(Seq("pos", "x")))
         .groupBy("cid", "pos").agg(avg("x").as("mx"))
         .groupBy("cid")
@@ -165,8 +190,9 @@ object Similarity {
     * exact; the mean rides per-row 6-decimal snapped cosines through
     * an engine-stable two-round mean. */
   def embedClusterStats(
-      emb: DataFrame, nCentroids: Int = 16, lloydIters: Int = 2): DataFrame = {
-    val (e, centroids) = ivfModel(emb, nCentroids, lloydIters)
+      emb: DataFrame, nCentroids: Int = 16, lloydIters: Int = 2,
+      trainFactor: Int = 64): DataFrame = {
+    val (e, centroids) = ivfModel(emb, nCentroids, lloydIters, trainFactor)
     assignTo(e, centroids)
       .select(col("cid"), col("vec_id"), round(col("sim"), 6).as("cos_sim"))
       .groupBy("cid")
@@ -185,8 +211,9 @@ object Similarity {
     * the id key; everything downstream runs on |clusters|-sized
     * aggregates. */
   def clusterQuality(emb: DataFrame, docs: DataFrame,
-      nCentroids: Int = 16, lloydIters: Int = 2): DataFrame = {
-    val (e, centroids) = ivfModel(emb, nCentroids, lloydIters)
+      nCentroids: Int = 16, lloydIters: Int = 2,
+      trainFactor: Int = 64): DataFrame = {
+    val (e, centroids) = ivfModel(emb, nCentroids, lloydIters, trainFactor)
     val assigned = assignTo(e, centroids).select(col("vec_id").as("doc_id"), col("cid"))
     val quality = graft.operators.TextAnalysis.classifierScore(docs)
       .select(col("doc_id"), col("score"))
@@ -228,8 +255,9 @@ object Similarity {
     * rank is a bounded graft_topk partial aggregate. */
   def embedIvfTopK(
       emb: DataFrame, nQueries: Int = 10, k: Int = 5,
-      nCentroids: Int = 16, lloydIters: Int = 2, nProbe: Int = 4): DataFrame = {
-    val (e, centroids) = ivfModel(emb, nCentroids, lloydIters)
+      nCentroids: Int = 16, lloydIters: Int = 2, nProbe: Int = 4,
+      trainFactor: Int = 64): DataFrame = {
+    val (e, centroids) = ivfModel(emb, nCentroids, lloydIters, trainFactor)
     val assigned = assignTo(e, centroids).select("vec_id", "vn", "cid").cache()
     // each query probes its nProbe nearest centroid lists
     val wq = Window.partitionBy("vec_id").orderBy(col("sim").desc, col("cid"))

@@ -180,6 +180,29 @@ class LlmOpsSpec extends AnyFunSuite with SparkSessionTestBase {
     assert(ivf.map(_.toString).toSeq === again.map(_.toString).toSeq)
   }
 
+  test("IVF Lloyd trains on the deterministic hash sample, not the corpus") {
+    val emb = Tables.embeddings(spark, docDir)
+    // the training frame IS the xxhash64-rank prefix of the corpus
+    val sample = Similarity.ivfTrainingSample(
+      emb.select(col("vec_id")), nCentroids = 8, trainFactor = 4).collect()
+    assert(sample.length === 32)
+    val expected = emb.select(col("vec_id"))
+      .orderBy(xxhash64(col("vec_id")), col("vec_id"))
+      .limit(32).collect().map(_.getLong(0)).toSeq
+    assert(sample.map(_.getLong(0)).toSeq === expected)
+    // sample-trained centroids still give sane recall and determinism
+    val exact = Similarity.embedTopK(emb, nQueries = 10, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.embedIvfTopK(emb, nQueries = 10, k = 5,
+      nCentroids = 16, lloydIters = 2, nProbe = 8, trainFactor = 4).collect()
+    val approx = ivf.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall > 0.3, s"recall=$recall")
+    val again = Similarity.embedIvfTopK(emb, nQueries = 10, k = 5,
+      nCentroids = 16, lloydIters = 2, nProbe = 8, trainFactor = 4).collect()
+    assert(ivf.map(_.toString).toSeq === again.map(_.toString).toSeq)
+  }
+
   test("embedNearDupPairs finds above-threshold cosine pairs via LSH") {
     val emb = Tables.embeddings(spark, docDir)
     val pairs = Similarity.embedNearDupPairs(emb, threshold = 0.35, planes = 4, tables = 4)
