@@ -54,9 +54,19 @@ object Bench {
       .find(_.length <= MaxLine)
       .getOrElse(lineTop(results, total, sfTag, 1, 30))
 
+  private[graft] def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // median-of-N discipline: identical-code totals swing ~2× with host
+    // contention (SURVEY §8), so single-run per-query deltas are mostly
+    // noise — the stdout line reports per-query MEDIANS across N
+    // in-process runs and bench_full.json keeps min/median/max
+    val runs = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -69,21 +79,39 @@ object Bench {
     // JIT/codegen warmup outside the timed region
     SparkEntry.queries.get("q1_pricing_summary")
       .foreach(fn => fn(spark, sfDir).write.format("noop").mode("overwrite").save())
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }
-      name -> (System.nanoTime() - t0) / 1e9
+    val names = SparkEntry.queries.toSeq.sortBy(_._1)
+    val perRun: Seq[Seq[(String, Double)]] = (1 to runs).map { r =>
+      // level the field between runs: drop every persisted block so a
+      // later run cannot coast on a prior run's shared pair cache
+      if (r > 1) spark.catalog.clearCache()
+      names.map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }
+        name -> (System.nanoTime() - t0) / 1e9
+      }
     }
+    val byName: Map[String, Seq[Double]] =
+      perRun.flatten.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2) }
+    val results = names.map { case (name, _) => name -> median(byName(name)) }
     val total = results.map(_._2).sum
     val sfTag = sfDir.split('/').last
     try {
-      // forensic copy with full precision and every query — never fail
-      // the bench over it
+      // forensic copy with full precision, spread, and per-run totals —
+      // never fail the bench over it
       val dir = java.nio.file.Paths.get("target")
       java.nio.file.Files.createDirectories(dir)
+      val qs = names.map { case (name, _) =>
+        val vs = byName(name)
+        "\"" + name + "\":{\"min\":" + fmt(3, vs.min) +
+          ",\"med\":" + fmt(3, median(vs)) + ",\"max\":" + fmt(3, vs.max) + "}"
+      }.mkString("{", ",", "}")
+      val runTotals = perRun.map(r => fmt(3, r.map(_._2).sum)).mkString("[", ",", "]")
+      val full =
+        s"""{"metric":"total","value":${fmt(3, total)},"unit":"sec","sf":"$sfTag",""" +
+          s""""runs":$runTotals,"queries":$qs}"""
       java.nio.file.Files.write(dir.resolve("bench_full.json"),
-        (fullLine(results, total, sfTag) + "\n").getBytes("UTF-8"))
+        (full + "\n").getBytes("UTF-8"))
     } catch { case _: Throwable => () }
     println(stdoutLine(results, total, sfTag))
     spark.stop()

@@ -35,21 +35,42 @@ object SparkEntry {
     * is tiny relative to the corpus — MEMORY_AND_DISK persist is safe
     * at any scale).
     *
-    * ASSUMPTION: entries are keyed by (session, dir) with no data-change
-    * invalidation — correct because the harness treats testdata dirs as
-    * immutable within a run. If a deployment rewrites parquet under a
-    * live dir, key this cache by a data fingerprint (e.g. max file
-    * mtime / snapshot id) instead, or drop the entry on rewrite. */
+    * Entries are keyed by (session, dir) and VALIDATED against a data
+    * fingerprint (the max modification time under the documents
+    * table): rewriting the parquet under a live dir unpersists the
+    * stale pair frame and recomputes, so a long-lived service neither
+    * serves stale pairs nor accumulates pinned blocks per data
+    * version (asserted in spec). */
   private val minhashPairsCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
-  private def minhashPairsShared(s: SparkSession, d: String): DataFrame = {
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), (Long, DataFrame)]
+
+  private def documentsFingerprint(s: SparkSession, d: String): Long = {
+    val path = new org.apache.hadoop.fs.Path(s"$d/documents.parquet")
+    val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path)) 0L
+    else {
+      var m = fs.getFileStatus(path).getModificationTime
+      val it = fs.listFiles(path, true)
+      while (it.hasNext) m = math.max(m, it.next().getModificationTime)
+      m
+    }
+  }
+
+  private[graft] def minhashPairsShared(s: SparkSession, d: String): DataFrame = {
     // evict entries whose session is gone so a long-lived process never
     // pins stopped sessions or their cached blocks
     minhashPairsCache.keys
       .filter(_._1.sparkContext.isStopped)
       .foreach(minhashPairsCache.remove)
-    minhashPairsCache.getOrElseUpdate((s, d),
-      Dedup.minhashPairs(Tables.documents(s, d)).persist())
+    val fp = documentsFingerprint(s, d)
+    minhashPairsCache.get((s, d)) match {
+      case Some((cachedFp, df)) if cachedFp == fp => df
+      case stale =>
+        stale.foreach(_._2.unpersist())
+        val fresh = Dedup.minhashPairs(Tables.documents(s, d)).persist()
+        minhashPairsCache.put((s, d), (fp, fresh))
+        fresh
+    }
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -123,12 +144,14 @@ object SparkEntry {
     "q_dedup_simhash" -> ((s, d) => Dedup.simhashPairs(Tables.documents(s, d))),
     "q_dedup_calibration" -> ((s, d) => Dedup.minhashCalibration(Tables.documents(s, d))),
     // incremental mode: docs >= 400 arrive as a new batch and dedup
-    // against the signature index of the existing corpus (doc_id < 400)
+    // against the signature index of the existing corpus (doc_id < 400).
+    // The computed index is localCheckpoint'd per the persistence
+    // contract (sketched once for both consumers, GC-released).
     "q_dedup_incremental" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       Dedup.minhashPairsAgainst(
         docs.filter(col("doc_id") >= 400),
-        Dedup.minhashSignatures(docs.filter(col("doc_id") < 400)))
+        Dedup.minhashSignatures(docs.filter(col("doc_id") < 400)).localCheckpoint())
     }),
     "q_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(Tables.documents(s, d))),
     "q_embed_topk" -> ((s, d) => Similarity.embedTopK(Tables.embeddings(s, d))),

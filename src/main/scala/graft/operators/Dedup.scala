@@ -165,7 +165,18 @@ object Dedup {
     * signature rerank uses the same agreement math as
     * [[minhashPairs]], so batch-vs-corpus results are identical to the
     * cross-group subset of a full-corpus run (asserted in spec).
-    * Returns (doc_new, doc_corpus, est_jaccard). */
+    * Returns (doc_new, doc_corpus, est_jaccard).
+    *
+    * Persistence contract: `index` feeds two consumers (band keys +
+    * the signature re-join) and Spark re-executes a branching subplan
+    * per consumer — a parquet-backed index simply scans twice (cheap,
+    * columnar), while a COMPUTED index should be persisted or
+    * localCheckpoint'd BY THE CALLER, who owns its lifetime. No
+    * internal `.cache()`: repeated incremental calls in a long-lived
+    * session/stream must not accumulate pinned blocks this function
+    * can never safely release. The batch's own signatures are
+    * localCheckpoint'd — eager, small (one row per incoming doc), and
+    * released by the ContextCleaner when the result frame is GC'd. */
   def minhashPairsAgainst(
       newDocs: DataFrame,
       index: DataFrame,
@@ -174,12 +185,8 @@ object Dedup {
       bands: Int = 16,
       threshold: Double = 0.5): DataFrame = {
     require(numHashes % bands == 0)
-    val newSigs = minhashSignatures(newDocs, shingleLen, numHashes).cache()
-    // the index feeds two consumers (band keys + the signature
-    // re-join) and Spark re-executes a subplan per consumer — cache so
-    // a COMPUTED index is sketched once (idempotent when the caller
-    // already persisted it / reads it from parquet)
-    val idx = index.cache()
+    val newSigs = minhashSignatures(newDocs, shingleLen, numHashes).localCheckpoint()
+    val idx = index
     val candidates = bandKeys(newSigs, numHashes, bands).as("a")
       .join(bandKeys(idx, numHashes, bands).as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh"))

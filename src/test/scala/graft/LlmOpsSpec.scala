@@ -203,6 +203,24 @@ class LlmOpsSpec extends AnyFunSuite with SparkSessionTestBase {
     assert(ivf.map(_.toString).toSeq === again.map(_.toString).toSeq)
   }
 
+  test("minhashPairsShared serves the cache until the data dir is rewritten") {
+    val docs = Tables.documents(spark, docDir)
+    val tmp = java.nio.file.Files.createTempDirectory("pairscache").toString
+    docs.filter(col("doc_id") < 100)
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val first = SparkEntry.minhashPairsShared(spark, tmp)
+    val r1 = first.collect().map(_.toString).toSet
+    // unchanged fingerprint → the SAME persisted frame comes back
+    assert(SparkEntry.minhashPairsShared(spark, tmp) eq first)
+    // rewrite under the live dir → stale entry unpersisted, fresh pairs
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val r2 = SparkEntry.minhashPairsShared(spark, tmp).collect().map(_.toString).toSet
+    val expected = Dedup.minhashPairs(spark.read.parquet(s"$tmp/documents.parquet"))
+      .collect().map(_.toString).toSet
+    assert(r2 === expected)
+    assert(r2 !== r1)
+  }
+
   test("embedNearDupPairs finds above-threshold cosine pairs via LSH") {
     val emb = Tables.embeddings(spark, docDir)
     val pairs = Similarity.embedNearDupPairs(emb, threshold = 0.35, planes = 4, tables = 4)

@@ -130,6 +130,70 @@ class StreamingSpec extends AnyFunSuite with SparkSessionTestBase {
     } finally q.stop()
   }
 
+  test("nearDupGate: stream pair set equals the batch twin and the index grows") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import graft.operators.Dedup
+    val docs = Tables.documents(spark, "/root/testdata/sf0.01")
+    val corpus = docs.filter(col("doc_id") < 400)
+    val b1 = docs.filter(col("doc_id") >= 400 && col("doc_id") < 450)
+    // plant guaranteed cross-batch near-dups: batch 2 re-sends three
+    // batch-1 texts under fresh ids — only a GROWN index can catch them
+    val b2 = docs.filter(col("doc_id") >= 450)
+      .unionAll(docs.filter(col("doc_id") >= 400 && col("doc_id") < 403)
+        .withColumn("doc_id", col("doc_id") + 1000))
+
+    val root = Files.createTempDirectory("neardupgate").toString
+    val indexDir = s"$root/index"
+    val pairsDir = s"$root/pairs"
+    val srcDir = s"$root/src"
+    Dedup.minhashSignatures(corpus).write.parquet(indexDir)
+
+    // stage each micro-batch as one file with ordered mtimes so the
+    // file source (oldest-first) processes b1 before b2
+    Files.createDirectories(Paths.get(srcDir))
+    def stage(df: org.apache.spark.sql.DataFrame, name: String, mtime: Long): Unit = {
+      val tmp = s"$root/tmp_$name"
+      df.coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dest = Paths.get(srcDir, s"$name.parquet")
+      Files.move(part.toPath, dest, StandardCopyOption.REPLACE_EXISTING)
+      assert(dest.toFile.setLastModified(mtime))
+    }
+    val t0 = System.currentTimeMillis() - 120000
+    stage(b1, "b1", t0)
+    stage(b2, "b2", t0 + 60000)
+
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+    val q = graft.streaming.DedupStream.nearDupGate(
+      stream, indexDir, pairsDir, s"$root/ckpt")
+    try q.processAllAvailable() finally q.stop()
+
+    val got = spark.read.parquet(pairsDir)
+      .select("doc_new", "doc_corpus", "est_jaccard")
+      .collect().map(_.toString).toSet
+    // batch twin, composed over the same index evolution
+    val corpusSigs = Dedup.minhashSignatures(corpus).localCheckpoint()
+    val b1Sigs = Dedup.minhashSignatures(b1).localCheckpoint()
+    val expected = Dedup.minhashPairsAgainst(b1, corpusSigs)
+      .unionAll(Dedup.minhashPairsAgainst(b2, corpusSigs.unionAll(b1Sigs)))
+      .collect().map(_.toString).toSet
+    assert(got === expected)
+    assert(got.nonEmpty)
+    // the planted re-sends surface as cross-batch pairs (est < 1.0 is
+    // possible for short docs: empty-slot densification seeds on the
+    // NEW doc_id, so identical text under a fresh id drifts slightly)
+    val crossBatch = spark.read.parquet(pairsDir)
+      .filter(col("doc_new") === col("doc_corpus") + 1000 &&
+        col("doc_new") >= 1400 && col("doc_new") < 1403)
+    assert(crossBatch.count() === 3)
+    // the index grew by both batches' signatures
+    val expectedIdx = corpusSigs.count() + b1Sigs.count() +
+      Dedup.minhashSignatures(b2).count()
+    assert(spark.read.parquet(indexDir).count() === expectedIdx)
+  }
+
   test("sessionizeStream emits gap-closed sessions") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("sessstream").toString
