@@ -180,7 +180,7 @@ object SparkEntry {
       graft.sources.Multimodal.extractFeatures(
         graft.sources.Multimodal.mediaFromDocuments(Tables.documents(s, d)))
         .toDF()
-        .select("media_id", "modality", "n_bytes", "checksum")
+        .select("media_id", "modality", "n_bytes", "checksum", "codec")
         .orderBy("media_id")),
     // Section A+ — purchase-log analytics (multi-way join rollups)
     "q_revenue_by_nation" -> ((s, d) =>

@@ -7,14 +7,19 @@ import org.apache.spark.sql.functions._
   * payloads with typed metadata, processed by batched partition-local
   * feature extraction.
   *
-  * The decode step is a clearly-marked STUB — this container has no
-  * image/audio codecs, so "decode" is a deterministic fake; a real
-  * deployment swaps `stubDecode` for a codec call. Everything Spark-
-  * side (schema, encoders, partition batching, feature layout) is real
-  * and tested.
+  * Decode is REAL where the runtime has a codec and an honest stub
+  * where it does not: image payloads carrying a JDK-decodable format
+  * (PNG/JPEG/GIF/BMP — `javax.imageio` ships with Java SE, no extra
+  * dependency) decode to pixel statistics; anything else (audio/video,
+  * or bytes no reader accepts) falls back to a deterministic fake so
+  * the pipeline shape stays testable in a codec-less container. The
+  * `codec` column records which path ran. Everything Spark-side
+  * (schema, encoders, partition batching, feature layout) is real and
+  * tested either way.
   *
   * Scale posture: payloads never pass through a shuffle (extraction is
-  * a narrow mapPartitions directly over the scan); feature vectors are
+  * a narrow mapPartitions directly over the scan); detection is a
+  * magic-byte check before any reader spins up; feature vectors are
   * small fixed-width arrays; metadata lives in plain columns so
   * filters (modality, size) push down to parquet without touching the
   * binary blob.
@@ -34,6 +39,7 @@ object Multimodal {
       modality: String,
       n_bytes: Int,
       checksum: Long,
+      codec: String,
       features: Array[Float])
 
   implicit val mediaRecordEnc: Encoder[MediaRecord] = Encoders.product[MediaRecord]
@@ -54,27 +60,90 @@ object Multimodal {
       .as[MediaRecord]
   }
 
-  // ---------------------------------------------------------------
-  // STUB DECODE: deterministic fake standing in for a codec call.
-  // Replace with e.g. javax.imageio / ffmpeg bindings in deployment.
-  // ---------------------------------------------------------------
-  private def stubDecode(payload: Array[Byte], dim: Int): (Long, Array[Float]) = {
+  /** Content checksum (FNV-style rolling hash) — shared by both decode
+    * paths so identity tracking never depends on codec availability. */
+  private def payloadChecksum(payload: Array[Byte]): Long = {
     var h = 1125899906842597L
     var i = 0
     while (i < payload.length) { h = h * 31 + payload(i); i += 1 }
-    val feats = Array.tabulate(dim)(j => ((h >>> (j * 7)) & 0xFF).toFloat / 255f)
-    (h, feats)
+    h
+  }
+
+  // ---------------------------------------------------------------
+  // STUB DECODE: deterministic fake for payloads with no runtime
+  // codec (audio/video, or image bytes no ImageIO reader accepts).
+  // ---------------------------------------------------------------
+  private def stubFeatures(checksum: Long, dim: Int): Array[Float] =
+    Array.tabulate(dim)(j => ((checksum >>> (j * 7)) & 0xFF).toFloat / 255f)
+
+  /** Magic-byte image sniff: only payloads that LOOK like a
+    * JDK-decodable format pay the ImageIO reader lookup. */
+  private def looksLikeImage(p: Array[Byte]): Boolean =
+    p.length >= 4 && (
+      (p(0) == 0x89.toByte && p(1) == 'P' && p(2) == 'N' && p(3) == 'G') || // PNG
+      (p(0) == 0xFF.toByte && p(1) == 0xD8.toByte && p(2) == 0xFF.toByte) || // JPEG
+      (p(0) == 'G' && p(1) == 'I' && p(2) == 'F' && p(3) == '8') ||          // GIF
+      (p(0) == 'B' && p(1) == 'M'))                                          // BMP
+
+  /** Pixel statistics over a stride-sampled grid (≤ 64×64 probes, so
+    * cost is bounded regardless of resolution): normalized dims, mean
+    * RGB, mean/stddev luma, aspect — cycled to `dim` slots. */
+  private def imageFeatures(img: java.awt.image.BufferedImage, dim: Int): Array[Float] = {
+    val w = img.getWidth
+    val h = img.getHeight
+    val sx = math.max(1, w / 64)
+    val sy = math.max(1, h / 64)
+    var n = 0L
+    var sr, sg, sb, sl, sl2 = 0.0
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val r = (rgb >> 16) & 0xFF
+        val g = (rgb >> 8) & 0xFF
+        val b = rgb & 0xFF
+        val l = 0.299 * r + 0.587 * g + 0.114 * b
+        sr += r; sg += g; sb += b; sl += l; sl2 += l * l; n += 1
+        x += sx
+      }
+      y += sy
+    }
+    val lumaVar = math.max(0.0, sl2 / n - (sl / n) * (sl / n))
+    val base = Array(
+      math.min(1.0, w / 4096.0), math.min(1.0, h / 4096.0),
+      sr / n / 255.0, sg / n / 255.0, sb / n / 255.0,
+      sl / n / 255.0, math.sqrt(lumaVar) / 255.0,
+      w.toDouble / (w + h))
+    Array.tabulate(dim)(i => base(i % base.length).toFloat)
+  }
+
+  /** Decode one record: real ImageIO path when the payload sniffs as a
+    * decodable image, deterministic stub otherwise. */
+  private[sources] def decodeOne(r: MediaRecord, dim: Int): MediaFeatures = {
+    val checksum = payloadChecksum(r.payload)
+    val real: Option[Array[Float]] =
+      if (r.modality == "image" && looksLikeImage(r.payload)) {
+        try {
+          // in-memory streams only — never let ImageIO spill a disk cache
+          javax.imageio.ImageIO.setUseCache(false)
+          Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload)))
+            .map(imageFeatures(_, dim))
+        } catch { case scala.util.control.NonFatal(_) => None }
+      } else None
+    real match {
+      case Some(f) =>
+        MediaFeatures(r.media_id, r.modality, r.payload.length, checksum, "imageio", f)
+      case None =>
+        MediaFeatures(r.media_id, r.modality, r.payload.length, checksum, "stub",
+          stubFeatures(checksum, dim))
+    }
   }
 
   /** Batched partition-local feature extraction over the binary
     * payloads — the mapInPandas-style batch shape, as a narrow op. */
   def extractFeatures(media: Dataset[MediaRecord], dim: Int = 8): Dataset[MediaFeatures] =
-    media.mapPartitions { it =>
-      it.map { r =>
-        val (checksum, feats) = stubDecode(r.payload, dim)
-        MediaFeatures(r.media_id, r.modality, r.payload.length, checksum, feats)
-      }
-    }
+    media.mapPartitions(_.map(decodeOne(_, dim)))
 
   /** Frame sampling stub for video payloads: pretends each `frameBytes`
     * slice is a frame, keeps every `stride`-th — demonstrates the

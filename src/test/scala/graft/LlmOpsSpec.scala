@@ -614,6 +614,8 @@ class LlmOpsSpec extends AnyFunSuite with SparkSessionTestBase {
     assert(feats.length === 500)
     assert(feats.forall(_.features.length === 8))
     assert(feats.forall(f => f.features.forall(v => v >= 0f && v <= 1f)))
+    // text payloads have no decodable image → every record stubs
+    assert(feats.forall(_.codec === "stub"))
     // deterministic stub decode
     val again = Multimodal.extractFeatures(Multimodal.mediaFromDocuments(docs), dim = 8).collect()
     assert(feats.map(_.checksum).sorted.toSeq === again.map(_.checksum).sorted.toSeq)
@@ -621,5 +623,40 @@ class LlmOpsSpec extends AnyFunSuite with SparkSessionTestBase {
     val frames = Multimodal.sampleFrames(media).collect()
     assert(frames.nonEmpty)
     assert(frames.forall(_.getAs[Int]("frame_idx") % 4 === 0))
+  }
+
+  test("multimodal decode is REAL for JDK-decodable images, stub otherwise") {
+    import spark.implicits._
+    // a genuine 40x20 PNG: left half pure red, right half pure blue
+    val img = new java.awt.image.BufferedImage(40, 20,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 20; x <- 0 until 40)
+      img.setRGB(x, y, if (x < 20) 0xFF0000 else 0x0000FF)
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "png", bos))
+    val png = bos.toByteArray
+
+    val media = Seq(
+      Multimodal.MediaRecord(1L, "image", png, 40, 20, 0),
+      Multimodal.MediaRecord(2L, "image", "not an image".getBytes("UTF-8"), 0, 0, 0),
+      Multimodal.MediaRecord(3L, "audio", png, 0, 0, 16000)) // wrong modality → stub
+      .toDS()
+    val out = Multimodal.extractFeatures(media, dim = 8)
+      .collect().map(f => f.media_id -> f).toMap
+    assert(out(1L).codec === "imageio")
+    assert(out(2L).codec === "stub")
+    assert(out(3L).codec === "stub")
+    // pixel statistics reflect the actual content: half red, half blue,
+    // no green; dims normalized by 4096
+    val f = out(1L).features
+    assert(math.abs(f(0) - 40f / 4096f) < 1e-4) // width
+    assert(math.abs(f(1) - 20f / 4096f) < 1e-4) // height
+    assert(math.abs(f(2) - 0.5f) < 0.03f)       // mean R
+    assert(f(3) < 0.01f)                        // mean G
+    assert(math.abs(f(4) - 0.5f) < 0.03f)       // mean B
+    // decode is deterministic
+    val again = Multimodal.extractFeatures(media, dim = 8)
+      .collect().map(f => f.media_id -> f).toMap
+    assert(again(1L).features.toSeq === f.toSeq)
   }
 }
