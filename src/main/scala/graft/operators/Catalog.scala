@@ -123,10 +123,15 @@ object Catalog {
       .select(col("p_partkey"), col("p_name"), col("s"),
         explode(sequence(lit(1), length(col("s")) - 2)).as("pos"))
       .select(col("p_partkey"), col("p_name"), expr("substring(s, pos, 3)").as("g"))
+      // explicit distinct-then-count instead of countDistinct: the
+      // distinct partial-aggregates map-side on (key, gram) and ships
+      // each gram once, where countDistinct's Expand doubles the gram
+      // stream through the first exchange
+      .distinct()
       .groupBy("p_partkey", "p_name")
       .agg(
-        countDistinct(col("g")).as("n_grams"),
-        countDistinct(when(col("g").isInCollection(qGrams), col("g"))).as("shared"))
+        count(lit(1)).as("n_grams"),
+        count(when(col("g").isInCollection(qGrams), lit(1))).as("shared"))
       .filter(col("shared") > 0)
     stats
       .withColumn("similarity",

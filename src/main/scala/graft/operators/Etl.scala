@@ -41,16 +41,18 @@ object Etl {
       .orderBy("event_id")
 
   /** Idempotent ingest: replaying the same feed must not duplicate rows
-    * (raw_hash semantics). Doubles the input, exact-dedups on a sha256
-    * raw-hash of the full row, and proves the count is restored — the
-    * literal raw_hash design: the dedup key projects down to 32 bytes
-    * BEFORE the exchange, so the shuffle carries hashes, not full-width
-    * fact rows (a full-row distinct ships every column as key). Nulls
-    * are sentinel-coalesced so (a, NULL) and (NULL, a) cannot collide
+    * (raw_hash semantics). Doubles the input, exact-dedups on an md5
+    * raw-hash of the full row — the reference's literal design
+    * (generate_products.py:171 `hashlib.md5(raw_data).hexdigest()` into
+    * the products.raw_hash column) — and proves the count is restored.
+    * The dedup key projects down to a 32-char digest BEFORE the
+    * exchange, so the shuffle carries hashes, not full-width fact
+    * rows (a full-row distinct ships every column as key). Nulls are
+    * sentinel-coalesced so (a, NULL) and (NULL, a) cannot collide
     * under concat_ws's null-skipping. One partial-combined hash shuffle. */
   def dedupExactReplay(li: DataFrame): DataFrame = {
-    val rawHash = sha2(concat_ws("\u0001",
-      li.columns.map(c => coalesce(col(c).cast("string"), lit("\u0000"))): _*), 256)
+    val rawHash = md5(concat_ws("\u0001",
+      li.columns.map(c => coalesce(col(c).cast("string"), lit("\u0000"))): _*))
     li.unionAll(li).select(rawHash.as("raw_hash"))
       .distinct()
       .agg(count(lit(1)).as("n_rows_after_dedup"))
