@@ -95,6 +95,11 @@ object SparkEntry {
     // tables.sql:2,48 pg_trgm twin: typo-tolerant trigram ranking
     "q_fuzzy_search" -> ((s, d) =>
       Catalog.fuzzySearch(Tables.part(s, d), "smal ring", threshold = 0.3, limit = 15)),
+    // the same search through the persisted-index probe path (GIN
+    // analog); bit-equal to q_fuzzy_search, shares its oracle
+    "q_fuzzy_search_indexed" -> ((s, d) =>
+      Catalog.fuzzySearchIndexed(Catalog.trigramIndex(Tables.part(s, d)),
+        "smal ring", threshold = 0.3, limit = 15)),
     "q_price_compare" -> ((s, d) => Pricing.priceCompare(Tables.lineitem(s, d), comparedParts)),
     "q_product_card" -> ((s, d) =>
       Pricing.productCard(Tables.lineitem(s, d), Tables.supplier(s, d), historyPart)),
@@ -339,6 +344,24 @@ object SparkEntry {
          |  OR contains('small ring deluxe', lower(p_name))) AS matched
          |FROM results ORDER BY matched DESC, p_partkey LIMIT 1""".stripMargin,
     "q_fuzzy_search" -> {
+      val q = "smal ring"
+      val qg = (0 to q.length - 3).map(i => q.substring(i, i + 3)).distinct
+      val lst = qg.map(g => s"'$g'").mkString("[", ", ", "]")
+      s"""WITH g AS (SELECT p_partkey, p_name,
+         |  list_distinct(list_transform(range(1, length(lower(p_name)) - 1),
+         |    i -> substr(lower(p_name), CAST(i AS INTEGER), 3))) AS grams
+         | FROM part WHERE length(lower(p_name)) >= 3),
+         |s AS (SELECT p_partkey, p_name, len(grams) AS n_grams,
+         |  len(list_intersect(grams, $lst)) AS shared FROM g),
+         |sim AS (SELECT p_partkey, p_name,
+         |  ${m(s"CAST(shared AS DOUBLE) / (n_grams + ${qg.size} - shared)", 6)} AS similarity
+         | FROM s WHERE shared > 0)
+         |SELECT p_partkey, p_name, similarity FROM sim WHERE similarity >= 0.3
+         |ORDER BY similarity DESC, p_partkey LIMIT 15""".stripMargin
+    },
+    // bit-equal to q_fuzzy_search by construction (same grams, same
+    // scoring — only the access path differs), so it shares the oracle
+    "q_fuzzy_search_indexed" -> {
       val q = "smal ring"
       val qg = (0 to q.length - 3).map(i => q.substring(i, i + 3)).distinct
       val lst = qg.map(g => s"'$g'").mkString("[", ", ", "]")

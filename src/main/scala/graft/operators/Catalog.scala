@@ -133,14 +133,61 @@ object Catalog {
         count(lit(1)).as("n_grams"),
         count(when(col("g").isInCollection(qGrams), lit(1))).as("shared"))
       .filter(col("shared") > 0)
+    rankBySimilarity(stats, qGrams.size, threshold, limit)
+  }
+
+  /** Shared scoring tail of the fuzzy-search family: trigram Jaccard
+    * from (n_grams, shared), threshold, best-first deterministic cut. */
+  private def rankBySimilarity(
+      stats: DataFrame, nQueryGrams: Int, threshold: Double, limit: Int): DataFrame =
     stats
       .withColumn("similarity",
         round(col("shared").cast("double") /
-          (col("n_grams") + lit(qGrams.size) - col("shared")), 6))
+          (col("n_grams") + lit(nQueryGrams) - col("shared")), 6))
       .filter(col("similarity") >= threshold)
       .select(col("p_partkey"), col("p_name"), col("similarity"))
       .orderBy(col("similarity").desc, col("p_partkey"))
       .limit(limit)
+
+  /** Persisted trigram inverted index — the literal GIN analog
+    * (tables.sql:48): one row per (name, distinct gram) with the
+    * name's total distinct-gram count riding along, so a probe needs
+    * no second pass over the catalog. Build once, write as parquet
+    * (ideally sorted/bucketed by `g` so posting-list probes prune at
+    * the scan); [[fuzzySearchIndexed]] queries it. */
+  def trigramIndex(part: DataFrame): DataFrame =
+    part
+      .select(col("p_partkey"), col("p_name"), lower(col("p_name")).as("s"))
+      .filter(length(col("s")) >= 3)
+      .select(col("p_partkey"), col("p_name"), col("s"),
+        explode(sequence(lit(1), length(col("s")) - 2)).as("pos"))
+      .select(col("p_partkey"), col("p_name"), expr("substring(s, pos, 3)").as("g"))
+      .distinct()
+      // per-name gram totals over the distinct rows: partition = one
+      // name's grams (bounded by name length), never a hot key
+      .withColumn("n_grams", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("p_partkey", "p_name")))
+
+  /** [[fuzzySearch]] against a prebuilt [[trigramIndex]]: the probe
+    * touches ONLY the query's posting lists (`g IN <query grams>` —
+    * with a gram-sorted/bucketed parquet index that prunes at the
+    * scan, the pg_trgm GIN probe semantic), then scores exactly like
+    * the online form (bit-equality asserted in spec). This is the
+    * shape that answers a fuzzy query on a 100 TB catalog without
+    * scanning it. */
+  def fuzzySearchIndexed(
+      index: DataFrame,
+      query: String,
+      threshold: Double = 0.3,
+      limit: Int = 10): DataFrame = {
+    val q = query.toLowerCase
+    val qGrams: Seq[String] = (0 to q.length - 3).map(i => q.substring(i, i + 3)).distinct
+    require(qGrams.nonEmpty, "query must be at least 3 characters")
+    val stats = index
+      .filter(col("g").isInCollection(qGrams))
+      .groupBy("p_partkey", "p_name", "n_grams")
+      .agg(count(lit(1)).as("shared"))
+    rankBySimilarity(stats, qGrams.size, threshold, limit)
   }
 
   /** Products offered by one store with their best observed price

@@ -89,6 +89,22 @@ class CatalogQueriesSpec extends AnyFunSuite with SparkSessionTestBase {
     assert(Catalog.fuzzySearch(part, "qqqxyzvv", threshold = 0.3).collect().isEmpty)
   }
 
+  test("fuzzySearchIndexed over a persisted index equals the online form") {
+    val part = Tables.part(spark, sfDir)
+    // round-trip the index through parquet, as production would
+    val idxDir = java.nio.file.Files.createTempDirectory("trgmidx").toString
+    Catalog.trigramIndex(part).write.mode("overwrite").parquet(idxDir)
+    val idx = spark.read.parquet(idxDir)
+    for (q <- Seq("smal ring", "red widgit", "blu bolt")) {
+      val online = Catalog.fuzzySearch(part, q, threshold = 0.25, limit = 20)
+        .collect().map(_.toString).toSeq
+      val probed = Catalog.fuzzySearchIndexed(idx, q, threshold = 0.25, limit = 20)
+        .collect().map(_.toString).toSeq
+      assert(probed === online, s"query=$q")
+      assert(probed.nonEmpty, s"query=$q")
+    }
+  }
+
   test("storeLookup filters the dimension by name and city contains") {
     // sf0.001's supplier dim is too small to match both filters
     val dimDir = "/root/testdata/sf0.01"

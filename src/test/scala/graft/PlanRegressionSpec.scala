@@ -103,6 +103,38 @@ class PlanRegressionSpec extends AnyFunSuite with SparkSessionTestBase {
     assert(p.sliding("HashAggregate".length).count(_ == "HashAggregate") >= 2)
   }
 
+  test("fuzzy search fuses rank+limit over one scan; probe filter reaches the index") {
+    val p = plan("q_fuzzy_search")
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(scanCount(p) === 1)
+    // no Expand: the gram stream ships once (distinct-then-count, not
+    // countDistinct)
+    assert(!p.contains("Expand"))
+    val ip = plan("q_fuzzy_search_indexed")
+    // the posting-list probe is a pre-aggregation filter on the gram
+    // column — the GIN semantic that avoids scoring the whole catalog
+    assert(ip.contains("TakeOrderedAndProject"))
+    assert(ip.linesIterator.exists(l => l.contains("Filter") && l.contains("g#") &&
+      l.contains(" IN ")))
+  }
+
+  test("best-match pick stays exchange-free on one scan") {
+    val p = plan("q_search_best_match")
+    assert(!p.contains("Exchange"))
+    assert(scanCount(p) === 1)
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("lowest-price-per-store pre-reduces per product before the store window") {
+    val p = plan("q_lowest_price_per_store")
+    // the partial-combined (store, product) min must run BEFORE the
+    // per-store window so a hot store collapses map-side
+    val aggIdx = p.indexOf("partial_min")
+    val winIdx = p.indexOf("Window [min")
+    assert(aggIdx >= 0 && winIdx >= 0 && winIdx < aggIdx,
+      s"window/aggregate order: aggIdx=$aggIdx winIdx=$winIdx")
+  }
+
   test("curation pipeline's duplicate stage aggregates, never windows the hash") {
     val p = plan("q_curation_pipeline")
     // content-hash ownership must be a partial-combined min aggregate
