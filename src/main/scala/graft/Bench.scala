@@ -82,8 +82,14 @@ object Bench {
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
     val perRun: Seq[Seq[(String, Double)]] = (1 to runs).map { r =>
       // level the field between runs: drop every persisted block so a
-      // later run cannot coast on a prior run's shared pair cache
-      if (r > 1) spark.catalog.clearCache()
+      // later run cannot coast on a prior run's shared pair cache —
+      // and reset the pair-cache map so each run re-persists from
+      // scratch exactly like run 1 (clearCache alone would leave the
+      // map serving de-registered frames)
+      if (r > 1) {
+        SparkEntry.clearSharedCaches()
+        spark.catalog.clearCache()
+      }
       names.map { case (name, fn) =>
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()

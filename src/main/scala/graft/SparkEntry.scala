@@ -56,6 +56,16 @@ object SparkEntry {
     }
   }
 
+  /** Drop every shared pair frame (unpersist + forget): call before
+    * re-measuring from a cold start — after a blanket
+    * `spark.catalog.clearCache()` the map would otherwise keep handing
+    * back frames whose persistence registration is gone, silently
+    * losing the shared-cache design on later runs. */
+  private[graft] def clearSharedCaches(): Unit = {
+    minhashPairsCache.values.foreach(_._2.unpersist())
+    minhashPairsCache.clear()
+  }
+
   private[graft] def minhashPairsShared(s: SparkSession, d: String): DataFrame = {
     // evict entries whose session is gone so a long-lived process never
     // pins stopped sessions or their cached blocks

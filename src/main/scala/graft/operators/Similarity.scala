@@ -148,8 +148,11 @@ object Similarity {
     // the TakeOrdered once instead of re-sorting the corpus per iter
     val train = ivfTrainingSample(e, nCentroids, trainFactor).localCheckpoint()
 
-    // deterministic seed centroids: hash-ranked corpus vectors
-    var centroids = e.orderBy(xxhash64(col("vec_id")), col("vec_id"))
+    // deterministic seed centroids: the hash-rank prefix. Taking it
+    // from the materialized sample (whose top-n IS the corpus top-n —
+    // same total order) costs a sort of the tiny train frame instead
+    // of a second corpus pass.
+    var centroids = train.orderBy(xxhash64(col("vec_id")), col("vec_id"))
       .limit(nCentroids)
       .select(row_number().over(Window.orderBy("vec_id")).as("cid"), col("vn").as("cvec"))
 

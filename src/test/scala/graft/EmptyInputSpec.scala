@@ -119,4 +119,20 @@ class EmptyInputSpec extends AnyFunSuite with SparkSessionTestBase {
     assert(Dedup.minhashCalibration(emptyDocs).count() === 0)
     assert(Curation.curationSignals(emptyDocs).count() === 0)
   }
+
+  test("round-5 operators on empty inputs") {
+    val emptyPart = Tables.part(spark, sfDir).limit(0)
+    assert(Catalog.fuzzySearch(emptyPart, "smal ring").count() === 0)
+    assert(Catalog.trigramIndex(emptyPart).count() === 0)
+    assert(Catalog.fuzzySearchIndexed(
+      Catalog.trigramIndex(emptyPart), "smal ring").count() === 0)
+    assert(Catalog.searchProducts(emptyPart,
+      bestMatchFor = Some("anything")).count() === 0)
+    // empty ANN training sample degenerates to the (empty) corpus
+    assert(Similarity.embedIvfTopK(emptyEmb, trainFactor = 1).count() === 0)
+    assert(Etl.dedupExactReplay(emptyLi).collect()
+      .head.getAs[Long]("n_rows_after_dedup") === 0L)
+    assert(graft.sources.Multimodal.extractFeatures(
+      graft.sources.Multimodal.mediaFromDocuments(emptyDocs)).count() === 0)
+  }
 }
