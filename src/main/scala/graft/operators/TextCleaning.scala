@@ -94,16 +94,41 @@ object TextCleaning {
     * documents in stable doc_id order are assigned to fixed-capacity
     * token bins by exclusive cumulative token count (the cheap
     * streaming-packing scheme — a document may straddle a boundary;
-    * bin id = floor(cum_before / window)). Sharding by source keeps
-    * the window partitioned — packing parallelizes across shards
-    * instead of forcing a global single-partition order. */
-  def packSequences(docs: DataFrame, windowTokens: Int = 2048): DataFrame = {
+    * bin id = floor(cum_before / window)).
+    *
+    * The running sum is a bucketed TWO-LEVEL prefix sum, not one
+    * window per source: a single `Window.partitionBy(source)` puts a
+    * source's entire corpus in one sorted task — the serial-scan trap
+    * for any large source. Instead doc_id ranges of `bucketDocs` form
+    * buckets; within-bucket running sums parallelize across buckets
+    * (partition size bounded by `bucketDocs` at any corpus size), and
+    * the cross-bucket offsets are a window over per-bucket SUBTOTALS
+    * (|buckets| rows, broadcast back). Because bucket order equals
+    * doc_id order, offset + within-bucket sum ≡ the flat running sum
+    * (bit-equality with the single-window form asserted in spec). The
+    * tokenized projection is cached so subtotals and per-doc sums
+    * share one tokenization pass. */
+  def packSequences(
+      docs: DataFrame, windowTokens: Int = 2048,
+      bucketDocs: Int = 65536): DataFrame = {
     val counted = docs.select(col("doc_id"), col("source"),
-      size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+|\\S"), lit(0))).as("n_tokens"))
-    val w = Window.partitionBy("source").orderBy("doc_id")
+        size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+|\\S"), lit(0))).as("n_tokens"))
+      .withColumn("bucket", floor(col("doc_id") / bucketDocs))
+      .cache()
+    // exclusive cross-bucket offsets: a window over bucket subtotals
+    val wB = Window.partitionBy("source").orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = counted.groupBy("source", "bucket")
+      .agg(sum("n_tokens").as("bucket_tokens"))
+      .withColumn("bucket_offset", coalesce(sum("bucket_tokens").over(wB), lit(0L)))
+      .select("source", "bucket", "bucket_offset")
+    // exclusive within-bucket running sum: partitions ≤ bucketDocs rows
+    val wD = Window.partitionBy("source", "bucket").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, -1)
     counted
-      .withColumn("cum_before", coalesce(sum("n_tokens").over(w), lit(0)))
+      .withColumn("cum_in_bucket", coalesce(sum("n_tokens").over(wD), lit(0)))
+      .join(broadcast(offsets), Seq("source", "bucket"))
+      .withColumn("cum_before", col("bucket_offset") + col("cum_in_bucket"))
       .withColumn("bin", floor(col("cum_before") / windowTokens))
       .groupBy("source", "bin")
       .agg(

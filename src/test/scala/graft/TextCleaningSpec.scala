@@ -108,4 +108,26 @@ class TextCleaningSpec extends AnyFunSuite with SparkSessionTestBase {
       assert(sorted.map(_.getAs[Long]("bin")).toSeq === sorted.indices.map(_.toLong))
     }
   }
+
+  test("bucketed two-level prefix sum equals the flat per-source window") {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, sfDir)
+    // tiny buckets force many cross-bucket offsets on the test corpus
+    val bucketed = TextCleaning.packSequences(docs, windowTokens = 256, bucketDocs = 7)
+      .collect().map(_.toString).toSeq
+    // reference: the single-window formulation the operator replaced
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val flat = docs.select(col("doc_id"), col("source"),
+        size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+|\\S"), lit(0))).as("n_tokens"))
+      .withColumn("cum_before", coalesce(sum("n_tokens").over(w), lit(0)))
+      .withColumn("bin", floor(col("cum_before") / 256))
+      .groupBy("source", "bin")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("total_tokens"),
+        min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+      .orderBy("source", "bin")
+      .collect().map(_.toString).toSeq
+    assert(bucketed === flat)
+    assert(bucketed.nonEmpty)
+  }
 }
