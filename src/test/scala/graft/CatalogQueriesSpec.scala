@@ -103,6 +103,12 @@ class CatalogQueriesSpec extends AnyFunSuite with SparkSessionTestBase {
       assert(probed === online, s"query=$q")
       assert(probed.nonEmpty, s"query=$q")
     }
+    // the posting-list probe reaches the parquet scan as a pushed IN
+    // filter — the property that makes the index worth persisting
+    val probePlan = Catalog.fuzzySearchIndexed(idx, "smal ring")
+      .queryExecution.executedPlan.toString
+    assert(probePlan.contains("PushedFilters: [In(g, ["),
+      s"probe filter not pushed:\n${probePlan.take(2000)}")
   }
 
   test("storeLookup filters the dimension by name and city contains") {

@@ -194,6 +194,35 @@ class StreamingSpec extends AnyFunSuite with SparkSessionTestBase {
     assert(spark.read.parquet(indexDir).count() === expectedIdx)
   }
 
+  test("nearDupGate with growIndex=false leaves the index frozen") {
+    import java.nio.file.Files
+    import graft.operators.Dedup
+    val docs = Tables.documents(spark, "/root/testdata/sf0.01")
+    val corpus = docs.filter(col("doc_id") < 400)
+    val incoming = docs.filter(col("doc_id") >= 400)
+
+    val root = Files.createTempDirectory("neardupfrozen").toString
+    Dedup.minhashSignatures(corpus).write.parquet(s"$root/index")
+    incoming.write.parquet(s"$root/src")
+    val idxCountBefore = spark.read.parquet(s"$root/index").count()
+
+    val stream = spark.readStream.schema(docs.schema).parquet(s"$root/src")
+    val q = graft.streaming.DedupStream.nearDupGate(
+      stream, s"$root/index", s"$root/pairs", s"$root/ckpt", growIndex = false)
+    try q.processAllAvailable() finally q.stop()
+
+    // frozen index: batches check against the corpus only
+    assert(spark.read.parquet(s"$root/index").count() === idxCountBefore)
+    val got = spark.read.parquet(s"$root/pairs")
+      .select("doc_new", "doc_corpus", "est_jaccard")
+      .collect().map(_.toString).toSet
+    val expected = Dedup.minhashPairsAgainst(incoming,
+        Dedup.minhashSignatures(corpus).localCheckpoint())
+      .collect().map(_.toString).toSet
+    assert(got === expected)
+    assert(got.nonEmpty)
+  }
+
   test("sessionizeStream emits gap-closed sessions") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("sessstream").toString
