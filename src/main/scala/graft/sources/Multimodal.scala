@@ -118,8 +118,32 @@ object Multimodal {
     Array.tabulate(dim)(i => base(i % base.length).toFloat)
   }
 
+  /** Decoded-size cap: a crafted "decompression bomb" (tiny file,
+    * enormous pixel grid) would otherwise materialize gigabytes in one
+    * executor — a 100 TB crawl WILL contain one. 64M pixels ≈ 256 MB
+    * ARGB, bounded per record. */
+  private val MaxPixels = 64L * 1024 * 1024
+
+  /** Header-only dimension read (no pixel decode), so the bomb check
+    * costs a few bytes of parsing, not the decode it guards against. */
+  private def headerPixels(payload: Array[Byte]): Option[Long] = {
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(payload))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) None
+      else {
+        val reader = readers.next()
+        try {
+          reader.setInput(iis, true, true)
+          Some(reader.getWidth(0).toLong * reader.getHeight(0))
+        } finally reader.dispose()
+      }
+    } finally iis.close()
+  }
+
   /** Decode one record: real ImageIO path when the payload sniffs as a
-    * decodable image, deterministic stub otherwise. */
+    * decodable image within the size cap, deterministic stub otherwise. */
   private[sources] def decodeOne(r: MediaRecord, dim: Int): MediaFeatures = {
     val checksum = payloadChecksum(r.payload)
     val real: Option[Array[Float]] =
@@ -127,8 +151,10 @@ object Multimodal {
         try {
           // in-memory streams only — never let ImageIO spill a disk cache
           javax.imageio.ImageIO.setUseCache(false)
-          Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload)))
-            .map(imageFeatures(_, dim))
+          headerPixels(r.payload).filter(px => px > 0 && px <= MaxPixels).flatMap { _ =>
+            Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload)))
+              .map(imageFeatures(_, dim))
+          }
         } catch { case scala.util.control.NonFatal(_) => None }
       } else None
     real match {

@@ -658,5 +658,20 @@ class LlmOpsSpec extends AnyFunSuite with SparkSessionTestBase {
     val again = Multimodal.extractFeatures(media, dim = 8)
       .collect().map(f => f.media_id -> f).toMap
     assert(again(1L).features.toSeq === f.toSeq)
+
+    // decompression-bomb guard: patch the IHDR to claim 20000x20000
+    // (400M pixels) and fix its CRC — the header passes as a real PNG,
+    // but the size cap must refuse to decode it
+    val bomb = png.clone()
+    val bb = java.nio.ByteBuffer.wrap(bomb)
+    bb.putInt(16, 20000)
+    bb.putInt(20, 20000)
+    val crc = new java.util.zip.CRC32()
+    crc.update(bomb, 12, 17) // "IHDR" tag + 13 data bytes
+    bb.putInt(29, crc.getValue.toInt)
+    val bombed = Multimodal.extractFeatures(
+      Seq(Multimodal.MediaRecord(9L, "image", bomb, 0, 0, 0)).toDS(), dim = 8)
+      .collect().head
+    assert(bombed.codec === "stub")
   }
 }
