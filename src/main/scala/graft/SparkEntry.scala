@@ -190,6 +190,10 @@ object SparkEntry {
     "q_doc_fingerprint" -> ((s, d) => TextAnalysis.docFingerprint(Tables.documents(s, d))),
     "q_perplexity" -> ((s, d) => TextAnalysis.perplexityScore(Tables.documents(s, d))),
     "q_repetition" -> ((s, d) => TextAnalysis.repetitionScore(Tables.documents(s, d))),
+    // relaxed thresholds (minWords/minStopHits) so the synthetic corpus
+    // exercises both keep and drop; defaults are the paper's canonical
+    "q_gopher_rules" -> ((s, d) =>
+      TextAnalysis.gopherRules(Tables.documents(s, d), minWords = 20, minStopHits = 1)),
     "q_classifier_score" -> ((s, d) => TextAnalysis.classifierScore(Tables.documents(s, d))),
     "q_multimodal_features" -> ((s, d) =>
       graft.sources.Multimodal.extractFeatures(
@@ -755,6 +759,33 @@ object SparkEntry {
          | ${m("1.0/(1.0 + exp(-(CAST(margin AS DOUBLE)/(n_tokens*1000.0))))", 6)} AS score,
          | margin > 0 AS keep
          |FROM s ORDER BY doc_id""".stripMargin,
+    "q_gopher_rules" ->
+      s"""WITH t AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents),
+         |pt AS (SELECT doc_id, tok, count(*) AS n FROM t GROUP BY 1, 2),
+         |a AS (SELECT doc_id,
+         |  CAST(sum(n) AS BIGINT) AS n_words,
+         |  CAST(sum(CASE WHEN regexp_matches(tok, '[a-z]') THEN n ELSE 0 END) AS BIGINT) AS n_alpha,
+         |  CAST(sum(n * length(tok)) AS BIGINT) AS len_sum,
+         |  count(CASE WHEN tok IN ('the','be','to','of','and','that','have','with')
+         |             THEN 1 END) AS n_stop_hits
+         | FROM pt GROUP BY doc_id),
+         |d AS (SELECT doc_id,
+         |  length(text) - length(replace(text, '#', '')) AS n_hash,
+         |  (length(text) - length(replace(text, '...', ''))) // 3 AS n_ellipsis
+         | FROM documents)
+         |SELECT a.doc_id, n_words,
+         | ${m("CAST(len_sum AS DOUBLE) / n_words", 4)} AS mean_word_len,
+         | ${m("CAST(n_hash + n_ellipsis AS DOUBLE) / n_words", 6)} AS symbol_ratio,
+         | ${m("CAST(n_alpha AS DOUBLE) / n_words", 6)} AS alpha_frac,
+         | CAST(n_stop_hits AS BIGINT) AS n_stop_hits,
+         | (n_words BETWEEN 20 AND 100000
+         |  AND CAST(len_sum AS DOUBLE) / n_words >= 3.0
+         |  AND CAST(len_sum AS DOUBLE) / n_words <= 10.0
+         |  AND CAST(n_hash + n_ellipsis AS DOUBLE) / n_words <= 0.1
+         |  AND CAST(n_alpha AS DOUBLE) / n_words >= 0.8
+         |  AND n_stop_hits >= 1) AS keep
+         |FROM a JOIN d USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
     "q_repetition" ->
       s"""WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
          |g AS (SELECT doc_id,

@@ -353,4 +353,60 @@ object TextAnalysis {
         expr("xxhash64(fps)").as("fp_hash"))
       .orderBy("doc_id")
   }
+
+  /** The Gopher document-quality rules (Rae et al. 2021,
+    * arXiv:2112.11446 §A1.1.1 — public): word-count bounds, mean word
+    * length bounds, symbol-to-word ratio ('#' and '…' as '...'),
+    * minimum fraction of words containing a letter, and the
+    * ≥ `minStopHits`-distinct-stopwords requirement. Defaults are the
+    * paper's canonical thresholds; every one is a parameter because
+    * real curation runs tune them per corpus.
+    *
+    * Shape: one (doc, token) aggregation feeds every per-word
+    * statistic — the (doc_id, tok) pre-aggregation collapses repeated
+    * tokens map-side AND makes the stopword hit count distinct by
+    * construction (no countDistinct Expand); the symbol counts are a
+    * narrow projection on the doc row joined back on the unique
+    * doc_id. Raw (unrounded) ratios drive `keep` in BOTH engines —
+    * integer-ratio doubles are deterministic — while the reported
+    * columns are display-rounded. */
+  def gopherRules(
+      docs: DataFrame,
+      minWords: Int = 50, maxWords: Int = 100000,
+      minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 10.0,
+      maxSymbolRatio: Double = 0.1,
+      minAlphaFrac: Double = 0.8,
+      stopWords: Seq[String] =
+        Seq("the", "be", "to", "of", "and", "that", "have", "with"),
+      minStopHits: Int = 2): DataFrame = {
+    val perTok = docs
+      .select(col("doc_id"), explode(split(lower(col("text")), " ", -1)).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("n"))
+    val agg = perTok.groupBy("doc_id").agg(
+      sum("n").as("n_words"),
+      sum(when(col("tok").rlike("[a-z]"), col("n")).otherwise(lit(0L))).as("n_alpha"),
+      sum(col("n") * length(col("tok"))).as("len_sum"),
+      count(when(col("tok").isInCollection(stopWords), lit(1))).as("n_stop_hits"))
+    val sym = docs.select(col("doc_id"),
+      (length(col("text")) - length(translate(col("text"), "#", ""))).as("n_hash"),
+      ((length(col("text")) - length(expr("replace(text, '...', '')"))) / 3)
+        .cast("long").as("n_ellipsis"))
+    val meanLen = col("len_sum").cast("double") / col("n_words")
+    val symbolRatio = (col("n_hash") + col("n_ellipsis")).cast("double") / col("n_words")
+    val alphaFrac = col("n_alpha").cast("double") / col("n_words")
+    agg.join(sym, "doc_id")
+      .select(
+        col("doc_id"),
+        col("n_words"),
+        round(meanLen, 4).as("mean_word_len"),
+        round(symbolRatio, 6).as("symbol_ratio"),
+        round(alphaFrac, 6).as("alpha_frac"),
+        col("n_stop_hits"),
+        (col("n_words").between(minWords, maxWords) &&
+          meanLen >= minMeanWordLen && meanLen <= maxMeanWordLen &&
+          symbolRatio <= maxSymbolRatio &&
+          alphaFrac >= minAlphaFrac &&
+          col("n_stop_hits") >= minStopHits).as("keep"))
+      .orderBy("doc_id")
+  }
 }

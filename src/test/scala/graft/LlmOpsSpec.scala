@@ -607,6 +607,38 @@ class LlmOpsSpec extends AnyFunSuite with SparkSessionTestBase {
     assert(tiny.head.getAs[Long]("n_occurrences") === 500L)
   }
 
+  test("gopherRules applies the quality thresholds, keep from raw ratios") {
+    val docs = Tables.documents(spark, docDir)
+    val relaxed = TextAnalysis.gopherRules(docs, minWords = 20, minStopHits = 1).collect()
+    assert(relaxed.length === 500)
+    assert(relaxed.exists(_.getAs[Boolean]("keep")))
+    assert(relaxed.exists(!_.getAs[Boolean]("keep")))
+    // the keep decision is reconstructible from the reported stats
+    // (no boundary cases in this corpus, so rounded display agrees)
+    relaxed.foreach { r =>
+      val expect = r.getAs[Long]("n_words") >= 20 &&
+        r.getAs[Long]("n_words") <= 100000 &&
+        r.getAs[Double]("mean_word_len") >= 3.0 &&
+        r.getAs[Double]("mean_word_len") <= 10.0 &&
+        r.getAs[Double]("symbol_ratio") <= 0.1 &&
+        r.getAs[Double]("alpha_frac") >= 0.8 &&
+        r.getAs[Long]("n_stop_hits") >= 1
+      assert(r.getAs[Boolean]("keep") === expect, r.toString)
+    }
+    // canonical defaults: this corpus carries at most ONE of the eight
+    // Gopher stopwords per doc, so the >=2-distinct rule drops all
+    val strict = TextAnalysis.gopherRules(docs).collect()
+    assert(strict.forall(!_.getAs[Boolean]("keep")))
+    // planted symbol spam trips the symbol-to-word rule
+    import spark.implicits._
+    val spam = Seq((1L,
+      ("word " * 30) + ("# " * 10) + "the of and to be that have with"))
+      .toDF("doc_id", "text")
+    val flagged = TextAnalysis.gopherRules(spam, minWords = 10).collect().head
+    assert(!flagged.getAs[Boolean]("keep"))
+    assert(flagged.getAs[Double]("symbol_ratio") > 0.1)
+  }
+
   test("multimodal plumbing: schema, determinism, narrow extraction") {
     val docs = Tables.documents(spark, docDir)
     val media = Multimodal.mediaFromDocuments(docs)
