@@ -138,6 +138,9 @@ object Similarity {
   private def ivfModel(
       emb: DataFrame, nCentroids: Int, lloydIters: Int,
       trainFactor: Int = 64): (DataFrame, DataFrame) = {
+    // < 1 would make the training frame empty (or smaller than the
+    // seed set) and every assignment null downstream
+    require(trainFactor >= 1, "trainFactor must be >= 1")
     graft.functions.VectorFunctions.register(emb.sparkSession)
     val e = withNorm(emb)
       .withColumn("vn", expr("transform(v, x -> x / norm)"))
