@@ -373,15 +373,20 @@ object Dedup {
       // read by the index build and both verify-join branches
       .cache()
     val inv = g.select(col("doc_id"), col("lang"), explode(col("grams")).as("gh"))
-    // df filter as a window over the index: ONE shuffle on (lang, gh),
-    // whose partitioning the candidate self-join then reuses (both
-    // branches arrive hash-partitioned on the join key — no further
-    // Exchange), vs. a groupBy + semi-join costing two extra shuffles
-    val capped = inv
-      .withColumn("df", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("lang", "gh")))
-      .filter(col("df") <= dfCap)
-      .drop("df")
+    // df via partial-combined aggregation: a boilerplate gram collapses
+    // map-side to ONE row per input partition before the shuffle, so no
+    // task ever holds a hot gram's full posting list (the window-over-
+    // gram-key formulation's failure mode — same reasoning as
+    // tfidfTopTerms' df stage). The over-cap "hot set" is the Zipf
+    // head — at most total-gram-instances / dfCap rows of (lang, long) —
+    // so AQE broadcasts the anti-join in practice and the postings never
+    // shuffle before the candidate self-join; if the hot set ever
+    // outgrows the broadcast threshold, AQE's skew-split still bounds
+    // the sort-merge anti-join (LeftAnti splits the streamed side).
+    val hot = inv.groupBy("lang", "gh").agg(count(lit(1)).as("df"))
+      .filter(col("df") > dfCap)
+      .select("lang", "gh")
+    val capped = inv.join(hot, Seq("lang", "gh"), "left_anti")
     // per-doc count of capped-out (index-invisible) grams, for the
     // lossless candidate bound below
     val docMeta = g.select(col("doc_id"), col("sz"))

@@ -177,14 +177,18 @@ class PlanRegressionSpec extends AnyFunSuite with SparkSessionTestBase {
     assert(scanCount(plan("q_copurchase")) === 1)
   }
 
-  test("ngram df-cap self-join reuses the window's partitioning") {
-    val df = SparkEntry.queries("q_ngram_jaccard")(spark, sfDir)
-    val p = df.queryExecution.executedPlan.toString
-    // the capped index is computed once behind one Exchange; the
-    // candidate self-join must not insert additional Exchanges between
-    // the window and the join
-    val windowIdx = p.indexOf("Window")
-    assert(windowIdx >= 0)
+  test("ngram df-cap aggregates the gram key, never windows it") {
+    val p = plan("q_ngram_jaccard")
+    // df must come from a partial-combined groupBy (a boilerplate gram
+    // collapses map-side); a Window.partitionBy(lang, gh) would land a
+    // hot gram's entire posting list on one task with no combine —
+    // the scale-killer shape tfidfTopTerms' lock also forbids
+    assert(!p.contains("Window ["))
+    assert(p.contains("partial_count") || p.contains("partial count"),
+      "df stage must show a map-side partial aggregate")
+    // the hot set prunes postings via an anti-join, then candidates
+    // come from the self-join on the capped index
+    assert(p.contains("LeftAnti"))
     assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
       p.contains("BroadcastHashJoin"))
   }
