@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 
@@ -20,24 +20,39 @@ import graft.operators.Dedup
   *      above-threshold (doc_new, doc_corpus, est_jaccard) pairs —
   *      exactly [[Dedup.minhashPairsAgainst]], so batch/stream pair
   *      sets are identical by construction (asserted in spec),
-  *   3. optionally APPEND the batch's signatures to the index so later
-  *      batches also dedup against earlier stream arrivals — the index
-  *      grows with the corpus, still without any re-sketch.
+  *   3. optionally write the batch's signatures into its own
+  *      `batch_id=` partition of the index so later batches also dedup
+  *      against earlier stream arrivals — the index grows with the
+  *      corpus, still without any re-sketch.
   *
-  * Exactly-once: the pairs sink partitions by batch_id with dynamic
+  * Exactly-once: BOTH sinks partition by batch_id with dynamic
   * partition overwrite, so a retried micro-batch REPLACES its own
-  * output instead of double-appending. Index growth is a plain append:
-  * a retry can append a batch's signatures twice, which is benign for
-  * correctness (duplicate index rows produce duplicate candidates that
-  * [[Dedup.minhashPairsAgainst]]'s pair-dedup collapses) and costs
-  * only the duplicate rows' storage — compact the index offline if
-  * retries are common.
+  * pairs AND its own index partition instead of double-appending.
+  * Retry hygiene on the read side too: a failure landing between the
+  * index write and the checkpoint commit leaves the batch's own
+  * signatures in the snapshot the retry reads, so the gate anti-joins
+  * the batch's doc_ids out of the snapshot — without it the rerun
+  * would emit self-pairs (est 1.0) and intra-batch pairs the original
+  * run never produced. The index must be seeded through [[seedIndex]]
+  * (or any writer using the same `batch_id=` partition layout).
   */
 object DedupStream {
 
+  /** Seed (or re-seed) the persisted signature index from a corpus
+    * frame. Written partitioned by `batch_id` (seed rows use -1) so
+    * the gate's growth writes — which land each micro-batch in its own
+    * partition under dynamic overwrite — share one layout with the
+    * seed. */
+  def seedIndex(
+      docs: DataFrame, indexPath: String,
+      shingleLen: Int = 3, numHashes: Int = 64): Unit =
+    Dedup.minhashSignatures(docs, shingleLen, numHashes)
+      .withColumn("batch_id", lit(-1L))
+      .write.mode("overwrite").partitionBy("batch_id").parquet(indexPath)
+
   /** Launch the gate over a streaming documents frame (doc_id, text,
-    * ...). `indexPath` must hold an existing signature index; pairs
-    * land under `pairsPath` partitioned by batch_id. */
+    * ...). `indexPath` must hold a signature index in [[seedIndex]]'s
+    * layout; pairs land under `pairsPath` partitioned by batch_id. */
   def nearDupGate(
       newDocs: DataFrame,
       indexPath: String,
@@ -53,20 +68,66 @@ object DedupStream {
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         val spark = batch.sparkSession
         val docs = batch.toDF()
-        // index snapshot for THIS batch: the file listing is taken
-        // here, before any growth append below lands
+        // index snapshot for THIS batch, minus the batch's own ids: on
+        // a retry whose failed predecessor already wrote the growth
+        // partition, the snapshot contains this batch's signatures —
+        // joining against them would emit self-pairs and intra-batch
+        // pairs. A micro-batch's id set is small by definition, so the
+        // anti-join broadcasts and the index never shuffles.
         val idx = spark.read.parquet(indexPath)
+          .join(broadcast(docs.select("doc_id")), Seq("doc_id"), "left_anti")
           .select(col("doc_id"), col("sig"))
         Dedup.minhashPairsAgainst(docs, idx, shingleLen, numHashes, bands, threshold)
+          // defense in depth: a doc_id duplicated IN THE INDEX by an
+          // out-of-band writer duplicates its pair rows (candidate
+          // dedup runs before the signature re-join, so the re-join
+          // fans back out) — collapse at the sink boundary
+          .dropDuplicates("doc_new", "doc_corpus")
           .withColumn("batch_id", lit(batchId))
           .write.mode("overwrite")
           .option("partitionOverwriteMode", "dynamic")
           .partitionBy("batch_id")
           .parquet(pairsPath)
         if (growIndex) {
+          // idempotent growth, mirroring the pairs sink: the batch's
+          // signatures REPLACE their own batch_id partition on retry
+          // instead of double-appending
           Dedup.minhashSignatures(docs, shingleLen, numHashes)
-            .write.mode("append").parquet(indexPath)
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(indexPath)
         }
       }
       .start()
+
+  /** Index maintenance for a long-running gate: collapse any doc_id
+    * present more than once (keep the FIRST arrival — lowest batch_id
+    * — so maintenance never changes which corpus doc a future pair
+    * reports) and rewrite each batch partition as one file. Growth
+    * adds a small file set per micro-batch; after days of 1-minute
+    * triggers the snapshot read pays thousands of file opens before
+    * any data, the classic small-file tax. Gate output is unchanged
+    * by construction (spec-asserted): duplicates only ever ADD
+    * duplicate candidate rows, and the band keys derive from the
+    * signature alone. Two-phase rewrite because a parquet source
+    * cannot overwrite itself; safe to run between micro-batches. */
+  def maintainIndex(spark: SparkSession, indexPath: String): Unit = {
+    val idx = spark.read.parquet(indexPath)
+    val deduped = idx.groupBy("doc_id")
+      .agg(min_by(struct(col("sig"), col("batch_id")), col("batch_id")).as("s"))
+      .select(col("doc_id"), col("s.sig").as("sig"), col("s.batch_id").as("batch_id"))
+    val tmp = indexPath + "__maint"
+    // repartition ON the partition column: every row of a batch_id
+    // lands in one task, so each partition directory gets exactly one
+    // file (modulo hash collisions, which only co-locate two batches)
+    deduped.repartition(col("batch_id"))
+      .write.mode("overwrite").partitionBy("batch_id").parquet(tmp)
+    spark.read.parquet(tmp)
+      .repartition(col("batch_id"))
+      .write.mode("overwrite").partitionBy("batch_id").parquet(indexPath)
+    val tp = new org.apache.hadoop.fs.Path(tmp)
+    tp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(tp, true): Unit
+  }
 }

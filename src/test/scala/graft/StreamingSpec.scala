@@ -146,7 +146,7 @@ class StreamingSpec extends AnyFunSuite with SparkSessionTestBase {
     val indexDir = s"$root/index"
     val pairsDir = s"$root/pairs"
     val srcDir = s"$root/src"
-    Dedup.minhashSignatures(corpus).write.parquet(indexDir)
+    graft.streaming.DedupStream.seedIndex(corpus, indexDir)
 
     // stage each micro-batch as one file with ordered mtimes so the
     // file source (oldest-first) processes b1 before b2
@@ -202,7 +202,7 @@ class StreamingSpec extends AnyFunSuite with SparkSessionTestBase {
     val incoming = docs.filter(col("doc_id") >= 400)
 
     val root = Files.createTempDirectory("neardupfrozen").toString
-    Dedup.minhashSignatures(corpus).write.parquet(s"$root/index")
+    graft.streaming.DedupStream.seedIndex(corpus, s"$root/index")
     incoming.write.parquet(s"$root/src")
     val idxCountBefore = spark.read.parquet(s"$root/index").count()
 
@@ -221,6 +221,84 @@ class StreamingSpec extends AnyFunSuite with SparkSessionTestBase {
       .collect().map(_.toString).toSet
     assert(got === expected)
     assert(got.nonEmpty)
+  }
+
+  test("nearDupGate retry: a pre-grown index yields no self or intra-batch pairs") {
+    import java.nio.file.Files
+    import graft.operators.Dedup
+    val docs = Tables.documents(spark, "/root/testdata/sf0.01")
+    val corpus = docs.filter(col("doc_id") < 400)
+    val b1 = docs.filter(col("doc_id") >= 400 && col("doc_id") < 450)
+
+    val root = Files.createTempDirectory("neardupretry").toString
+    graft.streaming.DedupStream.seedIndex(corpus, s"$root/index")
+    // simulate the failure window: the original attempt wrote its
+    // growth partition (batch_id=0) but died before the checkpoint
+    // commit, so the retry's snapshot contains b1's own signatures
+    Dedup.minhashSignatures(b1).withColumn("batch_id", lit(0L))
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id").parquet(s"$root/index")
+    b1.write.parquet(s"$root/src")
+
+    val stream = spark.readStream.schema(docs.schema).parquet(s"$root/src")
+    val q = graft.streaming.DedupStream.nearDupGate(
+      stream, s"$root/index", s"$root/pairs", s"$root/ckpt")
+    try q.processAllAvailable() finally q.stop()
+
+    val got = spark.read.parquet(s"$root/pairs")
+      .select("doc_new", "doc_corpus", "est_jaccard")
+    // no self-pairs, nothing against the batch's own ids
+    assert(got.filter(col("doc_new") === col("doc_corpus")).count() === 0)
+    assert(got.filter(col("doc_corpus") >= 400 && col("doc_corpus") < 450).count() === 0)
+    // pair set identical to a clean first run against the corpus only
+    val expected = Dedup.minhashPairsAgainst(b1,
+        Dedup.minhashSignatures(corpus).localCheckpoint())
+      .collect().map(_.toString).toSet
+    assert(got.collect().map(_.toString).toSet === expected)
+    // and the growth partition was REPLACED, not double-appended
+    assert(spark.read.parquet(s"$root/index").filter(col("batch_id") === 0)
+      .count() === b1.count())
+  }
+
+  test("maintainIndex collapses duplicate doc_ids and shrinks files, pairs unchanged") {
+    import java.nio.file.Files
+    import graft.operators.Dedup
+    val docs = Tables.documents(spark, "/root/testdata/sf0.01")
+    val corpus = docs.filter(col("doc_id") < 400)
+    val probe = docs.filter(col("doc_id") >= 400 && col("doc_id") < 450)
+
+    val root = Files.createTempDirectory("neardupmaint").toString
+    val indexDir = s"$root/index"
+    graft.streaming.DedupStream.seedIndex(corpus, indexDir)
+    // legacy double-append: the same docs land again in a later batch
+    // partition, spread over many small files
+    Dedup.minhashSignatures(corpus.limit(100)).withColumn("batch_id", lit(7L))
+      .repartition(16)
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id").parquet(indexDir)
+
+    def pairsNow(): Set[String] =
+      Dedup.minhashPairsAgainst(probe,
+          spark.read.parquet(indexDir).select("doc_id", "sig"))
+        .dropDuplicates("doc_new", "doc_corpus")
+        .collect().map(_.toString).toSet
+    def fileCount(): Int = spark.read.parquet(indexDir).inputFiles.length
+
+    val pairsBefore = pairsNow()
+    val filesBefore = fileCount()
+    assert(spark.read.parquet(indexDir).groupBy("doc_id").count()
+      .filter(col("count") > 1).count() === 100)
+
+    graft.streaming.DedupStream.maintainIndex(spark, indexDir)
+
+    // duplicates collapsed to the first arrival (seed partition -1)
+    val idx = spark.read.parquet(indexDir)
+    assert(idx.groupBy("doc_id").count().filter(col("count") > 1).count() === 0)
+    assert(idx.filter(col("batch_id") === 7L).count() === 0)
+    assert(idx.count() === corpus.count())
+    assert(pairsNow() === pairsBefore)
+    assert(pairsBefore.nonEmpty)
+    assert(fileCount() < filesBefore)
   }
 
   test("sessionizeStream emits gap-closed sessions") {
