@@ -44,15 +44,38 @@ object SparkEntry {
   private val minhashPairsCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), (Long, DataFrame)]
 
-  private def documentsFingerprint(s: SparkSession, d: String): Long = {
-    val path = new org.apache.hadoop.fs.Path(s"$d/documents.parquet")
+  /** Duplicate-cluster labels derived from the shared pair frame:
+    * q_dedup_clusters and q_dedup_survivors both need the label
+    * propagation (the expensive step), so it is cached alongside the
+    * pair frame under the same fingerprint/eviction discipline. */
+  private val minhashLabelsCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), (Long, DataFrame)]
+
+  /** Data-version fingerprint for the documents table: max mtime
+    * folded with file count and total bytes from the same listing, so
+    * a rewrite landing within the filesystem's mtime granularity (or a
+    * backend with coarse timestamps) still changes the fingerprint as
+    * long as it changes size or layout. */
+  private def documentsFingerprint(s: SparkSession, d: String): Long =
+    tableFingerprint(s, d, "documents.parquet")
+
+  private def tableFingerprint(s: SparkSession, d: String, table: String): Long = {
+    val path = new org.apache.hadoop.fs.Path(s"$d/$table")
     val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (!fs.exists(path)) 0L
     else {
       var m = fs.getFileStatus(path).getModificationTime
+      var nFiles = 0L
+      var bytes = 0L
       val it = fs.listFiles(path, true)
-      while (it.hasNext) m = math.max(m, it.next().getModificationTime)
-      m
+      while (it.hasNext) {
+        val st = it.next()
+        m = math.max(m, st.getModificationTime)
+        nFiles += 1
+        bytes += st.getLen
+      }
+      // order-independent mix (the listing order is backend-dependent)
+      m * 1000003L + nFiles * 7919L + bytes
     }
   }
 
@@ -64,6 +87,8 @@ object SparkEntry {
   private[graft] def clearSharedCaches(): Unit = {
     minhashPairsCache.values.foreach(_._2.unpersist())
     minhashPairsCache.clear()
+    minhashLabelsCache.values.foreach(_._2.unpersist())
+    minhashLabelsCache.clear()
   }
 
   private[graft] def minhashPairsShared(s: SparkSession, d: String): DataFrame = {
@@ -79,6 +104,49 @@ object SparkEntry {
         stale.foreach(_._2.unpersist())
         val fresh = Dedup.minhashPairs(Tables.documents(s, d)).persist()
         minhashPairsCache.put((s, d), (fp, fresh))
+        fresh
+    }
+  }
+
+  /** Persisted trigram index (the GIN analog, tables.sql:48): built
+    * once per part-table data version, written GRAM-SORTED via
+    * Sinks.writeRangePartitioned so each file covers a disjoint gram
+    * range and a probe's `g IN (...)` predicate prunes files and row
+    * groups at the scan — the on-disk artifact a 100 TB catalog
+    * queries instead of re-exploding itself. The path cache is keyed
+    * by data fingerprint; a catalog rewrite triggers a rebuild. */
+  private val trigramIndexPaths =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), (Long, String)]
+
+  private[graft] def trigramIndexShared(s: SparkSession, d: String): DataFrame = {
+    trigramIndexPaths.keys
+      .filter(_._1.sparkContext.isStopped)
+      .foreach(trigramIndexPaths.remove)
+    val fp = tableFingerprint(s, d, "part.parquet")
+    val path = trigramIndexPaths.get((s, d)) match {
+      case Some((cachedFp, p)) if cachedFp == fp => p
+      case _ =>
+        val p = new java.io.File(sys.props("java.io.tmpdir"),
+          s"graft_trgm_idx_${java.lang.Long.toHexString(fp)}").getPath
+        graft.sources.Sinks.writeRangePartitioned(
+          Catalog.trigramIndex(Tables.part(s, d)), p, "g", partitions = 8)
+        trigramIndexPaths.put((s, d), (fp, p))
+        p
+    }
+    s.read.parquet(path)
+  }
+
+  private[graft] def duplicateLabelsShared(s: SparkSession, d: String): DataFrame = {
+    minhashLabelsCache.keys
+      .filter(_._1.sparkContext.isStopped)
+      .foreach(minhashLabelsCache.remove)
+    val fp = documentsFingerprint(s, d)
+    minhashLabelsCache.get((s, d)) match {
+      case Some((cachedFp, df)) if cachedFp == fp => df
+      case stale =>
+        stale.foreach(_._2.unpersist())
+        val fresh = Dedup.duplicateLabels(minhashPairsShared(s, d)).persist()
+        minhashLabelsCache.put((s, d), (fp, fresh))
         fresh
     }
   }
@@ -105,10 +173,12 @@ object SparkEntry {
     // tables.sql:2,48 pg_trgm twin: typo-tolerant trigram ranking
     "q_fuzzy_search" -> ((s, d) =>
       Catalog.fuzzySearch(Tables.part(s, d), "smal ring", threshold = 0.3, limit = 15)),
-    // the same search through the persisted-index probe path (GIN
-    // analog); bit-equal to q_fuzzy_search, shares its oracle
+    // the same search through the PERSISTED index probe path (GIN
+    // analog): reads the gram-sorted parquet index from disk, so the
+    // probe's `g IN (...)` prunes at the scan; bit-equal to
+    // q_fuzzy_search, shares its oracle
     "q_fuzzy_search_indexed" -> ((s, d) =>
-      Catalog.fuzzySearchIndexed(Catalog.trigramIndex(Tables.part(s, d)),
+      Catalog.fuzzySearchIndexed(trigramIndexShared(s, d),
         "smal ring", threshold = 0.3, limit = 15)),
     "q_price_compare" -> ((s, d) => Pricing.priceCompare(Tables.lineitem(s, d), comparedParts)),
     "q_product_card" -> ((s, d) =>
@@ -156,6 +226,10 @@ object SparkEntry {
     // Section C — LLM-training-data operators
     "q_dedup_exact_docs" -> ((s, d) => Dedup.exactDocs(Tables.documents(s, d))),
     "q_dedup_minhash" -> ((s, d) => minhashPairsShared(s, d)),
+    // band-bucket occupancy pre-flight: the quadratic-hot-spot meter a
+    // 100 TB dedup run reads before the candidate self-join
+    "q_dedup_occupancy" -> ((s, d) =>
+      Dedup.minhashBucketOccupancy(Tables.documents(s, d))),
     "q_dedup_simhash" -> ((s, d) => Dedup.simhashPairs(Tables.documents(s, d))),
     "q_dedup_calibration" -> ((s, d) => Dedup.minhashCalibration(Tables.documents(s, d))),
     // incremental mode: docs >= 400 arrive as a new batch and dedup
@@ -261,10 +335,10 @@ object SparkEntry {
     }),
     "q_curation_pipeline" -> ((s, d) => Curation.curationPipeline(Tables.documents(s, d))),
     "q_dedup_clusters" -> ((s, d) =>
-      Dedup.duplicateClusters(minhashPairsShared(s, d))
+      Dedup.duplicateClustersFromLabels(duplicateLabelsShared(s, d))
         .drop("members")),
     "q_dedup_survivors" -> ((s, d) =>
-      Dedup.dedupSurvivors(Tables.documents(s, d), minhashPairsShared(s, d))
+      Dedup.dedupSurvivorsFromLabels(Tables.documents(s, d), duplicateLabelsShared(s, d))
         .select("doc_id", "source", "n_chars")),
     // semantic (embedding-space) twin of q_dedup_survivors: LSH
     // near-dup pairs -> connected components -> one doc per cluster.

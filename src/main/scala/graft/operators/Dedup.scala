@@ -123,12 +123,57 @@ object Dedup {
     s"aggregate(zip_with(sig_a, sig_b, (x, y) -> CASE WHEN x = y THEN 1 ELSE 0 END), " +
       s"0, (acc, v) -> acc + v) / ${numHashes}.0D")
 
+  /** Bucket-occupancy cap for LSH candidate generation: drop bucket
+    * keys holding more than `cap` rows BEFORE the self-join, because a
+    * bucket of occupancy n emits n(n-1)/2 candidate pairs — k exact
+    * copies of one boilerplate document collapse every band into a
+    * k-doc bucket and the join goes quadratic in k. The cap is LOSSY
+    * by design (those pairs genuinely are duplicates): a pair is lost
+    * only if EVERY bucket it shares exceeds the cap, and the dropped
+    * mass is exactly what an occupancy report ([[minhashBucketOccupancy]])
+    * surfaces — meter first, cap when the report shows quadratic hot
+    * spots. df computed partial-combined (groupBy, never a window) and
+    * pruned via a small-hot-set anti-join, the ngramJaccard dfCap
+    * pattern. */
+  private[operators] def capBuckets(
+      buckets: DataFrame, keys: Seq[String], cap: Long): DataFrame =
+    if (cap == Long.MaxValue) buckets
+    else {
+      val hot = buckets.groupBy(keys.map(col): _*)
+        .agg(count(lit(1)).as("n"))
+        .filter(col("n") > cap)
+        .select(keys.map(col): _*)
+      buckets.join(hot, keys, "left_anti")
+    }
+
+  /** Band-bucket occupancy report: the pre-flight a 100 TB dedup run
+    * does before the candidate self-join. Occupancy n yields n(n-1)/2
+    * candidate pairs, so the top rows ARE the quadratic hot spots —
+    * feed the observed ceiling into `bucketCap` (or split the
+    * offending cluster upstream) before paying the join. */
+  def minhashBucketOccupancy(
+      docs: DataFrame,
+      shingleLen: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      minOccupancy: Long = 2L): DataFrame = {
+    require(numHashes % bands == 0)
+    bandKeys(minhashSignatures(docs, shingleLen, numHashes), numHashes, bands)
+      .groupBy("band", "bh")
+      .agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= minOccupancy)
+      .select(col("band"), col("bh"), col("n_docs"),
+        (col("n_docs") * (col("n_docs") - 1) / 2).as("est_pairs"))
+      .orderBy(desc("n_docs"), col("band"), col("bh"))
+  }
+
   def minhashPairs(
       docs: DataFrame,
       shingleLen: Int = 3,
       numHashes: Int = 64,
       bands: Int = 16,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5,
+      bucketCap: Long = Long.MaxValue): DataFrame = {
     require(numHashes % bands == 0)
     // Signature as a narrow per-row codegen expression (slot minima +
     // circular densification in one pass over the shingle array) — the
@@ -139,7 +184,7 @@ object Dedup {
     // signature re-joins — once instead of 4×.
     val sigs = minhashSignatures(docs, shingleLen, numHashes).cache()
 
-    val buckets = bandKeys(sigs, numHashes, bands)
+    val buckets = capBuckets(bandKeys(sigs, numHashes, bands), Seq("band", "bh"), bucketCap)
     val candidates = buckets.as("a")
       .join(buckets.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
@@ -236,16 +281,20 @@ object Dedup {
     * token array — zero shuffles (the relational formulation pushed
     * the exploded token stream through a 64-column vote aggregation;
     * bit-equality asserted in VectorExpressionsSpec). */
-  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+  def simhashPairs(
+      docs: DataFrame, maxHamming: Int = 3,
+      bucketCap: Long = Long.MaxValue): DataFrame = {
     graft.functions.VectorFunctions.register(docs.sparkSession)
     val sims = docs.withColumn("toks", split(lower(col("text")), " ", -1))
       .filter(size(col("toks")) >= 1)
       .select(col("doc_id"), expr("graft_simhash(toks)").as("simhash"))
 
-    val chunks = sims.select(col("doc_id"), col("simhash"),
-        explode(expr(
-          "transform(sequence(0, 3), c -> named_struct('c', c, 'v', (simhash >> (c*16)) & 65535))")).as("ck"))
-      .select(col("doc_id"), col("simhash"), col("ck.c").as("c"), col("ck.v").as("v"))
+    val chunks = capBuckets(
+      sims.select(col("doc_id"), col("simhash"),
+          explode(expr(
+            "transform(sequence(0, 3), c -> named_struct('c', c, 'v', (simhash >> (c*16)) & 65535))")).as("ck"))
+        .select(col("doc_id"), col("simhash"), col("ck.c").as("c"), col("ck.v").as("v")),
+      Seq("c", "v"), bucketCap)
 
     chunks.as("a")
       .join(chunks.as("b"),
@@ -271,7 +320,14 @@ object Dedup {
     * sorted members. */
   def duplicateClusters(
       pairs: DataFrame, maxIter: Int = 10, driverThreshold: Long = 1000000L): DataFrame =
-    duplicateLabels(pairs, maxIter, driverThreshold)
+    duplicateClustersFromLabels(duplicateLabels(pairs, maxIter, driverThreshold))
+
+  /** [[duplicateClusters]] from a precomputed (id, label) frame — the
+    * label propagation is the expensive step, so callers resolving
+    * BOTH clusters and survivors from one pair set (q_dedup_clusters /
+    * q_dedup_survivors) compute labels once and feed both. */
+  def duplicateClustersFromLabels(labels: DataFrame): DataFrame =
+    labels
       .groupBy(col("label").as("cluster_rep"))
       .agg(count(lit(1)).as("n_docs"), collect_list("id").as("member_sample"))
       .select(col("cluster_rep"), col("n_docs"),
@@ -285,7 +341,11 @@ object Dedup {
   def duplicateLabels(
       pairs: DataFrame, maxIter: Int = 10, driverThreshold: Long = 1000000L): DataFrame = {
     val spark = pairs.sparkSession
-    val cached = pairs.select(col("doc_a"), col("doc_b")).cache()
+    // localCheckpoint, not .cache(): eager, ContextCleaner-released
+    // when the result is GC'd — an internal cache would pin blocks
+    // this function can never safely release (persistence contract,
+    // see minhashPairsAgainst)
+    val cached = pairs.select(col("doc_a"), col("doc_b")).localCheckpoint()
     val labels =
       if (cached.count() <= driverThreshold) {
         // driver union-find: pairs fit comfortably (≤ ~16MB per 1M)
@@ -308,7 +368,7 @@ object Dedup {
       } else {
         val edges = cached.select(col("doc_a").as("src"), col("doc_b").as("dst"))
           .unionAll(cached.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-          .cache()
+          .localCheckpoint()
         var l = edges.select(col("src").as("id")).distinct()
           .withColumn("label", col("id"))
           .localCheckpoint()
@@ -338,8 +398,13 @@ object Dedup {
     * slim (id ≠ label) half of the label table, removed by a LEFT ANTI
     * join on doc_id — ids only, no text or vectors ride the shuffle,
     * and the corpus side streams through unaggregated. */
-  def dedupSurvivors(docs: DataFrame, pairs: DataFrame): DataFrame = {
-    val drop = duplicateLabels(pairs)
+  def dedupSurvivors(docs: DataFrame, pairs: DataFrame): DataFrame =
+    dedupSurvivorsFromLabels(docs, duplicateLabels(pairs))
+
+  /** [[dedupSurvivors]] from a precomputed (id, label) frame — see
+    * [[duplicateClustersFromLabels]]. */
+  def dedupSurvivorsFromLabels(docs: DataFrame, labels: DataFrame): DataFrame = {
+    val drop = labels
       .filter(col("id") =!= col("label"))
       .select(col("id").as("doc_id"))
     docs.join(drop, Seq("doc_id"), "left_anti")

@@ -89,12 +89,16 @@ object Similarity {
     * O(corpus·tables) bucketing + per-bucket pairs; no corpus². */
   def embedNearDupPairs(
       emb: DataFrame, threshold: Double = 0.95,
-      planes: Int = 12, tables: Int = 4): DataFrame = {
+      planes: Int = 12, tables: Int = 4,
+      bucketCap: Long = Long.MaxValue): DataFrame = {
     graft.functions.VectorFunctions.register(emb.sparkSession)
     // candidate generation and dedup on SLIM (id, id) pairs — the full
     // double vectors never ride through the bucket self-join or the
-    // dedup shuffle (the same slim pattern as Dedup.minhashPairs)
-    val b = bucketed(emb, planes, tables)
+    // dedup shuffle (the same slim pattern as Dedup.minhashPairs).
+    // bucketCap bounds per-bucket occupancy before the self-join — a
+    // k-copy vector cluster otherwise emits k²/2 pairs per table (see
+    // Dedup.capBuckets for the lossless/lossy trade)
+    val b = Dedup.capBuckets(bucketed(emb, planes, tables), Seq("t", "bucket"), bucketCap)
     val candidates = b.as("a")
       .join(b.as("b"),
         col("a.t") === col("b.t") && col("a.bucket") === col("b.bucket") &&

@@ -70,6 +70,49 @@ class LlmOpsSpec extends AnyFunSuite with SparkSessionTestBase {
       Dedup.ngramJaccard(corpus, dfCap = Long.MaxValue).collect().map(_.toString).sorted.toSeq)
   }
 
+  test("bucketCap bounds mega-bucket pair output; occupancy report flags it") {
+    import spark.implicits._
+    // 40 exact copies of one boilerplate doc: every band collapses to a
+    // 40-doc bucket, 780 candidate pairs per band uncapped. Two genuine
+    // near-dups (100/101) live in ordinary low-occupancy buckets. Texts
+    // are ≥70 words so OPH slots fill and the doc_id-seeded empty-slot
+    // densification can't drift the copies' signatures apart.
+    val boiler = (1 to 70).map(w => s"term$w").mkString(" ")
+    val nearA = (1 to 79).map(w => s"alpha$w").mkString(" ") + " omega"
+    val nearB = (1 to 79).map(w => s"alpha$w").mkString(" ") + " mu"
+    val docs = ((1 to 40).map(i => (i.toLong, "en", boiler)) ++
+      Seq((100L, "en", nearA), (101L, "en", nearB)))
+      .toDF("doc_id", "lang", "text")
+    // the report sees the quadratic hot spot before any join runs
+    val occ = Dedup.minhashBucketOccupancy(docs)
+    assert(occ.filter(col("n_docs") === 40 && col("est_pairs") === 780).count() >= 1)
+    // capped: the mega-cluster's pairs are dropped (lossy, documented),
+    // the ordinary near-dup pair survives untouched
+    val capped = Dedup.minhashPairs(docs, bucketCap = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped === Set((100L, 101L)))
+    val uncapped = Dedup.minhashPairs(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped.size === 780 + 1)
+    // same shape for the simhash and embedding families
+    val sh = Dedup.simhashPairs(docs, bucketCap = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!sh.exists(p => p._1 <= 40 && p._2 <= 40))
+    // copies are constant vectors; the near-dup pair alternates sign so
+    // it is ~orthogonal to the copies (cos ≈ 0) but ~parallel to itself
+    def alt(last: Float) = Array.tabulate(16)(j =>
+      if (j == 15) last else if (j % 2 == 0) 0.4f else -0.4f)
+    val emb = ((1 to 40).map(i => (i.toLong, Array.fill(16)(0.5f))) ++
+      Seq((100L, alt(-0.41f)), (101L, alt(-0.42f))))
+      .toDF("vec_id", "embedding")
+    val embCapped = Similarity.embedNearDupPairs(emb, threshold = 0.9, bucketCap = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(embCapped === Set((100L, 101L)))
+    // default is uncapped: existing pair-set behavior unchanged
+    assert(Similarity.embedNearDupPairs(emb, threshold = 0.9)
+      .count() === 780 + 1)
+  }
+
   test("perplexityScore frequency floor scores rare tokens at singleton surprisal") {
     val docs = Tables.documents(spark, docDir)
     // floor 1 is the exact formulation

@@ -177,6 +177,23 @@ class PlanRegressionSpec extends AnyFunSuite with SparkSessionTestBase {
     assert(scanCount(plan("q_copurchase")) === 1)
   }
 
+  test("fuzzy-search index probe pushes the posting-list filter to the file scan") {
+    val p = plan("q_fuzzy_search_indexed")
+    // the probe must hit the PERSISTED gram-sorted index: a parquet
+    // scan whose PushedFilters carries the query's `g IN (...)` set —
+    // with range-partitioned files this prunes whole files and row
+    // groups, the pg_trgm GIN probe semantic on disk
+    val scanLine = p.linesIterator.find(_.contains("PushedFilters")).getOrElse("")
+    assert(scanLine.contains("In(g, ["), s"no In(g,...) pushed filter in: $scanLine")
+    assert(p.contains("graft_trgm_idx"), "probe must read the persisted index files")
+    // and it stays bit-equal to the online (no-index) form
+    val indexed = SparkEntry.queries("q_fuzzy_search_indexed")(spark, sfDir)
+      .collect().map(_.toString).toSeq
+    val online = SparkEntry.queries("q_fuzzy_search")(spark, sfDir)
+      .collect().map(_.toString).toSeq
+    assert(indexed === online)
+  }
+
   test("ngram df-cap aggregates the gram key, never windows it") {
     val p = plan("q_ngram_jaccard")
     // df must come from a partial-combined groupBy (a boilerplate gram
