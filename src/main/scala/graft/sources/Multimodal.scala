@@ -10,12 +10,13 @@ import org.apache.spark.sql.functions._
   * Decode is REAL where the runtime has a codec and an honest stub
   * where it does not: image payloads carrying a JDK-decodable format
   * (PNG/JPEG/GIF/BMP — `javax.imageio` ships with Java SE, no extra
-  * dependency) decode to pixel statistics; anything else (audio/video,
-  * or bytes no reader accepts) falls back to a deterministic fake so
-  * the pipeline shape stays testable in a codec-less container. The
-  * `codec` column records which path ran. Everything Spark-side
-  * (schema, encoders, partition batching, feature layout) is real and
-  * tested either way.
+  * dependency) decode to pixel statistics, and WAV audio decodes to
+  * bounded sample statistics via `javax.sound.sampled` (also Java SE);
+  * anything else (compressed audio, video, or bytes no reader accepts)
+  * falls back to a deterministic fake so the pipeline shape stays
+  * testable in a codec-less container. The `codec` column records
+  * which path ran. Everything Spark-side (schema, encoders, partition
+  * batching, feature layout) is real and tested either way.
   *
   * Scale posture: payloads never pass through a shuffle (extraction is
   * a narrow mapPartitions directly over the scan); detection is a
@@ -124,6 +125,108 @@ object Multimodal {
     * ARGB, bounded per record. */
   private val MaxPixels = 64L * 1024 * 1024
 
+  /** Frame-count cap, the audio analog of [[MaxPixels]]: a header
+    * claiming absurd frame counts (the WAV bomb — tiny file, huge
+    * declared data chunk) is rejected before any sample is read. */
+  private val MaxAudioFrames = 16L * 1024 * 1024
+
+  /** Magic-byte WAV sniff (RIFF....WAVE): only payloads that look like
+    * the one audio container the JDK decodes natively pay the
+    * AudioSystem reader lookup. */
+  private def looksLikeWav(p: Array[Byte]): Boolean =
+    p.length >= 12 &&
+      p(0) == 'R' && p(1) == 'I' && p(2) == 'F' && p(3) == 'F' &&
+      p(8) == 'W' && p(9) == 'A' && p(10) == 'V' && p(11) == 'E'
+
+  /** Real WAV decode via `javax.sound.sampled` (ships with Java SE,
+    * like ImageIO): header-only format/frame-count read first (the
+    * bomb guard costs a few bytes of parsing), then bounded, STRIDED
+    * sample statistics — ≤ 64 probe windows of ≤ 4096 frames each, so
+    * cost is bounded regardless of duration. Features: sample rate,
+    * channels, bit depth, duration, RMS, peak, zero-crossing rate —
+    * cycled to `dim` slots. PCM 8/16-bit only (the JDK's native WAV
+    * support); anything else falls back to the stub. */
+  private def wavFeatures(payload: Array[Byte], dim: Int): Option[Array[Float]] = {
+    import javax.sound.sampled.{AudioFormat, AudioSystem}
+    val aff = AudioSystem.getAudioFileFormat(new java.io.ByteArrayInputStream(payload))
+    val fmt = aff.getFormat
+    val frames = aff.getFrameLength.toLong
+    val bits = fmt.getSampleSizeInBits
+    val pcm = fmt.getEncoding == AudioFormat.Encoding.PCM_SIGNED ||
+      fmt.getEncoding == AudioFormat.Encoding.PCM_UNSIGNED
+    if (frames <= 0 || frames > MaxAudioFrames || !pcm || (bits != 8 && bits != 16))
+      return None
+    val ais = AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(payload))
+    try {
+      val frameSize = fmt.getFrameSize
+      val windowFrames = 4096L
+      val windows = 64L
+      // stride so ≤ windows probe windows cover the whole stream
+      val strideFrames =
+        math.max(0L, (frames - windows * windowFrames) / windows)
+      val buf = new Array[Byte]((windowFrames * frameSize).toInt)
+      var n = 0L
+      var sum2 = 0.0
+      var peak = 0.0
+      var crossings = 0L
+      var prevNeg = false
+      var first = true
+      var eof = false
+      while (!eof) {
+        var read = 0
+        var r = 0
+        while (read < buf.length && r >= 0) {
+          r = ais.read(buf, read, buf.length - read)
+          if (r > 0) read += r
+        }
+        if (r < 0) eof = true
+        var i = 0
+        while (i + (bits / 8) <= read) {
+          // every channel's samples contribute to the same statistics
+          val s =
+            if (bits == 8) {
+              if (fmt.getEncoding == AudioFormat.Encoding.PCM_UNSIGNED)
+                ((buf(i) & 0xFF) - 128) / 128.0
+              else buf(i) / 128.0
+            } else {
+              val lo = if (fmt.isBigEndian) buf(i + 1) else buf(i)
+              val hi = if (fmt.isBigEndian) buf(i) else buf(i + 1)
+              ((hi << 8) | (lo & 0xFF)) / 32768.0
+            }
+          val neg = s < 0
+          if (!first && neg != prevNeg) crossings += 1
+          prevNeg = neg
+          first = false
+          sum2 += s * s
+          if (math.abs(s) > peak) peak = math.abs(s)
+          n += 1
+          i += bits / 8
+        }
+        if (!eof && strideFrames > 0) {
+          var toSkip = strideFrames * frameSize
+          while (toSkip > 0 && !eof) {
+            val skipped = ais.skip(toSkip)
+            if (skipped <= 0) eof = true else toSkip -= skipped
+          }
+        }
+      }
+      if (n == 0) None
+      else {
+        val rms = math.sqrt(sum2 / n)
+        val durationSec = frames / fmt.getFrameRate.toDouble
+        val base = Array(
+          math.min(1.0, fmt.getSampleRate / 48000.0),
+          math.min(1.0, fmt.getChannels / 8.0),
+          bits / 32.0,
+          math.min(1.0, durationSec / 3600.0),
+          rms, peak,
+          crossings.toDouble / n,
+          math.min(1.0, frames / MaxAudioFrames.toDouble))
+        Some(Array.tabulate(dim)(i => base(i % base.length).toFloat))
+      }
+    } finally ais.close()
+  }
+
   /** Header-only dimension read (no pixel decode), so the bomb check
     * costs a few bytes of parsing, not the decode it guards against. */
   private def headerPixels(payload: Array[Byte]): Option[Long] = {
@@ -143,23 +246,27 @@ object Multimodal {
   }
 
   /** Decode one record: real ImageIO path when the payload sniffs as a
-    * decodable image within the size cap, deterministic stub otherwise. */
+    * decodable image within the size cap, real AudioSystem path for
+    * WAV within the frame cap, deterministic stub otherwise. */
   private[sources] def decodeOne(r: MediaRecord, dim: Int): MediaFeatures = {
     val checksum = payloadChecksum(r.payload)
-    val real: Option[Array[Float]] =
+    val real: Option[(String, Array[Float])] =
       if (r.modality == "image" && looksLikeImage(r.payload)) {
         try {
           // in-memory streams only — never let ImageIO spill a disk cache
           javax.imageio.ImageIO.setUseCache(false)
           headerPixels(r.payload).filter(px => px > 0 && px <= MaxPixels).flatMap { _ =>
             Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload)))
-              .map(imageFeatures(_, dim))
+              .map(img => ("imageio", imageFeatures(img, dim)))
           }
         } catch { case scala.util.control.NonFatal(_) => None }
+      } else if (r.modality == "audio" && looksLikeWav(r.payload)) {
+        try wavFeatures(r.payload, dim).map(("wav", _))
+        catch { case scala.util.control.NonFatal(_) => None }
       } else None
     real match {
-      case Some(f) =>
-        MediaFeatures(r.media_id, r.modality, r.payload.length, checksum, "imageio", f)
+      case Some((codec, f)) =>
+        MediaFeatures(r.media_id, r.modality, r.payload.length, checksum, codec, f)
       case None =>
         MediaFeatures(r.media_id, r.modality, r.payload.length, checksum, "stub",
           stubFeatures(checksum, dim))

@@ -749,4 +749,57 @@ class LlmOpsSpec extends AnyFunSuite with SparkSessionTestBase {
       .collect().head
     assert(bombed.codec === "stub")
   }
+
+  test("WAV audio decode is REAL with bounded strided stats; bomb header → stub") {
+    import spark.implicits._
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    // 0.5 s of a 440 Hz sine at 16 kHz, 16-bit mono PCM, amplitude 0.5
+    val n = 8000
+    val pcm = new Array[Byte](n * 2)
+    val pb = java.nio.ByteBuffer.wrap(pcm).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    for (i <- 0 until n)
+      pb.putShort((math.sin(2 * math.Pi * 440 * i / 16000.0) * 0.5 * 32767).toShort)
+    val fmt = new AudioFormat(16000f, 16, 1, true, false)
+    val ais = new AudioInputStream(new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    val wav = bos.toByteArray
+
+    val out = Multimodal.extractFeatures(Seq(
+        Multimodal.MediaRecord(1L, "audio", wav, 0, 0, 16000),
+        Multimodal.MediaRecord(2L, "image", wav, 0, 0, 0)) // wrong modality → stub
+        .toDS(), dim = 8)
+      .collect().map(f => f.media_id -> f).toMap
+    assert(out(1L).codec === "wav")
+    assert(out(2L).codec === "stub")
+    // sample statistics reflect the actual signal
+    val f = out(1L).features
+    assert(math.abs(f(0) - 16000f / 48000f) < 1e-4)     // sample rate
+    assert(math.abs(f(1) - 1f / 8f) < 1e-4)             // mono
+    assert(math.abs(f(2) - 0.5f) < 1e-4)                // 16 of 32 bits
+    assert(math.abs(f(4) - 0.5f / math.sqrt(2).toFloat) < 0.01f) // sine RMS = A/√2
+    assert(math.abs(f(5) - 0.5f) < 0.01f)               // peak = A
+    assert(math.abs(f(6) - 2 * 440f / 16000f) < 0.005f) // zero-crossing rate
+    // deterministic
+    val again = Multimodal.extractFeatures(
+      Seq(Multimodal.MediaRecord(1L, "audio", wav, 0, 0, 16000)).toDS(), dim = 8)
+      .collect().head
+    assert(again.features.toSeq === f.toSeq)
+
+    // WAV bomb: patch the RIFF and data chunk sizes to claim ~1G
+    // frames — the header parses as a real WAV, but the frame cap must
+    // refuse to read samples
+    val bomb = wav.clone()
+    val bb = java.nio.ByteBuffer.wrap(bomb).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(4, 0x7FFF0000)
+    var off = 12
+    while (!(bomb(off) == 'd' && bomb(off + 1) == 'a' &&
+        bomb(off + 2) == 't' && bomb(off + 3) == 'a'))
+      off += 8 + bb.getInt(off + 4)
+    bb.putInt(off + 4, 0x7FFE0000)
+    val bombed = Multimodal.extractFeatures(
+      Seq(Multimodal.MediaRecord(9L, "audio", bomb, 0, 0, 16000)).toDS(), dim = 8)
+      .collect().head
+    assert(bombed.codec === "stub")
+  }
 }
