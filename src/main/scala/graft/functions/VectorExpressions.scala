@@ -505,8 +505,11 @@ object WordGramHashes {
   * evaluates an interpreted lambda per window and rescans w elements
   * each time — O(n·w) generic calls per document. This is a codegen'd
   * monotonic-deque pass: O(n) amortized, each element enters and
-  * leaves the deque once. Input elements must be non-null (callers
-  * feed graft_grams output, containsNull = false). */
+  * leaves the deque once. Element-nullable inputs are ACCEPTED at
+  * analysis time — parquet-sourced BIGINT arrays are element-nullable
+  * by default even when no element is actually null — but an actual
+  * null element fails LOUDLY at runtime (the deque reads raw long
+  * slots, which would otherwise decode a null as garbage silently). */
 case class SlidingMinima(child: Expression, window: Int)
     extends UnaryExpression {
 
@@ -516,19 +519,15 @@ case class SlidingMinima(child: Expression, window: Int)
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     child.dataType match {
-      case ArrayType(LongType, false) =>
+      case ArrayType(LongType, _) =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
-      case ArrayType(LongType, true) =>
-        // eval/codegen read raw long slots (getLong); a null element
-        // would silently decode as garbage — reject at analysis time
-        // (the function is SQL-registered, so arbitrary inputs reach it)
-        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-          s"$prettyName requires ARRAY<BIGINT> with non-null elements " +
-            "(wrap the argument in array_compact or filter(x, x -> x IS NOT NULL))")
       case other =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
           s"$prettyName requires ARRAY<BIGINT>, got ${other.sql}")
     }
+
+  private def nullElementError(): Nothing =
+    throw new IllegalArgumentException(SlidingMinima.nullElementMessage)
 
   override def nullSafeEval(input: Any): Any = {
     val a = input.asInstanceOf[ArrayData]
@@ -540,6 +539,7 @@ case class SlidingMinima(child: Expression, window: Int)
     var tail = 0
     var i = 0
     while (i < m) {
+      if (a.isNullAt(i)) nullElementError()
       val v = a.getLong(i)
       while (tail > head && a.getLong(dq(tail - 1)) >= v) tail -= 1
       dq(tail) = i
@@ -570,6 +570,9 @@ case class SlidingMinima(child: Expression, window: Int)
          |int $head = 0;
          |int $tail = 0;
          |for (int $i = 0; $i < $m; $i++) {
+         |  ${if (child.dataType.asInstanceOf[ArrayType].containsNull)
+             s"""if ($arr.isNullAt($i)) throw new IllegalArgumentException("${SlidingMinima.nullElementMessage}");"""
+           else ""}
          |  long $v = $arr.getLong($i);
          |  while ($tail > $head && $arr.getLong($dq[$tail - 1]) >= $v) $tail--;
          |  $dq[$tail++] = $i;
@@ -582,6 +585,15 @@ case class SlidingMinima(child: Expression, window: Int)
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
+}
+
+object SlidingMinima {
+  /** Shared by the interpreted path and (as an inlined Java string
+    * literal) the generated code — keep it free of characters that
+    * need Java escaping. */
+  val nullElementMessage: String =
+    "graft_winnow: null array element (filter nulls out with " +
+      "array_compact or filter(x, x -> x IS NOT NULL))"
 }
 
 /** Registration for graft's native SQL functions. */

@@ -47,12 +47,15 @@ object Etl {
     * the products.raw_hash column) — and proves the count is restored.
     * The dedup key projects down to a 32-char digest BEFORE the
     * exchange, so the shuffle carries hashes, not full-width fact
-    * rows (a full-row distinct ships every column as key). Nulls are
-    * sentinel-coalesced so (a, NULL) and (NULL, a) cannot collide
-    * under concat_ws's null-skipping. One partial-combined hash shuffle. */
+    * rows (a full-row distinct ships every column as key). The digest
+    * is over a STRUCTURAL encoding (to_json of the row struct): a
+    * delimited concat can collide distinct rows via separator
+    * injection — ("a\\u0001b","c") vs ("a","b\\u0001c") — and a null
+    * sentinel collides with a literal sentinel value, both silently
+    * undercounting; JSON quoting handles embedded delimiters and nulls
+    * natively. One partial-combined hash shuffle. */
   def dedupExactReplay(li: DataFrame): DataFrame = {
-    val rawHash = md5(concat_ws("\u0001",
-      li.columns.map(c => coalesce(col(c).cast("string"), lit("\u0000"))): _*))
+    val rawHash = md5(to_json(struct(li.columns.map(col): _*)))
     li.unionAll(li).select(rawHash.as("raw_hash"))
       .distinct()
       .agg(count(lit(1)).as("n_rows_after_dedup"))

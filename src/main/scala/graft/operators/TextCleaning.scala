@@ -106,15 +106,17 @@ object TextCleaning {
     * (|buckets| rows, broadcast back). Because bucket order equals
     * doc_id order, offset + within-bucket sum ≡ the flat running sum
     * (bit-equality with the single-window form asserted in spec). The
-    * tokenized projection is cached so subtotals and per-doc sums
-    * share one tokenization pass. */
+    * tokenized projection is localCheckpoint'd (eager, released by the
+    * ContextCleaner when the result frame is GC'd — never a pinned
+    * internal .cache(), per the repo's persistence contract) so
+    * subtotals and per-doc sums share one tokenization pass. */
   def packSequences(
       docs: DataFrame, windowTokens: Int = 2048,
       bucketDocs: Int = 65536): DataFrame = {
     val counted = docs.select(col("doc_id"), col("source"),
         size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+|\\S"), lit(0))).as("n_tokens"))
       .withColumn("bucket", floor(col("doc_id") / bucketDocs))
-      .cache()
+      .localCheckpoint()
     // exclusive cross-bucket offsets: a window over bucket subtotals
     val wB = Window.partitionBy("source").orderBy("bucket")
       .rowsBetween(Window.unboundedPreceding, -1)

@@ -245,18 +245,31 @@ class VectorExpressionsSpec extends AnyFunSuite with SparkSessionTestBase {
     }
   }
 
-  test("graft_winnow rejects arrays with nullable elements at analysis time") {
+  test("graft_winnow accepts nullable-element arrays, fails loudly on an actual null") {
     VectorFunctions.register(spark)
-    // getLong on a null slot would silently decode garbage — the type
-    // check must refuse nullable-element arrays (the function is
-    // SQL-registered, so arbitrary user input can reach it)
-    val e = intercept[org.apache.spark.sql.AnalysisException] {
+    // parquet-sourced BIGINT arrays are element-nullable by default
+    // even when no element is actually null — stored arrays must keep
+    // working (this was an analysis-time rejection once; that broke
+    // previously-valid SQL over stored data)
+    val dir = java.nio.file.Files.createTempDirectory("winnowparquet").toString
+    import spark.implicits._
+    Seq((1L, Seq(3L, 1L, 2L, 5L))).toDF("id", "hs").write.mode("overwrite").parquet(dir)
+    val fromParquet = spark.read.parquet(dir)
+    assert(fromParquet.schema("hs").dataType
+      .asInstanceOf[org.apache.spark.sql.types.ArrayType].containsNull)
+    val ok = fromParquet.selectExpr("graft_winnow(hs, 2) AS m").collect()
+    assert(ok.head.getAs[scala.collection.Seq[Long]]("m") === Seq(1L, 1L, 2L))
+    // an ACTUAL null element must fail loudly at runtime, never decode
+    // garbage through the raw getLong path
+    val e = intercept[Exception] {
       spark.sql("SELECT graft_winnow(array(1L, CAST(NULL AS BIGINT), 3L), 2)").collect()
     }
-    assert(e.getMessage.contains("non-null"))
+    def rootMessages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ rootMessages(x.getCause))
+    assert(rootMessages(e).exists(_.contains("null array element")))
     // the non-null literal form still analyzes and evaluates
-    val ok = spark.sql("SELECT graft_winnow(array(3L, 1L, 2L), 2) AS m").collect()
-    assert(ok.head.getAs[scala.collection.Seq[Long]]("m") === Seq(1L, 1L))
+    val lit = spark.sql("SELECT graft_winnow(array(3L, 1L, 2L), 2) AS m").collect()
+    assert(lit.head.getAs[scala.collection.Seq[Long]]("m") === Seq(1L, 1L))
   }
 
   test("graft_grams matches the transform/concat_ws lambda form bit-for-bit") {
