@@ -315,6 +315,12 @@ object SparkEntry {
       TextCleaning.normalizeUnicode(Tables.documents(s, d))),
     "q_seq_pack" -> ((s, d) => TextCleaning.packSequences(Tables.documents(s, d))),
     "q_session_window" -> ((s, d) => Etl.sessionWindows(Tables.events(s, d))),
+    // the STREAMING session_window formulation, run end-to-end (staged
+    // file source → watermark → append-mode session agg → memory sink)
+    // and returning the full session set — measured alongside the
+    // batch twin, sharing its oracle
+    "q_stream_session_window" -> ((s, d) =>
+      graft.streaming.EventsStream.sessionWindowRun(s, d)),
     "q_retention_cohorts" -> ((s, d) => Purchases.retentionCohorts(Tables.orders(s, d))),
     "q_price_percentiles" -> ((s, d) => Purchases.pricePercentiles(Tables.part(s, d))),
     "q_train_split" -> ((s, d) => Curation.splitCounts(Tables.documents(s, d))),
@@ -1219,6 +1225,27 @@ object SparkEntry {
          | ${m("max(p_retailprice)")} AS max_price
          |FROM part GROUP BY bucket ORDER BY bucket""".stripMargin,
     "q_session_window" ->
+      s"""WITH flagged AS (
+         | SELECT user_id, event_id, ts, value,
+         |  CASE WHEN lag(ts) OVER w IS NULL
+         |        OR ts > lag(ts) OVER w + INTERVAL '30 minutes' THEN 1 ELSE 0 END AS new_session
+         | FROM (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events)
+         | WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         |numbered AS (
+         | SELECT user_id, ts, value,
+         |  sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |    ROWS UNBOUNDED PRECEDING) AS session_seq
+         | FROM flagged)
+         |SELECT user_id,
+         | CAST(min(ts) AS TIMESTAMP) AS session_start,
+         | CAST(max(ts) + INTERVAL '30 minutes' AS TIMESTAMP) AS session_end,
+         | count(*) AS n_events,
+         | ${sSum("value", 2)} AS total_value
+         |FROM numbered GROUP BY user_id, session_seq
+         |ORDER BY user_id, session_start""".stripMargin,
+    // the streaming run emits the identical session set (sentinel-
+    // flushed append mode), so it shares the batch oracle verbatim
+    "q_stream_session_window" ->
       s"""WITH flagged AS (
          | SELECT user_id, event_id, ts, value,
          |  CASE WHEN lag(ts) OVER w IS NULL

@@ -115,6 +115,60 @@ object EventsStream {
       .withWatermark("ts", horizon)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Bounded end-to-end run of the STREAMING session_window
+    * aggregation, returning the complete session set — the measured
+    * driver entry for the streaming surface (q_stream_session_window),
+    * result equal to the batch Etl.sessionWindows so the two share one
+    * oracle.
+    *
+    * Append-mode session aggregations only emit a session once the
+    * watermark passes its end, so a bounded run would otherwise hold
+    * its tail sessions in state forever (the watermark stalls at
+    * max(ts) − delay). The staged source therefore carries one
+    * far-future SENTINEL event (user_id −1, +2 h): after the data
+    * batch the watermark advances past every real session end and the
+    * no-data batch flushes them all; only the sentinel's own session
+    * stays open, filtered from the result. State is O(open sessions)
+    * throughout — the same bound a production stream has. */
+  def sessionWindowRun(
+      spark: SparkSession, dir: String, gapMinutes: Int = 30): DataFrame = {
+    // watermarks reject TIMESTAMP_NTZ event time — cast to TIMESTAMP
+    // (session timezone is UTC, so wall values are unchanged)
+    val ev = graft.Tables.events(spark, dir)
+      .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
+        col("user_id"), col("event_type"), col("value"))
+    val root = java.nio.file.Files.createTempDirectory("graft_sess_stream")
+    val src = root.resolve("src").toString
+    ev.write.mode("overwrite").parquet(src)
+    ev.agg(max("ts").as("ts"))
+      .select(lit(-1L).as("event_id"),
+        (col("ts") + expr("INTERVAL 2 HOURS")).as("ts"),
+        lit(-1L).as("user_id"), lit("sentinel").as("event_type"),
+        lit(0.0).as("value"))
+      .write.mode("append").parquet(src)
+
+    val name = "graft_sess_stream_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    val q = spark.readStream
+      .schema(ev.schema)
+      .parquet(src)
+      .withWatermark("ts", "10 minutes")
+      .groupBy(col("user_id"), session_window(col("ts"), s"$gapMinutes minutes").as("w"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        graft.functions.StableStats.stableSum(col("value"), 2).as("total_value"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("n_events"), col("total_value"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName(name)
+      .option("checkpointLocation", root.resolve("ckpt").toString)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+
+    spark.table(name)
+      .filter(col("user_id") =!= -1L)
+      .orderBy("user_id", "session_start")
+  }
+
   /** Stateful gap sessionization via flatMapGroupsWithState: emits a
     * session row when the gap timeout fires (streaming form of
     * Etl.sessionize). */

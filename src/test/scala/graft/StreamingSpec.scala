@@ -301,6 +301,17 @@ class StreamingSpec extends AnyFunSuite with SparkSessionTestBase {
     assert(fileCount() < filesBefore)
   }
 
+  test("sessionWindowRun (streaming) equals the batch session_window twin") {
+    val streamed = SparkEntry.queries("q_stream_session_window")(spark, sfDir)
+      .withColumn("session_start", col("session_start").cast("timestamp_ntz"))
+      .withColumn("session_end", col("session_end").cast("timestamp_ntz"))
+      .collect().map(_.toString).toSeq
+    val batch = graft.operators.Etl.sessionWindows(Tables.events(spark, sfDir))
+      .collect().map(_.toString).toSeq
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("sessionizeStream emits gap-closed sessions") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("sessstream").toString
