@@ -135,4 +135,18 @@ class EmptyInputSpec extends AnyFunSuite with SparkSessionTestBase {
     assert(graft.sources.Multimodal.extractFeatures(
       graft.sources.Multimodal.mediaFromDocuments(emptyDocs)).count() === 0)
   }
+
+  test("round-6 operators on empty inputs") {
+    // occupancy report and capped pair generators on an empty corpus
+    assert(Dedup.minhashBucketOccupancy(emptyDocs).count() === 0)
+    assert(Dedup.minhashPairs(emptyDocs, bucketCap = 10).count() === 0)
+    assert(Dedup.simhashPairs(emptyDocs, bucketCap = 10).count() === 0)
+    assert(Similarity.embedNearDupPairs(emptyEmb, bucketCap = 10).count() === 0)
+    // labels-based cluster variants on an empty label frame
+    import spark.implicits._
+    val noLabels = Seq.empty[(Long, Long)].toDF("id", "label")
+    assert(Dedup.duplicateClustersFromLabels(noLabels).count() === 0)
+    val docsAll = Tables.documents(spark, sfDir)
+    assert(Dedup.dedupSurvivorsFromLabels(docsAll, noLabels).count() === docsAll.count())
+  }
 }
