@@ -231,6 +231,10 @@ object SparkEntry {
     "q_dedup_occupancy" -> ((s, d) =>
       Dedup.minhashBucketOccupancy(Tables.documents(s, d))),
     "q_dedup_simhash" -> ((s, d) => Dedup.simhashPairs(Tables.documents(s, d))),
+    // substring-level near-copy pairs (winnowed fingerprints): catches
+    // a long verbatim passage shared between otherwise-different docs,
+    // the mode whole-doc MinHash underweights
+    "q_substring_dup" -> ((s, d) => Dedup.substringDupPairs(Tables.documents(s, d))),
     "q_dedup_calibration" -> ((s, d) => Dedup.minhashCalibration(Tables.documents(s, d))),
     // incremental mode: docs >= 400 arrive as a new batch and dedup
     // against the signature index of the existing corpus (doc_id < 400).

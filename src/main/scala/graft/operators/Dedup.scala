@@ -309,6 +309,62 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Substring-overlap duplicate pairs via winnowed fingerprints
+    * (Schleimer et al. 2003, "Winnowing: Local Algorithms for Document
+    * Fingerprinting" — the MOSS sketch): the substring-level
+    * complement of whole-document MinHash. Two documents sharing one
+    * long verbatim passage score HIGH here even when their overall
+    * Jaccard is low — exactly the near-copy mode Lee et al. 2021
+    * ("Deduplicating Training Data Makes Language Models Better")
+    * show matters for training corpora, and the one q_dedup_minhash's
+    * whole-doc sketch underweights.
+    *
+    * Per doc: word `gramLen`-gram hashes → O(n) winnow window minima
+    * (`graft_winnow`) → distinct fingerprint set, all in one narrow
+    * codegen pass. The winnowing guarantee makes matches
+    * position-robust: any shared verbatim run of ≥ gramLen+window-1
+    * words shares at least one selected fingerprint regardless of
+    * where it sits in either document. Candidate generation is the
+    * repo's standard inverted-index shape: explode fingerprints, drop
+    * ultra-common ones (boilerplate passages) via partial-combined
+    * groupBy + anti-join against the small over-cap hot set — never a
+    * window over the fingerprint key — then a slim id-only self-join
+    * with map-side pair counting. `overlap` = shared /
+    * min(|fps_a|, |fps_b|) is CONTAINMENT, so a short document fully
+    * embedded in a long one scores 1.0. */
+  def substringDupPairs(
+      docs: DataFrame, gramLen: Int = 5, window: Int = 4,
+      minShared: Int = 2, dfCap: Long = 1000L): DataFrame = {
+    graft.functions.VectorFunctions.register(docs.sparkSession)
+    // localCheckpoint: read by the index build and the two size joins;
+    // eager + ContextCleaner-released (persistence contract)
+    val fps = docs.withColumn("toks", split(lower(col("text")), " ", -1))
+      .filter(size(col("toks")) >= gramLen + window - 1)
+      .select(col("doc_id"),
+        expr(s"array_distinct(graft_winnow(graft_grams(toks, $gramLen, false), $window))")
+          .as("fps"))
+      .localCheckpoint()
+    val inv = fps.select(col("doc_id"), explode(col("fps")).as("fp"))
+    val hot = inv.groupBy("fp").agg(count(lit(1)).as("df"))
+      .filter(col("df") > dfCap)
+      .select("fp")
+    val capped = inv.join(hot, Seq("fp"), "left_anti")
+    val pairs = capped.as("a")
+      .join(capped.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("shared_fps"))
+      .filter(col("shared_fps") >= minShared)
+    val sizes = fps.select(col("doc_id"), size(col("fps")).as("n_fps"))
+    pairs
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_fps").as("n_a")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_fps").as("n_b")), "doc_b")
+      .withColumn("overlap",
+        round(col("shared_fps") / least(col("n_a"), col("n_b")), 6))
+      .select("doc_a", "doc_b", "shared_fps", "overlap")
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Resolve near-duplicate PAIRS into duplicate CLUSTERS (connected
     * components). Adaptive strategy: LSH-surviving pair sets are tiny
     * relative to the corpus, so below `driverThreshold` pairs a driver

@@ -148,5 +148,6 @@ class EmptyInputSpec extends AnyFunSuite with SparkSessionTestBase {
     assert(Dedup.duplicateClustersFromLabels(noLabels).count() === 0)
     val docsAll = Tables.documents(spark, sfDir)
     assert(Dedup.dedupSurvivorsFromLabels(docsAll, noLabels).count() === docsAll.count())
+    assert(Dedup.substringDupPairs(emptyDocs).count() === 0)
   }
 }

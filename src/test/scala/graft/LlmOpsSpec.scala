@@ -113,6 +113,41 @@ class LlmOpsSpec extends AnyFunSuite with SparkSessionTestBase {
       .count() === 780 + 1)
   }
 
+  test("substringDupPairs finds a shared verbatim passage, not unrelated docs") {
+    import spark.implicits._
+    val passage = (1 to 40).map(w => s"quoted$w").mkString(" ")
+    val docA = (1 to 60).map(w => s"alpha$w").mkString(" ") + " " + passage
+    val docB = passage + " " + (1 to 60).map(w => s"beta$w").mkString(" ")
+    val docC = (1 to 100).map(w => s"gamma$w").mkString(" ")
+    val docs = Seq((1L, "en", docA), (2L, "en", docB), (3L, "en", docC))
+      .toDF("doc_id", "lang", "text")
+    val pairs = Dedup.substringDupPairs(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // A and B share only the 40-word verbatim passage — overall token
+    // overlap is low, but the winnowing guarantee surfaces the run
+    assert(pairs === Set((1L, 2L)))
+    // whole-doc jaccard misses it at any useful threshold: A∩B ≈ 40 of
+    // 160 distinct grams
+    assert(Dedup.ngramJaccard(docs, threshold = 0.3).count() === 0)
+    // determinism
+    val again = Dedup.substringDupPairs(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(again === pairs)
+    // overlap is containment: a short doc fully embedded in a long one
+    // scores 1.0
+    val contained = Seq((10L, "en", docA), (11L, "en", passage))
+      .toDF("doc_id", "lang", "text")
+    val c = Dedup.substringDupPairs(contained).collect()
+    assert(c.length === 1)
+    assert(c.head.getAs[Double]("overlap") === 1.0)
+    // boilerplate cap: 30 docs sharing one passage → its fingerprints
+    // exceed dfCap and generate no quadratic pair mass
+    val boiler = (1 to 30).map(i =>
+      (100L + i, "en", (1 to 30).map(w => s"tos$w").mkString(" ") + s" tail$i"))
+      .toDF("doc_id", "lang", "text")
+    assert(Dedup.substringDupPairs(boiler, dfCap = 10).count() === 0)
+  }
+
   test("perplexityScore frequency floor scores rare tokens at singleton surprisal") {
     val docs = Tables.documents(spark, docDir)
     // floor 1 is the exact formulation
