@@ -194,6 +194,16 @@ class PlanRegressionSpec extends AnyFunSuite with SparkSessionTestBase {
     assert(indexed === online)
   }
 
+  test("substring-dup df-cap aggregates the fingerprint key, never windows it") {
+    val p = plan("q_substring_dup")
+    // same contract as the ngram lock: the hot-fingerprint cap must be
+    // a partial-combined groupBy + anti-join, not a window over the
+    // fingerprint key
+    assert(!p.contains("Window ["))
+    assert(p.contains("partial_count") || p.contains("partial count"))
+    assert(p.contains("LeftAnti"))
+  }
+
   test("ngram df-cap aggregates the gram key, never windows it") {
     val p = plan("q_ngram_jaccard")
     // df must come from a partial-combined groupBy (a boilerplate gram
