@@ -180,9 +180,12 @@ object Dedup {
     // relational formulation (explode → slot-min agg → re-assembly)
     // shuffled |docs|·k slot rows twice; graft_minhash computes the
     // identical signature (asserted in spec) with ZERO shuffles.
-    // Cached: reused by the bucket self-join (2 branches) and both
-    // signature re-joins — once instead of 4×.
-    val sigs = minhashSignatures(docs, shingleLen, numHashes).cache()
+    // localCheckpoint'd: reused by the bucket self-join (2 branches)
+    // and both signature re-joins — once instead of 4× — and released
+    // by the ContextCleaner when the result is GC'd (an internal
+    // .cache() would pin blocks forever; persistence contract, see
+    // minhashPairsAgainst).
+    val sigs = minhashSignatures(docs, shingleLen, numHashes).localCheckpoint()
 
     val buckets = capBuckets(bandKeys(sigs, numHashes, bands), Seq("band", "bh"), bucketCap)
     val candidates = buckets.as("a")
@@ -491,8 +494,10 @@ object Dedup {
       .filter(size(col("w")) >= n)
       .withColumn("grams", expr(s"graft_grams(w, $n, true)"))
       .select(col("doc_id"), col("lang"), col("grams"), size(col("grams")).as("sz"))
-      // read by the index build and both verify-join branches
-      .cache()
+      // read by the index build and both verify-join branches;
+      // localCheckpoint per the persistence contract (ContextCleaner-
+      // released, never a pinned internal cache)
+      .localCheckpoint()
     val inv = g.select(col("doc_id"), col("lang"), explode(col("grams")).as("gh"))
     // df via partial-combined aggregation: a boilerplate gram collapses
     // map-side to ONE row per input partition before the shuffle, so no

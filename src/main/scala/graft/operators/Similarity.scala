@@ -149,7 +149,10 @@ object Similarity {
     val e = withNorm(emb)
       .withColumn("vn", expr("transform(v, x -> x / norm)"))
       .select("vec_id", "vn")
-      .cache()
+      // localCheckpoint per the persistence contract: eager,
+      // ContextCleaner-released — an internal .cache() would pin
+      // blocks across repeated index builds in a long-lived session
+      .localCheckpoint()
 
     // localCheckpoint: the sample feeds every Lloyd pass — materialize
     // the TakeOrdered once instead of re-sorting the corpus per iter
@@ -268,7 +271,7 @@ object Similarity {
       nCentroids: Int = 16, lloydIters: Int = 2, nProbe: Int = 4,
       trainFactor: Int = 64): DataFrame = {
     val (e, centroids) = ivfModel(emb, nCentroids, lloydIters, trainFactor)
-    val assigned = assignTo(e, centroids).select("vec_id", "vn", "cid").cache()
+    val assigned = assignTo(e, centroids).select("vec_id", "vn", "cid").localCheckpoint()
     // each query probes its nProbe nearest centroid lists
     val wq = Window.partitionBy("vec_id").orderBy(col("sim").desc, col("cid"))
     val probes = e.filter(col("vec_id") < nQueries)

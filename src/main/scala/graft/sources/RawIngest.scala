@@ -58,7 +58,12 @@ object RawIngest {
       .option("mode", "PERMISSIVE")
       .option("columnNameOfCorruptRecord", "_corrupt_record")
       .json(path)
-      .cache() // one scan serves both splits
+      // one scan serves both splits; localCheckpoint per the
+      // persistence contract (eager, ContextCleaner-released — an
+      // internal .cache() would pin blocks for the session) and it
+      // materializes _corrupt_record, which Spark forbids querying
+      // straight off the lazy scan
+      .localCheckpoint()
     val ok = raw.filter(col("_corrupt_record").isNull).drop("_corrupt_record")
     val quarantined = raw.filter(col("_corrupt_record").isNotNull)
       .select(col("_corrupt_record").as("raw_line"))

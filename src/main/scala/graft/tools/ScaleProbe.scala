@@ -73,11 +73,13 @@ object ScaleProbe {
     marker.createNewFile(): Unit
   }
 
-  private def time(spark: SparkSession, dir: String, runs: Int): Map[String, Double] = {
+  private def time(
+      spark: SparkSession, dir: String, runs: Int,
+      qs: Seq[String]): Map[String, Double] = {
     val perRun = (1 to runs).map { r =>
       SparkEntry.clearSharedCaches()
       spark.catalog.clearCache()
-      headliners.map { name =>
+      qs.map { name =>
         val t0 = System.nanoTime()
         SparkEntry.queries(name)(spark, dir)
           .write.format("noop").mode("overwrite").save()
@@ -91,6 +93,9 @@ object ScaleProbe {
     val base = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
     val rep = if (args.length > 2) args(2).toInt else 10
     val out = if (args.length > 1) args(1) else s"/tmp/graft_sf_rep$rep"
+    // optional trailing args: probe these queries instead of the
+    // default headliners (e.g. the dedup family after a plan rewrite)
+    val qs = if (args.length > 3) args.drop(3).toSeq else headliners
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -107,10 +112,10 @@ object ScaleProbe {
     SparkEntry.queries("q1_pricing_summary")(spark, base)
       .write.format("noop").mode("overwrite").save()
 
-    val tBase = time(spark, base, runs = 3)
-    val tRep = time(spark, out, runs = 3)
+    val tBase = time(spark, base, runs = 3, qs)
+    val tRep = time(spark, out, runs = 3, qs)
     println(f"${"query"}%-28s ${"sf0.1"}%8s ${s"${rep}x"}%9s ${"ratio"}%7s ${"exponent"}%9s")
-    headliners.foreach { q =>
+    qs.foreach { q =>
       val (a, b) = (tBase(q), tRep(q))
       val ratio = b / a
       val expo = math.log(ratio) / math.log(rep.toDouble)

@@ -72,7 +72,11 @@ class PlanRegressionSpec extends AnyFunSuite with SparkSessionTestBase {
 
   test("sketch queries run on native codegen expressions, not lambdas") {
     assert(plan("q_dedup_simhash").contains("graft_simhash"))
-    assert(plan("q_dedup_minhash").contains("graft_minhash"))
+    // minhashPairs localCheckpoints the signature frame (persistence
+    // contract), so the pairs plan scans the materialized RDD; the
+    // native-expression lock lives on the signature stage itself
+    assert(operators.Dedup.minhashSignatures(Tables.documents(spark, sfDir))
+      .queryExecution.executedPlan.toString.contains("graft_minhash"))
     assert(plan("q_embed_neardup").contains("graft_lsh"))
     assert(plan("q_embed_lsh_topk").contains("graft_dot"))
   }
