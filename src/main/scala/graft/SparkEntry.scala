@@ -251,6 +251,8 @@ object SparkEntry {
     "q_embed_lsh" -> ((s, d) => Similarity.embedLshBuckets(Tables.embeddings(s, d))),
     "q_embed_lsh_topk" -> ((s, d) => Similarity.embedLshTopK(Tables.embeddings(s, d))),
     "q_embed_ivf_topk" -> ((s, d) => Similarity.embedIvfTopK(Tables.embeddings(s, d))),
+    "q_embed_sq_topk" -> ((s, d) => Similarity.embedSqTopK(Tables.embeddings(s, d))),
+    "q_embed_ivf_sq_topk" -> ((s, d) => Similarity.embedIvfSqTopK(Tables.embeddings(s, d))),
     "q_embed_clusters" -> ((s, d) => Similarity.embedClusterStats(Tables.embeddings(s, d))),
     "q_cluster_quality" -> ((s, d) =>
       Similarity.clusterQuality(Tables.embeddings(s, d), Tables.documents(s, d))),

@@ -291,6 +291,47 @@ object Similarity {
       .transform(topKByCos(_, k))
   }
 
+  /** IVF × SQ composition — the two orthogonal ANN scale axes in one
+    * plan (the FAISS IVF-SQ analog): IVF list probing cuts the
+    * CANDIDATE count to ~corpus·nProbe/nCentroids, the int8 index cuts
+    * the BYTES each surviving candidate costs to score, and the fp
+    * corpus is touched only for the rerankFactor·k survivors per
+    * query. One quantized artifact ([[sqIndex]]) keyed into the IVF
+    * lists serves both this and the flat [[embedSqTopK]] — vn never
+    * rides the probe join. */
+  def embedIvfSqTopK(
+      emb: DataFrame, nQueries: Int = 10, k: Int = 5,
+      nCentroids: Int = 16, lloydIters: Int = 2, nProbe: Int = 4,
+      rerankFactor: Int = 4, trainFactor: Int = 64): DataFrame = {
+    val (e, centroids) = ivfModel(emb, nCentroids, lloydIters, trainFactor)
+    val lists = sqIndex(emb)
+      .join(assignTo(e, centroids).select("vec_id", "cid"), "vec_id")
+    val wq = Window.partitionBy("vec_id").orderBy(col("sim").desc, col("cid"))
+    val qSq = sqIndex(emb).filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("qv").as("qqv"),
+        col("scale").as("qscale"), col("norm").as("sqn"))
+    val probes = e.filter(col("vec_id") < nQueries)
+      .crossJoin(broadcast(centroids))
+      .withColumn("sim", expr("graft_dot(vn, cvec)"))
+      .withColumn("rn", row_number().over(wq))
+      .filter(col("rn") <= nProbe)
+      .select(col("vec_id").as("query_id"), col("cid"))
+      .join(qSq, "query_id")
+    val survivors = lists.join(broadcast(probes), Seq("cid"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("acos", round(
+        expr("graft_dot(cast(qv as array<double>), cast(qqv as array<double>))") *
+          col("scale") * col("qscale") / (col("norm") * col("sqn")), 6))
+      .groupBy("query_id")
+      .agg(expr(s"graft_topk(acos, vec_id, ${rerankFactor * k})").as("top"))
+      .select(col("query_id"), explode(col("top.id")).as("vec_id"))
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("vn").as("fqv"))
+    survivors.join(e, "vec_id").join(broadcast(q), "query_id")
+      .withColumn("cos_r", round(expr("graft_dot(vn, fqv)"), 6))
+      .transform(topKByCos(_, k))
+  }
+
   /** Approximate top-k via multi-table LSH: `tables` independent
     * hyperplane hashings (seed-offset planes), candidates = union of
     * per-table bucket matches (equi-join on (table, bucket) — never a
@@ -330,6 +371,67 @@ object Similarity {
       .join(e, "vec_id")
       .join(broadcast(q), "query_id")
       .withColumn("cos_r", round(expr("graft_dot(v, qv)") / (col("norm") * col("qn")), 6))
+      .transform(topKByCos(_, k))
+  }
+
+  /** Per-vector symmetric int8 scalar quantization of the corpus — the
+    * compact ANN index (the FAISS IndexScalarQuantizer QT_8bit
+    * pattern, re-expressed relationally): `scale = max|x|/127`,
+    * `qv[i] = round(x[i]/scale)` as tinyint, plus the EXACT fp norm so
+    * the rerank never re-derives it. The stored index is ~4× smaller
+    * than the fp32 corpus — at 100 TB of embeddings the approximate
+    * scoring pass scans ~25 TB, and only the rerank pool's fp vectors
+    * are read again. Persist through Sinks and read back for the
+    * production shape; [[embedSqTopK]] builds it inline. */
+  def sqIndex(emb: DataFrame): DataFrame = {
+    graft.functions.VectorFunctions.register(emb.sparkSession)
+    emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("norm", expr("sqrt(graft_dot(v, v))"))
+      // 1e-30 floor: an all-zero vector quantizes to zeros instead of
+      // dividing by zero (its cosine is NULL-excluded downstream anyway)
+      .withColumn("scale",
+        greatest(expr("array_max(transform(v, x -> abs(x)))"), lit(1e-30)) / 127.0)
+      .select(col("vec_id"),
+        expr("transform(v, x -> cast(round(x / scale) as tinyint))").as("qv"),
+        col("scale"), col("norm"))
+  }
+
+  /** Scalar-quantized ANN top-k: approximate scoring over the int8
+    * index, exact fp rerank of the survivors.
+    *
+    * approx cosine = scale_c·scale_q·Σ(qc_i·qq_i) / (norm_c·norm_q) —
+    * the int8 dot is exact in double (|q| ≤ 127), so the only error is
+    * coordinate quantization; recall vs the exact baseline is
+    * spec-asserted. Both passes are bounded: pass 1 scans the slim
+    * index once against the broadcast query set and keeps
+    * rerankFactor·k ids per query through the bounded graft_topk
+    * partial aggregate (map-side top-k, same shape as [[embedTopK]]);
+    * pass 2 joins only those ids back to fp vectors. Unlike the LSH and
+    * IVF paths this still reads the whole (quantized) corpus per query
+    * batch — it is the memory/IO-reduction axis, composable with IVF's
+    * candidate-reduction axis. */
+  def embedSqTopK(
+      emb: DataFrame, nQueries: Int = 10, k: Int = 5,
+      rerankFactor: Int = 4): DataFrame = {
+    graft.functions.VectorFunctions.register(emb.sparkSession)
+    val idx = sqIndex(emb)
+    val qi = idx.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("qv").as("qqv"),
+        col("scale").as("qscale"), col("norm").as("qn"))
+    val survivors = idx.join(broadcast(qi), col("vec_id") =!= col("query_id"))
+      .withColumn("acos", round(
+        expr("graft_dot(cast(qv as array<double>), cast(qqv as array<double>))") *
+          col("scale") * col("qscale") / (col("norm") * col("qn")), 6))
+      .groupBy("query_id")
+      .agg(expr(s"graft_topk(acos, vec_id, ${rerankFactor * k})").as("top"))
+      .select(col("query_id"), explode(col("top.id")).as("vec_id"))
+    val e = withNorm(emb)
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("fqv"), col("norm").as("fqn"))
+    survivors
+      .join(e, "vec_id")
+      .join(broadcast(q), "query_id")
+      .withColumn("cos_r", round(expr("graft_dot(v, fqv)") / (col("norm") * col("fqn")), 6))
       .transform(topKByCos(_, k))
   }
 }

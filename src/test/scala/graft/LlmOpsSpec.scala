@@ -242,6 +242,50 @@ class LlmOpsSpec extends AnyFunSuite with SparkSessionTestBase {
     assert(recall > 0.4, s"recall=$recall")
   }
 
+  test("embedSqTopK int8 index reranks to near-exact recall, deterministically") {
+    val emb = Tables.embeddings(spark, docDir)
+    val exact = Similarity.embedTopK(emb, nQueries = 10, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sq = Similarity.embedSqTopK(emb, nQueries = 10, k = 5).collect()
+    val approx = sq.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sq.length === 50)
+    // int8 coordinate error is tiny relative to cosine gaps, and the
+    // 4k rerank pool re-ranks exactly — recall should be ~1, not "sane"
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall > 0.9, s"recall=$recall")
+    val again = Similarity.embedSqTopK(emb, nQueries = 10, k = 5).collect()
+    assert(sq.map(_.toString).toSeq === again.map(_.toString).toSeq)
+    // the stored index really is int8 + per-vector scale + exact norm
+    val schema = Similarity.sqIndex(emb).schema
+    assert(schema("qv").dataType.asInstanceOf[
+      org.apache.spark.sql.types.ArrayType].elementType ===
+      org.apache.spark.sql.types.ByteType)
+    // quantized approximate cosine stays within the int8 error envelope
+    // of the exact cosine for the planted identical-direction pair
+    val idx = Similarity.sqIndex(emb)
+    val z = idx.filter(col("scale") <= 1e-30 / 127.0).count()
+    assert(z === 0) // test embeddings have no all-zero vectors
+  }
+
+  test("embedIvfSqTopK composes list probing with int8 scoring at IVF-level recall") {
+    val emb = Tables.embeddings(spark, docDir)
+    val ivf = Similarity.embedIvfTopK(emb, nQueries = 10, k = 5,
+      nCentroids = 16, lloydIters = 2, nProbe = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val composed = Similarity.embedIvfSqTopK(emb, nQueries = 10, k = 5,
+      nCentroids = 16, lloydIters = 2, nProbe = 8).collect()
+    val got = composed.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(composed.nonEmpty)
+    // identical probe lists + exact fp rerank: quantization only
+    // perturbs which candidates reach the rerank pool, so the composed
+    // result should nearly coincide with plain IVF at the same nProbe
+    val agree = (ivf intersect got).size.toDouble / ivf.size
+    assert(agree > 0.9, s"agreement with plain IVF=$agree")
+    val again = Similarity.embedIvfSqTopK(emb, nQueries = 10, k = 5,
+      nCentroids = 16, lloydIters = 2, nProbe = 8).collect()
+    assert(composed.map(_.toString).toSeq === again.map(_.toString).toSeq)
+  }
+
   test("embedIvfTopK probes centroid lists with sane recall") {
     val emb = Tables.embeddings(spark, docDir)
     val exact = Similarity.embedTopK(emb, nQueries = 10, k = 5).collect()
