@@ -286,6 +286,35 @@ class LlmOpsSpec extends AnyFunSuite with SparkSessionTestBase {
     assert(composed.map(_.toString).toSeq === again.map(_.toString).toSeq)
   }
 
+  test("embedPqTopK ADC scoring reranks to sane recall; codes really compress") {
+    val emb = Tables.embeddings(spark, docDir)
+    val exact = Similarity.embedTopK(emb, nQueries = 10, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pq = Similarity.embedPqTopK(emb, nQueries = 10, k = 5).collect()
+    val approx = pq.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pq.length === 50)
+    // random unit vectors are PQ's worst case (no cluster structure);
+    // the 8k rerank pool still recovers a solid fraction of the truth
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall > 0.3, s"recall=$recall")
+    val again = Similarity.embedPqTopK(emb, nQueries = 10, k = 5).collect()
+    assert(pq.map(_.toString).toSeq === again.map(_.toString).toSeq)
+
+    // the packed artifact: m tinyint codes per vector, materially
+    // smaller than the fp corpus on disk
+    val codes = Similarity.pqCodes(emb)
+    assert(codes.count() === emb.count())
+    assert(codes.select(size(col("codes"))).distinct().collect()
+      .map(_.getInt(0)).toSeq === Seq(8))
+    val dir = java.nio.file.Files.createTempDirectory("pq").toString
+    codes.write.parquet(s"$dir/codes")
+    emb.select("vec_id", "embedding").write.parquet(s"$dir/fp")
+    def bytes(p: String) = new java.io.File(p).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.length()).sum
+    val ratio = bytes(s"$dir/fp").toDouble / bytes(s"$dir/codes")
+    assert(ratio > 4.0, s"compression ratio=$ratio")
+  }
+
   test("embedIvfTopK probes centroid lists with sane recall") {
     val emb = Tables.embeddings(spark, docDir)
     val exact = Similarity.embedTopK(emb, nQueries = 10, k = 5).collect()

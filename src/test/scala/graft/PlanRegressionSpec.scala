@@ -81,6 +81,20 @@ class PlanRegressionSpec extends AnyFunSuite with SparkSessionTestBase {
     assert(plan("q_embed_lsh_topk").contains("graft_dot"))
   }
 
+  test("quantized ANN ranks through bounded graft_topk, never a window") {
+    // SQ and PQ scoring pools rerank candidates via the map-side
+    // partial top-k aggregate; a row_number window would shuffle the
+    // full scored candidate set per query
+    val sq = plan("q_embed_sq_topk")
+    assert(sq.contains("partial_graft_topk"))
+    assert(!sq.contains("row_number"))
+    val pq = plan("q_embed_pq_topk")
+    assert(pq.contains("partial_graft_topk"))
+    assert(!pq.contains("row_number"))
+    // ADC partial dots combine map-side before the (query, vec) shuffle
+    assert(pq.contains("partial_sum"))
+  }
+
   test("top-terms is a partial-combined aggregate with fused top-k") {
     val p = plan("q_top_terms")
     // two HashAggregates around one Exchange (map-side combine), then
