@@ -92,6 +92,70 @@ case class DotProduct(left: Expression, right: Expression,
     copy(left = l, right = r)
 }
 
+/** ADC (asymmetric distance computation) lookup for product-quantized
+  * codes (Jégou et al. 2011 §IV — the scoring kernel of FAISS
+  * IndexPQ): `graft_pq_adc(codes, lut)` = Σ_s lut\[s\]\[codes\[s\]−1\].
+  * `codes` is the corpus side's m 1-based sub-centroid ids
+  * (array<tinyint>); `lut` the query side's per-subspace partial-dot
+  * table (array<array<double>>, sub-ordered, index c−1 holds centroid
+  * c's partial). NULL on ragged inputs, a null element, or an
+  * out-of-range code, so a codebook/code mismatch fails loudly
+  * instead of scoring garbage. Keeps the hot PQ scan inside
+  * whole-stage codegen — a `zip_with`/`aggregate` lambda formulation
+  * would interpret m closure calls per row. */
+case class PqAdc(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_pq_adc"
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val codes = a.asInstanceOf[ArrayData]
+    val lut = b.asInstanceOf[ArrayData]
+    val m = codes.numElements()
+    if (m != lut.numElements()) return null
+    var s = 0.0
+    var i = 0
+    while (i < m) {
+      if (codes.isNullAt(i) || lut.isNullAt(i)) return null
+      val row = lut.getArray(i)
+      val c = codes.getByte(i).toInt - 1
+      if (c < 0 || c >= row.numElements() || row.isNullAt(c)) return null
+      s += row.getDouble(c)
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val m = ctx.freshName("m")
+      val s = ctx.freshName("s")
+      val row = ctx.freshName("row")
+      val c = ctx.freshName("c")
+      s"""
+         |int $m = $a.numElements();
+         |double $s = 0.0;
+         |if ($m != $b.numElements()) ${ev.isNull} = true;
+         |for (int $i = 0; $i < $m && !${ev.isNull}; $i++) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |  org.apache.spark.sql.catalyst.util.ArrayData $row = $b.getArray($i);
+         |  int $c = ((int) $a.getByte($i)) - 1;
+         |  if ($c < 0 || $c >= $row.numElements() || $row.isNullAt($c)) {
+         |    ${ev.isNull} = true; break;
+         |  }
+         |  $s += $row.getDouble($c);
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** Native multi-table random-hyperplane LSH bucketing over a double
   * vector: returns one `planes`-bit sign bucket per table as
   * array<long> (element l = table l's bucket).
@@ -624,6 +688,8 @@ object VectorFunctions {
       : Seq[(String, Class[_], Seq[Expression] => Expression)] = Seq(
     ("graft_dot", classOf[DotProduct],
       (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1))),
+    ("graft_pq_adc", classOf[PqAdc],
+      (exprs: Seq[Expression]) => PqAdc(exprs(0), exprs(1))),
     ("graft_nfc", classOf[NfcNormalize],
       (exprs: Seq[Expression]) => NfcNormalize(exprs.head)),
     ("graft_sample", classOf[BottomKByHash],

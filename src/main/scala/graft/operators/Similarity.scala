@@ -383,8 +383,22 @@ object Similarity {
         .agg(expr("transform(array_sort(collect_list(struct(pos, mx))), s -> s.mx)").as("cvec"))
         .localCheckpoint()
     }
-    cents
+    // contiguous 1..n cids per subspace even if Lloyd dropped a
+    // centroid (empty assignment set): codes index ADC LUT rows by
+    // cid, so a gap would misalign every lookup after it. Bounded
+    // window: ≤ nCodes rows per sub.
+    cents.select(col("sub"),
+      row_number().over(Window.partitionBy("sub").orderBy("cid")).as("cid"),
+      col("cvec"))
   }
+
+  /** vec_id + the m sub-ordered tinyint codes — the packed scan form
+    * shared by [[pqCodes]] and [[embedPqTopK]]'s scoring pass. */
+  private def pqEncode(e: DataFrame, m: Int, cents: DataFrame): DataFrame =
+    pqAssign(pqSubvectors(e, m), cents)
+      .groupBy("vec_id")
+      .agg(expr("transform(array_sort(collect_list(struct(sub, cid))), " +
+        "s -> cast(s.cid as tinyint))").as("codes"))
 
   /** The packed PQ artifact: vec_id + m tinyint codes — 64-dim fp32
     * collapses to 8 bytes of codes (~32× smaller than the corpus; the
@@ -399,26 +413,23 @@ object Similarity {
       .withColumn("vn", expr("transform(v, x -> x / norm)"))
       .select("vec_id", "vn")
     val cents = pqModel(e, m, nCodes, lloydIters, trainFactor)
-    pqAssign(pqSubvectors(e, m), cents)
-      .groupBy("vec_id")
-      .agg(expr("transform(array_sort(collect_list(struct(sub, cid))), " +
-        "s -> cast(s.cid as tinyint))").as("codes"))
-      .orderBy("vec_id")
+    pqEncode(e, m, cents).orderBy("vec_id")
   }
 
   /** Product-quantization ANN top-k (Jégou et al. 2011; the FAISS
     * IndexPQ pattern): per-subspace codebooks → m-code corpus → ADC
     * scoring — approx cos(q, x) = Σ_s dot(q_s, cvec[s][code_s(x)]).
     *
-    * The ADC lookup table is RELATIONAL, not a per-row lambda: LUT =
-    * queries × m × nCodes partial dots (tiny — 10·8·16 rows), broadcast
-    * against the slim (vec_id, sub, cid) code scan; per-candidate
-    * scores assemble via a partial-combined SUM over the m matched
-    * partials, then the bounded graft_topk pool, then exact fp rerank
-    * of the survivors only. The scan side carries three small ints per
-    * row — at 100 TB the scored pass reads the ~32×-smaller code
-    * artifact, the codebook join is a broadcast, and no lambda or UDF
-    * touches the hot path. */
+    * ADC runs through the native `graft_pq_adc` codegen kernel: the
+    * per-query lookup table (m × nCodes partial dots, assembled
+    * relationally — tiny) rides a broadcast against the packed
+    * m-tinyint code scan, each candidate scores with one table-walk
+    * inside whole-stage codegen, and the ONLY shuffle after the
+    * broadcast is graft_topk's bounded partial aggregate (k·partitions
+    * rows per query — never one row per scored (query, vector) pair,
+    * which is corpus-sized). At 100 TB the scored pass reads the
+    * ~32×-smaller code artifact; no lambda or UDF touches the hot
+    * path. */
   def embedPqTopK(
       emb: DataFrame, nQueries: Int = 10, k: Int = 5,
       m: Int = 8, nCodes: Int = 16, lloydIters: Int = 2,
@@ -429,16 +440,22 @@ object Similarity {
       .select("vec_id", "vn")
       .localCheckpoint() // feeds training, encoding, LUT, and rerank
     val cents = pqModel(e, m, nCodes, lloydIters, trainFactor)
-    val codes = pqAssign(pqSubvectors(e, m), cents).select("vec_id", "sub", "cid")
+    val codes = pqEncode(e, m, cents)
+    // LUT row order mirrors the code layout by construction: lut[s] is
+    // sub s's cid-ascending partials, and cids are contiguous
+    // (pqModel renumbers), so code c indexes straight into position c-1
     val lut = pqSubvectors(e.filter(col("vec_id") < nQueries), m)
       .select(col("vec_id").as("query_id"), col("sub"), col("svec").as("qsvec"))
       .join(cents, "sub")
       .withColumn("partial", expr("graft_dot(qsvec, cvec)"))
-      .select("query_id", "sub", "cid", "partial")
-    val survivors = codes.join(broadcast(lut), Seq("sub", "cid"))
-      .filter(col("vec_id") =!= col("query_id"))
-      .groupBy("query_id", "vec_id")
-      .agg(round(sum("partial"), 6).as("acos"))
+      .groupBy("query_id", "sub")
+      .agg(expr("transform(array_sort(collect_list(struct(cid, partial))), " +
+        "s -> s.partial)").as("lrow"))
+      .groupBy("query_id")
+      .agg(expr("transform(array_sort(collect_list(struct(sub, lrow))), " +
+        "s -> s.lrow)").as("lut"))
+    val survivors = codes.join(broadcast(lut), col("vec_id") =!= col("query_id"))
+      .withColumn("acos", round(expr("graft_pq_adc(codes, lut)"), 6))
       .groupBy("query_id")
       .agg(expr(s"graft_topk(acos, vec_id, ${rerankFactor * k})").as("top"))
       .select(col("query_id"), explode(col("top.id")).as("vec_id"))

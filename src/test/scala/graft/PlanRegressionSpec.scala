@@ -90,9 +90,15 @@ class PlanRegressionSpec extends AnyFunSuite with SparkSessionTestBase {
     assert(!sq.contains("row_number"))
     val pq = plan("q_embed_pq_topk")
     assert(pq.contains("partial_graft_topk"))
-    assert(!pq.contains("row_number"))
-    // ADC partial dots combine map-side before the (query, vec) shuffle
-    assert(pq.contains("partial_sum"))
+    // ADC scores via the native kernel on the packed-code scan — the
+    // shuffle after the broadcast LUT is the bounded top-k partial,
+    // never one row per scored (query, vector) pair
+    assert(pq.contains("graft_pq_adc"))
+    // the only window is pqModel's per-subspace cid renumbering
+    // (bounded: ≤ nCodes rows per sub); nothing windows per query or
+    // per vector
+    assert(!pq.contains("windowspecdefinition(query_id"))
+    assert(!pq.contains("windowspecdefinition(vec_id"))
   }
 
   test("top-terms is a partial-combined aggregate with fused top-k") {

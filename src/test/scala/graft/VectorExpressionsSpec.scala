@@ -216,6 +216,35 @@ class VectorExpressionsSpec extends AnyFunSuite with SparkSessionTestBase {
     }
   }
 
+  test("graft_pq_adc matches the zip_with/element_at lambda form; NULL on mismatch") {
+    VectorFunctions.register(spark)
+    import spark.implicits._
+    // Seq[Byte], not Array[Byte]: the latter encodes as BINARY, not
+    // array<tinyint> (the code artifact's real type)
+    val df = Seq(
+      (1L, Seq[Byte](1, 3, 2),
+        Seq(Seq(0.5, 1.0, 1.5), Seq(2.0, 2.5, 3.0), Seq(4.0, 5.0, 6.0))),
+      (2L, Seq[Byte](2, 2, 2),
+        Seq(Seq(0.1, 0.2, 0.3), Seq(1.0, 2.0, 3.0), Seq(7.0, 8.0, 9.0))),
+      (3L, Seq.empty[Byte], Seq.empty[Seq[Double]]))
+      .toDF("id", "codes", "lut")
+    val rows = df.select(col("id"),
+      expr("graft_pq_adc(codes, lut)").as("native"),
+      expr("aggregate(zip_with(codes, lut, (c, row) -> element_at(row, cast(c as int)))," +
+        " 0D, (acc, v) -> acc + v)").as("lambda")).collect()
+    rows.foreach { r =>
+      assert(math.abs(r.getDouble(1) - r.getDouble(2)) < 1e-12, s"id=${r.getLong(0)}")
+    }
+    // out-of-range code or ragged codes/lut → NULL, never a garbage score
+    val bad = Seq(
+      (Seq[Byte](4), Seq(Seq(1.0, 2.0, 3.0))),
+      (Seq[Byte](0), Seq(Seq(1.0, 2.0, 3.0))),
+      (Seq[Byte](1, 2), Seq(Seq(1.0))))
+      .toDF("codes", "lut")
+    val nulls = bad.select(expr("graft_pq_adc(codes, lut)").as("s")).collect()
+    assert(nulls.forall(_.isNullAt(0)))
+  }
+
   test("graft_winnow matches the transform/array_min/slice lambda form") {
     VectorFunctions.register(spark)
     import spark.implicits._
