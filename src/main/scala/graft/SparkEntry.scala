@@ -254,6 +254,7 @@ object SparkEntry {
     "q_embed_sq_topk" -> ((s, d) => Similarity.embedSqTopK(Tables.embeddings(s, d))),
     "q_embed_ivf_sq_topk" -> ((s, d) => Similarity.embedIvfSqTopK(Tables.embeddings(s, d))),
     "q_embed_pq_topk" -> ((s, d) => Similarity.embedPqTopK(Tables.embeddings(s, d))),
+    "q_embed_ivf_pq_topk" -> ((s, d) => Similarity.embedIvfPqTopK(Tables.embeddings(s, d))),
     "q_embed_clusters" -> ((s, d) => Similarity.embedClusterStats(Tables.embeddings(s, d))),
     "q_cluster_quality" -> ((s, d) =>
       Similarity.clusterQuality(Tables.embeddings(s, d), Tables.documents(s, d))),

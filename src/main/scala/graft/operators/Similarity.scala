@@ -392,6 +392,24 @@ object Similarity {
       col("cvec"))
   }
 
+  /** Per-query ADC lookup table: lut[s] is sub s's cid-ascending
+    * partial dots. Row order mirrors the code layout by construction —
+    * cids are contiguous (pqModel renumbers), so code c indexes
+    * straight into position c−1 of its sub's row. queries × m × nCodes
+    * values: tiny, built relationally, broadcast by the caller. */
+  private def pqLut(
+      e: DataFrame, m: Int, cents: DataFrame, nQueries: Int): DataFrame =
+    pqSubvectors(e.filter(col("vec_id") < nQueries), m)
+      .select(col("vec_id").as("query_id"), col("sub"), col("svec").as("qsvec"))
+      .join(cents, "sub")
+      .withColumn("partial", expr("graft_dot(qsvec, cvec)"))
+      .groupBy("query_id", "sub")
+      .agg(expr("transform(array_sort(collect_list(struct(cid, partial))), " +
+        "s -> s.partial)").as("lrow"))
+      .groupBy("query_id")
+      .agg(expr("transform(array_sort(collect_list(struct(sub, lrow))), " +
+        "s -> s.lrow)").as("lut"))
+
   /** vec_id + the m sub-ordered tinyint codes — the packed scan form
     * shared by [[pqCodes]] and [[embedPqTopK]]'s scoring pass. */
   private def pqEncode(e: DataFrame, m: Int, cents: DataFrame): DataFrame =
@@ -441,20 +459,53 @@ object Similarity {
       .localCheckpoint() // feeds training, encoding, LUT, and rerank
     val cents = pqModel(e, m, nCodes, lloydIters, trainFactor)
     val codes = pqEncode(e, m, cents)
-    // LUT row order mirrors the code layout by construction: lut[s] is
-    // sub s's cid-ascending partials, and cids are contiguous
-    // (pqModel renumbers), so code c indexes straight into position c-1
-    val lut = pqSubvectors(e.filter(col("vec_id") < nQueries), m)
-      .select(col("vec_id").as("query_id"), col("sub"), col("svec").as("qsvec"))
-      .join(cents, "sub")
-      .withColumn("partial", expr("graft_dot(qsvec, cvec)"))
-      .groupBy("query_id", "sub")
-      .agg(expr("transform(array_sort(collect_list(struct(cid, partial))), " +
-        "s -> s.partial)").as("lrow"))
-      .groupBy("query_id")
-      .agg(expr("transform(array_sort(collect_list(struct(sub, lrow))), " +
-        "s -> s.lrow)").as("lut"))
+    val lut = pqLut(e, m, cents, nQueries)
     val survivors = codes.join(broadcast(lut), col("vec_id") =!= col("query_id"))
+      .withColumn("acos", round(expr("graft_pq_adc(codes, lut)"), 6))
+      .groupBy("query_id")
+      .agg(expr(s"graft_topk(acos, vec_id, ${rerankFactor * k})").as("top"))
+      .select(col("query_id"), explode(col("top.id")).as("vec_id"))
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("vn").as("fqv"))
+    survivors.join(e, "vec_id").join(broadcast(q), "query_id")
+      .withColumn("cos_r", round(expr("graft_dot(vn, fqv)"), 6))
+      .transform(topKByCos(_, k))
+  }
+
+  /** IVF × PQ — the flagship billion-scale configuration (FAISS
+    * IndexIVFPQ's shape): coarse centroid lists bound the CANDIDATE
+    * set to ~corpus·nProbe/nCentroids, each probed candidate scores as
+    * m bytes through the native `graft_pq_adc` kernel, and the fp
+    * corpus is read only for the rerankFactor·k survivors per query.
+    *
+    * One deliberate divergence from FAISS: codes quantize the
+    * normalized VECTORS, not per-list residuals — residual encoding
+    * would need per-(list, sub) codebooks and a per-probe LUT rebuild,
+    * and it forks the code artifact away from [[embedPqTopK]]'s. The
+    * flat-code variant shares ONE artifact across the flat and
+    * IVF-composed paths; the exact rerank absorbs the (modest)
+    * accuracy gap. */
+  def embedIvfPqTopK(
+      emb: DataFrame, nQueries: Int = 10, k: Int = 5,
+      nCentroids: Int = 16, lloydIters: Int = 2, nProbe: Int = 4,
+      m: Int = 8, nCodes: Int = 16, rerankFactor: Int = 8,
+      trainFactor: Int = 64): DataFrame = {
+    val (e, coarse) = ivfModel(emb, nCentroids, lloydIters, trainFactor)
+    val cents = pqModel(e, m, nCodes, lloydIters, trainFactor)
+    // slim int8 posting lists: m tinyint codes + coarse list id per
+    // vector — vn rides neither the probe join nor the scoring scan
+    val lists = pqEncode(e, m, cents)
+      .join(assignTo(e, coarse).select("vec_id", "cid"), "vec_id")
+    val wq = Window.partitionBy("vec_id").orderBy(col("sim").desc, col("cid"))
+    val probes = e.filter(col("vec_id") < nQueries)
+      .crossJoin(broadcast(coarse))
+      .withColumn("sim", expr("graft_dot(vn, cvec)"))
+      .withColumn("rn", row_number().over(wq))
+      .filter(col("rn") <= nProbe)
+      .select(col("vec_id").as("query_id"), col("cid"))
+      .join(pqLut(e, m, cents, nQueries), "query_id")
+    val survivors = lists.join(broadcast(probes), Seq("cid"))
+      .filter(col("vec_id") =!= col("query_id"))
       .withColumn("acos", round(expr("graft_pq_adc(codes, lut)"), 6))
       .groupBy("query_id")
       .agg(expr(s"graft_topk(acos, vec_id, ${rerankFactor * k})").as("top"))

@@ -315,6 +315,23 @@ class LlmOpsSpec extends AnyFunSuite with SparkSessionTestBase {
     assert(ratio > 4.0, s"compression ratio=$ratio")
   }
 
+  test("embedIvfPqTopK composes coarse lists with ADC codes at sane recall") {
+    val emb = Tables.embeddings(spark, docDir)
+    val exact = Similarity.embedTopK(emb, nQueries = 10, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val composed = Similarity.embedIvfPqTopK(emb, nQueries = 10, k = 5,
+      nCentroids = 16, lloydIters = 2, nProbe = 8).collect()
+    val got = composed.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(composed.nonEmpty)
+    // bounded below by IVF's probe recall minus PQ's pool misses; the
+    // exact fp rerank restores ordering within the pool
+    val recall = (exact intersect got).size.toDouble / exact.size
+    assert(recall > 0.25, s"recall=$recall")
+    val again = Similarity.embedIvfPqTopK(emb, nQueries = 10, k = 5,
+      nCentroids = 16, lloydIters = 2, nProbe = 8).collect()
+    assert(composed.map(_.toString).toSeq === again.map(_.toString).toSeq)
+  }
+
   test("embedIvfTopK probes centroid lists with sane recall") {
     val emb = Tables.embeddings(spark, docDir)
     val exact = Similarity.embedTopK(emb, nQueries = 10, k = 5).collect()

@@ -99,6 +99,12 @@ class PlanRegressionSpec extends AnyFunSuite with SparkSessionTestBase {
     // per vector
     assert(!pq.contains("windowspecdefinition(query_id"))
     assert(!pq.contains("windowspecdefinition(vec_id"))
+    // the IVF composition keeps both bounded kernels through the
+    // list-probe join (its only windows are the bounded probe ranking
+    // and cid renumbering)
+    val ivfpq = plan("q_embed_ivf_pq_topk")
+    assert(ivfpq.contains("graft_pq_adc"))
+    assert(ivfpq.contains("partial_graft_topk"))
   }
 
   test("top-terms is a partial-combined aggregate with fused top-k") {
