@@ -559,6 +559,50 @@ object Similarity {
       .transform(topKByCos(_, k))
   }
 
+  /** Batch-vs-index semantic near-duplicate pairs over a PERSISTED
+    * int8 index in [[sqIndex]] layout (vec_id, qv, scale, norm) — the
+    * embedding-space twin of Dedup.minhashPairsAgainst, for the
+    * streaming ingest gate. Hyperplane buckets derive from the
+    * DEQUANTIZED stored vector on BOTH sides (a narrow codegen pass
+    * over the index scan; nothing beyond the sqIndex columns is
+    * stored), so batch and corpus hash identically up to int8
+    * perturbation and the multi-table union absorbs boundary flips.
+    * The new side is a micro-batch by definition: its slim bucket keys
+    * and quantized rows BROADCAST against the index, which is scanned
+    * once and never shuffled. `est_cos` is the int8 approximate cosine
+    * (coordinate error ~1e-2; callers pick thresholds with that margin
+    * in mind — the spec plants dups and non-dups clear of the band).
+    * Persistence contract: no internal cache — callers own `idx`. */
+  def sqNearDupAgainst(
+      newEmb: DataFrame, idx: DataFrame, threshold: Double = 0.9,
+      planes: Int = 12, tables: Int = 4,
+      bucketCap: Long = Long.MaxValue): DataFrame = {
+    graft.functions.VectorFunctions.register(newEmb.sparkSession)
+    def bucketsOf(df: DataFrame): DataFrame = df
+      .withColumn("dv", expr("transform(qv, c -> cast(c as double) * scale)"))
+      .select(col("vec_id"),
+        posexplode(expr(s"graft_lsh(dv, $planes, $tables)")).as(Seq("t", "bucket")))
+    val newIdx = sqIndex(newEmb) // quantize the batch exactly like the index
+    val bNew = bucketsOf(newIdx)
+      .select(col("vec_id").as("vec_new"), col("t"), col("bucket"))
+    val bIdx = Dedup.capBuckets(bucketsOf(idx), Seq("t", "bucket"), bucketCap)
+    val candidates = bIdx.join(broadcast(bNew), Seq("t", "bucket"))
+      .filter(col("vec_id") =!= col("vec_new"))
+      .select(col("vec_new"), col("vec_id").as("vec_corpus"))
+      .dropDuplicates("vec_new", "vec_corpus") // union across tables
+    val n = newIdx.select(col("vec_id").as("vec_new"), col("qv").as("qa"),
+      col("scale").as("sa"), col("norm").as("na"))
+    val c = idx.select(col("vec_id").as("vec_corpus"), col("qv").as("qb"),
+      col("scale").as("sb"), col("norm").as("nb"))
+    candidates.join(broadcast(n), "vec_new").join(c, "vec_corpus")
+      .withColumn("est_cos", round(
+        expr("graft_dot(cast(qa as array<double>), cast(qb as array<double>))") *
+          col("sa") * col("sb") / (col("na") * col("nb")), 6))
+      .filter(col("est_cos") >= threshold)
+      .select(col("vec_new"), col("vec_corpus"), col("est_cos"))
+      .orderBy("vec_new", "vec_corpus")
+  }
+
   /** Per-vector symmetric int8 scalar quantization of the corpus — the
     * compact ANN index (the FAISS IndexScalarQuantizer QT_8bit
     * pattern, re-expressed relationally): `scale = max|x|/127`,

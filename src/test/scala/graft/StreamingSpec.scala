@@ -130,6 +130,82 @@ class StreamingSpec extends AnyFunSuite with SparkSessionTestBase {
     } finally q.stop()
   }
 
+  test("semanticGate: stream pair set equals the batch twin over the int8 index") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import graft.operators.Similarity
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.01")
+    val corpus = emb.filter(col("vec_id") < 400)
+    val b1 = emb.filter(col("vec_id") >= 400 && col("vec_id") < 450)
+    // plant guaranteed cross-batch semantic dups: batch 2 re-sends
+    // three batch-1 vectors (tiny multiplicative nudge, cos ≈ 1) under
+    // fresh ids — only a GROWN index can catch them
+    val b2 = emb.filter(col("vec_id") >= 450)
+      .unionAll(emb.filter(col("vec_id") >= 400 && col("vec_id") < 403)
+        .withColumn("vec_id", col("vec_id") + 1000)
+        .withColumn("embedding",
+          expr("transform(embedding, x -> cast(x * 1.001 as float))")))
+
+    val root = Files.createTempDirectory("semgate").toString
+    val indexDir = s"$root/index"
+    val pairsDir = s"$root/pairs"
+    val srcDir = s"$root/src"
+    graft.streaming.AnnStream.seedIndex(corpus, indexDir)
+
+    Files.createDirectories(Paths.get(srcDir))
+    def stage(df: org.apache.spark.sql.DataFrame, name: String, mtime: Long): Unit = {
+      val tmp = s"$root/tmp_$name"
+      df.coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dest = Paths.get(srcDir, s"$name.parquet")
+      Files.move(part.toPath, dest, StandardCopyOption.REPLACE_EXISTING)
+      assert(dest.toFile.setLastModified(mtime))
+    }
+    val t0 = System.currentTimeMillis() - 120000
+    stage(b1, "b1", t0)
+    stage(b2, "b2", t0 + 60000)
+
+    val stream = spark.readStream.schema(emb.schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+    val q = graft.streaming.AnnStream.semanticGate(
+      stream, indexDir, pairsDir, s"$root/ckpt", threshold = 0.9)
+    try q.processAllAvailable() finally q.stop()
+
+    val got = spark.read.parquet(pairsDir)
+      .select("vec_new", "vec_corpus", "est_cos")
+      .collect().map(_.toString).toSet
+    // batch twin, composed over the same index evolution
+    val corpusSq = Similarity.sqIndex(corpus).localCheckpoint()
+    val b1Sq = Similarity.sqIndex(b1).localCheckpoint()
+    val expected = Similarity.sqNearDupAgainst(b1, corpusSq, threshold = 0.9)
+      .unionAll(Similarity.sqNearDupAgainst(
+        b2, corpusSq.unionAll(b1Sq), threshold = 0.9))
+      .collect().map(_.toString).toSet
+    assert(got === expected)
+    // the planted re-sends surface as cross-batch pairs at cos ≈ 1
+    val crossBatch = spark.read.parquet(pairsDir)
+      .filter(col("vec_new") === col("vec_corpus") + 1000 &&
+        col("vec_new") >= 1400 && col("vec_new") < 1403)
+    assert(crossBatch.count() === 3)
+    assert(crossBatch.agg(min("est_cos")).collect().head.getDouble(0) > 0.99)
+    // the index grew by both batches' rows
+    assert(spark.read.parquet(indexDir).count() ===
+      corpus.count() + b1.count() + b2.count())
+    // maintenance: collapse + compact changes nothing the gate reports
+    val before = spark.read.parquet(indexDir).count()
+    graft.streaming.AnnStream.maintainIndex(spark, indexDir)
+    assert(spark.read.parquet(indexDir).count() === before)
+    val replay = Similarity.sqNearDupAgainst(b1,
+        spark.read.parquet(indexDir)
+          .filter(col("batch_id") === -1L)
+          .select("vec_id", "qv", "scale", "norm"),
+        threshold = 0.9)
+      .collect().map(_.toString).toSet
+    val replayExpected = Similarity.sqNearDupAgainst(b1, corpusSq, threshold = 0.9)
+      .collect().map(_.toString).toSet
+    assert(replay === replayExpected)
+  }
+
   test("nearDupGate: stream pair set equals the batch twin and the index grows") {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     import graft.operators.Dedup
