@@ -243,6 +243,13 @@ class VectorExpressionsSpec extends AnyFunSuite with SparkSessionTestBase {
       .toDF("codes", "lut")
     val nulls = bad.select(expr("graft_pq_adc(codes, lut)").as("s")).collect()
     assert(nulls.forall(_.isNullAt(0)))
+    // wrong element width rejected at analysis time — getByte on an
+    // int array would silently misread raw bytes, not throw
+    val wrong = Seq((Seq(1, 3, 2), Seq(Seq(1.0, 2.0, 3.0)))).toDF("codes", "lut")
+    val ex = intercept[org.apache.spark.sql.AnalysisException] {
+      wrong.select(expr("graft_pq_adc(codes, lut)")).collect()
+    }
+    assert(ex.getMessage.contains("TINYINT"))
   }
 
   test("graft_winnow matches the transform/array_min/slice lambda form") {
