@@ -425,13 +425,23 @@ object Similarity {
     * inline and scores from the unpacked (vec_id, sub, cid) form. */
   def pqCodes(
       emb: DataFrame, m: Int = 8, nCodes: Int = 16,
-      lloydIters: Int = 2, trainFactor: Int = 64): DataFrame = {
+      lloydIters: Int = 2, trainFactor: Int = 64): DataFrame =
+    pqIndex(emb, m, nCodes, lloydIters, trainFactor)._1.orderBy("vec_id")
+
+  /** Train ONCE, return (codes, codebooks) — the artifact pair
+    * [[embedPqTopKFromIndex]] serves from after a parquet round-trip.
+    * One call guarantees the codes were encoded against exactly the
+    * codebooks returned (two separate trainings could not rely on
+    * bit-identical floating-point means). */
+  def pqIndex(
+      emb: DataFrame, m: Int = 8, nCodes: Int = 16,
+      lloydIters: Int = 2, trainFactor: Int = 64): (DataFrame, DataFrame) = {
     graft.functions.VectorFunctions.register(emb.sparkSession)
     val e = withNorm(emb)
       .withColumn("vn", expr("transform(v, x -> x / norm)"))
       .select("vec_id", "vn")
     val cents = pqModel(e, m, nCodes, lloydIters, trainFactor)
-    pqEncode(e, m, cents).orderBy("vec_id")
+    (pqEncode(e, m, cents), cents)
   }
 
   /** Product-quantization ANN top-k (Jégou et al. 2011; the FAISS
@@ -458,7 +468,34 @@ object Similarity {
       .select("vec_id", "vn")
       .localCheckpoint() // feeds training, encoding, LUT, and rerank
     val cents = pqModel(e, m, nCodes, lloydIters, trainFactor)
-    val codes = pqEncode(e, m, cents)
+    pqSearch(pqEncode(e, m, cents), cents, e, nQueries, k, m, rerankFactor)
+  }
+
+  /** [[embedPqTopK]] with BOTH persisted artifacts supplied by the
+    * caller — the production shape: the scoring pass reads the
+    * ~32×-smaller code parquet and the tiny codebook parquet instead
+    * of retraining/re-encoding per query; the fp corpus serves only
+    * queries and the rerank pool. `m` must match the codes' width
+    * (a mismatch NULLs every ADC score — graft_pq_adc fails loudly on
+    * ragged inputs). Bit-equal to the inline form across the parquet
+    * round-trip (spec). */
+  def embedPqTopKFromIndex(
+      codes: DataFrame, cents: DataFrame, emb: DataFrame,
+      nQueries: Int = 10, k: Int = 5, m: Int = 8,
+      rerankFactor: Int = 8): DataFrame = {
+    graft.functions.VectorFunctions.register(emb.sparkSession)
+    val e = withNorm(emb)
+      .withColumn("vn", expr("transform(v, x -> x / norm)"))
+      .select("vec_id", "vn")
+    pqSearch(codes, cents, e, nQueries, k, m, rerankFactor)
+  }
+
+  /** Shared PQ search tail: broadcast per-query LUT against the code
+    * scan through `graft_pq_adc`, bounded graft_topk pool, exact fp
+    * rerank. */
+  private def pqSearch(
+      codes: DataFrame, cents: DataFrame, e: DataFrame,
+      nQueries: Int, k: Int, m: Int, rerankFactor: Int): DataFrame = {
     val lut = pqLut(e, m, cents, nQueries)
     val survivors = codes.join(broadcast(lut), col("vec_id") =!= col("query_id"))
       .withColumn("acos", round(expr("graft_pq_adc(codes, lut)"), 6))
@@ -641,9 +678,19 @@ object Similarity {
     * candidate-reduction axis. */
   def embedSqTopK(
       emb: DataFrame, nQueries: Int = 10, k: Int = 5,
+      rerankFactor: Int = 4): DataFrame =
+    embedSqTopKFromIndex(sqIndex(emb), emb, nQueries, k, rerankFactor)
+
+  /** [[embedSqTopK]] with the int8 index SUPPLIED by the caller — the
+    * production shape: at 100 TB the scoring pass reads the persisted
+    * ~4×-smaller [[sqIndex]] artifact instead of re-quantizing the fp
+    * corpus per query, and the fp corpus is touched only for the
+    * rerank pool. Bit-equal to the inline form by construction
+    * (delegation; parquet round-trip equality asserted in spec). */
+  def embedSqTopKFromIndex(
+      idx: DataFrame, emb: DataFrame, nQueries: Int = 10, k: Int = 5,
       rerankFactor: Int = 4): DataFrame = {
     graft.functions.VectorFunctions.register(emb.sparkSession)
-    val idx = sqIndex(emb)
     val qi = idx.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("qv").as("qqv"),
         col("scale").as("qscale"), col("norm").as("qn"))

@@ -267,6 +267,39 @@ class LlmOpsSpec extends AnyFunSuite with SparkSessionTestBase {
     assert(z === 0) // test embeddings have no all-zero vectors
   }
 
+  test("embedSqTopKFromIndex over a parquet round-trip is bit-equal to inline") {
+    import java.nio.file.Files
+    val emb = Tables.embeddings(spark, docDir)
+    val inline = Similarity.embedSqTopK(emb, nQueries = 10, k = 5).collect()
+    val path = Files.createTempDirectory("sqidx").toString + "/idx"
+    Similarity.sqIndex(emb).write.parquet(path)
+    val persisted = spark.read.parquet(path)
+    // the persisted artifact keeps the int8 element type
+    assert(persisted.schema("qv").dataType.asInstanceOf[
+      org.apache.spark.sql.types.ArrayType].elementType ===
+      org.apache.spark.sql.types.ByteType)
+    val indexed = Similarity.embedSqTopKFromIndex(persisted, emb,
+      nQueries = 10, k = 5).collect()
+    assert(indexed.map(_.toString).toSeq === inline.map(_.toString).toSeq)
+    assert(indexed.length === 50)
+  }
+
+  test("embedPqTopKFromIndex over a parquet round-trip is bit-equal to inline") {
+    import java.nio.file.Files
+    val emb = Tables.embeddings(spark, docDir)
+    val inline = Similarity.embedPqTopK(emb, nQueries = 10, k = 5).collect()
+    val root = Files.createTempDirectory("pqidx").toString
+    val (codes, cents) = Similarity.pqIndex(emb)
+    codes.write.parquet(s"$root/codes")
+    cents.write.parquet(s"$root/codebooks")
+    val indexed = Similarity.embedPqTopKFromIndex(
+      spark.read.parquet(s"$root/codes"),
+      spark.read.parquet(s"$root/codebooks"), emb,
+      nQueries = 10, k = 5).collect()
+    assert(indexed.map(_.toString).toSeq === inline.map(_.toString).toSeq)
+    assert(indexed.length === 50)
+  }
+
   test("embedIvfSqTopK composes list probing with int8 scoring at IVF-level recall") {
     val emb = Tables.embeddings(spark, docDir)
     val ivf = Similarity.embedIvfTopK(emb, nQueries = 10, k = 5,

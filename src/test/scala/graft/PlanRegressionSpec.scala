@@ -107,6 +107,26 @@ class PlanRegressionSpec extends AnyFunSuite with SparkSessionTestBase {
     assert(ivfpq.contains("partial_graft_topk"))
   }
 
+  test("indexed SQ search scores from the persisted int8 artifact") {
+    val p = plan("q_embed_sq_topk_indexed")
+    // the scoring scan is a FileScan over the written index (path
+    // carries the graft_sq_idx prefix) reading the tinyint codes —
+    // not a re-quantization of the fp embeddings
+    assert(p.contains("graft_sq_idx"))
+    val rs = p.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(rs.contains("qv") && rs.contains("tinyint"))
+    assert(p.contains("partial_graft_topk"))
+  }
+
+  test("indexed PQ search scores from the persisted code artifact") {
+    val p = plan("q_embed_pq_topk_indexed")
+    assert(p.contains("graft_pq_idx"))
+    val rs = p.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(rs.contains("codes") && rs.contains("tinyint"))
+    assert(p.contains("graft_pq_adc"))
+    assert(p.contains("partial_graft_topk"))
+  }
+
   test("top-terms is a partial-combined aggregate with fused top-k") {
     val p = plan("q_top_terms")
     // two HashAggregates around one Exchange (map-side combine), then
