@@ -619,7 +619,11 @@ object Similarity {
       .withColumn("dv", expr("transform(qv, c -> cast(c as double) * scale)"))
       .select(col("vec_id"),
         posexplode(expr(s"graft_lsh(dv, $planes, $tables)")).as(Seq("t", "bucket")))
-    val newIdx = sqIndex(newEmb) // quantize the batch exactly like the index
+    // quantize the batch exactly like the index; localCheckpoint (the
+    // persistence contract's eager, ContextCleaner-released form)
+    // because both the bucket build and the score join read it — a
+    // micro-batch is small, recomputation would just double the pass
+    val newIdx = sqIndex(newEmb).localCheckpoint()
     val bNew = bucketsOf(newIdx)
       .select(col("vec_id").as("vec_new"), col("t"), col("bucket"))
     val bIdx = Dedup.capBuckets(bucketsOf(idx), Seq("t", "bucket"), bucketCap)

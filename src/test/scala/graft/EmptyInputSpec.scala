@@ -149,5 +149,19 @@ class EmptyInputSpec extends AnyFunSuite with SparkSessionTestBase {
     val docsAll = Tables.documents(spark, sfDir)
     assert(Dedup.dedupSurvivorsFromLabels(docsAll, noLabels).count() === docsAll.count())
     assert(Dedup.substringDupPairs(emptyDocs).count() === 0)
+    // quantized-ANN family: empty corpus → empty index, empty results
+    assert(Similarity.sqIndex(emptyEmb).count() === 0)
+    assert(Similarity.embedSqTopK(emptyEmb).count() === 0)
+    assert(Similarity.embedIvfSqTopK(emptyEmb).count() === 0)
+    assert(Similarity.embedPqTopK(emptyEmb).count() === 0)
+    assert(Similarity.embedIvfPqTopK(emptyEmb).count() === 0)
+    assert(Similarity.pqCodes(emptyEmb).count() === 0)
+    // gate primitive: empty batch against a real index, and a real
+    // batch against an empty index
+    val idx = Similarity.sqIndex(Tables.embeddings(spark, sfDir))
+    assert(Similarity.sqNearDupAgainst(emptyEmb, idx).count() === 0)
+    assert(Similarity.sqNearDupAgainst(
+      Tables.embeddings(spark, sfDir).limit(5),
+      Similarity.sqIndex(emptyEmb)).count() === 0)
   }
 }
