@@ -118,20 +118,37 @@ object SparkEntry {
   private val trigramIndexPaths =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), (Long, String)]
 
-  private[graft] def trigramIndexShared(s: SparkSession, d: String): DataFrame = {
-    trigramIndexPaths.keys
-      .filter(_._1.sparkContext.isStopped)
-      .foreach(trigramIndexPaths.remove)
-    val fp = tableFingerprint(s, d, "part.parquet")
-    val path = trigramIndexPaths.get((s, d)) match {
+  /** Fingerprint-keyed persisted-artifact path cache shared by the
+    * trigram, SQ, and PQ indexes: rebuilds when the source data's
+    * fingerprint changes and DELETES the superseded directory — a
+    * long-lived session over evolving data would otherwise accrete
+    * orphaned index copies under tmpdir forever. */
+  private def artifactPath(
+      cache: scala.collection.concurrent.TrieMap[(SparkSession, String), (Long, String)],
+      s: SparkSession, d: String, fp: Long, prefix: String)(
+      build: String => Unit): String = {
+    cache.keys.filter(_._1.sparkContext.isStopped).foreach(cache.remove)
+    cache.get((s, d)) match {
       case Some((cachedFp, p)) if cachedFp == fp => p
-      case _ =>
+      case stale =>
+        stale.foreach { case (_, old) =>
+          val op = new org.apache.hadoop.fs.Path(old)
+          op.getFileSystem(s.sparkContext.hadoopConfiguration)
+            .delete(op, true): Unit
+        }
         val p = new java.io.File(sys.props("java.io.tmpdir"),
-          s"graft_trgm_idx_${java.lang.Long.toHexString(fp)}").getPath
-        graft.sources.Sinks.writeRangePartitioned(
-          Catalog.trigramIndex(Tables.part(s, d)), p, "g", partitions = 8)
-        trigramIndexPaths.put((s, d), (fp, p))
+          s"${prefix}_${java.lang.Long.toHexString(fp)}").getPath
+        build(p)
+        cache.put((s, d), (fp, p))
         p
+    }
+  }
+
+  private[graft] def trigramIndexShared(s: SparkSession, d: String): DataFrame = {
+    val fp = tableFingerprint(s, d, "part.parquet")
+    val path = artifactPath(trigramIndexPaths, s, d, fp, "graft_trgm_idx") { p =>
+      graft.sources.Sinks.writeRangePartitioned(
+        Catalog.trigramIndex(Tables.part(s, d)), p, "g", partitions = 8)
     }
     s.read.parquet(path)
   }
@@ -145,19 +162,10 @@ object SparkEntry {
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), (Long, String)]
 
   private[graft] def sqIndexShared(s: SparkSession, d: String): DataFrame = {
-    sqIndexPaths.keys
-      .filter(_._1.sparkContext.isStopped)
-      .foreach(sqIndexPaths.remove)
     val fp = tableFingerprint(s, d, "embeddings.parquet")
-    val path = sqIndexPaths.get((s, d)) match {
-      case Some((cachedFp, p)) if cachedFp == fp => p
-      case _ =>
-        val p = new java.io.File(sys.props("java.io.tmpdir"),
-          s"graft_sq_idx_${java.lang.Long.toHexString(fp)}").getPath
-        Similarity.sqIndex(Tables.embeddings(s, d))
-          .write.mode("overwrite").parquet(p)
-        sqIndexPaths.put((s, d), (fp, p))
-        p
+    val path = artifactPath(sqIndexPaths, s, d, fp, "graft_sq_idx") { p =>
+      Similarity.sqIndex(Tables.embeddings(s, d))
+        .write.mode("overwrite").parquet(p)
     }
     s.read.parquet(path)
   }
@@ -170,20 +178,11 @@ object SparkEntry {
 
   private[graft] def pqIndexShared(
       s: SparkSession, d: String): (DataFrame, DataFrame) = {
-    pqIndexPaths.keys
-      .filter(_._1.sparkContext.isStopped)
-      .foreach(pqIndexPaths.remove)
     val fp = tableFingerprint(s, d, "embeddings.parquet")
-    val root = pqIndexPaths.get((s, d)) match {
-      case Some((cachedFp, p)) if cachedFp == fp => p
-      case _ =>
-        val p = new java.io.File(sys.props("java.io.tmpdir"),
-          s"graft_pq_idx_${java.lang.Long.toHexString(fp)}").getPath
-        val (codes, cents) = Similarity.pqIndex(Tables.embeddings(s, d))
-        codes.write.mode("overwrite").parquet(s"$p/codes")
-        cents.write.mode("overwrite").parquet(s"$p/codebooks")
-        pqIndexPaths.put((s, d), (fp, p))
-        p
+    val root = artifactPath(pqIndexPaths, s, d, fp, "graft_pq_idx") { p =>
+      val (codes, cents) = Similarity.pqIndex(Tables.embeddings(s, d))
+      codes.write.mode("overwrite").parquet(s"$p/codes")
+      cents.write.mode("overwrite").parquet(s"$p/codebooks")
     }
     (s.read.parquet(s"$root/codes"), s.read.parquet(s"$root/codebooks"))
   }

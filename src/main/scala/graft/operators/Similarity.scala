@@ -304,10 +304,15 @@ object Similarity {
       nCentroids: Int = 16, lloydIters: Int = 2, nProbe: Int = 4,
       rerankFactor: Int = 4, trainFactor: Int = 64): DataFrame = {
     val (e, centroids) = ivfModel(emb, nCentroids, lloydIters, trainFactor)
-    val lists = sqIndex(emb)
+    // ONE quantization pass serves both the posting lists and the
+    // query-side projection (two sqIndex(emb) calls would re-scan and
+    // re-quantize the full corpus — on the path whose point is fewer
+    // bytes scanned)
+    val sq = sqIndex(emb).localCheckpoint()
+    val lists = sq
       .join(assignTo(e, centroids).select("vec_id", "cid"), "vec_id")
     val wq = Window.partitionBy("vec_id").orderBy(col("sim").desc, col("cid"))
-    val qSq = sqIndex(emb).filter(col("vec_id") < nQueries)
+    val qSq = sq.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("qv").as("qqv"),
         col("scale").as("qscale"), col("norm").as("sqn"))
     val probes = e.filter(col("vec_id") < nQueries)
@@ -334,12 +339,17 @@ object Similarity {
 
   /** (vec_id, sub, svec): the normalized vector split into m
     * contiguous subvectors — the PQ decomposition. dim must be
-    * divisible by m (the FAISS precondition); a ragged tail would be
-    * silently dropped by slice. */
+    * divisible by m (the FAISS precondition): slice would silently
+    * drop a ragged tail and every score would underweight those
+    * coordinates, so the split FAILS LOUDLY per row via raise_error
+    * inside the split expression (a pruning-proof, negligible codegen
+    * branch — a detached check column would be optimized away). */
   private def pqSubvectors(e: DataFrame, m: Int): DataFrame =
     e.select(col("vec_id"), posexplode(expr(
         s"transform(sequence(0, ${m - 1}), " +
-          s"s -> slice(vn, s * (size(vn) div $m) + 1, size(vn) div $m))"))
+          s"s -> IF(size(vn) % $m = 0, " +
+          s"slice(vn, s * (size(vn) div $m) + 1, size(vn) div $m), " +
+          s"raise_error('PQ requires dim divisible by m=$m')))"))
       .as(Seq("sub", "svec")))
 
   /** Nearest per-subspace centroid, L2 argmin as a NARROW map: each
@@ -368,6 +378,12 @@ object Similarity {
       e: DataFrame, m: Int, nCodes: Int, lloydIters: Int,
       trainFactor: Int): DataFrame = {
     require(trainFactor >= 1, "trainFactor must be >= 1")
+    // codes are 1-based tinyints: cid 128+ would wrap negative in the
+    // cast and graft_pq_adc would NULL every affected score — the
+    // corpus would silently vanish from results. FAISS's 256-code
+    // configuration needs a smallint code column; until then, reject.
+    require(nCodes >= 1 && nCodes <= 127,
+      s"nCodes must be in [1, 127] (1-based tinyint codes), got $nCodes")
     val train = ivfTrainingSample(e, nCodes, trainFactor).localCheckpoint()
     val trainSubs = pqSubvectors(train, m)
     var cents = pqSubvectors(

@@ -80,26 +80,12 @@ object AnnStream {
 
   /** Index maintenance for a long-running gate — the
     * [[DedupStream.maintainIndex]] analog for the quantized layout:
-    * collapse any vec_id present more than once (keep the FIRST
-    * arrival, lowest batch_id, so maintenance never changes which
-    * corpus vector a future pair reports) and rewrite each batch
-    * partition as one file. Gate output is unchanged by construction:
-    * duplicates only ever ADD duplicate candidate rows, and buckets
-    * derive from the stored quantized vector alone. */
-  def maintainIndex(spark: SparkSession, indexPath: String): Unit = {
-    val idx = spark.read.parquet(indexPath)
-    val deduped = idx.groupBy("vec_id")
-      .agg(min_by(struct(col("qv"), col("scale"), col("norm"), col("batch_id")),
-        col("batch_id")).as("s"))
-      .select(col("vec_id"), col("s.qv").as("qv"), col("s.scale").as("scale"),
-        col("s.norm").as("norm"), col("s.batch_id").as("batch_id"))
-    val tmp = indexPath + "__maint"
-    deduped.repartition(col("batch_id"))
-      .write.mode("overwrite").partitionBy("batch_id").parquet(tmp)
-    spark.read.parquet(tmp)
-      .repartition(col("batch_id"))
-      .write.mode("overwrite").partitionBy("batch_id").parquet(indexPath)
-    val tp = new org.apache.hadoop.fs.Path(tmp)
-    tp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(tp, true): Unit
-  }
+    * collapse any vec_id present more than once (first arrival wins)
+    * and compact the per-batch small files. Gate output is unchanged
+    * by construction: duplicates only ever ADD duplicate candidate
+    * rows, and buckets derive from the stored quantized vector alone.
+    * Shared mechanics (rename-swap rewrite, crash posture) live in
+    * [[IndexMaintenance.collapseAndCompact]]. */
+  def maintainIndex(spark: SparkSession, indexPath: String): Unit =
+    IndexMaintenance.collapseAndCompact(spark, indexPath, "vec_id")
 }

@@ -111,23 +111,8 @@ object DedupStream {
     * any data, the classic small-file tax. Gate output is unchanged
     * by construction (spec-asserted): duplicates only ever ADD
     * duplicate candidate rows, and the band keys derive from the
-    * signature alone. Two-phase rewrite because a parquet source
-    * cannot overwrite itself; safe to run between micro-batches. */
-  def maintainIndex(spark: SparkSession, indexPath: String): Unit = {
-    val idx = spark.read.parquet(indexPath)
-    val deduped = idx.groupBy("doc_id")
-      .agg(min_by(struct(col("sig"), col("batch_id")), col("batch_id")).as("s"))
-      .select(col("doc_id"), col("s.sig").as("sig"), col("s.batch_id").as("batch_id"))
-    val tmp = indexPath + "__maint"
-    // repartition ON the partition column: every row of a batch_id
-    // lands in one task, so each partition directory gets exactly one
-    // file (modulo hash collisions, which only co-locate two batches)
-    deduped.repartition(col("batch_id"))
-      .write.mode("overwrite").partitionBy("batch_id").parquet(tmp)
-    spark.read.parquet(tmp)
-      .repartition(col("batch_id"))
-      .write.mode("overwrite").partitionBy("batch_id").parquet(indexPath)
-    val tp = new org.apache.hadoop.fs.Path(tmp)
-    tp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(tp, true): Unit
-  }
+    * signature alone. Shared mechanics (rename-swap rewrite, crash
+    * posture) live in [[IndexMaintenance.collapseAndCompact]]. */
+  def maintainIndex(spark: SparkSession, indexPath: String): Unit =
+    IndexMaintenance.collapseAndCompact(spark, indexPath, "doc_id")
 }

@@ -16,6 +16,11 @@ import org.apache.spark.sql.types._
   */
 object EventsStream {
 
+  /** Last sessionWindowRun memory-sink view per session — see the drop
+    * in [[sessionWindowRun]] (bounds driver memory across runs). */
+  private val lastSessionTables =
+    scala.collection.concurrent.TrieMap.empty[SparkSession, String]
+
   val eventSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
     StructField("ts", TimestampType),
@@ -140,14 +145,27 @@ object EventsStream {
     val root = java.nio.file.Files.createTempDirectory("graft_sess_stream")
     val src = root.resolve("src").toString
     ev.write.mode("overwrite").parquet(src)
+    // the sentinel must push the final watermark PAST every real
+    // session end: a user's last session ends at max(ts) + gap, the
+    // watermark reaches sentinel − 10 min (the delay below), so the
+    // offset is gap + delay + 10 min slack — a fixed constant would
+    // silently drop every tail session once gap approaches it
+    val sentinelOffsetMin = gapMinutes + 10 + 10
     ev.agg(max("ts").as("ts"))
       .select(lit(-1L).as("event_id"),
-        (col("ts") + expr("INTERVAL 2 HOURS")).as("ts"),
+        (col("ts") + expr(s"INTERVAL $sentinelOffsetMin MINUTES")).as("ts"),
         lit(-1L).as("user_id"), lit("sentinel").as("event_type"),
         lit(0.0).as("value"))
       .write.mode("append").parquet(src)
 
     val name = "graft_sess_stream_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    // bound driver memory across repeated runs (bench does 3, probes
+    // more): the memory sink pins its rows until the view is dropped,
+    // so at most ONE result table per session stays registered — the
+    // previous run's view is dropped here, which invalidates the frame
+    // THAT call returned (callers consume results before re-running)
+    lastSessionTables.put(spark, name)
+      .foreach(old => spark.catalog.dropTempView(old))
     val q = spark.readStream
       .schema(ev.schema)
       .parquet(src)

@@ -25,10 +25,8 @@ import graft.SparkEntry
   * §8. Not part of the driver bench contract. */
 object ScaleProbe {
 
-  private def median(xs: Seq[Double]): Double = {
-    val s = xs.sorted
-    if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
-  }
+  // one median definition for the whole repo (Bench owns it)
+  private def median(xs: Seq[Double]): Double = graft.Bench.median(xs)
 
   private val headliners = Seq(
     "q1_pricing_summary", "q_lowest_price_per_store", "q_best_basket",

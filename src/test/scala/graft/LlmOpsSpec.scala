@@ -284,6 +284,24 @@ class LlmOpsSpec extends AnyFunSuite with SparkSessionTestBase {
     assert(indexed.length === 50)
   }
 
+  test("PQ rejects configurations that would corrupt codes or drop coordinates") {
+    val emb = Tables.embeddings(spark, docDir)
+    // nCodes > 127 would wrap the 1-based tinyint codes negative and
+    // graft_pq_adc would NULL every affected score — vectors silently
+    // vanishing from results; rejected up front instead
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.embedPqTopK(emb, nCodes = 256)
+    }
+    assert(ex.getMessage.contains("127"))
+    // a non-divisible m would silently drop the trailing coordinates
+    // from training, encoding, and scoring; the split raises instead
+    val ex2 = intercept[Exception] {
+      Similarity.embedPqTopK(emb, m = 7).collect()
+    }
+    assert(ex2.getMessage.contains("divisible") ||
+      Option(ex2.getCause).exists(_.getMessage.contains("divisible")))
+  }
+
   test("embedPqTopKFromIndex over a parquet round-trip is bit-equal to inline") {
     import java.nio.file.Files
     val emb = Tables.embeddings(spark, docDir)

@@ -386,6 +386,24 @@ class StreamingSpec extends AnyFunSuite with SparkSessionTestBase {
       .collect().map(_.toString).toSeq
     assert(streamed === batch)
     assert(streamed.nonEmpty)
+    // a gap WIDER than the old fixed 2h-sentinel margin: the flush
+    // sentinel must scale with the gap or every user's tail session is
+    // silently dropped from the append-mode output
+    val wideGap = graft.streaming.EventsStream
+      .sessionWindowRun(spark, sfDir, gapMinutes = 150)
+      .withColumn("session_start", col("session_start").cast("timestamp_ntz"))
+      .withColumn("session_end", col("session_end").cast("timestamp_ntz"))
+      .collect().map(_.toString).toSeq
+    val wideBatch = graft.operators.Etl
+      .sessionWindows(Tables.events(spark, sfDir), gapMinutes = 150)
+      .collect().map(_.toString).toSeq
+    assert(wideGap === wideBatch)
+    assert(wideGap.nonEmpty)
+    // repeated runs keep at most ONE memory-sink view registered
+    // (driver memory is bounded across bench/probe loops)
+    val sessTables = spark.catalog.listTables().collect()
+      .map(_.name).filter(_.startsWith("graft_sess_stream_"))
+    assert(sessTables.length === 1, sessTables.mkString(","))
   }
 
   test("sessionizeStream emits gap-closed sessions") {
