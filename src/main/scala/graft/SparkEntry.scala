@@ -318,6 +318,11 @@ object SparkEntry {
       val (codes, cents) = pqIndexShared(s, d)
       Similarity.embedPqTopKFromIndex(codes, cents, Tables.embeddings(s, d))
     }),
+    // index-quality meter over the two cheapest families (the full
+    // six-method report is spec-covered; training-heavy methods would
+    // dominate this entry's bench cost without adding driver signal)
+    "q_ann_recall" -> ((s, d) =>
+      Similarity.annRecall(Tables.embeddings(s, d), methods = Seq("lsh", "sq"))),
     "q_embed_clusters" -> ((s, d) => Similarity.embedClusterStats(Tables.embeddings(s, d))),
     "q_cluster_quality" -> ((s, d) =>
       Similarity.clusterQuality(Tables.embeddings(s, d), Tables.documents(s, d))),
@@ -400,6 +405,11 @@ object SparkEntry {
         .groupBy("source")
         .agg(count(lit(1)).as("n_docs"), min("doc_id").as("first_doc"))
         .orderBy("source")),
+    // per-source overrides exercise the budget map (src2's zero budget
+    // drops the whole source); default 800 splits every other source
+    "q_token_budget_sample" -> ((s, d) =>
+      Curation.tokenBudgetSample(Tables.documents(s, d),
+        budgets = Map("src1" -> 300L, "src2" -> 0L))),
     "q_decontaminate" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       Curation.flagContaminated(
@@ -409,6 +419,15 @@ object SparkEntry {
       val docs = Tables.documents(s, d)
       Curation.flagContaminatedBloom(
         docs.filter(col("doc_id") >= 25), docs.filter(col("doc_id") < 25), n = 5)
+    }),
+    // embedding-space decontamination: eval = first 25 vectors, train =
+    // the rest; loose threshold + 16 tables so the synthetic corpus's
+    // planted semantic neighbors actually flag (rows-only: LSH candidates)
+    "q_decontaminate_semantic" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Curation.flagContaminatedSemantic(
+        emb.filter(col("vec_id") >= 25), emb.filter(col("vec_id") < 25),
+        threshold = 0.35, planes = 8, tables = 16)
     }),
     "q_curation_pipeline" -> ((s, d) => Curation.curationPipeline(Tables.documents(s, d))),
     "q_dedup_clusters" -> ((s, d) =>
@@ -1202,6 +1221,19 @@ object SparkEntry {
         |FROM (SELECT doc_id FROM documents WHERE doc_id >= 25) b
         |LEFT JOIN hits USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+    "q_token_budget_sample" ->
+      """WITH c AS (SELECT doc_id, source,
+        |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|\S')) AS INTEGER) AS n_tokens,
+        |  CAST(('0x' || substr(md5('budget-v1:' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+        |    AS BIGINT) AS h
+        | FROM documents),
+        |w AS (SELECT doc_id, source, n_tokens,
+        |  CAST(coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+        | FROM c)
+        |SELECT doc_id, source, n_tokens, cum_before,
+        | cum_before < CASE source WHEN 'src1' THEN 300 WHEN 'src2' THEN 0 ELSE 800 END AS kept
+        |FROM w ORDER BY doc_id""".stripMargin,
     "q_decontaminate" ->
       """WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
         |g AS (SELECT doc_id, list_distinct(list_transform(range(1, len(w)-3),

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Dataset curation: deterministic train/val/test assignment and
@@ -130,6 +131,44 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** SEMANTIC benchmark decontamination: flag training docs whose
+    * embedding is cosine-near any eval-set embedding — the
+    * embedding-space complement of [[flagContaminated]], catching the
+    * contamination n-gram overlap misses (paraphrases, translations,
+    * light rewrites of benchmark items). One row per training vector:
+    * hit count, best est_cos, nearest eval id (NULL when clean).
+    *
+    * Shape: the eval set is tiny by construction, so it rides
+    * [[Similarity.sqNearDupAgainst]] as the broadcast side against a
+    * one-pass scan of the int8-quantized training corpus
+    * ([[Similarity.sqIndex]] built inline here; at 100 TB persist the
+    * index through Sinks and call sqNearDupAgainst directly) — LSH
+    * bucket equi-join for candidates, never corpus×eval. est_cos is the
+    * int8 approximation (coordinate error ~1e-2); thresholds should sit
+    * clear of that band, and borderline audits can exact-rerank the
+    * (few) flagged rows. */
+  def flagContaminatedSemantic(
+      train: DataFrame, eval: DataFrame, threshold: Double = 0.9,
+      planes: Int = 12, tables: Int = 4,
+      bucketCap: Long = Long.MaxValue): DataFrame = {
+    val idx = Similarity.sqIndex(train)
+    val pairs = Similarity.sqNearDupAgainst(
+      eval, idx, threshold, planes, tables, bucketCap)
+    val hits = pairs
+      .groupBy(col("vec_corpus").as("vec_id"))
+      .agg(count(lit(1)).as("n_eval_hits"),
+        max("est_cos").as("max_cos"),
+        max_by(col("vec_new"), struct(col("est_cos"), -col("vec_new")))
+          .as("nearest_eval"))
+    train.select("vec_id")
+      .join(hits, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("n_eval_hits"), lit(0L)).as("n_eval_hits"),
+        col("max_cos"), col("nearest_eval"))
+      .withColumn("contaminated", col("n_eval_hits") > 0)
+      .orderBy("vec_id")
+  }
+
   /** Deterministic training-shard assignment + within-shard order: the
     * reproducible global shuffle a distributed training run needs.
     * Shard = md5-prefix hash mod nShards (any engine reproduces it,
@@ -240,6 +279,64 @@ object Curation {
           .when(!col("q_keep"), "quality")
           .otherwise(lit(null).cast("string")))
       .withColumn("row_keep", col("row_reason").isNull)
+  }
+
+  /** Token-budget per-source sampling: each source contributes documents
+    * in deterministic md5-hash order until its token budget is reached —
+    * the "take N tokens of each source" step of assembling a training
+    * mix with absolute token targets (complement of [[mixSources]],
+    * whose targets are RATES). A doc is kept iff it STARTS before the
+    * budget is exhausted (`cum_before < budget`), so the kept set is a
+    * deterministic hash-order prefix, reproducible by any engine and
+    * independent of partitioning.
+    *
+    * Scale shape: the per-source running sum is the [[TextCleaning
+    * .packSequences]] two-level prefix sum, not one flat window — docs
+    * land in hash-ORDERED buckets (the md5 prefix's high bits, monotone
+    * in the hash), within-bucket windows are bounded at ~|source| /
+    * `hashBuckets` rows, and cross-bucket offsets ride a broadcast of
+    * |sources|·`hashBuckets` subtotal rows. A flat
+    * Window.partitionBy(source) would serialize a whole source — at
+    * 100 TB likely the majority of the corpus — into one task. */
+  def tokenBudgetSample(
+      docs: DataFrame,
+      budgets: Map[String, Long] = Map.empty,
+      defaultBudget: Long = 800L,
+      seed: String = "budget-v1",
+      hashBuckets: Int = 4096): DataFrame = {
+    require(hashBuckets >= 1 && hashBuckets <= (1 << 20),
+      s"hashBuckets must be in [1, 2^20], got $hashBuckets")
+    // bucket = the hash's high bits: floor(h / width) is monotone in h,
+    // so (bucket, h, doc_id) order IS global (h, doc_id) order
+    val bucketWidth = 4294967296L / hashBuckets
+    val counted = docs.select(col("doc_id"), col("source"),
+        TextAnalysis.tokenCountCol(col("text")).as("n_tokens"))
+      .withColumn("h", graft.functions.DeterministicHash.md5Prefix(seed, col("doc_id")))
+      .withColumn("bucket", floor(col("h") / bucketWidth))
+      // localCheckpoint per the persistence contract: feeds both the
+      // subtotal aggregation and the within-bucket windows
+      .localCheckpoint()
+    // exclusive cross-bucket offsets: a window over bucket subtotals
+    val wB = Window.partitionBy("source").orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = counted.groupBy("source", "bucket")
+      .agg(sum("n_tokens").as("bucket_tokens"))
+      .withColumn("bucket_offset", coalesce(sum("bucket_tokens").over(wB), lit(0L)))
+      .select("source", "bucket", "bucket_offset")
+    // exclusive within-bucket running sum in (h, doc_id) order
+    val wD = Window.partitionBy("source", "bucket").orderBy(col("h"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val budget = budgets.foldLeft(lit(defaultBudget)) { case (acc, (src, b)) =>
+      when(col("source") === src, lit(b)).otherwise(acc)
+    }
+    counted
+      .withColumn("cum_in_bucket", coalesce(sum("n_tokens").over(wD), lit(0L)))
+      .join(broadcast(offsets), Seq("source", "bucket"))
+      .withColumn("cum_before", col("bucket_offset") + col("cum_in_bucket"))
+      .withColumn("kept", col("cum_before") < budget)
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        col("cum_before"), col("kept"))
+      .orderBy("doc_id")
   }
 
   /** Benchmark decontamination: flag training docs sharing any word

@@ -612,6 +612,55 @@ object Similarity {
       .transform(topKByCos(_, k))
   }
 
+  /** ANN index-quality meter: recall@k of each approximate index family
+    * against the exact cosine top-k on the SAME queries — the
+    * pre-flight report an ANN rollout reads before trusting an index
+    * parameterization (the FAISS-bench recall table, relationally).
+    * One row per method: mean and min per-query recall, query/k config.
+    *
+    * The exact baseline is computed ONCE (localCheckpoint) and every
+    * method's result joins against it on slim (query_id, neighbor_id)
+    * pairs; the denominator is each query's ACTUAL exact-neighbor count
+    * (≤ k on small corpora), so recall is well-defined at any scale.
+    * Methods absent a query entirely (an over-pruned LSH probe) still
+    * contribute recall 0 rows via the method × query grid. Everything
+    * here is deterministic, so the meter is reproducible run to run. */
+  def annRecall(
+      emb: DataFrame, nQueries: Int = 10, k: Int = 5,
+      methods: Seq[String] = Seq("lsh", "ivf", "sq", "pq")): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val known: Map[String, () => DataFrame] = Map(
+      "lsh" -> (() => embedLshTopK(emb, nQueries, k)),
+      "ivf" -> (() => embedIvfTopK(emb, nQueries, k)),
+      "sq" -> (() => embedSqTopK(emb, nQueries, k)),
+      "pq" -> (() => embedPqTopK(emb, nQueries, k)),
+      "ivf_sq" -> (() => embedIvfSqTopK(emb, nQueries, k)),
+      "ivf_pq" -> (() => embedIvfPqTopK(emb, nQueries, k)))
+    val unknown = methods.filterNot(known.contains)
+    require(unknown.isEmpty, s"unknown ANN methods: ${unknown.mkString(", ")}")
+    val exact = embedTopK(emb, nQueries, k)
+      .select(col("query_id"), col("neighbor_id"))
+      .localCheckpoint() // one baseline pass, reused per method
+    val approx = methods.map { name =>
+      known(name)().select(lit(name).as("method"),
+        col("query_id"), col("neighbor_id"))
+    }.reduce(_ unionAll _)
+    val perQuery = exact.groupBy("query_id").agg(count(lit(1)).as("n_exact"))
+      .crossJoin(methods.toDF("method"))
+      .join(approx.join(exact, Seq("query_id", "neighbor_id"))
+          .groupBy("method", "query_id").agg(count(lit(1)).as("n_hit")),
+        Seq("method", "query_id"), "left")
+      .withColumn("recall",
+        coalesce(col("n_hit"), lit(0L)).cast("double") / col("n_exact"))
+    perQuery.groupBy("method")
+      .agg(count(lit(1)).as("n_queries"),
+        round(round(sum("recall"), 6) / count(lit(1)), 4).as("mean_recall"),
+        round(min("recall"), 4).as("min_recall"))
+      .withColumn("k", lit(k))
+      .orderBy("method")
+  }
+
   /** Batch-vs-index semantic near-duplicate pairs over a PERSISTED
     * int8 index in [[sqIndex]] layout (vec_id, qv, scale, norm) — the
     * embedding-space twin of Dedup.minhashPairsAgainst, for the

@@ -163,5 +163,14 @@ class EmptyInputSpec extends AnyFunSuite with SparkSessionTestBase {
     assert(Similarity.sqNearDupAgainst(
       Tables.embeddings(spark, sfDir).limit(5),
       Similarity.sqIndex(emptyEmb)).count() === 0)
+    assert(Curation.tokenBudgetSample(emptyDocs).count() === 0)
+    // empty eval set ⇒ nothing contaminated, every train vector rowed
+    assert(Curation.flagContaminatedSemantic(emptyEmb, emptyEmb).count() === 0)
+    val embAll = Tables.embeddings(spark, sfDir)
+    val semantic = Curation.flagContaminatedSemantic(embAll, emptyEmb)
+    assert(semantic.count() === embAll.count())
+    assert(semantic.filter(org.apache.spark.sql.functions.col("contaminated"))
+      .count() === 0)
+    assert(Similarity.annRecall(emptyEmb, methods = Seq("sq")).count() === 0)
   }
 }

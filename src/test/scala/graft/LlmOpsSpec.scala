@@ -464,6 +464,102 @@ class LlmOpsSpec extends AnyFunSuite with SparkSessionTestBase {
       again.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq)
   }
 
+  test("tokenBudgetSample keeps the deterministic hash-order token prefix per source") {
+    val docs = Tables.documents(spark, docDir)
+    val out = Curation.tokenBudgetSample(docs,
+      budgets = Map("src2" -> 0L), defaultBudget = 500L)
+    val rows = out.collect()
+    assert(rows.length === 500)
+    // zero budget drops the whole source; default 500 splits the rest
+    assert(!rows.exists(r =>
+      r.getAs[String]("source") == "src2" && r.getAs[Boolean]("kept")))
+    rows.groupBy(_.getAs[String]("source")).filterNot(_._1 == "src2").foreach {
+      case (_, rs) =>
+        assert(rs.exists(_.getAs[Boolean]("kept")))
+        assert(rs.exists(!_.getAs[Boolean]("kept")))
+    }
+    // kept ⇔ cum_before < budget
+    rows.foreach { r =>
+      val budget = if (r.getAs[String]("source") == "src2") 0L else 500L
+      assert(r.getAs[Boolean]("kept") === (r.getAs[Long]("cum_before") < budget))
+    }
+    // the two-level prefix sum equals a flat per-source window in global
+    // (h, doc_id) order — the formulation the oracle uses
+    val flat = docs.select(col("doc_id"), col("source"),
+        size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+|\\S"), lit(0)))
+          .as("n_tokens"))
+      .withColumn("h",
+        graft.functions.DeterministicHash.md5Prefix("budget-v1", col("doc_id")))
+      .withColumn("cum_before", coalesce(sum("n_tokens").over(
+        org.apache.spark.sql.expressions.Window.partitionBy("source")
+          .orderBy(col("h"), col("doc_id"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select("doc_id", "cum_before")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      assert(r.getAs[Long]("cum_before") === flat(r.getAs[Long]("doc_id")))
+    }
+    // bucket-count and partitioning independence: rows bit-for-bit equal
+    val again = Curation.tokenBudgetSample(docs.repartition(7),
+      budgets = Map("src2" -> 0L), defaultBudget = 500L, hashBuckets = 3)
+    assert(again.collect().map(_.toString).toSeq === rows.map(_.toString).toSeq)
+  }
+
+  test("annRecall reports per-method recall@k against the exact baseline") {
+    val emb = Tables.embeddings(spark, docDir)
+    val all = Seq("lsh", "ivf", "sq", "pq", "ivf_sq", "ivf_pq")
+    val rows = Similarity.annRecall(emb, methods = all).collect()
+    info(rows.map(r => s"${r.getAs[String]("method")}=${r.getAs[Double]("mean_recall")}")
+      .mkString(" "))
+    assert(rows.map(_.getAs[String]("method")).toSeq === all.sorted)
+    rows.foreach { r =>
+      val mean = r.getAs[Double]("mean_recall")
+      assert(mean >= 0.0 && mean <= 1.0)
+      assert(r.getAs[Double]("min_recall") <= mean)
+      assert(r.getAs[Long]("n_queries") === 10L)
+    }
+    val byMethod = rows.map(r => r.getAs[String]("method") -> r.getAs[Double]("mean_recall")).toMap
+    // rerank-everything families sit near exact; candidate-pruning ones
+    // match their standalone spec floors
+    assert(byMethod("sq") > 0.9, s"sq=${byMethod("sq")}")
+    assert(byMethod("pq") > 0.3, s"pq=${byMethod("pq")}")
+    assert(byMethod("ivf") > 0.3, s"ivf=${byMethod("ivf")}")
+    // deterministic meter: bit-identical on re-run
+    val again = Similarity.annRecall(emb, methods = all).collect()
+    assert(rows.map(_.toString).toSeq === again.map(_.toString).toSeq)
+    // unknown method name fails loudly
+    intercept[IllegalArgumentException] {
+      Similarity.annRecall(emb, methods = Seq("hnsw"))
+    }
+  }
+
+  test("flagContaminatedSemantic flags embedding-space matches of a planted eval set") {
+    val emb = Tables.embeddings(spark, docDir)
+    // eval = exact copies of train vectors 100..102 under fresh ids: the
+    // paraphrase-contamination stand-in an n-gram check cannot see
+    val eval = emb.filter(col("vec_id").between(100, 102))
+      .select((col("vec_id") + 10000).as("vec_id"), col("embedding"))
+    val out = Curation.flagContaminatedSemantic(emb, eval)
+    val rows = out.collect()
+    assert(rows.length === emb.count())
+    val flagged = rows.filter(_.getAs[Boolean]("contaminated"))
+    val byId = flagged.map(r => r.getAs[Long]("vec_id") -> r).toMap
+    // every planted source vector is flagged, pointing at its copy
+    Seq(100L, 101L, 102L).foreach { id =>
+      assert(byId.contains(id), s"vec $id not flagged")
+      assert(byId(id).getAs[Double]("max_cos") >= 0.99)
+      assert(byId(id).getAs[Long]("nearest_eval") === id + 10000)
+    }
+    // clean rows carry zero hits and NULL cos/nearest
+    rows.filterNot(_.getAs[Boolean]("contaminated")).take(5).foreach { r =>
+      assert(r.getAs[Long]("n_eval_hits") === 0L)
+      assert(r.isNullAt(r.fieldIndex("max_cos")))
+    }
+    // the default 0.9 threshold keeps unrelated vectors clean
+    assert(flagged.length < rows.length / 10)
+  }
+
   test("flagContaminated flags exactly the docs sharing benchmark n-grams") {
     val docs = Tables.documents(spark, docDir)
     val out = Curation.flagContaminated(
