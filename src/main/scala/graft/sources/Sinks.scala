@@ -99,6 +99,60 @@ object Sinks {
       .sortWithinPartitions(rangeCol)
       .write.mode(SaveMode.Overwrite).parquet(path)
 
+  /** Z-order (Morton-interleaved) clustered write: multi-column data
+    * skipping, the layout [[writeRangePartitioned]] cannot give. Range
+    * partitioning + sort on ONE key makes that key's per-file min/max
+    * ranges disjoint, but every OTHER column spans its full range in
+    * every file — a filter on the second key prunes nothing. Z-ordering
+    * interleaves the bits of all `zCols` (each linearly scaled to
+    * `bits` bits between its global min/max) into one Morton value and
+    * range-partitions + sorts on THAT, so each file covers a small
+    * hyper-rectangle of the combined key space and parquet min/max
+    * stats prune on ANY of the clustered columns (the Delta/Iceberg
+    * OPTIMIZE ZORDER layout, built from public bit arithmetic).
+    *
+    * Shape: one tiny global min/max aggregate rides a broadcast into a
+    * narrow per-row bit-interleave (static shiftleft/and expression
+    * tree — codegen, no UDF), then the one range-exchange any clustered
+    * write pays. NULLs scale to 0 (sort first, like NULLS FIRST).
+    * `zCols` must be numeric/date-castable to double. */
+  def writeZOrdered(
+      df: DataFrame, path: String, zCols: Seq[String],
+      partitions: Int, bits: Int = 16): Unit = {
+    require(zCols.nonEmpty, "zCols must be non-empty")
+    require(zCols.size * bits <= 62,
+      s"zCols.size * bits must fit a long, got ${zCols.size} * $bits")
+    val mins = zCols.map(c => min(col(c).cast("double")).as(s"__min_$c"))
+    val maxs = zCols.map(c => max(col(c).cast("double")).as(s"__max_$c"))
+    val bounds = df.agg((mins ++ maxs).head, (mins ++ maxs).tail: _*)
+    val maxCell = (1L << bits) - 1
+    // scaled_i ∈ [0, 2^bits): linear position between the column's
+    // global bounds; degenerate (min = max) and NULL both map to 0
+    def scaled(c: String) = {
+      val lo = col(s"__min_$c"); val hi = col(s"__max_$c")
+      when(col(c).isNull || hi <= lo, lit(0L))
+        .otherwise(least(lit(maxCell), floor(
+          (col(c).cast("double") - lo) / (hi - lo) * maxCell).cast("long")))
+    }
+    // Morton interleave: output bit (b · n + i) = bit b of column i —
+    // a static fold of 2^-free shift/mask terms, fully codegen'd
+    val n = zCols.size
+    val z = (0 until bits).foldLeft(lit(0L)) { (acc, b) =>
+      zCols.zipWithIndex.foldLeft(acc) { case (a, (c, i)) =>
+        a.bitwiseOR(shiftleft(
+          shiftright(col(s"__scaled_$c"), b).bitwiseAND(lit(1L)), b * n + i))
+      }
+    }
+    df.crossJoin(broadcast(bounds))
+      .withColumns(zCols.map(c => s"__scaled_$c" -> scaled(c)).toMap)
+      .withColumn("__z", z)
+      .repartitionByRange(partitions, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop((zCols.map(c => s"__scaled_$c") ++ zCols.map(c => s"__min_$c") ++
+        zCols.map(c => s"__max_$c") :+ "__z"): _*)
+      .write.mode(SaveMode.Overwrite).parquet(path)
+  }
+
   /** Persist as a bucketed+sorted table: pays the shuffle once at write
     * time; later equi-joins between tables bucketed on the same key
     * plan without an Exchange. */

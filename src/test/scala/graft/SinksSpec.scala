@@ -92,4 +92,39 @@ class SinksSpec extends AnyFunSuite with SparkSessionTestBase {
       case _ =>
     }
   }
+
+  test("z-ordered write shrinks per-file ranges on BOTH clustered columns") {
+    val base = java.nio.file.Files.createTempDirectory("zorder").toString
+    val li = Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "l_extendedprice")
+    Sinks.writeZOrdered(li, s"$base/z", Seq("l_partkey", "l_suppkey"), partitions = 16)
+    // the 1-D alternative: range partition + sort on the FIRST key only
+    Sinks.writeRangePartitioned(li, s"$base/naive", "l_partkey", partitions = 16)
+
+    val back = spark.read.parquet(s"$base/z")
+    assert(back.count() === li.count())
+    assert(back.columns.sorted === li.columns.sorted) // no helper columns leak
+    // mean normalized per-file [min,max] width of a column: the fraction
+    // of that column's global range a file's parquet stats cannot prune
+    def meanWidth(path: String, c: String): Double = {
+      val global = li.agg(min(col(c)).cast("double"), max(col(c)).cast("double"))
+        .collect().head
+      val span = global.getDouble(1) - global.getDouble(0)
+      val widths = spark.read.parquet(path)
+        .groupBy(input_file_name())
+        .agg(((max(col(c)) - min(col(c))).cast("double") / span).as("w"))
+        .collect().map(_.getAs[Double]("w"))
+      widths.sum / widths.length
+    }
+    val zPart = meanWidth(s"$base/z", "l_partkey")
+    val zSupp = meanWidth(s"$base/z", "l_suppkey")
+    val nPart = meanWidth(s"$base/naive", "l_partkey")
+    val nSupp = meanWidth(s"$base/naive", "l_suppkey")
+    info(f"zorder: part=$zPart%.3f supp=$zSupp%.3f | naive: part=$nPart%.3f supp=$nSupp%.3f")
+    // the 1-D layout nails its own key but leaves the second key
+    // unprunable (~full range per file); z-order prunes on both
+    assert(nSupp > 0.9, s"naive suppkey width $nSupp")
+    assert(zSupp < 0.6 * nSupp, s"zorder suppkey width $zSupp vs naive $nSupp")
+    assert(zPart < 0.6, s"zorder partkey width $zPart")
+  }
 }
