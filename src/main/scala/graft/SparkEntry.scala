@@ -339,6 +339,8 @@ object SparkEntry {
     "q_token_count" -> ((s, d) => TextAnalysis.tokenCount(Tables.documents(s, d))),
     "q_doc_fingerprint" -> ((s, d) => TextAnalysis.docFingerprint(Tables.documents(s, d))),
     "q_perplexity" -> ((s, d) => TextAnalysis.perplexityScore(Tables.documents(s, d))),
+    "q_perplexity_bigram" -> ((s, d) =>
+      TextAnalysis.bigramPerplexity(Tables.documents(s, d))),
     "q_repetition" -> ((s, d) => TextAnalysis.repetitionScore(Tables.documents(s, d))),
     // relaxed thresholds (minWords/minStopHits) so the synthetic corpus
     // exercises both keep and drop; defaults are the paper's canonical
@@ -918,6 +920,29 @@ object SparkEntry {
          | CAST(${dr(s"CAST(${dr("sum(surprisal)", 4)} AS DOUBLE)/count(surprisal)", 4)} AS DOUBLE) AS avg_surprisal
          |FROM toks JOIN model USING (t)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
+    "q_perplexity_bigram" -> {
+      val s = dr("-ln(0.75 * coalesce(pb, 0) + 0.25 * pu)", 6)
+      s"""WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+         |bg AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2
+         | FROM (SELECT doc_id, unnest(list_transform(range(2, len(w) + 1),
+         |        i -> {'w1': w[i - 1], 'w2': w[i]})) AS b
+         |       FROM d WHERE len(w) >= 2)),
+         |toks AS (SELECT unnest(w) AS t FROM d),
+         |tot AS (SELECT count(*) AS total FROM toks),
+         |uni AS (SELECT t AS w2, count(*) AS n FROM toks GROUP BY t),
+         |up AS (SELECT w2, CAST(n AS DOUBLE) / total AS pu FROM uni, tot),
+         |hist AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY w1),
+         |bi AS (SELECT w1, w2, CAST(count(*) AS DOUBLE) / any_value(c1) AS pb
+         | FROM bg JOIN hist USING (w1) GROUP BY w1, w2),
+         |sc AS (SELECT doc_id, CAST($s AS DOUBLE) AS s
+         | FROM bg LEFT JOIN bi USING (w1, w2) JOIN up USING (w2)),
+         |a AS (SELECT doc_id, count(*) AS n_bigrams,
+         |  CAST(${dr(s"CAST(${dr("sum(s)", 4)} AS DOUBLE)/count(s)", 4)} AS DOUBLE) AS avg_surprisal
+         | FROM sc GROUP BY doc_id)
+         |SELECT d.doc_id, CAST(coalesce(a.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+         | a.avg_surprisal, ${m("exp(a.avg_surprisal)", 4)} AS ppl
+         |FROM d LEFT JOIN a USING (doc_id) ORDER BY doc_id""".stripMargin
     },
     "q_classifier_score" ->
       s"""WITH toks AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t FROM documents),

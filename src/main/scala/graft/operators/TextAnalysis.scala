@@ -164,6 +164,67 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Bigram perplexity with Jelinek-Mercer interpolation — the stronger
+    * LM-quality score one step up from [[perplexityScore]]'s unigram
+    * model: each transition scores `−ln(λ·P(w2|w1) + (1−λ)·P(w2))`,
+    * where P(w2|w1) = c(w1,w2)/c(w1·) over corpus bigrams and P(w2) is
+    * the corpus unigram probability. The unigram backoff term keeps
+    * every probability positive, so a floored-out (or unseen) bigram
+    * degrades smoothly instead of producing ln(0). Output per doc:
+    * transition count, engine-stable mean surprisal, and perplexity
+    * `exp(mean)`; docs under 2 tokens carry 0 transitions and NULLs.
+    *
+    * Scale shape: bigrams are built NARROWLY (one array transform per
+    * doc — no position self-join); the model is two partial-combined
+    * aggregations; scoring joins carry no broadcast hint — AQE
+    * broadcasts while the (floored) model fits and shuffles beyond,
+    * exactly the [[perplexityScore]] posture. `minBigramCount` is the
+    * CCNet-style floor that bounds the bigram table at web scale — the
+    * default 1 keeps results identical to the unfloored form (the
+    * oracle's). Surprisals snap to 6 decimals so the engines' last ulp
+    * of ln() cannot perturb the mean. */
+  def bigramPerplexity(
+      docs: DataFrame, lambda: Double = 0.75,
+      minBigramCount: Long = 1L): DataFrame = {
+    require(lambda > 0.0 && lambda < 1.0, s"lambda must be in (0, 1), got $lambda")
+    val words = docs.select(col("doc_id"), split(lower(col("text")), " ", -1).as("w"))
+    // adjacent pairs, narrowly: element i-1 → i for i in [2, |w|]
+    val bigrams = words.filter(size(col("w")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(2, size(w)), " +
+          "i -> struct(element_at(w, i - 1) AS w1, element_at(w, i) AS w2))")).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      // feeds the history counts, the bigram counts, and the scoring
+      // join — localCheckpoint per the persistence contract
+      .localCheckpoint()
+    val uni = words.select(explode(col("w")).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("n")).localCheckpoint()
+    val total = uni.agg(sum("n").as("total"))
+    val uniP = uni.crossJoin(broadcast(total))
+      .select(col("t").as("w2"), (col("n").cast("double") / col("total")).as("pu"))
+    val hist = bigrams.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val bi = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+      .filter(col("cb") >= minBigramCount)
+      .join(hist, "w1")
+      .select(col("w1"), col("w2"), (col("cb").cast("double") / col("c1")).as("pb"))
+    val scored = bigrams
+      .join(bi, Seq("w1", "w2"), "left")
+      .join(uniP, Seq("w2"))
+      .withColumn("s", round(-log(
+        lit(lambda) * coalesce(col("pb"), lit(0.0)) +
+          lit(1.0 - lambda) * col("pu")), 6))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(round(sum("s"), 4) / count("s"), 4).as("avg_surprisal"))
+    docs.select("doc_id")
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        col("avg_surprisal"),
+        round(exp(col("avg_surprisal")), 4).as("ppl"))
+      .orderBy("doc_id")
+  }
+
   /** Hashed-linear classifier inference (the fasttext-style quality
     * classifier step of a training-data pipeline): per-token integer
     * weights in [-500, 500] derived from an md5 prefix — the honest

@@ -172,6 +172,7 @@ class EmptyInputSpec extends AnyFunSuite with SparkSessionTestBase {
     assert(semantic.filter(org.apache.spark.sql.functions.col("contaminated"))
       .count() === 0)
     assert(Similarity.annRecall(emptyEmb, methods = Seq("sq")).count() === 0)
+    assert(TextAnalysis.bigramPerplexity(emptyDocs).count() === 0)
     // z-ordered write of an empty frame: schema-only parquet, no rows
     val zDir = java.nio.file.Files.createTempDirectory("zempty").toString + "/z"
     graft.sources.Sinks.writeZOrdered(emptyLi, zDir, Seq("l_partkey", "l_suppkey"), 4)

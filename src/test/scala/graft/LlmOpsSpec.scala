@@ -506,6 +506,42 @@ class LlmOpsSpec extends AnyFunSuite with SparkSessionTestBase {
     assert(again.collect().map(_.toString).toSeq === rows.map(_.toString).toSeq)
   }
 
+  test("bigramPerplexity matches a hand-computed interpolated model") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b a b"), (2L, "a a"), (3L, "x")).toDF("doc_id", "text")
+    val rows = TextAnalysis.bigramPerplexity(docs).collect()
+    assert(rows.length === 3)
+    // corpus: uni a:4 b:2 x:1 (total 7); bigrams doc1 (a,b)(b,a)(a,b),
+    // doc2 (a,a); histories a->3 b->1; pb: (a,b)=2/3 (b,a)=1 (a,a)=1/3
+    def snap(x: Double, s: Int) =
+      BigDecimal.valueOf(x).setScale(s, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val sAB = snap(-math.log(0.75 * (2.0 / 3) + 0.25 * (2.0 / 7)), 6)
+    val sBA = snap(-math.log(0.75 * 1.0 + 0.25 * (4.0 / 7)), 6)
+    val sAA = snap(-math.log(0.75 * (1.0 / 3) + 0.25 * (4.0 / 7)), 6)
+    val d1 = snap(snap(sAB + sBA + sAB, 4) / 3, 4)
+    val d2 = snap(snap(sAA, 4) / 1, 4)
+    val byId = rows.map(r => r.getLong(0) -> r).toMap
+    assert(byId(1L).getAs[Long]("n_bigrams") === 3L)
+    assert(byId(1L).getAs[Double]("avg_surprisal") === d1)
+    assert(byId(1L).getAs[Double]("ppl") === snap(math.exp(d1), 4))
+    assert(byId(2L).getAs[Double]("avg_surprisal") === d2)
+    // a single-token doc has no transitions: 0 count, NULL scores
+    assert(byId(3L).getAs[Long]("n_bigrams") === 0L)
+    assert(byId(3L).isNullAt(byId(3L).fieldIndex("avg_surprisal")))
+    // flooring the bigram table degrades smoothly to the backoff term
+    val floored = TextAnalysis.bigramPerplexity(docs, minBigramCount = 2L).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val sAAFloor = snap(-math.log(0.25 * (4.0 / 7)), 6)
+    assert(floored(2L).getAs[Double]("avg_surprisal") === snap(snap(sAAFloor, 4) / 1, 4))
+    // full corpus: one row per doc, deterministic re-run
+    val corpus = TextAnalysis.bigramPerplexity(Tables.documents(spark, docDir))
+    val all = corpus.collect()
+    assert(all.length === 500)
+    assert(all.forall(r => r.getAs[Long]("n_bigrams") > 0))
+    val again = TextAnalysis.bigramPerplexity(Tables.documents(spark, docDir)).collect()
+    assert(all.map(_.toString).toSeq === again.map(_.toString).toSeq)
+  }
+
   test("annRecall reports per-method recall@k against the exact baseline") {
     val emb = Tables.embeddings(spark, docDir)
     val all = Seq("lsh", "ivf", "sq", "pq", "ivf_sq", "ivf_pq")
