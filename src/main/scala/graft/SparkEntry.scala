@@ -399,6 +399,11 @@ object SparkEntry {
     // batch twin, sharing its oracle
     "q_stream_session_window" -> ((s, d) =>
       graft.streaming.EventsStream.sessionWindowRun(s, d)),
+    // the STREAMING per-row curation gate run end-to-end (staged file
+    // source → stateless curationSignals projection → memory sink);
+    // row-identical to batch curationSignals, oracle-checked
+    "q_stream_quality_gate" -> ((s, d) =>
+      graft.streaming.CurationStream.qualityGateRun(s, d)),
     "q_retention_cohorts" -> ((s, d) => Purchases.retentionCohorts(Tables.orders(s, d))),
     "q_price_percentiles" -> ((s, d) => Purchases.pricePercentiles(Tables.part(s, d))),
     "q_train_split" -> ((s, d) => Curation.splitCounts(Tables.documents(s, d))),
@@ -887,6 +892,37 @@ object SparkEntry {
          |      ELSE 'zh' END AS predicted,
          | s_en, s_de, s_es, s_fr, s_zh
          |FROM s ORDER BY doc_id""".stripMargin
+    },
+    "q_stream_quality_gate" -> {
+      def l(lang: String) = graft.operators.TextAnalysis.stopwords
+        .find(_._1 == lang).get._2.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"""WITH t AS (SELECT doc_id, text, CAST(length(text) AS INTEGER) AS n_chars,
+         |  string_split(lower(text), ' ') AS w FROM documents),
+         |s AS (SELECT doc_id, text, n_chars, w,
+         |  CAST(len(list_intersect(list_distinct(w), ${l("en")})) AS INTEGER) AS s_en,
+         |  CAST(len(list_intersect(list_distinct(w), ${l("de")})) AS INTEGER) AS s_de,
+         |  CAST(len(list_intersect(list_distinct(w), ${l("es")})) AS INTEGER) AS s_es,
+         |  CAST(len(list_intersect(list_distinct(w), ${l("fr")})) AS INTEGER) AS s_fr,
+         |  CAST(len(list_intersect(list_distinct(w), ${l("zh")})) AS INTEGER) AS s_zh
+         | FROM t),
+         |sig AS (SELECT doc_id,
+         |  CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+         |       WHEN s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+         |       WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+         |       WHEN s_fr >= s_zh THEN 'fr'
+         |       ELSE 'zh' END AS lang_pred,
+         |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|\\S')) AS INTEGER) AS n_tokens,
+         |  (CAST(length(regexp_replace(lower(text), '[^a-z ]', '', 'g')) AS DOUBLE) / n_chars * 0.5
+         |    + CAST(len(list_filter(w, t2 -> list_contains(${l("en")}, t2))) AS DOUBLE) / len(w) * 0.5 >= 0.3
+         |    AND len(w) >= 10) AS q_keep
+         | FROM s),
+         |r AS (SELECT doc_id, lang_pred, n_tokens,
+         |  CASE WHEN lang_pred <> 'en' THEN 'lang'
+         |       WHEN n_tokens < 20 OR n_tokens > 5000 THEN 'length'
+         |       WHEN NOT q_keep THEN 'quality' END AS row_reason
+         | FROM sig)
+         |SELECT doc_id, lang_pred, n_tokens, (row_reason IS NULL) AS row_keep, row_reason
+         |FROM r ORDER BY doc_id""".stripMargin
     },
     "q_quality_score" -> {
       val swList = graft.operators.TextAnalysis.stopwords.head._2

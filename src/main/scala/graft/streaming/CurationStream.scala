@@ -1,0 +1,66 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Structured Streaming form of the curation quality gate: the
+  * STATELESS per-row stages (lang / length / quality) run on a
+  * document stream exactly as they do in batch, because
+  * [[graft.operators.Curation.curationSignals]] is one narrow
+  * projection — no sort, no join, no shuffle, so the same frame is
+  * legal in append mode with no watermark and no state at all. This is
+  * the gate an ingest pipeline puts in front of a landing sink; the
+  * corpus-level stages (repetition, duplicate) stay batch concerns
+  * (or pair with dropDuplicatesWithinWatermark).
+  */
+object CurationStream {
+
+  /** Last qualityGateRun memory-sink view per session — at most one
+    * result table stays registered (the memory sink pins its rows until
+    * the view is dropped; bench runs this repeatedly). */
+  private val lastGateTables =
+    scala.collection.concurrent.TrieMap.empty[SparkSession, String]
+
+  /** Bounded end-to-end run of the streaming quality gate over the
+    * documents table — the measured driver entry for the streaming
+    * curation surface (q_stream_quality_gate). Stage a parquet copy,
+    * stream it through curationSignals into a memory sink, return the
+    * complete decision set. Row-identical to the batch
+    * curationSignals (asserted in StreamingSpec), so the entry shares
+    * a plain SQL oracle. A stateless gate needs no sentinel flush:
+    * every row emits in its own micro-batch. */
+  def qualityGateRun(
+      spark: SparkSession, dir: String, wantLang: String = "en",
+      minTokens: Int = 20, maxTokens: Int = 5000): DataFrame = {
+    val docs = graft.Tables.documents(spark, dir)
+    val root = java.nio.file.Files.createTempDirectory("graft_qgate_stream")
+    val src = root.resolve("src").toString
+    docs.write.mode("overwrite").parquet(src)
+
+    val name = "graft_qgate_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    lastGateTables.put(spark, name)
+      .foreach(old => spark.catalog.dropTempView(old))
+    val q = graft.operators.Curation
+      .curationSignals(spark.readStream.schema(docs.schema).parquet(src),
+        wantLang, minTokens, maxTokens)
+      .select("doc_id", "lang_pred", "n_tokens", "row_keep", "row_reason")
+      .writeStream.outputMode("append")
+      .format("memory").queryName(name)
+      .option("checkpointLocation", root.resolve("ckpt").toString)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+
+    // the memory sink holds the rows; staged source + checkpoint are
+    // dead weight once the query stops
+    def rm(p: java.nio.file.Path): Unit = {
+      import scala.jdk.CollectionConverters._
+      if (java.nio.file.Files.exists(p)) {
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+      }
+    }
+    rm(root)
+
+    spark.table(name).orderBy("doc_id")
+  }
+}

@@ -406,6 +406,23 @@ class StreamingSpec extends AnyFunSuite with SparkSessionTestBase {
     assert(sessTables.length === 1, sessTables.mkString(","))
   }
 
+  test("qualityGateRun (streaming) equals the batch curationSignals twin") {
+    val streamed = SparkEntry.queries("q_stream_quality_gate")(spark, sfDir)
+      .collect().map(_.toString).toSeq
+    val batch = graft.operators.Curation
+      .curationSignals(Tables.documents(spark, sfDir))
+      .select("doc_id", "lang_pred", "n_tokens", "row_keep", "row_reason")
+      .orderBy("doc_id")
+      .collect().map(_.toString).toSeq
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+    // repeated runs keep at most ONE memory-sink view registered
+    graft.streaming.CurationStream.qualityGateRun(spark, sfDir).collect()
+    val gateTables = spark.catalog.listTables().collect()
+      .map(_.name).filter(_.startsWith("graft_qgate_"))
+    assert(gateTables.length === 1, gateTables.mkString(","))
+  }
+
   test("sessionizeStream emits gap-closed sessions") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("sessstream").toString
