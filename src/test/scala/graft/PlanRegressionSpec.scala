@@ -254,6 +254,29 @@ class PlanRegressionSpec extends AnyFunSuite with SparkSessionTestBase {
     assert(p.contains("LeftAnti"))
   }
 
+  test("token-budget running sum is the two-level bucketed form") {
+    val p = plan("q_token_budget_sample")
+    // the per-doc running sum must window (source, bucket) — bounded
+    // partitions — with cross-bucket offsets joined via broadcast; a
+    // flat Window.partitionBy(source) would serialize a whole source
+    // into one task
+    assert(p.linesIterator.exists(l =>
+      l.contains("windowspecdefinition(source#") && l.contains("bucket#")),
+      "per-doc window must partition by (source, bucket)")
+    assert(p.contains("BroadcastHashJoin"), "bucket offsets must broadcast")
+  }
+
+  test("bigram perplexity is pure partial-combined aggregation, no windows") {
+    val p = plan("q_perplexity_bigram")
+    // model building and scoring are groupBy aggregations (map-side
+    // combine on hot bigrams); nothing windows a token or bigram key,
+    // and the bigram stream is one narrow transform (no Expand, no
+    // position self-join)
+    assert(!p.contains("Window ["))
+    assert(!p.contains("Expand"))
+    assert(p.sliding("HashAggregate".length).count(_ == "HashAggregate") >= 2)
+  }
+
   test("ngram df-cap aggregates the gram key, never windows it") {
     val p = plan("q_ngram_jaccard")
     // df must come from a partial-combined groupBy (a boilerplate gram
