@@ -347,6 +347,16 @@ object SparkEntry {
     "q_gopher_rules" -> ((s, d) =>
       TextAnalysis.gopherRules(Tables.documents(s, d), minWords = 20, minStopHits = 1)),
     "q_classifier_score" -> ((s, d) => TextAnalysis.classifierScore(Tables.documents(s, d))),
+    // BPE subword tokenizer: merges learned from the bounded word-count
+    // table (never the corpus), applied via a segmentation join.
+    // rows-only: the greedy merge loop has no SQL twin; an independent
+    // reference implementation pins the merge sequence in spec
+    "q_bpe_train" -> ((s, d) =>
+      Bpe.bpeMerges(Tables.documents(s, d), nMerges = 12, vocabSize = 2000)),
+    "q_bpe_tokenize" -> ((s, d) => {
+      val (_, seg) = Bpe.bpeTrain(Tables.documents(s, d), nMerges = 12, vocabSize = 2000)
+      Bpe.bpeTokenize(Tables.documents(s, d), seg)
+    }),
     "q_multimodal_features" -> ((s, d) =>
       graft.sources.Multimodal.extractFeatures(
         graft.sources.Multimodal.mediaFromDocuments(Tables.documents(s, d)))

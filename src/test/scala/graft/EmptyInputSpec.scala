@@ -173,6 +173,10 @@ class EmptyInputSpec extends AnyFunSuite with SparkSessionTestBase {
       .count() === 0)
     assert(Similarity.annRecall(emptyEmb, methods = Seq("sq")).count() === 0)
     assert(TextAnalysis.bigramPerplexity(emptyDocs).count() === 0)
+    // BPE on an empty corpus: no merges, no segments, no tokens
+    val (bpeMerges, bpeSegs) = graft.operators.Bpe.bpeTrain(emptyDocs, nMerges = 3)
+    assert(bpeMerges.count() === 0 && bpeSegs.count() === 0)
+    assert(graft.operators.Bpe.bpeTokenize(emptyDocs, bpeSegs).count() === 0)
     // z-ordered write of an empty frame: schema-only parquet, no rows
     val zDir = java.nio.file.Files.createTempDirectory("zempty").toString + "/z"
     graft.sources.Sinks.writeZOrdered(emptyLi, zDir, Seq("l_partkey", "l_suppkey"), 4)

@@ -542,6 +542,72 @@ class LlmOpsSpec extends AnyFunSuite with SparkSessionTestBase {
     assert(all.map(_.toString).toSeq === again.map(_.toString).toSeq)
   }
 
+  test("bpeTrain reproduces an independent greedy BPE reference") {
+    import spark.implicits._
+    val text = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" ")
+    val docs = Seq((1L, text)).toDF("doc_id", "text")
+    val (merges, segments) = operators.Bpe.bpeTrain(docs, nMerges = 8, vocabSize = 100)
+
+    // independent reference: greedy left-to-right BPE over word counts
+    def refBpe(counts: Seq[(String, Long)], n: Int): Seq[(String, String)] = {
+      var words = counts.map { case (w, c) => (w.map(_.toString).toVector, c) }
+      var out = Vector.empty[(String, String)]
+      for (_ <- 1 to n) {
+        val pairCounts = words.flatMap { case (syms, c) =>
+          syms.sliding(2).collect { case Vector(a, b) => (a, b) -> c }
+        }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq
+        if (pairCounts.nonEmpty) {
+          val (pair, _) = pairCounts.sortBy { case ((a, b), c) => (-c, a, b) }.head
+          out :+= pair
+          words = words.map { case (syms, c) =>
+            val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+            var i = 0
+            while (i < syms.length) {
+              if (i + 1 < syms.length && syms(i) == pair._1 && syms(i + 1) == pair._2) {
+                buf += pair._1 + pair._2; i += 2
+              } else { buf += syms(i); i += 1 }
+            }
+            (buf.toVector, c)
+          }
+        }
+      }
+      out
+    }
+    val counts = text.split(" ").groupBy(identity).view
+      .mapValues(_.length.toLong).toSeq
+    val expected = refBpe(counts, 8)
+    val got = merges.collect()
+      .map(r => r.getAs[String]("left") -> r.getAs[String]("right")).toSeq
+    assert(got === expected)
+    // segmentation round-trip: symbols concatenate back to the word
+    segments.collect().foreach { r =>
+      assert(r.getAs[Seq[String]]("syms").mkString === r.getAs[String]("word"))
+    }
+  }
+
+  test("bpeTokenize counts subword tokens via the segmentation join") {
+    val docs = Tables.documents(spark, docDir)
+    val (_, seg) = operators.Bpe.bpeTrain(docs, nMerges = 12, vocabSize = 2000)
+    val out = operators.Bpe.bpeTokenize(docs, seg).collect()
+    assert(out.length === 500)
+    out.foreach { r =>
+      val words = r.getAs[Long]("n_words")
+      val bpe = r.getAs[Long]("n_bpe_tokens")
+      val chars = r.getAs[Long]("n_word_chars")
+      // merges can only shorten the character segmentation, and a token
+      // is at least one word's worth
+      assert(bpe >= words && bpe <= chars, s"words=$words bpe=$bpe chars=$chars")
+    }
+    // more merges ⇒ no doc gets MORE tokens (monotone compression)
+    val (_, seg2) = operators.Bpe.bpeTrain(docs, nMerges = 30, vocabSize = 2000)
+    val more = operators.Bpe.bpeTokenize(docs, seg2).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_bpe_tokens")).toMap
+    out.foreach { r =>
+      assert(more(r.getAs[Long]("doc_id")) <= r.getAs[Long]("n_bpe_tokens"))
+    }
+  }
+
   test("annRecall reports per-method recall@k against the exact baseline") {
     val emb = Tables.embeddings(spark, docDir)
     val all = Seq("lsh", "ivf", "sq", "pq", "ivf_sq", "ivf_pq")
