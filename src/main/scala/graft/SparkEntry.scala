@@ -427,6 +427,11 @@ object SparkEntry {
     "q_token_budget_sample" -> ((s, d) =>
       Curation.tokenBudgetSample(Tables.documents(s, d),
         budgets = Map("src1" -> 300L, "src2" -> 0L))),
+    // DSIR data selection: src0+src1 play the "target domain"; every
+    // doc scores its hashed-feature log importance weight vs the raw mix
+    "q_dsir_weights" -> ((s, d) =>
+      Curation.dsirWeights(Tables.documents(s, d),
+        targetSources = Seq("src0", "src1"))),
     "q_decontaminate" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       Curation.flagContaminated(
@@ -1305,6 +1310,35 @@ object SparkEntry {
         |SELECT doc_id, source, n_tokens, cum_before,
         | cum_before < CASE source WHEN 'src1' THEN 300 WHEN 'src2' THEN 0 ELSE 800 END AS kept
         |FROM w ORDER BY doc_id""".stripMargin,
+    // same hashed-feature model as the Scala: unigrams + adjacent
+    // bigrams → md5-prefix bucket; Laplace-smoothed ln-ratio per bucket
+    // snapped to integer micro-nats so the per-doc sum is an exact
+    // integer (order-independent in BOTH engines; a float sum here
+    // measurably flips the 4th decimal run-to-run)
+    "q_dsir_weights" ->
+      """WITH t AS (SELECT doc_id, source, string_split(lower(text), ' ') AS w FROM documents),
+        |f AS (SELECT doc_id, source, unnest(w) AS f FROM t
+        |      UNION ALL
+        |      SELECT doc_id, source,
+        |        unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS f
+        |      FROM t WHERE len(w) >= 2),
+        |fb AS (SELECT doc_id, source,
+        |  ('0x' || substr(md5('dsir-v1:' || f), 1, 8))::UBIGINT::BIGINT % 1024 AS b FROM f),
+        |d AS (SELECT doc_id, source, b, count(*) AS c FROM fb GROUP BY 1, 2, 3),
+        |rc AS (SELECT b, sum(c) AS cr FROM d GROUP BY 1),
+        |tc AS (SELECT b, sum(c) AS ct FROM d WHERE source IN ('src0', 'src1') GROUP BY 1),
+        |tot AS (SELECT (SELECT sum(ct) FROM tc) AS t, (SELECT sum(cr) FROM rc) AS r),
+        |m AS (SELECT rc.b,
+        |  CAST(round((ln((coalesce(ct, 0) + 1.0) / (coalesce(t, 0) + 1024))
+        |      - ln((cr + 1.0) / (r + 1024))) * 1e6) AS BIGINT) AS lr_micro
+        | FROM rc LEFT JOIN tc ON rc.b = tc.b CROSS JOIN tot),
+        |s AS (SELECT doc_id, source, CAST(sum(c) AS BIGINT) AS n_feats,
+        |  CAST(sum(c * lr_micro) AS BIGINT) AS wm
+        | FROM d JOIN m ON d.b = m.b GROUP BY 1, 2)
+        |SELECT doc_id, source, n_feats,
+        | CAST(round(CAST(wm AS DOUBLE) / 1e6, 4) AS DOUBLE) AS log_weight,
+        | wm > 0 AS keep
+        |FROM s ORDER BY doc_id""".stripMargin,
     "q_decontaminate" ->
       """WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
         |g AS (SELECT doc_id, list_distinct(list_transform(range(1, len(w)-3),

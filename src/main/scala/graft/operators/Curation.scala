@@ -339,6 +339,84 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** DSIR importance-resampling weights (Xie et al. 2023,
+    * arXiv:2302.03169 "Data Selection via Importance Resampling" —
+    * public): score every raw doc by how target-like its hashed n-gram
+    * features look. Features are unigrams + adjacent bigrams hashed
+    * into `nBuckets` buckets (the paper's hashed generative model);
+    * target and raw bucket distributions are Laplace-smoothed over the
+    * bucket space; a doc's log importance weight is
+    * Σ_b c_b · (ln p̂_target(b) − ln p̂_raw(b)). `keep` is the
+    * deterministic `log_weight > 0` gate ("more target-like than
+    * raw") — production DSIR resamples ∝ weight with Gumbel top-k,
+    * which is RNG-bearing and so deliberately out of the oracle path.
+    *
+    * Scale shape: features are built NARROWLY (one array transform per
+    * doc — no position self-join) and collapse immediately into the
+    * per-(doc, bucket) count frame — the ONLY corpus-sized shuffle;
+    * both model distributions re-aggregate that frame (bounded at
+    * |docs| × min(feats, nBuckets) rows), the model itself is
+    * `nBuckets` rows and rides a broadcast into the scoring join, and
+    * the per-doc sum reuses the doc_id-prefixed partitioning.
+    * Log-ratios snap to INTEGER micro-nats (round(lr·1e6) as long), so
+    * the per-doc sum is an exact integer — order-independent across
+    * partial-aggregation trees and engine-identical — and `keep`
+    * compares that raw integer (the [[TextAnalysis.classifierScore]]
+    * margin idiom; a float sum here measurably flips the 4th decimal
+    * run-to-run). The reported double is derived from the integer by
+    * one deterministic division. */
+  def dsirWeights(
+      docs: DataFrame, targetSources: Seq[String],
+      nBuckets: Int = 1024, seed: String = "dsir-v1"): DataFrame = {
+    require(targetSources.nonEmpty, "targetSources must be non-empty")
+    require(nBuckets >= 2, s"nBuckets must be >= 2, got $nBuckets")
+    val words = docs.select(col("doc_id"), col("source"),
+      split(lower(col("text")), " ", -1).as("w"))
+    // unigrams ++ adjacent bigrams; sequence(2, 1) DESCENDS in Spark,
+    // so single-token docs must take the empty-array branch
+    val feats = words.select(col("doc_id"), col("source"), explode(concat(
+        col("w"),
+        when(size(col("w")) >= 2, expr(
+          "transform(sequence(2, size(w)), " +
+            "i -> concat(element_at(w, i - 1), ' ', element_at(w, i)))"))
+          .otherwise(expr("cast(array() as array<string>)")))).as("f"))
+      .select(col("doc_id"), col("source"),
+        (graft.functions.DeterministicHash.md5Prefix(seed, col("f")) % nBuckets).as("b"))
+    // the one corpus-sized aggregation; feeds the raw model, the target
+    // model, and the scoring join — localCheckpoint per the persistence
+    // contract
+    val perDocBucket = feats.groupBy("doc_id", "source", "b")
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val raw = perDocBucket.groupBy("b").agg(sum("c").as("cr"))
+    val tgt = perDocBucket.filter(col("source").isInCollection(targetSources))
+      .groupBy("b").agg(sum("c").as("ct"))
+    val tTot = tgt.agg(sum("ct").as("t"))
+    val rTot = raw.agg(sum("cr").as("r"))
+    // nBuckets-row model: Laplace-smoothed log-ratio per bucket. Every
+    // scored bucket exists in `raw` by construction, so the inner
+    // scoring join below loses nothing.
+    val model = raw.join(tgt, Seq("b"), "left")
+      .crossJoin(broadcast(tTot)).crossJoin(broadcast(rTot))
+      .select(col("b"), round((
+        log((coalesce(col("ct"), lit(0L)).cast("double") + 1.0) /
+          // a target filter matching zero docs sums to NULL; smoothing
+          // then degrades p̂_target to the uniform 1/nBuckets
+          (coalesce(col("t"), lit(0L)).cast("double") + nBuckets)) -
+          log((col("cr").cast("double") + 1.0) /
+            (col("r").cast("double") + nBuckets))) * 1e6)
+        .cast("long").as("lr_micro"))
+    perDocBucket
+      .join(broadcast(model), Seq("b"))
+      .groupBy("doc_id", "source")
+      .agg(sum("c").as("n_feats"),
+        sum(col("c") * col("lr_micro")).as("wm"))
+      .select(col("doc_id"), col("source"), col("n_feats"),
+        round(col("wm").cast("double") / 1e6, 4).as("log_weight"),
+        (col("wm") > 0).as("keep"))
+      .orderBy("doc_id")
+  }
+
   /** Benchmark decontamination: flag training docs sharing any word
     * n-gram with a benchmark/eval set (the standard n-gram overlap
     * check). Benchmark grams are hash-distinct and broadcast (eval sets

@@ -506,6 +506,41 @@ class LlmOpsSpec extends AnyFunSuite with SparkSessionTestBase {
     assert(again.collect().map(_.toString).toSeq === rows.map(_.toString).toSeq)
   }
 
+  test("dsirWeights scores target-like docs above off-distribution docs") {
+    import spark.implicits._
+    // target domain speaks vocab A; one raw doc shares it, one doesn't
+    val a = "alpha beta gamma delta alpha beta gamma delta alpha beta"
+    val b = "omega sigma theta kappa omega sigma theta kappa omega sigma"
+    val docs = Seq(
+      (1L, "tgt", a), (2L, "tgt", a + " gamma alpha"),
+      (3L, "raw", a), (4L, "raw", b)).toDF("doc_id", "source", "text")
+    val out = Curation.dsirWeights(docs, targetSources = Seq("tgt"), nBuckets = 64)
+    val rows = out.collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(rows.size === 4)
+    // the A-speaking raw doc is more target-like than the B-speaking one
+    val wA = rows(3L).getAs[Double]("log_weight")
+    val wB = rows(4L).getAs[Double]("log_weight")
+    assert(wA > wB, s"target-like $wA should beat off-distribution $wB")
+    // the off-distribution doc's buckets never appear in the target, so
+    // its weight is decisively negative (the target-like doc's sign can
+    // legitimately hover near 0 on a tiny corpus — smoothing asymmetry)
+    assert(wB < 0, s"off-distribution weight should be negative, got $wB")
+    // n_feats = unigrams + adjacent bigrams
+    assert(rows(3L).getAs[Long]("n_feats") === 10 + 9)
+    // keep is the exact integer-margin sign; it must agree with the
+    // rounded double anywhere away from the 4-decimal boundary
+    rows.values.foreach { r =>
+      val lw = r.getAs[Double]("log_weight")
+      if (math.abs(lw) > 1e-3)
+        assert(r.getAs[Boolean]("keep") === (lw > 0))
+    }
+    // partitioning/bucket-count independence: bit-for-bit equal rows
+    val again = Curation.dsirWeights(
+      docs.repartition(7), targetSources = Seq("tgt"), nBuckets = 64)
+    assert(again.collect().map(_.toString).toSeq ===
+      out.collect().map(_.toString).toSeq)
+  }
+
   test("bigramPerplexity matches a hand-computed interpolated model") {
     import spark.implicits._
     val docs = Seq((1L, "a b a b"), (2L, "a a"), (3L, "x")).toDF("doc_id", "text")
