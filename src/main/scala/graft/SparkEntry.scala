@@ -193,6 +193,25 @@ object SparkEntry {
     (s.read.parquet(s"$root/codes"), s.read.parquet(s"$root/codebooks"))
   }
 
+  /** Persisted BPE tokenizer artifact (Bpe.segmentsIndex layout — the
+    * slim word → subword-count table): the merge loop trains once per
+    * documents data version; every tokenize after that READS the
+    * vocabSize-row parquet and joins, exactly how a production
+    * tokenizer file is trained offline and applied across 100 TB.
+    * Fingerprint-keyed like the trigram/SQ/PQ indexes. */
+  private val bpeIndexPaths =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), (Long, String)]
+
+  private[graft] def bpeIndexShared(s: SparkSession, d: String): DataFrame = {
+    val fp = documentsFingerprint(s, d)
+    val path = artifactPath(bpeIndexPaths, s, d, fp, "graft_bpe_idx") { p =>
+      val (_, seg) = operators.Bpe.bpeTrain(
+        Tables.documents(s, d), nMerges = 12, vocabSize = 2000)
+      operators.Bpe.segmentsIndex(seg).write.mode("overwrite").parquet(p)
+    }
+    s.read.parquet(path)
+  }
+
   private[graft] def duplicateLabelsShared(s: SparkSession, d: String): DataFrame = {
     minhashLabelsCache.keys
       .filter(_._1.sparkContext.isStopped)
@@ -357,6 +376,10 @@ object SparkEntry {
       val (_, seg) = Bpe.bpeTrain(Tables.documents(s, d), nMerges = 12, vocabSize = 2000)
       Bpe.bpeTokenize(Tables.documents(s, d), seg)
     }),
+    // the serving path: tokenize from the persisted vocabSize-row
+    // artifact — no merge loop in the plan, just the read + join
+    "q_bpe_tokenize_indexed" -> ((s, d) =>
+      Bpe.tokenizeWithIndex(Tables.documents(s, d), bpeIndexShared(s, d))),
     "q_multimodal_features" -> ((s, d) =>
       graft.sources.Multimodal.extractFeatures(
         graft.sources.Multimodal.mediaFromDocuments(Tables.documents(s, d)))

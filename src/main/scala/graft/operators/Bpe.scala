@@ -111,24 +111,35 @@ object Bpe {
   def bpeMerges(docs: DataFrame, nMerges: Int = 50, vocabSize: Int = 5000): DataFrame =
     bpeTrain(docs, nMerges, vocabSize)._1
 
+  /** The slim serving artifact of a trained segmentation: word →
+    * subword count. This — not the symbol arrays — is what a serving
+    * path persists and broadcasts: vocabSize rows, two narrow columns,
+    * the tokenizer file of a production pipeline. */
+  def segmentsIndex(segments: DataFrame): DataFrame =
+    segments.select(col("word"), size(col("syms")).as("n_sub"))
+
   /** Tokenize the corpus with a trained segmentation table: per doc,
     * word count, BPE token count, and character count. In-vocabulary
     * words join their trained segment length; out-of-vocabulary words
     * fall back to character tokens (length(word) — the byte/char
-    * fallback every production BPE carries). The join is the entire
-    * encode cost: slim (word → n_sub) against the exploded corpus,
-    * AQE-planned (the vocabulary is bounded; a broadcast is automatic
-    * while it fits). */
-  def bpeTokenize(docs: DataFrame, segments: DataFrame): DataFrame = {
-    val seg = segments.select(col("word"), size(col("syms")).as("n_sub"))
+    * fallback every production BPE carries). */
+  def bpeTokenize(docs: DataFrame, segments: DataFrame): DataFrame =
+    tokenizeWithIndex(docs, segmentsIndex(segments))
+
+  /** The serving path: tokenize against a prebuilt slim (word, n_sub)
+    * artifact — train once, persist, tokenize 100 TB without ever
+    * re-running the merge loop. The join is the entire encode cost:
+    * the bounded artifact against the exploded corpus, AQE-planned (a
+    * broadcast is automatic while the vocabulary fits). */
+  def tokenizeWithIndex(docs: DataFrame, index: DataFrame): DataFrame =
     docs.select(col("doc_id"), explode(split(lower(col("text")), " ", -1)).as("word"))
       .filter(length(col("word")) > 0)
-      .join(seg, Seq("word"), "left")
+      .join(index.select(col("word"), col("n_sub").cast("int").as("n_sub")),
+        Seq("word"), "left")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_words"),
         sum(coalesce(col("n_sub"), length(col("word")).cast("int")))
           .as("n_bpe_tokens"),
         sum(length(col("word"))).as("n_word_chars"))
       .orderBy("doc_id")
-  }
 }

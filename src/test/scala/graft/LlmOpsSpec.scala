@@ -643,6 +643,23 @@ class LlmOpsSpec extends AnyFunSuite with SparkSessionTestBase {
     }
   }
 
+  test("indexed BPE tokenize serves bit-equal rows from the persisted artifact") {
+    val docs = Tables.documents(spark, docDir)
+    val online = {
+      val (_, seg) = operators.Bpe.bpeTrain(docs, nMerges = 12, vocabSize = 2000)
+      operators.Bpe.bpeTokenize(docs, seg).collect()
+    }
+    // the shared artifact: trained once, persisted, read back as parquet
+    val idx = SparkEntry.bpeIndexShared(spark, docDir)
+    assert(idx.schema.fieldNames.toSet === Set("word", "n_sub"))
+    val served = operators.Bpe.tokenizeWithIndex(docs, idx).collect()
+    assert(served.map(_.toString).toSeq === online.map(_.toString).toSeq)
+    // a second call reuses the same artifact path (fingerprint hit),
+    // and the serving plan reads files — no merge loop in it
+    val again = SparkEntry.bpeIndexShared(spark, docDir)
+    assert(again.queryExecution.executedPlan.toString.contains("FileScan"))
+  }
+
   test("annRecall reports per-method recall@k against the exact baseline") {
     val emb = Tables.embeddings(spark, docDir)
     val all = Seq("lsh", "ivf", "sq", "pq", "ivf_sq", "ivf_pq")
