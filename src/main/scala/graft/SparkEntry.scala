@@ -350,6 +350,8 @@ object SparkEntry {
     "q_top_terms" -> ((s, d) => TextAnalysis.topTerms(Tables.documents(s, d))),
     "q_corpus_stats" -> ((s, d) => TextAnalysis.corpusStats(Tables.documents(s, d))),
     "q_vocab_stats" -> ((s, d) => TextAnalysis.vocabStats(Tables.documents(s, d))),
+    "q_source_divergence" -> ((s, d) =>
+      TextAnalysis.sourceDivergence(Tables.documents(s, d))),
     "q_heavy_hitters" -> ((s, d) => TextAnalysis.heavyHitterTerms(Tables.documents(s, d))),
     "q_domain_stats" -> ((s, d) =>
       TextCleaning.domainStats(TextCleaning.withSyntheticUrls(Tables.documents(s, d)))),
@@ -1259,6 +1261,30 @@ object SparkEntry {
          | count(DISTINCT term) AS n_terms,
          | ${m("CAST(count(DISTINCT term) AS DOUBLE) / count(*)", 6)} AS type_token_ratio
          |FROM t GROUP BY source ORDER BY source""".stripMargin,
+    // same JS decomposition as the Scala: only terms present in each
+    // source are rowed; the absent-term mass is the (ln 2)/2·(1 − Σq)
+    // closed form; per-term contributions snap to integer micro-nats
+    "q_source_divergence" ->
+      """WITH st AS (SELECT source, unnest(string_split(lower(text), ' ')) AS t FROM documents),
+        |c AS (SELECT source, t, count(*) AS cst FROM st GROUP BY 1, 2),
+        |s AS (SELECT source, sum(cst) AS ts FROM c GROUP BY 1),
+        |g AS (SELECT t, sum(cst) AS ct FROM c GROUP BY 1),
+        |tot AS (SELECT sum(ts) AS tt FROM s),
+        |k AS (SELECT c.source, ts, tt,
+        |  CAST(round(1e6 * 0.5 * (
+        |    (cst / ts) * ln(2.0 * (cst / ts) / ((cst / ts) + ((ct - cst) / (tt - ts))))
+        |    + CASE WHEN ct > cst THEN ((ct - cst) / (tt - ts)) *
+        |        ln(2.0 * ((ct - cst) / (tt - ts)) / ((cst / ts) + ((ct - cst) / (tt - ts))))
+        |      ELSE 0.0 END)) AS BIGINT) AS c_micro,
+        |  ct - cst AS rest_n
+        | FROM c JOIN g USING (t) JOIN s USING (source) CROSS JOIN tot),
+        |a AS (SELECT source, ts, tt, count(*) AS n_terms,
+        |  sum(c_micro) AS am, sum(rest_n) AS s1 FROM k GROUP BY 1, 2, 3)
+        |SELECT source, CAST(ts AS BIGINT) AS n_tokens, CAST(n_terms AS BIGINT) AS n_terms,
+        | CAST(round(CAST(am AS DOUBLE) / 1e6
+        |   + 0.5 * ln(2.0) * (1.0 - CAST(s1 AS DOUBLE) / (tt - ts)), 6) AS DOUBLE)
+        |   AS js_divergence
+        |FROM a ORDER BY source""".stripMargin,
     "q_corpus_stats" ->
       s"""WITH t AS (SELECT source, n_chars,
          |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|\\S')) AS INTEGER) AS n_tokens

@@ -365,6 +365,66 @@ object TextAnalysis {
     * type-token ratio per source — low TTR flags templated or
     * machine-generated sources before they dilute a mix. One
     * source-keyed aggregate with a partial-combined distinct. */
+  /** Per-source distribution drift: the Jensen-Shannon divergence (in
+    * nats) between each source's unigram distribution and the REST of
+    * the corpus — the monitoring view that catches a templated,
+    * machine-generated, or off-domain source before it dilutes a mix
+    * (0 = indistinguishable, ln 2 ≈ 0.693 = disjoint vocabularies).
+    *
+    * Scale shape: one corpus-sized partial-combined shuffle builds the
+    * (source, term) counts; term totals re-aggregate that frame
+    * (vocab-sized); the scoring join is term-keyed and AQE-planned,
+    * with the |sources|-row totals riding broadcasts. The sum over
+    * terms ABSENT from a source never materializes: for p = 0 the
+    * JS integrand collapses to (ln 2)/2 · q, so the absent-term mass
+    * is the closed form (ln 2)/2 · (1 − Σ_{t∈s} q_t) computed from
+    * exact integer counts — only terms PRESENT in each source are
+    * rowed. Per-term contributions snap to integer micro-nats so the
+    * per-source sum is exact (the [[classifierScore]] margin idiom).
+    *
+    * Requires at least two sources; a source holding the entire corpus
+    * has no rest-of-corpus distribution and returns a null
+    * js_divergence rather than dividing by zero. */
+  def sourceDivergence(docs: DataFrame): DataFrame = {
+    // the one corpus-sized aggregation; feeds source totals, term
+    // totals, and the scoring join — localCheckpoint per the
+    // persistence contract
+    val st = docs
+      .select(col("source"), explode(split(lower(col("text")), " ", -1)).as("t"))
+      .groupBy("source", "t").agg(count(lit(1)).as("cst"))
+      .localCheckpoint()
+    val srcTot = st.groupBy("source").agg(sum("cst").as("ts"))
+    val termTot = st.groupBy("t").agg(sum("cst").as("ct"))
+    val tot = srcTot.agg(sum("ts").as("tt"))
+    val p = col("cst").cast("double") / col("ts").cast("double")
+    val q = (col("ct") - col("cst")).cast("double") /
+      (col("tt") - col("ts")).cast("double")
+    // 2m = p + q; a term exclusive to the source has q = 0 and only
+    // the p-branch; p > 0 always (the row exists because cst > 0)
+    val contrib = lit(0.5) * (
+      p * log(lit(2.0) * p / (p + q)) +
+        when(col("ct") > col("cst"), q * log(lit(2.0) * q / (p + q)))
+          .otherwise(lit(0.0)))
+    st.join(termTot, Seq("t"))
+      .join(broadcast(srcTot), Seq("source"))
+      .crossJoin(broadcast(tot))
+      .select(col("source"), col("ts"), col("tt"),
+        when(col("tt") > col("ts"), round(contrib * 1e6))
+          .otherwise(lit(null)).cast("long").as("c_micro"),
+        (col("ct") - col("cst")).as("rest_n"))
+      .groupBy("source", "ts", "tt")
+      .agg(count(lit(1)).as("n_terms"),
+        sum("c_micro").as("a_micro"), sum("rest_n").as("s1"))
+      .select(col("source"), col("ts").as("n_tokens"), col("n_terms"),
+        round(
+          col("a_micro").cast("double") / 1e6 +
+            lit(0.5 * math.log(2.0)) *
+              (lit(1.0) - col("s1").cast("double") /
+                (col("tt") - col("ts")).cast("double")), 6)
+          .as("js_divergence"))
+      .orderBy("source")
+  }
+
   def vocabStats(docs: DataFrame): DataFrame =
     docs.select(col("source"), explode(split(lower(col("text")), " ", -1)).as("term"))
       .groupBy("source")

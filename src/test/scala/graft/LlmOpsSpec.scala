@@ -506,6 +506,41 @@ class LlmOpsSpec extends AnyFunSuite with SparkSessionTestBase {
     assert(again.collect().map(_.toString).toSeq === rows.map(_.toString).toSeq)
   }
 
+  test("sourceDivergence hits the JS boundary cases exactly") {
+    import spark.implicits._
+    // identical distributions: each source vs the rest is the same
+    // distribution ⇒ JS exactly 0 (every snapped contribution is 0)
+    val same = Seq((1L, "a", "x y z x"), (2L, "b", "x y z x"))
+      .toDF("doc_id", "source", "text")
+    TextAnalysis.sourceDivergence(same).collect().foreach { r =>
+      assert(r.getAs[Double]("js_divergence") === 0.0)
+    }
+    // disjoint vocabularies ⇒ JS = ln 2: the present-term mass
+    // contributes (ln 2)/2 and the absent-term closed form the rest
+    val disjoint = Seq((1L, "a", "x y z"), (2L, "b", "u v w"))
+      .toDF("doc_id", "source", "text")
+    TextAnalysis.sourceDivergence(disjoint).collect().foreach { r =>
+      assert(math.abs(r.getAs[Double]("js_divergence") - math.log(2.0)) < 1e-4)
+    }
+    // a single source has no rest-of-corpus: null, not a crash
+    val solo = Seq((1L, "a", "x y")).toDF("doc_id", "source", "text")
+    val soloRows = TextAnalysis.sourceDivergence(solo).collect()
+    assert(soloRows.length === 1 && soloRows.head.isNullAt(
+      soloRows.head.fieldIndex("js_divergence")))
+    // partitioning independence on the real corpus: bit-for-bit equal
+    val docs = Tables.documents(spark, docDir)
+    val out = TextAnalysis.sourceDivergence(docs).collect()
+    assert(out.length === 20)
+    // the synthetic sources share one vocabulary: drift is small but
+    // nonzero, and every value is finite
+    out.foreach { r =>
+      val js = r.getAs[Double]("js_divergence")
+      assert(js > 0.0 && js < 0.2, s"unexpected divergence $js")
+    }
+    val again = TextAnalysis.sourceDivergence(docs.repartition(7)).collect()
+    assert(again.map(_.toString).toSeq === out.map(_.toString).toSeq)
+  }
+
   test("dsirWeights scores target-like docs above off-distribution docs") {
     import spark.implicits._
     // target domain speaks vocab A; one raw doc shares it, one doesn't
