@@ -277,6 +277,44 @@ class PlanRegressionSpec extends AnyFunSuite with SparkSessionTestBase {
     assert(p.sliding("HashAggregate".length).count(_ == "HashAggregate") >= 2)
   }
 
+  test("dsir scoring broadcasts the bucket model, never windows a key") {
+    val p = plan("q_dsir_weights")
+    // the nBuckets-row log-ratio model must ride a broadcast into the
+    // scoring join; per-(doc, bucket) counts and the per-doc sum are
+    // partial-combined aggregations — no window over any key, no Expand
+    assert(!p.contains("Window ["))
+    assert(!p.contains("Expand"))
+    assert(p.contains("BroadcastHashJoin"))
+    // the per-(doc, bucket) count stage sits behind the localCheckpoint
+    // (it feeds three consumers); the visible per-doc sum must still be
+    // partial-combined
+    assert(p.contains("partial_sum"))
+  }
+
+  test("source divergence aggregates term keys, never windows them") {
+    val p = plan("q_source_divergence")
+    // (source, term) counts, term totals, and per-source sums are all
+    // partial-combined groupBys — a stopword's posting list collapses
+    // map-side; source totals ride broadcasts into the scoring join
+    assert(!p.contains("Window ["))
+    assert(!p.contains("Expand"))
+    assert(p.contains("BroadcastHashJoin"))
+    assert(p.contains("partial_count") || p.contains("partial count"))
+  }
+
+  test("indexed BPE tokenize reads the artifact, no merge loop in the plan") {
+    val p = plan("q_bpe_tokenize_indexed")
+    // the serving plan is scan + join + aggregate: the tokenizer
+    // artifact comes from parquet (FileScan), the vocabulary joins as
+    // a broadcast, and nothing recomputes merges (no iterative
+    // checkpointed stages — a checkpoint would surface as an RDDScan)
+    assert(p.contains("FileScan") || p.contains("BatchScan"))
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("Scan ExistingRDD"),
+      "serving plan must not contain checkpointed training stages")
+    assert(!p.contains("Window ["))
+  }
+
   test("ngram df-cap aggregates the gram key, never windows it") {
     val p = plan("q_ngram_jaccard")
     // df must come from a partial-combined groupBy (a boilerplate gram
