@@ -346,6 +346,7 @@ object SparkEntry {
     "q_cluster_quality" -> ((s, d) =>
       Similarity.clusterQuality(Tables.embeddings(s, d), Tables.documents(s, d))),
     "q_chunk_dedup" -> ((s, d) => Dedup.chunkDedup(Tables.documents(s, d))),
+    "q_dup_provenance" -> ((s, d) => Dedup.dupProvenance(Tables.documents(s, d))),
     "q_tfidf_topterms" -> ((s, d) => TextAnalysis.tfidfTopTerms(Tables.documents(s, d))),
     "q_top_terms" -> ((s, d) => TextAnalysis.topTerms(Tables.documents(s, d))),
     "q_corpus_stats" -> ((s, d) => TextAnalysis.corpusStats(Tables.documents(s, d))),
@@ -1235,6 +1236,24 @@ object SparkEntry {
          | CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
          | ${m("sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) / count(*)", 4)} AS dup_ratio
          |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // same chunking as q_chunk_dedup; unique chunks are pruned before
+    // the self-join, the diagonal counts n·(n−1)/2 within-source pairs
+    "q_dup_provenance" ->
+      s"""WITH d AS (SELECT source, string_split(lower(text), ' ') AS w FROM documents),
+         |e AS (SELECT source, w, len(w)//10 AS n_full FROM d WHERE len(w)//10 >= 1),
+         |x AS (SELECT source, unnest(range(1, n_full+1)) AS i, w FROM e),
+         |c AS (SELECT source,
+         |  md5(array_to_string(list_slice(w, CAST((i-1)*10+1 AS INTEGER), CAST(i*10 AS INTEGER)), ' ')) AS h
+         | FROM x),
+         |hs AS (SELECT h, source, count(*) AS n FROM c GROUP BY 1, 2),
+         |t AS (SELECT h FROM (SELECT h, sum(n) AS tn FROM hs GROUP BY 1) WHERE tn > 1),
+         |dd AS (SELECT hs.* FROM hs JOIN t USING (h)),
+         |p AS (SELECT a.source AS source_a, b.source AS source_b,
+         |  CASE WHEN a.source = b.source THEN a.n * (a.n - 1) // 2 ELSE a.n * b.n END AS np
+         | FROM dd a JOIN dd b ON a.h = b.h AND a.source <= b.source)
+         |SELECT source_a, source_b, count(*) AS n_shared_chunks,
+         | CAST(sum(np) AS BIGINT) AS n_dup_pairs
+         |FROM p WHERE np > 0 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_tfidf_topterms" -> {
       val idf = dr("ln(CAST(n_docs AS DOUBLE) / df)", 6)
       s"""WITH toks AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents),

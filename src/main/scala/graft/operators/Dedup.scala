@@ -76,6 +76,52 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Cross-source duplicate provenance: for every pair of sources, how
+    * many exact-duplicate chunk pairs they share — the curation view
+    * that shows WHICH sources copy from which (mirror sites, scraped
+    * re-posts, common boilerplate) before a mix treats them as
+    * independent. Chunking matches [[chunkDedup]] (non-overlapping
+    * `chunkWords`-word windows, md5-keyed). `source_a <= source_b`;
+    * the diagonal counts within-source pairs; `n_shared_chunks` is the
+    * number of distinct duplicated chunks the pair shares and
+    * `n_dup_pairs` the total pair mass (n·(n−1)/2 within a source,
+    * n_a·n_b across).
+    *
+    * Scale shape: (chunk-hash, source) counts are one partial-combined
+    * corpus-sized shuffle; hashes appearing once in the WHOLE corpus —
+    * the overwhelming mass — are pruned by a partial-combined total
+    * BEFORE the self-join shuffles, so the join's input is only the
+    * duplicated-chunk set and its candidate mass is the true duplicate
+    * mass (the exact-form analog of the LSH bucket joins' posture).
+    * The output is at most |sources|² rows. */
+  def dupProvenance(docs: DataFrame, chunkWords: Int = 10): DataFrame = {
+    require(chunkWords >= 1, s"chunkWords must be >= 1, got $chunkWords")
+    val hs = docs
+      .withColumn("w", split(lower(col("text")), " ", -1))
+      .withColumn("n_full", (size(col("w")) / chunkWords).cast("int"))
+      .filter(col("n_full") >= 1)
+      .select(col("source"), explode(sequence(lit(1), col("n_full"))).as("i"), col("w"))
+      .select(col("source"), md5(concat_ws(" ",
+        slice(col("w"), (col("i") - 1) * chunkWords + 1, lit(chunkWords)))).as("h"))
+      .groupBy("h", "source").agg(count(lit(1)).as("n"))
+      // feeds the dup-hash prune and both sides of the self-join —
+      // localCheckpoint per the persistence contract
+      .localCheckpoint()
+    val dupHashes = hs.groupBy("h").agg(sum("n").as("tn"))
+      .filter(col("tn") > 1).select("h")
+    val d = hs.join(dupHashes, Seq("h"))
+    val pairs = d.as("a").join(d.as("b"),
+      col("a.h") === col("b.h") && col("a.source") <= col("b.source"))
+      .select(col("a.source").as("source_a"), col("b.source").as("source_b"),
+        when(col("a.source") === col("b.source"),
+          (col("a.n") * (col("a.n") - 1) / 2).cast("long"))
+          .otherwise(col("a.n") * col("b.n")).as("np"))
+      .filter(col("np") > 0)
+    pairs.groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_shared_chunks"), sum("np").as("n_dup_pairs"))
+      .orderBy("source_a", "source_b")
+  }
+
   /** doc_id + xxhash64'd word n-gram shingles (native codegen
     * graft_grams — bit-identical to the transform/concat_ws lambda
     * form, asserted in spec, with no interpreted per-window closure). */

@@ -166,6 +166,7 @@ class EmptyInputSpec extends AnyFunSuite with SparkSessionTestBase {
     assert(Curation.tokenBudgetSample(emptyDocs).count() === 0)
     assert(Curation.dsirWeights(emptyDocs, targetSources = Seq("src0")).count() === 0)
     assert(TextAnalysis.sourceDivergence(emptyDocs).count() === 0)
+    assert(Dedup.dupProvenance(emptyDocs).count() === 0)
     // empty eval set ⇒ nothing contaminated, every train vector rowed
     assert(Curation.flagContaminatedSemantic(emptyEmb, emptyEmb).count() === 0)
     val embAll = Tables.embeddings(spark, sfDir)

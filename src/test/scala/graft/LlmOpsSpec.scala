@@ -506,6 +506,24 @@ class LlmOpsSpec extends AnyFunSuite with SparkSessionTestBase {
     assert(again.collect().map(_.toString).toSeq === rows.map(_.toString).toSeq)
   }
 
+  test("dupProvenance counts shared duplicated chunks per source pair") {
+    import spark.implicits._
+    val ten = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
+    val docs = Seq(
+      (1L, "a", ten), (2L, "a", ten),            // 2 copies within a
+      (3L, "b", ten),                            // 1 copy in b
+      (4L, "c", "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10") // unique: pruned
+    ).toDF("doc_id", "source", "text")
+    val rows = operators.Dedup.dupProvenance(docs).collect()
+      .map(r => (r.getAs[String]("source_a"), r.getAs[String]("source_b")) ->
+        (r.getAs[Long]("n_shared_chunks"), r.getAs[Long]("n_dup_pairs"))).toMap
+    // (a,a): C(2,2)=1 pair; (a,b): 2×1=2; (b,b): n=1 → filtered; c absent
+    assert(rows === Map(("a", "a") -> (1L, 1L), ("a", "b") -> (1L, 2L)))
+    // the real corpus has planted cross-source near-dups sharing chunks
+    val corpus = operators.Dedup.dupProvenance(Tables.documents(spark, docDir))
+    assert(corpus.filter(col("source_a") =!= col("source_b")).count() > 0)
+  }
+
   test("sourceDivergence hits the JS boundary cases exactly") {
     import spark.implicits._
     // identical distributions: each source vs the rest is the same
