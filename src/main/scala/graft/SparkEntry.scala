@@ -347,6 +347,17 @@ object SparkEntry {
       Similarity.clusterQuality(Tables.embeddings(s, d), Tables.documents(s, d))),
     "q_chunk_dedup" -> ((s, d) => Dedup.chunkDedup(Tables.documents(s, d))),
     "q_dup_provenance" -> ((s, d) => Dedup.dupProvenance(Tables.documents(s, d))),
+    // two synthetic corpus versions carved from one table, scale-
+    // proportional at every SF: 1/20 of docs added, 1/20 removed, 1/20
+    // content-changed, the rest unchanged
+    "q_snapshot_diff" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Etl.snapshotDiff(
+        docs.filter(col("doc_id") % 20 =!= 0),
+        docs.filter(col("doc_id") % 20 =!= 1)
+          .withColumn("text", when(col("doc_id") % 20 === 2,
+            concat(col("text"), lit(" rev2"))).otherwise(col("text"))))
+    }),
     "q_tfidf_topterms" -> ((s, d) => TextAnalysis.tfidfTopTerms(Tables.documents(s, d))),
     "q_top_terms" -> ((s, d) => TextAnalysis.topTerms(Tables.documents(s, d))),
     "q_corpus_stats" -> ((s, d) => TextAnalysis.corpusStats(Tables.documents(s, d))),
@@ -1236,6 +1247,18 @@ object SparkEntry {
          | CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
          | ${m("sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) / count(*)", 4)} AS dup_ratio
          |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_snapshot_diff" ->
+      """WITH o AS (SELECT doc_id, md5(text) AS h_old FROM documents WHERE doc_id % 20 != 0),
+        |n AS (SELECT doc_id,
+        |  md5(CASE WHEN doc_id % 20 = 2 THEN text || ' rev2' ELSE text END) AS h_new
+        | FROM documents WHERE doc_id % 20 != 1)
+        |SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+        | CASE WHEN o.doc_id IS NULL THEN 'added'
+        |      WHEN n.doc_id IS NULL THEN 'removed'
+        |      WHEN h_old = h_new THEN 'unchanged'
+        |      ELSE 'changed' END AS status
+        |FROM o FULL JOIN n ON o.doc_id = n.doc_id
+        |ORDER BY doc_id""".stripMargin,
     // same chunking as q_chunk_dedup; unique chunks are pruned before
     // the self-join, the diagonal counts n·(n−1)/2 within-source pairs
     "q_dup_provenance" ->

@@ -61,6 +61,27 @@ object Etl {
       .agg(count(lit(1)).as("n_rows_after_dedup"))
   }
 
+  /** Corpus snapshot diff (incremental-ingest delta detection):
+    * classify every doc across two corpus versions as added / removed
+    * / changed / unchanged by content hash — the frame an incremental
+    * pipeline feeds downstream so re-sketch/re-embed work touches only
+    * added+changed docs instead of the whole 100 TB corpus.
+    *
+    * Scale shape: each side projects to (doc_id, md5) before anything
+    * shuffles — 32-char hashes through the exchange, never document
+    * text — and the diff is ONE full-outer hash join on the uniform
+    * doc_id key. No windows, no skew surface. */
+  def snapshotDiff(oldDocs: DataFrame, newDocs: DataFrame): DataFrame =
+    oldDocs.select(col("doc_id"), md5(col("text")).as("h_old"))
+      .join(newDocs.select(col("doc_id"), md5(col("text")).as("h_new")),
+        Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("h_old").isNull, lit("added"))
+          .when(col("h_new").isNull, lit("removed"))
+          .when(col("h_old") === col("h_new"), lit("unchanged"))
+          .otherwise(lit("changed")).as("status"))
+      .orderBy("doc_id")
+
   /** Upsert read: latest observation per (store, product) — the
     * "current price" view over an append-only observation log. */
   def latestPerKey(li: DataFrame): DataFrame = {

@@ -167,6 +167,12 @@ class EmptyInputSpec extends AnyFunSuite with SparkSessionTestBase {
     assert(Curation.dsirWeights(emptyDocs, targetSources = Seq("src0")).count() === 0)
     assert(TextAnalysis.sourceDivergence(emptyDocs).count() === 0)
     assert(Dedup.dupProvenance(emptyDocs).count() === 0)
+    assert(Etl.snapshotDiff(emptyDocs, emptyDocs).count() === 0)
+    // one-sided snapshots still classify: everything added / removed
+    val oneSided = Etl.snapshotDiff(emptyDocs, docsAll)
+    assert(oneSided.count() === docsAll.count())
+    assert(oneSided.filter(org.apache.spark.sql.functions
+      .col("status") =!= "added").count() === 0)
     // empty eval set ⇒ nothing contaminated, every train vector rowed
     assert(Curation.flagContaminatedSemantic(emptyEmb, emptyEmb).count() === 0)
     val embAll = Tables.embeddings(spark, sfDir)

@@ -506,6 +506,18 @@ class LlmOpsSpec extends AnyFunSuite with SparkSessionTestBase {
     assert(again.collect().map(_.toString).toSeq === rows.map(_.toString).toSeq)
   }
 
+  test("snapshotDiff classifies every doc across two corpus versions") {
+    import spark.implicits._
+    val old = Seq((1L, "keep"), (2L, "will change"), (3L, "will vanish"))
+      .toDF("doc_id", "text")
+    val nw = Seq((1L, "keep"), (2L, "changed!"), (4L, "brand new"))
+      .toDF("doc_id", "text")
+    val got = operators.Etl.snapshotDiff(old, nw).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("status")).toMap
+    assert(got === Map(1L -> "unchanged", 2L -> "changed",
+      3L -> "removed", 4L -> "added"))
+  }
+
   test("dupProvenance counts shared duplicated chunks per source pair") {
     import spark.implicits._
     val ten = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
