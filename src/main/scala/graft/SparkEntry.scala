@@ -379,6 +379,9 @@ object SparkEntry {
     // exercises both keep and drop; defaults are the paper's canonical
     "q_gopher_rules" -> ((s, d) =>
       TextAnalysis.gopherRules(Tables.documents(s, d), minWords = 20, minStopHits = 1)),
+    // uniformly keep=false on the punctuation-free synthetic corpus
+    // (documented in the scaladoc); the rules fire on planted docs in spec
+    "q_c4_rules" -> ((s, d) => TextAnalysis.c4Rules(Tables.documents(s, d))),
     "q_classifier_score" -> ((s, d) => TextAnalysis.classifierScore(Tables.documents(s, d))),
     // BPE subword tokenizer: merges learned from the bounded word-count
     // table (never the corpus), applied via a segmentation join.
@@ -1069,6 +1072,25 @@ object SparkEntry {
          |  AND n_stop_hits >= 1) AS keep
          |FROM a JOIN d USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
+    // mirrors the Scala exactly: line split on chr(10) with position,
+    // per-line keep signals, ordered string_agg reassembly
+    "q_c4_rules" ->
+      """WITH x AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM documents),
+        |l AS (SELECT doc_id, unnest(range(1, len(ls)+1)) AS pos, ls FROM x),
+        |ll AS (SELECT doc_id, pos, ls[CAST(pos AS INTEGER)] AS line FROM l),
+        |k AS (SELECT doc_id, pos, line,
+        |  (regexp_matches(trim(line), '[.!?"]$') AND len(string_split(line, ' ')) >= 3
+        |   AND NOT contains(lower(line), 'javascript')) AS kept FROM ll),
+        |a AS (SELECT doc_id, count(*) AS n_lines,
+        |  CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept_lines,
+        |  COALESCE(string_agg(CASE WHEN kept THEN line END, chr(10) ORDER BY pos), '')
+        |    AS clean_text
+        | FROM k GROUP BY 1),
+        |d AS (SELECT doc_id, contains(lower(text), 'lorem ipsum') AS has_lorem,
+        |  contains(text, '{') AS has_brace FROM documents)
+        |SELECT a.doc_id, n_lines, n_kept_lines, clean_text, has_lorem, has_brace,
+        | (n_kept_lines >= 5 AND NOT has_lorem AND NOT has_brace) AS keep
+        |FROM a JOIN d USING (doc_id) ORDER BY doc_id""".stripMargin,
     "q_repetition" ->
       s"""WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
          |g AS (SELECT doc_id,

@@ -365,6 +365,51 @@ object TextAnalysis {
     * type-token ratio per source — low TTR flags templated or
     * machine-generated sources before they dilute a mix. One
     * source-keyed aggregate with a partial-combined distinct. */
+  /** The C4 line-level cleaning rules (Raffel et al. 2020,
+    * arXiv:1910.10683 §2.2 — public): keep only lines ending in
+    * terminal punctuation with at least `minLineWords` words and no
+    * "javascript"; drop whole pages containing "lorem ipsum" or a
+    * curly brace, or with fewer than `minKeptLines` surviving lines.
+    * Returns the REWRITTEN text (surviving lines re-joined in original
+    * order) alongside the per-rule signals — a transform, not just a
+    * flag. The synthetic test corpus has no line structure or
+    * punctuation, so the driver entry's rows are uniformly
+    * keep = false with empty clean_text; the rules are exercised on
+    * realistic multi-line docs in spec.
+    *
+    * Scale shape: line signals are a narrow posexplode projection; the
+    * per-doc reassembly is one partial-combined aggregation whose
+    * collect_list is bounded by a document's own line count (the same
+    * per-doc bound every per-doc text op here carries); doc-level
+    * phrase flags join back on the uniform doc_id key. No windows. */
+  def c4Rules(
+      docs: DataFrame, minLineWords: Int = 3,
+      minKeptLines: Int = 5): DataFrame = {
+    val lines = docs.select(col("doc_id"),
+      posexplode(split(col("text"), "\n", -1)).as(Seq("pos", "line")))
+    val keptLine = trim(col("line")).rlike("[.!?\"]$") &&
+      size(split(col("line"), " ", -1)) >= minLineWords &&
+      !lower(col("line")).contains("javascript")
+    val perDoc = lines.groupBy("doc_id").agg(
+      count(lit(1)).as("n_lines"),
+      sum(when(keptLine, 1L).otherwise(0L)).as("n_kept_lines"),
+      // surviving lines re-joined in original order: collect_list drops
+      // the null non-kept entries, array_sort orders by pos (the
+      // struct's first field)
+      concat_ws("\n", transform(
+        array_sort(collect_list(when(keptLine, struct(col("pos"), col("line"))))),
+        s => s.getField("line"))).as("clean_text"))
+    docs.select(col("doc_id"),
+        lower(col("text")).contains("lorem ipsum").as("has_lorem"),
+        col("text").contains("{").as("has_brace"))
+      .join(perDoc, Seq("doc_id"))
+      .select(col("doc_id"), col("n_lines"), col("n_kept_lines"),
+        col("clean_text"), col("has_lorem"), col("has_brace"),
+        (col("n_kept_lines") >= minKeptLines &&
+          !col("has_lorem") && !col("has_brace")).as("keep"))
+      .orderBy("doc_id")
+  }
+
   /** Per-source distribution drift: the Jensen-Shannon divergence (in
     * nats) between each source's unigram distribution and the REST of
     * the corpus — the monitoring view that catches a templated,

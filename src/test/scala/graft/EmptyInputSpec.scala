@@ -168,6 +168,7 @@ class EmptyInputSpec extends AnyFunSuite with SparkSessionTestBase {
     assert(TextAnalysis.sourceDivergence(emptyDocs).count() === 0)
     assert(Dedup.dupProvenance(emptyDocs).count() === 0)
     assert(Etl.snapshotDiff(emptyDocs, emptyDocs).count() === 0)
+    assert(TextAnalysis.c4Rules(emptyDocs).count() === 0)
     // one-sided snapshots still classify: everything added / removed
     val oneSided = Etl.snapshotDiff(emptyDocs, docsAll)
     assert(oneSided.count() === docsAll.count())

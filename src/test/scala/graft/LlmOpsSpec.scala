@@ -506,6 +506,37 @@ class LlmOpsSpec extends AnyFunSuite with SparkSessionTestBase {
     assert(again.collect().map(_.toString).toSeq === rows.map(_.toString).toSeq)
   }
 
+  test("c4Rules applies every line and page rule and rewrites the text") {
+    import spark.implicits._
+    val good = (1 to 5).map(i => s"This is a good sentence number $i.")
+    val docs = Seq(
+      // every rule on display in one doc: kept lines interleaved with
+      // a short line, an unpunctuated line, and a javascript line
+      (1L, (good.take(3) ++ Seq("Too short.", "no terminal punctuation",
+        "This line mentions JavaScript heavily.") ++ good.drop(3)).mkString("\n")),
+      (2L, good.mkString("\n")),                        // clean: kept
+      (3L, (good :+ "contains lorem ipsum.").mkString("\n")), // page rule
+      (4L, (good :+ "has a { brace.").mkString("\n")),        // page rule
+      (5L, good.take(4).mkString("\n"))                 // only 4 kept lines
+    ).toDF("doc_id", "text")
+    val rows = TextAnalysis.c4Rules(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // doc 1: 8 lines, the 5 good ones survive, rewritten in order
+    assert(rows(1L).getAs[Long]("n_lines") === 8)
+    assert(rows(1L).getAs[Long]("n_kept_lines") === 5)
+    assert(rows(1L).getAs[String]("clean_text") === good.mkString("\n"))
+    assert(rows(1L).getAs[Boolean]("keep"))
+    assert(rows(2L).getAs[Boolean]("keep"))
+    // lorem ipsum and curly braces kill the page even with enough lines
+    assert(rows(3L).getAs[Boolean]("has_lorem") && !rows(3L).getAs[Boolean]("keep"))
+    assert(rows(4L).getAs[Boolean]("has_brace") && !rows(4L).getAs[Boolean]("keep"))
+    // fewer than minKeptLines surviving sentences drops the page
+    assert(rows(5L).getAs[Long]("n_kept_lines") === 4 &&
+      !rows(5L).getAs[Boolean]("keep"))
+    // "Too short." IS punctuated but has under 3 words: not kept
+    assert(rows(1L).getAs[String]("clean_text").split("\n").length === 5)
+  }
+
   test("snapshotDiff classifies every doc across two corpus versions") {
     import spark.implicits._
     val old = Seq((1L, "keep"), (2L, "will change"), (3L, "will vanish"))
