@@ -36,7 +36,11 @@ object Bpe {
     * iterations, each building a plan over the localCheckpoint'd
     * vocabulary frame; the only driver-side data access is the 1-row
     * emptiness probe that ends the loop early when no adjacent pair is
-    * left to merge. */
+    * left to merge. Per-merge plan-build latency (~0.1 s) — not data
+    * volume — bounds practical `nMerges` to the low thousands; a
+    * production 32k-merge vocabulary would train this same loop on a
+    * word-count table from a corpus SAMPLE (the standard practice), so
+    * the corpus-scale path is tokenization, which is one join. */
   def bpeTrain(
       docs: DataFrame, nMerges: Int = 50,
       vocabSize: Int = 5000): (DataFrame, DataFrame) = {

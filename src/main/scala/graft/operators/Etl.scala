@@ -70,7 +70,10 @@ object Etl {
     * Scale shape: each side projects to (doc_id, md5) before anything
     * shuffles — 32-char hashes through the exchange, never document
     * text — and the diff is ONE full-outer hash join on the uniform
-    * doc_id key. No windows, no skew surface. */
+    * doc_id key. No windows, no skew surface. Assumes doc_id is unique
+    * within each snapshot (the corpus contract); duplicated ids would
+    * fan out the join — run [[dedupExactReplay]]-style id dedup first
+    * on untrusted feeds. */
   def snapshotDiff(oldDocs: DataFrame, newDocs: DataFrame): DataFrame =
     oldDocs.select(col("doc_id"), md5(col("text")).as("h_old"))
       .join(newDocs.select(col("doc_id"), md5(col("text")).as("h_new")),
