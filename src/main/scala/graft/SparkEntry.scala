@@ -454,6 +454,11 @@ object SparkEntry {
     // row-identical to batch curationSignals, oracle-checked
     "q_stream_quality_gate" -> ((s, d) =>
       graft.streaming.CurationStream.qualityGateRun(s, d)),
+    // the STREAMING drift monitor run end-to-end: every source scored
+    // against the persisted full-corpus reference distribution inside
+    // foreachBatch; deterministic single micro-batch, oracle-checked
+    "q_stream_drift" -> ((s, d) =>
+      graft.streaming.DriftStream.driftMonitorRun(s, d)),
     "q_retention_cohorts" -> ((s, d) => Purchases.retentionCohorts(Tables.orders(s, d))),
     "q_price_percentiles" -> ((s, d) => Purchases.pricePercentiles(Tables.part(s, d))),
     "q_train_split" -> ((s, d) => Curation.splitCounts(Tables.documents(s, d))),
@@ -1072,6 +1077,34 @@ object SparkEntry {
          |  AND n_stop_hits >= 1) AS keep
          |FROM a JOIN d USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
+    // the drift monitor's single batch scores each source against the
+    // FULL corpus distribution (reference seeded from the same table):
+    // the sourceDivergence decomposition with q from the corpus —
+    // every source term is in the reference, so no q = 0 branch
+    "q_stream_drift" ->
+      """WITH st AS (SELECT source, unnest(string_split(lower(text), ' ')) AS t FROM documents),
+        |c AS (SELECT source, t, count(*) AS cst FROM st GROUP BY 1, 2),
+        |s AS (SELECT source, sum(cst) AS ts FROM c GROUP BY 1),
+        |g AS (SELECT t, sum(cst) AS cnt FROM c GROUP BY 1),
+        |r AS (SELECT sum(cnt) AS rt FROM g),
+        |k AS (SELECT c.source, ts, rt,
+        |  CAST(round(1e6 * 0.5 * (
+        |    (cst / ts) * ln(2.0 * (cst / ts) / ((cst / ts) + (cnt / rt)))
+        |    + (cnt / rt) * ln(2.0 * (cnt / rt) / ((cst / ts) + (cnt / rt))))) AS BIGINT)
+        |    AS c_micro,
+        |  cnt AS ref_n
+        | FROM c JOIN g USING (t) JOIN s USING (source) CROSS JOIN r),
+        |a AS (SELECT source, ts, rt, count(*) AS n_terms,
+        |  sum(c_micro) AS am, sum(ref_n) AS s1 FROM k GROUP BY 1, 2, 3),
+        |f AS (SELECT source, CAST(ts AS BIGINT) AS n_tokens,
+        |  CAST(n_terms AS BIGINT) AS n_terms,
+        |  CAST(round(CAST(am AS DOUBLE) / 1e6
+        |    + 0.5 * ln(2.0) * (1.0 - CAST(s1 AS DOUBLE) / rt), 6) AS DOUBLE)
+        |    AS js_divergence
+        | FROM a)
+        |SELECT source, n_tokens, n_terms, js_divergence,
+        | js_divergence > 0.1 AS drifted
+        |FROM f ORDER BY source""".stripMargin,
     // mirrors the Scala exactly: line split on chr(10) with position,
     // per-line keep signals, ordered string_agg reassembly
     "q_c4_rules" ->

@@ -410,6 +410,66 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Reference unigram distribution: the (term, count) table
+    * [[divergenceAgainst]] and the streaming drift monitor score
+    * batches against. Persist it once per corpus version (the drift
+    * monitor's seed artifact). One partial-combined aggregation. */
+  def termCounts(docs: DataFrame): DataFrame =
+    docs.select(explode(split(lower(col("text")), " ", -1)).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("cnt"))
+
+  /** Per-source Jensen-Shannon divergence against an EXPLICIT
+    * reference distribution (a [[termCounts]] frame) — the batch
+    * primitive behind the streaming drift monitor: score arriving
+    * docs against a persisted known-good corpus distribution and flag
+    * sources whose language shifted (scraper broke, spam flood,
+    * template change). Unlike [[sourceDivergence]] (each source vs
+    * the rest of the SAME frame), the reference here is independent —
+    * batch terms absent from it carry the q = 0 integrand (ln 2)/2·p,
+    * and an empty reference yields exactly ln 2 for every source.
+    *
+    * Same scale shape and exactness discipline as [[sourceDivergence]]:
+    * one corpus-sized (source, term) aggregation, term-keyed reference
+    * join (AQE-planned), broadcast totals, absent-reference-term mass
+    * in closed form over exact integers, contributions snapped to
+    * integer micro-nats. */
+  def divergenceAgainst(
+      docs: DataFrame, ref: DataFrame,
+      threshold: Double = 0.1): DataFrame = {
+    val st = docs
+      .select(col("source"), explode(split(lower(col("text")), " ", -1)).as("t"))
+      .groupBy("source", "t").agg(count(lit(1)).as("cst"))
+      .localCheckpoint()
+    val srcTot = st.groupBy("source").agg(sum("cst").as("ts"))
+    val refTot = ref.agg(sum("cnt").as("rt"))
+    val p = col("cst").cast("double") / col("ts").cast("double")
+    val q = when(col("cnt").isNotNull,
+      col("cnt").cast("double") / col("rt").cast("double")).otherwise(lit(0.0))
+    val contrib = lit(0.5) * (
+      p * log(lit(2.0) * p / (p + q)) +
+        when(col("cnt").isNotNull, q * log(lit(2.0) * q / (p + q)))
+          .otherwise(lit(0.0)))
+    st.join(ref.select(col("t"), col("cnt")), Seq("t"), "left")
+      .join(broadcast(srcTot), Seq("source"))
+      .crossJoin(broadcast(refTot))
+      .select(col("source"), col("ts"), col("rt"),
+        round(contrib * 1e6).cast("long").as("c_micro"),
+        coalesce(col("cnt"), lit(0L)).as("ref_n"))
+      .groupBy("source", "ts", "rt")
+      .agg(count(lit(1)).as("n_terms"),
+        sum("c_micro").as("a_micro"), sum("ref_n").as("s1"))
+      .select(col("source"), col("ts").as("n_tokens"), col("n_terms"),
+        round(
+          col("a_micro").cast("double") / 1e6 +
+            lit(0.5 * math.log(2.0)) *
+              (lit(1.0) - when(col("rt") > 0,
+                col("s1").cast("double") / col("rt").cast("double"))
+                .otherwise(lit(0.0))), 6)
+          .as("js_divergence"))
+      .withColumn("drifted", col("js_divergence") > threshold)
+      .orderBy("source")
+  }
+
   /** Per-source distribution drift: the Jensen-Shannon divergence (in
     * nats) between each source's unigram distribution and the REST of
     * the corpus — the monitoring view that catches a templated,

@@ -169,6 +169,15 @@ class EmptyInputSpec extends AnyFunSuite with SparkSessionTestBase {
     assert(Dedup.dupProvenance(emptyDocs).count() === 0)
     assert(Etl.snapshotDiff(emptyDocs, emptyDocs).count() === 0)
     assert(TextAnalysis.c4Rules(emptyDocs).count() === 0)
+    // empty reference: every source is maximally drifted (exactly ln 2)
+    val vsEmpty = TextAnalysis.divergenceAgainst(
+      docsAll, TextAnalysis.termCounts(emptyDocs))
+    assert(vsEmpty.count() > 0)
+    vsEmpty.collect().foreach { r =>
+      assert(math.abs(r.getAs[Double]("js_divergence") - math.log(2.0)) < 1e-4)
+    }
+    assert(TextAnalysis.divergenceAgainst(
+      emptyDocs, TextAnalysis.termCounts(docsAll)).count() === 0)
     // one-sided snapshots still classify: everything added / removed
     val oneSided = Etl.snapshotDiff(emptyDocs, docsAll)
     assert(oneSided.count() === docsAll.count())

@@ -423,6 +423,43 @@ class StreamingSpec extends AnyFunSuite with SparkSessionTestBase {
     assert(gateTables.length === 1, gateTables.mkString(","))
   }
 
+  test("driftMonitorRun (streaming) equals the batch divergenceAgainst twin") {
+    val docs = Tables.documents(spark, sfDir)
+    val streamed = SparkEntry.queries("q_stream_drift")(spark, sfDir)
+      .collect().map(_.toString).toSeq
+    val batch = graft.operators.TextAnalysis
+      .divergenceAgainst(docs, graft.operators.TextAnalysis.termCounts(docs))
+      .orderBy("source")
+      .collect().map(_.toString).toSeq
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
+
+  test("driftMonitor flags a planted off-distribution batch") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("driftstream")
+    val ref = Seq((1L, "ok", "alpha beta gamma delta alpha beta gamma delta"))
+      .toDF("doc_id", "source", "text")
+    graft.streaming.DriftStream.seedReference(ref, root.resolve("ref").toString)
+    // batch: one source speaks the reference language, one doesn't
+    val batch = Seq(
+      (2L, "steady", "alpha beta gamma delta alpha beta gamma delta"),
+      (3L, "broken", "omega sigma theta kappa omega sigma theta kappa"))
+      .toDF("doc_id", "source", "text")
+    batch.write.mode("overwrite").parquet(root.resolve("src").toString)
+    val q = graft.streaming.DriftStream.driftMonitor(
+      spark.readStream.schema(batch.schema).parquet(root.resolve("src").toString),
+      root.resolve("ref").toString, root.resolve("out").toString,
+      root.resolve("ckpt").toString, threshold = 0.1)
+    try q.processAllAvailable() finally q.stop()
+    val rows = spark.read.parquet(root.resolve("out").toString).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Double]("js_divergence"), r.getAs[Boolean]("drifted"))).toMap
+    // identical distribution: JS exactly 0; disjoint vocab: exactly ln 2
+    assert(rows("steady")._1 === 0.0 && !rows("steady")._2)
+    assert(math.abs(rows("broken")._1 - math.log(2.0)) < 1e-4 && rows("broken")._2)
+  }
+
   test("sessionizeStream emits gap-closed sessions") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("sessstream").toString
