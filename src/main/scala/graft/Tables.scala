@@ -23,15 +23,22 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "part")
   def orders(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "lineitem")
-  /** `events.ts` is INT64 TIMESTAMP(NANOS) parquet, which Spark's reader
-    * rejects outright. Read nanos as long (legacy conf) and convert to a
-    * microsecond TIMESTAMP_NTZ — the source values are µs-aligned, so no
-    * precision is lost. The conf only affects nanos columns. */
+  /** `events.ts` arrives in either of two writer encodings: INT64
+    * TIMESTAMP(NANOS) — which Spark's reader rejects outright, so it is
+    * read as a long (legacy conf) and converted; the source values are
+    * µs-aligned, so no precision is lost — or a plain µs timestamp,
+    * which passes through. Both land on TIMESTAMP_NTZ so every
+    * downstream operator sees one type regardless of the writer. The
+    * conf only affects nanos columns. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(spark, dir, "events")
-      .withColumn("ts",
-        timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+    val raw = table(spark, dir, "events")
+    val ts = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        timestamp_micros(expr("ts div 1000"))
+      case _ => col("ts")
+    }
+    raw.withColumn("ts", ts.cast("timestamp_ntz"))
   }
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
