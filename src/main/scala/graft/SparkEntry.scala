@@ -324,6 +324,7 @@ object SparkEntry {
     }),
     "q_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(Tables.documents(s, d))),
     "q_embed_topk" -> ((s, d) => Similarity.embedTopK(Tables.embeddings(s, d))),
+    "q_embed_outliers" -> ((s, d) => Similarity.embedOutliers(Tables.embeddings(s, d))),
     "q_embed_lsh" -> ((s, d) => Similarity.embedLshBuckets(Tables.embeddings(s, d))),
     "q_embed_lsh_topk" -> ((s, d) => Similarity.embedLshTopK(Tables.embeddings(s, d))),
     "q_embed_ivf_topk" -> ((s, d) => Similarity.embedIvfTopK(Tables.embeddings(s, d))),
@@ -360,6 +361,7 @@ object SparkEntry {
     }),
     "q_tfidf_topterms" -> ((s, d) => TextAnalysis.tfidfTopTerms(Tables.documents(s, d))),
     "q_top_terms" -> ((s, d) => TextAnalysis.topTerms(Tables.documents(s, d))),
+    "q_collocations" -> ((s, d) => TextAnalysis.collocations(Tables.documents(s, d))),
     "q_corpus_stats" -> ((s, d) => TextAnalysis.corpusStats(Tables.documents(s, d))),
     "q_vocab_stats" -> ((s, d) => TextAnalysis.vocabStats(Tables.documents(s, d))),
     "q_source_divergence" -> ((s, d) =>
@@ -367,6 +369,8 @@ object SparkEntry {
     "q_heavy_hitters" -> ((s, d) => TextAnalysis.heavyHitterTerms(Tables.documents(s, d))),
     "q_domain_stats" -> ((s, d) =>
       TextCleaning.domainStats(TextCleaning.withSyntheticUrls(Tables.documents(s, d)))),
+    "q_url_dedup" -> ((s, d) =>
+      TextCleaning.urlDedup(TextCleaning.withSyntheticDupUrls(Tables.documents(s, d)))),
     "q_lang_id" -> ((s, d) => TextAnalysis.langId(Tables.documents(s, d))),
     "q_quality_score" -> ((s, d) => TextAnalysis.qualityScore(Tables.documents(s, d))),
     "q_token_count" -> ((s, d) => TextAnalysis.tokenCount(Tables.documents(s, d))),
@@ -374,6 +378,7 @@ object SparkEntry {
     "q_perplexity" -> ((s, d) => TextAnalysis.perplexityScore(Tables.documents(s, d))),
     "q_perplexity_bigram" -> ((s, d) =>
       TextAnalysis.bigramPerplexity(Tables.documents(s, d))),
+    "q_ccnet_buckets" -> ((s, d) => TextAnalysis.ccnetBuckets(Tables.documents(s, d))),
     "q_repetition" -> ((s, d) => TextAnalysis.repetitionScore(Tables.documents(s, d))),
     // relaxed thresholds (minWords/minStopHits) so the synthetic corpus
     // exercises both keep and drop; defaults are the paper's canonical
@@ -1351,6 +1356,50 @@ object SparkEntry {
         | FROM documents)
         |SELECT term, count(*) AS doc_freq FROM d GROUP BY term
         |ORDER BY doc_freq DESC, term LIMIT 20""".stripMargin,
+    "q_collocations" -> {
+      val pmi = dr(
+        "ln((CAST(n_xy AS DOUBLE) * nt * nt) / (CAST(nb AS DOUBLE) * n_x * n_y))", 6)
+      s"""WITH d AS (SELECT string_split(lower(text), ' ') AS w FROM documents),
+         |tot AS (SELECT sum(len(w)) AS nt,
+         |  sum(CASE WHEN len(w) >= 2 THEN len(w) - 1 ELSE 0 END) AS nb FROM d),
+         |uni AS (SELECT unnest(w) AS t FROM d),
+         |u AS (SELECT t, count(*) AS n FROM uni GROUP BY t),
+         |bg AS (SELECT b.w1 AS w1, b.w2 AS w2
+         | FROM (SELECT unnest(list_transform(range(2, len(w) + 1),
+         |        i -> {'w1': w[i - 1], 'w2': w[i]})) AS b
+         |       FROM d WHERE len(w) >= 2)),
+         |bc AS (SELECT w1, w2, count(*) AS n_xy FROM bg GROUP BY w1, w2
+         |       HAVING count(*) >= 5)
+         |SELECT bc.w1, bc.w2, bc.n_xy, ux.n AS n_x, uy.n AS n_y,
+         | CAST($pmi AS DOUBLE) AS pmi
+         |FROM bc JOIN u ux ON ux.t = bc.w1 JOIN u uy ON uy.t = bc.w2, tot
+         |ORDER BY pmi DESC, bc.w1, bc.w2 LIMIT 50""".stripMargin
+    },
+    "q_ccnet_buckets" -> {
+      val surp = dr("-ln(CAST(n AS DOUBLE) / total)", 6)
+      s"""WITH toks AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t FROM documents),
+         |c AS (SELECT t, count(*) AS n FROM toks GROUP BY t),
+         |tot AS (SELECT count(*) AS total FROM toks),
+         |model AS (SELECT t, CAST($surp AS DOUBLE) AS surprisal FROM c, tot),
+         |sc AS (SELECT doc_id,
+         |  CAST(${dr(s"CAST(${dr("sum(surprisal)", 4)} AS DOUBLE)/count(surprisal)", 4)} AS DOUBLE) AS avg_surprisal
+         | FROM toks JOIN model USING (t) GROUP BY doc_id),
+         |sl AS (SELECT d.doc_id, d.lang, sc.avg_surprisal
+         | FROM documents d JOIN sc USING (doc_id)),
+         |hist AS (SELECT lang, avg_surprisal, count(*) AS nv
+         | FROM sl GROUP BY lang, avg_surprisal),
+         |cum AS (SELECT lang, avg_surprisal,
+         |  sum(nv) OVER (PARTITION BY lang ORDER BY avg_surprisal
+         |                ROWS UNBOUNDED PRECEDING) AS cum_le FROM hist),
+         |tl AS (SELECT lang, sum(nv) AS n_lang FROM hist GROUP BY lang),
+         |b AS (SELECT cum.lang, cum.avg_surprisal,
+         |  CASE WHEN cum.cum_le * 3 <= tl.n_lang THEN 'head'
+         |       WHEN cum.cum_le * 3 <= tl.n_lang * 2 THEN 'middle'
+         |       ELSE 'tail' END AS bucket
+         | FROM cum JOIN tl USING (lang))
+         |SELECT sl.doc_id, sl.lang, sl.avg_surprisal, b.bucket
+         |FROM sl JOIN b USING (lang, avg_surprisal) ORDER BY sl.doc_id""".stripMargin
+    },
     "q_vocab_stats" ->
       s"""WITH t AS (SELECT source, unnest(string_split(lower(text), ' ')) AS term
          | FROM documents)
@@ -1410,6 +1459,38 @@ object SparkEntry {
         |SELECT regexp_extract(url, 'https?://([^/ ]+)', 1) AS domain,
         | count(DISTINCT doc_id) AS n_docs, count(*) AS n_urls
         |FROM u GROUP BY domain ORDER BY domain""".stripMargin,
+    "q_url_dedup" ->
+      """WITH t AS (SELECT doc_id,
+        |  text || ' https://www.shop' || CAST(doc_id % 7 AS VARCHAR)
+        |       || '.example.com/item/' || CAST(doc_id % 50 AS VARCHAR)
+        |       || '?utm_source=feed&ref=tw'
+        |       || ' http://shop' || CAST(doc_id % 7 AS VARCHAR)
+        |       || '.example.com/item/' || CAST(doc_id % 50 AS VARCHAR)
+        |       || '/#reviews' AS text
+        | FROM documents),
+        |u AS (SELECT doc_id, unnest(regexp_extract_all(text, 'https?://[^ ]+')) AS url FROM t),
+        |c AS (SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |    lower(url), '#.*$', ''), '\?.*$', ''), '^https?://', ''), '^www\.', ''), '/$', '')
+        |    AS canonical
+        | FROM u)
+        |SELECT canonical, count(DISTINCT doc_id) AS n_docs, count(*) AS n_urls,
+        | min(doc_id) AS keeper_doc
+        |FROM c GROUP BY canonical ORDER BY canonical""".stripMargin,
+    "q_embed_outliers" -> {
+      val mean = dr(s"CAST(${dr("sum(xe)", 6)} AS DOUBLE) / count(*)", 6)
+      val cos = dr(
+        "list_dot_product(v, cv) / " +
+          "(sqrt(list_sum(list_transform(v, x -> x*x))) * cnorm)", 6)
+      s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |x AS (SELECT generate_subscripts(v, 1) AS i, ${dr("unnest(v)", 6)} AS xe FROM e),
+         |c AS (SELECT i, CAST($mean AS DOUBLE) AS m FROM x GROUP BY i),
+         |cl AS (SELECT list(m ORDER BY i) AS cv FROM c),
+         |cn AS (SELECT cv, sqrt(list_sum(list_transform(cv, x -> x*x))) AS cnorm FROM cl)
+         |SELECT vec_id, label, CAST($cos AS DOUBLE) AS cos_centroid
+         |FROM e, cn
+         |ORDER BY cos_centroid ASC, vec_id LIMIT 25""".stripMargin
+    },
     "q_train_split" ->
       """WITH b AS (SELECT ('0x' || substr(md5('graft-split-v1:' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT % 100 AS bucket
         | FROM documents)

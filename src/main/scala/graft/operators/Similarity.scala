@@ -63,6 +63,43 @@ object Similarity {
       .transform(topKByCos(_, k))
   }
 
+  /** Corpus-centroid outlier report: the k vectors FARTHEST (lowest
+    * cosine) from the corpus mean embedding — the cheap first-pass
+    * outlier screen an embedding-quality audit runs before
+    * per-cluster diagnostics ([[clusterQuality]]): mislabeled,
+    * truncated, or off-distribution vectors surface at the bottom of
+    * the centroid-cosine ranking.
+    *
+    * Scale shape: the centroid is ONE per-position partial-combined
+    * aggregate (posexplode → dim-keyed mean — dim rows total, a
+    * constant), broadcast back as a single array row; scoring is a
+    * narrow map over the corpus through the codegen `graft_dot`; the
+    * bottom-k is a TakeOrdered, never a full sort. Engine-stable per
+    * the StableStats discipline: elements snap to 6 decimals first, so
+    * each position's TRUE sum is a multiple of 1e-6 and
+    * `round(sum, 6)` lands on the identical double regardless of
+    * accumulation order; the mean and cosine are then deterministic
+    * IEEE math on identical inputs in identical association order. */
+  def embedOutliers(emb: DataFrame, k: Int = 25): DataFrame = {
+    graft.functions.VectorFunctions.register(emb.sparkSession)
+    val e = emb.select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("v"))
+      .withColumn("norm", expr("sqrt(graft_dot(v, v))"))
+    val cent = emb
+      .select(posexplode(col("embedding").cast("array<double>")).as(Seq("pos", "x")))
+      .groupBy("pos")
+      .agg(round(round(sum(round(col("x"), 6)), 6) / count(lit(1)), 6).as("m"))
+      // dim rows — a bounded collect into the broadcast centroid array
+      .agg(expr("transform(array_sort(collect_list(struct(pos, m))), s -> s.m)").as("c"))
+      .withColumn("cn", expr("sqrt(graft_dot(c, c))"))
+    e.crossJoin(broadcast(cent))
+      .withColumn("cos_centroid",
+        round(expr("graft_dot(v, c)") / (col("norm") * col("cn")), 6))
+      .select("vec_id", "label", "cos_centroid")
+      .orderBy(col("cos_centroid").asc, col("vec_id"))
+      .limit(k)
+  }
+
   /** vec_id, v, and the `planes`-bit random-hyperplane sign bucket via
     * the native codegen `graft_lsh` (hyperplane coefficients derived
     * from xxhash64(plane*64+i) — fully deterministic, no RNG state to

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text analysis for training-data curation: language ID, quality
@@ -634,5 +635,91 @@ object TextAnalysis {
           alphaFrac >= minAlphaFrac &&
           col("n_stop_hits") >= minStopHits).as("keep"))
       .orderBy("doc_id")
+  }
+
+  /** CCNet-style perplexity partition (Wenzek et al. 2020,
+    * arXiv:1911.00359 §4.3 — public): within each language, rank
+    * documents by the unigram LM score ([[perplexityScore]]'s mean
+    * surprisal) and split into head / middle / tail thirds — the
+    * standard curation partition where "head" is the most
+    * corpus-typical slice and "tail" the filter candidate.
+    *
+    * Scale shape: NO window over the documents. The per-language
+    * cut points come from a score HISTOGRAM — avg_surprisal is
+    * 4-decimal by construction, so `groupBy(lang, avg_surprisal)`
+    * is partial-combined and its output is bounded by
+    * |langs| × value-space (a constant in the corpus size, ~10⁴ per
+    * unit of surprisal range), never by |docs|. The cumulative count
+    * window runs over that bounded histogram, and documents get their
+    * bucket back through a hash join on (lang, score) — a tie group
+    * lands in one bucket as a unit (the only deterministic choice;
+    * fractional-rank tie-splitting would order arbitrary doc_ids).
+    * Bucket rule is exact integer math (3·cum_le vs n_lang), so no
+    * float boundary can flip a row between engines. */
+  def ccnetBuckets(docs: DataFrame): DataFrame = {
+    val scored = perplexityScore(docs)
+      .join(docs.select("doc_id", "lang"), Seq("doc_id"))
+    // bounded histogram: feeds the cumulative window AND the per-lang
+    // totals — localCheckpoint per the persistence contract
+    val hist = scored.groupBy("lang", "avg_surprisal")
+      .agg(count(lit(1)).as("nv"))
+      .localCheckpoint()
+    val cumW = Window.partitionBy("lang").orderBy("avg_surprisal")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist.withColumn("cum_le", sum("nv").over(cumW))
+    val totals = hist.groupBy("lang").agg(sum("nv").as("n_lang"))
+    val buckets = cum.join(totals, "lang")
+      .select(col("lang"), col("avg_surprisal"),
+        when(col("cum_le") * 3 <= col("n_lang"), lit("head"))
+          .when(col("cum_le") * 3 <= col("n_lang") * 2, lit("middle"))
+          .otherwise(lit("tail")).as("bucket"))
+    scored.join(buckets, Seq("lang", "avg_surprisal"))
+      .select("doc_id", "lang", "avg_surprisal", "bucket")
+      .orderBy("doc_id")
+  }
+
+  /** PMI collocation mining (Church & Hanks 1990 — public): corpus
+    * bigrams occurring at least `minCount` times, scored by pointwise
+    * mutual information `ln(P(xy) / (P(x)·P(y)))` with P(xy) over the
+    * bigram total and P(x) over the token total — the collocation
+    * ranking a tokenizer/vocabulary audit runs to find multi-word
+    * units ("new york") worth atomizing.
+    *
+    * Scale shape: bigrams build NARROWLY (one array transform per doc,
+    * no position self-join) into a partial-combined (w1, w2) count;
+    * the `minCount` floor bounds the surviving bigram table at web
+    * scale (the CCNet-floor move). Unigram attachment is two
+    * AQE-planned joins on the floored table — no broadcast hint, no
+    * window. Totals ride one narrow per-doc aggregate (token count and
+    * bigram count derive from the same array sizes). The top-k is a
+    * TakeOrdered over (pmi desc, w1, w2), never a full sort; the PMI
+    * expression keeps one association order on both engines so the
+    * rounded double is bit-identical. */
+  def collocations(
+      docs: DataFrame, minCount: Long = 5L, k: Int = 50): DataFrame = {
+    val words = docs.select(split(lower(col("text")), " ", -1).as("w"))
+    val totals = words.agg(
+      sum(size(col("w"))).as("nt"),
+      sum(greatest(size(col("w")) - 1, lit(0))).as("nb"))
+    val uni = words.select(explode(col("w")).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("n"))
+      // feeds both unigram attachment joins — persistence contract
+      .localCheckpoint()
+    val bg = words.filter(size(col("w")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(2, size(w)), " +
+          "i -> struct(element_at(w, i - 1) AS w1, element_at(w, i) AS w2))")).as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("n_xy"))
+      .filter(col("n_xy") >= minCount)
+    bg.join(uni.select(col("t").as("w1"), col("n").as("n_x")), "w1")
+      .join(uni.select(col("t").as("w2"), col("n").as("n_y")), "w2")
+      .crossJoin(broadcast(totals))
+      .select(col("w1"), col("w2"), col("n_xy"), col("n_x"), col("n_y"),
+        round(log(
+          (col("n_xy").cast("double") * col("nt") * col("nt")) /
+            (col("nb").cast("double") * col("n_x") * col("n_y"))), 6).as("pmi"))
+      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+      .limit(k)
   }
 }

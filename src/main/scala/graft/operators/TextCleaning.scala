@@ -67,6 +67,59 @@ object TextCleaning {
       lit(" and http://cdn"), pmod(col("doc_id"), lit(3)),
       lit(".example.net/a/"), col("doc_id")))
 
+  /** Append deterministic synthetic near-duplicate URLs per doc: the
+    * SAME logical page in two spellings (https+www+tracking params vs
+    * bare http+trailing slash+fragment), with the page identity keyed
+    * on (doc_id mod 7, doc_id mod 50) so distinct docs also collide —
+    * the observable fixture for [[urlDedup]] on the synthetic corpus. */
+  def withSyntheticDupUrls(docs: DataFrame): DataFrame =
+    docs.withColumn("text", concat(col("text"),
+      lit(" https://www.shop"), pmod(col("doc_id"), lit(7)),
+      lit(".example.com/item/"), pmod(col("doc_id"), lit(50)),
+      lit("?utm_source=feed&ref=tw"),
+      lit(" http://shop"), pmod(col("doc_id"), lit(7)),
+      lit(".example.com/item/"), pmod(col("doc_id"), lit(50)),
+      lit("/#reviews")))
+
+  /** Canonical URL form: lowercase; fragment, query string, scheme,
+    * leading `www.`, and trailing slash stripped — the normalization a
+    * crawl pipeline applies before URL-level dedup so tracking-param
+    * and scheme variants of one page collapse. Anchored regexes, so
+    * first-match-vs-all replace semantics cannot diverge between
+    * engines. */
+  private[operators] def canonicalizeUrl(u: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(lower(u), "#.*$", ""),
+            "\\?.*$", ""),
+          "^https?://", ""),
+        "^www\\.", ""),
+      "/$", "")
+
+  /** URL-level exact dedup (the first dedup pass of a web-crawl
+    * pipeline — CommonCrawl-style pipelines drop recrawled pages by
+    * canonical URL before any text is compared): extract every URL,
+    * canonicalize, and report per canonical page the referencing-doc
+    * count, raw URL count, and the keeper (lowest doc_id — the
+    * first-occurrence ownership rule [[graft.operators.Dedup]] uses
+    * throughout). Narrow regexp extraction + canonicalization, then
+    * ONE partial-combined aggregation keyed by canonical URL;
+    * count(DISTINCT doc_id) expands to the standard two-phase
+    * distinct-aggregate. No windows, no collect. */
+  def urlDedup(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"),
+        explode(regexp_extract_all(col("text"), lit(urlRe), lit(0))).as("url"))
+      .withColumn("canonical", canonicalizeUrl(col("url")))
+      .groupBy("canonical")
+      .agg(
+        countDistinct("doc_id").as("n_docs"),
+        count(lit(1)).as("n_urls"),
+        min("doc_id").as("keeper_doc"))
+      .orderBy("canonical")
+
   /** Per-domain URL statistics (the domain-frequency pass a web-crawl
     * curation pipeline runs before blocklist filtering): extract every
     * URL, parse its domain, count referencing docs and total URLs.

@@ -201,4 +201,11 @@ class EmptyInputSpec extends AnyFunSuite with SparkSessionTestBase {
     graft.sources.Sinks.writeZOrdered(emptyLi, zDir, Seq("l_partkey", "l_suppkey"), 4)
     assert(spark.read.parquet(zDir).count() === 0)
   }
+
+  test("ccnet/collocation/url-dedup/outlier operators on empty inputs") {
+    assert(TextAnalysis.ccnetBuckets(emptyDocs).count() === 0)
+    assert(TextAnalysis.collocations(emptyDocs).count() === 0)
+    assert(TextCleaning.urlDedup(emptyDocs).count() === 0)
+    assert(Similarity.embedOutliers(emptyEmb).count() === 0)
+  }
 }

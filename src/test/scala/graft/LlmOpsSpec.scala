@@ -1324,4 +1324,86 @@ class LlmOpsSpec extends AnyFunSuite with SparkSessionTestBase {
       .collect().head
     assert(bombed.codec === "stub")
   }
+
+  private def round6(v: Double): Double =
+    BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("ccnetBuckets partitions each language into score-ordered thirds") {
+    val docs = Tables.documents(spark, docDir)
+    val b = TextAnalysis.ccnetBuckets(docs)
+    assert(b.count() === docs.count())
+    // a (lang, score) tie group never splits across buckets
+    assert(b.groupBy("lang", "avg_surprisal")
+      .agg(countDistinct("bucket").as("nb"))
+      .filter(col("nb") > 1).count() === 0)
+    // buckets are contiguous in score order within each language
+    val spans = b.groupBy("lang", "bucket")
+      .agg(min("avg_surprisal").as("lo"), max("avg_surprisal").as("hi"),
+        count(lit(1)).as("n"))
+      .collect()
+      .groupBy(_.getString(0))
+    spans.foreach { case (_, rows) =>
+      val m = rows.map(r => r.getString(1) ->
+        ((r.getDouble(2), r.getDouble(3), r.getLong(4)))).toMap
+      for (h <- m.get("head"); mid <- m.get("middle")) assert(h._2 <= mid._1)
+      for (mid <- m.get("middle"); t <- m.get("tail")) assert(mid._2 <= t._1)
+      // thirds are balanced up to tie granularity: no bucket may hold
+      // everything when the language has >= 3 distinct scores
+      if (rows.length == 3) {
+        val total = m.values.map(_._3).sum
+        assert(m.values.forall(_._3 < total))
+      }
+    }
+  }
+
+  test("collocations scores the PMI formula exactly and respects the floor") {
+    val docs = Tables.documents(spark, docDir)
+    val rows = TextAnalysis.collocations(docs, minCount = 5L, k = 20).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    assert(rows.forall(_.getAs[Long]("n_xy") >= 5L))
+    val pmis = rows.map(_.getAs[Double]("pmi"))
+    assert(pmis.zip(pmis.tail).forall { case (a, b) => a >= b })
+    // recompute one row's PMI from raw counts with the same association
+    // order — the operator's arithmetic must be exactly this
+    val w = docs.select(split(lower(col("text")), " ", -1).as("w"))
+    val (nt, nb) = {
+      val r = w.agg(sum(size(col("w"))), sum(greatest(size(col("w")) - 1, lit(0))))
+        .collect().head
+      (r.getLong(0), r.getLong(1))
+    }
+    val top = rows.head
+    val expected = round6(math.log(
+      (top.getAs[Long]("n_xy").toDouble * nt * nt) /
+        (nb.toDouble * top.getAs[Long]("n_x") * top.getAs[Long]("n_y"))))
+    assert(top.getAs[Double]("pmi") === expected)
+  }
+
+  test("embedOutliers reports exactly the bottom-k centroid cosines") {
+    val emb = Tables.embeddings(spark, docDir)
+    val out = Similarity.embedOutliers(emb, k = 10).collect()
+    assert(out.length === 10)
+    val cos = out.map(_.getAs[Double]("cos_centroid"))
+    assert(cos.zip(cos.tail).forall { case (a, b) => a <= b })
+    // naive single-threaded mirror: same element snap, same mean
+    // rounding, same association order — the operator must match it
+    val vecs = emb.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+    val dim = vecs.head._2.length
+    val n = vecs.length
+    val centroid = Array.tabulate(dim) { j =>
+      val s = round6(vecs.map(v => round6(v._2(j))).sum)
+      round6(s / n)
+    }
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    val cn = math.sqrt(dot(centroid, centroid))
+    val naive = vecs.map { case (id, v) =>
+      id -> round6(dot(v, centroid) / (math.sqrt(dot(v, v)) * cn))
+    }.sortBy { case (id, c) => (c, id) }.take(10)
+    assert(out.map(_.getLong(0)).toSeq === naive.map(_._1).toSeq)
+    assert(out.map(_.getAs[Double]("cos_centroid")).toSeq === naive.map(_._2).toSeq)
+  }
 }

@@ -330,4 +330,44 @@ class PlanRegressionSpec extends AnyFunSuite with SparkSessionTestBase {
     assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
       p.contains("BroadcastHashJoin"))
   }
+
+  test("collocations aggregates bigram keys and fuses the top-k") {
+    val p = plan("q_collocations")
+    // bigram and unigram counts are partial-combined groupBys (a hot
+    // bigram collapses map-side); nothing windows a token key; the
+    // top-k is a TakeOrdered, never a full sort of the bigram table
+    assert(!p.contains("Window ["))
+    assert(!p.contains("Expand"))
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(p.contains("partial_count") || p.contains("partial count"))
+  }
+
+  test("ccnet buckets window only the bounded score histogram") {
+    val p = plan("q_ccnet_buckets")
+    // the only Window runs over the (lang, 4-decimal score) histogram —
+    // an aggregate-reduced frame bounded by the value space, never the
+    // corpus; documents get buckets back through a hash join. The
+    // histogram reduction must be partial-combined.
+    assert(p.sliding("Window [".length).count(_ == "Window [") <= 1)
+    assert(p.contains("partial_count") || p.contains("partial count"))
+    // doc-side attachment is a join, not a window over doc rows
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"))
+  }
+
+  test("url dedup is one partial-combined aggregation over canonicals") {
+    val p = plan("q_url_dedup")
+    assert(!p.contains("Window ["))
+    assert(p.contains("partial_count") || p.contains("partial count"))
+  }
+
+  test("embed outliers broadcast the centroid and fuse the bottom-k") {
+    val p = plan("q_embed_outliers")
+    // the dim-row centroid rides a broadcast nested-loop join into the
+    // corpus scan; ranking is a TakeOrdered over (cos asc, vec_id) —
+    // no window, no global sort of the corpus
+    assert(!p.contains("Window ["))
+    assert(p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("TakeOrderedAndProject"))
+  }
 }

@@ -130,4 +130,37 @@ class TextCleaningSpec extends AnyFunSuite with SparkSessionTestBase {
     assert(bucketed === flat)
     assert(bucketed.nonEmpty)
   }
+
+  test("urlDedup collapses scheme/www/query/fragment/slash variants") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a https://www.Example.com/Page?utm_source=x&y=1#frag"),
+      (2L, "b http://example.com/page/"),
+      (3L, "c https://example.com/page"),
+      (4L, "d https://other.com/a https://other.com/a")
+    ).toDF("doc_id", "text")
+    val rows = TextCleaning.urlDedup(docs).collect()
+      .map(r => r.getString(0) -> r).toMap
+    // three spellings of one page collapse; keeper is the lowest doc_id
+    val page = rows("example.com/page")
+    assert(page.getAs[Long]("n_docs") === 3L)
+    assert(page.getAs[Long]("n_urls") === 3L)
+    assert(page.getAs[Long]("keeper_doc") === 1L)
+    // a doc repeating one URL counts urls, not docs
+    val other = rows("other.com/a")
+    assert(other.getAs[Long]("n_docs") === 1L)
+    assert(other.getAs[Long]("n_urls") === 2L)
+    assert(rows.size === 2)
+  }
+
+  test("urlDedup on the synthetic dup-url corpus pairs both spellings") {
+    val docs = Tables.documents(spark, sfDir)
+    val r = TextCleaning.urlDedup(TextCleaning.withSyntheticDupUrls(docs))
+    // every canonical page gets exactly 2 URLs per referencing doc
+    // (the https+www+query spelling and the http+slash+fragment one)
+    assert(r.filter(col("n_urls") =!= col("n_docs") * 2).count() === 0)
+    // page identity is (doc_id % 7, doc_id % 50): docs collide across
+    // the lcm-350 classes, so there are at most 350 canonical pages
+    assert(r.count() <= 350)
+  }
 }
