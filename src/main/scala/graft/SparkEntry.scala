@@ -347,6 +347,7 @@ object SparkEntry {
     "q_cluster_quality" -> ((s, d) =>
       Similarity.clusterQuality(Tables.embeddings(s, d), Tables.documents(s, d))),
     "q_chunk_dedup" -> ((s, d) => Dedup.chunkDedup(Tables.documents(s, d))),
+    "q_span_dedup" -> ((s, d) => Dedup.spanDedup(Tables.documents(s, d))),
     "q_dup_provenance" -> ((s, d) => Dedup.dupProvenance(Tables.documents(s, d))),
     // two synthetic corpus versions carved from one table, scale-
     // proportional at every SF: 1/20 of docs added, 1/20 removed, 1/20
@@ -1307,6 +1308,31 @@ object SparkEntry {
          | CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
          | ${m("sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) / count(*)", 4)} AS dup_ratio
          |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_span_dedup" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |b AS (SELECT doc_id, w, CAST(len(w) // 20 AS INT) AS n_full FROM d),
+        |sp AS (SELECT doc_id, unnest(range(1, n_full + 1)) AS pos, w FROM b WHERE n_full >= 1),
+        |h AS (SELECT doc_id, pos,
+        |  md5(lower(array_to_string(list_slice(w, (pos - 1) * 20 + 1, pos * 20), ' '))) AS hh
+        | FROM sp),
+        |v AS (SELECT doc_id, pos,
+        |  row_number() OVER (PARTITION BY hh ORDER BY doc_id, pos) = 1 AS keep
+        | FROM h),
+        |k AS (SELECT doc_id, list(pos ORDER BY pos) FILTER (WHERE keep) AS kept_pos
+        | FROM v GROUP BY doc_id)
+        |SELECT b.doc_id,
+        | CAST(b.n_full AS BIGINT) AS n_spans,
+        | CAST(coalesce(len(k.kept_pos), 0) AS BIGINT) AS n_kept_spans,
+        | CASE WHEN b.n_full = 0 THEN array_to_string(b.w, ' ')
+        |      -- array_to_string of an EMPTY list is NULL in DuckDB
+        |      -- (Spark's concat_ws gives ''): coalesce for the
+        |      -- all-spans-dropped, no-tail doc
+        |      ELSE coalesce(array_to_string(
+        |        flatten(list_transform(coalesce(k.kept_pos, []),
+        |          p -> list_slice(b.w, (p - 1) * 20 + 1, p * 20)))
+        |        || list_slice(b.w, b.n_full * 20 + 1, len(b.w)), ' '), '')
+        | END AS clean_text
+        |FROM b LEFT JOIN k USING (doc_id) ORDER BY b.doc_id""".stripMargin,
     "q_snapshot_diff" ->
       """WITH o AS (SELECT doc_id, md5(text) AS h_old FROM documents WHERE doc_id % 20 != 0),
         |n AS (SELECT doc_id,

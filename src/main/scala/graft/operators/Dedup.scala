@@ -76,6 +76,54 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Span-level exact-dedup TRANSFORM (Lee et al. 2021,
+    * arXiv:2107.06499 — public): the REWRITE counterpart of
+    * [[chunkDedup]]'s detection. Documents are cut into fixed
+    * `spanWords`-word spans; each distinct span (case-folded md5) is
+    * owned by its corpus-wide first occurrence (lexicographically
+    * least (doc_id, pos) — the repo's standard ownership rule); every
+    * LATER occurrence is dropped from the rewritten text, so verbatim
+    * boilerplate survives exactly once in the corpus. The sub-span
+    * word tail always survives; original casing is preserved (only
+    * the hash case-folds).
+    *
+    * Scale shape: span hashing is a narrow per-doc projection (32-char
+    * md5 through the shuffle, never span text); ownership is ONE
+    * partial-combined min-of-struct aggregate on the hash key — a
+    * mega-duplicated span collapses map-side, and there is NO join
+    * back on the hash: a document's kept positions are exactly the
+    * owner rows naming it, so the verdict re-keys by the uniform
+    * doc_id. Reassembly is bounded by each document's own span count
+    * (the per-doc bound every text op here carries). No windows. */
+  def spanDedup(docs: DataFrame, spanWords: Int = 20): DataFrame = {
+    require(spanWords >= 1, s"spanWords must be >= 1, got $spanWords")
+    val base = docs
+      .withColumn("w", split(col("text"), " ", -1))
+      .withColumn("n_full", (size(col("w")) / spanWords).cast("int"))
+    val spans = base
+      .filter(col("n_full") >= 1)
+      .select(col("doc_id"), col("w"),
+        explode(sequence(lit(1), col("n_full"))).as("pos"))
+      .select(col("doc_id"), col("pos"),
+        md5(lower(concat_ws(" ",
+          slice(col("w"), (col("pos") - 1) * spanWords + 1, lit(spanWords))))).as("h"))
+    val keptPos = spans
+      .groupBy("h").agg(min(struct(col("doc_id"), col("pos"))).as("o"))
+      .groupBy(col("o.doc_id").as("doc_id"))
+      .agg(sort_array(collect_list(col("o.pos"))).as("kept_pos"))
+    base.join(keptPos, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        col("n_full").cast("long").as("n_spans"),
+        coalesce(size(col("kept_pos")), lit(0)).cast("long").as("n_kept_spans"),
+        when(col("n_full") === 0, concat_ws(" ", col("w")))
+          .otherwise(concat_ws(" ", concat(
+            flatten(transform(coalesce(col("kept_pos"), expr("cast(array() as array<int>)")),
+              p => slice(col("w"), (p - 1) * spanWords + 1, lit(spanWords)))),
+            slice(col("w"), col("n_full") * spanWords + 1,
+              size(col("w")) - col("n_full") * spanWords)))).as("clean_text"))
+      .orderBy("doc_id")
+  }
+
   /** Cross-source duplicate provenance: for every pair of sources, how
     * many exact-duplicate chunk pairs they share — the curation view
     * that shows WHICH sources copy from which (mirror sites, scraped

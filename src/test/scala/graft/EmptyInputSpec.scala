@@ -203,6 +203,7 @@ class EmptyInputSpec extends AnyFunSuite with SparkSessionTestBase {
   }
 
   test("ccnet/collocation/url-dedup/outlier operators on empty inputs") {
+    assert(Dedup.spanDedup(emptyDocs).count() === 0)
     assert(TextAnalysis.ccnetBuckets(emptyDocs).count() === 0)
     assert(TextAnalysis.collocations(emptyDocs).count() === 0)
     assert(TextCleaning.urlDedup(emptyDocs).count() === 0)

@@ -1328,6 +1328,53 @@ class LlmOpsSpec extends AnyFunSuite with SparkSessionTestBase {
   private def round6(v: Double): Double =
     BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 
+  test("spanDedup rewrites later occurrences of a duplicated span away") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma dup1 dup2 dup3 tail1"),
+      (2L, "dup1 dup2 dup3 x y z"),
+      (3L, "DUP1 DUP2 DUP3"),
+      (4L, "short doc")
+    ).toDF("doc_id", "text")
+    val rows = Dedup.spanDedup(docs, spanWords = 3).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // doc 1 owns both its spans and keeps the sub-span tail
+    assert(rows(1L).getAs[Long]("n_spans") === 2)
+    assert(rows(1L).getAs[Long]("n_kept_spans") === 2)
+    assert(rows(1L).getAs[String]("clean_text") ===
+      "alpha beta gamma dup1 dup2 dup3 tail1")
+    // doc 2's copy of the span is dropped; its unique span survives
+    assert(rows(2L).getAs[Long]("n_kept_spans") === 1)
+    assert(rows(2L).getAs[String]("clean_text") === "x y z")
+    // hashing case-folds but the rewrite preserves original case
+    assert(rows(3L).getAs[Long]("n_kept_spans") === 0)
+    assert(rows(3L).getAs[String]("clean_text") === "")
+    // a doc under one span passes through untouched
+    assert(rows(4L).getAs[Long]("n_spans") === 0)
+    assert(rows(4L).getAs[String]("clean_text") === "short doc")
+    // rewriting is idempotent: a second pass drops nothing
+    val cleaned = Dedup.spanDedup(docs, spanWords = 3)
+      .select(col("doc_id"), col("clean_text").as("text"))
+    val second = Dedup.spanDedup(cleaned, spanWords = 3)
+      .agg(sum(col("n_spans") - col("n_kept_spans"))).collect().head
+    assert(second.getLong(0) === 0L)
+  }
+
+  test("spanDedup drop counts agree with chunkDedup at equal width") {
+    val docs = Tables.documents(spark, docDir)
+    // same hashes (lower∘join == join∘lower), same ownership rule —
+    // the transform's per-doc drop count must equal the detector's
+    val spans = Dedup.spanDedup(docs, spanWords = 10)
+      .select(col("doc_id"), (col("n_spans") - col("n_kept_spans")).as("d1"))
+    val chunks = Dedup.chunkDedup(docs, chunkWords = 10)
+      .select(col("doc_id"), col("n_dup_chunks").as("d2"))
+    // chunkDedup filters out span-less docs; spanDedup rows them at 0
+    assert(spans.join(chunks, Seq("doc_id"))
+      .filter(col("d1") =!= col("d2")).count() === 0)
+    assert(spans.join(chunks, Seq("doc_id"), "left_anti")
+      .filter(col("d1") =!= 0).count() === 0)
+  }
+
   test("ccnetBuckets partitions each language into score-ordered thirds") {
     val docs = Tables.documents(spark, docDir)
     val b = TextAnalysis.ccnetBuckets(docs)

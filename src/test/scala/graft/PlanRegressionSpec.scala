@@ -355,6 +355,15 @@ class PlanRegressionSpec extends AnyFunSuite with SparkSessionTestBase {
       p.contains("BroadcastHashJoin"))
   }
 
+  test("span dedup aggregates ownership, never windows or rejoins the hash") {
+    val p = plan("q_span_dedup")
+    // ownership is the chunkDedup min-of-struct aggregate: a
+    // mega-duplicated span collapses map-side; the verdict re-keys by
+    // doc_id (no hash join-back), so no window anywhere
+    assert(!p.contains("Window ["))
+    assert(p.contains("partial_min") || p.contains("partial min"))
+  }
+
   test("url dedup is one partial-combined aggregation over canonicals") {
     val p = plan("q_url_dedup")
     assert(!p.contains("Window ["))
