@@ -202,6 +202,22 @@ object SparkEntry {
   private val bpeIndexPaths =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), (Long, String)]
 
+  /** Persisted unigram LM artifact (TextAnalysis.termCounts layout):
+    * trained once per documents data version, read back for every
+    * scoring pass — the perplexity serving path. Fingerprint-keyed
+    * like the trigram/SQ/PQ/BPE indexes. */
+  private val lmIndexPaths =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), (Long, String)]
+
+  private[graft] def lmIndexShared(s: SparkSession, d: String): DataFrame = {
+    val fp = documentsFingerprint(s, d)
+    val path = artifactPath(lmIndexPaths, s, d, fp, "graft_lm_idx") { p =>
+      operators.TextAnalysis.termCounts(Tables.documents(s, d))
+        .write.mode("overwrite").parquet(p)
+    }
+    s.read.parquet(path)
+  }
+
   private[graft] def bpeIndexShared(s: SparkSession, d: String): DataFrame = {
     val fp = documentsFingerprint(s, d)
     val path = artifactPath(bpeIndexPaths, s, d, fp, "graft_bpe_idx") { p =>
@@ -377,6 +393,10 @@ object SparkEntry {
     "q_token_count" -> ((s, d) => TextAnalysis.tokenCount(Tables.documents(s, d))),
     "q_doc_fingerprint" -> ((s, d) => TextAnalysis.docFingerprint(Tables.documents(s, d))),
     "q_perplexity" -> ((s, d) => TextAnalysis.perplexityScore(Tables.documents(s, d))),
+    // serving path: score against the persisted LM artifact — no
+    // corpus re-aggregation in the plan, just the read + join
+    "q_perplexity_indexed" -> ((s, d) =>
+      TextAnalysis.perplexityAgainst(Tables.documents(s, d), lmIndexShared(s, d))),
     "q_perplexity_bigram" -> ((s, d) =>
       TextAnalysis.bigramPerplexity(Tables.documents(s, d))),
     "q_ccnet_buckets" -> ((s, d) => TextAnalysis.ccnetBuckets(Tables.documents(s, d))),
@@ -1013,6 +1033,21 @@ object SparkEntry {
         | CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|\S')) AS INTEGER) AS n_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q_perplexity" -> {
+      val surp = dr("-ln(CAST(n AS DOUBLE) / total)", 6)
+      s"""WITH toks AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t FROM documents),
+         |c AS (SELECT t, count(*) AS n FROM toks GROUP BY t),
+         |tot AS (SELECT count(*) AS total FROM toks),
+         |model AS (SELECT t, CAST($surp AS DOUBLE) AS surprisal FROM c, tot)
+         |SELECT doc_id, count(*) AS n_tokens,
+         | CAST(${dr(s"CAST(${dr("sum(surprisal)", 4)} AS DOUBLE)/count(surprisal)", 4)} AS DOUBLE) AS avg_surprisal
+         |FROM toks JOIN model USING (t)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
+    // the serving path scores the corpus against its own persisted
+    // termCounts, so it is bit-equal to the self-trained form by
+    // construction — the driver verifies that equality holds by
+    // running the same oracle against both
+    "q_perplexity_indexed" -> {
       val surp = dr("-ln(CAST(n AS DOUBLE) / total)", 6)
       s"""WITH toks AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t FROM documents),
          |c AS (SELECT t, count(*) AS n FROM toks GROUP BY t),

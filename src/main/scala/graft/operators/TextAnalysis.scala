@@ -165,6 +165,40 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Perplexity scoring against an EXPLICIT persisted unigram model (a
+    * [[termCounts]] frame) — the serving mode: at 100 TB the LM is
+    * trained ONCE per corpus version and every scoring pass (batch or
+    * stream) reads the artifact instead of re-aggregating the corpus,
+    * exactly the divergenceAgainst / indexed-BPE posture. Identical
+    * rounding discipline to [[perplexityScore]], so scoring a corpus
+    * against its own termCounts is bit-equal to the self-trained form
+    * (asserted in spec); tokens ABSENT from the model score at the
+    * singleton surprisal −ln(1/total) — the same fallback the
+    * frequency floor uses, so an out-of-vocabulary token degrades like
+    * a count-1 token instead of producing ln(0).
+    *
+    * Scale shape: one narrow tokenization of the scored docs, one
+    * AQE-planned left join against the model (broadcast while it fits,
+    * shuffle beyond), one partial-combined per-doc aggregation. The
+    * model total rides a broadcast scalar. */
+  def perplexityAgainst(docs: DataFrame, model: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      explode(split(lower(col("text")), " ", -1)).as("t"))
+    val total = model.agg(sum("cnt").as("total"))
+    val scored = model.crossJoin(broadcast(total))
+      .select(col("t"),
+        round(-log(col("cnt").cast("double") / col("total")), 6).as("surprisal"))
+    toks.join(scored, Seq("t"), "left")
+      .crossJoin(broadcast(total))
+      .withColumn("s",
+        coalesce(col("surprisal"), round(-log(lit(1.0) / col("total")), 6)))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        round(round(sum("s"), 4) / count("s"), 4).as("avg_surprisal"))
+      .orderBy("doc_id")
+  }
+
   /** Bigram perplexity with Jelinek-Mercer interpolation — the stronger
     * LM-quality score one step up from [[perplexityScore]]'s unigram
     * model: each transition scores `−ln(λ·P(w2|w1) + (1−λ)·P(w2))`,
@@ -657,8 +691,12 @@ object TextAnalysis {
     * Bucket rule is exact integer math (3·cum_le vs n_lang), so no
     * float boundary can flip a row between engines. */
   def ccnetBuckets(docs: DataFrame): DataFrame = {
+    // scored feeds the histogram AND the final bucket attachment —
+    // without the checkpoint the whole perplexity subplan (two corpus
+    // passes + the model join) re-executes per consumer
     val scored = perplexityScore(docs)
       .join(docs.select("doc_id", "lang"), Seq("doc_id"))
+      .localCheckpoint()
     // bounded histogram: feeds the cumulative window AND the per-lang
     // totals — localCheckpoint per the persistence contract
     val hist = scored.groupBy("lang", "avg_surprisal")

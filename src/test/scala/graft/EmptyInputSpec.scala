@@ -208,5 +208,7 @@ class EmptyInputSpec extends AnyFunSuite with SparkSessionTestBase {
     assert(TextAnalysis.collocations(emptyDocs).count() === 0)
     assert(TextCleaning.urlDedup(emptyDocs).count() === 0)
     assert(Similarity.embedOutliers(emptyEmb).count() === 0)
+    assert(TextAnalysis.perplexityAgainst(
+      emptyDocs, TextAnalysis.termCounts(emptyDocs)).count() === 0)
   }
 }

@@ -1375,6 +1375,29 @@ class LlmOpsSpec extends AnyFunSuite with SparkSessionTestBase {
       .filter(col("d1") =!= 0).count() === 0)
   }
 
+  test("perplexityAgainst the corpus's own model is bit-equal to self-trained") {
+    val docs = Tables.documents(spark, docDir)
+    val self = TextAnalysis.perplexityScore(docs).collect().map(_.toString).toSeq
+    val served = TextAnalysis
+      .perplexityAgainst(docs, TextAnalysis.termCounts(docs))
+      .collect().map(_.toString).toSeq
+    assert(served === self)
+  }
+
+  test("perplexityAgainst scores out-of-vocabulary tokens at singleton surprisal") {
+    import spark.implicits._
+    val model = Seq(("a", 3L), ("b", 1L)).toDF("t", "cnt") // total 4
+    val docs = Seq((1L, "a unseen")).toDF("doc_id", "text")
+    val r = TextAnalysis.perplexityAgainst(docs, model).collect().head
+    val sa = round6(-math.log(3.0 / 4))
+    val su = round6(-math.log(1.0 / 4)) // OOV ⇒ count-1 fallback
+    val exp = BigDecimal(
+      BigDecimal(sa + su).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble / 2)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getAs[Long]("n_tokens") === 2L)
+    assert(r.getAs[Double]("avg_surprisal") === exp)
+  }
+
   test("ccnetBuckets partitions each language into score-ordered thirds") {
     val docs = Tables.documents(spark, docDir)
     val b = TextAnalysis.ccnetBuckets(docs)

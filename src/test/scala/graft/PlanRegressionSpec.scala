@@ -344,15 +344,25 @@ class PlanRegressionSpec extends AnyFunSuite with SparkSessionTestBase {
 
   test("ccnet buckets window only the bounded score histogram") {
     val p = plan("q_ccnet_buckets")
-    // the only Window runs over the (lang, 4-decimal score) histogram —
-    // an aggregate-reduced frame bounded by the value space, never the
-    // corpus; documents get buckets back through a hash join. The
-    // histogram reduction must be partial-combined.
+    // the scored frame and the (lang, 4-decimal score) histogram are
+    // both checkpointed (each feeds two consumers), so their partial
+    // aggregates run eagerly and the FINAL plan must contain at most
+    // the cumulative window over the bounded histogram — never a
+    // window over document rows — and the doc-side bucket attachment
+    // must be a join on (lang, score)
     assert(p.sliding("Window [".length).count(_ == "Window [") <= 1)
-    assert(p.contains("partial_count") || p.contains("partial count"))
-    // doc-side attachment is a join, not a window over doc rows
     assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
       p.contains("BroadcastHashJoin"))
+  }
+
+  test("indexed perplexity serves from the LM artifact, no training stage") {
+    val p = plan("q_perplexity_indexed")
+    // the model comes from the parquet artifact; the self-trained
+    // form's checkpointed vocabulary (an ExistingRDD scan) must not
+    // appear — serving rebuilds nothing
+    assert(p.contains("FileScan") || p.contains("BatchScan"))
+    assert(!p.contains("Scan ExistingRDD"))
+    assert(!p.contains("Window ["))
   }
 
   test("span dedup aggregates ownership, never windows or rejoins the hash") {
