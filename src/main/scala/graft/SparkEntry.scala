@@ -1539,13 +1539,15 @@ object SparkEntry {
         | min(doc_id) AS keeper_doc
         |FROM c GROUP BY canonical ORDER BY canonical""".stripMargin,
     "q_embed_outliers" -> {
-      val mean = dr(s"CAST(${dr("sum(xe)", 6)} AS DOUBLE) / count(*)", 6)
+      // centroid = per-position SUM (not mean): cosine is
+      // scale-invariant and sum/n can land exactly on a rounding
+      // half-boundary where the engines' decimal round-trips disagree
       val cos = dr(
         "list_dot_product(v, cv) / " +
           "(sqrt(list_sum(list_transform(v, x -> x*x))) * cnorm)", 6)
       s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          |x AS (SELECT generate_subscripts(v, 1) AS i, ${dr("unnest(v)", 6)} AS xe FROM e),
-         |c AS (SELECT i, CAST($mean AS DOUBLE) AS m FROM x GROUP BY i),
+         |c AS (SELECT i, CAST(${dr("sum(xe)", 6)} AS DOUBLE) AS m FROM x GROUP BY i),
          |cl AS (SELECT list(m ORDER BY i) AS cv FROM c),
          |cn AS (SELECT cv, sqrt(list_sum(list_transform(cv, x -> x*x))) AS cnorm FROM cl)
          |SELECT vec_id, label, CAST($cos AS DOUBLE) AS cos_centroid
@@ -1624,7 +1626,7 @@ object SparkEntry {
         |  CAST(sum(c * lr_micro) AS BIGINT) AS wm
         | FROM d JOIN m ON d.b = m.b GROUP BY 1, 2)
         |SELECT doc_id, source, n_feats,
-        | CAST(round(CAST(wm AS DOUBLE) / 1e6, 4) AS DOUBLE) AS log_weight,
+        | CAST(round(CAST(wm AS DOUBLE) / 1e6, 6) AS DOUBLE) AS log_weight,
         | wm > 0 AS keep
         |FROM s ORDER BY doc_id""".stripMargin,
     "q_decontaminate" ->

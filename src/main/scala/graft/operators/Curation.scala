@@ -412,7 +412,13 @@ object Curation {
       .agg(sum("c").as("n_feats"),
         sum(col("c") * col("lr_micro")).as("wm"))
       .select(col("doc_id"), col("source"), col("n_feats"),
-        round(col("wm").cast("double") / 1e6, 4).as("log_weight"),
+        // report at the micro-nat's OWN scale: wm/1e6 is exactly a
+        // 1e-6 multiple, so round(·, 6) is an identity snap that can
+        // never sit on a rounding boundary — a 4-decimal report put
+        // wm ≡ ±50 (mod 100) EXACTLY on the x.xxxx5 half-boundary,
+        // where the engines' decimal round-trips legitimately disagree
+        // (observed at sf0.1: 4 rows flipped the 4th decimal)
+        round(col("wm").cast("double") / 1e6, 6).as("log_weight"),
         (col("wm") > 0).as("keep"))
       .orderBy("doc_id")
   }

@@ -78,8 +78,13 @@ object Similarity {
     * the StableStats discipline: elements snap to 6 decimals first, so
     * each position's TRUE sum is a multiple of 1e-6 and
     * `round(sum, 6)` lands on the identical double regardless of
-    * accumulation order; the mean and cosine are then deterministic
-    * IEEE math on identical inputs in identical association order. */
+    * accumulation order. The centroid is the per-position SUM, not the
+    * mean — cosine is scale-invariant, so dividing by the count buys
+    * nothing and loses determinism: sum/n can land EXACTLY on a
+    * half-boundary of the rounding scale (a 1e-6-multiple over n=500
+    * hits x.xxxxxx5 dead on), where engines' decimal round-trips
+    * legitimately disagree on the last unit. The un-divided sum stays
+    * a 1e-6 multiple, which is never on a boundary at its own scale. */
   def embedOutliers(emb: DataFrame, k: Int = 25): DataFrame = {
     graft.functions.VectorFunctions.register(emb.sparkSession)
     val e = emb.select(col("vec_id"), col("label"),
@@ -88,7 +93,7 @@ object Similarity {
     val cent = emb
       .select(posexplode(col("embedding").cast("array<double>")).as(Seq("pos", "x")))
       .groupBy("pos")
-      .agg(round(round(sum(round(col("x"), 6)), 6) / count(lit(1)), 6).as("m"))
+      .agg(round(sum(round(col("x"), 6)), 6).as("m"))
       // dim rows — a bounded collect into the broadcast centroid array
       .agg(expr("transform(array_sort(collect_list(struct(pos, m))), s -> s.m)").as("c"))
       .withColumn("cn", expr("sqrt(graft_dot(c, c))"))

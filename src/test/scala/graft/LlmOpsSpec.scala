@@ -1459,10 +1459,8 @@ class LlmOpsSpec extends AnyFunSuite with SparkSessionTestBase {
     val vecs = emb.select("vec_id", "embedding").collect()
       .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
     val dim = vecs.head._2.length
-    val n = vecs.length
     val centroid = Array.tabulate(dim) { j =>
-      val s = round6(vecs.map(v => round6(v._2(j))).sum)
-      round6(s / n)
+      round6(vecs.map(v => round6(v._2(j))).sum)
     }
     def dot(a: Array[Double], b: Array[Double]): Double = {
       var s = 0.0; var i = 0
