@@ -9,6 +9,31 @@ import graft.sources.RawIngest
 /** Section B (ETL/transform) operator specs on sf0.001. */
 class EtlSpec extends AnyFunSuite with SparkSessionTestBase {
 
+  test("events loader normalizes both writer ts encodings identically") {
+    import spark.implicits._
+    val baseNanos = 1700000000123456000L // µs-aligned, as the source is
+    // old writer: INT64 nanos (TIMESTAMP(NANOS) reads as long under
+    // nanosAsLong — indistinguishable from a plain long at the reader)
+    val longDir = java.nio.file.Files.createTempDirectory("ev_long").toString
+    Seq((1L, baseNanos, 10L, "view", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$longDir/events.parquet")
+    // current writer: plain µs TIMESTAMP_NTZ
+    val ntzDir = java.nio.file.Files.createTempDirectory("ev_ntz").toString
+    Seq((1L, 10L, "view", 1.0, "{}"))
+      .toDF("event_id", "user_id", "event_type", "value", "props")
+      .withColumn("ts",
+        timestamp_micros(lit(baseNanos / 1000)).cast("timestamp_ntz"))
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$ntzDir/events.parquet")
+    val fromLong = Tables.events(spark, longDir)
+    val fromNtz = Tables.events(spark, ntzDir)
+    assert(fromLong.schema("ts").dataType.typeName === "timestamp_ntz")
+    assert(fromNtz.schema("ts").dataType.typeName === "timestamp_ntz")
+    assert(fromLong.select("ts").collect().head.get(0) ===
+      fromNtz.select("ts").collect().head.get(0))
+  }
+
   test("normalizeEvents types the JSON payload and case-folds the tag") {
     val df = Etl.normalizeEvents(Tables.events(spark, sfDir))
     val rows = df.limit(50).collect()
