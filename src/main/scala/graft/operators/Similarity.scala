@@ -548,6 +548,17 @@ object Similarity {
     pqSearch(codes, cents, e, nQueries, k, m, rerankFactor)
   }
 
+  /** Shared exact-rerank tail: join the bounded survivor pool back to
+    * the fp corpus, score against the broadcast queries, keep top-k. */
+  private def exactRerank(
+      survivors: DataFrame, e: DataFrame, nQueries: Int, k: Int): DataFrame = {
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("vn").as("fqv"))
+    survivors.join(e, "vec_id").join(broadcast(q), "query_id")
+      .withColumn("cos_r", round(expr("graft_dot(vn, fqv)"), 6))
+      .transform(topKByCos(_, k))
+  }
+
   /** Shared PQ search tail: broadcast per-query LUT against the code
     * scan through `graft_pq_adc`, bounded graft_topk pool, exact fp
     * rerank. */
@@ -560,11 +571,7 @@ object Similarity {
       .groupBy("query_id")
       .agg(expr(s"graft_topk(acos, vec_id, ${rerankFactor * k})").as("top"))
       .select(col("query_id"), explode(col("top.id")).as("vec_id"))
-    val q = e.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("vn").as("fqv"))
-    survivors.join(e, "vec_id").join(broadcast(q), "query_id")
-      .withColumn("cos_r", round(expr("graft_dot(vn, fqv)"), 6))
-      .transform(topKByCos(_, k))
+    exactRerank(survivors, e, nQueries, k)
   }
 
   /** IVF × PQ — the flagship billion-scale configuration (FAISS
@@ -573,43 +580,65 @@ object Similarity {
     * m bytes through the native `graft_pq_adc` kernel, and the fp
     * corpus is read only for the rerankFactor·k survivors per query.
     *
-    * One deliberate divergence from FAISS: codes quantize the
-    * normalized VECTORS, not per-list residuals — residual encoding
-    * would need per-(list, sub) codebooks and a per-probe LUT rebuild,
-    * and it forks the code artifact away from [[embedPqTopK]]'s. The
-    * flat-code variant shares ONE artifact across the flat and
-    * IVF-composed paths; the exact rerank absorbs the (modest)
-    * accuracy gap. */
+    * Code layout (flat, the default): codes quantize the normalized
+    * VECTORS — ONE artifact shared with [[embedPqTopK]]'s flat path;
+    * the exact rerank absorbs the (modest) accuracy gap.
+    *
+    * `residual = true` opts into FAISS IndexIVFPQ's by_residual
+    * layout: codes quantize r = vn − cvec(list), whose dynamic range
+    * is far smaller than the vectors', so equal (m, nCodes) spends its
+    * bits on finer structure (recall@k ≥ the flat codes at equal
+    * parameters — spec-asserted on the planted corpus). The classic
+    * objection — per-probe LUT rebuilds — does not apply under the DOT
+    * metric: score = dot(q, c + r̂) = dot(q, c) + dot(q, r̂), where
+    * dot(q, c) is EXACT from the probe join's own centroid similarity
+    * and dot(q, r̂) reads the ONE list-independent LUT of q against
+    * the shared residual codebooks. The cost is a fork of the code
+    * artifact away from the flat family's — why flat stays default. */
   def embedIvfPqTopK(
       emb: DataFrame, nQueries: Int = 10, k: Int = 5,
       nCentroids: Int = 16, lloydIters: Int = 2, nProbe: Int = 4,
       m: Int = 8, nCodes: Int = 16, rerankFactor: Int = 8,
-      trainFactor: Int = 64): DataFrame = {
+      trainFactor: Int = 64, residual: Boolean = false): DataFrame = {
     val (e, coarse) = ivfModel(emb, nCentroids, lloydIters, trainFactor)
-    val cents = pqModel(e, m, nCodes, lloydIters, trainFactor)
+    // ONE assignment pass feeds both the posting-list ids and (in
+    // residual mode) the residual construction — checkpointed there
+    // because two consumers branch from it
+    val assigned = assignTo(e, coarse).select("vec_id", "vn", "cid")
+    val assignedCk = if (residual) assigned.localCheckpoint() else assigned
+    // the encoded view: the vectors themselves (flat) or the per-list
+    // residuals (localCheckpoint: feeds PQ training AND encoding)
+    val enc =
+      if (!residual) e
+      else assignedCk
+        .join(broadcast(coarse), "cid")
+        .select(col("vec_id"), expr("zip_with(vn, cvec, (a, b) -> a - b)").as("vn"))
+        .localCheckpoint()
+    val cents = pqModel(enc, m, nCodes, lloydIters, trainFactor)
     // slim int8 posting lists: m tinyint codes + coarse list id per
     // vector — vn rides neither the probe join nor the scoring scan
-    val lists = pqEncode(e, m, cents)
-      .join(assignTo(e, coarse).select("vec_id", "cid"), "vec_id")
+    val lists = pqEncode(enc, m, cents)
+      .join(assignedCk.select("vec_id", "cid"), "vec_id")
     val wq = Window.partitionBy("vec_id").orderBy(col("sim").desc, col("cid"))
+    // probes keep the exact query-to-centroid dot: the residual score
+    // decomposition needs it as its coarse term (flat ignores it)
     val probes = e.filter(col("vec_id") < nQueries)
       .crossJoin(broadcast(coarse))
       .withColumn("sim", expr("graft_dot(vn, cvec)"))
       .withColumn("rn", row_number().over(wq))
       .filter(col("rn") <= nProbe)
-      .select(col("vec_id").as("query_id"), col("cid"))
+      .select(col("vec_id").as("query_id"), col("cid"), col("sim"))
       .join(pqLut(e, m, cents, nQueries), "query_id")
+    val score =
+      if (residual) round(col("sim") + expr("graft_pq_adc(codes, lut)"), 6)
+      else round(expr("graft_pq_adc(codes, lut)"), 6)
     val survivors = lists.join(broadcast(probes), Seq("cid"))
       .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("acos", round(expr("graft_pq_adc(codes, lut)"), 6))
+      .withColumn("acos", score)
       .groupBy("query_id")
       .agg(expr(s"graft_topk(acos, vec_id, ${rerankFactor * k})").as("top"))
       .select(col("query_id"), explode(col("top.id")).as("vec_id"))
-    val q = e.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("vn").as("fqv"))
-    survivors.join(e, "vec_id").join(broadcast(q), "query_id")
-      .withColumn("cos_r", round(expr("graft_dot(vn, fqv)"), 6))
-      .transform(topKByCos(_, k))
+    exactRerank(survivors, e, nQueries, k)
   }
 
   /** Approximate top-k via multi-table LSH: `tables` independent

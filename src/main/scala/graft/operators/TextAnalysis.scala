@@ -123,9 +123,17 @@ object TextAnalysis {
     * corpus unigram frequencies, score each document by its mean token
     * negative log-probability — outliers (too predictable / too random
     * vs the corpus) are filter candidates. Two passes: one aggregation
-    * for the model, one join to score; per-token surprisals are snapped
-    * to 6 decimals so the engine-specific last ulp of ln() cannot
-    * perturb the mean.
+    * for the model, one join to score; per-token surprisals snap to
+    * INTEGER micro-nats (round(−ln p · 1e6) as long — the
+    * [[graft.operators.Curation.dsirWeights]] idiom) so the per-doc sum
+    * is an exact integer: order-independent across partial-aggregation
+    * trees and engine-identical. The mean is computed half-up in PURE
+    * INTEGER arithmetic — (2·sum + n) div (2·n) — so no rational
+    * quantity ever meets a float rounding boundary; the reported double
+    * is the integer's own-scale 1e-6 identity snap (a 4-decimal mean
+    * put sums ≡ ±50 (mod 100)·count EXACTLY on the x.xxxx5
+    * half-boundary where engine decimal round-trips legitimately
+    * disagree — the class that flipped dsirWeights rows at sf0.1).
     *
     * Scale posture: the model join carries NO broadcast hint — AQE
     * broadcasts while the vocabulary fits the auto-broadcast threshold
@@ -152,15 +160,24 @@ object TextAnalysis {
       .filter(col("n") >= minTokenCount)
       .crossJoin(broadcast(total))
       .select(col("t"),
-        round(-log(col("n").cast("double") / col("total")), 6).as("surprisal"))
+        round(-log(col("n").cast("double") / col("total")) * 1e6)
+          .cast("long").as("s_unat"))
     toks.join(model, Seq("t"), "left")
       .crossJoin(broadcast(total))
-      .withColumn("s",
-        coalesce(col("surprisal"), round(-log(lit(1.0) / col("total")), 6)))
+      .withColumn("su",
+        coalesce(col("s_unat"),
+          round(-log(lit(1.0) / col("total")) * 1e6).cast("long")))
       .groupBy("doc_id")
       .agg(
         count(lit(1)).as("n_tokens"),
-        round(round(sum("s"), 4) / count("s"), 4)
+        sum("su").as("surprisal_unat"))
+      // half-up integer mean: floor((2·sum + n) / (2·n)) for the
+      // nonnegative surprisal sum — rounding happens before any float
+      .withColumn("avg_surprisal_unat",
+        expr("(2 * surprisal_unat + n_tokens) div (2 * n_tokens)"))
+      .select(col("doc_id"), col("n_tokens"), col("surprisal_unat"),
+        col("avg_surprisal_unat"),
+        round(col("avg_surprisal_unat").cast("double") / 1e6, 6)
           .as("avg_surprisal"))
       .orderBy("doc_id")
   }
@@ -187,15 +204,31 @@ object TextAnalysis {
     val total = model.agg(sum("cnt").as("total"))
     val scored = model.crossJoin(broadcast(total))
       .select(col("t"),
-        round(-log(col("cnt").cast("double") / col("total")), 6).as("surprisal"))
+        round(-log(col("cnt").cast("double") / col("total")) * 1e6)
+          .cast("long").as("s_unat"))
     toks.join(scored, Seq("t"), "left")
       .crossJoin(broadcast(total))
-      .withColumn("s",
-        coalesce(col("surprisal"), round(-log(lit(1.0) / col("total")), 6)))
+      // an EMPTY (or zero-count) model makes total NULL/0, which would
+      // silently score every token NULL — a mis-pointed LM artifact
+      // must fail loudly instead. Scoring zero docs against an empty
+      // model stays legal (no row ever evaluates the guard).
+      .withColumn("su",
+        coalesce(col("s_unat"),
+          when(col("total") > 0,
+            round(-log(lit(1.0) / col("total")) * 1e6).cast("long")),
+          raise_error(lit("perplexityAgainst: model is empty or has zero" +
+            " total count — every score would be NULL; check the LM" +
+            " artifact path")).cast("long")))
       .groupBy("doc_id")
       .agg(
         count(lit(1)).as("n_tokens"),
-        round(round(sum("s"), 4) / count("s"), 4).as("avg_surprisal"))
+        sum("su").as("surprisal_unat"))
+      .withColumn("avg_surprisal_unat",
+        expr("(2 * surprisal_unat + n_tokens) div (2 * n_tokens)"))
+      .select(col("doc_id"), col("n_tokens"), col("surprisal_unat"),
+        col("avg_surprisal_unat"),
+        round(col("avg_surprisal_unat").cast("double") / 1e6, 6)
+          .as("avg_surprisal"))
       .orderBy("doc_id")
   }
 
@@ -206,8 +239,10 @@ object TextAnalysis {
     * the corpus unigram probability. The unigram backoff term keeps
     * every probability positive, so a floored-out (or unseen) bigram
     * degrades smoothly instead of producing ln(0). Output per doc:
-    * transition count, engine-stable mean surprisal, and perplexity
-    * `exp(mean)`; docs under 2 tokens carry 0 transitions and NULLs.
+    * transition count, the exact integer micro-nat surprisal sum and
+    * half-up integer mean, the mean's 1e-6 identity snap, and
+    * perplexity `exp(mean)`; docs under 2 tokens carry 0 transitions
+    * and NULLs.
     *
     * Scale shape: bigrams are built NARROWLY (one array transform per
     * doc — no position self-join); the model is two partial-combined
@@ -216,8 +251,8 @@ object TextAnalysis {
     * exactly the [[perplexityScore]] posture. `minBigramCount` is the
     * CCNet-style floor that bounds the bigram table at web scale — the
     * default 1 keeps results identical to the unfloored form (the
-    * oracle's). Surprisals snap to 6 decimals so the engines' last ulp
-    * of ln() cannot perturb the mean. */
+    * oracle's). Surprisals snap to integer micro-nats so the engines'
+    * last ulp of ln() cannot perturb the exact-integer mean. */
   def bigramPerplexity(
       docs: DataFrame, lambda: Double = 0.75,
       minBigramCount: Long = 1L): DataFrame = {
@@ -245,18 +280,31 @@ object TextAnalysis {
     val scored = bigrams
       .join(bi, Seq("w1", "w2"), "left")
       .join(uniP, Seq("w2"))
-      .withColumn("s", round(-log(
+      // integer micro-nat surprisals, exactly the [[perplexityScore]]
+      // discipline: exact integer sums, half-up integer mean, own-scale
+      // identity snap for the reported double
+      .withColumn("su", round(-log(
         lit(lambda) * coalesce(col("pb"), lit(0.0)) +
-          lit(1.0 - lambda) * col("pu")), 6))
+          lit(1.0 - lambda) * col("pu")) * 1e6).cast("long"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"),
-        round(round(sum("s"), 4) / count("s"), 4).as("avg_surprisal"))
+        sum("su").as("surprisal_unat"))
+      .withColumn("avg_surprisal_unat",
+        expr("(2 * surprisal_unat + n_bigrams) div (2 * n_bigrams)"))
     docs.select("doc_id")
       .join(scored, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
-        col("avg_surprisal"),
-        round(exp(col("avg_surprisal")), 4).as("ppl"))
+        col("surprisal_unat"),
+        col("avg_surprisal_unat"),
+        round(col("avg_surprisal_unat").cast("double") / 1e6, 6)
+          .as("avg_surprisal"),
+        // exp of the bit-identical snapped double; 6-decimal snap (the
+        // residual exp-ulp straddle risk is engine libm divergence on
+        // an identical input — never observed, and no exact-rational
+        // boundary class remains anywhere in this family)
+        round(exp(round(col("avg_surprisal_unat").cast("double") / 1e6, 6)),
+          6).as("ppl"))
       .orderBy("doc_id")
   }
 
@@ -679,39 +727,41 @@ object TextAnalysis {
     * corpus-typical slice and "tail" the filter candidate.
     *
     * Scale shape: NO window over the documents. The per-language
-    * cut points come from a score HISTOGRAM — avg_surprisal is
-    * 4-decimal by construction, so `groupBy(lang, avg_surprisal)`
-    * is partial-combined and its output is bounded by
-    * |langs| × value-space (a constant in the corpus size, ~10⁴ per
-    * unit of surprisal range), never by |docs|. The cumulative count
-    * window runs over that bounded histogram, and documents get their
-    * bucket back through a hash join on (lang, score) — a tie group
-    * lands in one bucket as a unit (the only deterministic choice;
-    * fractional-rank tie-splitting would order arbitrary doc_ids).
-    * Bucket rule is exact integer math (3·cum_le vs n_lang), so no
-    * float boundary can flip a row between engines. */
+    * cut points come from a score HISTOGRAM on the INTEGER micro-nat
+    * mean ([[perplexityScore]]'s avg_surprisal_unat), so
+    * `groupBy(lang, avg_surprisal_unat)` is partial-combined and its
+    * output is bounded by |langs| × value-space (a constant in the
+    * corpus size — ~10⁶ per unit of surprisal range), never by |docs|.
+    * The cumulative count window runs over that bounded histogram, and
+    * documents get their bucket back through a hash join on
+    * (lang, integer score) — a tie group lands in one bucket as a unit
+    * (the only deterministic choice; fractional-rank tie-splitting
+    * would order arbitrary doc_ids). Bucket rule is exact integer math
+    * (3·cum_le vs n_lang) on an exact integer key, so no float
+    * boundary exists anywhere in the partition. */
   def ccnetBuckets(docs: DataFrame): DataFrame = {
     // scored feeds the histogram AND the final bucket attachment —
     // without the checkpoint the whole perplexity subplan (two corpus
     // passes + the model join) re-executes per consumer
     val scored = perplexityScore(docs)
+      .select("doc_id", "avg_surprisal_unat", "avg_surprisal")
       .join(docs.select("doc_id", "lang"), Seq("doc_id"))
       .localCheckpoint()
     // bounded histogram: feeds the cumulative window AND the per-lang
     // totals — localCheckpoint per the persistence contract
-    val hist = scored.groupBy("lang", "avg_surprisal")
+    val hist = scored.groupBy("lang", "avg_surprisal_unat")
       .agg(count(lit(1)).as("nv"))
       .localCheckpoint()
-    val cumW = Window.partitionBy("lang").orderBy("avg_surprisal")
+    val cumW = Window.partitionBy("lang").orderBy("avg_surprisal_unat")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cum = hist.withColumn("cum_le", sum("nv").over(cumW))
     val totals = hist.groupBy("lang").agg(sum("nv").as("n_lang"))
     val buckets = cum.join(totals, "lang")
-      .select(col("lang"), col("avg_surprisal"),
+      .select(col("lang"), col("avg_surprisal_unat"),
         when(col("cum_le") * 3 <= col("n_lang"), lit("head"))
           .when(col("cum_le") * 3 <= col("n_lang") * 2, lit("middle"))
           .otherwise(lit("tail")).as("bucket"))
-    scored.join(buckets, Seq("lang", "avg_surprisal"))
+    scored.join(buckets, Seq("lang", "avg_surprisal_unat"))
       .select("doc_id", "lang", "avg_surprisal", "bucket")
       .orderBy("doc_id")
   }

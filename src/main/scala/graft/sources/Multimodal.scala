@@ -40,6 +40,7 @@ object Multimodal {
       modality: String,
       n_bytes: Int,
       checksum: Long,
+      checksum_md5: String,
       codec: String,
       features: Array[Float])
 
@@ -69,6 +70,13 @@ object Multimodal {
     while (i < payload.length) { h = h * 31 + payload(i); i += 1 }
     h
   }
+
+  /** Cross-engine content checksum: lowercase hex md5 of the payload
+    * bytes — the manifest identity an external system (or the DuckDB
+    * oracle) can recompute, alongside the cheap in-pipeline FNV. */
+  private def payloadMd5(payload: Array[Byte]): String =
+    java.security.MessageDigest.getInstance("MD5").digest(payload)
+      .map("%02x".format(_)).mkString
 
   // ---------------------------------------------------------------
   // STUB DECODE: deterministic fake for payloads with no runtime
@@ -264,12 +272,14 @@ object Multimodal {
         try wavFeatures(r.payload, dim).map(("wav", _))
         catch { case scala.util.control.NonFatal(_) => None }
       } else None
+    val md5 = payloadMd5(r.payload)
     real match {
       case Some((codec, f)) =>
-        MediaFeatures(r.media_id, r.modality, r.payload.length, checksum, codec, f)
+        MediaFeatures(r.media_id, r.modality, r.payload.length, checksum, md5,
+          codec, f)
       case None =>
-        MediaFeatures(r.media_id, r.modality, r.payload.length, checksum, "stub",
-          stubFeatures(checksum, dim))
+        MediaFeatures(r.media_id, r.modality, r.payload.length, checksum, md5,
+          "stub", stubFeatures(checksum, dim))
     }
   }
 

@@ -102,6 +102,53 @@ object DedupStream {
       }
       .start()
 
+  /** Bounded end-to-end run over the documents table — the measured
+    * driver entry for the streaming near-dup ingest gate
+    * (q_stream_neardup_gate), following the [[DriftStream
+    * .driftMonitorRun]] pattern: stage a deterministic micro-batch
+    * (the even doc_ids) as the stream source, seed the persisted
+    * signature index from the FULL corpus, run the gate to completion
+    * with the index frozen (growIndex=false — the serving
+    * measurement), and return the emitted pair set. With no trigger
+    * cap every staged file lands in micro-batch 0, so the output is
+    * one deterministic (doc_new, doc_corpus, est_jaccard) frame:
+    * exactly [[Dedup.minhashPairsAgainst]](batch, corpus − batch) by
+    * the gate's construction (the spec asserts that equality). MinHash
+    * estimates are not SQL-expressible, so the driver records this
+    * rows-only; accuracy is covered by the minhash calibration spec.
+    * The result is localCheckpoint'd so the staged source, index, and
+    * sink can be deleted before returning. */
+  def nearDupGateRun(
+      spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
+    val docs = graft.Tables.documents(spark, dir)
+    val root = java.nio.file.Files.createTempDirectory("graft_neardup_stream")
+    val src = root.resolve("src").toString
+    val indexPath = root.resolve("index").toString
+    val pairsPath = root.resolve("pairs").toString
+    docs.filter(col("doc_id") % 2 === 0).write.mode("overwrite").parquet(src)
+    seedIndex(docs, indexPath)
+
+    val q = nearDupGate(
+      spark.readStream.schema(docs.schema).parquet(src),
+      indexPath, pairsPath, root.resolve("ckpt").toString,
+      threshold = threshold, growIndex = false)
+    try q.processAllAvailable() finally q.stop()
+
+    val result = spark.read.parquet(pairsPath)
+      .select("doc_new", "doc_corpus", "est_jaccard")
+      .localCheckpoint()
+      .orderBy("doc_new", "doc_corpus")
+    def rm(p: java.nio.file.Path): Unit = {
+      import scala.jdk.CollectionConverters._
+      if (java.nio.file.Files.exists(p)) {
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+      }
+    }
+    rm(root)
+    result
+  }
+
   /** Index maintenance for a long-running gate: collapse any doc_id
     * present more than once (keep the FIRST arrival — lowest batch_id
     * — so maintenance never changes which corpus doc a future pair

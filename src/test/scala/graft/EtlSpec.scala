@@ -34,6 +34,61 @@ class EtlSpec extends AnyFunSuite with SparkSessionTestBase {
       fromNtz.select("ts").collect().head.get(0))
   }
 
+  test("loaders normalize alternate writer physical encodings per table") {
+    // one alternate encoding per table family: narrowed keys, widened
+    // counters, double embedding elements, UTC-adjusted timestamps —
+    // each must land on the canonical logical schema with identical
+    // values (the r6 events.ts drift generalized; a driver testdata
+    // regeneration must never redden a suite again)
+    val root = java.nio.file.Files.createTempDirectory("drift").toString
+    val docs = Tables.documents(spark, sfDir).limit(20).localCheckpoint()
+    docs.withColumn("doc_id", col("doc_id").cast("int"))
+      .withColumn("n_chars", col("n_chars").cast("int"))
+      .write.parquet(s"$root/documents.parquet")
+    val gotDocs = Tables.documents(spark, root)
+    assert(gotDocs.schema("doc_id").dataType.catalogString === "bigint")
+    assert(gotDocs.schema("n_chars").dataType.catalogString === "bigint")
+    assert(gotDocs.orderBy("doc_id").collect().map(_.toString).toSeq ===
+      docs.orderBy("doc_id").collect().map(_.toString).toSeq)
+
+    val emb = Tables.embeddings(spark, sfDir).limit(20).localCheckpoint()
+    emb.withColumn("vec_id", col("vec_id").cast("int"))
+      .withColumn("embedding", col("embedding").cast("array<double>"))
+      .withColumn("label", col("label").cast("bigint"))
+      .write.parquet(s"$root/embeddings.parquet")
+    val gotEmb = Tables.embeddings(spark, root)
+    assert(gotEmb.schema("vec_id").dataType.catalogString === "bigint")
+    assert(gotEmb.schema("embedding").dataType.catalogString === "array<float>")
+    assert(gotEmb.schema("label").dataType.catalogString === "int")
+    assert(gotEmb.orderBy("vec_id").collect().map(_.toString).toSeq ===
+      emb.orderBy("vec_id").collect().map(_.toString).toSeq)
+
+    // lineitem: INT32 keys + an adjusted-to-UTC instant shipdate
+    // (Spark writes TimestampType as INT64 TIMESTAMP(MICROS,
+    // adjustedToUTC=true) — the writer variant ADVICE r6 flagged)
+    val li = Tables.lineitem(spark, sfDir).limit(20).localCheckpoint()
+    li.withColumn("l_orderkey", col("l_orderkey").cast("int"))
+      .withColumn("l_linenumber", col("l_linenumber").cast("bigint"))
+      .withColumn("l_shipdate", col("l_shipdate").cast("timestamp"))
+      .write.parquet(s"$root/lineitem.parquet")
+    def liRows = Tables.lineitem(spark, root)
+    assert(liRows.schema("l_orderkey").dataType.catalogString === "bigint")
+    assert(liRows.schema("l_linenumber").dataType.catalogString === "int")
+    assert(liRows.schema("l_shipdate").dataType.catalogString === "timestamp_ntz")
+    val expectedLi = li.orderBy("l_orderkey", "l_linenumber", "l_partkey")
+      .collect().map(_.toString).toSeq
+    assert(liRows.orderBy("l_orderkey", "l_linenumber", "l_partkey")
+      .collect().map(_.toString).toSeq === expectedLi)
+    // the UTC-wall-clock recovery is tz-INDEPENDENT: a consumer whose
+    // session zone is not UTC must read identical values
+    val tz0 = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+      assert(liRows.orderBy("l_orderkey", "l_linenumber", "l_partkey")
+        .collect().map(_.toString).toSeq === expectedLi)
+    } finally spark.conf.set("spark.sql.session.timeZone", tz0)
+  }
+
   test("normalizeEvents types the JSON payload and case-folds the tag") {
     val df = Etl.normalizeEvents(Tables.events(spark, sfDir))
     val rows = df.limit(50).collect()

@@ -383,6 +383,37 @@ class LlmOpsSpec extends AnyFunSuite with SparkSessionTestBase {
     assert(composed.map(_.toString).toSeq === again.map(_.toString).toSeq)
   }
 
+  test("embedIvfPqTopK residual codes at equal params beat or match flat codes") {
+    val emb = Tables.embeddings(spark, docDir)
+    val exact = Similarity.embedTopK(emb, nQueries = 10, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // rerankFactor = 1 makes the survivor pool exactly k, so pool
+    // selection is purely ADC-driven — the configuration where code
+    // quality shows; coarse codes (nCodes = 8) widen the gap
+    def run(residual: Boolean) = Similarity.embedIvfPqTopK(
+      emb, nQueries = 10, k = 5, nCentroids = 16, lloydIters = 2,
+      nProbe = 8, m = 8, nCodes = 8, rerankFactor = 1,
+      residual = residual).collect()
+    def recallOf(rows: Array[org.apache.spark.sql.Row]) = {
+      val got = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+      (exact intersect got).size.toDouble / exact.size
+    }
+    val flat = recallOf(run(residual = false))
+    val resRows = run(residual = true)
+    val res = recallOf(resRows)
+    info(s"recall flat=$flat residual=$res")
+    // residuals have a far smaller dynamic range than the vectors, so
+    // equal (m, nCodes) bits quantize finer — recall must not regress
+    assert(res >= flat, s"residual=$res flat=$flat")
+    // absolute floor is deliberately loose: rerankFactor = 1 with
+    // 8 codes is the harshest configuration (observed: flat 0.10,
+    // residual 0.16 — the comparison above is the real assertion)
+    assert(res > 0.05, s"residual=$res")
+    // determinism: seeded centroids, no RNG anywhere in the path
+    assert(run(residual = true).map(_.toString).toSeq ===
+      resRows.map(_.toString).toSeq)
+  }
+
   test("embedIvfTopK probes centroid lists with sane recall") {
     val emb = Tables.embeddings(spark, docDir)
     val exact = Similarity.embedTopK(emb, nQueries = 10, k = 5).collect()
@@ -646,24 +677,37 @@ class LlmOpsSpec extends AnyFunSuite with SparkSessionTestBase {
     // doc2 (a,a); histories a->3 b->1; pb: (a,b)=2/3 (b,a)=1 (a,a)=1/3
     def snap(x: Double, s: Int) =
       BigDecimal.valueOf(x).setScale(s, BigDecimal.RoundingMode.HALF_UP).toDouble
-    val sAB = snap(-math.log(0.75 * (2.0 / 3) + 0.25 * (2.0 / 7)), 6)
-    val sBA = snap(-math.log(0.75 * 1.0 + 0.25 * (4.0 / 7)), 6)
-    val sAA = snap(-math.log(0.75 * (1.0 / 3) + 0.25 * (4.0 / 7)), 6)
-    val d1 = snap(snap(sAB + sBA + sAB, 4) / 3, 4)
-    val d2 = snap(snap(sAA, 4) / 1, 4)
+    // integer micro-nat surprisal per transition (the engine snap)
+    def unat(p: Double): Long =
+      BigDecimal.valueOf(-math.log(p) * 1e6)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    // half-up integer mean: floor((2·sum + n) / (2·n)) for sum >= 0
+    def avgU(sum: Long, n: Long): Long = (2 * sum + n) / (2 * n)
+    val sAB = unat(0.75 * (2.0 / 3) + 0.25 * (2.0 / 7))
+    val sBA = unat(0.75 * 1.0 + 0.25 * (4.0 / 7))
+    val sAA = unat(0.75 * (1.0 / 3) + 0.25 * (4.0 / 7))
+    val sum1 = sAB + sBA + sAB
+    val au1 = avgU(sum1, 3)
+    val d1 = snap(au1 / 1e6, 6)
+    val au2 = avgU(sAA, 1)
+    val d2 = snap(au2 / 1e6, 6)
     val byId = rows.map(r => r.getLong(0) -> r).toMap
     assert(byId(1L).getAs[Long]("n_bigrams") === 3L)
+    assert(byId(1L).getAs[Long]("surprisal_unat") === sum1)
+    assert(byId(1L).getAs[Long]("avg_surprisal_unat") === au1)
     assert(byId(1L).getAs[Double]("avg_surprisal") === d1)
-    assert(byId(1L).getAs[Double]("ppl") === snap(math.exp(d1), 4))
+    assert(byId(1L).getAs[Double]("ppl") === snap(math.exp(d1), 6))
     assert(byId(2L).getAs[Double]("avg_surprisal") === d2)
     // a single-token doc has no transitions: 0 count, NULL scores
     assert(byId(3L).getAs[Long]("n_bigrams") === 0L)
     assert(byId(3L).isNullAt(byId(3L).fieldIndex("avg_surprisal")))
+    assert(byId(3L).isNullAt(byId(3L).fieldIndex("surprisal_unat")))
     // flooring the bigram table degrades smoothly to the backoff term
     val floored = TextAnalysis.bigramPerplexity(docs, minBigramCount = 2L).collect()
       .map(r => r.getLong(0) -> r).toMap
-    val sAAFloor = snap(-math.log(0.25 * (4.0 / 7)), 6)
-    assert(floored(2L).getAs[Double]("avg_surprisal") === snap(snap(sAAFloor, 4) / 1, 4))
+    val sAAFloor = unat(0.25 * (4.0 / 7))
+    assert(floored(2L).getAs[Double]("avg_surprisal") ===
+      snap(avgU(sAAFloor, 1) / 1e6, 6))
     // full corpus: one row per doc, deterministic re-run
     val corpus = TextAnalysis.bigramPerplexity(Tables.documents(spark, docDir))
     val all = corpus.collect()
@@ -1216,6 +1260,15 @@ class LlmOpsSpec extends AnyFunSuite with SparkSessionTestBase {
     // deterministic stub decode
     val again = Multimodal.extractFeatures(Multimodal.mediaFromDocuments(docs), dim = 8).collect()
     assert(feats.map(_.checksum).sorted.toSeq === again.map(_.checksum).sorted.toSeq)
+    // the cross-engine manifest checksum is the payload's md5 hex
+    val byId = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    feats.take(5).foreach { f =>
+      val exp = java.security.MessageDigest.getInstance("MD5")
+        .digest(byId(f.media_id).getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      assert(f.checksum_md5 === exp)
+    }
     // frame sampling produces stride-spaced indices
     val frames = Multimodal.sampleFrames(media).collect()
     assert(frames.nonEmpty)
@@ -1389,13 +1442,31 @@ class LlmOpsSpec extends AnyFunSuite with SparkSessionTestBase {
     val model = Seq(("a", 3L), ("b", 1L)).toDF("t", "cnt") // total 4
     val docs = Seq((1L, "a unseen")).toDF("doc_id", "text")
     val r = TextAnalysis.perplexityAgainst(docs, model).collect().head
-    val sa = round6(-math.log(3.0 / 4))
-    val su = round6(-math.log(1.0 / 4)) // OOV ⇒ count-1 fallback
-    val exp = BigDecimal(
-      BigDecimal(sa + su).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble / 2)
-      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def unat(p: Double): Long =
+      BigDecimal.valueOf(-math.log(p) * 1e6)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val sa = unat(3.0 / 4)
+    val su = unat(1.0 / 4) // OOV ⇒ count-1 fallback
+    val sum = sa + su
+    val au = (2 * sum + 2) / 4 // half-up integer mean over n = 2
     assert(r.getAs[Long]("n_tokens") === 2L)
-    assert(r.getAs[Double]("avg_surprisal") === exp)
+    assert(r.getAs[Long]("surprisal_unat") === sum)
+    assert(r.getAs[Long]("avg_surprisal_unat") === au)
+    assert(r.getAs[Double]("avg_surprisal") ===
+      BigDecimal.valueOf(au / 1e6)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
+  test("perplexityAgainst an empty or zero-total model fails loudly") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b")).toDF("doc_id", "text")
+    val empty = Seq.empty[(String, Long)].toDF("t", "cnt")
+    val e = intercept[Exception] {
+      TextAnalysis.perplexityAgainst(docs, empty).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("model is empty")))
   }
 
   test("ccnetBuckets partitions each language into score-ordered thirds") {

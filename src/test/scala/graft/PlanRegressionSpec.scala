@@ -344,7 +344,8 @@ class PlanRegressionSpec extends AnyFunSuite with SparkSessionTestBase {
 
   test("ccnet buckets window only the bounded score histogram") {
     val p = plan("q_ccnet_buckets")
-    // the scored frame and the (lang, 4-decimal score) histogram are
+    // the scored frame and the (lang, integer micro-nat score)
+    // histogram are
     // both checkpointed (each feeds two consumers), so their partial
     // aggregates run eagerly and the FINAL plan must contain at most
     // the cumulative window over the bounded histogram — never a

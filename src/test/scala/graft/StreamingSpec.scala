@@ -270,6 +270,23 @@ class StreamingSpec extends AnyFunSuite with SparkSessionTestBase {
     assert(spark.read.parquet(indexDir).count() === expectedIdx)
   }
 
+  test("nearDupGateRun: the measured driver entry equals the frozen batch twin") {
+    import graft.operators.Dedup
+    val dir = "/root/testdata/sf0.01"
+    val docs = Tables.documents(spark, dir)
+    val got = graft.streaming.DedupStream.nearDupGateRun(spark, dir)
+    assert(got.columns.toSeq === Seq("doc_new", "doc_corpus", "est_jaccard"))
+    // the gate's anti-join removes the batch's own ids from the full
+    // corpus index, so the twin is pairs(batch, corpus − batch)
+    val batch = docs.filter(col("doc_id") % 2 === 0)
+    val rest = docs.filter(col("doc_id") % 2 =!= 0)
+    val expected = Dedup.minhashPairsAgainst(batch,
+        Dedup.minhashSignatures(rest).localCheckpoint())
+      .collect().map(_.toString).toSet
+    assert(got.collect().map(_.toString).toSet === expected)
+    assert(expected.nonEmpty)
+  }
+
   test("nearDupGate with growIndex=false leaves the index frozen") {
     import java.nio.file.Files
     import graft.operators.Dedup
