@@ -361,11 +361,18 @@ object SparkEntry {
     // index-quality meter over the two cheapest families (the full
     // six-method report is spec-covered; training-heavy methods would
     // dominate this entry's bench cost without adding driver signal)
-    // the full index-family matrix: cheap now that the SQ/PQ artifacts
-    // persist — the pre-flight recall table an ANN rollout reads
+    // the full index-family matrix; sq/pq serve from the PERSISTED
+    // artifacts (bit-equal to inline — no retraining in the meter)
     "q_ann_recall" -> ((s, d) =>
       Similarity.annRecall(Tables.embeddings(s, d),
-        methods = Seq("lsh", "ivf", "sq", "pq", "ivf_sq", "ivf_pq"))),
+        methods = Seq("lsh", "ivf", "sq", "pq", "ivf_sq", "ivf_pq"),
+        impls = Map(
+          "sq" -> (() => Similarity.embedSqTopKFromIndex(
+            sqIndexShared(s, d), Tables.embeddings(s, d))),
+          "pq" -> (() => {
+            val (codes, cents) = pqIndexShared(s, d)
+            Similarity.embedPqTopKFromIndex(codes, cents, Tables.embeddings(s, d))
+          })))),
     "q_embed_clusters" -> ((s, d) => Similarity.embedClusterStats(Tables.embeddings(s, d))),
     "q_cluster_quality" -> ((s, d) =>
       Similarity.clusterQuality(Tables.embeddings(s, d), Tables.documents(s, d))),

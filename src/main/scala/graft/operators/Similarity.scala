@@ -695,10 +695,18 @@ object Similarity {
     * (≤ k on small corpora), so recall is well-defined at any scale.
     * Methods absent a query entirely (an over-pruned LSH probe) still
     * contribute recall 0 rows via the method × query grid. Everything
-    * here is deterministic, so the meter is reproducible run to run. */
+    * here is deterministic, so the meter is reproducible run to run.
+    *
+    * `impls` overrides a method's default inline builder — the hook a
+    * caller with PERSISTED index artifacts uses to meter the serving
+    * paths (e.g. embedSqTopKFromIndex over the parquet int8 index)
+    * instead of retraining per call; the indexed forms are spec-
+    * asserted bit-equal to the inline forms, so the recall values are
+    * identical, only the training cost disappears. */
   def annRecall(
       emb: DataFrame, nQueries: Int = 10, k: Int = 5,
-      methods: Seq[String] = Seq("lsh", "ivf", "sq", "pq")): DataFrame = {
+      methods: Seq[String] = Seq("lsh", "ivf", "sq", "pq"),
+      impls: Map[String, () => DataFrame] = Map.empty): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
     val known: Map[String, () => DataFrame] = Map(
@@ -707,7 +715,7 @@ object Similarity {
       "sq" -> (() => embedSqTopK(emb, nQueries, k)),
       "pq" -> (() => embedPqTopK(emb, nQueries, k)),
       "ivf_sq" -> (() => embedIvfSqTopK(emb, nQueries, k)),
-      "ivf_pq" -> (() => embedIvfPqTopK(emb, nQueries, k)))
+      "ivf_pq" -> (() => embedIvfPqTopK(emb, nQueries, k))) ++ impls
     val unknown = methods.filterNot(known.contains)
     require(unknown.isEmpty, s"unknown ANN methods: ${unknown.mkString(", ")}")
     val exact = embedTopK(emb, nQueries, k)

@@ -155,6 +155,7 @@ class EmptyInputSpec extends AnyFunSuite with SparkSessionTestBase {
     assert(Similarity.embedIvfSqTopK(emptyEmb).count() === 0)
     assert(Similarity.embedPqTopK(emptyEmb).count() === 0)
     assert(Similarity.embedIvfPqTopK(emptyEmb).count() === 0)
+    assert(Similarity.embedIvfPqTopK(emptyEmb, residual = true).count() === 0)
     assert(Similarity.pqCodes(emptyEmb).count() === 0)
     // gate primitive: empty batch against a real index, and a real
     // batch against an empty index

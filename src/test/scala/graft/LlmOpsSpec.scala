@@ -822,6 +822,16 @@ class LlmOpsSpec extends AnyFunSuite with SparkSessionTestBase {
     // deterministic meter: bit-identical on re-run
     val again = Similarity.annRecall(emb, methods = all).collect()
     assert(rows.map(_.toString).toSeq === again.map(_.toString).toSeq)
+    // artifact-served sq/pq (the driver entry's shape) are bit-equal
+    // to the inline trainers, so the meter rows are identical
+    val served = Similarity.annRecall(emb, methods = all, impls = Map(
+      "sq" -> (() => Similarity.embedSqTopKFromIndex(
+        SparkEntry.sqIndexShared(spark, docDir), emb)),
+      "pq" -> (() => {
+        val (codes, cents) = SparkEntry.pqIndexShared(spark, docDir)
+        Similarity.embedPqTopKFromIndex(codes, cents, emb)
+      }))).collect()
+    assert(served.map(_.toString).toSeq === rows.map(_.toString).toSeq)
     // unknown method name fails loudly
     intercept[IllegalArgumentException] {
       Similarity.annRecall(emb, methods = Seq("hnsw"))

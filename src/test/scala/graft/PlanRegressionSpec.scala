@@ -105,6 +105,13 @@ class PlanRegressionSpec extends AnyFunSuite with SparkSessionTestBase {
     val ivfpq = plan("q_embed_ivf_pq_topk")
     assert(ivfpq.contains("graft_pq_adc"))
     assert(ivfpq.contains("partial_graft_topk"))
+    // the residual layout keeps both bounded kernels: the coarse term
+    // rides the probe join's own centroid dot — no extra corpus pass,
+    // no per-probe LUT rebuild, same bounded top-k shuffle
+    val res = plan("q_embed_ivf_pq_residual")
+    assert(res.contains("graft_pq_adc"))
+    assert(res.contains("partial_graft_topk"))
+    assert(!res.contains("windowspecdefinition(query_id"))
   }
 
   test("indexed SQ search scores from the persisted int8 artifact") {
