@@ -732,8 +732,16 @@ object TextAnalysis {
     * `groupBy(lang, avg_surprisal_unat)` is partial-combined and its
     * output is bounded by |langs| × value-space (a constant in the
     * corpus size — ~10⁶ per unit of surprisal range), never by |docs|.
-    * The cumulative count window runs over that bounded histogram, and
-    * documents get their bucket back through a hash join on
+    * The cumulative count is a TWO-LEVEL prefix sum (the packSequences
+    * pattern): within-block running sums over `blk = score div 2^16`
+    * partitions (≤ 2^16 distinct scores per partition, a constant) plus
+    * cross-block offsets windowed over the tiny per-(lang, blk)
+    * subtotal frame (≤ value-space / 2^16 ≈ 300 rows per language) —
+    * the micro-nat key space is ~100× the old 4-decimal space, and a
+    * flat per-language window would serialize the whole histogram into
+    * one task as it approaches the cap. The integers are identical to
+    * a flat window's, so the ORACLE keeps the simple one-window form.
+    * Documents get their bucket back through a hash join on
     * (lang, integer score) — a tie group lands in one bucket as a unit
     * (the only deterministic choice; fractional-rank tie-splitting
     * would order arbitrary doc_ids). Bucket rule is exact integer math
@@ -747,14 +755,23 @@ object TextAnalysis {
       .select("doc_id", "avg_surprisal_unat", "avg_surprisal")
       .join(docs.select("doc_id", "lang"), Seq("doc_id"))
       .localCheckpoint()
-    // bounded histogram: feeds the cumulative window AND the per-lang
-    // totals — localCheckpoint per the persistence contract
+    // bounded histogram: feeds the within-block window, the block
+    // subtotals, AND the per-lang totals — localCheckpoint per the
+    // persistence contract
     val hist = scored.groupBy("lang", "avg_surprisal_unat")
       .agg(count(lit(1)).as("nv"))
+      .withColumn("blk", expr("avg_surprisal_unat div 65536"))
       .localCheckpoint()
-    val cumW = Window.partitionBy("lang").orderBy("avg_surprisal_unat")
+    val wIn = Window.partitionBy("lang", "blk").orderBy("avg_surprisal_unat")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cum = hist.withColumn("cum_le", sum("nv").over(cumW))
+    val wOff = Window.partitionBy("lang").orderBy("blk")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = hist.groupBy("lang", "blk").agg(sum("nv").as("bn"))
+      .withColumn("off", coalesce(sum("bn").over(wOff), lit(0L)))
+      .select("lang", "blk", "off")
+    val cum = hist.withColumn("cum_in", sum("nv").over(wIn))
+      .join(broadcast(offsets), Seq("lang", "blk"))
+      .withColumn("cum_le", col("cum_in") + col("off"))
     val totals = hist.groupBy("lang").agg(sum("nv").as("n_lang"))
     val buckets = cum.join(totals, "lang")
       .select(col("lang"), col("avg_surprisal_unat"),

@@ -352,15 +352,18 @@ class PlanRegressionSpec extends AnyFunSuite with SparkSessionTestBase {
   test("ccnet buckets window only the bounded score histogram") {
     val p = plan("q_ccnet_buckets")
     // the scored frame and the (lang, integer micro-nat score)
-    // histogram are
-    // both checkpointed (each feeds two consumers), so their partial
-    // aggregates run eagerly and the FINAL plan must contain at most
-    // the cumulative window over the bounded histogram — never a
-    // window over document rows — and the doc-side bucket attachment
-    // must be a join on (lang, score)
-    assert(p.sliding("Window [".length).count(_ == "Window [") <= 1)
-    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
-      p.contains("BroadcastHashJoin"))
+    // histogram are both checkpointed (each feeds two consumers), so
+    // their partial aggregates run eagerly and the FINAL plan contains
+    // exactly the TWO-LEVEL prefix-sum windows — within-block
+    // ((lang, blk) partitions, ≤ 2^16 rows each) and the cross-block
+    // offsets (per-lang over ≤ value-space/2^16 subtotal rows) riding
+    // a broadcast join — never a window over document rows; the
+    // doc-side bucket attachment is a join on (lang, score)
+    assert(p.sliding("Window [".length).count(_ == "Window [") <= 2)
+    assert(!p.contains("windowspecdefinition(doc_id"))
+    // the within-block window must partition by the block key too
+    assert(p.contains("blk"))
+    assert(p.contains("BroadcastHashJoin"))
   }
 
   test("indexed perplexity serves from the LM artifact, no training stage") {
