@@ -1059,11 +1059,16 @@ object SparkEntry {
       """SELECT doc_id, CAST(length(text) AS INTEGER) AS n_chars,
         | CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|\S')) AS INTEGER) AS n_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // the micro-nat snap mirrors Spark's round(col) exactly: varchar →
+    // DECIMAL first (the dr() discipline at scale 0), because Spark
+    // rounds the double's SHORTEST DECIMAL REPR while DuckDB's bare
+    // round() rounds the exact binary value — a value within half an
+    // ulp of k+0.5 would straddle
     "q_perplexity" -> {
       s"""WITH toks AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t FROM documents),
          |c AS (SELECT t, count(*) AS n FROM toks GROUP BY t),
          |tot AS (SELECT count(*) AS total FROM toks),
-         |model AS (SELECT t, CAST(round(-ln(CAST(n AS DOUBLE) / total) * 1e6) AS BIGINT) AS su FROM c, tot),
+         |model AS (SELECT t, CAST(round(CAST(CAST(-ln(CAST(n AS DOUBLE) / total) * 1e6 AS VARCHAR) AS DECIMAL(38,18)),0) AS BIGINT) AS su FROM c, tot),
          |a AS (SELECT doc_id, count(*) AS n_tokens, CAST(sum(su) AS BIGINT) AS surprisal_unat
          | FROM toks JOIN model USING (t) GROUP BY doc_id)
          |SELECT doc_id, n_tokens, surprisal_unat,
@@ -1079,7 +1084,7 @@ object SparkEntry {
       s"""WITH toks AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t FROM documents),
          |c AS (SELECT t, count(*) AS n FROM toks GROUP BY t),
          |tot AS (SELECT count(*) AS total FROM toks),
-         |model AS (SELECT t, CAST(round(-ln(CAST(n AS DOUBLE) / total) * 1e6) AS BIGINT) AS su FROM c, tot),
+         |model AS (SELECT t, CAST(round(CAST(CAST(-ln(CAST(n AS DOUBLE) / total) * 1e6 AS VARCHAR) AS DECIMAL(38,18)),0) AS BIGINT) AS su FROM c, tot),
          |a AS (SELECT doc_id, count(*) AS n_tokens, CAST(sum(su) AS BIGINT) AS surprisal_unat
          | FROM toks JOIN model USING (t) GROUP BY doc_id)
          |SELECT doc_id, n_tokens, surprisal_unat,
@@ -1101,7 +1106,7 @@ object SparkEntry {
          |bi AS (SELECT w1, w2, CAST(count(*) AS DOUBLE) / any_value(c1) AS pb
          | FROM bg JOIN hist USING (w1) GROUP BY w1, w2),
          |sc AS (SELECT doc_id,
-         |  CAST(round(-ln(0.75 * coalesce(pb, 0) + 0.25 * pu) * 1e6) AS BIGINT) AS su
+         |  CAST(round(CAST(CAST(-ln(0.75 * coalesce(pb, 0) + 0.25 * pu) * 1e6 AS VARCHAR) AS DECIMAL(38,18)),0) AS BIGINT) AS su
          | FROM bg LEFT JOIN bi USING (w1, w2) JOIN up USING (w2)),
          |a AS (SELECT doc_id, count(*) AS n_bigrams, CAST(sum(su) AS BIGINT) AS surprisal_unat
          | FROM sc GROUP BY doc_id),
@@ -1473,7 +1478,7 @@ object SparkEntry {
       s"""WITH toks AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t FROM documents),
          |c AS (SELECT t, count(*) AS n FROM toks GROUP BY t),
          |tot AS (SELECT count(*) AS total FROM toks),
-         |model AS (SELECT t, CAST(round(-ln(CAST(n AS DOUBLE) / total) * 1e6) AS BIGINT) AS su FROM c, tot),
+         |model AS (SELECT t, CAST(round(CAST(CAST(-ln(CAST(n AS DOUBLE) / total) * 1e6 AS VARCHAR) AS DECIMAL(38,18)),0) AS BIGINT) AS su FROM c, tot),
          |a AS (SELECT doc_id, count(*) AS n, CAST(sum(su) AS BIGINT) AS s
          | FROM toks JOIN model USING (t) GROUP BY doc_id),
          |sc AS (SELECT doc_id, CAST((2 * s + n) // (2 * n) AS BIGINT) AS au FROM a),
