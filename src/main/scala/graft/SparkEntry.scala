@@ -193,6 +193,24 @@ object SparkEntry {
     (s.read.parquet(s"$root/codes"), s.read.parquet(s"$root/codebooks"))
   }
 
+  /** Persisted IVF artifact pair (posting-list assignments +
+    * centroids under one root), fingerprint-keyed like the SQ/PQ
+    * indexes. Returns the parquet-backed (assignments, centroids)
+    * frames. */
+  private val ivfIndexPaths =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), (Long, String)]
+
+  private[graft] def ivfIndexShared(
+      s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val fp = tableFingerprint(s, d, "embeddings.parquet")
+    val root = artifactPath(ivfIndexPaths, s, d, fp, "graft_ivf_idx") { p =>
+      val (assign, cents) = Similarity.ivfIndex(Tables.embeddings(s, d))
+      assign.write.mode("overwrite").parquet(s"$p/assign")
+      cents.write.mode("overwrite").parquet(s"$p/centroids")
+    }
+    (s.read.parquet(s"$root/assign"), s.read.parquet(s"$root/centroids"))
+  }
+
   /** Persisted BPE tokenizer artifact (Bpe.segmentsIndex layout — the
     * slim word → subword-count table): the merge loop trains once per
     * documents data version; every tokenize after that READS the
@@ -358,15 +376,22 @@ object SparkEntry {
       val (codes, cents) = pqIndexShared(s, d)
       Similarity.embedPqTopKFromIndex(codes, cents, Tables.embeddings(s, d))
     }),
-    // index-quality meter over the two cheapest families (the full
-    // six-method report is spec-covered; training-heavy methods would
-    // dominate this entry's bench cost without adding driver signal)
-    // the full index-family matrix; sq/pq serve from the PERSISTED
+    // IVF serving path: probe the persisted posting lists + centroid
+    // table — no Lloyd pass or re-assignment in the plan
+    "q_embed_ivf_topk_indexed" -> ((s, d) => {
+      val (assign, cents) = ivfIndexShared(s, d)
+      Similarity.embedIvfTopKFromIndex(assign, cents, Tables.embeddings(s, d))
+    }),
+    // the full index-family matrix; ivf/sq/pq serve from the PERSISTED
     // artifacts (bit-equal to inline — no retraining in the meter)
     "q_ann_recall" -> ((s, d) =>
       Similarity.annRecall(Tables.embeddings(s, d),
         methods = Seq("lsh", "ivf", "sq", "pq", "ivf_sq", "ivf_pq"),
         impls = Map(
+          "ivf" -> (() => {
+            val (assign, cents) = ivfIndexShared(s, d)
+            Similarity.embedIvfTopKFromIndex(assign, cents, Tables.embeddings(s, d))
+          }),
           "sq" -> (() => Similarity.embedSqTopKFromIndex(
             sqIndexShared(s, d), Tables.embeddings(s, d))),
           "pq" -> (() => {

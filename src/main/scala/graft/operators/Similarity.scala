@@ -308,6 +308,50 @@ object Similarity {
     * is a narrow map ([[assignTo]]), list probing replaces the full
     * scan with O(corpus·nProbe/nCentroids) candidates, and the final
     * rank is a bounded graft_topk partial aggregate. */
+  /** Train ONCE, return (assignments, centroids) — the IVF artifact
+    * pair: assignments are the slim (vec_id, cid) posting-list keys
+    * (12 bytes/vector) and centroids the tiny (cid, cvec) table.
+    * Persist both through Sinks; [[embedIvfTopKFromIndex]] serves
+    * without retraining or re-assigning. One call guarantees the
+    * assignments were computed against exactly the centroids returned
+    * (two separate trainings could not rely on bit-identical
+    * floating-point means) — the [[pqIndex]] contract. */
+  def ivfIndex(
+      emb: DataFrame, nCentroids: Int = 16, lloydIters: Int = 2,
+      trainFactor: Int = 64): (DataFrame, DataFrame) = {
+    val (e, centroids) = ivfModel(emb, nCentroids, lloydIters, trainFactor)
+    (assignTo(e, centroids).select("vec_id", "cid"), centroids)
+  }
+
+  /** [[embedIvfTopK]] with BOTH persisted artifacts supplied by the
+    * caller — the serving shape: the fp corpus joins its STORED list
+    * assignment on vec_id (co-keyed — at scale the corpus and its
+    * posting lists bucket on the same key and the join is
+    * Exchange-free), queries probe the broadcast centroid table, and
+    * no Lloyd pass or re-assignment appears in the plan. Bit-equal to
+    * the inline form on the same artifacts (spec, across a parquet
+    * round-trip). */
+  def embedIvfTopKFromIndex(
+      assign: DataFrame, cents: DataFrame, emb: DataFrame,
+      nQueries: Int = 10, k: Int = 5, nProbe: Int = 4): DataFrame = {
+    graft.functions.VectorFunctions.register(emb.sparkSession)
+    val e = withNorm(emb)
+      .withColumn("vn", expr("transform(v, x -> x / norm)"))
+      .select("vec_id", "vn")
+    val assigned = e.join(assign.select("vec_id", "cid"), "vec_id")
+    val wq = Window.partitionBy("vec_id").orderBy(col("sim").desc, col("cid"))
+    val probes = e.filter(col("vec_id") < nQueries)
+      .crossJoin(broadcast(cents))
+      .withColumn("sim", expr("graft_dot(vn, cvec)"))
+      .withColumn("rn", row_number().over(wq))
+      .filter(col("rn") <= nProbe)
+      .select(col("vec_id").as("query_id"), col("vn").as("qv"), col("cid"))
+    assigned.join(broadcast(probes),
+        Seq("cid")).filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos_r", round(expr("graft_dot(vn, qv)"), 6))
+      .transform(topKByCos(_, k))
+  }
+
   def embedIvfTopK(
       emb: DataFrame, nQueries: Int = 10, k: Int = 5,
       nCentroids: Int = 16, lloydIters: Int = 2, nProbe: Int = 4,

@@ -284,6 +284,24 @@ class LlmOpsSpec extends AnyFunSuite with SparkSessionTestBase {
     assert(indexed.length === 50)
   }
 
+  test("embedIvfTopKFromIndex over a parquet round-trip is bit-equal to inline") {
+    import java.nio.file.Files
+    val emb = Tables.embeddings(spark, docDir)
+    val inline = Similarity.embedIvfTopK(emb, nQueries = 10, k = 5).collect()
+    val root = Files.createTempDirectory("ivfidx").toString
+    val (assign, cents) = Similarity.ivfIndex(emb)
+    assign.write.parquet(s"$root/assign")
+    cents.write.parquet(s"$root/centroids")
+    // the posting-list artifact is the slim (vec_id, cid) pair
+    val persisted = spark.read.parquet(s"$root/assign")
+    assert(persisted.columns.toSeq.sorted === Seq("cid", "vec_id"))
+    val indexed = Similarity.embedIvfTopKFromIndex(
+      persisted, spark.read.parquet(s"$root/centroids"), emb,
+      nQueries = 10, k = 5).collect()
+    assert(indexed.map(_.toString).toSeq === inline.map(_.toString).toSeq)
+    assert(indexed.nonEmpty)
+  }
+
   test("PQ rejects configurations that would corrupt codes or drop coordinates") {
     val emb = Tables.embeddings(spark, docDir)
     // nCodes > 127 would wrap the 1-based tinyint codes negative and
@@ -825,6 +843,10 @@ class LlmOpsSpec extends AnyFunSuite with SparkSessionTestBase {
     // artifact-served sq/pq (the driver entry's shape) are bit-equal
     // to the inline trainers, so the meter rows are identical
     val served = Similarity.annRecall(emb, methods = all, impls = Map(
+      "ivf" -> (() => {
+        val (assign, cents) = SparkEntry.ivfIndexShared(spark, docDir)
+        Similarity.embedIvfTopKFromIndex(assign, cents, emb)
+      }),
       "sq" -> (() => Similarity.embedSqTopKFromIndex(
         SparkEntry.sqIndexShared(spark, docDir), emb)),
       "pq" -> (() => {

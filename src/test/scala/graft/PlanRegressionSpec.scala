@@ -134,6 +134,17 @@ class PlanRegressionSpec extends AnyFunSuite with SparkSessionTestBase {
     assert(p.contains("partial_graft_topk"))
   }
 
+  test("indexed IVF search probes the persisted posting lists") {
+    val p = plan("q_embed_ivf_topk_indexed")
+    // posting lists + centroids come from the parquet artifact; no
+    // Lloyd pass or assignment checkpoint (an ExistingRDD scan) may
+    // appear — serving rebuilds nothing
+    assert(p.contains("graft_ivf_idx"))
+    assert(!p.contains("Scan ExistingRDD"))
+    assert(p.contains("partial_graft_topk"))
+    assert(p.contains("BroadcastHashJoin"))
+  }
+
   test("top-terms is a partial-combined aggregate with fused top-k") {
     val p = plan("q_top_terms")
     // two HashAggregates around one Exchange (map-side combine), then
