@@ -382,8 +382,23 @@ object SparkEntry {
       val (assign, cents) = ivfIndexShared(s, d)
       Similarity.embedIvfTopKFromIndex(assign, cents, Tables.embeddings(s, d))
     }),
-    // the full index-family matrix; ivf/sq/pq serve from the PERSISTED
-    // artifacts (bit-equal to inline — no retraining in the meter)
+    // the composed serving shapes: IVF posting lists × the SHARED
+    // int8/PQ code artifacts, joined at serve time — the payoff of
+    // flat (non-residual) fine codes
+    "q_embed_ivf_sq_indexed" -> ((s, d) => {
+      val (assign, cents) = ivfIndexShared(s, d)
+      Similarity.embedIvfSqTopKFromIndex(
+        assign, cents, sqIndexShared(s, d), Tables.embeddings(s, d))
+    }),
+    "q_embed_ivf_pq_indexed" -> ((s, d) => {
+      val (assign, coarse) = ivfIndexShared(s, d)
+      val (codes, cbooks) = pqIndexShared(s, d)
+      Similarity.embedIvfPqTopKFromIndex(
+        assign, coarse, codes, cbooks, Tables.embeddings(s, d))
+    }),
+    // the full index-family matrix; every trained family serves from
+    // the PERSISTED artifacts (bit-equal to inline — no retraining in
+    // the meter; lsh alone has nothing to train or persist)
     "q_ann_recall" -> ((s, d) =>
       Similarity.annRecall(Tables.embeddings(s, d),
         methods = Seq("lsh", "ivf", "sq", "pq", "ivf_sq", "ivf_pq"),
@@ -397,6 +412,17 @@ object SparkEntry {
           "pq" -> (() => {
             val (codes, cents) = pqIndexShared(s, d)
             Similarity.embedPqTopKFromIndex(codes, cents, Tables.embeddings(s, d))
+          }),
+          "ivf_sq" -> (() => {
+            val (assign, cents) = ivfIndexShared(s, d)
+            Similarity.embedIvfSqTopKFromIndex(
+              assign, cents, sqIndexShared(s, d), Tables.embeddings(s, d))
+          }),
+          "ivf_pq" -> (() => {
+            val (assign, coarse) = ivfIndexShared(s, d)
+            val (codes, cbooks) = pqIndexShared(s, d)
+            Similarity.embedIvfPqTopKFromIndex(
+              assign, coarse, codes, cbooks, Tables.embeddings(s, d))
           })))),
     "q_embed_clusters" -> ((s, d) => Similarity.embedClusterStats(Tables.embeddings(s, d))),
     "q_cluster_quality" -> ((s, d) =>

@@ -423,6 +423,45 @@ object Similarity {
       .transform(topKByCos(_, k))
   }
 
+  /** [[embedIvfSqTopK]] COMPOSED from the persisted artifacts — the
+    * point of flat (non-residual) fine codes: the IVF posting lists
+    * (assign, cents from [[ivfIndex]]) and the int8 index
+    * ([[sqIndex]]) are INDEPENDENT artifacts, so the composition joins
+    * them on vec_id at serve time with zero retraining or
+    * re-quantization; the fp corpus serves only queries and the rerank
+    * pool. Bit-equal to the inline form on same-parameter artifacts
+    * (spec, across a parquet round-trip). */
+  def embedIvfSqTopKFromIndex(
+      assign: DataFrame, cents: DataFrame, sqIdx: DataFrame,
+      emb: DataFrame, nQueries: Int = 10, k: Int = 5, nProbe: Int = 4,
+      rerankFactor: Int = 4): DataFrame = {
+    graft.functions.VectorFunctions.register(emb.sparkSession)
+    val e = withNorm(emb)
+      .withColumn("vn", expr("transform(v, x -> x / norm)"))
+      .select("vec_id", "vn")
+    val lists = sqIdx.join(assign.select("vec_id", "cid"), "vec_id")
+    val wq = Window.partitionBy("vec_id").orderBy(col("sim").desc, col("cid"))
+    val qSq = sqIdx.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("qv").as("qqv"),
+        col("scale").as("qscale"), col("norm").as("sqn"))
+    val probes = e.filter(col("vec_id") < nQueries)
+      .crossJoin(broadcast(cents))
+      .withColumn("sim", expr("graft_dot(vn, cvec)"))
+      .withColumn("rn", row_number().over(wq))
+      .filter(col("rn") <= nProbe)
+      .select(col("vec_id").as("query_id"), col("cid"))
+      .join(qSq, "query_id")
+    val survivors = lists.join(broadcast(probes), Seq("cid"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("acos", round(
+        expr("graft_dot(cast(qv as array<double>), cast(qqv as array<double>))") *
+          col("scale") * col("qscale") / (col("norm") * col("sqn")), 6))
+      .groupBy("query_id")
+      .agg(expr(s"graft_topk(acos, vec_id, ${rerankFactor * k})").as("top"))
+      .select(col("query_id"), explode(col("top.id")).as("vec_id"))
+    exactRerank(survivors, e, nQueries, k)
+  }
+
   /** (vec_id, sub, svec): the normalized vector split into m
     * contiguous subvectors — the PQ decomposition. dim must be
     * divisible by m (the FAISS precondition): slice would silently
@@ -679,6 +718,42 @@ object Similarity {
     val survivors = lists.join(broadcast(probes), Seq("cid"))
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("acos", score)
+      .groupBy("query_id")
+      .agg(expr(s"graft_topk(acos, vec_id, ${rerankFactor * k})").as("top"))
+      .select(col("query_id"), explode(col("top.id")).as("vec_id"))
+    exactRerank(survivors, e, nQueries, k)
+  }
+
+  /** [[embedIvfPqTopK]] (flat codes) COMPOSED from the persisted
+    * artifacts: IVF posting lists ([[ivfIndex]]) joined with the
+    * SHARED flat PQ code artifact ([[pqIndex]] — the same codes the
+    * flat path serves) on vec_id, scored through `graft_pq_adc`
+    * against the per-query LUT from the persisted codebooks. Zero
+    * retraining/re-encoding at serve time; this is why flat codes are
+    * the default layout (residual codes fork the artifact per coarse
+    * list and cannot compose this way). Bit-equal to the inline flat
+    * form on same-parameter artifacts (spec, across a parquet
+    * round-trip). */
+  def embedIvfPqTopKFromIndex(
+      assign: DataFrame, coarse: DataFrame, codes: DataFrame,
+      cents: DataFrame, emb: DataFrame, nQueries: Int = 10, k: Int = 5,
+      nProbe: Int = 4, m: Int = 8, rerankFactor: Int = 8): DataFrame = {
+    graft.functions.VectorFunctions.register(emb.sparkSession)
+    val e = withNorm(emb)
+      .withColumn("vn", expr("transform(v, x -> x / norm)"))
+      .select("vec_id", "vn")
+    val lists = codes.join(assign.select("vec_id", "cid"), "vec_id")
+    val wq = Window.partitionBy("vec_id").orderBy(col("sim").desc, col("cid"))
+    val probes = e.filter(col("vec_id") < nQueries)
+      .crossJoin(broadcast(coarse))
+      .withColumn("sim", expr("graft_dot(vn, cvec)"))
+      .withColumn("rn", row_number().over(wq))
+      .filter(col("rn") <= nProbe)
+      .select(col("vec_id").as("query_id"), col("cid"), col("sim"))
+      .join(pqLut(e, m, cents, nQueries), "query_id")
+    val survivors = lists.join(broadcast(probes), Seq("cid"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("acos", round(expr("graft_pq_adc(codes, lut)"), 6))
       .groupBy("query_id")
       .agg(expr(s"graft_topk(acos, vec_id, ${rerankFactor * k})").as("top"))
       .select(col("query_id"), explode(col("top.id")).as("vec_id"))

@@ -302,6 +302,29 @@ class LlmOpsSpec extends AnyFunSuite with SparkSessionTestBase {
     assert(indexed.nonEmpty)
   }
 
+  test("composed IVF×SQ / IVF×PQ serving from shared artifacts is bit-equal to inline") {
+    import java.nio.file.Files
+    val emb = Tables.embeddings(spark, docDir)
+    val root = Files.createTempDirectory("ivfcomp").toString
+    val (assign, cents) = Similarity.ivfIndex(emb)
+    assign.write.parquet(s"$root/assign")
+    cents.write.parquet(s"$root/centroids")
+    Similarity.sqIndex(emb).write.parquet(s"$root/sq")
+    val (codes, cbooks) = Similarity.pqIndex(emb)
+    codes.write.parquet(s"$root/codes")
+    cbooks.write.parquet(s"$root/codebooks")
+    def rd(p: String) = spark.read.parquet(s"$root/$p")
+    val ivfSq = Similarity.embedIvfSqTopKFromIndex(
+      rd("assign"), rd("centroids"), rd("sq"), emb).collect()
+    assert(ivfSq.map(_.toString).toSeq ===
+      Similarity.embedIvfSqTopK(emb).collect().map(_.toString).toSeq)
+    val ivfPq = Similarity.embedIvfPqTopKFromIndex(
+      rd("assign"), rd("centroids"), rd("codes"), rd("codebooks"), emb).collect()
+    assert(ivfPq.map(_.toString).toSeq ===
+      Similarity.embedIvfPqTopK(emb).collect().map(_.toString).toSeq)
+    assert(ivfSq.nonEmpty && ivfPq.nonEmpty)
+  }
+
   test("PQ rejects configurations that would corrupt codes or drop coordinates") {
     val emb = Tables.embeddings(spark, docDir)
     // nCodes > 127 would wrap the 1-based tinyint codes negative and

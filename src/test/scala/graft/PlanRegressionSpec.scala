@@ -145,6 +145,22 @@ class PlanRegressionSpec extends AnyFunSuite with SparkSessionTestBase {
     assert(p.contains("BroadcastHashJoin"))
   }
 
+  test("composed IVF×SQ / IVF×PQ serve from BOTH persisted artifacts") {
+    // the int8/PQ code scans and the posting-list scan are all
+    // FileScans over the shared artifacts; nothing retrains (no
+    // ExistingRDD), and the bounded top-k kernel still carries the
+    // only post-broadcast shuffle
+    val sq = plan("q_embed_ivf_sq_indexed")
+    assert(sq.contains("graft_ivf_idx") && sq.contains("graft_sq_idx"))
+    assert(!sq.contains("Scan ExistingRDD"))
+    assert(sq.contains("partial_graft_topk"))
+    val pq = plan("q_embed_ivf_pq_indexed")
+    assert(pq.contains("graft_ivf_idx") && pq.contains("graft_pq_idx"))
+    assert(!pq.contains("Scan ExistingRDD"))
+    assert(pq.contains("graft_pq_adc"))
+    assert(pq.contains("partial_graft_topk"))
+  }
+
   test("top-terms is a partial-combined aggregate with fused top-k") {
     val p = plan("q_top_terms")
     // two HashAggregates around one Exchange (map-side combine), then
