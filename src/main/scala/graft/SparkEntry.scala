@@ -441,6 +441,23 @@ object SparkEntry {
           .withColumn("text", when(col("doc_id") % 20 === 2,
             concat(col("text"), lit(" rev2"))).otherwise(col("text"))))
     }),
+    // incremental rollup maintenance: prev is a deterministic variant
+    // of the snapshot (missing docs → added, " rev1" texts → changed,
+    // "xx" langs → metadata-only group move, shifted ids → removed);
+    // the merged result must EXACTLY equal the direct rollup over the
+    // current snapshot — the oracle recomputes directly, so the hash
+    // gate proves incremental == full
+    "q_rollup_incremental" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val prev = docs.filter(col("doc_id") % 20 =!= 0)
+        .withColumn("text", when(col("doc_id") % 20 === 2,
+          concat(col("text"), lit(" rev1"))).otherwise(col("text")))
+        .withColumn("lang", when(col("doc_id") % 20 === 3,
+          lit("xx")).otherwise(col("lang")))
+        .unionByName(docs.filter(col("doc_id") % 20 === 4)
+          .withColumn("doc_id", col("doc_id") + 1000000L))
+      Etl.rollupIncremental(Etl.corpusRollup(prev), prev, docs)
+    }),
     "q_tfidf_topterms" -> ((s, d) => TextAnalysis.tfidfTopTerms(Tables.documents(s, d))),
     "q_top_terms" -> ((s, d) => TextAnalysis.topTerms(Tables.documents(s, d))),
     "q_collocations" -> ((s, d) => TextAnalysis.collocations(Tables.documents(s, d))),
@@ -464,6 +481,8 @@ object SparkEntry {
       TextAnalysis.perplexityAgainst(Tables.documents(s, d), lmIndexShared(s, d))),
     "q_perplexity_bigram" -> ((s, d) =>
       TextAnalysis.bigramPerplexity(Tables.documents(s, d))),
+    "q_perplexity_trigram" -> ((s, d) =>
+      TextAnalysis.trigramPerplexity(Tables.documents(s, d))),
     "q_ccnet_buckets" -> ((s, d) => TextAnalysis.ccnetBuckets(Tables.documents(s, d))),
     "q_repetition" -> ((s, d) => TextAnalysis.repetitionScore(Tables.documents(s, d))),
     // relaxed thresholds (minWords/minStopHits) so the synthetic corpus
@@ -1170,6 +1189,42 @@ object SparkEntry {
          | ${m("exp(round(CAST(v.avg_surprisal_unat AS DOUBLE) / 1e6, 6))", 6)} AS ppl
          |FROM d LEFT JOIN v USING (doc_id) ORDER BY doc_id""".stripMargin
     },
+    "q_perplexity_trigram" -> {
+      s"""WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+         |tg AS (SELECT doc_id, g.w1 AS w1, g.w2 AS w2, g.w3 AS w3
+         | FROM (SELECT doc_id, unnest(list_transform(range(3, len(w) + 1),
+         |        i -> {'w1': w[i - 2], 'w2': w[i - 1], 'w3': w[i]})) AS g
+         |       FROM d WHERE len(w) >= 3)),
+         |bp AS (SELECT p.a AS a, p.b AS b
+         | FROM (SELECT unnest(list_transform(range(2, len(w) + 1),
+         |        i -> {'a': w[i - 1], 'b': w[i]})) AS p
+         |       FROM d WHERE len(w) >= 2)),
+         |toks AS (SELECT unnest(w) AS t FROM d),
+         |tot AS (SELECT count(*) AS total FROM toks),
+         |uni AS (SELECT t, count(*) AS n FROM toks GROUP BY t),
+         |c2 AS (SELECT a, b, count(*) AS c2 FROM bp GROUP BY a, b),
+         |tri AS (SELECT w1, w2, w3, CAST(count(*) AS DOUBLE) / any_value(c2.c2) AS p3
+         | FROM tg JOIN c2 ON c2.a = tg.w1 AND c2.b = tg.w2
+         | GROUP BY w1, w2, w3 HAVING count(*) >= 2),
+         |bi AS (SELECT c2.a AS w2, c2.b AS w3, CAST(c2.c2 AS DOUBLE) / uni.n AS p2
+         | FROM c2 JOIN uni ON uni.t = c2.a WHERE c2.c2 >= 2),
+         |up AS (SELECT t AS w3, CAST(n AS DOUBLE) / total AS p1 FROM uni, tot),
+         |sc AS (SELECT doc_id,
+         |  CAST(round(CAST(CAST(-ln(CASE WHEN p3 IS NOT NULL THEN p3
+         |    WHEN p2 IS NOT NULL THEN CAST(0.4 AS DOUBLE) * p2
+         |    ELSE CAST(0.4 AS DOUBLE) * (CAST(0.4 AS DOUBLE) * p1) END) * 1e6 AS VARCHAR) AS DECIMAL(38,18)),0) AS BIGINT) AS su
+         | FROM tg LEFT JOIN tri USING (w1, w2, w3) LEFT JOIN bi USING (w2, w3) JOIN up USING (w3)),
+         |a AS (SELECT doc_id, count(*) AS n_trigrams, CAST(sum(su) AS BIGINT) AS surprisal_unat
+         | FROM sc GROUP BY doc_id),
+         |v AS (SELECT doc_id, n_trigrams, surprisal_unat,
+         |  CAST((2 * surprisal_unat + n_trigrams) // (2 * n_trigrams) AS BIGINT) AS avg_surprisal_unat
+         | FROM a)
+         |SELECT d.doc_id, CAST(coalesce(v.n_trigrams, 0) AS BIGINT) AS n_trigrams,
+         | v.surprisal_unat, v.avg_surprisal_unat,
+         | CAST(round(CAST(v.avg_surprisal_unat AS DOUBLE) / 1e6, 6) AS DOUBLE) AS avg_surprisal,
+         | ${m("exp(round(CAST(v.avg_surprisal_unat AS DOUBLE) / 1e6, 6))", 6)} AS ppl
+         |FROM d LEFT JOIN v USING (doc_id) ORDER BY doc_id""".stripMargin
+    },
     "q_classifier_score" ->
       s"""WITH toks AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t FROM documents),
          |w AS (SELECT doc_id,
@@ -1469,6 +1524,15 @@ object SparkEntry {
         |      ELSE 'changed' END AS status
         |FROM o FULL JOIN n ON o.doc_id = n.doc_id
         |ORDER BY doc_id""".stripMargin,
+    // the incremental path must land EXACTLY on the direct recompute —
+    // the oracle is the direct per-(source, lang) rollup over the
+    // current snapshot, nothing incremental about it
+    "q_rollup_incremental" ->
+      """SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+        | CAST(sum(length(text)) AS BIGINT) AS n_chars
+        |FROM documents GROUP BY source, lang
+        |ORDER BY source, lang""".stripMargin,
     // same chunking as q_chunk_dedup; unique chunks are pruned before
     // the self-join, the diagonal counts n·(n−1)/2 within-source pairs
     "q_dup_provenance" ->

@@ -308,6 +308,98 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Trigram perplexity with stupid backoff (Brants et al. 2007,
+    * "Large Language Models in Machine Translation") — the web-scale
+    * LM-scoring recipe one step up from [[bigramPerplexity]]: each
+    * position scores `−ln S(w3|w1,w2)` where
+    * `S = c(w1w2w3)/c(w1w2)` when the trigram survives the count
+    * floor, else `α·c(w2w3)/c(w2)` when the bigram survives, else
+    * `α²·c(w3)/N` — relative frequencies with a constant backoff
+    * penalty, no normalization pass (that absence is the whole point
+    * of stupid backoff at corpus scale). The count floors
+    * (`minTrigramCount`/`minBigramCount`, CCNet-style) are what bound
+    * the model tables on a 100 TB corpus AND what makes backoff real
+    * when scoring the training corpus against itself (an unfloored
+    * self-scored model never backs off — every observed trigram has
+    * count ≥ 1).
+    *
+    * Scale shape: trigram/bigram streams are built NARROWLY (one array
+    * transform per doc); the three model frames are partial-combined
+    * aggregations; scoring joins are AQE-planned (floored trigram and
+    * bigram tables broadcast while small, shuffle beyond). Surprisals
+    * snap to integer micro-nats — exact integer sums, half-up integer
+    * mean, own-scale identity snap — the [[perplexityScore]]
+    * discipline, so no engine's last ulp can flip a reported digit. */
+  def trigramPerplexity(
+      docs: DataFrame, alpha: Double = 0.4,
+      minTrigramCount: Long = 2L, minBigramCount: Long = 2L): DataFrame = {
+    require(alpha > 0.0 && alpha < 1.0, s"alpha must be in (0, 1), got $alpha")
+    val words = docs.select(col("doc_id"), split(lower(col("text")), " ", -1).as("w"))
+    val trigrams = words.filter(size(col("w")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(3, size(w)), " +
+          "i -> struct(element_at(w, i - 2) AS w1, element_at(w, i - 1) AS w2, " +
+          "element_at(w, i) AS w3))")).as("g"))
+      .select(col("doc_id"), col("g.w1").as("w1"), col("g.w2").as("w2"),
+        col("g.w3").as("w3"))
+      // feeds the trigram model and the scoring join — localCheckpoint
+      // per the persistence contract
+      .localCheckpoint()
+    val bigramPairs = words.filter(size(col("w")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(2, size(w)), " +
+          "i -> struct(element_at(w, i - 1) AS a, element_at(w, i) AS b))")).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+    val uni = words.select(explode(col("w")).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("n")).localCheckpoint()
+    val total = uni.agg(sum("n").as("total"))
+    // raw adjacent-pair counts: the trigram model's denominator AND the
+    // backoff bigram model's numerator
+    val c2 = bigramPairs.groupBy("a", "b").agg(count(lit(1)).as("c2"))
+      .localCheckpoint()
+    val tri = trigrams.groupBy("w1", "w2", "w3").agg(count(lit(1)).as("c3"))
+      .filter(col("c3") >= minTrigramCount)
+      .join(c2.select(col("a").as("w1"), col("b").as("w2"), col("c2")),
+        Seq("w1", "w2"))
+      .select(col("w1"), col("w2"), col("w3"),
+        (col("c3").cast("double") / col("c2")).as("p3"))
+    val bi = c2.filter(col("c2") >= minBigramCount)
+      .join(uni.select(col("t").as("a"), col("n").as("c1")), Seq("a"))
+      .select(col("a").as("w2"), col("b").as("w3"),
+        (col("c2").cast("double") / col("c1")).as("p2"))
+    val uniP = uni.crossJoin(broadcast(total))
+      .select(col("t").as("w3"),
+        (col("n").cast("double") / col("total")).as("p1"))
+    val scored = trigrams
+      .join(tri, Seq("w1", "w2", "w3"), "left")
+      .join(bi, Seq("w2", "w3"), "left")
+      .join(uniP, Seq("w3"))
+      // α·(α·p1), NOT (α²)·p1: both engines must take the identical
+      // float path — a pre-multiplied α² literal would round once in
+      // Scala and differently in SQL decimal arithmetic
+      .withColumn("su", round(-log(
+        when(col("p3").isNotNull, col("p3"))
+          .when(col("p2").isNotNull, lit(alpha) * col("p2"))
+          .otherwise(lit(alpha) * (lit(alpha) * col("p1")))) * 1e6)
+        .cast("long"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_trigrams"),
+        sum("su").as("surprisal_unat"))
+      .withColumn("avg_surprisal_unat",
+        expr("(2 * surprisal_unat + n_trigrams) div (2 * n_trigrams)"))
+    docs.select("doc_id")
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_trigrams"), lit(0L)).as("n_trigrams"),
+        col("surprisal_unat"),
+        col("avg_surprisal_unat"),
+        round(col("avg_surprisal_unat").cast("double") / 1e6, 6)
+          .as("avg_surprisal"),
+        round(exp(round(col("avg_surprisal_unat").cast("double") / 1e6, 6)),
+          6).as("ppl"))
+      .orderBy("doc_id")
+  }
+
   /** Hashed-linear classifier inference (the fasttext-style quality
     * classifier step of a training-data pipeline): per-token integer
     * weights in [-500, 500] derived from an md5 prefix — the honest

@@ -193,6 +193,11 @@ class EmptyInputSpec extends AnyFunSuite with SparkSessionTestBase {
       .count() === 0)
     assert(Similarity.annRecall(emptyEmb, methods = Seq("sq")).count() === 0)
     assert(TextAnalysis.bigramPerplexity(emptyDocs).count() === 0)
+    assert(TextAnalysis.trigramPerplexity(emptyDocs).count() === 0)
+    assert(Etl.corpusRollup(emptyDocs).count() === 0)
+    // empty deltas against an empty prior rollup stay empty
+    assert(Etl.rollupIncremental(Etl.corpusRollup(emptyDocs), emptyDocs,
+      emptyDocs).count() === 0)
     // BPE on an empty corpus: no merges, no segments, no tokens
     val (bpeMerges, bpeSegs) = graft.operators.Bpe.bpeTrain(emptyDocs, nMerges = 3)
     assert(bpeMerges.count() === 0 && bpeSegs.count() === 0)

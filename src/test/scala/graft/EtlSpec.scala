@@ -233,4 +233,38 @@ class EtlSpec extends AnyFunSuite with SparkSessionTestBase {
       assert(r.getAs[Double]("mean_value") <= r.getAs[Double]("max_value"))
     }
   }
+
+  test("rollupIncremental merges deltas to exactly the direct rollup") {
+    import spark.implicits._
+    val prev = Seq(
+      (1L, "aa bb cc", "en", "s1"),     // unchanged
+      (2L, "dd ee", "en", "s1"),        // text changes in cur
+      (3L, "ff gg hh ii", "de", "s2"),  // removed (absent in cur)
+      (4L, "jj kk", "en", "s2"),        // metadata-only move: lang flips
+      (5L, "ll", "fr", "s3")            // s3's only doc — group extinct
+    ).toDF("doc_id", "text", "lang", "source")
+    val cur = Seq(
+      (1L, "aa bb cc", "en", "s1"),
+      (2L, "dd ee ff", "en", "s1"),
+      (4L, "jj kk", "de", "s2"),
+      (6L, "mm nn oo", "en", "s2")      // added
+    ).toDF("doc_id", "text", "lang", "source")
+    val merged = Etl.rollupIncremental(Etl.corpusRollup(prev), prev, cur)
+    val direct = Etl.corpusRollup(cur)
+    assert(merged.columns.toSeq === direct.columns.toSeq)
+    assert(merged.collect().map(_.toString).toSeq ===
+      direct.collect().map(_.toString).toSeq)
+    // the metadata-only lang flip moved doc 4 between groups — a
+    // text-hash-only diff would have missed it
+    val bySrcLang = merged.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(bySrcLang(("s2", "de")) === 1L)
+    assert(bySrcLang(("s2", "en")) === 1L)
+    // the group whose docs all vanished is extinct in the merge
+    assert(!merged.collect().exists(_.getString(0) == "s3"))
+    // a no-op delta reproduces the prior rollup bit-for-bit
+    val same = Etl.rollupIncremental(Etl.corpusRollup(prev), prev, prev)
+    assert(same.collect().map(_.toString).toSeq ===
+      Etl.corpusRollup(prev).collect().map(_.toString).toSeq)
+  }
 }

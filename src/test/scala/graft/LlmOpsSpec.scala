@@ -758,6 +758,64 @@ class LlmOpsSpec extends AnyFunSuite with SparkSessionTestBase {
     assert(all.map(_.toString).toSeq === again.map(_.toString).toSeq)
   }
 
+  test("trigramPerplexity scores hand-computed stupid backoff, all branches") {
+    import spark.implicits._
+    // counts with default floors (tri >= 2, bi >= 2):
+    //   uni a:3 b:3 c:3 x:1 y:1 z:1 q:1 (N = 13)
+    //   bigrams (a,b):3 (b,c):3 (c,a):1 (x,y):1 (y,z):1
+    //   trigrams (a,b,c):3 (b,c,a):1 (c,a,b):1 (x,y,z):1
+    val docs = Seq((1L, "a b c a b c"), (2L, "a b c"), (3L, "x y z"),
+      (4L, "q")).toDF("doc_id", "text")
+    val rows = TextAnalysis.trigramPerplexity(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    def snap(x: Double, s: Int) =
+      BigDecimal.valueOf(x).setScale(s, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def unat(s: Double): Long =
+      BigDecimal.valueOf(-math.log(s) * 1e6)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    def avgU(sum: Long, n: Long): Long = (2 * sum + n) / (2 * n)
+    val a = 0.4
+    // doc1 positions: (a,b,c) surviving trigram p3 = 3/3;
+    // (b,c,a) → dead trigram, dead bigram (c,a) → α·(α·P(a));
+    // (c,a,b) → dead trigram, live bigram (a,b) → α·(3/3); (a,b,c) again
+    val sTri = unat(3.0 / 3)                    // = 0
+    val sUniA = unat(a * (a * (3.0 / 13)))
+    val sBiAB = unat(a * (3.0 / 3))
+    val sum1 = sTri + sUniA + sBiAB + sTri
+    assert(rows(1L).getAs[Long]("n_trigrams") === 4L)
+    assert(rows(1L).getAs[Long]("surprisal_unat") === sum1)
+    assert(rows(1L).getAs[Long]("avg_surprisal_unat") === avgU(sum1, 4))
+    assert(rows(1L).getAs[Double]("avg_surprisal") === snap(avgU(sum1, 4) / 1e6, 6))
+    assert(rows(1L).getAs[Double]("ppl") ===
+      snap(math.exp(snap(avgU(sum1, 4) / 1e6, 6)), 6))
+    // doc2: the one surviving trigram scores probability 1 → ppl 1
+    assert(rows(2L).getAs[Long]("n_trigrams") === 1L)
+    assert(rows(2L).getAs[Long]("surprisal_unat") === 0L)
+    assert(rows(2L).getAs[Double]("ppl") === 1.0)
+    // doc3: full double backoff to the unigram base case
+    assert(rows(3L).getAs[Long]("surprisal_unat") === unat(a * (a * (1.0 / 13))))
+    // doc4: under 3 tokens — zero trigrams, NULL scores
+    assert(rows(4L).getAs[Long]("n_trigrams") === 0L)
+    assert(rows(4L).isNullAt(rows(4L).fieldIndex("surprisal_unat")))
+    assert(rows(4L).isNullAt(rows(4L).fieldIndex("avg_surprisal")))
+    // unfloored self-scoring never backs off (every observed trigram
+    // has count >= 1): flat relative-frequency trigram scores
+    val unfloored = TextAnalysis.trigramPerplexity(docs,
+      minTrigramCount = 1L, minBigramCount = 1L).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val sBCA = unat(1.0 / 3)  // c3(b,c,a)=1 / c2(b,c)=3
+    val sCAB = unat(1.0 / 1)  // c3(c,a,b)=1 / c2(c,a)=1
+    assert(unfloored(1L).getAs[Long]("surprisal_unat") ===
+      sTri + sBCA + sCAB + sTri)
+    // full corpus: every doc has >= 3 tokens; deterministic re-run
+    val corpus = TextAnalysis.trigramPerplexity(Tables.documents(spark, docDir))
+    val all = corpus.collect()
+    assert(all.length === 500)
+    assert(all.forall(r => r.getAs[Long]("n_trigrams") > 0))
+    val again = TextAnalysis.trigramPerplexity(Tables.documents(spark, docDir)).collect()
+    assert(all.map(_.toString).toSeq === again.map(_.toString).toSeq)
+  }
+
   test("bpeTrain reproduces an independent greedy BPE reference") {
     import spark.implicits._
     val text = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
