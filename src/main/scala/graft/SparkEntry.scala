@@ -236,6 +236,21 @@ object SparkEntry {
     s.read.parquet(path)
   }
 
+  /** Persisted per-source HLL sketch partials — the mergeable distinct-
+    * count artifact ([[operators.Sketches]]); rollups union the blobs
+    * with no corpus rescan. Fingerprint-keyed like the LM/BPE indexes. */
+  private val sketchIndexPaths =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), (Long, String)]
+
+  private[graft] def sketchIndexShared(s: SparkSession, d: String): DataFrame = {
+    val fp = documentsFingerprint(s, d)
+    val path = artifactPath(sketchIndexPaths, s, d, fp, "graft_hll_idx") { p =>
+      operators.Sketches.sketchPartials(Tables.documents(s, d))
+        .write.mode("overwrite").parquet(p)
+    }
+    s.read.parquet(path)
+  }
+
   private[graft] def bpeIndexShared(s: SparkSession, d: String): DataFrame = {
     val fp = documentsFingerprint(s, d)
     val path = artifactPath(bpeIndexPaths, s, d, fp, "graft_bpe_idx") { p =>
@@ -462,6 +477,12 @@ object SparkEntry {
     "q_top_terms" -> ((s, d) => TextAnalysis.topTerms(Tables.documents(s, d))),
     "q_collocations" -> ((s, d) => TextAnalysis.collocations(Tables.documents(s, d))),
     "q_corpus_stats" -> ((s, d) => TextAnalysis.corpusStats(Tables.documents(s, d))),
+    // rows-only by declared design (DataSketches HLL estimates have no
+    // DuckDB twin); error bounds + artifact-serve equality asserted in
+    // SkewAndApproxSpec. Serves from the persisted sketch partials —
+    // the rollup plan unions tiny blobs, no corpus scan.
+    "q_sketch_rollup" -> ((s, d) =>
+      operators.Sketches.sketchRollup(sketchIndexShared(s, d))),
     "q_vocab_stats" -> ((s, d) => TextAnalysis.vocabStats(Tables.documents(s, d))),
     "q_source_divergence" -> ((s, d) =>
       TextAnalysis.sourceDivergence(Tables.documents(s, d))),
@@ -493,6 +514,16 @@ object SparkEntry {
     // (documented in the scaladoc); the rules fire on planted docs in spec
     "q_c4_rules" -> ((s, d) => TextAnalysis.c4Rules(Tables.documents(s, d))),
     "q_classifier_score" -> ((s, d) => TextAnalysis.classifierScore(Tables.documents(s, d))),
+    // rows-only by declared design: IRLS moment sums are double
+    // accumulations with engine-unfixed partition order (weights
+    // reproducible to float-sum tolerance, pinned vs an independent
+    // local IRLS in ClassifierSpec at 1e-6)
+    "q_classifier_train" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val labels = TextAnalysis.gopherRules(docs, minWords = 20, minStopHits = 1)
+        .select(col("doc_id"), col("keep").cast("double").as("label"))
+      operators.Classifier.classifierTrain(docs, labels)
+    }),
     // BPE subword tokenizer: merges learned from the bounded word-count
     // table (never the corpus), applied via a segmentation join.
     // rows-only: the greedy merge loop has no SQL twin; an independent

@@ -1,0 +1,175 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+/** Distributed quality-classifier TRAINING — the step that turns
+  * heuristic keep/drop labels (Gopher rules, curation gates, human
+  * ratings) into a reusable linear scorer, the fasttext-style recipe
+  * of the CCNet/LLaMA data pipelines (Wenzek et al. 2020 §4.4 train a
+  * linear classifier over web text to imitate a quality oracle;
+  * [[TextAnalysis.classifierScore]] is the matching INFERENCE path).
+  *
+  * The model is L2-regularized logistic regression fit by IRLS
+  * (iteratively reweighted least squares — standard GLM fitting,
+  * Nelder & Wedderburn 1972). The Spark shape is the whole point at
+  * 100 TB: the feature dimension is BOUNDED (d = 6), so each IRLS
+  * iteration is ONE narrow pass over the feature frame producing the
+  * d×d normal-equation moments `XᵀWX` and the d-vector `XᵀWz` as a
+  * single partial-combined aggregate row — d(d+1)/2 + d sums — and the
+  * tiny symmetric solve happens on the driver. No gradient-descent
+  * epochs, no per-row model state, no MLlib dependency; iterations
+  * rescan a localCheckpoint of the feature frame, never re-derive it.
+  *
+  * Numerics note: the moment sums are double accumulations whose
+  * partition order Spark does not fix, so trained weights are
+  * reproducible only to float-sum tolerance (~1e-12 relative) — the
+  * spec pins them against an independent local IRLS at 1e-6, and the
+  * driver row is rows-only by declared design.
+  */
+object Classifier {
+
+  /** Feature names, index-aligned with the [[features]] vector. */
+  val featureNames: Seq[String] = Seq(
+    "intercept", "log_tokens", "stop_ratio", "mean_word_len",
+    "type_token_ratio", "top_token_frac")
+
+  private val defaultStopWords =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Per-doc bounded feature vector (d = 6): intercept, log token
+    * count, stopword ratio, mean word length, type/token ratio, and
+    * top-token fraction. One (doc_id, tok) aggregate — the
+    * [[TextAnalysis.gopherRules]] shuffle shape — then a narrow map. */
+  def features(
+      docs: DataFrame,
+      stopWords: Seq[String] = defaultStopWords): DataFrame = {
+    val perTok = docs
+      .select(col("doc_id"), explode(split(lower(col("text")), " ", -1)).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("n"))
+    perTok.groupBy("doc_id").agg(
+        sum("n").as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        max("n").as("top_n"),
+        sum(when(col("tok").isInCollection(stopWords), col("n"))
+          .otherwise(lit(0L))).as("stop_hits"),
+        sum(length(col("tok")) * col("n")).as("n_chars"))
+      .select(col("doc_id"), array(
+        lit(1.0),
+        log(lit(1.0) + col("n_tokens")),
+        col("stop_hits").cast("double") / col("n_tokens"),
+        col("n_chars").cast("double") / col("n_tokens"),
+        col("n_types").cast("double") / col("n_tokens"),
+        col("top_n").cast("double") / col("n_tokens")).as("x"))
+  }
+
+  /** Solve the symmetric system (A + ridge·I)·w = b in place on the
+    * driver — d = 6, Gaussian elimination with partial pivoting. */
+  private def solveRidge(
+      a: Array[Array[Double]], b: Array[Double], ridge: Double): Array[Double] = {
+    val d = b.length
+    val m = Array.tabulate(d, d + 1) { (i, j) =>
+      if (j == d) b(i) else a(i)(j) + (if (i == j) ridge else 0.0)
+    }
+    for (p <- 0 until d) {
+      var piv = p
+      for (r <- p + 1 until d) if (math.abs(m(r)(p)) > math.abs(m(piv)(p))) piv = r
+      val t = m(p); m(p) = m(piv); m(piv) = t
+      require(math.abs(m(p)(p)) > 1e-300,
+        s"classifierTrain: singular normal equations at pivot $p — " +
+          "raise ridge or check for constant features")
+      for (r <- p + 1 until d) {
+        val f = m(r)(p) / m(p)(p)
+        for (c <- p to d) m(r)(c) -= f * m(p)(c)
+      }
+    }
+    val w = new Array[Double](d)
+    for (i <- (d - 1) to 0 by -1) {
+      var s = m(i)(d)
+      for (j <- i + 1 until d) s -= m(i)(j) * w(j)
+      w(i) = s / m(i)(i)
+    }
+    w
+  }
+
+  /** Train by IRLS: `labels` is (doc_id, label∈{0,1}). Returns one row
+    * per feature — (idx, term, weight, final_logloss, n_rows) — in
+    * feature order; an empty training set returns the d zero-weight
+    * rows with NULL loss rather than NaN weights. */
+  def classifierTrain(
+      docs: DataFrame, labels: DataFrame,
+      iters: Int = 8, ridge: Double = 1e-3,
+      stopWords: Seq[String] = defaultStopWords): DataFrame = {
+    require(iters >= 1 && iters <= 100, s"iters must be in [1, 100], got $iters")
+    require(ridge > 0.0, s"ridge must be positive, got $ridge")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val d = featureNames.length
+    val xy = features(docs, stopWords)
+      .join(labels.select(col("doc_id"),
+        col("label").cast("double").as("y")), Seq("doc_id"))
+      .select(col("x"), col("y"))
+      // iterations rescan this frame — localCheckpoint per the
+      // persistence contract (ContextCleaner-released)
+      .localCheckpoint()
+
+    def xj(j: Int): Column = element_at(col("x"), j + 1)
+    var w = Array.fill(d)(0.0)
+    var loss = Double.NaN
+    var n = 0L
+    var it = 0
+    var continue = true
+    while (continue && it < iters) {
+      val eta = (0 until d).map(j => xj(j) * lit(w(j))).reduce(_ + _)
+      val mu = lit(1.0) / (lit(1.0) + exp(-eta))
+      val s = greatest(mu * (lit(1.0) - mu), lit(1e-12))
+      val z = eta + (col("y") - mu) / s
+      val moments =
+        (for (j <- 0 until d; k <- j until d)
+          yield sum(s * xj(j) * xj(k)).as(s"a_${j}_$k")) ++
+        (0 until d).map(j => sum(s * xj(j) * z).as(s"b_$j")) ++
+        Seq(
+          sum(-(col("y") * log(greatest(mu, lit(1e-300))) +
+            (lit(1.0) - col("y")) * log(greatest(lit(1.0) - mu, lit(1e-300)))))
+            .as("loss"),
+          count(lit(1)).as("n"))
+      val row: Row = xy.agg(moments.head, moments.tail: _*).head()
+      n = row.getAs[Long]("n")
+      if (n == 0L) { continue = false }
+      else {
+        val a = Array.ofDim[Double](d, d)
+        for (j <- 0 until d; k <- j until d) {
+          val v = row.getAs[Double](s"a_${j}_$k")
+          a(j)(k) = v; a(k)(j) = v
+        }
+        val b = (0 until d).map(j => row.getAs[Double](s"b_$j")).toArray
+        w = solveRidge(a, b, ridge)
+        loss = row.getAs[Double]("loss") / n
+        it += 1
+      }
+    }
+    featureNames.zipWithIndex.map { case (t, i) =>
+      (i, t, w(i), if (n == 0L) None else Some(loss), n)
+    }.toDF("idx", "term", "weight", "final_logloss", "n_rows")
+      .orderBy("idx")
+  }
+
+  /** Apply trained weights (feature-order aligned with
+    * [[featureNames]]): per-doc score = σ(w·x) and the keep flag at
+    * the 0.5 boundary. A narrow map over [[features]] — the weights
+    * ride the plan as literals, no join, no broadcast table. */
+  def classifierApply(
+      docs: DataFrame, weights: Seq[Double],
+      stopWords: Seq[String] = defaultStopWords): DataFrame = {
+    require(weights.length == featureNames.length,
+      s"expected ${featureNames.length} weights, got ${weights.length}")
+    val eta = weights.zipWithIndex
+      .map { case (wj, j) => element_at(col("x"), j + 1) * lit(wj) }
+      .reduce(_ + _)
+    features(docs, stopWords)
+      .select(col("doc_id"),
+        (lit(1.0) / (lit(1.0) + exp(-eta))).as("score"))
+      .withColumn("keep", col("score") > 0.5)
+      .orderBy("doc_id")
+  }
+}

@@ -1,0 +1,115 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Classifier
+
+class ClassifierSpec extends AnyFunSuite with SparkSessionTestBase {
+
+  // planted corpus: "good" docs are stopword-rich with varied words,
+  // "bad" docs repeat one rare token — separable on stop_ratio and
+  // top_token_frac, the features the trained weights must discover
+  private def planted(n: Int) = {
+    import spark.implicits._
+    val good = (0 until n).map { i =>
+      val filler = (0 until 20).map(j => s"word${(i * 7 + j) % 50}")
+      (i.toLong, ("the be to of and that have with" + " " +
+        filler.mkString(" ")), 1.0)
+    }
+    val bad = (0 until n).map { i =>
+      val tok = s"zz${i % 17}"
+      ((n + i).toLong, Seq.fill(25)(tok).mkString(" "), 0.0)
+    }
+    val df = (good ++ bad).toDF("doc_id", "text", "label")
+    (df.select("doc_id", "text"), df.select("doc_id", "label"))
+  }
+
+  test("classifierTrain separates planted labels; apply reproduces them") {
+    val (docs, labels) = planted(60)
+    val model = Classifier.classifierTrain(docs, labels)
+    val rows = model.collect()
+    assert(rows.length === Classifier.featureNames.length)
+    assert(rows.map(_.getAs[String]("term")).toSeq ===
+      Classifier.featureNames)
+    assert(rows.forall(_.getAs[Long]("n_rows") === 120L))
+    val loss = rows.head.getAs[Double]("final_logloss")
+    assert(loss >= 0.0 && loss < 0.1, s"separable data should fit; loss=$loss")
+    val w = rows.map(_.getAs[Double]("weight")).toSeq
+    assert(w.forall(x => !x.isNaN && !x.isInfinite))
+    val scored = Classifier.classifierApply(docs, w).collect()
+      .map(r => r.getLong(0) -> r.getAs[Boolean]("keep")).toMap
+    val truth = labels.collect().map(r => r.getLong(0) -> (r.getDouble(1) > 0.5)).toMap
+    val acc = truth.count { case (id, y) => scored(id) == y }.toDouble / truth.size
+    assert(acc >= 0.95, s"in-sample accuracy $acc")
+  }
+
+  test("classifierTrain matches an independent local IRLS to 1e-6") {
+    val (docs, labels) = planted(40)
+    val iters = 6
+    val ridge = 1e-2
+    val sparkW = Classifier.classifierTrain(docs, labels, iters = iters,
+      ridge = ridge).collect().map(_.getAs[Double]("weight"))
+
+    // independent reference: same model, plain Scala loops over the
+    // collected feature frame (different summation order on purpose)
+    val xy = Classifier.features(docs)
+      .join(labels, Seq("doc_id"))
+      .collect()
+      .map(r => (r.getSeq[Double](r.fieldIndex("x")).toArray,
+        r.getAs[Double]("label")))
+    val d = Classifier.featureNames.length
+    var w = Array.fill(d)(0.0)
+    for (_ <- 1 to iters) {
+      val a = Array.ofDim[Double](d, d)
+      val b = Array.fill(d)(0.0)
+      for ((x, y) <- xy) {
+        val eta = (0 until d).map(j => x(j) * w(j)).sum
+        val mu = 1.0 / (1.0 + math.exp(-eta))
+        val s = math.max(mu * (1.0 - mu), 1e-12)
+        val z = eta + (y - mu) / s
+        for (j <- 0 until d; k <- 0 until d) a(j)(k) += s * x(j) * x(k)
+        for (j <- 0 until d) b(j) += s * x(j) * z
+      }
+      // ridge solve via the same elimination, re-derived independently
+      val m = Array.tabulate(d, d + 1) { (i, j) =>
+        if (j == d) b(i) else a(i)(j) + (if (i == j) ridge else 0.0)
+      }
+      for (p <- 0 until d) {
+        var piv = p
+        for (r <- p + 1 until d) if (math.abs(m(r)(p)) > math.abs(m(piv)(p))) piv = r
+        val t = m(p); m(p) = m(piv); m(piv) = t
+        for (r <- p + 1 until d) {
+          val f = m(r)(p) / m(p)(p)
+          for (c <- p to d) m(r)(c) -= f * m(p)(c)
+        }
+      }
+      val nw = new Array[Double](d)
+      for (i <- (d - 1) to 0 by -1) {
+        var s = m(i)(d)
+        for (j <- i + 1 until d) s -= m(i)(j) * nw(j)
+        nw(i) = s / m(i)(i)
+      }
+      w = nw
+    }
+    for (j <- 0 until d)
+      assert(math.abs(sparkW(j) - w(j)) <= 1e-6 * math.max(1.0, math.abs(w(j))),
+        s"weight $j: spark=${sparkW(j)} ref=${w(j)}")
+  }
+
+  test("degenerate inputs: one-class labels stay finite, empty returns zeros") {
+    import spark.implicits._
+    val (docs, labels) = planted(20)
+    val oneClass = Classifier.classifierTrain(docs,
+      labels.withColumn("label", lit(1.0)), iters = 4)
+    assert(oneClass.collect().forall { r =>
+      val x = r.getAs[Double]("weight"); !x.isNaN && !x.isInfinite
+    })
+    val empty = Classifier.classifierTrain(docs.limit(0), labels.limit(0))
+      .collect()
+    assert(empty.length === Classifier.featureNames.length)
+    assert(empty.forall(_.getAs[Double]("weight") === 0.0))
+    assert(empty.forall(_.isNullAt(empty.head.fieldIndex("final_logloss"))))
+    assert(empty.forall(_.getAs[Long]("n_rows") === 0L))
+  }
+}

@@ -50,4 +50,41 @@ class SkewAndApproxSpec extends AnyFunSuite with SparkSessionTestBase {
     val median = r.getAs[Double]("median_price")
     assert(median > 0 && median < r.getAs[Double]("p95_price"))
   }
+
+  test("sketchRollup estimates distincts within HLL error, merges without rescan") {
+    import graft.operators.Sketches
+    val docs = Tables.documents(spark, sfDir)
+    val rollup = Sketches.sketchDistinct(docs).collect()
+    val exactPer = docs
+      .select(col("source"), explode(split(lower(col("text")), " ", -1)).as("t"))
+      .groupBy("source").agg(countDistinct("t").as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exactAll = docs
+      .select(explode(split(lower(col("text")), " ", -1)).as("t"))
+      .select("t").distinct().count()
+    // lgK=12 → ~1.6% standard error; assert 3 sigma
+    rollup.foreach { r =>
+      val src = r.getString(0)
+      val est = r.getAs[Long]("est_distinct_tokens").toDouble
+      val exact = if (src == "__all__") exactAll else exactPer(src)
+      assert(math.abs(est - exact) / exact < 0.05,
+        s"$src: est=$est exact=$exact")
+    }
+    // union row merges the PARTIAL SKETCHES — equal to sketching the
+    // union stream directly (HLL union is lossless for same-lgK)
+    val direct = Sketches.sketchPartials(
+      docs.withColumn("source", lit("__all__")))
+    val unionEst = rollup.find(_.getString(0) == "__all__").get
+      .getAs[Long]("est_distinct_tokens")
+    val directEst = Sketches.sketchRollup(direct).collect()
+      .filter(_.getString(0) == "__all__").head
+      .getAs[Long]("est_distinct_tokens")
+    assert(unionEst === directEst)
+    // persisted-artifact serving: rollup from parquet-round-tripped
+    // partials is IDENTICAL (the sketch blob is the state)
+    val dir = java.nio.file.Files.createTempDirectory("hll_idx").toString
+    Sketches.sketchPartials(docs).write.mode("overwrite").parquet(dir)
+    val served = Sketches.sketchRollup(spark.read.parquet(dir)).collect()
+    assert(served.map(_.toString).toSeq === rollup.map(_.toString).toSeq)
+  }
 }
