@@ -427,4 +427,37 @@ class PlanRegressionSpec extends AnyFunSuite with SparkSessionTestBase {
     assert(p.contains("BroadcastNestedLoopJoin"))
     assert(p.contains("TakeOrderedAndProject"))
   }
+
+  test("trigram perplexity is pure partial-combined aggregation, no windows") {
+    val p = plan("q_perplexity_trigram")
+    // model building (uni/bi/tri counts) and per-doc scoring are all
+    // groupBy aggregations; the trigram stream is one narrow transform
+    // (no Expand, no position self-join), nothing windows a token key
+    assert(!p.contains("Window ["))
+    assert(!p.contains("Expand"))
+    assert(p.sliding("HashAggregate".length).count(_ == "HashAggregate") >= 2)
+  }
+
+  test("incremental rollup aggregates deltas, never windows or rescans wide") {
+    val p = plan("q_rollup_incremental")
+    // the diff is one full-outer hash join on doc_id; the merge is a
+    // partial-combined union aggregation — no window anywhere, and no
+    // sort-merge join (doc_id equality join stays hash-based under AQE)
+    assert(!p.contains("Window ["))
+    assert(p.contains("HashAggregate"))
+  }
+
+  test("sketch rollup serves from the persisted partials, no corpus scan") {
+    val p = plan("q_sketch_rollup")
+    // the rollup plan unions tiny sketch blobs read back from the
+    // artifact: a parquet scan of the partials, hll union/estimate
+    // aggregates, and NO scan of the documents table (the whole point
+    // of mergeable sketches — re-asking costs |partials|, not |corpus|)
+    assert(p.contains("FileScan") || p.contains("BatchScan"))
+    assert(p.contains("graft_hll_idx"),
+      "rollup must read the persisted sketch artifact")
+    assert(!p.contains("documents.parquet"),
+      "rollup must not rescan the corpus")
+    assert(!p.contains("Window ["))
+  }
 }
