@@ -251,6 +251,26 @@ object SparkEntry {
     s.read.parquet(path)
   }
 
+  /** Persisted trained quality-classifier weights (the tiny model
+    * artifact [[operators.Classifier.classifierTrain]] emits); serving
+    * collects the d rows and applies them as plan literals. */
+  private val clfIndexPaths =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), (Long, String)]
+
+  private[graft] def clfWeightsShared(s: SparkSession, d: String): Seq[Double] = {
+    val fp = documentsFingerprint(s, d)
+    val path = artifactPath(clfIndexPaths, s, d, fp, "graft_clf_idx") { p =>
+      val docs = Tables.documents(s, d)
+      val labels = operators.TextAnalysis
+        .gopherRules(docs, minWords = 20, minStopHits = 1)
+        .select(col("doc_id"), col("keep").cast("double").as("label"))
+      operators.Classifier.classifierTrain(docs, labels)
+        .write.mode("overwrite").parquet(p)
+    }
+    s.read.parquet(path).orderBy("idx")
+      .collect().map(_.getAs[Double]("weight")).toSeq
+  }
+
   private[graft] def bpeIndexShared(s: SparkSession, d: String): DataFrame = {
     val fp = documentsFingerprint(s, d)
     val path = artifactPath(bpeIndexPaths, s, d, fp, "graft_bpe_idx") { p =>
@@ -524,6 +544,11 @@ object SparkEntry {
         .select(col("doc_id"), col("keep").cast("double").as("label"))
       operators.Classifier.classifierTrain(docs, labels)
     }),
+    // serving path: the persisted trained weights ride the plan as
+    // LITERALS — no training stage, no join, no broadcast (plan-locked)
+    "q_classifier_apply" -> ((s, d) =>
+      operators.Classifier.classifierApply(
+        Tables.documents(s, d), clfWeightsShared(s, d))),
     // BPE subword tokenizer: merges learned from the bounded word-count
     // table (never the corpus), applied via a segmentation join.
     // rows-only: the greedy merge loop has no SQL twin; an independent
@@ -605,6 +630,13 @@ object SparkEntry {
     // foreachBatch; deterministic single micro-batch, oracle-checked
     "q_stream_drift" -> ((s, d) =>
       graft.streaming.DriftStream.driftMonitorRun(s, d)),
+    // STREAMING rollup maintenance run end-to-end: even doc_ids seed
+    // the persisted base rollup, odd ones stream through foreachBatch
+    // as per-batch delta partitions (retried batches overwrite their
+    // own partition — exactly-once cumulative state), and the served
+    // merge must hash-match the direct full-corpus rollup
+    "q_stream_rollup" -> ((s, d) =>
+      graft.streaming.RollupStream.rollupMaintainRun(s, d)),
     // the flagship STREAMING ingest-time near-dup gate run end-to-end:
     // one deterministic micro-batch (even doc_ids) band-joined against
     // the persisted full-corpus MinHash signature index inside
@@ -1293,6 +1325,14 @@ object SparkEntry {
          |  AND n_stop_hits >= 1) AS keep
          |FROM a JOIN d USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
+    // the stream-maintained rollup must equal the direct recompute —
+    // the same oracle shape as q_rollup_incremental
+    "q_stream_rollup" ->
+      """SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+        | CAST(sum(length(text)) AS BIGINT) AS n_chars
+        |FROM documents GROUP BY source, lang
+        |ORDER BY source, lang""".stripMargin,
     // the drift monitor's single batch scores each source against the
     // FULL corpus distribution (reference seeded from the same table):
     // the sourceDivergence decomposition with q from the corpus —

@@ -428,6 +428,17 @@ class PlanRegressionSpec extends AnyFunSuite with SparkSessionTestBase {
     assert(p.contains("TakeOrderedAndProject"))
   }
 
+  test("classifier apply serves literal weights: no join, no training stage") {
+    val p = plan("q_classifier_apply")
+    // the persisted weights are collected once (6 rows) and ride the
+    // scoring plan as literals: scan → aggregate → sigmoid — no join
+    // of any kind, no checkpointed IRLS stages, no window
+    assert(!p.contains("Join"))
+    assert(!p.contains("Scan ExistingRDD"))
+    assert(!p.contains("Window ["))
+    assert(p.contains("HashAggregate"))
+  }
+
   test("trigram perplexity is pure partial-combined aggregation, no windows") {
     val p = plan("q_perplexity_trigram")
     // model building (uni/bi/tri counts) and per-doc scoring are all

@@ -452,6 +452,48 @@ class StreamingSpec extends AnyFunSuite with SparkSessionTestBase {
     assert(streamed.nonEmpty)
   }
 
+  test("rollupMaintainRun (streaming) equals the direct full-corpus rollup") {
+    val docs = Tables.documents(spark, sfDir)
+    val streamed = SparkEntry.queries("q_stream_rollup")(spark, sfDir)
+      .collect().map(_.toString).toSeq
+    val direct = graft.operators.Etl.corpusRollup(docs)
+      .collect().map(_.toString).toSeq
+    assert(streamed === direct)
+    assert(streamed.nonEmpty)
+  }
+
+  test("rollupMaintain is per-batch idempotent and restart-safe") {
+    import spark.implicits._
+    import graft.streaming.RollupStream
+    val root = java.nio.file.Files.createTempDirectory("rollup_retry")
+    val src = root.resolve("src").toString
+    val docs = Seq(
+      (1L, "aa bb", "en", "s1"), (2L, "cc dd ee", "de", "s1"),
+      (3L, "ff", "en", "s2")).toDF("doc_id", "text", "lang", "source")
+    docs.write.mode("overwrite").parquet(src)
+    RollupStream.seedRollup(docs.limit(0), root.resolve("seed").toString)
+    def runOnce(): Unit = {
+      val q = RollupStream.rollupMaintain(
+        spark.readStream.schema(docs.schema).parquet(src),
+        root.resolve("delta").toString, root.resolve("ckpt").toString)
+      try q.processAllAvailable() finally q.stop()
+    }
+    runOnce()
+    val first = RollupStream.serveRollup(spark,
+      root.resolve("seed").toString, root.resolve("delta").toString)
+      .collect().map(_.toString).toSeq
+    // restart over the same checkpoint: no new files → no new deltas,
+    // and a re-delivered batch would overwrite its own partition — the
+    // served rollup must not double-count
+    runOnce()
+    val second = RollupStream.serveRollup(spark,
+      root.resolve("seed").toString, root.resolve("delta").toString)
+      .collect().map(_.toString).toSeq
+    assert(second === first)
+    assert(first === graft.operators.Etl.corpusRollup(docs)
+      .collect().map(_.toString).toSeq)
+  }
+
   test("driftMonitor flags a planted off-distribution batch") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("driftstream")
