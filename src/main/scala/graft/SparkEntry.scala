@@ -271,6 +271,22 @@ object SparkEntry {
       .collect().map(_.getAs[Double]("weight")).toSeq
   }
 
+  /** Persisted PCA model artifact (mean + top-k eigenpairs, ≤ k+1
+    * tiny rows) — trained once per embeddings data version. */
+  private val pcaIndexPaths =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), (Long, String)]
+
+  private[graft] def pcaModelShared(
+      s: SparkSession, d: String): operators.Pca.PcaModel = {
+    val fp = tableFingerprint(s, d, "embeddings.parquet")
+    val path = artifactPath(pcaIndexPaths, s, d, fp, "graft_pca_idx") { p =>
+      operators.Pca.pcaModelFrame(s,
+          operators.Pca.pcaTrain(Tables.embeddings(s, d), k = 8))
+        .write.mode("overwrite").parquet(p)
+    }
+    operators.Pca.pcaModelFromFrame(s.read.parquet(path))
+  }
+
   private[graft] def bpeIndexShared(s: SparkSession, d: String): DataFrame = {
     val fp = documentsFingerprint(s, d)
     val path = artifactPath(bpeIndexPaths, s, d, fp, "graft_bpe_idx") { p =>
@@ -459,6 +475,12 @@ object SparkEntry {
             Similarity.embedIvfPqTopKFromIndex(
               assign, coarse, codes, cbooks, Tables.embeddings(s, d))
           })))),
+    // rows-only by declared design (no DuckDB eigensolver); spectrum /
+    // orthonormality / reconstruction invariants + artifact round-trip
+    // asserted in PcaSpec. Projection serves from the persisted model
+    // artifact as plan literals — one codegen dot per component.
+    "q_embed_pca" -> ((s, d) =>
+      operators.Pca.pcaProject(Tables.embeddings(s, d), pcaModelShared(s, d))),
     "q_embed_clusters" -> ((s, d) => Similarity.embedClusterStats(Tables.embeddings(s, d))),
     "q_cluster_quality" -> ((s, d) =>
       Similarity.clusterQuality(Tables.embeddings(s, d), Tables.documents(s, d))),

@@ -428,6 +428,17 @@ class PlanRegressionSpec extends AnyFunSuite with SparkSessionTestBase {
     assert(p.contains("TakeOrderedAndProject"))
   }
 
+  test("pca projection is a narrow literals-only map over the scan") {
+    val p = plan("q_embed_pca")
+    // the persisted model rides as literals: one codegen graft_dot per
+    // component, no join, no aggregate, no training stage; the only
+    // exchange is the output ordering
+    assert(p.contains("graft_dot"))
+    assert(!p.contains("Join"))
+    assert(!p.contains("HashAggregate"))
+    assert(!p.contains("Scan ExistingRDD"))
+  }
+
   test("classifier apply serves literal weights: no join, no training stage") {
     val p = plan("q_classifier_apply")
     // the persisted weights are collected once (6 rows) and ride the
