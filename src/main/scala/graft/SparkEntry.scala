@@ -287,6 +287,20 @@ object SparkEntry {
     operators.Pca.pcaModelFromFrame(s.read.parquet(path))
   }
 
+  /** Persisted token-count histogram partials — the exact mergeable
+    * quantile state ([[operators.Sketches.histPartials]]). */
+  private val histIndexPaths =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), (Long, String)]
+
+  private[graft] def histIndexShared(s: SparkSession, d: String): DataFrame = {
+    val fp = documentsFingerprint(s, d)
+    val path = artifactPath(histIndexPaths, s, d, fp, "graft_histq_idx") { p =>
+      operators.Sketches.histPartials(Tables.documents(s, d))
+        .write.mode("overwrite").parquet(p)
+    }
+    s.read.parquet(path)
+  }
+
   private[graft] def bpeIndexShared(s: SparkSession, d: String): DataFrame = {
     val fp = documentsFingerprint(s, d)
     val path = artifactPath(bpeIndexPaths, s, d, fp, "graft_bpe_idx") { p =>
@@ -525,6 +539,11 @@ object SparkEntry {
     // the rollup plan unions tiny blobs, no corpus scan.
     "q_sketch_rollup" -> ((s, d) =>
       operators.Sketches.sketchRollup(sketchIndexShared(s, d))),
+    // quantile rollup from the persisted EXACT histogram partials —
+    // integer-rational ranks, so the merged quantiles hash-match the
+    // direct recompute (the oracle): merge == full, proven per row
+    "q_quantile_rollup" -> ((s, d) =>
+      operators.Sketches.histQuantiles(histIndexShared(s, d))),
     "q_vocab_stats" -> ((s, d) => TextAnalysis.vocabStats(Tables.documents(s, d))),
     "q_source_divergence" -> ((s, d) =>
       TextAnalysis.sourceDivergence(Tables.documents(s, d))),
@@ -1617,6 +1636,22 @@ object SparkEntry {
         |      ELSE 'changed' END AS status
         |FROM o FULL JOIN n ON o.doc_id = n.doc_id
         |ORDER BY doc_id""".stripMargin,
+    // merged-histogram quantiles must equal the direct recompute; the
+    // rank arithmetic is pure-rational integers on both engines
+    "q_quantile_rollup" ->
+      """WITH m AS (SELECT source, len(string_split(text, ' ')) AS bin FROM documents),
+        |h AS (SELECT source, bin, count(*) AS cnt FROM m GROUP BY 1, 2),
+        |a AS (SELECT '__all__' AS source, bin, sum(cnt) AS cnt FROM h GROUP BY bin),
+        |u AS (SELECT source, bin, cnt FROM h UNION ALL SELECT source, bin, cnt FROM a),
+        |t AS (SELECT source, sum(cnt) AS n FROM u GROUP BY source),
+        |c AS (SELECT u.source, bin, cnt, n,
+        |  sum(cnt) OVER (PARTITION BY u.source ORDER BY bin) AS cum
+        | FROM u JOIN t ON t.source = u.source)
+        |SELECT source, CAST(max(n) AS BIGINT) AS n_docs,
+        | CAST(min(CASE WHEN cum >= (n * 1 + 1) // 2 THEN bin END) * 1 AS BIGINT) AS p50_tokens,
+        | CAST(min(CASE WHEN cum >= (n * 9 + 9) // 10 THEN bin END) * 1 AS BIGINT) AS p90_tokens,
+        | CAST(min(CASE WHEN cum >= (n * 99 + 99) // 100 THEN bin END) * 1 AS BIGINT) AS p99_tokens
+        |FROM c GROUP BY source ORDER BY source""".stripMargin,
     // the incremental path must land EXACTLY on the direct recompute —
     // the oracle is the direct per-(source, lang) rollup over the
     // current snapshot, nothing incremental about it

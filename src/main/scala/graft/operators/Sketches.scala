@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Mergeable cardinality sketches — the pre-aggregated-rollup pattern
@@ -61,4 +61,52 @@ object Sketches {
   /** Convenience end-to-end form: partials built inline. */
   def sketchDistinct(docs: DataFrame, lgK: Int = 12): DataFrame =
     sketchRollup(sketchPartials(docs, lgK))
+
+  // ---- Mergeable integer histograms → quantile rollups --------------
+
+  /** Per-(source, bin) token-count histogram partial — the mergeable
+    * quantile state for a bounded-domain metric (per-doc token counts;
+    * bin = count div `width`). Like the HLL partials, these persist
+    * once and answer every quantile question — per source, merged,
+    * any subset — by summing tiny (source × bins) frames, no rescan.
+    * Unlike probabilistic sketches the merge is EXACT integer
+    * arithmetic, so the rollup below carries a full DuckDB oracle. */
+  def histPartials(docs: DataFrame, width: Int = 1): DataFrame = {
+    require(width >= 1, s"width must be >= 1, got $width")
+    docs.select(col("source"),
+        size(split(col("text"), " ", -1)).cast("long").as("m"))
+      .select(col("source"), expr(s"m div $width").as("bin"))
+      .groupBy("source", "bin").agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Quantile rollup from histogram partials: per source plus the
+    * `__all__` merge, p50/p90/p99 as the matching bin's lower bound
+    * (exact for width = 1 on an integer metric; max error `width − 1`
+    * otherwise). Ranks are pure-rational integer arithmetic
+    * (ceil(n·num/den) = (n·num + den − 1) div den), so both engines
+    * agree bit-for-bit — no float quantile definitions involved.
+    *
+    * Scale shape: the only window runs over the BOUNDED per-source
+    * histogram (≤ value-space/width rows per source — the ccnetBuckets
+    * posture), never over documents; everything upstream is
+    * partial-combined aggregation of the persisted partials. */
+  def histQuantiles(partials: DataFrame, width: Int = 1): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val all = partials.groupBy("bin").agg(sum("cnt").as("cnt"))
+      .select(lit("__all__").as("source"), col("bin"), col("cnt"))
+    val h = partials.select("source", "bin", "cnt").unionByName(all)
+    val tot = h.groupBy("source").agg(sum("cnt").as("n"))
+    val cum = h.withColumn("cum",
+      sum("cnt").over(Window.partitionBy("source").orderBy("bin")))
+      .join(tot, "source")
+    def q(num: Int, den: Int): Column =
+      min(when(col("cum") >= expr(s"(n * $num + ${den - 1}) div $den"),
+        col("bin"))) * width
+    cum.groupBy("source").agg(
+        max("n").as("n_docs"),
+        q(1, 2).as("p50_tokens"),
+        q(9, 10).as("p90_tokens"),
+        q(99, 100).as("p99_tokens"))
+      .orderBy("source")
+  }
 }

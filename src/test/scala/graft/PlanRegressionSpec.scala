@@ -428,6 +428,16 @@ class PlanRegressionSpec extends AnyFunSuite with SparkSessionTestBase {
     assert(p.contains("TakeOrderedAndProject"))
   }
 
+  test("quantile rollup serves from the persisted histogram partials") {
+    val p = plan("q_quantile_rollup")
+    // partials come from the artifact; the only window runs over the
+    // bounded per-source histogram, and the corpus is never rescanned
+    assert(p.contains("graft_histq_idx"),
+      "quantiles must read the persisted histogram artifact")
+    assert(!p.contains("documents.parquet"),
+      "quantiles must not rescan the corpus")
+  }
+
   test("pca projection is a narrow literals-only map over the scan") {
     val p = plan("q_embed_pca")
     // the persisted model rides as literals: one codegen graft_dot per

@@ -87,4 +87,38 @@ class SkewAndApproxSpec extends AnyFunSuite with SparkSessionTestBase {
     val served = Sketches.sketchRollup(spark.read.parquet(dir)).collect()
     assert(served.map(_.toString).toSeq === rollup.map(_.toString).toSeq)
   }
+
+  test("histQuantiles from merged partials equal exact rank statistics") {
+    import graft.operators.Sketches
+    val docs = Tables.documents(spark, sfDir)
+    val out = Sketches.histQuantiles(Sketches.histPartials(docs)).collect()
+      .map(r => r.getString(0) -> r).toMap
+    def sortedCounts(df: org.apache.spark.sql.DataFrame) = df
+      .select(size(split(col("text"), " ", -1)).cast("long")).collect()
+      .map(_.getLong(0)).sorted
+    def exact(xs: Array[Long], num: Int, den: Int): Long =
+      xs((((xs.length.toLong * num + den - 1) / den) - 1).toInt)
+    val all = sortedCounts(docs)
+    assert(out("__all__").getAs[Long]("n_docs") === all.length.toLong)
+    assert(out("__all__").getAs[Long]("p50_tokens") === exact(all, 1, 2))
+    assert(out("__all__").getAs[Long]("p90_tokens") === exact(all, 9, 10))
+    assert(out("__all__").getAs[Long]("p99_tokens") === exact(all, 99, 100))
+    // one per-source row against its own exact ranks
+    val src = sortedCounts(docs.filter(col("source") === "src0"))
+    assert(out("src0").getAs[Long]("p90_tokens") === exact(src, 9, 10))
+    // coarse bins: the estimate is the bin lower bound, within width−1
+    val w = 4
+    val coarse = Sketches.histQuantiles(Sketches.histPartials(docs, w), w)
+      .collect().filter(_.getString(0) == "__all__").head
+    val est = coarse.getAs[Long]("p50_tokens")
+    val e50 = exact(all, 1, 2)
+    assert(est <= e50 && e50 < est + w)
+    // artifact round trip serves identically
+    val dir2 = java.nio.file.Files.createTempDirectory("histq_idx").toString
+    Sketches.histPartials(docs).write.mode("overwrite").parquet(dir2)
+    val served = Sketches.histQuantiles(spark.read.parquet(dir2)).collect()
+    assert(served.map(_.toString).toSeq ===
+      Sketches.histQuantiles(Sketches.histPartials(docs)).collect()
+        .map(_.toString).toSeq)
+  }
 }
