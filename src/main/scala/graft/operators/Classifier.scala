@@ -95,13 +95,21 @@ object Classifier {
   /** Train by IRLS: `labels` is (doc_id, label∈{0,1}). Returns one row
     * per feature — (idx, term, weight, final_logloss, n_rows) — in
     * feature order; an empty training set returns the d zero-weight
-    * rows with NULL loss rather than NaN weights. */
+    * rows with NULL loss rather than NaN weights.
+    *
+    * `iters` is a MAXIMUM: IRLS converges quadratically, so once the
+    * mean logloss moves less than `tol` (relative) between passes the
+    * loop stops — post-convergence passes each cost a full corpus
+    * aggregate and change weights by less than the spec's pin
+    * tolerance. `tol = 0` forces exactly `iters` passes. */
   def classifierTrain(
       docs: DataFrame, labels: DataFrame,
       iters: Int = 8, ridge: Double = 1e-3,
-      stopWords: Seq[String] = defaultStopWords): DataFrame = {
+      stopWords: Seq[String] = defaultStopWords,
+      tol: Double = 1e-9): DataFrame = {
     require(iters >= 1 && iters <= 100, s"iters must be in [1, 100], got $iters")
     require(ridge > 0.0, s"ridge must be positive, got $ridge")
+    require(tol >= 0.0, s"tol must be non-negative, got $tol")
     val spark = docs.sparkSession
     import spark.implicits._
     val d = featureNames.length
@@ -137,15 +145,24 @@ object Classifier {
       n = row.getAs[Long]("n")
       if (n == 0L) { continue = false }
       else {
-        val a = Array.ofDim[Double](d, d)
-        for (j <- 0 until d; k <- j until d) {
-          val v = row.getAs[Double](s"a_${j}_$k")
-          a(j)(k) = v; a(k)(j) = v
+        val lossNew = row.getAs[Double]("loss") / n
+        // converged: the loss (evaluated at the CURRENT weights) no
+        // longer moves — skip the remaining passes
+        if (it > 0 && tol > 0.0 &&
+            math.abs(loss - lossNew) <= tol * math.max(1.0, lossNew)) {
+          loss = lossNew
+          continue = false
+        } else {
+          val a = Array.ofDim[Double](d, d)
+          for (j <- 0 until d; k <- j until d) {
+            val v = row.getAs[Double](s"a_${j}_$k")
+            a(j)(k) = v; a(k)(j) = v
+          }
+          val b = (0 until d).map(j => row.getAs[Double](s"b_$j")).toArray
+          w = solveRidge(a, b, ridge)
+          loss = lossNew
+          it += 1
         }
-        val b = (0 until d).map(j => row.getAs[Double](s"b_$j")).toArray
-        w = solveRidge(a, b, ridge)
-        loss = row.getAs[Double]("loss") / n
-        it += 1
       }
     }
     featureNames.zipWithIndex.map { case (t, i) =>

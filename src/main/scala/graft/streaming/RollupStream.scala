@@ -34,38 +34,124 @@ object RollupStream {
   def seedRollup(docs: DataFrame, seedPath: String): Unit =
     Etl.corpusRollup(docs).write.mode("overwrite").parquet(seedPath)
 
+  /** The compaction watermark: batches with id ≤ this are already
+    * folded into the seed, so a late RETRY of one must not re-write
+    * its delta, and serving must ignore any stale delta partition
+    * (both would double-count against the folded seed). The marker
+    * lives INSIDE the seed directory ("_"-prefixed: invisible to the
+    * parquet reader, like _SUCCESS), so [[compact]]'s rename swap
+    * commits the folded rollup and its watermark ATOMICALLY. */
+  private def foldedMarker(seedPath: String) =
+    new org.apache.hadoop.fs.Path(seedPath + "/_folded_through")
+
+  private def foldedThrough(
+      spark: SparkSession, seedPath: String): Long = {
+    val p = foldedMarker(seedPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) -1L
+    else {
+      val in = fs.open(p)
+      try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+      finally in.close()
+    }
+  }
+
   /** Launch maintenance over a streaming documents frame: each batch
-    * lands as its own delta partition under `deltaPath`. */
+    * lands as its own delta partition under `deltaPath`; batches at or
+    * below the seed's compaction watermark are skipped (already in the
+    * seed). */
   def rollupMaintain(
       newDocs: DataFrame,
+      seedPath: String,
       deltaPath: String,
       checkpoint: String): StreamingQuery =
     newDocs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-        Etl.corpusRollup(batch.toDF())
-          .withColumn("batch_id", lit(batchId))
-          .write.mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("batch_id")
-          .parquet(deltaPath)
+        val spark = batch.sparkSession
+        if (batchId > foldedThrough(spark, seedPath)) {
+          Etl.corpusRollup(batch.toDF())
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(deltaPath)
+        }
       }
       .start()
 
-  /** Serve the current rollup: seed + all delta partitions, one small
-    * aggregation (rows = groups × (1 + batches), never the corpus). */
+  /** Serve the current rollup: seed + live delta partitions, one small
+    * aggregation (rows = groups × (1 + batches), never the corpus). A
+    * missing delta directory (fresh state, or just compacted) serves
+    * the seed alone; partitions at or below the compaction watermark
+    * are EXCLUDED — their content lives in the seed, and filtering
+    * here (partition pruning on batch_id) is what makes the
+    * compact-crash window benign. */
   def serveRollup(
       spark: SparkSession, seedPath: String, deltaPath: String): DataFrame = {
     val seed = spark.read.parquet(seedPath)
-    val deltas = spark.read.parquet(deltaPath)
       .select("source", "lang", "n_docs", "n_tokens", "n_chars")
-    seed.unionByName(deltas)
+    val dp = new org.apache.hadoop.fs.Path(deltaPath)
+    val hasDeltas = dp
+      .getFileSystem(spark.sparkContext.hadoopConfiguration).exists(dp)
+    val merged =
+      if (!hasDeltas) seed
+      else seed.unionByName(spark.read.parquet(deltaPath)
+        .filter(col("batch_id") > foldedThrough(spark, seedPath))
+        .select("source", "lang", "n_docs", "n_tokens", "n_chars"))
+    merged
       .groupBy("source", "lang")
       .agg(sum("n_docs").as("n_docs"),
         sum("n_tokens").as("n_tokens"),
         sum("n_chars").as("n_chars"))
       .filter(col("n_docs") > 0)
       .orderBy("source", "lang")
+  }
+
+  /** Fold the accumulated deltas into a fresh seed so delta state
+    * stays bounded (run between micro-batches, like the gates'
+    * [[IndexMaintenance]]): writes the merged rollup to `seed__maint`,
+    * rename-swaps it over the seed (the complete artifact survives a
+    * crash under the maint path; a missing live seed fails the next
+    * serve LOUDLY rather than under-counting), then clears the delta
+    * directory. Served values are unchanged by construction — spec
+    * asserts bit-equality across a compaction. */
+  def compact(
+      spark: SparkSession, seedPath: String, deltaPath: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val dp = new Path(deltaPath)
+    val fs = dp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dp)) return // nothing to fold
+    val deltas = spark.read.parquet(deltaPath)
+    // partition-column inference reads batch_id back as INT — cast
+    val maxBatch = deltas.agg(max(col("batch_id").cast("long"))).head() match {
+      case r if r.isNullAt(0) => -1L
+      case r => r.getLong(0)
+    }
+    val prevFolded = foldedThrough(spark, seedPath)
+    val merged = serveRollup(spark, seedPath, deltaPath).localCheckpoint()
+    val tmp = seedPath + "__maint"
+    merged.write.mode("overwrite").parquet(tmp)
+    // the new watermark rides INSIDE the tmp dir, so the rename below
+    // commits rollup + watermark atomically: a crash before the swap
+    // changes nothing; after it, stale delta partitions and retried
+    // batches are both ≤ the live watermark and therefore excluded by
+    // serveRollup / rollupMaintain — every crash point serves correct
+    // values, and stale files are swept by the next successful compact
+    val newFolded = math.max(maxBatch, prevFolded)
+    if (newFolded >= 0) {
+      val out = fs.create(new Path(tmp + "/_folded_through"), true)
+      try out.write(newFolded.toString
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
+    fs.delete(new Path(seedPath), true)
+    if (!fs.rename(new Path(tmp), new Path(seedPath))) {
+      throw new java.io.IOException(
+        s"rename $tmp -> $seedPath failed; complete rollup preserved at $tmp")
+    }
+    fs.delete(dp, true): Unit
   }
 
   /** Bounded end-to-end run — the measured driver entry
@@ -83,6 +169,7 @@ object RollupStream {
 
     val q = rollupMaintain(
       spark.readStream.schema(docs.schema).parquet(src),
+      root.resolve("seed").toString,
       root.resolve("delta").toString,
       root.resolve("ckpt").toString)
     try q.processAllAvailable() finally q.stop()

@@ -48,8 +48,9 @@ class ClassifierSpec extends AnyFunSuite with SparkSessionTestBase {
     val (docs, labels) = planted(40)
     val iters = 6
     val ridge = 1e-2
+    // tol = 0: exactly `iters` passes, matching the reference loop
     val sparkW = Classifier.classifierTrain(docs, labels, iters = iters,
-      ridge = ridge).collect().map(_.getAs[Double]("weight"))
+      ridge = ridge, tol = 0.0).collect().map(_.getAs[Double]("weight"))
 
     // independent reference: same model, plain Scala loops over the
     // collected feature frame (different summation order on purpose)
@@ -95,6 +96,21 @@ class ClassifierSpec extends AnyFunSuite with SparkSessionTestBase {
     for (j <- 0 until d)
       assert(math.abs(sparkW(j) - w(j)) <= 1e-6 * math.max(1.0, math.abs(w(j))),
         s"weight $j: spark=${sparkW(j)} ref=${w(j)}")
+  }
+
+  test("early stop converges to the exhaustive-run solution") {
+    val (docs, labels) = planted(40)
+    val converged = Classifier.classifierTrain(docs, labels, iters = 50)
+      .collect()
+    val exhaustive = Classifier.classifierTrain(docs, labels, iters = 50,
+      tol = 0.0).collect()
+    converged.zip(exhaustive).foreach { case (c, e) =>
+      val (wc, we) = (c.getAs[Double]("weight"), e.getAs[Double]("weight"))
+      assert(math.abs(wc - we) <= 1e-6 * math.max(1.0, math.abs(we)),
+        s"${c.getAs[String]("term")}: converged=$wc exhaustive=$we")
+    }
+    assert(math.abs(converged.head.getAs[Double]("final_logloss") -
+      exhaustive.head.getAs[Double]("final_logloss")) < 1e-8)
   }
 
   test("degenerate inputs: one-class labels stay finite, empty returns zeros") {

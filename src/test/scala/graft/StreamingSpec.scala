@@ -472,25 +472,42 @@ class StreamingSpec extends AnyFunSuite with SparkSessionTestBase {
       (3L, "ff", "en", "s2")).toDF("doc_id", "text", "lang", "source")
     docs.write.mode("overwrite").parquet(src)
     RollupStream.seedRollup(docs.limit(0), root.resolve("seed").toString)
-    def runOnce(): Unit = {
+    val seedP = root.resolve("seed").toString
+    val deltaP = root.resolve("delta").toString
+    def runOnce(ckpt: String = root.resolve("ckpt").toString): Unit = {
       val q = RollupStream.rollupMaintain(
-        spark.readStream.schema(docs.schema).parquet(src),
-        root.resolve("delta").toString, root.resolve("ckpt").toString)
+        spark.readStream.schema(docs.schema).parquet(src), seedP, deltaP, ckpt)
       try q.processAllAvailable() finally q.stop()
     }
-    runOnce()
-    val first = RollupStream.serveRollup(spark,
-      root.resolve("seed").toString, root.resolve("delta").toString)
+    def serve() = RollupStream.serveRollup(spark, seedP, deltaP)
       .collect().map(_.toString).toSeq
+    runOnce()
+    val first = serve()
     // restart over the same checkpoint: no new files → no new deltas,
     // and a re-delivered batch would overwrite its own partition — the
     // served rollup must not double-count
     runOnce()
-    val second = RollupStream.serveRollup(spark,
-      root.resolve("seed").toString, root.resolve("delta").toString)
-      .collect().map(_.toString).toSeq
-    assert(second === first)
+    assert(serve() === first)
     assert(first === graft.operators.Etl.corpusRollup(docs)
+      .collect().map(_.toString).toSeq)
+    // compaction folds deltas into the seed without changing values
+    RollupStream.compact(spark, seedP, deltaP)
+    assert(serve() === first)
+    assert(!java.nio.file.Files.exists(root.resolve("delta")))
+    // a batch re-delivered at an id at or below the watermark (here: a
+    // fresh checkpoint replays the same files as batch 0) is skipped —
+    // the folded seed already carries it
+    runOnce(root.resolve("ckpt2").toString)
+    assert(serve() === first)
+    // genuinely new arrivals flow through the ORIGINAL checkpoint
+    // lineage (ids are monotone per lineage — the watermark contract):
+    // the extra file becomes batch 1 > watermark 0 and must count
+    import spark.implicits._
+    val extra = Seq((99L, "zz yy", "en", "s9"))
+      .toDF("doc_id", "text", "lang", "source")
+    extra.write.mode("append").parquet(src)
+    runOnce()
+    assert(serve() === graft.operators.Etl.corpusRollup(docs.unionByName(extra))
       .collect().map(_.toString).toSeq)
   }
 
