@@ -730,6 +730,17 @@ object SparkEntry {
     "q_dedup_survivors" -> ((s, d) =>
       Dedup.dedupSurvivorsFromLabels(Tables.documents(s, d), duplicateLabelsShared(s, d))
         .select("doc_id", "source", "n_chars")),
+    // the 100 TB cluster-resolution scale path, oracle-proven end to
+    // end: star-contraction connected components (O(log² n) rounds,
+    // diameter-independent) over the SQL-expressible ngram-jaccard
+    // pair set — DuckDB replays the same components via a recursive
+    // CTE, so the hash gate covers pairs → components → clusters
+    "q_dedup_clusters_cc" -> ((s, d) => {
+      val pairs = Dedup.ngramJaccard(Tables.documents(s, d)).select("doc_a", "doc_b")
+      Dedup.duplicateClustersFromLabels(Dedup.duplicateLabelsStar(pairs))
+        .withColumn("members",
+          array_join(transform(col("members"), _.cast("string")), ","))
+    }),
     // semantic (embedding-space) twin of q_dedup_survivors: LSH
     // near-dup pairs -> connected components -> one doc per cluster.
     // vec_id and doc_id share the id space by testdata construction.
@@ -1146,6 +1157,30 @@ object SparkEntry {
         |  AND a.sz >= 0.3 * b.sz AND b.sz >= 0.3 * a.sz)
         |SELECT doc_a, doc_b, jaccard FROM j
         |WHERE jaccard >= 0.3 ORDER BY doc_a, doc_b""".stripMargin,
+    // same pair CTEs as q_ngram_jaccard, then connected components as
+    // a recursive reachability closure (fine at oracle scale; Spark
+    // runs star contraction instead — the point of the shared hash)
+    "q_dedup_clusters_cc" ->
+      """WITH RECURSIVE t AS (SELECT doc_id, lang, string_split(lower(text), ' ') AS w FROM documents),
+        |g AS (SELECT doc_id, lang,
+        |  list_distinct(list_transform(range(1, len(w)-1),
+        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS grams
+        | FROM t WHERE len(w) >= 3),
+        |gs AS (SELECT doc_id, lang, grams, len(grams) AS sz FROM g),
+        |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        | FROM gs a JOIN gs b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        |  AND a.sz >= 0.3 * b.sz AND b.sz >= 0.3 * a.sz
+        | WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+        |    / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.3),
+        |e AS (SELECT doc_a AS u, doc_b AS v FROM p UNION SELECT doc_b, doc_a FROM p),
+        |reach(id, r) AS (
+        | SELECT u, u FROM e
+        | UNION
+        | SELECT e.u, reach.r FROM e JOIN reach ON e.v = reach.id),
+        |lbl AS (SELECT id, min(r) AS label FROM reach GROUP BY id)
+        |SELECT label AS cluster_rep, count(*) AS n_docs,
+        | array_to_string(list_sort(list(id)), ',') AS members
+        |FROM lbl GROUP BY label ORDER BY cluster_rep""".stripMargin,
     "q_embed_topk" ->
       s"""WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
          |  sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x*x))) AS norm

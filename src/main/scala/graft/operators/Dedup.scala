@@ -465,14 +465,13 @@ object Dedup {
   /** Resolve near-duplicate PAIRS into duplicate CLUSTERS (connected
     * components). Adaptive strategy: LSH-surviving pair sets are tiny
     * relative to the corpus, so below `driverThreshold` pairs a driver
-    * union-find resolves them in one pass; above it, distributed
-    * min-label propagation (each iteration pushes the minimum label
-    * across edges; `localCheckpoint` truncates the growing lineage —
-    * the classic iterative-Spark trap) converges in diameter rounds.
+    * union-find resolves them in one pass; above it,
+    * [[duplicateLabelsStar]] large-star/small-star contraction
+    * (O(log² n) rounds independent of component diameter).
     * Returns one row per cluster: representative (min doc_id), size,
     * sorted members. */
   def duplicateClusters(
-      pairs: DataFrame, maxIter: Int = 10, driverThreshold: Long = 1000000L): DataFrame =
+      pairs: DataFrame, maxIter: Int = 64, driverThreshold: Long = 1000000L): DataFrame =
     duplicateClustersFromLabels(duplicateLabels(pairs, maxIter, driverThreshold))
 
   /** [[duplicateClusters]] from a precomputed (id, label) frame — the
@@ -492,7 +491,7 @@ object Dedup {
     * [[duplicateClusters]] aggregates and [[dedupSurvivors]] anti-joins
     * on. */
   def duplicateLabels(
-      pairs: DataFrame, maxIter: Int = 10, driverThreshold: Long = 1000000L): DataFrame = {
+      pairs: DataFrame, maxIter: Int = 64, driverThreshold: Long = 1000000L): DataFrame = {
     val spark = pairs.sparkSession
     // localCheckpoint, not .cache(): eager, ContextCleaner-released
     // when the result is GC'd — an internal cache would pin blocks
@@ -519,29 +518,87 @@ object Dedup {
         import spark.implicits._
         ids.toSeq.map(id => (id, find(id))).toDF("id", "label")
       } else {
-        val edges = cached.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-          .unionAll(cached.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-          .localCheckpoint()
-        var l = edges.select(col("src").as("id")).distinct()
-          .withColumn("label", col("id"))
-          .localCheckpoint()
-        var changed = 1L
-        var iter = 0
-        while (changed > 0 && iter < maxIter) {
-          val propagated = edges.join(l, col("src") === col("id"))
-            .groupBy(col("dst")).agg(min("label").as("in_label"))
-          val next = l.join(propagated, col("id") === col("dst"), "left")
-            .select(col("id"),
-              least(col("label"), coalesce(col("in_label"), col("label"))).as("label"))
-            .localCheckpoint()
-          changed = next.as("n").join(l.as("o"), "id")
-            .filter(col("n.label") =!= col("o.label")).count()
-          l = next
-          iter += 1
-        }
-        l
+        duplicateLabelsStar(cached, maxIter)
       }
     labels
+  }
+
+  /** Distributed connected-component labels by alternating
+    * large-star / small-star contraction (Kiveris, Lattanzi, Mirrokni,
+    * Rastogi & Vassilvitskii, "Connected Components in MapReduce and
+    * Beyond", SoCC 2014, Two-Phase algorithm) — the scale path behind
+    * [[duplicateLabels]].
+    *
+    * Why not min-label propagation: propagation needs O(diameter)
+    * rounds, and a chain-shaped duplicate cluster (doc₁↔doc₂↔…↔docₙ,
+    * the classic template-drift shape) makes diameter O(cluster size) —
+    * a capped loop then returns WRONG labels silently. Star contraction
+    * halves component height every round pair (O(log² n) worst case,
+    * ~2·log n observed), and this implementation REFUSES to return
+    * unconverged labels instead of truncating.
+    *
+    * Spark shape per round: two groupBy-min + two equi-joins + two
+    * distincts, all on (long, long) frames — ids only, no payloads.
+    * `localCheckpoint` truncates the iterative lineage (the classic
+    * iterative-Spark trap). Convergence test is exact set equality
+    * (equal distinct counts + empty anti-join), and at the fixpoint the
+    * edge set is a forest of stars centered at component minima, so
+    * labels read directly off the final edges.
+    *
+    * Input: (doc_a, doc_b) pair rows (any extra columns ignored);
+    * output (id, label) with label = component minimum, the
+    * [[duplicateClustersFromLabels]] / [[dedupSurvivorsFromLabels]]
+    * contract. */
+  def duplicateLabelsStar(pairs: DataFrame, maxIter: Int = 64): DataFrame = {
+    var e = pairs
+      .select(
+        greatest(col("doc_a"), col("doc_b")).as("u"),
+        least(col("doc_a"), col("doc_b")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint()
+    var prevCount = e.count()
+    var converged = prevCount == 0L
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      // large-star: for every node u, attach each strictly-larger
+      // neighbor to m = min(Γ(u) ∪ {u}); edges with v < u are emitted
+      // by the other endpoint's group (nbrs is symmetric)
+      val nbrs = e.select(col("u"), col("v"))
+        .unionAll(e.select(col("v").as("u"), col("u").as("v")))
+      val largeMins = nbrs.groupBy("u").agg(min("v").as("mv"))
+        .select(col("u"), least(col("mv"), col("u")).as("m"))
+      val large = nbrs.join(largeMins, "u")
+        .filter(col("v") > col("u"))
+        // v > u ≥ m, so (v, m) is never a self-loop
+        .select(col("v").as("u"), col("m").as("v"))
+        .distinct()
+      // small-star: orient every edge to its smaller endpoint, then
+      // attach u and all its smaller neighbors to the minimum
+      val dir = large.select(
+        greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
+      val smallMins = dir.groupBy("u").agg(min("v").as("m"))
+      val next = dir.join(smallMins, "u")
+        .filter(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .unionAll(smallMins.select(col("u"), col("m").as("v")))
+        .distinct()
+        .localCheckpoint()
+      val nextCount = next.count()
+      // exact set equality: both sides are distinct, so equal counts +
+      // (next ∖ e) = ∅ ⇒ next = e — the fixpoint is a forest of stars
+      converged = nextCount == prevCount &&
+        next.join(e, Seq("u", "v"), "left_anti").count() == 0L
+      prevCount = nextCount
+      e = next
+      iter += 1
+    }
+    require(converged,
+      s"duplicateLabelsStar: not converged after $maxIter rounds " +
+        s"(${prevCount} edges) — raise maxIter; refusing to emit partial labels")
+    e.select(col("u").as("id"), col("v").as("label"))
+      .unionAll(e.select(col("v").as("id"), col("v").as("label")))
+      .distinct()
   }
 
   /** End-to-end dedup: keep exactly one document per near-duplicate

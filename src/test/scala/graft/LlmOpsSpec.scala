@@ -175,6 +175,31 @@ class LlmOpsSpec extends AnyFunSuite with SparkSessionTestBase {
     }
   }
 
+  test("duplicateLabelsStar matches union-find on adversarial graphs") {
+    import spark.implicits._
+    // (a) 64-node path — diameter 63: the shape where capped min-label
+    // propagation (O(diameter) rounds) silently truncates; star
+    // contraction needs O(log n) round pairs
+    val path = (1L until 64L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    // (b) cycles, reversed duplicate edges, multiple components
+    val messy = Seq((5L, 6L), (6L, 7L), (7L, 5L), (20L, 21L), (21L, 20L),
+      (30L, 31L), (31L, 32L), (32L, 30L), (30L, 33L)).toDF("doc_a", "doc_b")
+    // (c) seeded random graph: 400 edges over 200 nodes
+    val rnd = new scala.util.Random(42)
+    val rand = Seq.fill(400)((rnd.nextInt(200).toLong, rnd.nextInt(200).toLong))
+      .filter(p => p._1 != p._2).toDF("doc_a", "doc_b")
+    for (pairs <- Seq(path, messy, rand)) {
+      val star = Dedup.duplicateLabelsStar(pairs).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val uf = Dedup.duplicateLabels(pairs, driverThreshold = Long.MaxValue)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(star === uf)
+    }
+    // empty pair set converges immediately to zero labels
+    assert(Dedup.duplicateLabelsStar(
+      Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")).count() === 0L)
+  }
+
   test("duplicateClusters over minhash pairs covers every paired doc") {
     val pairs = Dedup.minhashPairs(Tables.documents(spark, docDir))
     val clusters = Dedup.duplicateClusters(pairs).collect()
