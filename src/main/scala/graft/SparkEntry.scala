@@ -29,6 +29,13 @@ object SparkEntry {
   private val mixRates = Map(
     "src0" -> 0.0, "src1" -> 0.25, "src2" -> 0.5, "src3" -> 0.75)
 
+  /** src0+src1 play the "target domain" (the q_dsir_weights
+    * convention) — the (doc_id, label) frame the NB classifier entries
+    * train against. */
+  private def nbDomainLabels(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      col("source").isInCollection(Seq("src0", "src1")).cast("int").as("label"))
+
   /** MinHash pair set shared by q_dedup_minhash and q_dedup_clusters:
     * cluster resolution consumes the SAME persisted pair frame instead
     * of re-deriving signatures + bucket join from scratch (the pair set
@@ -590,6 +597,19 @@ object SparkEntry {
     "q_classifier_apply" -> ((s, d) =>
       operators.Classifier.classifierApply(
         Tables.documents(s, d), clfWeightsShared(s, d))),
+    // multinomial NB domain classifier (the unbounded-vocab sparse
+    // complement to IRLS): src0+src1 play the target domain, the
+    // q_dsir_weights setup. Integer micro-nat weights -> exact integer
+    // document scores -> full DuckDB oracle for BOTH train and score.
+    "q_nb_train" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      operators.Classifier.nbTrain(docs, nbDomainLabels(docs))
+    }),
+    "q_nb_score" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      operators.Classifier.nbScore(docs,
+        operators.Classifier.nbTrain(docs, nbDomainLabels(docs)))
+    }),
     // BPE subword tokenizer: merges learned from the bounded word-count
     // table (never the corpus), applied via a segmentation join.
     // rows-only: the greedy merge loop has no SQL twin; an independent
@@ -1935,6 +1955,38 @@ object SparkEntry {
     // snapped to integer micro-nats so the per-doc sum is an exact
     // integer (order-independent in BOTH engines; a float sum here
     // measurably flips the 4th decimal run-to-run)
+    "q_nb_train" ->
+      """WITH tk AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term,
+        |  CASE WHEN source IN ('src0', 'src1') THEN 1 ELSE 0 END AS y FROM documents),
+        |c AS (SELECT term,
+        |  CAST(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+        |  CAST(sum(CASE WHEN y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_neg
+        | FROM tk GROUP BY term),
+        |t AS (SELECT CAST(sum(n_pos) AS BIGINT) AS tp, CAST(sum(n_neg) AS BIGINT) AS tn,
+        |  count(*) AS v FROM c)
+        |SELECT term, n_pos, n_neg,
+        | CAST(round((ln((n_pos + 1.0) / (tp + 1.0 * v)) - ln((n_neg + 1.0) / (tn + 1.0 * v))) * 1e6) AS BIGINT) AS llr_micro
+        |FROM c CROSS JOIN t ORDER BY term""".stripMargin,
+    "q_nb_score" ->
+      """WITH tk AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term,
+        |  CASE WHEN source IN ('src0', 'src1') THEN 1 ELSE 0 END AS y FROM documents),
+        |c AS (SELECT term,
+        |  CAST(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+        |  CAST(sum(CASE WHEN y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_neg
+        | FROM tk GROUP BY term),
+        |t AS (SELECT CAST(sum(n_pos) AS BIGINT) AS tp, CAST(sum(n_neg) AS BIGINT) AS tn,
+        |  count(*) AS v FROM c),
+        |m AS (SELECT term,
+        |  CAST(round((ln((n_pos + 1.0) / (tp + 1.0 * v)) - ln((n_neg + 1.0) / (tn + 1.0 * v))) * 1e6) AS BIGINT) AS lm
+        | FROM c CROSS JOIN t),
+        |oov AS (SELECT CAST(round((ln(tn + 1.0 * v) - ln(tp + 1.0 * v)) * 1e6) AS BIGINT) AS lo FROM t),
+        |s AS (SELECT doc_id, count(*) AS n_tokens,
+        |  CAST(sum(coalesce(m.lm, oov.lo)) AS BIGINT) AS score_micro
+        | FROM tk LEFT JOIN m USING (term) CROSS JOIN oov GROUP BY doc_id)
+        |SELECT doc_id, n_tokens, score_micro,
+        | CAST(round(CAST(score_micro AS DOUBLE) / 1e6, 6) AS DOUBLE) AS score,
+        | score_micro > 0 AS keep
+        |FROM s ORDER BY doc_id""".stripMargin,
     "q_dsir_weights" ->
       """WITH t AS (SELECT doc_id, source, string_split(lower(text), ' ') AS w FROM documents),
         |f AS (SELECT doc_id, source, unnest(w) AS f FROM t

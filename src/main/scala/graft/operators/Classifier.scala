@@ -171,6 +171,83 @@ object Classifier {
       .orderBy("idx")
   }
 
+  /** Multinomial Naive-Bayes quality-classifier TRAINING — the
+    * unbounded-vocabulary sparse complement to [[classifierTrain]]'s
+    * bounded dense IRLS (the fastText-bigram recipe of CCNet, Wenzek
+    * et al. 2020 §4.4, reduces to exactly this log-linear form when fit
+    * generatively; McCallum & Nigam 1998 for the multinomial event
+    * model). `labels` is (doc_id, label∈{0,1}).
+    *
+    * Output: one row per vocabulary term — (term, n_pos, n_neg,
+    * llr_micro) where llr_micro is the Laplace-smoothed per-occurrence
+    * log-likelihood ratio ln((n_pos+α)/(T_pos+αV)) −
+    * ln((n_neg+α)/(T_neg+αV)) in INTEGER MICRO-NATS (the dsirWeights
+    * pattern: integer model weights make every downstream document
+    * score an exact integer sum — order-independent, engine-portable,
+    * no float-boundary class).
+    *
+    * Spark shape at 100 TB: ONE corpus-sized (term) aggregation with
+    * map-side combine; totals are a broadcast scalar. The model is a
+    * vocabulary-sized frame — the bounded-by-language artifact every
+    * NB/fastText pipeline ships. No iterations, no driver state. */
+  def nbTrain(docs: DataFrame, labels: DataFrame, alpha: Double = 1.0): DataFrame = {
+    require(alpha > 0.0, s"alpha must be positive, got $alpha")
+    val toks = docs
+      .select(col("doc_id"), explode(split(lower(col("text")), " ", -1)).as("term"))
+      .join(labels.select(col("doc_id"), col("label").cast("int").as("y")), Seq("doc_id"))
+    val counts = toks.groupBy("term").agg(
+      sum(when(col("y") === 1, lit(1L)).otherwise(lit(0L))).as("n_pos"),
+      sum(when(col("y") === 0, lit(1L)).otherwise(lit(0L))).as("n_neg"))
+    val totals = counts.agg(
+      sum("n_pos").as("tp"), sum("n_neg").as("tn"), count(lit(1)).as("v"))
+    counts.crossJoin(broadcast(totals))
+      .select(col("term"), col("n_pos"), col("n_neg"),
+        round((
+          log((col("n_pos").cast("double") + alpha) /
+            (col("tp").cast("double") + lit(alpha) * col("v"))) -
+          log((col("n_neg").cast("double") + alpha) /
+            (col("tn").cast("double") + lit(alpha) * col("v")))) * 1e6)
+          .cast("long").as("llr_micro"))
+      .orderBy("term")
+  }
+
+  /** Score documents against an [[nbTrain]] model: per-doc score =
+    * Σ_tokens llr_micro(token) — an exact integer sum of the model's
+    * micro-nat weights, reported at its own 1e-6 scale (identity snap,
+    * never a rounding boundary). `keep` is the balanced-prior decision
+    * score > 0; out-of-vocabulary tokens take the smoothed zero-count
+    * ratio ln(T_neg+αV) − ln(T_pos+αV), recovered from the model's own
+    * column sums so serving needs only the artifact.
+    *
+    * Spark shape: token explode → broadcast-able vocabulary join →
+    * per-doc integer sum; the corpus crosses one shuffle (doc_id). An
+    * empty model fails loudly (the [[TextAnalysis.perplexityAgainst]]
+    * contract) instead of emitting NULL scores. */
+  def nbScore(docs: DataFrame, model: DataFrame, alpha: Double = 1.0): DataFrame = {
+    require(alpha > 0.0, s"alpha must be positive, got $alpha")
+    val totals = model.agg(
+      sum("n_pos").as("tp"), sum("n_neg").as("tn"), count(lit(1)).as("v"))
+    val toks = docs
+      .select(col("doc_id"), explode(split(lower(col("text")), " ", -1)).as("term"))
+    toks.join(model.select(col("term"), col("llr_micro")), Seq("term"), "left")
+      .crossJoin(broadcast(totals))
+      .withColumn("lm",
+        coalesce(col("llr_micro"),
+          when(col("v") > 0,
+            round((
+              log(col("tn").cast("double") + lit(alpha) * col("v")) -
+              log(col("tp").cast("double") + lit(alpha) * col("v"))) * 1e6)
+              .cast("long")),
+          raise_error(lit("nbScore: model is empty — every score would" +
+            " be NULL; check the model artifact path")).cast("long")))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum("lm").as("score_micro"))
+      .select(col("doc_id"), col("n_tokens"), col("score_micro"),
+        round(col("score_micro").cast("double") / 1e6, 6).as("score"),
+        (col("score_micro") > 0).as("keep"))
+      .orderBy("doc_id")
+  }
+
   /** Apply trained weights (feature-order aligned with
     * [[featureNames]]): per-doc score = σ(w·x) and the keep flag at
     * the 0.5 boundary. A narrow map over [[features]] — the weights

@@ -128,4 +128,68 @@ class ClassifierSpec extends AnyFunSuite with SparkSessionTestBase {
     assert(empty.forall(_.isNullAt(empty.head.fieldIndex("final_logloss"))))
     assert(empty.forall(_.getAs[Long]("n_rows") === 0L))
   }
+
+  // hand-countable NB corpus: pos tokens {apple 3, banana 1, cherry 1}
+  // (T_pos = 5), neg tokens {durian 3, banana 2, cherry 1} (T_neg = 6),
+  // vocabulary V = 4
+  private def nbTiny = {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "apple apple banana"), (2L, "apple cherry"),
+      (3L, "durian banana banana"), (4L, "durian durian cherry"))
+      .toDF("doc_id", "text")
+    val labels = Seq((1L, 1), (2L, 1), (3L, 0), (4L, 0)).toDF("doc_id", "label")
+    (docs, labels)
+  }
+
+  // Spark round() is decimal HALF_UP — mirror it, not math.round
+  // (which rounds negative halves toward +inf)
+  private def halfUp(x: Double): Long =
+    BigDecimal(x).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+
+  private def tinyLlr(np: Long, nn: Long): Long =
+    halfUp((math.log((np + 1.0) / (5 + 4.0)) -
+      math.log((nn + 1.0) / (6 + 4.0))) * 1e6)
+
+  test("nbTrain computes Laplace-smoothed log-likelihood ratios exactly") {
+    val (docs, labels) = nbTiny
+    val m = Classifier.nbTrain(docs, labels).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(m.keySet === Set("apple", "banana", "cherry", "durian"))
+    assert(m("apple") === ((3L, 0L, tinyLlr(3, 0))))
+    assert(m("banana") === ((1L, 2L, tinyLlr(1, 2))))
+    assert(m("cherry") === ((1L, 1L, tinyLlr(1, 1))))
+    assert(m("durian") === ((0L, 3L, tinyLlr(0, 3))))
+  }
+
+  test("nbScore sums integer ratios; OOV takes the smoothed zero-count ratio") {
+    import spark.implicits._
+    val (docs, labels) = nbTiny
+    val model = Classifier.nbTrain(docs, labels).localCheckpoint()
+    val probe = Seq((10L, "apple apple"), (11L, "durian unseen")).toDF("doc_id", "text")
+    val got = Classifier.nbScore(probe, model).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(4))))
+      .toMap
+    val oov = halfUp((math.log(6 + 4.0) - math.log(5 + 4.0)) * 1e6)
+    assert(got(10L) === ((2L, 2L * tinyLlr(3, 0), true)))
+    assert(got(11L) === ((2L, tinyLlr(0, 3) + oov, false)))
+    // scoring the training docs separates the classes in-sample
+    val self = Classifier.nbScore(docs, model).collect()
+      .map(r => r.getLong(0) -> r.getAs[Boolean]("keep")).toMap
+    assert(self === Map(1L -> true, 2L -> true, 3L -> false, 4L -> false))
+  }
+
+  test("nbScore against an empty model fails loudly") {
+    import spark.implicits._
+    val (docs, _) = nbTiny
+    val empty = Seq.empty[(String, Long, Long, Long)]
+      .toDF("term", "n_pos", "n_neg", "llr_micro")
+    val e = intercept[Exception] {
+      Classifier.nbScore(docs, empty).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("model is empty")))
+  }
 }
