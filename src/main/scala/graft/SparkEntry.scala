@@ -318,6 +318,21 @@ object SparkEntry {
     s.read.parquet(path)
   }
 
+  /** Persisted unigram-LM tokenizer artifact (the [[bpeIndexShared]]
+    * discipline): the slim (word, n_sub) Viterbi segment index, built
+    * once per data version — serving never re-runs EM. */
+  private val unigramIndexPaths =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), (Long, String)]
+
+  private[graft] def unigramIndexShared(s: SparkSession, d: String): DataFrame = {
+    val fp = documentsFingerprint(s, d)
+    val path = artifactPath(unigramIndexPaths, s, d, fp, "graft_unigram_idx") { p =>
+      val (_, segs) = operators.Unigram.unigramTrain(Tables.documents(s, d))
+      operators.Unigram.segmentsIndex(segs).write.mode("overwrite").parquet(p)
+    }
+    s.read.parquet(path)
+  }
+
   private[graft] def duplicateLabelsShared(s: SparkSession, d: String): DataFrame = {
     minhashLabelsCache.keys
       .filter(_._1.sparkContext.isStopped)
@@ -624,6 +639,22 @@ object SparkEntry {
     // artifact — no merge loop in the plan, just the read + join
     "q_bpe_tokenize_indexed" -> ((s, d) =>
       Bpe.tokenizeWithIndex(Tables.documents(s, d), bpeIndexShared(s, d))),
+    // unigram-LM (SentencePiece-style) subword tokenizer — the other
+    // standard subword vocabulary next to BPE. rows-only: soft EM has
+    // no SQL twin; an independent local forward-backward pins expected
+    // counts at 1e-9 and the integer-cost Viterbi is pinned exactly
+    // (UnigramSpec)
+    "q_unigram_train" -> ((s, d) =>
+      operators.Unigram.unigramModel(Tables.documents(s, d))),
+    "q_unigram_tokenize" -> ((s, d) => {
+      val (_, segs) = operators.Unigram.unigramTrain(Tables.documents(s, d))
+      operators.Unigram.unigramTokenize(Tables.documents(s, d), segs)
+    }),
+    // serving path: tokenize from the persisted (word, n_sub) artifact
+    // — no EM, the Bpe.tokenizeWithIndex join against the unigram index
+    "q_unigram_tokenize_indexed" -> ((s, d) =>
+      Bpe.tokenizeWithIndex(Tables.documents(s, d), unigramIndexShared(s, d))
+        .withColumnRenamed("n_bpe_tokens", "n_pieces")),
     // oracle-checkable manifest projection: media identity, byte size,
     // the cross-engine md5 checksum, and the decode verdict. Decode
     // STATISTICS (pixel/audio features) stay spec-only — DuckDB cannot
