@@ -243,6 +243,44 @@ object SparkEntry {
     s.read.parquet(path)
   }
 
+  /** Persisted BM25 index pair (term-sorted postings + corpus meta
+    * under one root — [[operators.Retrieval.bm25Index]] layout): built
+    * once per documents data version; postings are written RANGE-
+    * PARTITIONED AND SORTED on `term` so a query's pushed
+    * `term IN (...)` filter prunes files and row groups at the scan —
+    * the on-disk inverted index a 100 TB corpus searches instead of
+    * re-tokenizing itself (the trigram-index posture applied to
+    * free-text retrieval). */
+  private val bm25IndexPaths =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), (Long, String)]
+
+  private[graft] def bm25IndexShared(
+      s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val fp = documentsFingerprint(s, d)
+    val root = artifactPath(bm25IndexPaths, s, d, fp, "graft_bm25_idx") { p =>
+      val (postings, meta) = operators.Retrieval.bm25Index(Tables.documents(s, d))
+      graft.sources.Sinks.writeRangePartitioned(
+        postings, s"$p/postings", "term", partitions = 8)
+      meta.write.mode("overwrite").parquet(s"$p/meta")
+    }
+    (s.read.parquet(s"$root/postings"), s.read.parquet(s"$root/meta"))
+  }
+
+  /** The driver's literal BM25 query set: one rare discriminative term
+    * ('dup'), common-term conjunctions, and one out-of-vocabulary term
+    * ('bloom') to exercise the miss path. */
+  private val bm25Queries: Seq[(Long, String)] = Seq(
+    0L -> "dup scan", 1L -> "hash join merge",
+    2L -> "stream window batch", 3L -> "slow filter bloom")
+
+  private def bm25QueriesDf(s: SparkSession): DataFrame = {
+    import s.implicits._
+    bm25Queries.toDF("query_id", "query_text")
+  }
+
+  private def bm25QueryTermsLiteral: Seq[String] =
+    bm25Queries.flatMap(_._2.split(" ")).distinct
+
   /** Persisted per-source HLL sketch partials — the mergeable distinct-
     * count artifact ([[operators.Sketches]]); rollups union the blobs
     * with no corpus rescan. Fingerprint-keyed like the LM/BPE indexes. */
@@ -625,6 +663,37 @@ object SparkEntry {
       operators.Classifier.nbScore(docs,
         operators.Classifier.nbTrain(docs, nbDomainLabels(docs)))
     }),
+    // EXACT eval report for the NB classifier vs its training labels
+    // (resubstitution fidelity): confusion counts, precision/recall/F1,
+    // and histogram-exact mid-rank AUC — integer micro snaps end to
+    // end, so the whole report has a DuckDB oracle twin
+    "q_nb_eval" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val labels = nbDomainLabels(docs)
+      val scored = operators.Classifier
+        .nbScore(docs, operators.Classifier.nbTrain(docs, labels))
+        .join(labels.select(col("doc_id"), col("label").as("y")), Seq("doc_id"))
+        .select("doc_id", "score_micro", "y")
+      operators.Classifier.classifierEval(scored)
+    }),
+    // Okapi BM25 ranked retrieval: integer micro contributions -> exact
+    // integer document scores -> full DuckDB oracle through the whole
+    // idf/tf-normalization cascade; ranks via the bounded graft_topk
+    "q_bm25_search" -> ((s, d) =>
+      operators.Retrieval.bm25Search(Tables.documents(s, d), bm25QueriesDf(s))),
+    // serving path: score from the persisted term-sorted postings +
+    // meta artifacts — the query's term IN (...) filter pushes to the
+    // postings scan (plan-locked); same oracle as the online form
+    "q_bm25_indexed" -> ((s, d) => {
+      val (p, m) = bm25IndexShared(s, d)
+      operators.Retrieval.bm25FromIndex(p, m, bm25QueriesDf(s), bm25QueryTermsLiteral)
+    }),
+    // lexical + semantic hybrid retrieval fused by reciprocal-rank
+    // fusion — exact integer RRF scores, full oracle across both
+    // branches and the fusion
+    "q_hybrid_search" -> ((s, d) =>
+      operators.Retrieval.hybridSearch(
+        Tables.documents(s, d), Tables.embeddings(s, d), Seq(0L, 1L, 2L, 3L))),
     // BPE subword tokenizer: merges learned from the bounded word-count
     // table (never the corpus), applied via a segmentation join.
     // rows-only: the greedy merge loop has no SQL twin; an independent
@@ -774,6 +843,16 @@ object SparkEntry {
         emb.filter(col("vec_id") >= 25), emb.filter(col("vec_id") < 25),
         threshold = 0.35, planes = 8, tables = 16)
     }),
+    // lexical-fuzzy decontamination: MinHash near-dup of any eval doc
+    // (the paraphrase/reformat overlap exact n-grams miss); same
+    // eval/train split as the exact and semantic forms. rows-only: LSH
+    // candidate generation; planted-near-dup detection in spec
+    "q_decontaminate_fuzzy" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Curation.flagContaminatedFuzzy(
+        docs.filter(col("doc_id") >= 25), docs.filter(col("doc_id") < 25),
+        threshold = 0.35)
+    }),
     "q_curation_pipeline" -> ((s, d) => Curation.curationPipeline(Tables.documents(s, d))),
     "q_dedup_clusters" -> ((s, d) =>
       Dedup.duplicateClustersFromLabels(duplicateLabelsShared(s, d))
@@ -837,6 +916,53 @@ object SparkEntry {
     * to Spark for all magnitudes in this schema. */
   private def dr(e: String, s: Int) =
     s"round(CAST(CAST($e AS VARCHAR) AS DECIMAL(38,18)),$s)"
+
+  /** Shared BM25 scoring CTEs (expects a CTE `q(query_id, query_text)`
+    * upstream; yields `sc(query_id, doc_id, score_micro)`). Constants
+    * interpolate from [[operators.Retrieval]] — `K1 + 1.0` prints
+    * Scala's shortest double repr, so DuckDB parses the IDENTICAL
+    * double Spark's `lit(k1 + 1.0)` folded (2.2 is not exactly
+    * representable; the decimal literal 2.2 would be a DIFFERENT
+    * double than the 1.2 + 1.0 float sum). */
+  private val bm25CoreCtes: String = {
+    val k1 = operators.Retrieval.K1
+    val idf = dr("ln((CAST(n_docs AS DOUBLE) - df + 0.5) / " +
+      "(CAST(df AS DOUBLE) + 0.5) + 1.0)", 6)
+    val contrib =
+      s"CAST($idf AS DOUBLE) * (CAST(tf.tf AS DOUBLE) * CAST(${k1 + 1.0} AS DOUBLE)) / " +
+        s"(CAST(tf.tf AS DOUBLE) + CAST($k1 AS DOUBLE) * " +
+        "(CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE) + " +
+        "CAST(0.75 AS DOUBLE) * CAST(dl.dl AS DOUBLE) / " +
+        "(CAST(tot_tokens AS DOUBLE) / n_docs)))"
+    s"""qt AS (SELECT DISTINCT query_id, term FROM
+       |  (SELECT query_id, unnest(string_split(lower(query_text), ' ')) AS term FROM q)),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM
+       |  (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents)
+       |  GROUP BY doc_id, term),
+       |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
+       |meta AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS tot_tokens FROM dl),
+       |dfq AS (SELECT term, count(*) AS df FROM tf
+       |  WHERE term IN (SELECT DISTINCT term FROM qt) GROUP BY term),
+       |sc AS (SELECT qt.query_id, tf.doc_id,
+       |  CAST(sum(CAST(round(CAST(CAST($contrib * 1e6 AS VARCHAR)
+       |    AS DECIMAL(38,18)), 0) AS BIGINT)) AS BIGINT) AS score_micro
+       | FROM tf JOIN qt USING (term) JOIN dfq USING (term) JOIN dl USING (doc_id), meta
+       | GROUP BY qt.query_id, tf.doc_id)""".stripMargin
+  }
+
+  /** Full BM25 oracle over the driver's literal query set (shared by
+    * the online and persisted-index forms — bit-equal by spec). */
+  private def bm25OracleSql: String = {
+    val vals = bm25Queries.map { case (i, t) => s"($i, '$t')" }.mkString(", ")
+    s"""WITH q(query_id, query_text) AS (VALUES $vals),
+       |$bm25CoreCtes,
+       |r AS (SELECT query_id, doc_id, score_micro, row_number() OVER
+       |  (PARTITION BY query_id ORDER BY score_micro DESC, doc_id) AS rank FROM sc)
+       |SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS INTEGER) AS rank,
+       | doc_id, score_micro,
+       | CAST(round(CAST(score_micro AS DOUBLE) / 1e6, 6) AS DOUBLE) AS score
+       |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+  }
   private def m(e: String, s: Int = 2) = s"CAST(${dr(e, s)} AS DOUBLE)"
   /** Mirror of StableStats.stableSum. */
   private def sSum(c: String, e: Int, o: Int = 2) =
@@ -2018,6 +2144,85 @@ object SparkEntry {
         | CAST(round(CAST(score_micro AS DOUBLE) / 1e6, 6) AS DOUBLE) AS score,
         | score_micro > 0 AS keep
         |FROM s ORDER BY doc_id""".stripMargin,
+    // NB eval report: the q_nb_score pipeline + label join, then the
+    // histogram-exact mid-rank AUC (2U = Σ np·(2·negs_below + nn)) and
+    // confusion ratios as half-up integer micro snaps — HUGEINT
+    // mirrors Spark's DECIMAL(38,0) `div`
+    "q_nb_eval" ->
+      """WITH tk AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term,
+        |  CASE WHEN source IN ('src0', 'src1') THEN 1 ELSE 0 END AS y FROM documents),
+        |c AS (SELECT term,
+        |  CAST(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+        |  CAST(sum(CASE WHEN y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_neg
+        | FROM tk GROUP BY term),
+        |t AS (SELECT CAST(sum(n_pos) AS BIGINT) AS tp, CAST(sum(n_neg) AS BIGINT) AS tn,
+        |  count(*) AS v FROM c),
+        |m AS (SELECT term,
+        |  CAST(round((ln((n_pos + 1.0) / (tp + 1.0 * v)) - ln((n_neg + 1.0) / (tn + 1.0 * v))) * 1e6) AS BIGINT) AS lm
+        | FROM c CROSS JOIN t),
+        |oov AS (SELECT CAST(round((ln(tn + 1.0 * v) - ln(tp + 1.0 * v)) * 1e6) AS BIGINT) AS lo FROM t),
+        |s AS (SELECT doc_id, CAST(sum(coalesce(m.lm, oov.lo)) AS BIGINT) AS score_micro
+        | FROM tk LEFT JOIN m USING (term) CROSS JOIN oov GROUP BY doc_id),
+        |lab AS (SELECT doc_id,
+        |  CASE WHEN source IN ('src0', 'src1') THEN 1 ELSE 0 END AS y FROM documents),
+        |sc AS (SELECT s.doc_id, s.score_micro, lab.y FROM s JOIN lab USING (doc_id)),
+        |h AS (SELECT score_micro AS sm, CAST(sum(y) AS BIGINT) AS np,
+        |  CAST(sum(1 - y) AS BIGINT) AS nn FROM sc GROUP BY sm),
+        |cc AS (SELECT sm, np, nn, coalesce(sum(nn) OVER (ORDER BY sm
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS clt FROM h),
+        |u AS (SELECT CAST(sum(np * (clt * 2 + nn)) AS BIGINT) AS u2 FROM cc),
+        |t2 AS (SELECT CAST(sum(np) AS BIGINT) AS n_pos, CAST(sum(nn) AS BIGINT) AS n_neg,
+        |  CAST(sum(CASE WHEN sm > 0 THEN np ELSE 0 END) AS BIGINT) AS tp,
+        |  CAST(sum(CASE WHEN sm > 0 THEN nn ELSE 0 END) AS BIGINT) AS fp FROM h),
+        |fin AS (SELECT n_pos, n_neg, tp, fp, n_pos - tp AS fn, n_neg - fp AS tn, u2
+        | FROM t2, u)
+        |SELECT n_pos, n_neg, tp, fp, fn, tn, u2,
+        | CAST(round(CAST(CASE WHEN tp + fp = 0 THEN NULL ELSE
+        |   (CAST(tp AS HUGEINT) * 2000000 + (tp + fp)) // (CAST(tp + fp AS HUGEINT) * 2)
+        |  END AS DOUBLE) / 1e6, 6) AS DOUBLE) AS "precision",
+        | CAST(round(CAST(CASE WHEN n_pos = 0 THEN NULL ELSE
+        |   (CAST(tp AS HUGEINT) * 2000000 + n_pos) // (CAST(n_pos AS HUGEINT) * 2)
+        |  END AS DOUBLE) / 1e6, 6) AS DOUBLE) AS recall,
+        | CAST(round(CAST(CASE WHEN 2 * tp + fp + fn = 0 THEN NULL ELSE
+        |   (CAST(tp AS HUGEINT) * 4000000 + (2 * tp + fp + fn))
+        |    // (CAST(2 * tp + fp + fn AS HUGEINT) * 2)
+        |  END AS DOUBLE) / 1e6, 6) AS DOUBLE) AS f1,
+        | CAST(round(CAST(CASE WHEN n_pos = 0 OR n_neg = 0 THEN NULL ELSE
+        |   (CAST(u2 AS HUGEINT) * 2000000 + CAST(n_pos AS HUGEINT) * n_neg * 2)
+        |    // (CAST(n_pos AS HUGEINT) * n_neg * 4)
+        |  END AS DOUBLE) / 1e6, 6) AS DOUBLE) AS auc
+        |FROM fin""".stripMargin,
+    "q_bm25_search" -> bm25OracleSql,
+    // the serving path is output-identical by construction (spec
+    // asserts bit-equality) — same oracle
+    "q_bm25_indexed" -> bm25OracleSql,
+    "q_hybrid_search" -> {
+      val cos = dr("list_dot_product(e2.v, q.v)/(e2.norm*q.norm)", 6)
+      s"""WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         |  sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x*x))) AS norm
+         | FROM embeddings),
+         |cj AS (SELECT q.vec_id AS query_id, e2.vec_id AS doc_id, $cos AS cos_r
+         | FROM n q, n e2 WHERE q.vec_id IN (0, 1, 2, 3)),
+         |semr AS (SELECT query_id, doc_id, row_number() OVER
+         |  (PARTITION BY query_id ORDER BY cos_r DESC, doc_id) AS rank FROM cj),
+         |q(query_id, query_text) AS (
+         |  SELECT doc_id, array_to_string(string_split(lower(text), ' ')[1:6], ' ')
+         |  FROM documents WHERE doc_id IN (0, 1, 2, 3)),
+         |$bm25CoreCtes,
+         |lexr AS (SELECT query_id, doc_id, row_number() OVER
+         |  (PARTITION BY query_id ORDER BY score_micro DESC, doc_id) AS rank FROM sc),
+         |ctr AS (SELECT query_id, doc_id, 1000000 // (60 + rank) AS c
+         |  FROM lexr WHERE rank <= 10
+         | UNION ALL
+         | SELECT query_id, doc_id, 1000000 // (60 + rank) FROM semr WHERE rank <= 10),
+         |f AS (SELECT query_id, doc_id, CAST(sum(c) AS BIGINT) AS rrf_micro,
+         |  CAST(count(*) AS INTEGER) AS n_branches FROM ctr GROUP BY 1, 2),
+         |r2 AS (SELECT *, row_number() OVER
+         |  (PARTITION BY query_id ORDER BY rrf_micro DESC, doc_id) AS rank FROM f)
+         |SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS INTEGER) AS rank,
+         | doc_id, rrf_micro, n_branches
+         |FROM r2 WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+    },
     "q_dsir_weights" ->
       """WITH t AS (SELECT doc_id, source, string_split(lower(text), ' ') AS w FROM documents),
         |f AS (SELECT doc_id, source, unnest(w) AS f FROM t

@@ -266,4 +266,86 @@ object Classifier {
       .withColumn("keep", col("score") > 0.5)
       .orderBy("doc_id")
   }
+
+  /** EXACT classifier evaluation report from integer scores: confusion
+    * counts at the score>0 decision boundary, precision / recall / F1,
+    * and ROC AUC — all computed as exact rationals and reported via
+    * half-up integer micro snaps (the perplexity-mean pattern:
+    * `(2a + d) div (2d)` of DECIMAL(38,0) operands, so no float
+    * boundary exists anywhere and the whole report has a DuckDB oracle
+    * twin; DECIMAL keeps 2·P·N·1e6 exact far past the long range).
+    *
+    * AUC is the Mann-Whitney U statistic over the SCORE HISTOGRAM:
+    * `2U = Σ_s n_pos(s)·(2·negs_below(s) + n_neg(s))` — ties count
+    * half, the standard mid-rank convention. The cumulative
+    * negs-below is a TWO-LEVEL prefix sum (the ccnetBuckets /
+    * packSequences pattern): within-block exclusive windows over
+    * `blk = score div 2^16` partitions (≤ ~2^17 distinct scores each,
+    * a constant) plus cross-block offsets windowed over the tiny
+    * per-block subtotal frame — never a flat window over the whole
+    * score histogram. The histogram itself is one partial-combined
+    * groupBy on the integer score; documents are never windowed.
+    *
+    * Input: (doc_id, score_micro long, y int ∈ {0,1}). Output: ONE row
+    * (n_pos, n_neg, tp, fp, fn, tn, u2, precision, recall, f1, auc);
+    * ratio columns are NULL when their denominator is empty. The
+    * standard use is resubstitution eval of [[nbScore]] /
+    * [[classifierApply]] against their training labels — a fidelity
+    * report, not a generalization estimate. */
+  def classifierEval(scored: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hist = scored.groupBy("score_micro")
+      .agg(sum(when(col("y") === 1, lit(1L)).otherwise(lit(0L))).as("np"),
+        sum(when(col("y") === 0, lit(1L)).otherwise(lit(0L))).as("nn"))
+      .withColumn("blk", expr("score_micro div 65536"))
+      .localCheckpoint()
+    val wIn = Window.partitionBy("blk").orderBy("score_micro")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // the offsets window is flat, but over the per-block SUBTOTAL
+    // frame (|score range| / 2^16 rows) — the bounded cross-block half
+    // of the two-level pattern
+    val wOff = Window.orderBy("blk").rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = hist.groupBy("blk").agg(sum("nn").as("bn"))
+      .withColumn("off", coalesce(sum("bn").over(wOff), lit(0L)))
+      .select("blk", "off")
+    val u2row = hist
+      .withColumn("cin", coalesce(sum("nn").over(wIn), lit(0L)))
+      .join(broadcast(offsets), Seq("blk"))
+      .agg(coalesce(
+        sum(col("np") * ((col("cin") + col("off")) * 2 + col("nn"))),
+        lit(0L)).as("u2"))
+    val tot = hist.agg(
+      coalesce(sum("np"), lit(0L)).as("n_pos"),
+      coalesce(sum("nn"), lit(0L)).as("n_neg"),
+      coalesce(sum(when(col("score_micro") > 0, col("np")).otherwise(lit(0L))),
+        lit(0L)).as("tp"),
+      coalesce(sum(when(col("score_micro") > 0, col("nn")).otherwise(lit(0L))),
+        lit(0L)).as("fp"))
+    tot.crossJoin(u2row)
+      .withColumn("fn", col("n_pos") - col("tp"))
+      .withColumn("tn", col("n_neg") - col("fp"))
+      .withColumn("precision_m", expr(
+        """CASE WHEN tp + fp = 0 THEN NULL ELSE
+          | (CAST(tp AS DECIMAL(38,0)) * 2000000 + (tp + fp))
+          |  div (CAST(tp + fp AS DECIMAL(38,0)) * 2) END""".stripMargin))
+      .withColumn("recall_m", expr(
+        """CASE WHEN n_pos = 0 THEN NULL ELSE
+          | (CAST(tp AS DECIMAL(38,0)) * 2000000 + n_pos)
+          |  div (CAST(n_pos AS DECIMAL(38,0)) * 2) END""".stripMargin))
+      .withColumn("f1_m", expr(
+        """CASE WHEN 2 * tp + fp + fn = 0 THEN NULL ELSE
+          | (CAST(tp AS DECIMAL(38,0)) * 4000000 + (2 * tp + fp + fn))
+          |  div (CAST(2 * tp + fp + fn AS DECIMAL(38,0)) * 2) END""".stripMargin))
+      .withColumn("auc_m", expr(
+        """CASE WHEN n_pos = 0 OR n_neg = 0 THEN NULL ELSE
+          | (CAST(u2 AS DECIMAL(38,0)) * 2000000
+          |   + CAST(n_pos AS DECIMAL(38,0)) * n_neg * 2)
+          |  div (CAST(n_pos AS DECIMAL(38,0)) * n_neg * 4) END""".stripMargin))
+      .select(col("n_pos"), col("n_neg"), col("tp"), col("fp"), col("fn"),
+        col("tn"), col("u2"),
+        round(col("precision_m").cast("double") / 1e6, 6).as("precision"),
+        round(col("recall_m").cast("double") / 1e6, 6).as("recall"),
+        round(col("f1_m").cast("double") / 1e6, 6).as("f1"),
+        round(col("auc_m").cast("double") / 1e6, 6).as("auc"))
+  }
 }

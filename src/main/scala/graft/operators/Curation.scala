@@ -450,4 +450,40 @@ object Curation {
       .withColumn("contaminated", col("n_contaminated_grams") > 0)
       .orderBy("doc_id")
   }
+
+  /** FUZZY benchmark decontamination: flag training docs that are
+    * MinHash NEAR-duplicates of any benchmark doc — the overlap mode
+    * exact n-gram matching misses (paraphrased eval items, reformatted
+    * copies; the reason production decontamination runs a near-dup
+    * pass alongside the exact one). Completes the decontamination
+    * matrix: exact n-gram ([[flagContaminated]]), Bloom-pruned exact
+    * ([[flagContaminatedBloom]]), semantic
+    * ([[flagContaminatedSemantic]]), and lexical-fuzzy (this).
+    *
+    * Shape: the benchmark side is sketched ONCE
+    * (Dedup.minhashSignatures, caller-scale tiny) and the training
+    * corpus streams through [[Dedup.minhashPairsAgainst]]'s banded
+    * bucket join — LSH candidates only, never all pairs; the corpus is
+    * sketched once and crosses the shuffle as (id, band) keys.
+    * Rows-only (LSH candidate generation has no SQL twin); planted
+    * near-dup detection and clean-doc pass-through asserted in spec. */
+  def flagContaminatedFuzzy(
+      docs: DataFrame, benchmark: DataFrame,
+      shingleLen: Int = 3, numHashes: Int = 64, bands: Int = 16,
+      threshold: Double = 0.5): DataFrame = {
+    val idx = Dedup.minhashSignatures(benchmark, shingleLen, numHashes)
+      .localCheckpoint()
+    val hits = Dedup
+      .minhashPairsAgainst(docs, idx, shingleLen, numHashes, bands, threshold)
+      .groupBy(col("doc_new").as("doc_id"))
+      .agg(count(lit(1)).as("n_matched_eval_docs"),
+        max("est_jaccard").as("max_est_jaccard"))
+    docs.select("doc_id")
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_matched_eval_docs"), lit(0L)).as("n_matched_eval_docs"),
+        coalesce(col("max_est_jaccard"), lit(0.0)).as("max_est_jaccard"))
+      .withColumn("contaminated", col("n_matched_eval_docs") > 0)
+      .orderBy("doc_id")
+  }
 }

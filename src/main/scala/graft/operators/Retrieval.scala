@@ -1,0 +1,309 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Keyword and hybrid retrieval over the document corpus: Okapi BM25
+  * (Robertson et al., TREC-3; the Lucene `BM25Similarity` default
+  * scoring, including its non-negative `ln(1 + (N - df + 0.5) /
+  * (df + 0.5))` idf) and reciprocal-rank-fusion hybrid search
+  * (Cormack, Clarke & Buettcher 2009) over a lexical and a vector
+  * branch — the retrieval side of a curation stack (targeted corpus
+  * audits, retrieval-based data selection, eval-set mining).
+  *
+  * Reference scope: the reference's search surface is ILIKE/pg_trgm
+  * product lookup (salim/app/server/tools/products.py:20,74); ranked
+  * free-text retrieval is the scale addition a 100 TB corpus needs.
+  *
+  * Scale shape: the corpus is touched only to build the postings
+  * frame (one tokenize + one (doc, term) aggregation — the inverted
+  * index every search engine ships). Query terms are a tiny broadcast;
+  * candidate postings are pruned by a broadcast semi-join (online) or
+  * a pushed `term IN (...)` parquet filter (serving path), so scoring
+  * shuffles only the candidate mass, never the corpus. Document
+  * frequencies come from a partial-combined groupBy on the PRUNED
+  * frame — never a window over the term key (a stopword's posting
+  * list would serialize into one task; the tfidfTopTerms lesson). The
+  * per-query rank is the bounded `graft_topk` aggregate, so shuffles
+  * carry k rows per query per partition even when a common term
+  * matches the whole corpus.
+  *
+  * Determinism: idf is snapped to 6 decimals (the tfidfTopTerms
+  * move), each term's contribution snaps to an INTEGER micro-score
+  * (round(x·1e6) — the dsirWeights pattern), and the per-doc score is
+  * an exact integer sum — order-independent and engine-portable, so
+  * the whole ranking has a DuckDB oracle twin. Ties break on doc_id
+  * via graft_topk's total (score DESC, id ASC) order. */
+object Retrieval {
+
+  /** Okapi BM25 defaults (the Lucene values). */
+  val K1 = 1.2
+  val B = 0.75
+
+  private def tokenTf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(split(lower(col("text")), " ", -1)).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+
+  /** Build the persistable BM25 index pair: postings
+    * (term, doc_id, tf, dl) and meta (n_docs, tot_tokens — one row).
+    * Document length rides every posting (denormalized) so the serving
+    * path needs no doc-keyed join at query time; df is NOT stored —
+    * term-pruned postings are the term's complete posting list, so df
+    * is recoverable as a count over the probe result. The per-doc
+    * length is a window over the doc's own postings (bounded by the
+    * doc's distinct-term count, never a hot key). */
+  def bm25Index(docs: DataFrame): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = tokenTf(docs).localCheckpoint()
+    val postings = tf
+      .withColumn("dl", sum("tf").over(Window.partitionBy("doc_id")))
+      .select("term", "doc_id", "tf", "dl")
+    val meta = tf.groupBy("doc_id").agg(sum("tf").as("d"))
+      .agg(count(lit(1)).as("n_docs"), sum("d").as("tot_tokens"))
+    (postings, meta)
+  }
+
+  /** (query_id, term) pairs — DISTINCT, i.e. binary query term
+    * frequency (the common BM25 simplification; Lucene likewise scores
+    * each unique query term once). */
+  def queryTerms(queries: DataFrame): DataFrame =
+    queries.select(col("query_id"),
+      explode(split(lower(col("query_text")), " ", -1)).as("term")).distinct()
+
+  /** Online BM25: builds the inverted index inline and ranks. The
+    * production twin is [[bm25Index]] once per data version +
+    * [[bm25FromIndex]] per query batch. */
+  def bm25Search(
+      docs: DataFrame, queries: DataFrame,
+      k1: Double = K1, b: Double = B, k: Int = 10): DataFrame = {
+    val tf = tokenTf(docs).localCheckpoint()
+    val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl")).localCheckpoint()
+    val meta = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("tot_tokens"))
+    val qt = queryTerms(queries)
+    val pruned = tf
+      .join(broadcast(qt.select("term").distinct()), Seq("term"), "left_semi")
+      .join(dl, Seq("doc_id"))
+      .localCheckpoint()
+    bm25Rank(pruned, meta, qt, k1, b, k)
+  }
+
+  /** Serving path: score from the persisted postings + meta artifacts.
+    * `termsLiteral` must cover the queries' terms (they are plan-time
+    * literals, so the `term IN (...)` filter pushes to the parquet
+    * scan and prunes files/row groups — the fuzzy-search-index
+    * posture). The pruned scan runs twice (df + scoring) per the
+    * parquet-backed-index contract: columnar re-scan of the matching
+    * row groups is cheaper than checkpointing the probe. */
+  def bm25FromIndex(
+      postings: DataFrame, meta: DataFrame, queries: DataFrame,
+      termsLiteral: Seq[String],
+      k1: Double = K1, b: Double = B, k: Int = 10): DataFrame = {
+    val pruned = postings.filter(col("term").isin(termsLiteral: _*))
+    bm25Rank(pruned, meta, queryTerms(queries), k1, b, k)
+  }
+
+  /** Shared ranking core over a term-pruned postings frame. */
+  private def bm25Rank(
+      pruned: DataFrame, meta: DataFrame, qt: DataFrame,
+      k1: Double, b: Double, k: Int): DataFrame = {
+    graft.functions.VectorFunctions.register(pruned.sparkSession)
+    // df per term = posting count in the pruned frame (pruning is by
+    // term, so each surviving term's list is complete). groupBy, NOT
+    // count().over(partitionBy term): a stopword's window partition
+    // would be a one-task corpus-sized sort with no map-side combine.
+    val dfreq = pruned.groupBy("term").agg(count(lit(1)).as("df"))
+    val scored = pruned
+      .join(broadcast(dfreq), Seq("term"))
+      .join(broadcast(qt), Seq("term"))
+      .crossJoin(broadcast(meta))
+      .withColumn("avgdl", col("tot_tokens").cast("double") / col("n_docs"))
+      .withColumn("idf6", round(log(
+        (col("n_docs").cast("double") - col("df") + lit(0.5)) /
+          (col("df").cast("double") + lit(0.5)) + lit(1.0)), 6))
+      .withColumn("cm",
+        round(col("idf6") * (col("tf").cast("double") * lit(k1 + 1.0)) /
+          (col("tf").cast("double") + lit(k1) *
+            (lit(1.0) - lit(b) + lit(b) * col("dl").cast("double") / col("avgdl"))) *
+          lit(1e6)).cast("long"))
+    scored.groupBy("query_id", "doc_id")
+      .agg(sum("cm").as("sm"))
+      .groupBy("query_id")
+      .agg(expr(s"graft_topk(CAST(sm AS DOUBLE), doc_id, $k)").as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("idx", "s")))
+      .select(col("query_id"), (col("idx") + 1).cast("int").as("rank"),
+        col("s.id").as("doc_id"),
+        col("s.score").cast("long").as("score_micro"),
+        round(col("s.score") / lit(1e6), 6).as("score"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** Incremental BM25 index MAINTENANCE — the [[graft.operators.Etl
+    * .rollupIncremental]] contract applied to the inverted index:
+    * daily ingest touches a sliver of a 100 TB corpus, so the postings
+    * update must cost the sliver, not a full re-tokenize. Added and
+    * changed docs are tokenized fresh (delta-sized); removed and
+    * changed docs' old postings drop via a slim id anti-join (a
+    * columnar rewrite of the artifact, the compaction posture); meta
+    * adjusts by exact integer deltas, with the REMOVED docs' lengths
+    * recovered from the prior postings themselves — the index needs no
+    * side manifest beyond the old corpus snapshot used for the diff.
+    * Because serving recomputes df and avgdl from postings + meta at
+    * query time, this is ALL the maintenance BM25 needs: a search
+    * served from the incrementally-maintained index is provably
+    * identical to one served from a full rebuild (the driver's oracle
+    * hash gate literally checks incremental == full; bit-equality of
+    * the index pair itself asserted in spec, no-op diff included). */
+  def bm25IndexIncremental(
+      priorPostings: DataFrame, priorMeta: DataFrame,
+      oldDocs: DataFrame, newDocs: DataFrame): (DataFrame, DataFrame) = {
+    val diff = Etl.snapshotDiff(oldDocs, newDocs)
+      .filter(col("status") =!= "unchanged").localCheckpoint()
+    val addedIds = diff.filter(col("status").isin("added", "changed"))
+      .select("doc_id")
+    val goneIds = diff.filter(col("status").isin("removed", "changed"))
+      .select("doc_id")
+    val (addPostings, addMeta) =
+      bm25Index(newDocs.join(addedIds, Seq("doc_id"), "left_semi"))
+    // one slim pass over the prior artifact serves both the drop
+    // filter and the removed-length recovery
+    val gone = priorPostings.join(goneIds, Seq("doc_id"), "left_semi")
+    val goneMeta = gone.groupBy("doc_id").agg(max("dl").as("dl"))
+      .agg(count(lit(1)).as("n_docs"), sum("dl").as("tot_tokens"))
+    val postings = priorPostings.join(goneIds, Seq("doc_id"), "left_anti")
+      .unionByName(addPostings)
+    val meta = priorMeta
+      .crossJoin(broadcast(addMeta.select(
+        col("n_docs").as("a_n"), col("tot_tokens").as("a_t"))))
+      .crossJoin(broadcast(goneMeta.select(
+        col("n_docs").as("g_n"), col("tot_tokens").as("g_t"))))
+      .select(
+        (col("n_docs") + col("a_n") - col("g_n")).as("n_docs"),
+        (col("tot_tokens") + coalesce(col("a_t"), lit(0L))
+          - coalesce(col("g_t"), lit(0L))).as("tot_tokens"))
+    (postings, meta)
+  }
+
+  /** Exact cosine top-k for an explicit query-id set, SELF-INCLUSIVE
+    * (rank 1 of a query vector over a corpus containing it is itself —
+    * kept so both hybrid branches treat the query document
+    * identically; [[Similarity.embedTopK]] is the self-excluding
+    * neighbor form). Same shape as embedTopK: broadcast query set,
+    * codegen graft_dot, bounded graft_topk rank. */
+  def cosineTopK(emb: DataFrame, queryIds: Seq[Long], k: Int): DataFrame = {
+    graft.functions.VectorFunctions.register(emb.sparkSession)
+    val e = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("norm", expr("sqrt(graft_dot(v, v))"))
+    val q = e.filter(col("vec_id").isInCollection(queryIds))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm").as("qn"))
+    e.crossJoin(broadcast(q))
+      .withColumn("cos_r", round(expr("graft_dot(v, qv)") / (col("norm") * col("qn")), 6))
+      .groupBy("query_id")
+      .agg(expr(s"graft_topk(cos_r, vec_id, $k)").as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("idx", "s")))
+      .select(col("query_id"), col("s.id").as("doc_id"),
+        (col("idx") + 1).cast("int").as("rank"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** Reciprocal-rank fusion (Cormack et al. 2009): each branch
+    * contributes `1e6 div (k0 + rank)` — an EXACT integer, so fused
+    * scores are exact integer sums with no float anywhere — and
+    * candidates re-rank by the fused score. The final window is over
+    * per-query candidate sets bounded by Σ branch k (a constant),
+    * never the corpus. Branches: (query_id, doc_id, rank). */
+  def rrfFuse(branches: Seq[DataFrame], k0: Int = 60, kOut: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(branches.nonEmpty, "rrfFuse needs at least one ranked branch")
+    val contrib = branches.map(_.select(col("query_id"), col("doc_id"),
+      expr(s"CAST(1000000 div ($k0 + rank) AS BIGINT)").as("c"))).reduce(_ unionByName _)
+    val w = Window.partitionBy("query_id").orderBy(col("rrf_micro").desc, col("doc_id"))
+    contrib.groupBy("query_id", "doc_id")
+      .agg(sum("c").as("rrf_micro"), count(lit(1)).as("n_branches"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= kOut)
+      .select(col("query_id"), col("rank").cast("int").as("rank"), col("doc_id"),
+        col("rrf_micro"), col("n_branches").cast("int").as("n_branches"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** Maximal-marginal-relevance diverse selection (Carbonell &
+    * Goldstein 1998): greedily pick `k` vectors trading query
+    * relevance against redundancy with the already-picked set —
+    * diverse few-shot example selection, dedup-aware sampling, search
+    * result diversification.
+    *
+    * MMR's greedy loop is inherently sequential, so the 100 TB shape
+    * is candidate-pool restriction: ONE corpus pass scores relevance
+    * through the bounded graft_topk (k rows per partition cross the
+    * shuffle), and the greedy refinement runs driver-side on the
+    * `poolSize`-row pool — the classifierApply literals posture
+    * (bounded driver state by construction, never corpus-sized).
+    * Cosines snap to 6 decimals and ties break on vec_id, so the
+    * selection is deterministic; pinned against an independent local
+    * MMR in spec (λ=1 ⇒ pure relevance order). */
+  def mmrSelect(
+      emb: DataFrame, queryId: Long, k: Int = 10, lambda: Double = 0.7,
+      poolSize: Int = 128): DataFrame = {
+    require(lambda >= 0.0 && lambda <= 1.0, s"lambda must be in [0,1], got $lambda")
+    require(k >= 1 && poolSize >= k, s"need poolSize ($poolSize) >= k ($k) >= 1")
+    graft.functions.VectorFunctions.register(emb.sparkSession)
+    val e = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("norm", expr("sqrt(graft_dot(v, v))"))
+      .localCheckpoint() // feeds the query row, the pool scan, and the vector fetch
+    val q = e.filter(col("vec_id") === lit(queryId))
+      .select(col("v").as("qv"), col("norm").as("qn"))
+    val pool = e.filter(col("vec_id") =!= lit(queryId))
+      .crossJoin(broadcast(q))
+      .withColumn("cos_r", round(expr("graft_dot(v, qv)") / (col("norm") * col("qn")), 6))
+      .agg(expr(s"graft_topk(cos_r, vec_id, $poolSize)").as("top"))
+      .select(explode(col("top")).as("s"))
+      .select(col("s.id").as("vec_id"), col("s.score").as("rel"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1))
+    val vecs: Map[Long, Array[Double]] = e
+      .filter(col("vec_id").isInCollection(pool.map(_._1)))
+      .select(col("vec_id"), expr("transform(v, x -> x / norm)").as("u"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def snap6(x: Double): Double =
+      java.math.BigDecimal.valueOf(x).setScale(6, java.math.RoundingMode.HALF_UP)
+        .doubleValue()
+    def sim(a: Long, b: Long): Double =
+      snap6(vecs(a).zip(vecs(b)).map { case (x, y) => x * y }.sum)
+    val rel = pool.toMap
+    val picked = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
+    val remaining = scala.collection.mutable.LinkedHashSet(pool.map(_._1): _*)
+    while (picked.length < math.min(k, pool.length)) {
+      val best = remaining.map { id =>
+        val red = if (picked.isEmpty) 0.0 else picked.map(p => sim(id, p._1)).max
+        (id, snap6(lambda * rel(id) - (1.0 - lambda) * red))
+      }.minBy { case (id, s) => (-s, id) }
+      picked += best
+      remaining -= best._1
+    }
+    val spark = emb.sparkSession
+    import spark.implicits._
+    picked.toSeq.zipWithIndex
+      .map { case ((id, s), i) => (i + 1, id, rel(id), s) }
+      .toDF("rank", "vec_id", "relevance", "mmr_score")
+  }
+
+  /** Hybrid search: query documents retrieve by BOTH their leading
+    * tokens (BM25 over the corpus text) and their embedding (cosine
+    * over the vector corpus), fused by RRF — the standard
+    * lexical+semantic retrieval stack. doc_id and vec_id share the id
+    * space by testdata construction. Both branches are
+    * self-inclusive, so a query doc validating at fused rank 1 is the
+    * built-in sanity check. */
+  def hybridSearch(
+      docs: DataFrame, emb: DataFrame, queryIds: Seq[Long],
+      nQueryTokens: Int = 6, kEach: Int = 10, k0: Int = 60,
+      kOut: Int = 10): DataFrame = {
+    val queries = docs.filter(col("doc_id").isInCollection(queryIds))
+      .select(col("doc_id").as("query_id"),
+        array_join(slice(split(lower(col("text")), " ", -1), 1, nQueryTokens), " ")
+          .as("query_text"))
+    val lex = bm25Search(docs, queries, k = kEach).select("query_id", "doc_id", "rank")
+    val sem = cosineTopK(emb, queryIds, kEach).select("query_id", "doc_id", "rank")
+    rrfFuse(Seq(lex, sem), k0, kOut)
+  }
+}

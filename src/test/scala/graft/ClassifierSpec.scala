@@ -192,4 +192,80 @@ class ClassifierSpec extends AnyFunSuite with SparkSessionTestBase {
       Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
     assert(msgs(e).exists(_.contains("model is empty")))
   }
+
+  // ---- classifierEval ----
+
+  private def evalDf(rows: Seq[(Long, Long, Int)]) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "score_micro", "y")
+  }
+
+  /** Independent mid-rank AUC + confusion metrics with the operator's
+    * half-up micro snapping. */
+  private def localEval(rows: Seq[(Long, Long, Int)]) = {
+    val pos = rows.filter(_._3 == 1).map(_._2)
+    val neg = rows.filter(_._3 == 0).map(_._2)
+    val u2 = pos.map(s => 2L * neg.count(_ < s) + neg.count(_ == s)).sum
+    val (p, n) = (pos.size.toLong, neg.size.toLong)
+    val tp = pos.count(_ > 0).toLong
+    val fp = neg.count(_ > 0).toLong
+    def ratio(a: Long, d: Long): Option[Double] =
+      if (d == 0) None else Some(((2 * a * 1000000L + d) / (2 * d)).toDouble / 1e6)
+    (p, n, tp, fp, p - tp, n - fp, u2,
+      ratio(tp, tp + fp), ratio(tp, p), ratio(2 * tp, 2 * tp + fp + (p - tp)),
+      if (p == 0 || n == 0) None else Some({
+        val d = 2 * p * n
+        ((2 * u2 * 1000000L + d) / (2 * d)).toDouble / 1e6
+      }))
+  }
+
+  test("classifierEval matches an independent computation, ties included") {
+    // ties across classes at score 500000 and at -3; scores straddle
+    // the 2^16 block boundary so the two-level prefix sum is exercised
+    val rows = Seq[(Long, Long, Int)](
+      (0L, 500000L, 1), (1L, 500000L, 0), (2L, 900000L, 1), (3L, -3L, 0),
+      (4L, -3L, 1), (5L, 70000L, 0), (6L, 70001L, 1), (7L, -900000L, 0),
+      (8L, 123L, 1), (9L, 123L, 1), (10L, 123L, 0), (11L, 65536L, 0))
+    val got = Classifier.classifierEval(evalDf(rows)).collect().head
+    val (p, n, tp, fp, fn, tn, u2, prec, rec, f1, auc) = localEval(rows)
+    assert(got.getLong(0) === p); assert(got.getLong(1) === n)
+    assert(got.getLong(2) === tp); assert(got.getLong(3) === fp)
+    assert(got.getLong(4) === fn); assert(got.getLong(5) === tn)
+    assert(got.getLong(6) === u2)
+    def d(i: Int): Option[Double] = if (got.isNullAt(i)) None else Some(got.getDouble(i))
+    assert(d(7) === prec); assert(d(8) === rec); assert(d(9) === f1)
+    assert(d(10) === auc)
+  }
+
+  test("classifierEval: perfect separation gives AUC exactly 1") {
+    val rows = (0 until 50).map(i => (i.toLong, 1000L + i, 1)) ++
+      (50 until 100).map(i => (i.toLong, -1000L - i, 0))
+    val got = Classifier.classifierEval(evalDf(rows)).collect().head
+    assert(got.getDouble(10) === 1.0)
+    assert(got.getDouble(7) === 1.0 && got.getDouble(8) === 1.0 &&
+      got.getDouble(9) === 1.0)
+  }
+
+  test("classifierEval: single-class and empty inputs degrade to NULL ratios") {
+    val onePos = Classifier.classifierEval(evalDf(Seq((0L, 5L, 1)))).collect().head
+    assert(onePos.isNullAt(10)) // auc undefined without both classes
+    assert(onePos.getDouble(8) === 1.0) // recall defined
+    val empty = Classifier.classifierEval(evalDf(Seq.empty)).collect().head
+    assert(empty.getLong(0) === 0L && empty.getLong(6) === 0L)
+    assert(empty.isNullAt(7) && empty.isNullAt(8) && empty.isNullAt(10))
+  }
+
+  test("classifierEval on NB resubstitution scores separates the planted domains") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+    val labels = docs.select(col("doc_id"),
+      col("source").isInCollection(Seq("src0", "src1")).cast("int").as("label"))
+    val scored = Classifier
+      .nbScore(docs, Classifier.nbTrain(docs, labels))
+      .join(labels.select(col("doc_id"), col("label").as("y")), Seq("doc_id"))
+      .select("doc_id", "score_micro", "y")
+    val got = Classifier.classifierEval(scored).collect().head
+    assert(got.getLong(0) + got.getLong(1) === docs.count())
+    assert(got.getDouble(10) > 0.5, "NB must beat chance on its own training labels")
+  }
 }

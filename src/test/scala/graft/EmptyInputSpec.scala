@@ -217,4 +217,17 @@ class EmptyInputSpec extends AnyFunSuite with SparkSessionTestBase {
     assert(TextAnalysis.perplexityAgainst(
       emptyDocs, TextAnalysis.termCounts(emptyDocs)).count() === 0)
   }
+
+  test("retrieval and fuzzy-decontamination on empty inputs") {
+    import spark.implicits._
+    val q = Seq((0L, "apple banana")).toDF("query_id", "query_text")
+    val emptyQ = q.limit(0)
+    assert(Retrieval.bm25Search(emptyDocs, q).count() === 0)
+    assert(Retrieval.bm25Search(Tables.documents(spark, sfDir), emptyQ).count() === 0)
+    val (p, m) = Retrieval.bm25Index(emptyDocs)
+    assert(p.count() === 0)
+    assert(Retrieval.cosineTopK(emptyEmb, Seq(0L), 5).count() === 0)
+    assert(Retrieval.hybridSearch(emptyDocs, emptyEmb, Seq(0L)).count() === 0)
+    assert(Curation.flagContaminatedFuzzy(emptyDocs, emptyDocs).count() === 0)
+  }
 }

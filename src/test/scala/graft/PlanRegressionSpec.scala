@@ -492,4 +492,61 @@ class PlanRegressionSpec extends AnyFunSuite with SparkSessionTestBase {
       "rollup must not rescan the corpus")
     assert(!p.contains("Window ["))
   }
+
+  test("bm25 ranks through bounded graft_topk; df is a groupBy, never a term window") {
+    val p = plan("q_bm25_search")
+    // per-query rank must be the partial-combined top-k aggregate (the
+    // shuffle carries k rows per query per partition even when a
+    // common term matches the whole corpus); document frequency must
+    // never be a count().over(partitionBy term) — a stopword's window
+    // partition would one-task a corpus-sized posting list
+    assert(p.contains("partial_graft_topk"))
+    assert(!p.contains("row_number"))
+    assert(!p.contains("Window ["))
+  }
+
+  test("bm25 index probe pushes the term filter to the postings scan") {
+    val p = plan("q_bm25_indexed")
+    // the serving path must hit the PERSISTED term-sorted postings: a
+    // parquet scan whose PushedFilters carries the query's
+    // `term IN (...)` set (file + row-group pruning on the range-
+    // partitioned index), with NO corpus tokenization anywhere
+    val scanLine = p.linesIterator.find(_.contains("PushedFilters")).getOrElse("")
+    assert(scanLine.contains("In(term, ["),
+      s"no In(term,...) pushed filter in: $scanLine")
+    assert(p.contains("graft_bm25_idx"), "probe must read the persisted index")
+    assert(!p.contains("documents.parquet"),
+      "serving must never re-tokenize the corpus")
+    // and the driver entries stay bit-equal (online == served)
+    val indexed = SparkEntry.queries("q_bm25_indexed")(spark, sfDir)
+      .collect().map(_.toString).toSeq
+    val online = SparkEntry.queries("q_bm25_search")(spark, sfDir)
+      .collect().map(_.toString).toSeq
+    assert(indexed === online)
+  }
+
+  test("hybrid search ranks branches via graft_topk; only the bounded fusion windows") {
+    val p = plan("q_hybrid_search")
+    // both branch rankings are bounded top-k aggregates; the one
+    // row_number is the RRF re-rank over per-query candidate sets
+    // bounded by Σ branch k — it must partition by query_id
+    assert(p.contains("partial_graft_topk"))
+    assert(p.linesIterator.filter(_.contains("Window [row_number")).forall(
+      _.contains("windowspecdefinition(query_id#")))
+    // Spark's WindowGroupLimit partial pushdown bounds the fusion rank
+    // map-side as well — keep it
+    assert(p.contains("WindowGroupLimit"))
+  }
+
+  test("classifier eval's AUC prefix sum is the two-level bucketed form") {
+    val p = plan("q_nb_eval")
+    // the cumulative negs-below must window (blk)-partitioned score
+    // histograms (bounded partitions) with cross-block offsets riding
+    // a broadcast — a flat window over the whole score histogram would
+    // serialize it into one task as the value space fills
+    assert(p.linesIterator.exists(l =>
+      l.contains("windowspecdefinition(blk#")),
+      "histogram window must partition by blk")
+    assert(p.contains("BroadcastHashJoin"), "block offsets must broadcast")
+  }
 }

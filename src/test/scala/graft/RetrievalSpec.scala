@@ -1,0 +1,186 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Curation, Retrieval}
+
+class RetrievalSpec extends AnyFunSuite with SparkSessionTestBase {
+
+  // small planted corpus with varied lengths and term repetition so tf
+  // normalization and idf both matter
+  private def corpus = Seq(
+    0L -> "apple banana cherry apple apple",
+    1L -> "banana cherry",
+    2L -> "apple date elderberry fig grape honeydew iris jasmine kiwi lime",
+    3L -> "date date date banana",
+    4L -> "cherry cherry apple banana date elderberry")
+
+  private def corpusDf = {
+    import spark.implicits._
+    corpus.toDF("doc_id", "text")
+  }
+
+  private def queriesDf(qs: Seq[(Long, String)]) = {
+    import spark.implicits._
+    qs.toDF("query_id", "query_text")
+  }
+
+  /** Independent local BM25 with the operator's exact snapping rules:
+    * idf half-up at 6 decimals of the double's shortest repr
+    * (BigDecimal.valueOf = Spark's round), per-term contribution
+    * half-up to integer micro, per-doc exact integer sum. */
+  private def localBm25(
+      docs: Seq[(Long, String)], queries: Seq[(Long, String)],
+      k1: Double = Retrieval.K1, b: Double = Retrieval.B): Map[(Long, Long), Long] = {
+    def snap(d: Double, s: Int): BigDecimal =
+      BigDecimal(java.math.BigDecimal.valueOf(d).setScale(s, java.math.RoundingMode.HALF_UP))
+    val toks = docs.map { case (id, t) => id -> t.toLowerCase.split(" ", -1).toSeq }
+    val tf = toks.flatMap { case (id, ws) => ws.map(w => (id, w)) }
+      .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val dl = toks.map { case (id, ws) => id -> ws.size.toLong }.toMap
+    val nDocs = docs.size.toLong
+    val avgdl = dl.values.sum.toDouble / nDocs
+    val dfm = tf.keys.groupBy(_._2).map { case (w, ks) => w -> ks.size.toLong }
+    val out = scala.collection.mutable.Map.empty[(Long, Long), Long]
+    for {
+      (qid, qt) <- queries
+      term <- qt.toLowerCase.split(" ", -1).distinct
+      ((did, t), f) <- tf if t == term
+    } {
+      val df = dfm(term)
+      val idf6 = snap(
+        math.log((nDocs.toDouble - df + 0.5) / (df.toDouble + 0.5) + 1.0), 6).toDouble
+      val contrib = idf6 * (f.toDouble * (k1 + 1.0)) /
+        (f.toDouble + k1 * (1.0 - b + b * dl(did).toDouble / avgdl)) * 1e6
+      out((qid, did)) = out.getOrElse((qid, did), 0L) + snap(contrib, 0).toLong
+    }
+    out.toMap
+  }
+
+  test("bm25Search matches an independent local implementation exactly") {
+    val qs = Seq(0L -> "apple", 1L -> "banana date", 2L -> "elderberry apple cherry")
+    val got = Retrieval.bm25Search(corpusDf, queriesDf(qs), k = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getLong(3)).toMap
+    val want = localBm25(corpus, qs)
+    assert(got === want)
+  }
+
+  test("bm25 ranks descend by score with doc_id tie-break") {
+    val qs = Seq(0L -> "banana")
+    val rows = Retrieval.bm25Search(corpusDf, queriesDf(qs), k = 10).collect()
+    val scores = rows.map(_.getLong(3)).toSeq
+    assert(scores === scores.sorted(Ordering[Long].reverse))
+    // docs 0 and 4 have identical (tf=1, dl=5) banana postings — the
+    // tie must order by doc_id
+    val tied = rows.filter(_.getLong(3) === rows.map(_.getLong(3))
+      .groupBy(identity).collectFirst { case (s, g) if g.length > 1 => s }.getOrElse(Long.MinValue))
+    if (tied.length > 1)
+      assert(tied.map(_.getLong(2)).toSeq === tied.map(_.getLong(2)).sorted.toSeq)
+    // and the score column is the micro integer's own-scale identity
+    rows.foreach(r =>
+      assert(math.abs(r.getDouble(4) - r.getLong(3).toDouble / 1e6) < 1e-9))
+  }
+
+  test("OOV query terms contribute nothing; an all-OOV query returns no rows") {
+    val mixed = Retrieval.bm25Search(corpusDf, queriesDf(Seq(0L -> "apple zzz")), k = 10)
+    val clean = Retrieval.bm25Search(corpusDf, queriesDf(Seq(0L -> "apple")), k = 10)
+    assert(mixed.collect().map(_.toString).toSeq ===
+      clean.collect().map(_.toString).toSeq)
+    assert(Retrieval.bm25Search(corpusDf, queriesDf(Seq(0L -> "zzz qqq")), k = 10)
+      .count() === 0)
+  }
+
+  test("bm25FromIndex over a parquet round-trip is bit-equal to the online form") {
+    val root = java.nio.file.Files.createTempDirectory("bm25idx").toString
+    val (postings, meta) = Retrieval.bm25Index(corpusDf)
+    graft.sources.Sinks.writeRangePartitioned(postings, s"$root/postings", "term", 2)
+    meta.write.mode("overwrite").parquet(s"$root/meta")
+    val qs = Seq(0L -> "apple", 1L -> "banana date", 2L -> "elderberry apple cherry")
+    val online = Retrieval.bm25Search(corpusDf, queriesDf(qs), k = 10)
+    val served = Retrieval.bm25FromIndex(
+      spark.read.parquet(s"$root/postings"), spark.read.parquet(s"$root/meta"),
+      queriesDf(qs), Seq("apple", "banana", "date", "elderberry", "cherry"), k = 10)
+    assert(served.collect().map(_.toString).toSeq ===
+      online.collect().map(_.toString).toSeq)
+  }
+
+  test("bm25 rewards rarity and tf, normalizes length") {
+    // 'elderberry' (df=2) must outrank 'banana' (df=4) for a doc
+    // containing both once at equal length; higher tf must outscore
+    // lower tf at equal df and length
+    val qs = Seq(0L -> "apple")
+    val scores = Retrieval.bm25Search(corpusDf, queriesDf(qs), k = 10).collect()
+      .map(r => r.getLong(2) -> r.getLong(3)).toMap
+    // doc 0: tf=3 of 5 tokens; doc 2: tf=1 of 10; doc 4: tf=1 of 6
+    assert(scores(0L) > scores(4L))
+    assert(scores(4L) > scores(2L)) // shorter doc, same tf ⇒ higher
+  }
+
+  test("cosineTopK is self-inclusive with self at rank 1") {
+    import spark.implicits._
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)), (1L, Array(0.9f, 0.1f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f)), (3L, Array(0.0f, 0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val out = Retrieval.cosineTopK(emb, Seq(0L, 2L), k = 3).collect()
+    assert(out.filter(_.getInt(2) === 1).map(r => r.getLong(0) -> r.getLong(1)).toMap
+      === Map(0L -> 0L, 2L -> 2L))
+  }
+
+  test("rrfFuse sums exact integer reciprocal-rank contributions") {
+    import spark.implicits._
+    val a = Seq((0L, 10L, 1), (0L, 11L, 2), (0L, 12L, 3)).toDF("query_id", "doc_id", "rank")
+    val b = Seq((0L, 11L, 1), (0L, 13L, 2)).toDF("query_id", "doc_id", "rank")
+    val out = Retrieval.rrfFuse(Seq(a, b), k0 = 60, kOut = 10).collect()
+      .map(r => r.getLong(2) -> (r.getLong(3), r.getInt(4))).toMap
+    def c(rank: Int) = 1000000L / (60 + rank)
+    assert(out === Map(
+      10L -> (c(1), 1), 11L -> (c(2) + c(1), 2),
+      12L -> (c(3), 1), 13L -> (c(2), 1)))
+    // 11 fused from both branches outranks everything
+    val first = Retrieval.rrfFuse(Seq(a, b), 60, 10).collect()
+      .find(_.getInt(1) === 1).get
+    assert(first.getLong(2) === 11L)
+  }
+
+  test("hybridSearch fuses its own branch ranks exactly") {
+    val docs = Tables.documents(spark, sfDir)
+    val emb = Tables.embeddings(spark, sfDir)
+    val ids = Seq(0L, 1L)
+    val queries = docs.filter(col("doc_id").isin(ids: _*))
+      .select(col("doc_id").as("query_id"),
+        array_join(slice(split(lower(col("text")), " ", -1), 1, 6), " ").as("query_text"))
+    val lex = Retrieval.bm25Search(docs, queries, k = 10)
+      .select("query_id", "doc_id", "rank")
+    val sem = Retrieval.cosineTopK(emb, ids, 10).select("query_id", "doc_id", "rank")
+    val want = Retrieval.rrfFuse(Seq(lex, sem), 60, 10).collect().map(_.toString).toSeq
+    val got = Retrieval.hybridSearch(docs, emb, ids).collect().map(_.toString).toSeq
+    assert(got === want)
+  }
+
+  test("flagContaminatedFuzzy flags planted near-dups of the eval set") {
+    import spark.implicits._
+    val benchText = (0 until 40).map(i => s"tok${i}").mkString(" ")
+    // near-dup: one word substituted — high shingle overlap; clean doc
+    // shares vocabulary style but no shingles
+    val nearDup = ((0 until 40).map(i => if (i == 20) "CHANGED" else s"tok${i}")).mkString(" ")
+    val clean = (100 until 140).map(i => s"tok${i}").mkString(" ")
+    val bench = Seq((0L, benchText)).toDF("doc_id", "text")
+    val train = Seq((10L, nearDup), (11L, clean), (12L, benchText))
+      .toDF("doc_id", "text")
+    val out = Curation.flagContaminatedFuzzy(train, bench, threshold = 0.5)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(out === Map(10L -> true, 11L -> false, 12L -> true))
+  }
+
+  test("flagContaminatedFuzzy with an empty benchmark flags nothing") {
+    import spark.implicits._
+    val train = Seq((0L, (0 until 30).map(i => s"w$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val bench = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val out = Curation.flagContaminatedFuzzy(train, bench).collect()
+    assert(out.length === 1 && !out.head.getBoolean(3))
+    assert(out.head.getLong(1) === 0L)
+  }
+}
