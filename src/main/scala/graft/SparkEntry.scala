@@ -694,6 +694,31 @@ object SparkEntry {
     "q_hybrid_search" -> ((s, d) =>
       operators.Retrieval.hybridSearch(
         Tables.documents(s, d), Tables.embeddings(s, d), Seq(0L, 1L, 2L, 3L))),
+    // incremental index maintenance proven THROUGH the serving path:
+    // prior index built on a mutated half-stale corpus (the
+    // q_rollup_incremental recipe — adds, edits, a group move, and
+    // extra docs that get removed), deltas folded in, then BM25 served
+    // from the maintained index — the oracle is the SAME full-corpus
+    // BM25 SQL, so the hash gate proves incremental == full rebuild
+    "q_bm25_incremental" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val prev = docs.filter(col("doc_id") % 20 =!= 0)
+        .withColumn("text", when(col("doc_id") % 20 === 2,
+          concat(col("text"), lit(" rev1"))).otherwise(col("text")))
+        .unionByName(docs.filter(col("doc_id") % 20 === 4)
+          .withColumn("doc_id", col("doc_id") + 1000000L))
+      val (pp, pm) = operators.Retrieval.bm25Index(prev)
+      val (ip, im) = operators.Retrieval.bm25IndexIncremental(pp, pm, prev, docs)
+      operators.Retrieval.bm25FromIndex(
+        ip, im, bm25QueriesDf(s), bm25QueryTermsLiteral)
+    }),
+    // MMR diverse selection over the embedding corpus (rows-only: the
+    // greedy refinement runs on the bounded pool; pinned against an
+    // independent local MMR in spec)
+    "q_mmr_select" -> ((s, d) =>
+      operators.Retrieval.mmrSelect(
+        Tables.embeddings(s, d), queryId = 0L, k = 10, lambda = 0.7,
+        poolSize = 64)),
     // BPE subword tokenizer: merges learned from the bounded word-count
     // table (never the corpus), applied via a segmentation join.
     // rows-only: the greedy merge loop has no SQL twin; an independent
@@ -2196,6 +2221,9 @@ object SparkEntry {
     // the serving path is output-identical by construction (spec
     // asserts bit-equality) — same oracle
     "q_bm25_indexed" -> bm25OracleSql,
+    // the incremental-maintenance entry serves from the delta-merged
+    // index; the full-corpus oracle IS the incremental == full proof
+    "q_bm25_incremental" -> bm25OracleSql,
     "q_hybrid_search" -> {
       val cos = dr("list_dot_product(e2.v, q.v)/(e2.norm*q.norm)", 6)
       s"""WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,

@@ -170,6 +170,7 @@ object Retrieval {
     val goneMeta = gone.groupBy("doc_id").agg(max("dl").as("dl"))
       .agg(count(lit(1)).as("n_docs"), sum("dl").as("tot_tokens"))
     val postings = priorPostings.join(goneIds, Seq("doc_id"), "left_anti")
+      .select("term", "doc_id", "tf", "dl") // the anti-join fronts its key
       .unionByName(addPostings)
     val meta = priorMeta
       .crossJoin(broadcast(addMeta.select(

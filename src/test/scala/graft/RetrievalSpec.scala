@@ -174,6 +174,101 @@ class RetrievalSpec extends AnyFunSuite with SparkSessionTestBase {
     assert(out === Map(10L -> true, 11L -> false, 12L -> true))
   }
 
+  test("bm25IndexIncremental equals a full rebuild across add/remove/change") {
+    import spark.implicits._
+    val oldDocs = Seq(
+      0L -> "apple banana cherry", 1L -> "banana cherry date",
+      2L -> "old stale words here", 3L -> "date elderberry fig")
+      .toDF("doc_id", "text")
+    val newDocs = Seq(
+      0L -> "apple banana cherry",        // unchanged
+      1L -> "banana cherry date grape",   // changed
+      3L -> "date elderberry fig",        // unchanged (doc 2 removed)
+      4L -> "grape honeydew iris")        // added
+      .toDF("doc_id", "text")
+    val (pp, pm) = Retrieval.bm25Index(oldDocs)
+    val (ip, im) = Retrieval.bm25IndexIncremental(
+      pp.localCheckpoint(), pm, oldDocs, newDocs)
+    val (fp, fm) = Retrieval.bm25Index(newDocs)
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("term", "doc_id").collect().map(_.toString).toSeq
+    assert(norm(ip) === norm(fp))
+    assert(im.collect().map(_.toString).toSeq === fm.collect().map(_.toString).toSeq)
+    // and the search served from the maintained index equals a search
+    // over a fresh full index — the driver's oracle-level claim
+    val qs = queriesDf(Seq(0L -> "banana grape", 1L -> "date"))
+    val served = Retrieval.bm25FromIndex(ip, im, qs,
+      Seq("banana", "grape", "date"), k = 10)
+    val full = Retrieval.bm25Search(newDocs, qs, k = 10)
+    assert(served.collect().map(_.toString).toSeq ===
+      full.collect().map(_.toString).toSeq)
+  }
+
+  test("bm25IndexIncremental no-op diff reproduces the prior index bit-for-bit") {
+    val docs = corpusDf
+    val (pp, pm) = Retrieval.bm25Index(docs)
+    val ppc = pp.localCheckpoint()
+    val (ip, im) = Retrieval.bm25IndexIncremental(ppc, pm, docs, docs)
+    assert(ip.orderBy("term", "doc_id").collect().map(_.toString).toSeq ===
+      ppc.orderBy("term", "doc_id").collect().map(_.toString).toSeq)
+    assert(im.collect().map(_.toString).toSeq ===
+      pm.collect().map(_.toString).toSeq)
+  }
+
+  test("mmrSelect matches an independent local MMR, ties and snaps included") {
+    import spark.implicits._
+    // a tight near-dup pair (1,2), a diverse vector (3), an
+    // off-direction distractor (4); query 0
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f, 0.0f, 0.0f)),
+      (2L, Array(0.9f, 0.11f, 0.0f, 0.0f)),
+      (3L, Array(0.5f, 0.0f, 0.8f, 0.0f)),
+      (4L, Array(0.4f, 0.0f, 0.0f, 0.9f)))
+      .toDF("vec_id", "embedding")
+    val got = Retrieval.mmrSelect(emb, 0L, k = 4, lambda = 0.5, poolSize = 4)
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+    // independent local MMR over snapped cosines
+    def snap6(x: Double) = java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    val raw = Map(
+      0L -> Array(1.0f, 0f, 0f, 0f), 1L -> Array(0.9f, 0.1f, 0f, 0f),
+      2L -> Array(0.9f, 0.11f, 0f, 0f), 3L -> Array(0.5f, 0f, 0.8f, 0f),
+      4L -> Array(0.4f, 0f, 0f, 0.9f))
+      .map { case (k, v) =>
+        val d = v.map(_.toDouble)
+        val n = math.sqrt(d.map(x => x * x).sum)
+        k -> d.map(_ / n)
+      }
+    def cos(a: Long, b: Long) = snap6(raw(a).zip(raw(b)).map { case (x, y) => x * y }.sum)
+    val rel = Seq(1L, 2L, 3L, 4L).map(id => id -> cos(0L, id)).toMap
+    var picked = Vector.empty[Long]
+    var rest = Seq(1L, 2L, 3L, 4L)
+    while (picked.size < 4) {
+      val best = rest.map { id =>
+        val red = if (picked.isEmpty) 0.0 else picked.map(p => cos(id, p)).max
+        (id, snap6(0.5 * rel(id) - 0.5 * red))
+      }.minBy { case (id, s) => (-s, id) }._1
+      picked :+= best; rest = rest.filterNot(_ == best)
+    }
+    assert(got === picked.zipWithIndex.map { case (id, i) => (i + 1, id) })
+    // the diverse vector must interleave before the near-dup twin
+    assert(got.map(_._2).indexOf(3L) < got.map(_._2).indexOf(2L))
+  }
+
+  test("mmrSelect with lambda=1 is pure relevance order") {
+    import spark.implicits._
+    val emb = (0L to 6L).map(i =>
+      (i, Array(1.0f, i.toFloat / 10, (i % 3).toFloat / 5)))
+      .toDF("vec_id", "embedding")
+    val mmr = Retrieval.mmrSelect(emb, 0L, k = 6, lambda = 1.0, poolSize = 6)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toSeq
+    val rel = Retrieval.cosineTopK(emb, Seq(0L), k = 7).collect()
+      .filter(_.getLong(1) != 0L)
+      .map(r => r.getLong(1)).toSeq
+    assert(mmr.map(_._2) === rel.take(6))
+  }
+
   test("flagContaminatedFuzzy with an empty benchmark flags nothing") {
     import spark.implicits._
     val train = Seq((0L, (0 until 30).map(i => s"w$i").mkString(" ")))
