@@ -281,6 +281,23 @@ object SparkEntry {
   private def bm25QueryTermsLiteral: Seq[String] =
     bm25Queries.flatMap(_._2.split(" ")).distinct
 
+  /** Persisted count-min sketch partials — the mergeable
+    * point-frequency artifact ([[operators.Sketches.cmsPartials]]):
+    * depth×width exact counters, built once per documents data
+    * version; any later term-frequency question reads the tiny frame,
+    * never the corpus. Fingerprint-keyed like the HLL partials. */
+  private val cmsIndexPaths =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), (Long, String)]
+
+  private[graft] def cmsIndexShared(s: SparkSession, d: String): DataFrame = {
+    val fp = documentsFingerprint(s, d)
+    val path = artifactPath(cmsIndexPaths, s, d, fp, "graft_cms_idx") { p =>
+      operators.Sketches.cmsPartials(Tables.documents(s, d))
+        .write.mode("overwrite").parquet(p)
+    }
+    s.read.parquet(path)
+  }
+
   /** Persisted per-source HLL sketch partials — the mergeable distinct-
     * count artifact ([[operators.Sketches]]); rollups union the blobs
     * with no corpus rescan. Fingerprint-keyed like the LM/BPE indexes. */
@@ -604,6 +621,25 @@ object SparkEntry {
     // direct recompute (the oracle): merge == full, proven per row
     "q_quantile_rollup" -> ((s, d) =>
       operators.Sketches.histQuantiles(histIndexShared(s, d))),
+    // count-min sketch partials served from the persisted artifact —
+    // md5-prefix row hashes make bucket assignment (and therefore the
+    // whole counter table) engine-reproducible: a sketch with a FULL
+    // DuckDB oracle
+    "q_cms_build" -> ((s, d) => cmsIndexShared(s, d).orderBy("d", "bucket")),
+    // fidelity report: every corpus term's exact count vs the sketch
+    // estimate from the artifact; est >= exact always (CMS contract),
+    // and the deterministic estimator means even `est` oracle-matches
+    "q_cms_estimate" -> ((s, d) =>
+      operators.Sketches.cmsCalibration(
+        Tables.documents(s, d), cmsIndexShared(s, d))),
+    // STREAMING index maintenance proven through the serving path:
+    // seed index from even doc_ids, stream the odd half as per-batch
+    // delta partitions (retried batches overwrite their own partition),
+    // then serve the driver's query set from seed ∪ deltas — the
+    // oracle is the SAME full-corpus BM25 SQL as q_bm25_search
+    "q_stream_bm25" -> ((s, d) =>
+      graft.streaming.Bm25Stream.searchMaintainRun(
+        s, d, bm25QueriesDf(s), bm25QueryTermsLiteral)),
     "q_vocab_stats" -> ((s, d) => TextAnalysis.vocabStats(Tables.documents(s, d))),
     "q_source_divergence" -> ((s, d) =>
       TextAnalysis.sourceDivergence(Tables.documents(s, d))),
@@ -2224,6 +2260,36 @@ object SparkEntry {
     // the incremental-maintenance entry serves from the delta-merged
     // index; the full-corpus oracle IS the incremental == full proof
     "q_bm25_incremental" -> bm25OracleSql,
+    // the stream-maintained index serves against the same full-corpus
+    // BM25 oracle — stream == rebuild, proven by hash
+    "q_stream_bm25" -> bm25OracleSql,
+    // the CMS counter table is fully deterministic (md5-prefix row
+    // hashes), so the sketch itself oracle-matches
+    "q_cms_build" ->
+      """WITH tk AS (SELECT unnest(string_split(lower(text), ' ')) AS t FROM documents),
+        |dd AS (SELECT t, unnest(range(0, 4)) AS d FROM tk),
+        |b AS (SELECT CAST(d AS INTEGER) AS d,
+        |  ('0x' || substr(md5('cms:' || CAST(d AS VARCHAR) || ':' || t), 1, 8))::UBIGINT::BIGINT % 1024 AS bucket
+        | FROM dd)
+        |SELECT d, bucket, CAST(count(*) AS BIGINT) AS cnt
+        |FROM b GROUP BY d, bucket ORDER BY d, bucket""".stripMargin,
+    // ... and so do its point estimates: min over depth rows of the
+    // deterministic counters — est >= exact by construction
+    "q_cms_estimate" ->
+      """WITH tk AS (SELECT unnest(string_split(lower(text), ' ')) AS t FROM documents),
+        |ex AS (SELECT t AS term, CAST(count(*) AS BIGINT) AS n_exact FROM tk GROUP BY t),
+        |dd AS (SELECT t, unnest(range(0, 4)) AS d FROM tk),
+        |cm AS (SELECT d,
+        |  ('0x' || substr(md5('cms:' || CAST(d AS VARCHAR) || ':' || t), 1, 8))::UBIGINT::BIGINT % 1024 AS bucket,
+        |  count(*) AS cnt
+        | FROM dd GROUP BY 1, 2),
+        |qb AS (SELECT term, r.d AS d,
+        |  ('0x' || substr(md5('cms:' || CAST(r.d AS VARCHAR) || ':' || term), 1, 8))::UBIGINT::BIGINT % 1024 AS bucket
+        | FROM ex, range(0, 4) AS r(d)),
+        |est AS (SELECT term, CAST(min(coalesce(cnt, 0)) AS BIGINT) AS est
+        | FROM qb LEFT JOIN cm USING (d, bucket) GROUP BY term)
+        |SELECT term, n_exact, est, est - n_exact AS err
+        |FROM ex JOIN est USING (term) ORDER BY term""".stripMargin,
     "q_hybrid_search" -> {
       val cos = dr("list_dot_product(e2.v, q.v)/(e2.norm*q.norm)", 6)
       s"""WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,

@@ -109,4 +109,82 @@ object Sketches {
         q(99, 100).as("p99_tokens"))
       .orderBy("source")
   }
+
+  /** Count-min sketch over corpus tokens (Cormode & Muthukrishnan
+    * 2005): `depth` hash rows × `width` buckets of exact counts — the
+    * mergeable POINT-FREQUENCY artifact next to the HLL (distinct) and
+    * Misra-Gries (top-k) sketches: "how often does term X occur" for
+    * arbitrary later X, answered from depth×width integers with no
+    * corpus rescan, O(1/width) additive overestimate w.h.p.
+    *
+    * The row hashes are md5 prefixes ([[graft.functions
+    * .DeterministicHash.md5Prefix]] convention — universal, so ANY
+    * engine reproduces bucket assignment and therefore the EXACT
+    * estimates: unusually for a sketch, the estimator itself has a
+    * DuckDB oracle twin). Spark shape: one token explode × depth
+    * (a constant), then ONE partial-combined groupBy whose output is
+    * ≤ depth·width rows per partition before the exchange — hot terms
+    * collapse map-side. Partials from different shards/days merge by
+    * bucket-wise sum ([[cmsMerge]]; merge == direct asserted in
+    * spec). */
+  def cmsPartials(docs: DataFrame, depth: Int = 4, width: Int = 1024): DataFrame = {
+    require(depth >= 1 && depth <= 16, s"depth must be in [1,16], got $depth")
+    require(width >= 2, s"width must be >= 2, got $width")
+    docs.select(explode(split(lower(col("text")), " ", -1)).as("t"))
+      .select(col("t"), explode(expr(s"sequence(0, ${depth - 1})")).as("d"))
+      .withColumn("bucket", cmsBucket(col("d"), col("t"), width))
+      .groupBy("d", "bucket").agg(count(lit(1)).as("cnt"))
+      .orderBy("d", "bucket")
+  }
+
+  /** The single bucket-hash definition (callers and the estimator must
+    * agree or estimates silently break — the assignSplits lesson). */
+  private def cmsBucket(d: Column, t: Column, width: Int): Column =
+    (conv(substring(md5(concat_ws(":", lit("cms"), d, t)), 1, 8), 16, 10)
+      .cast("long") % width)
+
+  /** Merge sketch partials from several shards: bucket-wise sum —
+    * CMS's defining property (counts are linear). */
+  def cmsMerge(partials: Seq[DataFrame]): DataFrame = {
+    require(partials.nonEmpty, "cmsMerge needs at least one partial")
+    partials.reduce(_ unionByName _)
+      .groupBy("d", "bucket").agg(sum("cnt").as("cnt"))
+      .orderBy("d", "bucket")
+  }
+
+  /** Point-frequency estimates for a term set: est(t) = min over d of
+    * counter[d][h_d(t)] — never underestimates. The sketch is
+    * depth×width rows and rides a broadcast; the term set streams
+    * through narrowly. Terms the sketch never saw estimate ≥ 0 from
+    * whatever collisions their buckets hold (the CMS contract). */
+  def cmsEstimate(
+      partials: DataFrame, terms: DataFrame,
+      depth: Int = 4, width: Int = 1024): DataFrame =
+    terms.select(col("term")).distinct()
+      .select(col("term"), explode(expr(s"sequence(0, ${depth - 1})")).as("d"))
+      .withColumn("bucket", cmsBucket(col("d"), col("term"), width))
+      .join(broadcast(partials), Seq("d", "bucket"), "left")
+      .groupBy("term").agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+      .orderBy("term")
+
+  /** Sketch fidelity report (the [[graft.operators.Dedup
+    * .minhashCalibration]] posture): every corpus term's exact count
+    * next to its sketch estimate and the overestimate err ≥ 0 — the
+    * check a rollout runs before trusting a width. One exact
+    * term-keyed aggregation + the broadcast-sketch estimate join. */
+  def cmsCalibration(
+      docs: DataFrame, partials: DataFrame,
+      depth: Int = 4, width: Int = 1024): DataFrame = {
+    // exact feeds the report join AND the estimate's term set — the
+    // corpus aggregation must not re-execute per consumer
+    val exact = docs
+      .select(explode(split(lower(col("text")), " ", -1)).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("n_exact"))
+      .localCheckpoint()
+    exact.join(
+        cmsEstimate(partials, exact.select("term"), depth, width), Seq("term"))
+      .select(col("term"), col("n_exact"), col("est"),
+        (col("est") - col("n_exact")).as("err"))
+      .orderBy("term")
+  }
 }

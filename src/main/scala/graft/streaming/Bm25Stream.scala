@@ -1,0 +1,129 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.operators.Retrieval
+
+/** Streaming BM25 index maintenance: keep the inverted index current
+  * while documents ARRIVE, without ever re-tokenizing the lake — the
+  * streaming face of [[Retrieval.bm25IndexIncremental]] (whose batch
+  * form handles removals/changes via the snapshot diff; an append-only
+  * post-dedup-gate stream only adds).
+  *
+  * State layout is the [[RollupStream]] exactly-once trick applied to
+  * the index pair: `seed postings/meta + per-batch delta partitions`.
+  * Each micro-batch tokenizes ONLY its own documents and writes its
+  * postings and its one-row meta delta under `batch_id` partitions
+  * (dynamic overwrite — a RETRIED batch replaces its previous attempt
+  * instead of double-counting). Because BM25 serving recomputes df and
+  * avgdl from postings + meta at query time, a search served from
+  * `seed ∪ deltas` is provably identical to one served from a full
+  * rebuild over everything ingested so far — the measured driver
+  * entry seeds from half the corpus, streams the other half, and
+  * hash-matches the SAME full-corpus DuckDB oracle as q_bm25_search.
+  *
+  * Append-only contract: arriving doc_ids must be NEW (the upstream
+  * near-dup gate's job); replacing a doc needs the batch incremental
+  * path. Delta-partition growth is bounded by the standard compaction
+  * move (fold deltas into the seed between batches — the
+  * [[RollupStream.compact]] pattern; served values unchanged). */
+object Bm25Stream {
+
+  /** Seed (or rebuild) the persisted index pair. */
+  def seedIndex(docs: DataFrame, seedPath: String): Unit = {
+    val (postings, meta) = Retrieval.bm25Index(docs)
+    postings.write.mode("overwrite").parquet(s"$seedPath/postings")
+    meta.write.mode("overwrite").parquet(s"$seedPath/meta")
+  }
+
+  /** Launch maintenance over a streaming documents frame: each batch
+    * lands its delta postings + meta under its own batch_id
+    * partition. */
+  def indexMaintain(
+      newDocs: DataFrame,
+      deltaPath: String,
+      checkpoint: String): StreamingQuery =
+    newDocs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        val (p, m) = Retrieval.bm25Index(batch.toDF())
+        p.withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(s"$deltaPath/postings")
+        m.withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(s"$deltaPath/meta")
+      }
+      .start()
+
+  /** The live index pair: seed ∪ delta partitions (postings by union,
+    * meta by one tiny sum). A missing delta directory (fresh state)
+    * serves the seed alone. */
+  def liveIndex(
+      spark: SparkSession, seedPath: String,
+      deltaPath: String): (DataFrame, DataFrame) = {
+    val cols = Seq("term", "doc_id", "tf", "dl")
+    val seedP = spark.read.parquet(s"$seedPath/postings").select(cols.map(col): _*)
+    val seedM = spark.read.parquet(s"$seedPath/meta")
+      .select("n_docs", "tot_tokens")
+    val dp = new org.apache.hadoop.fs.Path(s"$deltaPath/postings")
+    val hasDeltas = dp
+      .getFileSystem(spark.sparkContext.hadoopConfiguration).exists(dp)
+    if (!hasDeltas) (seedP, seedM)
+    else {
+      val p = seedP.unionByName(
+        spark.read.parquet(s"$deltaPath/postings").select(cols.map(col): _*))
+      val m = seedM.unionByName(
+          spark.read.parquet(s"$deltaPath/meta").select("n_docs", "tot_tokens"))
+        .agg(sum("n_docs").as("n_docs"), sum("tot_tokens").as("tot_tokens"))
+      (p, m)
+    }
+  }
+
+  /** Serve a BM25 search over everything ingested so far. */
+  def serveSearch(
+      spark: SparkSession, seedPath: String, deltaPath: String,
+      queries: DataFrame, termsLiteral: Seq[String], k: Int = 10): DataFrame = {
+    val (p, m) = liveIndex(spark, seedPath, deltaPath)
+    Retrieval.bm25FromIndex(p, m, queries, termsLiteral, k = k)
+  }
+
+  /** Measured driver entry: seed from even doc_ids, stream the odd
+    * half through maintenance, serve the driver's query set — must
+    * hash-match the full-corpus q_bm25_search oracle. */
+  def searchMaintainRun(
+      spark: SparkSession, dir: String,
+      queries: DataFrame, termsLiteral: Seq[String]): DataFrame = {
+    val docs = graft.Tables.documents(spark, dir)
+    val root = java.nio.file.Files.createTempDirectory("graft_bm25_stream")
+    val src = root.resolve("src").toString
+    docs.filter(col("doc_id") % 2 =!= 0).write.mode("overwrite").parquet(src)
+    seedIndex(docs.filter(col("doc_id") % 2 === 0), root.resolve("seed").toString)
+
+    val q = indexMaintain(
+      spark.readStream.schema(docs.schema).parquet(src),
+      root.resolve("delta").toString,
+      root.resolve("ckpt").toString)
+    try q.processAllAvailable() finally q.stop()
+
+    val result = serveSearch(spark,
+        root.resolve("seed").toString, root.resolve("delta").toString,
+        queries, termsLiteral)
+      .localCheckpoint()
+    def rm(p: java.nio.file.Path): Unit = {
+      import scala.jdk.CollectionConverters._
+      if (java.nio.file.Files.exists(p)) {
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+      }
+    }
+    rm(root)
+    result
+  }
+}

@@ -493,6 +493,19 @@ class PlanRegressionSpec extends AnyFunSuite with SparkSessionTestBase {
     assert(!p.contains("Window ["))
   }
 
+  test("cms serves from the persisted counters; estimates broadcast the sketch") {
+    val p = plan("q_cms_build")
+    assert(p.contains("graft_cms_idx"),
+      "sketch must read the persisted counter artifact")
+    assert(!p.contains("documents.parquet"),
+      "the counter table must not rescan the corpus")
+    val pe = plan("q_cms_estimate")
+    // the depth×width sketch rides a broadcast into the estimate join;
+    // exact counts and estimates are partial-combined aggregations
+    assert(pe.contains("BroadcastHashJoin"))
+    assert(!pe.contains("Window ["))
+  }
+
   test("bm25 ranks through bounded graft_topk; df is a groupBy, never a term window") {
     val p = plan("q_bm25_search")
     // per-query rank must be the partial-combined top-k aggregate (the

@@ -121,4 +121,42 @@ class SkewAndApproxSpec extends AnyFunSuite with SparkSessionTestBase {
       Sketches.histQuantiles(Sketches.histPartials(docs)).collect()
         .map(_.toString).toSeq)
   }
+
+  test("count-min sketch never underestimates and is exact without collisions") {
+    import graft.operators.Sketches
+    val docs = Tables.documents(spark, sfDir)
+    val cal = Sketches.cmsCalibration(docs, Sketches.cmsPartials(docs)).collect()
+    assert(cal.nonEmpty)
+    // CMS contract: est >= exact, always
+    cal.foreach { r =>
+      assert(r.getAs[Long]("est") >= r.getAs[Long]("n_exact"),
+        s"underestimate at ${r.getString(0)}")
+      assert(r.getAs[Long]("err") === r.getAs[Long]("est") - r.getAs[Long]("n_exact"))
+    }
+    // a width far beyond the vocabulary has no collisions at the min
+    // row: every estimate is exact
+    val wide = Sketches.cmsCalibration(docs,
+      Sketches.cmsPartials(docs, width = 1 << 20), width = 1 << 20).collect()
+    assert(wide.forall(_.getAs[Long]("err") === 0L))
+  }
+
+  test("count-min partials merge bucket-wise: shard merge == direct build") {
+    import graft.operators.Sketches
+    val docs = Tables.documents(spark, sfDir)
+    val a = Sketches.cmsPartials(docs.filter(col("doc_id") % 2 === 0))
+    val b = Sketches.cmsPartials(docs.filter(col("doc_id") % 2 =!= 0))
+    val merged = Sketches.cmsMerge(Seq(a, b)).collect().map(_.toString).toSeq
+    val direct = Sketches.cmsPartials(docs).collect().map(_.toString).toSeq
+    assert(merged === direct)
+    // artifact round trip estimates identically
+    val dir = java.nio.file.Files.createTempDirectory("cms_idx").toString
+    Sketches.cmsPartials(docs).write.mode("overwrite").parquet(dir)
+    import spark.implicits._
+    val terms = Seq("scan", "dup", "never-seen-term").toDF("term")
+    val servedEst = Sketches.cmsEstimate(spark.read.parquet(dir), terms)
+      .collect().map(_.toString).toSeq
+    val freshEst = Sketches.cmsEstimate(Sketches.cmsPartials(docs), terms)
+      .collect().map(_.toString).toSeq
+    assert(servedEst === freshEst)
+  }
 }

@@ -462,6 +462,50 @@ class StreamingSpec extends AnyFunSuite with SparkSessionTestBase {
     assert(streamed.nonEmpty)
   }
 
+  test("stream-maintained BM25 index serves identically to a full rebuild") {
+    import spark.implicits._
+    import graft.streaming.Bm25Stream
+    val qs = Seq((0L, "dup scan"), (1L, "hash join"))
+      .toDF("query_id", "query_text")
+    val terms = Seq("dup", "scan", "hash", "join")
+    // driver-entry shape: seed evens, stream odds, serve
+    val streamed = graft.streaming.Bm25Stream
+      .searchMaintainRun(spark, sfDir, qs, terms)
+      .collect().map(_.toString).toSeq
+    // the driver entry indexes the full documents schema; equality vs
+    // the online full-corpus search is the stream == rebuild claim
+    val online = graft.operators.Retrieval
+      .bm25Search(Tables.documents(spark, sfDir), qs)
+      .collect().map(_.toString).toSeq
+    assert(streamed === online)
+    assert(streamed.nonEmpty)
+    // restart safety on a planted mini-corpus: same checkpoint replays
+    // nothing; a re-run must not double-count postings or meta
+    val root = java.nio.file.Files.createTempDirectory("bm25_retry")
+    val src = root.resolve("src").toString
+    val mini = Seq((1L, "aa bb"), (2L, "bb cc"), (3L, "cc"))
+      .toDF("doc_id", "text")
+    mini.write.mode("overwrite").parquet(src)
+    Bm25Stream.seedIndex(mini.limit(0), root.resolve("seed").toString)
+    def runOnce(): Unit = {
+      val q = Bm25Stream.indexMaintain(
+        spark.readStream.schema(mini.schema).parquet(src),
+        root.resolve("delta").toString, root.resolve("ckpt").toString)
+      try q.processAllAvailable() finally q.stop()
+    }
+    def serve() = Bm25Stream.serveSearch(spark,
+        root.resolve("seed").toString, root.resolve("delta").toString,
+        Seq((0L, "bb cc")).toDF("query_id", "query_text"), Seq("bb", "cc"))
+      .collect().map(_.toString).toSeq
+    runOnce()
+    val first = serve()
+    runOnce()
+    assert(serve() === first)
+    assert(first === graft.operators.Retrieval
+      .bm25Search(mini, Seq((0L, "bb cc")).toDF("query_id", "query_text"))
+      .collect().map(_.toString).toSeq)
+  }
+
   test("rollupMaintain is per-batch idempotent and restart-safe") {
     import spark.implicits._
     import graft.streaming.RollupStream
