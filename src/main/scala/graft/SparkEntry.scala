@@ -755,6 +755,23 @@ object SparkEntry {
       operators.Retrieval.mmrSelect(
         Tables.embeddings(s, d), queryId = 0L, k = 10, lambda = 0.7,
         poolSize = 64)),
+    // contrastive hard-negative mining: most-similar non-near-dup
+    // vectors per query — snapped cosines make the ceiling and the
+    // ranking engine-exact, full oracle
+    "q_hard_negatives" -> ((s, d) =>
+      operators.Retrieval.hardNegatives(
+        Tables.embeddings(s, d), Seq(0L, 1L, 2L, 3L), k = 10, dupCos = 0.8)),
+    // tokenizer fertility comparison across the two subword families,
+    // both serving from their persisted artifacts (rows-only: the
+    // tokenizers are)
+    "q_tokenizer_stats" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      operators.Bpe.fertilityStats(Seq(
+        "bpe" -> Bpe.tokenizeWithIndex(docs, bpeIndexShared(s, d))
+          .withColumnRenamed("n_bpe_tokens", "n_pieces"),
+        "unigram" -> Bpe.tokenizeWithIndex(docs, unigramIndexShared(s, d))
+          .withColumnRenamed("n_bpe_tokens", "n_pieces")))
+    }),
     // BPE subword tokenizer: merges learned from the bounded word-count
     // table (never the corpus), applied via a segmentation join.
     // rows-only: the greedy merge loop has no SQL twin; an independent
@@ -2263,6 +2280,21 @@ object SparkEntry {
     // the stream-maintained index serves against the same full-corpus
     // BM25 oracle — stream == rebuild, proven by hash
     "q_stream_bm25" -> bm25OracleSql,
+    "q_hard_negatives" -> {
+      val cos = dr("list_dot_product(e2.v, q.v)/(e2.norm*q.norm)", 6)
+      s"""WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         |  sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x*x))) AS norm
+         | FROM embeddings),
+         |cj AS (SELECT q.vec_id AS query_id, e2.vec_id AS vec_id, $cos AS cos_r
+         | FROM n q, n e2
+         | WHERE q.vec_id IN (0, 1, 2, 3) AND e2.vec_id <> q.vec_id),
+         |f AS (SELECT * FROM cj WHERE cos_r < 0.8),
+         |r AS (SELECT query_id, vec_id, cos_r, row_number() OVER
+         |  (PARTITION BY query_id ORDER BY cos_r DESC, vec_id) AS rank FROM f)
+         |SELECT query_id, CAST(rank AS INTEGER) AS rank, vec_id,
+         | CAST(cos_r AS DOUBLE) AS cos_sim
+         |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+    },
     // the CMS counter table is fully deterministic (md5-prefix row
     // hashes), so the sketch itself oracle-matches
     "q_cms_build" ->

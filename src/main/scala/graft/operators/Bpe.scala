@@ -146,4 +146,41 @@ object Bpe {
           .as("n_bpe_tokens"),
         sum(length(col("word"))).as("n_word_chars"))
       .orderBy("doc_id")
+
+  /** Tokenizer FERTILITY comparison — the eval a tokenizer choice is
+    * made on (pieces per word, chars per piece; lower fertility =
+    * better compression at equal vocab): one summary row per
+    * tokenizer from its per-doc tokenize frame (any frame with
+    * n_words / n_pieces / n_word_chars columns — both
+    * [[tokenizeWithIndex]] families qualify after a rename). Ratios
+    * are exact rationals reported via half-up integer micro snaps
+    * (the classifierEval pattern), so rows are engine-stable;
+    * rows-only only because the tokenizers themselves are. */
+  def fertilityStats(tokenized: Seq[(String, DataFrame)]): DataFrame = {
+    require(tokenized.nonEmpty, "fertilityStats needs at least one tokenizer")
+    tokenized.map { case (name, df) =>
+      df.agg(
+          count(lit(1)).as("n_docs"),
+          coalesce(sum("n_words"), lit(0L)).as("n_words"),
+          coalesce(sum("n_pieces"), lit(0L)).as("n_pieces"),
+          coalesce(sum("n_word_chars"), lit(0L)).as("n_chars"))
+        .select(lit(name).as("tokenizer"), col("n_docs"), col("n_words"),
+          col("n_pieces"), col("n_chars"))
+    }.reduce(_ unionByName _)
+      .withColumn("pieces_per_word_m", expr(
+        """CASE WHEN n_words = 0 THEN NULL ELSE
+          | (CAST(n_pieces AS DECIMAL(38,0)) * 2000000 + n_words)
+          |  div (CAST(n_words AS DECIMAL(38,0)) * 2) END""".stripMargin))
+      .withColumn("chars_per_piece_m", expr(
+        """CASE WHEN n_pieces = 0 THEN NULL ELSE
+          | (CAST(n_chars AS DECIMAL(38,0)) * 2000000 + n_pieces)
+          |  div (CAST(n_pieces AS DECIMAL(38,0)) * 2) END""".stripMargin))
+      .select(col("tokenizer"), col("n_docs"), col("n_words"), col("n_pieces"),
+        col("n_chars"),
+        round(col("pieces_per_word_m").cast("double") / 1e6, 6)
+          .as("pieces_per_word"),
+        round(col("chars_per_piece_m").cast("double") / 1e6, 6)
+          .as("chars_per_piece"))
+      .orderBy("tokenizer")
+  }
 }

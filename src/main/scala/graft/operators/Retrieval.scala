@@ -227,6 +227,36 @@ object Retrieval {
       .orderBy("query_id", "rank")
   }
 
+  /** Hard-negative mining for contrastive training (the DPR/SimCSE
+    * data-prep step): for each query vector, the k MOST similar
+    * corpus vectors that are NOT near-duplicates — similar enough to
+    * be hard, not so similar they're probably unlabeled positives
+    * (the `dupCos` ceiling; production stacks also exclude labeled
+    * positives, which this corpus doesn't have). One corpus pass:
+    * broadcast query set → codegen graft_dot → narrow ceiling filter
+    * → bounded graft_topk rank. Snapped cosines keep the ceiling
+    * comparison and ranking engine-exact, so the whole mining run has
+    * a DuckDB oracle twin. */
+  def hardNegatives(
+      emb: DataFrame, queryIds: Seq[Long], k: Int = 10,
+      dupCos: Double = 0.8): DataFrame = {
+    graft.functions.VectorFunctions.register(emb.sparkSession)
+    val e = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("norm", expr("sqrt(graft_dot(v, v))"))
+    val q = e.filter(col("vec_id").isInCollection(queryIds))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm").as("qn"))
+    e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos_r", round(expr("graft_dot(v, qv)") / (col("norm") * col("qn")), 6))
+      .filter(col("cos_r") < lit(dupCos))
+      .groupBy("query_id")
+      .agg(expr(s"graft_topk(cos_r, vec_id, $k)").as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("idx", "s")))
+      .select(col("query_id"), (col("idx") + 1).cast("int").as("rank"),
+        col("s.id").as("vec_id"), col("s.score").as("cos_sim"))
+      .orderBy("query_id", "rank")
+  }
+
   /** Maximal-marginal-relevance diverse selection (Carbonell &
     * Goldstein 1998): greedily pick `k` vectors trading query
     * relevance against redundancy with the already-picked set —

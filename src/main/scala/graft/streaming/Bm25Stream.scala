@@ -38,32 +38,57 @@ object Bm25Stream {
     meta.write.mode("overwrite").parquet(s"$seedPath/meta")
   }
 
+  /** Compaction watermark: batches with id ≤ this are folded into the
+    * seed — a late retry must not re-write its delta, and serving must
+    * exclude any stale delta partition (the [[RollupStream]]
+    * contract; the marker lives inside the seed dir so [[compact]]'s
+    * rename swap commits index + watermark atomically). */
+  private def foldedMarker(seedPath: String) =
+    new org.apache.hadoop.fs.Path(seedPath + "/_folded_through")
+
+  private def foldedThrough(spark: SparkSession, seedPath: String): Long = {
+    val p = foldedMarker(seedPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) -1L
+    else {
+      val in = fs.open(p)
+      try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+      finally in.close()
+    }
+  }
+
   /** Launch maintenance over a streaming documents frame: each batch
-    * lands its delta postings + meta under its own batch_id
-    * partition. */
+    * lands its delta postings + meta under its own batch_id partition;
+    * batches at or below the seed's compaction watermark are skipped
+    * (already folded in). */
   def indexMaintain(
       newDocs: DataFrame,
+      seedPath: String,
       deltaPath: String,
       checkpoint: String): StreamingQuery =
     newDocs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-        val (p, m) = Retrieval.bm25Index(batch.toDF())
-        p.withColumn("batch_id", lit(batchId))
-          .write.mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("batch_id")
-          .parquet(s"$deltaPath/postings")
-        m.withColumn("batch_id", lit(batchId))
-          .write.mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("batch_id")
-          .parquet(s"$deltaPath/meta")
+        if (batchId > foldedThrough(batch.sparkSession, seedPath)) {
+          val (p, m) = Retrieval.bm25Index(batch.toDF())
+          p.withColumn("batch_id", lit(batchId))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(s"$deltaPath/postings")
+          m.withColumn("batch_id", lit(batchId))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(s"$deltaPath/meta")
+        }
       }
       .start()
 
-  /** The live index pair: seed ∪ delta partitions (postings by union,
-    * meta by one tiny sum). A missing delta directory (fresh state)
+  /** The live index pair: seed ∪ delta partitions above the
+    * compaction watermark (postings by union, meta by one tiny sum).
+    * A missing delta directory (fresh state, or just compacted)
     * serves the seed alone. */
   def liveIndex(
       spark: SparkSession, seedPath: String,
@@ -77,13 +102,57 @@ object Bm25Stream {
       .getFileSystem(spark.sparkContext.hadoopConfiguration).exists(dp)
     if (!hasDeltas) (seedP, seedM)
     else {
+      val folded = foldedThrough(spark, seedPath)
       val p = seedP.unionByName(
-        spark.read.parquet(s"$deltaPath/postings").select(cols.map(col): _*))
+        spark.read.parquet(s"$deltaPath/postings")
+          .filter(col("batch_id").cast("long") > folded)
+          .select(cols.map(col): _*))
       val m = seedM.unionByName(
-          spark.read.parquet(s"$deltaPath/meta").select("n_docs", "tot_tokens"))
+          spark.read.parquet(s"$deltaPath/meta")
+            .filter(col("batch_id").cast("long") > folded)
+            .select("n_docs", "tot_tokens"))
         .agg(sum("n_docs").as("n_docs"), sum("tot_tokens").as("tot_tokens"))
       (p, m)
     }
+  }
+
+  /** Fold accumulated delta partitions into a fresh seed so delta
+    * state stays bounded over the stream's lifetime — the
+    * [[RollupStream.compact]] move applied to the index pair: write
+    * the merged postings/meta + the new watermark under `seed__maint`,
+    * rename-swap over the seed (crash-safe: a missing live seed fails
+    * the next serve LOUDLY rather than under-counting), clear deltas.
+    * Served results unchanged by construction — spec asserts
+    * bit-equality across a compaction. */
+  def compact(spark: SparkSession, seedPath: String, deltaPath: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val dp = new Path(s"$deltaPath/postings")
+    val fs = dp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dp)) return // nothing to fold
+    val maxBatch = spark.read.parquet(s"$deltaPath/postings")
+      .agg(max(col("batch_id").cast("long"))).head() match {
+        case r if r.isNullAt(0) => -1L
+        case r => r.getLong(0)
+      }
+    val (p, m) = liveIndex(spark, seedPath, deltaPath)
+    val (pc, mc) = (p.localCheckpoint(), m.localCheckpoint())
+    val tmp = seedPath + "__maint"
+    pc.write.mode("overwrite").parquet(s"$tmp/postings")
+    mc.write.mode("overwrite").parquet(s"$tmp/meta")
+    val newFolded = math.max(maxBatch, foldedThrough(spark, seedPath))
+    if (newFolded >= 0) {
+      val out = fs.create(new Path(tmp + "/_folded_through"), true)
+      try out.write(newFolded.toString
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
+    val live = new Path(seedPath)
+    fs.delete(live, true)
+    if (!fs.rename(new Path(tmp), live))
+      throw new java.io.IOException(
+        s"bm25 compact: rename $tmp -> $seedPath failed; " +
+          "the complete folded index remains under the maint path")
+    fs.delete(new Path(deltaPath), true): Unit
   }
 
   /** Serve a BM25 search over everything ingested so far. */
@@ -108,6 +177,7 @@ object Bm25Stream {
 
     val q = indexMaintain(
       spark.readStream.schema(docs.schema).parquet(src),
+      root.resolve("seed").toString,
       root.resolve("delta").toString,
       root.resolve("ckpt").toString)
     try q.processAllAvailable() finally q.stop()

@@ -159,6 +159,47 @@ class RetrievalSpec extends AnyFunSuite with SparkSessionTestBase {
     assert(got === want)
   }
 
+  test("hardNegatives drops self and near-duplicates, keeps the hardest rest") {
+    import spark.implicits._
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),   // query
+      (1L, Array(0.999f, 0.01f, 0.0f)),// near-dup of the query (cos ~1)
+      (2L, Array(0.8f, 0.6f, 0.0f)),   // hard negative
+      (3L, Array(0.5f, 0.85f, 0.0f)),  // medium
+      (4L, Array(0.0f, 0.0f, 1.0f)))   // easy
+      .toDF("vec_id", "embedding")
+    val out = Retrieval.hardNegatives(emb, Seq(0L), k = 10, dupCos = 0.95)
+      .collect().map(r => (r.getInt(1), r.getLong(2))).toSeq
+    // the near-dup (1) is excluded by the ceiling; order is hardest
+    // first among survivors
+    assert(out.map(_._2) === Seq(2L, 3L, 4L))
+    assert(out.map(_._1) === Seq(1, 2, 3))
+    // with the ceiling at 1.0 the near-dup would lead
+    val loose = Retrieval.hardNegatives(emb, Seq(0L), k = 10, dupCos = 1.1)
+      .collect().map(_.getLong(2)).toSeq
+    assert(loose === Seq(1L, 2L, 3L, 4L))
+  }
+
+  test("fertilityStats reports exact rational ratios per tokenizer") {
+    import spark.implicits._
+    val a = Seq((1L, 2L, 5L, 9L), (2L, 1L, 2L, 4L))
+      .toDF("doc_id", "n_words", "n_pieces", "n_word_chars")
+    val b = Seq((1L, 3L, 3L, 12L))
+      .toDF("doc_id", "n_words", "n_pieces", "n_word_chars")
+    val rows = graft.operators.Bpe.fertilityStats(Seq("a" -> a, "b" -> b))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getDouble(5), r.getDouble(6))).toMap
+    // a: 3 words, 7 pieces, 13 chars → 7/3 = 2.333333 (half-up micro),
+    // 13/7 = 1.857143
+    assert(rows("a") === ((2L, 3L, 7L, 13L, 2.333333, 1.857143)))
+    assert(rows("b") === ((1L, 3L, 3L, 12L, 1.0, 4.0)))
+    // empty tokenize frame degrades to zero counts and NULL ratios
+    val e = a.limit(0)
+    val er = graft.operators.Bpe.fertilityStats(Seq("e" -> e)).collect().head
+    assert(er.getLong(2) === 0L && er.isNullAt(5) && er.isNullAt(6))
+  }
+
   test("flagContaminatedFuzzy flags planted near-dups of the eval set") {
     import spark.implicits._
     val benchText = (0 until 40).map(i => s"tok${i}").mkString(" ")

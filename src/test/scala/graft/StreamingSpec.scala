@@ -487,10 +487,11 @@ class StreamingSpec extends AnyFunSuite with SparkSessionTestBase {
       .toDF("doc_id", "text")
     mini.write.mode("overwrite").parquet(src)
     Bm25Stream.seedIndex(mini.limit(0), root.resolve("seed").toString)
-    def runOnce(): Unit = {
+    def runOnce(ckpt: String = root.resolve("ckpt").toString): Unit = {
       val q = Bm25Stream.indexMaintain(
         spark.readStream.schema(mini.schema).parquet(src),
-        root.resolve("delta").toString, root.resolve("ckpt").toString)
+        root.resolve("seed").toString,
+        root.resolve("delta").toString, ckpt)
       try q.processAllAvailable() finally q.stop()
     }
     def serve() = Bm25Stream.serveSearch(spark,
@@ -503,6 +504,23 @@ class StreamingSpec extends AnyFunSuite with SparkSessionTestBase {
     assert(serve() === first)
     assert(first === graft.operators.Retrieval
       .bm25Search(mini, Seq((0L, "bb cc")).toDF("query_id", "query_text"))
+      .collect().map(_.toString).toSeq)
+    // compaction folds deltas into the seed without changing results
+    Bm25Stream.compact(spark,
+      root.resolve("seed").toString, root.resolve("delta").toString)
+    assert(serve() === first)
+    assert(!java.nio.file.Files.exists(root.resolve("delta")))
+    // a replayed batch at or below the watermark (fresh checkpoint,
+    // same files) is skipped — the folded seed already carries it
+    runOnce(root.resolve("ckpt2").toString)
+    assert(serve() === first)
+    // genuinely new arrivals through the original lineage still count
+    val extra = Seq((9L, "bb zz")).toDF("doc_id", "text")
+    extra.write.mode("append").parquet(src)
+    runOnce()
+    assert(serve() === graft.operators.Retrieval
+      .bm25Search(mini.unionByName(extra),
+        Seq((0L, "bb cc")).toDF("query_id", "query_text"))
       .collect().map(_.toString).toSeq)
   }
 
