@@ -932,6 +932,20 @@ object SparkEntry {
         threshold = 0.35)
     }),
     "q_curation_pipeline" -> ((s, d) => Curation.curationPipeline(Tables.documents(s, d))),
+    // the END-TO-END corpus build: one call → per-doc disposition
+    // (exact dedup → near-dup components → decontamination → quality →
+    // split/shard), every stage the oracle-proven formulation, so the
+    // WHOLE BUILD hash-matches DuckDB (incl. the recursive-CTE
+    // connected components)
+    "q_corpus_build" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Curation.corpusBuild(docs, docs.filter(col("doc_id") < 25))
+    }),
+    "q_corpus_build_report" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Curation.corpusBuildReport(
+        Curation.corpusBuild(docs, docs.filter(col("doc_id") < 25)))
+    }),
     "q_dedup_clusters" -> ((s, d) =>
       Dedup.duplicateClustersFromLabels(duplicateLabelsShared(s, d))
         .drop("members")),
@@ -1027,6 +1041,74 @@ object SparkEntry {
        | FROM tf JOIN qt USING (term) JOIN dfq USING (term) JOIN dl USING (doc_id), meta
        | GROUP BY qt.query_id, tf.doc_id)""".stripMargin
   }
+
+  /** The corpus-build disposition as one DuckDB query: exact
+    * ownership, recursive-CTE connected components over the
+    * ngram-jaccard pairs of the exact survivors, benchmark gram
+    * overlap, the Gopher keep rule, and the md5-prefix split/shard
+    * hashes — each the already-proven standalone mirror. */
+  private val corpusBuildCte: String =
+    """own AS (SELECT md5(text) AS h, min(doc_id) AS doc_id FROM documents GROUP BY 1),
+      |s1 AS (SELECT d.* FROM documents d JOIN (SELECT doc_id FROM own) o USING (doc_id)),
+      |t AS (SELECT doc_id, lang, string_split(lower(text), ' ') AS w FROM s1),
+      |g AS (SELECT doc_id, lang,
+      |  list_distinct(list_transform(range(1, len(w)-1),
+      |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS grams
+      | FROM t WHERE len(w) >= 3),
+      |gs AS (SELECT doc_id, lang, grams, len(grams) AS sz FROM g),
+      |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      | FROM gs a JOIN gs b ON a.lang = b.lang AND a.doc_id < b.doc_id
+      |  AND a.sz >= 0.3 * b.sz AND b.sz >= 0.3 * a.sz
+      | WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+      |    / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.3),
+      |e AS (SELECT doc_a AS u, doc_b AS v FROM p UNION SELECT doc_b, doc_a FROM p),
+      |reach(id, r) AS (
+      | SELECT u, u FROM e
+      | UNION
+      | SELECT e.u, reach.r FROM e JOIN reach ON e.v = reach.id),
+      |near AS (SELECT id AS doc_id FROM
+      |  (SELECT id, min(r) AS label FROM reach GROUP BY id) WHERE id <> label),
+      |dw AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+      |dgrams AS (SELECT doc_id, list_distinct(list_transform(range(1, len(w)-3),
+      |   i -> w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||w[i+4])) AS grams
+      | FROM dw WHERE len(w) >= 5),
+      |bg AS (SELECT DISTINCT unnest(grams) AS gr FROM dgrams WHERE doc_id < 25),
+      |hits AS (SELECT DISTINCT doc_id FROM
+      |  (SELECT doc_id, unnest(grams) AS gr FROM dgrams) dg JOIN bg USING (gr)),
+      |tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tokk FROM documents),
+      |pt AS (SELECT doc_id, tokk, count(*) AS n FROM tok GROUP BY 1, 2),
+      |qa AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_words,
+      |  CAST(sum(CASE WHEN regexp_matches(tokk, '[a-z]') THEN n ELSE 0 END) AS BIGINT) AS n_alpha,
+      |  CAST(sum(n * length(tokk)) AS BIGINT) AS len_sum,
+      |  count(CASE WHEN tokk IN ('the','be','to','of','and','that','have','with')
+      |        THEN 1 END) AS n_stop_hits
+      | FROM pt GROUP BY doc_id),
+      |qd AS (SELECT doc_id, length(text) - length(replace(text, '#', '')) AS n_hash,
+      |  (length(text) - length(replace(text, '...', ''))) // 3 AS n_ellipsis
+      | FROM documents),
+      |q AS (SELECT qa.doc_id,
+      |  (n_words BETWEEN 20 AND 100000
+      |   AND CAST(len_sum AS DOUBLE) / n_words >= 3.0
+      |   AND CAST(len_sum AS DOUBLE) / n_words <= 10.0
+      |   AND CAST(n_hash + n_ellipsis AS DOUBLE) / n_words <= 0.1
+      |   AND CAST(n_alpha AS DOUBLE) / n_words >= 0.8
+      |   AND n_stop_hits >= 1) AS keep
+      | FROM qa JOIN qd USING (doc_id)),
+      |st AS (SELECT d.doc_id,
+      |  CASE WHEN o2.doc_id IS NULL THEN 'dup_exact'
+      |       WHEN near.doc_id IS NOT NULL THEN 'dup_near'
+      |       WHEN hits.doc_id IS NOT NULL THEN 'contaminated'
+      |       WHEN NOT q.keep THEN 'low_quality'
+      |       ELSE 'kept' END AS status
+      | FROM documents d
+      | LEFT JOIN (SELECT doc_id FROM own) o2 USING (doc_id)
+      | LEFT JOIN near USING (doc_id)
+      | LEFT JOIN hits USING (doc_id)
+      | JOIN q USING (doc_id)),
+      |fin AS (SELECT doc_id, status,
+      |  ('0x' || substr(md5('graft-split-v1:' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT % 100 AS bucket,
+      |  CAST(('0x' || substr(md5('shard-v1:' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT AS BIGINT) % 8 AS shard
+      | FROM st)""".stripMargin
 
   /** Full BM25 oracle over the driver's literal query set (shared by
     * the online and persisted-index forms — bit-equal by spec). */
@@ -2270,6 +2352,18 @@ object SparkEntry {
         |    // (CAST(n_pos AS HUGEINT) * n_neg * 4)
         |  END AS DOUBLE) / 1e6, 6) AS DOUBLE) AS auc
         |FROM fin""".stripMargin,
+    "q_corpus_build" ->
+      s"""WITH RECURSIVE $corpusBuildCte
+         |SELECT doc_id, status,
+         | CASE WHEN status = 'kept' THEN
+         |   CASE WHEN bucket < 90 THEN 'train'
+         |        WHEN bucket < 95 THEN 'val' ELSE 'test' END END AS split,
+         | CASE WHEN status = 'kept' THEN shard END AS shard
+         |FROM fin ORDER BY doc_id""".stripMargin,
+    "q_corpus_build_report" ->
+      s"""WITH RECURSIVE $corpusBuildCte
+         |SELECT status, CAST(count(*) AS BIGINT) AS n_docs
+         |FROM fin GROUP BY status ORDER BY status""".stripMargin,
     "q_bm25_search" -> bm25OracleSql,
     // the serving path is output-identical by construction (spec
     // asserts bit-equality) — same oracle

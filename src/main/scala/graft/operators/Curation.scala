@@ -451,6 +451,92 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** END-TO-END corpus construction: one call takes a raw document
+    * table to a per-document training disposition — the operator a
+    * pipeline runs nightly to BUILD the corpus, composed entirely
+    * from the library's oracle-proven stage formulations so the whole
+    * build itself has a DuckDB oracle twin:
+    *
+    *   1. exact dedup — first occurrence (min doc_id) per md5(text)
+    *      owns the payload; later copies → `dup_exact`
+    *   2. near-dup resolution over the exact survivors — ngramJaccard
+    *      candidate pairs → star-contraction components → the
+    *      component minimum survives; others → `dup_near`
+    *   3. benchmark decontamination — any doc sharing a word n-gram
+    *      with the eval set → `contaminated` (running the benchmark
+    *      docs through the build marks THEM contaminated too — eval
+    *      data never reaches training, the intended semantics)
+    *   4. Gopher quality rules — failing docs → `low_quality`
+    *   5. survivors → `kept` with deterministic split + shard
+    *      assignments (md5-prefix hashes, engine-reproducible)
+    *
+    * Precedence is first-fail in stage order (a doc that is both a
+    * near-dup and low quality reports `dup_near` — the
+    * curationPipeline convention). Scale shape: every stage is the
+    * already-audited formulation (partial-combined exact ownership,
+    * bucketed candidate pairs — never all-pairs, O(log² n)
+    * star-contraction rounds, broadcast benchmark grams, one
+    * token-keyed quality aggregation); the final assembly is slim
+    * doc_id-keyed joins. Output: (doc_id, status, split, shard) —
+    * split/shard NULL unless kept. */
+  def corpusBuild(
+      docs: DataFrame, benchmark: DataFrame,
+      contamN: Int = 5, minWords: Int = 20, minStopHits: Int = 1,
+      splitWeights: Seq[(String, Int)] =
+        Seq("train" -> 90, "val" -> 5, "test" -> 5),
+      nShards: Int = 8): DataFrame = {
+    // stage 1 — exact ownership via a partial-combined min aggregate
+    // (the curationPipeline shape: a window over the content hash
+    // would land every copy of one hot payload in a single task; no
+    // join back on the hash either — a doc is a duplicate iff its own
+    // id won no hash group). Feeds the survivor semi-join AND the
+    // final disposition join.
+    val owners = docs
+      .select(md5(col("text")).as("h"), col("doc_id"))
+      .groupBy("h").agg(min("doc_id").as("doc_id"))
+      .select(col("doc_id"), lit(true).as("is_owner"))
+      .localCheckpoint()
+    // stage 2 — near-dup components over exact survivors only (exact
+    // copies would otherwise re-flag as trivial near-dups)
+    val s1 = docs.join(owners.select("doc_id"), Seq("doc_id"), "left_semi")
+    val nearDropped = Dedup
+      .duplicateLabelsStar(Dedup.ngramJaccard(s1).select("doc_a", "doc_b"))
+      .filter(col("id") =!= col("label"))
+      .select(col("id").as("doc_id"), lit(true).as("dup_near"))
+    // stages 3 + 4 — flags over the full corpus; precedence decides
+    val contam = flagContaminated(docs, benchmark, contamN)
+      .select(col("doc_id"), col("contaminated"))
+    val quality = TextAnalysis
+      .gopherRules(docs, minWords = minWords, minStopHits = minStopHits)
+      .select(col("doc_id"), col("keep"))
+    val status = docs.select("doc_id")
+      .join(owners, Seq("doc_id"), "left")
+      .join(nearDropped, Seq("doc_id"), "left")
+      .join(contam, Seq("doc_id"))
+      .join(quality, Seq("doc_id"))
+      .withColumn("status",
+        when(col("is_owner").isNull, lit("dup_exact"))
+          .when(coalesce(col("dup_near"), lit(false)), lit("dup_near"))
+          .when(col("contaminated"), lit("contaminated"))
+          .when(!col("keep"), lit("low_quality"))
+          .otherwise(lit("kept")))
+    val shard = graft.functions.DeterministicHash
+      .md5Prefix("shard-v1", col("doc_id")) % nShards
+    assignSplits(status, weights = splitWeights)
+      .select(col("doc_id"), col("status"),
+        when(col("status") === "kept", col("split"))
+          .otherwise(lit(null).cast("string")).as("split"),
+        when(col("status") === "kept", shard)
+          .otherwise(lit(null).cast("long")).as("shard"))
+      .orderBy("doc_id")
+  }
+
+  /** Attrition report over a [[corpusBuild]] result: docs per
+    * disposition (the numbers a corpus-build run is reviewed on). */
+  def corpusBuildReport(built: DataFrame): DataFrame =
+    built.groupBy("status").agg(count(lit(1)).as("n_docs"))
+      .orderBy("status")
+
   /** FUZZY benchmark decontamination: flag training docs that are
     * MinHash NEAR-duplicates of any benchmark doc — the overlap mode
     * exact n-gram matching misses (paraphrased eval items, reformatted

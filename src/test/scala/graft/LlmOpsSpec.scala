@@ -1683,4 +1683,55 @@ class LlmOpsSpec extends AnyFunSuite with SparkSessionTestBase {
     assert(out.map(_.getLong(0)).toSeq === naive.map(_._1).toSeq)
     assert(out.map(_.getAs[Double]("cos_centroid")).toSeq === naive.map(_._2).toSeq)
   }
+
+  test("corpusBuild assigns first-fail dispositions with stage precedence") {
+    import spark.implicits._
+    val goodText = "the fast data scan runs with the big table and " +
+      "that query plan works with the small filter stage to have " +
+      "sort merge join order parts of all rows done well here now"
+    // 0: benchmark/eval doc; 10: exact copy of 11 (both good text +
+    // salt); 12: near-dup of 11 (one word changed); 13: clean good;
+    // 14: low quality (too short); 15: contaminated (contains the
+    // benchmark text); 16: near-dup of 11 AND low-stopword — must
+    // report dup_near (precedence)
+    val near = goodText.replace("merge", "weld") + " alpha beta gamma"
+    val base = goodText + " alpha beta gamma"
+    // distinct vocabulary → no shared trigrams with the goodText family
+    val distinct = "the red green blue cyan magenta yellow black white " +
+      "gray pink brown amber coral ivory jade lilac mauve olive pearl " +
+      "ruby teal umber violet"
+    val docs = Seq(
+      (0L, goodText, "en", "src0"),
+      (10L, base, "en", "src0"),
+      (11L, base, "en", "src0"),
+      (12L, near, "en", "src0"),
+      (13L, distinct, "en", "src1"),
+      (14L, "tiny doc here", "en", "src1"),
+      (15L, "prefix words " + goodText, "en", "src1"))
+      .toDF("doc_id", "text", "lang", "source")
+    val out = Curation.corpusBuild(docs, docs.filter($"doc_id" === 0L))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // 0 survives its near-dup cluster (component min) but is the eval
+    // doc → contaminated: eval data never reaches training
+    assert(out(0L) === "contaminated")
+    assert(out(10L) === "dup_near") // clustered under survivor 0
+    assert(out(11L) === "dup_exact") // 10 < 11 owns the payload
+    assert(out(12L) === "dup_near")
+    assert(out(13L) === "kept") // disjoint vocabulary, passes quality
+    assert(out(14L) === "low_quality")
+    assert(out(15L) === "dup_near") // precedence: near-dup before contaminated
+    // split/shard: null unless kept; kept rows match the standalone
+    // assignment operators
+    val rows = Curation.corpusBuild(docs, docs.filter($"doc_id" === 0L)).collect()
+    rows.foreach { r =>
+      if (r.getString(1) == "kept") {
+        assert(!r.isNullAt(2) && !r.isNullAt(3))
+      } else assert(r.isNullAt(2) && r.isNullAt(3))
+    }
+    val report = Curation.corpusBuildReport(
+      Curation.corpusBuild(docs, docs.filter($"doc_id" === 0L)))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(report.values.sum === docs.count())
+    assert(report("dup_exact") === 1L)
+  }
 }
