@@ -826,6 +826,14 @@ object SparkEntry {
     "q_late_priority" -> ((s, d) =>
       Purchases.latePriorityCounts(Tables.orders(s, d), Tables.lineitem(s, d))),
     "q_copurchase" -> ((s, d) => Purchases.coPurchasePairs(Tables.lineitem(s, d))),
+    // product centrality: integer-arithmetic PageRank over the full
+    // co-purchase graph — bit-deterministic across partitionings, so
+    // rows-only only because the oracle cannot express the iteration
+    // (SQL forbids aggregates in recursive terms); pinned against an
+    // independent local integer PageRank in spec
+    "q_product_rank" -> ((s, d) =>
+      operators.Graph.pageRank(
+        Purchases.coPurchaseGraph(Tables.lineitem(s, d), minCount = 2L))),
     "q_basket_rules" -> ((s, d) => Purchases.basketRules(Tables.lineitem(s, d))),
     "q_funnel" -> ((s, d) => Etl.funnelConversion(Tables.events(s, d))),
     "q_substitutes" -> ((s, d) =>

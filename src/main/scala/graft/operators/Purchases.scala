@@ -175,6 +175,14 @@ object Purchases {
       .orderBy(col("n_orders").desc, col("part_a"), col("part_b"))
       .limit(k)
 
+  /** The full weighted co-purchase GRAPH (no top-k cut): one basket
+    * pass, pair-keyed partial-combined counts — the bounded
+    * product-graph input for [[Graph.pageRank]] centrality. */
+  def coPurchaseGraph(lineitem: DataFrame, minCount: Long = 1L): DataFrame =
+    basketPairCounts(orderBaskets(lineitem), "w")
+      .filter(col("w") >= minCount)
+      .select(col("part_a").as("src"), col("part_b").as("dst"), col("w"))
+
   /** Market-basket association rules: support / confidence / lift for
     * the most frequent unordered co-purchase pairs. Builds on the
     * [[coPurchasePairs]] shape (order-keyed self-join over distinct

@@ -125,4 +125,63 @@ class PurchasesSpec extends AnyFunSuite with SparkSessionTestBase {
     assert(gz.map(_.getAs[Long]("store_id")).sorted.toSeq ===
       plain.map(_.getAs[Long]("store_id")).sorted.toSeq)
   }
+
+  // ---- Graph.pageRank ----
+
+  /** Independent local mirror of the operator's exact integer
+    * arithmetic. */
+  private def localPageRank(
+      edges: Seq[(Long, Long, Long)], damping: Double, iters: Int): Map[Long, Long] = {
+    val dPpm = math.round(damping * 1e6)
+    val scale = 1000000000000L
+    val sym = (edges.map { case (a, b, w) => ((a, b), w) } ++
+      edges.map { case (a, b, w) => ((b, a), w) })
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sum }
+    val wout = sym.groupBy(_._1._1).map { case (s, es) => s -> es.values.sum }
+    val pPpm = sym.map { case ((s, d), w) =>
+      (s, d) -> (w * 2000000L + wout(s)) / (wout(s) * 2L) }
+    val nodes = sym.keys.map(_._1).toSeq.distinct.sorted
+    val n = nodes.size
+    val teleport = ((1000000L - dPpm) * (scale / n)) / 1000000L
+    var r = nodes.map(_ -> scale / n).toMap
+    for (_ <- 1 to iters) {
+      val inflow = pPpm.toSeq
+        .map { case ((s, d), p) => d -> ((p * r(s) * 2L + 1000000L) / 2000000L) }
+        .groupBy(_._1).map { case (d, cs) => d -> cs.map(_._2).sum }
+      r = nodes.map(v => v ->
+        (teleport + (inflow.getOrElse(v, 0L) * dPpm * 2L + 1000000L) / 2000000L)).toMap
+    }
+    r.map { case (k, v) => k -> (v * 2L + 1000000L) / 2000000L }
+  }
+
+  test("pageRank matches the independent local integer implementation exactly") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L, 3L), (2L, 3L, 1L), (1L, 3L, 2L), (3L, 4L, 5L),
+      (5L, 6L, 1L)) // two components, weighted
+    val got = graft.operators.Graph.pageRank(edges.toDF("src", "dst", "w"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === localPageRank(edges, 0.85, 10))
+    // determinism across partitioning: a repartitioned edge frame
+    // yields bit-identical ranks
+    val got2 = graft.operators.Graph.pageRank(
+      edges.toDF("src", "dst", "w").repartition(7))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got2 === got)
+  }
+
+  test("pageRank ranks a star center above its leaves; mass is conserved") {
+    import spark.implicits._
+    val star = (2L to 9L).map(i => (1L, i, 1L))
+    val out = graft.operators.Graph.pageRank(star.toDF("src", "dst", "w")).collect()
+    assert(out.head.getLong(0) === 1L, "hub must rank first")
+    val total = out.map(_.getLong(1)).sum
+    // integer truncation loses a little mass; ranking-level conservation
+    assert(math.abs(total - 1000000L) < 100L)
+    // identity snap: rank == rank_micro at its own scale
+    out.foreach(r =>
+      assert(math.abs(r.getDouble(2) - r.getLong(1).toDouble / 1e6) < 1e-9))
+    // empty graph degrades to an empty frame
+    val empty = Seq.empty[(Long, Long, Long)].toDF("src", "dst", "w")
+    assert(graft.operators.Graph.pageRank(empty).count() === 0)
+  }
 }
