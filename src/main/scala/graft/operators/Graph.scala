@@ -32,9 +32,18 @@ object Graph {
 
   /** Weighted PageRank over an undirected edge list (src, dst, w).
     * Returns (node, rank_micro, rank) ordered by (rank_micro DESC,
-    * node) — rank is the integer's own-scale identity snap. */
+    * node) — rank is the integer's own-scale identity snap.
+    *
+    * Stops early once an iteration moves no node by more than
+    * `tolMass` micro-mass units (integer comparison — deterministic,
+    * and exact equality with the never-stopping run is guaranteed
+    * once a fixed point is reached, since the integer update map is
+    * deterministic: a zero-delta iteration implies every later
+    * iteration is identical). The check is one tiny aggregate on the
+    * bounded rank frame per round — the IRLS early-stop pattern. */
   def pageRank(
-      edges: DataFrame, damping: Double = 0.85, iters: Int = 10): DataFrame = {
+      edges: DataFrame, damping: Double = 0.85, iters: Int = 10,
+      tolMass: Long = 0L): DataFrame = {
     require(iters >= 1 && iters <= 100, s"iters must be in [1,100], got $iters")
     require(damping > 0.0 && damping < 1.0, s"damping must be in (0,1), got $damping")
     val dPpm = math.round(damping * 1e6)
@@ -56,20 +65,46 @@ object Graph {
         lit(0.0).as("rank"))
     }
     val teleport = ((1000000L - dPpm) * (Scale / n)) / 1000000L
-    var rank = nodes.select(col("node"), lit(Scale / n).as("r"))
-    for (_ <- 1 to iters) {
+    // iteration jobs dominate wall time on bounded graphs (each
+    // materialization is a Spark job), so lineage truncation and the
+    // convergence check run every `block` rounds, not every round —
+    // a 3-round lineage of bounded-frame joins is cheap to carry
+    val block = 3
+    def step(r: DataFrame): DataFrame = {
       val inflow = norm
-        .join(rank.withColumnRenamed("node", "src"), Seq("src"))
+        .join(r.withColumnRenamed("node", "src"), Seq("src"))
         // exact integer contribution: half-up of p·r
         .select(col("dst").as("node"),
           expr("(p_ppm * r * 2 + 1000000) div 2000000").as("c"))
         .groupBy("node").agg(sum("c").as("inflow"))
-      rank = nodes.join(inflow, Seq("node"), "left")
+      nodes.join(inflow, Seq("node"), "left")
         .select(col("node"),
           (lit(teleport) +
             expr(s"(coalesce(inflow, 0L) * $dPpm * 2 + 1000000) div 2000000"))
             .as("r"))
-        .localCheckpoint()
+    }
+    var rank = nodes.select(col("node"), lit(Scale / n).as("r"))
+    var converged = false
+    var it = 0
+    while (it < iters && !converged) {
+      val end = math.min(it + block, iters)
+      while (it < end) { rank = step(rank); it += 1 }
+      rank = rank.localCheckpoint()
+      if (it < iters) {
+        // ONE-STEP invariance is the only safe stop: a block-level
+        // return-delta could in principle match a rounding cycle, not
+        // a fixed point. step() is deterministic, so step(r) == r
+        // makes every further iteration identical — stopping cannot
+        // change the result (spec asserts equality with the
+        // exhaustive run).
+        val maxDelta = step(rank)
+          .join(rank.withColumnRenamed("r", "r0"), Seq("node"))
+          .agg(max(abs(col("r") - col("r0")))).head() match {
+            case row if row.isNullAt(0) => 0L
+            case row => row.getLong(0)
+          }
+        converged = maxDelta <= tolMass
+      }
     }
     rank.select(col("node"),
         // half-up micro, then the identity snap — one rounding rule

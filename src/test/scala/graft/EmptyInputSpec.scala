@@ -229,5 +229,8 @@ class EmptyInputSpec extends AnyFunSuite with SparkSessionTestBase {
     assert(Retrieval.cosineTopK(emptyEmb, Seq(0L), 5).count() === 0)
     assert(Retrieval.hybridSearch(emptyDocs, emptyEmb, Seq(0L)).count() === 0)
     assert(Curation.flagContaminatedFuzzy(emptyDocs, emptyDocs).count() === 0)
+    assert(Curation.corpusBuild(emptyDocs, emptyDocs).count() === 0)
+    assert(Curation.corpusBuildReport(
+      Curation.corpusBuild(emptyDocs, emptyDocs)).count() === 0)
   }
 }

@@ -184,4 +184,27 @@ class PurchasesSpec extends AnyFunSuite with SparkSessionTestBase {
     val empty = Seq.empty[(Long, Long, Long)].toDF("src", "dst", "w")
     assert(graft.operators.Graph.pageRank(empty).count() === 0)
   }
+
+  test("pageRank early stop: a converged run equals the exhaustive one exactly") {
+    import spark.implicits._
+    // a symmetric clique converges to uniform immediately — the
+    // zero-delta stop must fire and reproduce the full-run integers
+    val clique = Seq((1L, 2L, 1L), (2L, 3L, 1L), (1L, 3L, 1L))
+    val full = graft.operators.Graph
+      .pageRank(clique.toDF("src", "dst", "w"), iters = 50, tolMass = -1L)
+      .collect().map(_.toString).toSeq // tolMass < 0: never stops early
+    val early = graft.operators.Graph
+      .pageRank(clique.toDF("src", "dst", "w"), iters = 50)
+      .collect().map(_.toString).toSeq
+    assert(early === full)
+    // and an asymmetric graph stopped at the fixed point matches too
+    val star = (2L to 6L).map(i => (1L, i, i)) // weighted star
+    val f2 = graft.operators.Graph
+      .pageRank(star.toDF("src", "dst", "w"), iters = 60, tolMass = -1L)
+      .collect().map(_.toString).toSeq
+    val e2 = graft.operators.Graph
+      .pageRank(star.toDF("src", "dst", "w"), iters = 60)
+      .collect().map(_.toString).toSeq
+    assert(e2 === f2)
+  }
 }
