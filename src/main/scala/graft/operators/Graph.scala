@@ -47,10 +47,20 @@ object Graph {
     require(iters >= 1 && iters <= 100, s"iters must be in [1,100], got $iters")
     require(damping > 0.0 && damping < 1.0, s"damping must be in (0,1), got $damping")
     val dPpm = math.round(damping * 1e6)
-    // symmetrize, then per-source transition probabilities in ppm
-    val sym = edges.select(col("src"), col("dst"), col("w").cast("long").as("w"))
-      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst"),
-        col("w").cast("long").as("w")))
+    // symmetrize, then per-source transition probabilities in ppm.
+    // Self-loops drop (a doc co-occurring with itself carries no
+    // ranking signal and would double under symmetrization);
+    // non-positive weights fail loudly — a count-derived edge frame
+    // can never produce them, so one appearing means a caller bug.
+    val clean = edges
+      .select(col("src"), col("dst"),
+        when(col("w").cast("long") > 0, col("w").cast("long"))
+          .otherwise(raise_error(lit(
+            "pageRank: edge weights must be positive"))).as("w"))
+      .filter(col("src") =!= col("dst"))
+    val sym = clean
+      .unionByName(clean.select(col("dst").as("src"), col("src").as("dst"),
+        col("w")))
       .groupBy("src", "dst").agg(sum("w").as("w")) // collapse parallel edges
     val out = sym.groupBy("src").agg(sum("w").as("wout"))
     val norm = sym.join(out, Seq("src"))

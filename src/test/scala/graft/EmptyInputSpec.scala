@@ -227,6 +227,8 @@ class EmptyInputSpec extends AnyFunSuite with SparkSessionTestBase {
     val (p, m) = Retrieval.bm25Index(emptyDocs)
     assert(p.count() === 0)
     assert(Retrieval.cosineTopK(emptyEmb, Seq(0L), 5).count() === 0)
+    assert(Retrieval.mmrSelect(emptyEmb, 0L, k = 3, poolSize = 4).count() === 0)
+    assert(Retrieval.hardNegatives(emptyEmb, Seq(0L)).count() === 0)
     assert(Retrieval.hybridSearch(emptyDocs, emptyEmb, Seq(0L)).count() === 0)
     assert(Curation.flagContaminatedFuzzy(emptyDocs, emptyDocs).count() === 0)
     assert(Curation.corpusBuild(emptyDocs, emptyDocs).count() === 0)

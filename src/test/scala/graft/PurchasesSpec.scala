@@ -183,6 +183,19 @@ class PurchasesSpec extends AnyFunSuite with SparkSessionTestBase {
     // empty graph degrades to an empty frame
     val empty = Seq.empty[(Long, Long, Long)].toDF("src", "dst", "w")
     assert(graft.operators.Graph.pageRank(empty).count() === 0)
+    // self-loops carry no signal and are ignored
+    val withLoop = Seq((1L, 1L, 9L), (1L, 2L, 1L)).toDF("src", "dst", "w")
+    val noLoop = Seq((1L, 2L, 1L)).toDF("src", "dst", "w")
+    assert(graft.operators.Graph.pageRank(withLoop).collect().map(_.toString).toSeq
+      === graft.operators.Graph.pageRank(noLoop).collect().map(_.toString).toSeq)
+    // a non-positive weight is a caller bug and fails loudly
+    val bad = Seq((1L, 2L, 0L)).toDF("src", "dst", "w")
+    val e = intercept[Exception] {
+      graft.operators.Graph.pageRank(bad).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("must be positive")))
   }
 
   test("pageRank early stop: a converged run equals the exhaustive one exactly") {
