@@ -266,6 +266,27 @@ object SparkEntry {
     (s.read.parquet(s"$root/postings"), s.read.parquet(s"$root/meta"))
   }
 
+  /** Persisted corpus-grep trigram postings ([[operators.Retrieval
+    * .grepIndex]] layout): ~1 row per corpus byte, range-partitioned
+    * on the trigram so a probe prunes files — substring audits read
+    * the index, never 100 TB of text. Fingerprint-keyed like the BM25
+    * postings. */
+  private val grepIndexPaths =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), (Long, String)]
+
+  private[graft] def grepIndexShared(s: SparkSession, d: String): DataFrame = {
+    val fp = documentsFingerprint(s, d)
+    val path = artifactPath(grepIndexPaths, s, d, fp, "graft_grep_idx") { p =>
+      graft.sources.Sinks.writeRangePartitioned(
+        operators.Retrieval.grepIndex(Tables.documents(s, d)), p, "g",
+        partitions = 8)
+    }
+    s.read.parquet(path)
+  }
+
+  /** The driver's grep audit phrase (present in the synthetic corpus). */
+  private val grepQuery = "batch stream"
+
   /** The driver's literal BM25 query set: one rare discriminative term
     * ('dup'), common-term conjunctions, and one out-of-vocabulary term
     * ('bloom') to exercise the miss path. */
@@ -730,6 +751,14 @@ object SparkEntry {
     "q_hybrid_search" -> ((s, d) =>
       operators.Retrieval.hybridSearch(
         Tables.documents(s, d), Tables.embeddings(s, d), Seq(0L, 1L, 2L, 3L))),
+    // corpus substring audit: online full scan vs the persisted
+    // trigram-postings probe (candidates must cover EVERY query
+    // trigram, then one contains() verify) — bit-equal, shared oracle
+    "q_grep" -> ((s, d) =>
+      operators.Retrieval.grepSearch(Tables.documents(s, d), grepQuery)),
+    "q_grep_indexed" -> ((s, d) =>
+      operators.Retrieval.grepFromIndex(
+        grepIndexShared(s, d), Tables.documents(s, d), grepQuery)),
     // incremental index maintenance proven THROUGH the serving path:
     // prior index built on a mutated half-stale corpus (the
     // q_rollup_incremental recipe — adds, edits, a group move, and
@@ -2360,6 +2389,16 @@ object SparkEntry {
         |    // (CAST(n_pos AS HUGEINT) * n_neg * 4)
         |  END AS DOUBLE) / 1e6, 6) AS DOUBLE) AS auc
         |FROM fin""".stripMargin,
+    "q_grep" ->
+      s"""SELECT doc_id, CAST(strpos(lower(text), '$grepQuery') AS INTEGER) AS pos
+         |FROM documents WHERE strpos(lower(text), '$grepQuery') > 0
+         |ORDER BY doc_id""".stripMargin,
+    // the index probe is an exact candidate superset + contains()
+    // verify — output-identical by construction (spec), same oracle
+    "q_grep_indexed" ->
+      s"""SELECT doc_id, CAST(strpos(lower(text), '$grepQuery') AS INTEGER) AS pos
+         |FROM documents WHERE strpos(lower(text), '$grepQuery') > 0
+         |ORDER BY doc_id""".stripMargin,
     "q_corpus_build" ->
       s"""WITH RECURSIVE $corpusBuildCte
          |SELECT doc_id, status,

@@ -227,6 +227,57 @@ object Retrieval {
       .orderBy("query_id", "rank")
   }
 
+  /** Literal substring search over the corpus ("which training docs
+    * contain this exact string") — the audit query an incident
+    * response runs (leaked secret, poisoned phrase, attribution
+    * check). [[grepSearch]] is the online full-scan form; the 100 TB
+    * form is [[grepIndex]] once per data version + [[grepFromIndex]]
+    * per query: the Google-Code-Search recipe (Cox 2012, public) —
+    * character-trigram postings, probe = docs containing ALL of the
+    * query's trigrams (a superset of true matches), exact contains()
+    * verification on the candidates only. */
+  def grepSearch(docs: DataFrame, q: String): DataFrame = {
+    require(q.nonEmpty, "grepSearch needs a non-empty query")
+    docs.select(col("doc_id"),
+        instr(lower(col("text")), q.toLowerCase).as("pos"))
+      .filter(col("pos") > 0)
+      .orderBy("doc_id")
+  }
+
+  /** Character-trigram postings over lowercased text: (g, doc_id),
+    * distinct per doc — persist range-partitioned on `g` so a probe's
+    * `g IN (...)` filter prunes files and row groups (the BM25 /
+    * pg_trgm artifact posture; ~1 row per corpus byte, the accepted
+    * cost of substring search at scale). */
+  def grepIndex(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), lower(col("text")).as("t"))
+      .filter(length(col("t")) >= 3)
+      .select(col("doc_id"), explode(array_distinct(expr(
+        "transform(sequence(1, length(t) - 2), i -> substring(t, i, 3))")))
+        .as("g"))
+
+  /** Serve a grep from the persisted postings: candidates = docs whose
+    * posting set covers EVERY query trigram (an exact superset of true
+    * matches — a trigram absent from a doc proves the substring
+    * absent), then one contains() verification pass over the slim
+    * candidate join. Bit-equal to [[grepSearch]] (spec + shared
+    * oracle). Queries shorter than 3 chars have no trigram to probe
+    * and fall back to the online scan. */
+  def grepFromIndex(postings: DataFrame, docs: DataFrame, q: String): DataFrame = {
+    require(q.nonEmpty, "grepFromIndex needs a non-empty query")
+    val qgrams = q.toLowerCase.sliding(3).filter(_.length == 3).toSeq.distinct
+    if (qgrams.isEmpty) return grepSearch(docs, q)
+    val cands = postings.filter(col("g").isin(qgrams: _*))
+      .groupBy("doc_id").agg(count(lit(1)).as("n"))
+      .filter(col("n") === qgrams.size)
+      .select("doc_id")
+    docs.join(cands, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"),
+        instr(lower(col("text")), q.toLowerCase).as("pos"))
+      .filter(col("pos") > 0)
+      .orderBy("doc_id")
+  }
+
   /** Hard-negative mining for contrastive training (the DPR/SimCSE
     * data-prep step): for each query vector, the k MOST similar
     * corpus vectors that are NOT near-duplicates — similar enough to

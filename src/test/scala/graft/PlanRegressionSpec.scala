@@ -493,6 +493,25 @@ class PlanRegressionSpec extends AnyFunSuite with SparkSessionTestBase {
     assert(!p.contains("Window ["))
   }
 
+  test("grep probe pushes the trigram filter to the postings scan") {
+    val p = plan("q_grep_indexed")
+    // the audit must read the PERSISTED trigram postings with the
+    // query's g IN (...) set pushed (file/row-group pruning on the
+    // range-partitioned index); the corpus is touched only through the
+    // slim candidate semi-join for the contains() verify
+    val scanLine = p.linesIterator.find(l =>
+      l.contains("PushedFilters") && l.contains("graft_grep_idx")).getOrElse("")
+    assert(scanLine.contains("In(g, ["),
+      s"no In(g,...) pushed filter on the postings scan: $scanLine")
+    assert(p.contains("LeftSemi"), "verify must run on candidates only")
+    // and the driver entries stay bit-equal (online == served)
+    val indexed = SparkEntry.queries("q_grep_indexed")(spark, sfDir)
+      .collect().map(_.toString).toSeq
+    val online = SparkEntry.queries("q_grep")(spark, sfDir)
+      .collect().map(_.toString).toSeq
+    assert(indexed === online)
+  }
+
   test("cms serves from the persisted counters; estimates broadcast the sketch") {
     val p = plan("q_cms_build")
     assert(p.contains("graft_cms_idx"),

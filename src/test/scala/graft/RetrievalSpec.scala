@@ -159,6 +159,35 @@ class RetrievalSpec extends AnyFunSuite with SparkSessionTestBase {
     assert(got === want)
   }
 
+  test("grepFromIndex equals the online scan; scattered trigrams don't false-match") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "the batch stream runs all day"),   // true match
+      (1L, "BATCH STREAM in caps"),            // case-insensitive match
+      (2L, "batch of trigrams h st stream am"),// covers trigrams, no substring
+      (3L, "nothing relevant here"))
+      .toDF("doc_id", "text")
+    val q = "batch stream"
+    val root = java.nio.file.Files.createTempDirectory("grep_idx").toString
+    graft.sources.Sinks.writeRangePartitioned(
+      Retrieval.grepIndex(docs), root, "g", 2)
+    val online = Retrieval.grepSearch(docs, q).collect().map(_.toString).toSeq
+    val served = Retrieval.grepFromIndex(spark.read.parquet(root), docs, q)
+      .collect().map(_.toString).toSeq
+    assert(served === online)
+    assert(online.nonEmpty)
+    val ids = Retrieval.grepSearch(docs, q).collect().map(_.getLong(0)).toSet
+    assert(ids === Set(0L, 1L))
+    // doc 2 covers every query trigram yet must not match — the
+    // verify pass, not the candidate probe, decides
+    assert(!ids.contains(2L))
+    // sub-trigram queries fall back to the online scan
+    val short = Retrieval.grepFromIndex(spark.read.parquet(root), docs, "at")
+      .collect().map(_.getLong(0)).toSet
+    assert(short === Retrieval.grepSearch(docs, "at")
+      .collect().map(_.getLong(0)).toSet)
+  }
+
   test("hardNegatives drops self and near-duplicates, keeps the hardest rest") {
     import spark.implicits._
     val emb = Seq(
