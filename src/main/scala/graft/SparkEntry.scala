@@ -287,6 +287,10 @@ object SparkEntry {
   /** The driver's grep audit phrase (present in the synthetic corpus). */
   private val grepQuery = "batch stream"
 
+  /** The driver's audit blocklist (first match by order wins; both
+    * patterns occur in the corpus, some docs match both). */
+  private val auditPatterns = Seq("batch stream", "dup")
+
   /** The driver's literal BM25 query set: one rare discriminative term
     * ('dup'), common-term conjunctions, and one out-of-vocabulary term
     * ('bloom') to exercise the miss path. */
@@ -759,6 +763,16 @@ object SparkEntry {
     "q_grep_indexed" -> ((s, d) =>
       operators.Retrieval.grepFromIndex(
         grepIndexShared(s, d), Tables.documents(s, d), grepQuery)),
+    // blocklist scan: first matching audit pattern per doc — the
+    // stateless projection shared verbatim with the streaming gate
+    "q_audit_scan" -> ((s, d) =>
+      operators.Retrieval.auditScan(Tables.documents(s, d), auditPatterns)
+        .orderBy("doc_id")),
+    // the measured STREAMING face: every arriving doc reports its
+    // match before landing; stateless ⇒ row-identical to the batch
+    // scan, same oracle
+    "q_stream_audit_gate" -> ((s, d) =>
+      graft.streaming.CurationStream.auditGateRun(s, d, auditPatterns)),
     // incremental index maintenance proven THROUGH the serving path:
     // prior index built on a mutated half-stale corpus (the
     // q_rollup_incremental recipe — adds, edits, a group move, and
@@ -1146,6 +1160,18 @@ object SparkEntry {
       |  ('0x' || substr(md5('graft-split-v1:' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT % 100 AS bucket,
       |  CAST(('0x' || substr(md5('shard-v1:' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT AS BIGINT) % 8 AS shard
       | FROM st)""".stripMargin
+
+  /** First-match audit-scan mirror (shared by the batch scan and its
+    * stateless streaming twin). */
+  private def auditOracleSql: String = {
+    val chain = auditPatterns.map(p =>
+      s"WHEN strpos(lower(text), '${p.toLowerCase}') > 0 THEN '${p.toLowerCase}'")
+      .mkString(" ")
+    s"""SELECT doc_id,
+       | CASE $chain END AS matched_pattern,
+       | (CASE $chain END) IS NOT NULL AS flagged
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
 
   /** Full BM25 oracle over the driver's literal query set (shared by
     * the online and persisted-index forms — bit-equal by spec). */
@@ -2399,6 +2425,9 @@ object SparkEntry {
       s"""SELECT doc_id, CAST(strpos(lower(text), '$grepQuery') AS INTEGER) AS pos
          |FROM documents WHERE strpos(lower(text), '$grepQuery') > 0
          |ORDER BY doc_id""".stripMargin,
+    "q_audit_scan" -> auditOracleSql,
+    // stateless stream == batch scan (spec-asserted) — same oracle
+    "q_stream_audit_gate" -> auditOracleSql,
     "q_corpus_build" ->
       s"""WITH RECURSIVE $corpusBuildCte
          |SELECT doc_id, status,

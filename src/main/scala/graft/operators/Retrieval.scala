@@ -244,6 +244,27 @@ object Retrieval {
       .orderBy("doc_id")
   }
 
+  /** Audit-pattern scan: first matching pattern (by list order) per
+    * document — the BLOCKLIST face of [[grepSearch]] (leaked secrets,
+    * poisoned phrases, banned boilerplate). One narrow stateless
+    * projection with the patterns folded into the plan as literals —
+    * no shuffle, no state — so the SAME frame runs on a batch table or
+    * a streaming source unchanged (the curationSignals posture;
+    * [[graft.streaming.CurationStream.auditGateRun]] is the measured
+    * ingest-time gate). No ORDER BY here: streaming append mode
+    * forbids it; batch callers sort the result. */
+  def auditScan(docs: DataFrame, patterns: Seq[String]): DataFrame = {
+    require(patterns.nonEmpty, "auditScan needs at least one pattern")
+    require(patterns.forall(_.nonEmpty), "audit patterns must be non-empty")
+    val hit = patterns.map(_.toLowerCase).foldLeft(lit(null).cast("string")) {
+      case (acc, p) => when(acc.isNotNull, acc)
+        .when(instr(lower(col("text")), p) > 0, lit(p))
+        .otherwise(lit(null).cast("string"))
+    }
+    docs.select(col("doc_id"), hit.as("matched_pattern"))
+      .withColumn("flagged", col("matched_pattern").isNotNull)
+  }
+
   /** Character-trigram postings over lowercased text: (g, doc_id),
     * distinct per doc — persist range-partitioned on `g` so a probe's
     * `g IN (...)` filter prunes files and row groups (the BM25 /

@@ -63,4 +63,41 @@ object CurationStream {
 
     spark.table(name).orderBy("doc_id")
   }
+
+  /** Bounded end-to-end run of the streaming AUDIT gate
+    * ([[graft.operators.Retrieval.auditScan]] over a document
+    * stream) — the ingest-time blocklist: every arriving doc reports
+    * its first matching audit pattern before landing. Stateless, so
+    * the stream is row-identical to the batch scan (shared SQL
+    * oracle; equality asserted in StreamingSpec). Same memory-sink
+    * mechanics as [[qualityGateRun]]. */
+  def auditGateRun(
+      spark: SparkSession, dir: String, patterns: Seq[String]): DataFrame = {
+    val docs = graft.Tables.documents(spark, dir)
+    val root = java.nio.file.Files.createTempDirectory("graft_audit_stream")
+    val src = root.resolve("src").toString
+    docs.write.mode("overwrite").parquet(src)
+
+    val name = "graft_audit_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    lastGateTables.put(spark, name)
+      .foreach(old => spark.catalog.dropTempView(old))
+    val q = graft.operators.Retrieval
+      .auditScan(spark.readStream.schema(docs.schema).parquet(src), patterns)
+      .writeStream.outputMode("append")
+      .format("memory").queryName(name)
+      .option("checkpointLocation", root.resolve("ckpt").toString)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+
+    def rm(p: java.nio.file.Path): Unit = {
+      import scala.jdk.CollectionConverters._
+      if (java.nio.file.Files.exists(p)) {
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+      }
+    }
+    rm(root)
+
+    spark.table(name).orderBy("doc_id")
+  }
 }

@@ -462,6 +462,28 @@ class StreamingSpec extends AnyFunSuite with SparkSessionTestBase {
     assert(streamed.nonEmpty)
   }
 
+  test("auditGateRun (streaming) equals the batch auditScan twin") {
+    val docs = Tables.documents(spark, sfDir)
+    val patterns = Seq("batch stream", "dup")
+    val streamed = graft.streaming.CurationStream
+      .auditGateRun(spark, sfDir, patterns)
+      .collect().map(_.toString).toSeq
+    val batch = graft.operators.Retrieval.auditScan(docs, patterns)
+      .orderBy("doc_id").collect().map(_.toString).toSeq
+    assert(streamed === batch)
+    // both patterns exercised, and first-match order decides overlaps
+    val byPat = graft.operators.Retrieval.auditScan(docs, patterns)
+      .groupBy("matched_pattern").count().collect()
+      .map(r => Option(r.getString(0)).getOrElse("null") -> r.getLong(1)).toMap
+    assert(byPat.contains("batch stream") && byPat.contains("dup"))
+    val reversed = graft.operators.Retrieval.auditScan(docs, patterns.reverse)
+      .groupBy("matched_pattern").count().collect()
+      .map(r => Option(r.getString(0)).getOrElse("null") -> r.getLong(1)).toMap
+    // same flagged total under either order; attribution shifts
+    assert(byPat.filterNot(_._1 == "null").values.sum ===
+      reversed.filterNot(_._1 == "null").values.sum)
+  }
+
   test("stream-maintained BM25 index serves identically to a full rebuild") {
     import spark.implicits._
     import graft.streaming.Bm25Stream
