@@ -27,8 +27,8 @@ import graft.operators.Retrieval
   * Append-only contract: arriving doc_ids must be NEW (the upstream
   * near-dup gate's job); replacing a doc needs the batch incremental
   * path. Delta-partition growth is bounded by the standard compaction
-  * move (fold deltas into the seed between batches — the
-  * [[RollupStream.compact]] pattern; served values unchanged). */
+  * move (fold deltas into the seed — the [[RollupStream.compact]]
+  * pattern; served values unchanged, concurrent-batch-safe). */
 object Bm25Stream {
 
   /** Seed (or rebuild) the persisted index pair. */
@@ -36,26 +36,6 @@ object Bm25Stream {
     val (postings, meta) = Retrieval.bm25Index(docs)
     postings.write.mode("overwrite").parquet(s"$seedPath/postings")
     meta.write.mode("overwrite").parquet(s"$seedPath/meta")
-  }
-
-  /** Compaction watermark: batches with id ≤ this are folded into the
-    * seed — a late retry must not re-write its delta, and serving must
-    * exclude any stale delta partition (the [[RollupStream]]
-    * contract; the marker lives inside the seed dir so [[compact]]'s
-    * rename swap commits index + watermark atomically). */
-  private def foldedMarker(seedPath: String) =
-    new org.apache.hadoop.fs.Path(seedPath + "/_folded_through")
-
-  private def foldedThrough(spark: SparkSession, seedPath: String): Long = {
-    val p = foldedMarker(seedPath)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) -1L
-    else {
-      val in = fs.open(p)
-      try new String(in.readAllBytes(),
-        java.nio.charset.StandardCharsets.UTF_8).trim.toLong
-      finally in.close()
-    }
   }
 
   /** Launch maintenance over a streaming documents frame: each batch
@@ -70,7 +50,7 @@ object Bm25Stream {
     newDocs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-        if (batchId > foldedThrough(batch.sparkSession, seedPath)) {
+        if (batchId > DeltaLayout.foldedThrough(batch.sparkSession, seedPath)) {
           val (p, m) = Retrieval.bm25Index(batch.toDF())
           p.withColumn("batch_id", lit(batchId))
             .write.mode("overwrite")
@@ -92,24 +72,32 @@ object Bm25Stream {
     * serves the seed alone. */
   def liveIndex(
       spark: SparkSession, seedPath: String,
-      deltaPath: String): (DataFrame, DataFrame) = {
+      deltaPath: String): (DataFrame, DataFrame) =
+    liveIndexBounded(spark, seedPath, deltaPath, Long.MaxValue)
+
+  /** [[liveIndex]] with an upper batch_id bound: [[compact]] folds a
+    * FIXED batch range so a micro-batch committed while the fold is
+    * writing is neither merged below its watermark nor deleted — it
+    * stays a live delta for the next compact. */
+  private def liveIndexBounded(
+      spark: SparkSession, seedPath: String,
+      deltaPath: String, upTo: Long): (DataFrame, DataFrame) = {
     val cols = Seq("term", "doc_id", "tf", "dl")
     val seedP = spark.read.parquet(s"$seedPath/postings").select(cols.map(col): _*)
     val seedM = spark.read.parquet(s"$seedPath/meta")
       .select("n_docs", "tot_tokens")
-    val dp = new org.apache.hadoop.fs.Path(s"$deltaPath/postings")
-    val hasDeltas = dp
-      .getFileSystem(spark.sparkContext.hadoopConfiguration).exists(dp)
-    if (!hasDeltas) (seedP, seedM)
+    if (!DeltaLayout.hasDeltaPartitions(spark, s"$deltaPath/postings")) (seedP, seedM)
     else {
-      val folded = foldedThrough(spark, seedPath)
+      val folded = DeltaLayout.foldedThrough(spark, seedPath)
+      def live = col("batch_id").cast("long") > folded &&
+        col("batch_id").cast("long") <= upTo
       val p = seedP.unionByName(
         spark.read.parquet(s"$deltaPath/postings")
-          .filter(col("batch_id").cast("long") > folded)
+          .filter(live)
           .select(cols.map(col): _*))
       val m = seedM.unionByName(
           spark.read.parquet(s"$deltaPath/meta")
-            .filter(col("batch_id").cast("long") > folded)
+            .filter(live)
             .select("n_docs", "tot_tokens"))
         .agg(sum("n_docs").as("n_docs"), sum("tot_tokens").as("tot_tokens"))
       (p, m)
@@ -121,38 +109,46 @@ object Bm25Stream {
     * [[RollupStream.compact]] move applied to the index pair: write
     * the merged postings/meta + the new watermark under `seed__maint`,
     * rename-swap over the seed (crash-safe: a missing live seed fails
-    * the next serve LOUDLY rather than under-counting), clear deltas.
+    * the next serve LOUDLY rather than under-counting), then delete
+    * ONLY the folded delta partitions — a batch the stream commits
+    * mid-compact stays live, so compact is safe to run concurrently
+    * with maintenance.
     * Served results unchanged by construction — spec asserts
     * bit-equality across a compaction. */
   def compact(spark: SparkSession, seedPath: String, deltaPath: String): Unit = {
     import org.apache.hadoop.fs.Path
     val dp = new Path(s"$deltaPath/postings")
     val fs = dp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(dp)) return // nothing to fold
+    if (!DeltaLayout.hasDeltaPartitions(spark, s"$deltaPath/postings")) return // nothing to fold
     val maxBatch = spark.read.parquet(s"$deltaPath/postings")
       .agg(max(col("batch_id").cast("long"))).head() match {
         case r if r.isNullAt(0) => -1L
         case r => r.getLong(0)
       }
-    val (p, m) = liveIndex(spark, seedPath, deltaPath)
+    // fold ONLY batches ≤ maxBatch: one committed between this read and
+    // the swap stays a live delta (> the new watermark) for next time
+    val (p, m) = liveIndexBounded(spark, seedPath, deltaPath, maxBatch)
     val (pc, mc) = (p.localCheckpoint(), m.localCheckpoint())
     val tmp = seedPath + "__maint"
     pc.write.mode("overwrite").parquet(s"$tmp/postings")
     mc.write.mode("overwrite").parquet(s"$tmp/meta")
-    val newFolded = math.max(maxBatch, foldedThrough(spark, seedPath))
-    if (newFolded >= 0) {
-      val out = fs.create(new Path(tmp + "/_folded_through"), true)
-      try out.write(newFolded.toString
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      finally out.close()
-    }
+    val newFolded = math.max(maxBatch,
+      DeltaLayout.foldedThrough(spark, seedPath))
+    if (newFolded >= 0) DeltaLayout.writeFoldedMarker(fs, tmp, newFolded)
     val live = new Path(seedPath)
     fs.delete(live, true)
     if (!fs.rename(new Path(tmp), live))
       throw new java.io.IOException(
         s"bm25 compact: rename $tmp -> $seedPath failed; " +
           "the complete folded index remains under the maint path")
-    fs.delete(new Path(deltaPath), true): Unit
+    // delete ONLY the folded partitions (batch_id ≤ the new watermark):
+    // a micro-batch committed while compact ran sits above it, the
+    // checkpoint never replays a committed batch, and a blanket delete
+    // of the delta root would lose it permanently
+    DeltaLayout.deleteFoldedPartitions(
+      fs, new Path(s"$deltaPath/postings"), newFolded)
+    DeltaLayout.deleteFoldedPartitions(
+      fs, new Path(s"$deltaPath/meta"), newFolded)
   }
 
   /** Serve a BM25 search over everything ingested so far. */

@@ -34,29 +34,6 @@ object RollupStream {
   def seedRollup(docs: DataFrame, seedPath: String): Unit =
     Etl.corpusRollup(docs).write.mode("overwrite").parquet(seedPath)
 
-  /** The compaction watermark: batches with id ≤ this are already
-    * folded into the seed, so a late RETRY of one must not re-write
-    * its delta, and serving must ignore any stale delta partition
-    * (both would double-count against the folded seed). The marker
-    * lives INSIDE the seed directory ("_"-prefixed: invisible to the
-    * parquet reader, like _SUCCESS), so [[compact]]'s rename swap
-    * commits the folded rollup and its watermark ATOMICALLY. */
-  private def foldedMarker(seedPath: String) =
-    new org.apache.hadoop.fs.Path(seedPath + "/_folded_through")
-
-  private def foldedThrough(
-      spark: SparkSession, seedPath: String): Long = {
-    val p = foldedMarker(seedPath)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) -1L
-    else {
-      val in = fs.open(p)
-      try new String(in.readAllBytes(),
-        java.nio.charset.StandardCharsets.UTF_8).trim.toLong
-      finally in.close()
-    }
-  }
-
   /** Launch maintenance over a streaming documents frame: each batch
     * lands as its own delta partition under `deltaPath`; batches at or
     * below the seed's compaction watermark are skipped (already in the
@@ -70,7 +47,7 @@ object RollupStream {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         val spark = batch.sparkSession
-        if (batchId > foldedThrough(spark, seedPath)) {
+        if (batchId > DeltaLayout.foldedThrough(spark, seedPath)) {
           Etl.corpusRollup(batch.toDF())
             .withColumn("batch_id", lit(batchId))
             .write.mode("overwrite")
@@ -89,16 +66,24 @@ object RollupStream {
     * here (partition pruning on batch_id) is what makes the
     * compact-crash window benign. */
   def serveRollup(
-      spark: SparkSession, seedPath: String, deltaPath: String): DataFrame = {
+      spark: SparkSession, seedPath: String, deltaPath: String): DataFrame =
+    serveRollupBounded(spark, seedPath, deltaPath, Long.MaxValue)
+
+  /** [[serveRollup]] with an upper batch_id bound: [[compact]] folds a
+    * FIXED batch range so a micro-batch that lands while the fold is
+    * writing is neither silently merged below its watermark nor (see
+    * [[DeltaLayout.deleteFoldedPartitions]]) deleted — it simply stays a live
+    * delta for the next compact. */
+  private def serveRollupBounded(
+      spark: SparkSession, seedPath: String, deltaPath: String,
+      upTo: Long): DataFrame = {
     val seed = spark.read.parquet(seedPath)
       .select("source", "lang", "n_docs", "n_tokens", "n_chars")
-    val dp = new org.apache.hadoop.fs.Path(deltaPath)
-    val hasDeltas = dp
-      .getFileSystem(spark.sparkContext.hadoopConfiguration).exists(dp)
     val merged =
-      if (!hasDeltas) seed
+      if (!DeltaLayout.hasDeltaPartitions(spark, deltaPath)) seed
       else seed.unionByName(spark.read.parquet(deltaPath)
-        .filter(col("batch_id") > foldedThrough(spark, seedPath))
+        .filter(col("batch_id").cast("long") > DeltaLayout.foldedThrough(spark, seedPath)
+          && col("batch_id").cast("long") <= upTo)
         .select("source", "lang", "n_docs", "n_tokens", "n_chars"))
     merged
       .groupBy("source", "lang")
@@ -114,23 +99,27 @@ object RollupStream {
     * [[IndexMaintenance]]): writes the merged rollup to `seed__maint`,
     * rename-swaps it over the seed (the complete artifact survives a
     * crash under the maint path; a missing live seed fails the next
-    * serve LOUDLY rather than under-counting), then clears the delta
-    * directory. Served values are unchanged by construction — spec
-    * asserts bit-equality across a compaction. */
+    * serve LOUDLY rather than under-counting), then deletes ONLY the
+    * folded delta partitions — batches landing mid-compact stay live.
+    * Served values are unchanged by construction — spec asserts
+    * bit-equality across a compaction. */
   def compact(
       spark: SparkSession, seedPath: String, deltaPath: String): Unit = {
     import org.apache.hadoop.fs.Path
     val dp = new Path(deltaPath)
     val fs = dp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(dp)) return // nothing to fold
+    if (!DeltaLayout.hasDeltaPartitions(spark, deltaPath)) return // nothing to fold
     val deltas = spark.read.parquet(deltaPath)
     // partition-column inference reads batch_id back as INT — cast
     val maxBatch = deltas.agg(max(col("batch_id").cast("long"))).head() match {
       case r if r.isNullAt(0) => -1L
       case r => r.getLong(0)
     }
-    val prevFolded = foldedThrough(spark, seedPath)
-    val merged = serveRollup(spark, seedPath, deltaPath).localCheckpoint()
+    val prevFolded = DeltaLayout.foldedThrough(spark, seedPath)
+    // fold ONLY batches ≤ maxBatch: one committed between this read and
+    // the swap stays a live delta (> the new watermark) for next time
+    val merged = serveRollupBounded(spark, seedPath, deltaPath, maxBatch)
+      .localCheckpoint()
     val tmp = seedPath + "__maint"
     merged.write.mode("overwrite").parquet(tmp)
     // the new watermark rides INSIDE the tmp dir, so the rename below
@@ -140,19 +129,15 @@ object RollupStream {
     // serveRollup / rollupMaintain — every crash point serves correct
     // values, and stale files are swept by the next successful compact
     val newFolded = math.max(maxBatch, prevFolded)
-    if (newFolded >= 0) {
-      val out = fs.create(new Path(tmp + "/_folded_through"), true)
-      try out.write(newFolded.toString
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      finally out.close()
-    }
+    if (newFolded >= 0) DeltaLayout.writeFoldedMarker(fs, tmp, newFolded)
     fs.delete(new Path(seedPath), true)
     if (!fs.rename(new Path(tmp), new Path(seedPath))) {
       throw new java.io.IOException(
         s"rename $tmp -> $seedPath failed; complete rollup preserved at $tmp")
     }
-    fs.delete(dp, true): Unit
+    DeltaLayout.deleteFoldedPartitions(fs, dp, newFolded)
   }
+
 
   /** Bounded end-to-end run — the measured driver entry
     * (q_stream_rollup): even doc_ids seed the base rollup, odd ones

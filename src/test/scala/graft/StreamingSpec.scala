@@ -527,11 +527,22 @@ class StreamingSpec extends AnyFunSuite with SparkSessionTestBase {
     assert(first === graft.operators.Retrieval
       .bm25Search(mini, Seq((0L, "bb cc")).toDF("query_id", "query_text"))
       .collect().map(_.toString).toSeq)
-    // compaction folds deltas into the seed without changing results
+    // compaction folds deltas into the seed without changing results;
+    // only the FOLDED batch_id partitions are deleted (a batch landing
+    // mid-compact must survive — the delta root itself stays)
     Bm25Stream.compact(spark,
       root.resolve("seed").toString, root.resolve("delta").toString)
     assert(serve() === first)
-    assert(!java.nio.file.Files.exists(root.resolve("delta")))
+    def deltaPartitions(sub: String): Seq[String] = {
+      val d = root.resolve("delta").resolve(sub)
+      if (!java.nio.file.Files.exists(d)) Seq.empty
+      else {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.list(d).iterator().asScala
+          .map(_.getFileName.toString).filter(_.startsWith("batch_id=")).toSeq
+      }
+    }
+    assert(deltaPartitions("postings").isEmpty && deltaPartitions("meta").isEmpty)
     // a replayed batch at or below the watermark (fresh checkpoint,
     // same files) is skipped — the folded seed already carries it
     runOnce(root.resolve("ckpt2").toString)
@@ -540,10 +551,32 @@ class StreamingSpec extends AnyFunSuite with SparkSessionTestBase {
     val extra = Seq((9L, "bb zz")).toDF("doc_id", "text")
     extra.write.mode("append").parquet(src)
     runOnce()
-    assert(serve() === graft.operators.Retrieval
+    val withExtra = graft.operators.Retrieval
       .bm25Search(mini.unionByName(extra),
         Seq((0L, "bb cc")).toDF("query_id", "query_text"))
-      .collect().map(_.toString).toSeq)
+      .collect().map(_.toString).toSeq
+    assert(serve() === withExtra)
+    // a delta partition ABOVE the fold range (the state a batch
+    // committed mid-compact leaves behind) serves exactly once and is
+    // folded by the NEXT compact — never silently deleted: plant
+    // batch_id=100 alongside the live batch-1 delta, compact, re-check
+    val lateDocs = Seq((42L, "bb late")).toDF("doc_id", "text")
+    val (lp, lm) = graft.operators.Retrieval.bm25Index(lateDocs)
+    lp.withColumn("batch_id", lit(100L)).write.mode("append")
+      .partitionBy("batch_id")
+      .parquet(root.resolve("delta").resolve("postings").toString)
+    lm.withColumn("batch_id", lit(100L)).write.mode("append")
+      .partitionBy("batch_id")
+      .parquet(root.resolve("delta").resolve("meta").toString)
+    val withLate = graft.operators.Retrieval
+      .bm25Search(mini.unionByName(extra).unionByName(lateDocs),
+        Seq((0L, "bb cc")).toDF("query_id", "query_text"))
+      .collect().map(_.toString).toSeq
+    assert(serve() === withLate)
+    Bm25Stream.compact(spark,
+      root.resolve("seed").toString, root.resolve("delta").toString)
+    assert(serve() === withLate)
+    assert(deltaPartitions("postings").isEmpty && deltaPartitions("meta").isEmpty)
   }
 
   test("rollupMaintain is per-batch idempotent and restart-safe") {
@@ -574,10 +607,34 @@ class StreamingSpec extends AnyFunSuite with SparkSessionTestBase {
     assert(serve() === first)
     assert(first === graft.operators.Etl.corpusRollup(docs)
       .collect().map(_.toString).toSeq)
-    // compaction folds deltas into the seed without changing values
+    // compaction folds deltas into the seed without changing values,
+    // deleting ONLY the folded batch_id partitions (scoped delete: a
+    // batch committed mid-compact must survive; the root stays)
     RollupStream.compact(spark, seedP, deltaP)
     assert(serve() === first)
-    assert(!java.nio.file.Files.exists(root.resolve("delta")))
+    def deltaPartitions(): Seq[String] = {
+      val d = root.resolve("delta")
+      if (!java.nio.file.Files.exists(d)) Seq.empty
+      else {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.list(d).iterator().asScala
+          .map(_.getFileName.toString).filter(_.startsWith("batch_id=")).toSeq
+      }
+    }
+    assert(deltaPartitions().isEmpty)
+    // scoped-delete semantics pinned directly: partitions above the
+    // watermark survive the sweep (the mid-compact-commit race state)
+    val sweepDir = root.resolve("sweep")
+    Seq(0L, 1L, 5L).foreach { b =>
+      java.nio.file.Files.createDirectories(sweepDir.resolve(s"batch_id=$b"))
+    }
+    val fs = new org.apache.hadoop.fs.Path(sweepDir.toString)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    graft.streaming.DeltaLayout.deleteFoldedPartitions(fs,
+      new org.apache.hadoop.fs.Path(sweepDir.toString), 1L)
+    assert(!java.nio.file.Files.exists(sweepDir.resolve("batch_id=0")))
+    assert(!java.nio.file.Files.exists(sweepDir.resolve("batch_id=1")))
+    assert(java.nio.file.Files.exists(sweepDir.resolve("batch_id=5")))
     // a batch re-delivered at an id at or below the watermark (here: a
     // fresh checkpoint replays the same files as batch 0) is skipped —
     // the folded seed already carries it
@@ -593,6 +650,58 @@ class StreamingSpec extends AnyFunSuite with SparkSessionTestBase {
     runOnce()
     assert(serve() === graft.operators.Etl.corpusRollup(docs.unionByName(extra))
       .collect().map(_.toString).toSeq)
+  }
+
+  test("cmsMaintain is per-batch idempotent; compact preserves served counters") {
+    import spark.implicits._
+    import graft.streaming.CmsStream
+    val root = java.nio.file.Files.createTempDirectory("cms_retry")
+    val src = root.resolve("src").toString
+    val docs = Seq((1L, "aa bb"), (2L, "bb cc cc"), (3L, "dd"))
+      .toDF("doc_id", "text")
+    docs.write.mode("overwrite").parquet(src)
+    val seedP = root.resolve("seed").toString
+    val deltaP = root.resolve("delta").toString
+    CmsStream.seedCms(docs.limit(0), seedP)
+    def runOnce(ckpt: String = root.resolve("ckpt").toString): Unit = {
+      val q = CmsStream.cmsMaintain(
+        spark.readStream.schema(docs.schema).parquet(src), seedP, deltaP, ckpt)
+      try q.processAllAvailable() finally q.stop()
+    }
+    def serve() = CmsStream.liveCms(spark, seedP, deltaP)
+      .collect().map(_.toString).toSeq
+    def direct(d: org.apache.spark.sql.DataFrame) =
+      graft.operators.Sketches.cmsPartials(d).collect().map(_.toString).toSeq
+    runOnce()
+    val first = serve()
+    assert(first === direct(docs)) // stream-maintained == direct build
+    runOnce() // restart over the same checkpoint: no double-counting
+    assert(serve() === first)
+    CmsStream.compact(spark, seedP, deltaP)
+    assert(serve() === first)
+    // a replayed batch at or below the watermark is skipped
+    runOnce(root.resolve("ckpt2").toString)
+    assert(serve() === first)
+    // genuinely new arrivals through the original lineage still count
+    val extra = Seq((9L, "bb zz")).toDF("doc_id", "text")
+    extra.write.mode("append").parquet(src)
+    runOnce()
+    assert(serve() === direct(docs.unionByName(extra)))
+    // estimates from the maintained sketch answer like the direct one
+    val est = graft.operators.Sketches.cmsEstimate(
+      CmsStream.liveCms(spark, seedP, deltaP), Seq("bb").toDF("term"))
+      .collect().head
+    assert(est.getLong(1) >= 3L) // bb occurs 3× across docs+extra
+  }
+
+  test("cmsMaintainRun (the measured driver entry) equals the direct full-corpus sketch") {
+    val got = graft.streaming.CmsStream.cmsMaintainRun(spark, sfDir)
+      .collect().map(_.toString).toSeq
+    val direct = graft.operators.Sketches
+      .cmsPartials(Tables.documents(spark, sfDir))
+      .collect().map(_.toString).toSeq
+    assert(got === direct)
+    assert(got.nonEmpty)
   }
 
   test("driftMonitor flags a planted off-distribution batch") {
