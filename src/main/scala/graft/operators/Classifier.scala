@@ -287,7 +287,9 @@ object Classifier {
     * groupBy on the integer score; documents are never windowed.
     *
     * Input: (doc_id, score_micro long, y int ∈ {0,1}). Output: ONE row
-    * (n_pos, n_neg, tp, fp, fn, tn, u2, precision, recall, f1, auc);
+    * (n_pos, n_neg, tp, fp, fn, tn, u2 DECIMAL(38,0) — accumulated in
+    * decimal from the first multiply, since 2U ≈ 2·n_pos·n_neg wraps a
+    * long past n_pos·n_neg ≈ 4.6e18, precision, recall, f1, auc);
     * ratio columns are NULL when their denominator is empty. The
     * standard use is resubstitution eval of [[nbScore]] /
     * [[classifierApply]] against their training labels — a fidelity
@@ -311,9 +313,14 @@ object Classifier {
     val u2row = hist
       .withColumn("cin", coalesce(sum("nn").over(wIn), lit(0L)))
       .join(broadcast(offsets), Seq("blk"))
+      // per-row operands go DECIMAL(38,0) BEFORE the multiply: the
+      // product is ~2·n_pos·n_neg per score bucket, which wraps a LONG
+      // once n_pos·n_neg passes ~4.6e18 — billion-doc corpora would
+      // silently corrupt the AUC if the sum accumulated in longs
       .agg(coalesce(
-        sum(col("np") * ((col("cin") + col("off")) * 2 + col("nn"))),
-        lit(0L)).as("u2"))
+        sum(col("np").cast("decimal(38,0)") *
+          ((col("cin") + col("off")).cast("decimal(38,0)") * 2 + col("nn"))),
+        lit(0).cast("decimal(38,0)")).as("u2"))
     val tot = hist.agg(
       coalesce(sum("np"), lit(0L)).as("n_pos"),
       coalesce(sum("nn"), lit(0L)).as("n_neg"),

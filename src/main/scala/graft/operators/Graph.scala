@@ -48,16 +48,18 @@ object Graph {
     require(damping > 0.0 && damping < 1.0, s"damping must be in (0,1), got $damping")
     val dPpm = math.round(damping * 1e6)
     // symmetrize, then per-source transition probabilities in ppm.
-    // Self-loops drop (a doc co-occurring with itself carries no
-    // ranking signal and would double under symmetrization);
-    // non-positive weights fail loudly — a count-derived edge frame
-    // can never produce them, so one appearing means a caller bug.
-    val clean = edges
+    // Self-loops drop from the TRANSITION structure (a doc
+    // co-occurring with itself carries no ranking signal and would
+    // double under symmetrization) but NOT from the node set — see
+    // below; non-positive weights fail loudly — a count-derived edge
+    // frame can never produce them, so one appearing means a caller
+    // bug.
+    val validated = edges
       .select(col("src"), col("dst"),
         when(col("w").cast("long") > 0, col("w").cast("long"))
           .otherwise(raise_error(lit(
             "pageRank: edge weights must be positive"))).as("w"))
-      .filter(col("src") =!= col("dst"))
+    val clean = validated.filter(col("src") =!= col("dst"))
     val sym = clean
       .unionByName(clean.select(col("dst").as("src"), col("src").as("dst"),
         col("w")))
@@ -68,7 +70,14 @@ object Graph {
         // half-up ppm of w/wout: exact integer arithmetic
         expr("(w * 2000000 + wout) div (wout * 2)").as("p_ppm"))
       .localCheckpoint()
-    val nodes = norm.select(col("src").as("node")).distinct().localCheckpoint()
+    // node set from the RAW edge list, BEFORE the self-loop filter: a
+    // node whose only edges are self-loops still ranks (it holds its
+    // teleport share and receives no inflow; with no outgoing
+    // transitions its own mass is simply not redistributed) instead of
+    // silently disappearing from the output.
+    val nodes = validated.select(col("src").as("node"))
+      .unionByName(validated.select(col("dst").as("node")))
+      .distinct().localCheckpoint()
     val n = nodes.count()
     if (n == 0) {
       return nodes.select(col("node"), lit(0L).as("rank_micro"),

@@ -184,6 +184,23 @@ object Retrieval {
     (postings, meta)
   }
 
+  /** (vec_id, v, norm) with a LOUD zero-norm guard: an all-zero
+    * embedding has no cosine direction — unguarded, the division
+    * yields null and the row silently vanishes from results (and a
+    * zero-norm QUERY vector silently returns nothing), inconsistent
+    * with the loud-failure posture elsewhere (pageRank's
+    * positive-weight check). raise_error rides the projection, so the
+    * guard costs one branch per row and fires only on bad data. */
+  private def withNorm(emb: DataFrame): DataFrame = {
+    graft.functions.VectorFunctions.register(emb.sparkSession)
+    emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("norm", expr("sqrt(graft_dot(v, v))"))
+      .withColumn("norm", when(col("norm") > 0, col("norm")).otherwise(
+        raise_error(concat(
+          lit("zero-norm embedding (no cosine direction): vec_id="),
+          col("vec_id")))))
+  }
+
   /** Exact cosine top-k for an explicit query-id set, SELF-INCLUSIVE
     * (rank 1 of a query vector over a corpus containing it is itself —
     * kept so both hybrid branches treat the query document
@@ -191,9 +208,7 @@ object Retrieval {
     * neighbor form). Same shape as embedTopK: broadcast query set,
     * codegen graft_dot, bounded graft_topk rank. */
   def cosineTopK(emb: DataFrame, queryIds: Seq[Long], k: Int): DataFrame = {
-    graft.functions.VectorFunctions.register(emb.sparkSession)
-    val e = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      .withColumn("norm", expr("sqrt(graft_dot(v, v))"))
+    val e = withNorm(emb)
     val q = e.filter(col("vec_id").isInCollection(queryIds))
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm").as("qn"))
     e.crossJoin(broadcast(q))
@@ -312,9 +327,7 @@ object Retrieval {
   def hardNegatives(
       emb: DataFrame, queryIds: Seq[Long], k: Int = 10,
       dupCos: Double = 0.8): DataFrame = {
-    graft.functions.VectorFunctions.register(emb.sparkSession)
-    val e = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      .withColumn("norm", expr("sqrt(graft_dot(v, v))"))
+    val e = withNorm(emb)
     val q = e.filter(col("vec_id").isInCollection(queryIds))
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm").as("qn"))
     e.crossJoin(broadcast(q))
@@ -349,9 +362,7 @@ object Retrieval {
       poolSize: Int = 128): DataFrame = {
     require(lambda >= 0.0 && lambda <= 1.0, s"lambda must be in [0,1], got $lambda")
     require(k >= 1 && poolSize >= k, s"need poolSize ($poolSize) >= k ($k) >= 1")
-    graft.functions.VectorFunctions.register(emb.sparkSession)
-    val e = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      .withColumn("norm", expr("sqrt(graft_dot(v, v))"))
+    val e = withNorm(emb)
       .localCheckpoint() // feeds the query row, the pool scan, and the vector fetch
     val q = e.filter(col("vec_id") === lit(queryId))
       .select(col("v").as("qv"), col("norm").as("qn"))

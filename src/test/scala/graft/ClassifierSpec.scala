@@ -231,7 +231,7 @@ class ClassifierSpec extends AnyFunSuite with SparkSessionTestBase {
     assert(got.getLong(0) === p); assert(got.getLong(1) === n)
     assert(got.getLong(2) === tp); assert(got.getLong(3) === fp)
     assert(got.getLong(4) === fn); assert(got.getLong(5) === tn)
-    assert(got.getLong(6) === u2)
+    assert(got.getDecimal(6).longValueExact() === u2)
     def d(i: Int): Option[Double] = if (got.isNullAt(i)) None else Some(got.getDouble(i))
     assert(d(7) === prec); assert(d(8) === rec); assert(d(9) === f1)
     assert(d(10) === auc)
@@ -251,7 +251,7 @@ class ClassifierSpec extends AnyFunSuite with SparkSessionTestBase {
     assert(onePos.isNullAt(10)) // auc undefined without both classes
     assert(onePos.getDouble(8) === 1.0) // recall defined
     val empty = Classifier.classifierEval(evalDf(Seq.empty)).collect().head
-    assert(empty.getLong(0) === 0L && empty.getLong(6) === 0L)
+    assert(empty.getLong(0) === 0L && empty.getDecimal(6).longValueExact() === 0L)
     assert(empty.isNullAt(7) && empty.isNullAt(8) && empty.isNullAt(10))
   }
 

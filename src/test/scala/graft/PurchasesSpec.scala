@@ -188,6 +188,13 @@ class PurchasesSpec extends AnyFunSuite with SparkSessionTestBase {
     val noLoop = Seq((1L, 2L, 1L)).toDF("src", "dst", "w")
     assert(graft.operators.Graph.pageRank(withLoop).collect().map(_.toString).toSeq
       === graft.operators.Graph.pageRank(noLoop).collect().map(_.toString).toSeq)
+    // ...but a node whose ONLY edges are self-loops still ranks with
+    // its teleport share instead of vanishing from the output
+    val loner = Seq((1L, 2L, 1L), (7L, 7L, 5L)).toDF("src", "dst", "w")
+    val ranks = graft.operators.Graph.pageRank(loner).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ranks.keySet === Set(1L, 2L, 7L))
+    assert(ranks(7L) > 0L && ranks(7L) < ranks(1L))
     // a non-positive weight is a caller bug and fails loudly
     val bad = Seq((1L, 2L, 0L)).toDF("src", "dst", "w")
     val e = intercept[Exception] {

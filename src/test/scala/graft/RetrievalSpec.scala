@@ -128,6 +128,23 @@ class RetrievalSpec extends AnyFunSuite with SparkSessionTestBase {
       === Map(0L -> 0L, 2L -> 2L))
   }
 
+  test("a zero-norm embedding fails loudly instead of silently dropping") {
+    import spark.implicits._
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    Seq(
+      () => Retrieval.cosineTopK(emb, Seq(0L), k = 2).collect(),
+      () => Retrieval.hardNegatives(emb, Seq(0L), k = 2).collect(),
+      () => Retrieval.mmrSelect(emb, 0L, k = 1, poolSize = 2).count()
+    ).foreach { run =>
+      val e = intercept[Exception](run())
+      assert(msgs(e).exists(_.contains("zero-norm")), s"missing loud guard: $e")
+    }
+  }
+
   test("rrfFuse sums exact integer reciprocal-rank contributions") {
     import spark.implicits._
     val a = Seq((0L, 10L, 1), (0L, 11L, 2), (0L, 12L, 3)).toDF("query_id", "doc_id", "rank")
