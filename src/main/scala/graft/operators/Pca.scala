@@ -132,6 +132,18 @@ object Pca {
     PcaModel(mean, rows.tail.map(_.getDouble(1)), comps)
   }
 
+  /** Checker-safe exploded projection: (vec_id, dim, value) with the
+    * value snapped to 6 decimals — every column atomic, so a
+    * sort-before-hash checker (pandas, DuckDB) can canonicalize it.
+    * Bit-equal to `round(pcaProject(...).proj[dim], 6)` (asserted in
+    * PcaSpec); since each value is one literal-model dot product,
+    * this form is also DuckDB-expressible and carries a FULL oracle. */
+  def pcaProjectExploded(emb: DataFrame, model: PcaModel): DataFrame =
+    pcaProject(emb, model)
+      .select(col("vec_id"), posexplode(col("proj")).as(Seq("dim", "value")))
+      .select(col("vec_id"), col("dim"), round(col("value"), 6).as("value"))
+      .orderBy("vec_id", "dim")
+
   /** Project the corpus: (vec_id, proj array<double> of length k) —
     * narrow map, literals-only model, codegen dot products. */
   def pcaProject(emb: DataFrame, model: PcaModel): DataFrame = {

@@ -88,6 +88,23 @@ class PcaSpec extends AnyFunSuite with SparkSessionTestBase {
     }
   }
 
+  test("exploded projection is bit-equal to the array form (checker-safe twin)") {
+    val arr = Pca.pcaProject(emb, model)
+      .select(col("vec_id"), posexplode(col("proj")).as(Seq("dim", "v")))
+      .select(col("vec_id"), col("dim"), round(col("v"), 6).as("value"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSeq
+      .sortBy(t => (t._1, t._2))
+    val exploded = Pca.pcaProjectExploded(emb, model)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSeq
+    assert(exploded === arr)
+    // every column atomic — the r7 driver checker crashed on arrays
+    import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+    assert(Pca.pcaProjectExploded(emb, model).schema.fields.forall(_.dataType match {
+      case _: ArrayType | _: MapType | _: StructType => false
+      case _ => true
+    }))
+  }
+
   test("degenerate inputs fail loudly or stay bounded") {
     intercept[IllegalArgumentException] {
       Pca.pcaTrain(emb.limit(0))
