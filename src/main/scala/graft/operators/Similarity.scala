@@ -631,6 +631,78 @@ object Similarity {
     pqSearch(codes, cents, e, nQueries, k, m, rerankFactor)
   }
 
+  /** (vec_id, embedding) with the vectors unit-normalized — the frame
+    * [[Opq.opqTrain]] trains on and [[opqRotate]] rotates: for a
+    * cosine index, the variance structure OPQ balances must be the
+    * quantized (normalized) vectors', not the raw magnitudes'. */
+  private def opqNormalized(emb: DataFrame): DataFrame =
+    withNorm(emb)
+      .select(col("vec_id"), expr("transform(v, x -> x / norm)").as("embedding"))
+
+  /** The corpus carried into rotated coordinates: (vec_id, embedding)
+    * where embedding = R·(x/‖x‖). A NARROW map — one codegen graft_dot
+    * per output dimension, the rotation rows riding the plan as
+    * literals (the [[Pca.pcaProject]] posture). The rotation is
+    * orthonormal, so dot products and norms are preserved: downstream
+    * cosine scores equal the original-space scores and the exact
+    * rerank needs no inverse transform. */
+  def opqRotate(emb: DataFrame, model: Opq.OpqModel): DataFrame = {
+    graft.functions.VectorFunctions.register(emb.sparkSession)
+    opqNormalized(emb)
+      .select(col("vec_id"),
+        Opq.rotateCol(col("embedding"), model).as("embedding"))
+  }
+
+  /** OPQ × PQ (Ge et al. 2013; FAISS `OPQMatrix,PQm`): learn the
+    * variance-balancing rotation, carry the corpus into rotated
+    * coordinates, then run the UNCHANGED PQ pipeline there — training,
+    * ADC scoring, and exact rerank all compose because the rotation
+    * preserves dot products. Flat PQ splits raw contiguous
+    * coordinates, so with anisotropic embeddings one subspace hoards
+    * the variance while others quantize noise; the rotation spends the
+    * same (m × nCodes) code budget where the structure is (recall@k ≥
+    * flat PQ at equal parameters on an anisotropic corpus —
+    * spec-asserted; on isotropic data the two coincide, which is why
+    * flat stays the default). */
+  def embedOpqPqTopK(
+      emb: DataFrame, nQueries: Int = 10, k: Int = 5,
+      m: Int = 8, nCodes: Int = 16, lloydIters: Int = 2,
+      rerankFactor: Int = 8, trainFactor: Int = 64,
+      maxTrain: Int = 4096): DataFrame = {
+    val model = Opq.opqTrain(opqNormalized(emb), m, maxTrain)
+    embedPqTopK(opqRotate(emb, model), nQueries, k, m, nCodes,
+      lloydIters, rerankFactor, trainFactor)
+  }
+
+  /** Train ONCE, return (codes, codebooks, rotation artifact) — the
+    * triple [[embedOpqPqTopKFromIndex]] serves from after a parquet
+    * round-trip. The codes/codebooks live in ROTATED space; the
+    * rotation artifact ([[Opq.opqModelFrame]], ≤ d rows) is what lets
+    * a later serving call carry queries into that space. */
+  def opqPqIndex(
+      emb: DataFrame, m: Int = 8, nCodes: Int = 16,
+      lloydIters: Int = 2, trainFactor: Int = 64,
+      maxTrain: Int = 4096): (DataFrame, DataFrame, DataFrame) = {
+    val model = Opq.opqTrain(opqNormalized(emb), m, maxTrain)
+    val (codes, cents) =
+      pqIndex(opqRotate(emb, model), m, nCodes, lloydIters, trainFactor)
+    (codes, cents, Opq.opqModelFrame(emb.sparkSession, model))
+  }
+
+  /** [[embedOpqPqTopK]] served entirely from the persisted triple:
+    * rotate the fp corpus with the artifact rotation (narrow map),
+    * then the standard ADC scan over the rotated-space codes. The fp
+    * corpus is read only for queries and the rerank pool, exactly as
+    * in the flat indexed path. Bit-equal to the inline form across the
+    * parquet round-trip (spec). */
+  def embedOpqPqTopKFromIndex(
+      codes: DataFrame, cents: DataFrame, rot: DataFrame, emb: DataFrame,
+      nQueries: Int = 10, k: Int = 5, m: Int = 8,
+      rerankFactor: Int = 8): DataFrame =
+    embedPqTopKFromIndex(codes, cents,
+      opqRotate(emb, Opq.opqModelFromFrame(rot)),
+      nQueries, k, m, rerankFactor)
+
   /** Shared exact-rerank tail: join the bounded survivor pool back to
     * the fp corpus, score against the broadcast queries, keep top-k. */
   private def exactRerank(
@@ -822,19 +894,27 @@ object Similarity {
     * instead of retraining per call; the indexed forms are spec-
     * asserted bit-equal to the inline forms, so the recall values are
     * identical, only the training cost disappears. */
-  def annRecall(
-      emb: DataFrame, nQueries: Int = 10, k: Int = 5,
-      methods: Seq[String] = Seq("lsh", "ivf", "sq", "pq"),
-      impls: Map[String, () => DataFrame] = Map.empty): DataFrame = {
-    val spark = emb.sparkSession
-    import spark.implicits._
-    val known: Map[String, () => DataFrame] = Map(
+  /** Default inline builders for the ANN index families, overridable
+    * per method via `impls` (the persisted-artifact serving hook the
+    * meters share). */
+  private def annBuilders(
+      emb: DataFrame, nQueries: Int, k: Int,
+      impls: Map[String, () => DataFrame]): Map[String, () => DataFrame] =
+    Map(
       "lsh" -> (() => embedLshTopK(emb, nQueries, k)),
       "ivf" -> (() => embedIvfTopK(emb, nQueries, k)),
       "sq" -> (() => embedSqTopK(emb, nQueries, k)),
       "pq" -> (() => embedPqTopK(emb, nQueries, k)),
       "ivf_sq" -> (() => embedIvfSqTopK(emb, nQueries, k)),
       "ivf_pq" -> (() => embedIvfPqTopK(emb, nQueries, k))) ++ impls
+
+  def annRecall(
+      emb: DataFrame, nQueries: Int = 10, k: Int = 5,
+      methods: Seq[String] = Seq("lsh", "ivf", "sq", "pq"),
+      impls: Map[String, () => DataFrame] = Map.empty): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val known = annBuilders(emb, nQueries, k, impls)
     val unknown = methods.filterNot(known.contains)
     require(unknown.isEmpty, s"unknown ANN methods: ${unknown.mkString(", ")}")
     val exact = embedTopK(emb, nQueries, k)
@@ -855,6 +935,77 @@ object Similarity {
       .agg(count(lit(1)).as("n_queries"),
         round(round(sum("recall"), 6) / count(lit(1)), 4).as("mean_recall"),
         round(min("recall"), 4).as("min_recall"))
+      .withColumn("k", lit(k))
+      .orderBy("method")
+  }
+
+  /** Ranking-quality report over the ANN families: MRR of the true
+    * nearest neighbor and NDCG@k of each approximate ranking against
+    * the exact cosine ranking — the report an index choice is actually
+    * made on ([[annRecall]] says how many of the right neighbors come
+    * back; these say whether they come back in the right ORDER, and
+    * whether the single most important one comes back at all).
+    *
+    * Exact-integer discipline (the pageRank/dsirWeights posture): the
+    * 1/log2(rank+1) position discounts are precomputed driver-side as
+    * half-up micro literals (element_at on a k-long literal array), so
+    * every DCG term is gain × disc_micro — an exact integer — and the
+    * per-query DCG / IDCG / reciprocal-rank values are exact integer
+    * sums, bit-identical across partition counts and aggregation
+    * orders. Gains are graded by exact rank (`k+1-exact_rank`); IDCG
+    * comes from the exact frame itself, so NDCG stays well-defined
+    * when a query has fewer than k exact neighbors; MRR scores the
+    * exact rank-1 neighbor's reciprocal approximate rank, 0 when the
+    * method misses it entirely. Same `impls` serving hook as
+    * [[annRecall]]. One row per method:
+    * (method, n_queries, mean_mrr, mean_ndcg, min_ndcg, k). */
+  def annMetrics(
+      emb: DataFrame, nQueries: Int = 10, k: Int = 5,
+      methods: Seq[String] = Seq("lsh", "ivf", "sq", "pq"),
+      impls: Map[String, () => DataFrame] = Map.empty): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val known = annBuilders(emb, nQueries, k, impls)
+    val unknown = methods.filterNot(known.contains)
+    require(unknown.isEmpty, s"unknown ANN methods: ${unknown.mkString(", ")}")
+    val discMicro: Seq[Long] = (1 to k).map { j =>
+      java.math.BigDecimal.valueOf(1.0 / (math.log(j + 1.0) / math.log(2.0)))
+        .setScale(6, java.math.RoundingMode.HALF_UP)
+        .movePointRight(6).longValueExact()
+    }
+    val disc = typedlit(discMicro)
+    val exact = embedTopK(emb, nQueries, k)
+      .select(col("query_id"), col("neighbor_id"), col("rank").as("exact_rank"))
+      .localCheckpoint() // one baseline pass, reused per method
+    val idcg = exact
+      .groupBy("query_id")
+      .agg(sum((lit(k + 1) - col("exact_rank"))
+        * element_at(disc, col("exact_rank"))).as("idcg_micro"))
+    val approx = methods.map { name =>
+      known(name)().select(lit(name).as("method"),
+        col("query_id"), col("neighbor_id"), col("rank"))
+    }.reduce(_ unionAll _)
+    val hits = approx.join(exact, Seq("query_id", "neighbor_id"))
+      .groupBy("method", "query_id")
+      .agg(
+        sum((lit(k + 1) - col("exact_rank")) * element_at(disc, col("rank")))
+          .as("dcg_micro"),
+        // half-up micro of 1/approx_rank of the exact rank-1 neighbor
+        max(when(col("exact_rank") === 1,
+          expr("(2000000 + rank) div (2 * rank)")).otherwise(lit(0L)))
+          .as("rr_micro"))
+    val perQuery = idcg.crossJoin(methods.toDF("method"))
+      .join(hits, Seq("method", "query_id"), "left")
+      .select(col("method"), col("query_id"),
+        coalesce(col("rr_micro"), lit(0L)).as("rr_micro"),
+        round(coalesce(col("dcg_micro"), lit(0L)).cast("double")
+          / col("idcg_micro"), 6).as("ndcg"))
+    perQuery.groupBy("method")
+      .agg(count(lit(1)).as("n_queries"),
+        round(sum("rr_micro").cast("double") / (count(lit(1)) * 1e6), 4)
+          .as("mean_mrr"),
+        round(round(sum("ndcg"), 6) / count(lit(1)), 4).as("mean_ndcg"),
+        round(min("ndcg"), 4).as("min_ndcg"))
       .withColumn("k", lit(k))
       .orderBy("method")
   }

@@ -966,6 +966,115 @@ class LlmOpsSpec extends AnyFunSuite with SparkSessionTestBase {
     }
   }
 
+  test("annMetrics matches an independent local MRR/NDCG computation") {
+    import spark.implicits._
+    val vecs: Seq[(Long, Array[Float])] = Seq(
+      0L -> Array(1.0f, 0.0f),
+      1L -> Array(0.0f, 1.0f),
+      2L -> Array(0.95f, 0.3f),
+      3L -> Array(0.8f, 0.6f),
+      4L -> Array(0.6f, 0.8f),
+      5L -> Array(0.3f, 0.95f))
+    val emb = vecs.toDF("vec_id", "embedding")
+    val k = 3
+    val nQ = 2
+    def snap6(x: Double) = java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    def snap4(x: Double) = java.math.BigDecimal.valueOf(x)
+      .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+    val vmap = vecs.toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val ad = a.map(_.toDouble); val bd = b.map(_.toDouble)
+      val d = ad.zip(bd).map { case (x, y) => x * y }.sum
+      snap6(d / (math.sqrt(ad.map(x => x * x).sum)
+        * math.sqrt(bd.map(x => x * x).sum)))
+    }
+    // independent exact ranking (embedTopK semantics: snap6 cosine,
+    // ties on id, self excluded)
+    val exactLocal: Map[Long, Seq[Long]] = (0L until nQ).map { q =>
+      q -> vecs.map(_._1).filter(_ != q)
+        .map(id => (id, cos(vmap(q), vmap(id))))
+        .sortBy { case (id, c) => (-c, id) }.take(k).map(_._1)
+    }.toMap
+    // hand-built approximate rankings: q0 = exact with top-2 swapped;
+    // q1 = exact MINUS its rank-1 neighbor, one non-exact filler at
+    // the tail — exercises both imperfect order and a full miss
+    val approx: Map[Long, Seq[Long]] = Map(
+      0L -> { val e = exactLocal(0L); Seq(e(1), e(0), e(2)) },
+      1L -> { val e = exactLocal(1L)
+        e.drop(1) :+ vecs.map(_._1)
+          .find(id => id != 1L && !e.contains(id)).get })
+    val approxDf = approx.toSeq.flatMap { case (q, ids) =>
+      ids.zipWithIndex.map { case (id, i) => (q, id, 0.0, i + 1) }
+    }.toDF("query_id", "neighbor_id", "cos_sim", "rank")
+    val out = Similarity.annMetrics(emb, nQueries = nQ, k = k,
+      methods = Seq("fake"), impls = Map("fake" -> (() => approxDf)))
+      .collect()
+    assert(out.length === 1)
+    // independent mirror of the integer-micro formulas
+    def discMicro(j: Int): Long = java.math.BigDecimal
+      .valueOf(1.0 / (math.log(j + 1.0) / math.log(2.0)))
+      .setScale(6, java.math.RoundingMode.HALF_UP)
+      .movePointRight(6).longValueExact()
+    val per = (0L until nQ).map { q =>
+      val e = exactLocal(q); val a = approx(q)
+      val er = e.zipWithIndex.map { case (id, i) => id -> (i + 1) }.toMap
+      val rr = a.zipWithIndex.collectFirst {
+        case (id, i) if er.get(id).contains(1) =>
+          (2000000L + (i + 1)) / (2L * (i + 1))
+      }.getOrElse(0L)
+      val dcg = a.zipWithIndex.collect {
+        case (id, i) if er.contains(id) =>
+          (k + 1 - er(id)).toLong * discMicro(i + 1)
+      }.sum
+      val idcg = (1 to e.length).map(j => (k + 1 - j).toLong * discMicro(j)).sum
+      (rr, snap6(dcg.toDouble / idcg))
+    }
+    val row = out.head
+    assert(row.getAs[String]("method") === "fake")
+    assert(row.getAs[Long]("n_queries") === nQ.toLong)
+    assert(row.getAs[Double]("mean_mrr")
+      === snap4(per.map(_._1).sum.toDouble / (nQ * 1e6)))
+    assert(row.getAs[Double]("mean_ndcg")
+      === snap4(snap6(per.map(_._2).sum) / nQ))
+    assert(row.getAs[Double]("min_ndcg") === snap4(per.map(_._2).min))
+    // sanity on the planted shape: q0's swap dents NDCG but not to 0,
+    // and the missed rank-1 neighbor zeroes q1's RR contribution
+    assert(row.getAs[Double]("mean_mrr") === 0.25)
+    assert(row.getAs[Double]("mean_ndcg") < 1.0
+      && row.getAs[Double]("mean_ndcg") > 0.5)
+  }
+
+  test("annMetrics: exact ranking scores 1.0; the six families report sane ranges") {
+    val emb = Tables.embeddings(spark, docDir)
+    val ex = Similarity.annMetrics(emb, methods = Seq("exact"),
+      impls = Map("exact" -> (() => Similarity.embedTopK(emb)))).collect().head
+    assert(ex.getAs[Double]("mean_mrr") === 1.0)
+    assert(ex.getAs[Double]("mean_ndcg") === 1.0)
+    assert(ex.getAs[Double]("min_ndcg") === 1.0)
+    val all = Seq("lsh", "ivf", "sq", "pq", "ivf_sq", "ivf_pq")
+    val rows = Similarity.annMetrics(emb, methods = all).collect()
+    info(rows.map(r => s"${r.getAs[String]("method")}:" +
+      s" mrr=${r.getAs[Double]("mean_mrr")} ndcg=${r.getAs[Double]("mean_ndcg")}")
+      .mkString(" "))
+    assert(rows.map(_.getAs[String]("method")).toSeq === all.sorted)
+    rows.foreach { r =>
+      Seq("mean_mrr", "mean_ndcg", "min_ndcg").foreach { c =>
+        val v = r.getAs[Double](c)
+        assert(v >= 0.0 && v <= 1.0, s"$c=$v out of range")
+      }
+      assert(r.getAs[Double]("min_ndcg") <= r.getAs[Double]("mean_ndcg"))
+      assert(r.getAs[Long]("n_queries") === 10L)
+    }
+    // the rerank-everything family sits near exact in ORDER quality too
+    val byM = rows.map(r =>
+      r.getAs[String]("method") -> r.getAs[Double]("mean_ndcg")).toMap
+    assert(byM("sq") > 0.9, s"sq ndcg=${byM("sq")}")
+    // deterministic meter: bit-identical on re-run
+    val again = Similarity.annMetrics(emb, methods = all).collect()
+    assert(rows.map(_.toString).toSeq === again.map(_.toString).toSeq)
+  }
+
   test("flagContaminatedSemantic flags embedding-space matches of a planted eval set") {
     val emb = Tables.embeddings(spark, docDir)
     // eval = exact copies of train vectors 100..102 under fresh ids: the
