@@ -87,9 +87,15 @@ object Bench {
     // what per-query medians are for; artifact-build cost is reported
     // separately as "warmup" in bench_full.json.
     val warm0 = System.nanoTime()
-    names.foreach { case (name, fn) =>
+    // per-query warm-up seconds: for the indexed families this IS the
+    // artifact-build + first-serve cost (fingerprint miss → train +
+    // persist), so bench_full.json carries the build/serve cost split
+    // per family, not just the one global warmup number
+    val warmupPer: Seq[(String, Double)] = names.map { case (name, fn) =>
+      val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable => System.err.println(s"[bench] warmup $name failed: ${e.getMessage}") }
+      name -> (System.nanoTime() - t0) / 1e9
     }
     val warmupSec = (System.nanoTime() - warm0) / 1e9
     val perRun: Seq[Seq[(String, Double)]] = (1 to runs).map { _ =>
@@ -124,9 +130,13 @@ object Bench {
           ",\"med\":" + fmt(3, median(vs)) + ",\"max\":" + fmt(3, vs.max) + "}"
       }.mkString("{", ",", "}")
       val runTotals = perRun.map(r => fmt(3, r.map(_._2).sum)).mkString("[", ",", "]")
+      val warmQs = warmupPer.map { case (name, v) =>
+        "\"" + name + "\":" + fmt(3, v)
+      }.mkString("{", ",", "}")
       val full =
         s"""{"metric":"total","value":${fmt(3, total)},"unit":"sec","sf":"$sfTag",""" +
-          s""""warmup":${fmt(3, warmupSec)},"runs":$runTotals,"queries":$qs}"""
+          s""""warmup":${fmt(3, warmupSec)},"warmup_queries":$warmQs,""" +
+          s""""runs":$runTotals,"queries":$qs}"""
       java.nio.file.Files.write(dir.resolve("bench_full.json"),
         (full + "\n").getBytes("UTF-8"))
     } catch { case _: Throwable => () }

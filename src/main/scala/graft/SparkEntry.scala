@@ -200,6 +200,26 @@ object SparkEntry {
     (s.read.parquet(s"$root/codes"), s.read.parquet(s"$root/codebooks"))
   }
 
+  /** Persisted OPQ artifact triple (rotated-space codes + codebooks +
+    * the rotation matrix under one root), fingerprint-keyed like the
+    * SQ/PQ indexes. Returns the parquet-backed
+    * (codes, codebooks, rotation) frames. */
+  private val opqIndexPaths =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), (Long, String)]
+
+  private[graft] def opqIndexShared(
+      s: SparkSession, d: String): (DataFrame, DataFrame, DataFrame) = {
+    val fp = tableFingerprint(s, d, "embeddings.parquet")
+    val root = artifactPath(opqIndexPaths, s, d, fp, "graft_opq_idx") { p =>
+      val (codes, cents, rot) = Similarity.opqPqIndex(Tables.embeddings(s, d))
+      codes.write.mode("overwrite").parquet(s"$p/codes")
+      cents.write.mode("overwrite").parquet(s"$p/codebooks")
+      rot.write.mode("overwrite").parquet(s"$p/rotation")
+    }
+    (s.read.parquet(s"$root/codes"), s.read.parquet(s"$root/codebooks"),
+      s.read.parquet(s"$root/rotation"))
+  }
+
   /** Persisted IVF artifact pair (posting-list assignments +
     * centroids under one root), fingerprint-keyed like the SQ/PQ
     * indexes. Returns the parquet-backed (assignments, centroids)
@@ -371,8 +391,20 @@ object SparkEntry {
           operators.Pca.pcaTrain(Tables.embeddings(s, d), k = 8))
         .write.mode("overwrite").parquet(p)
     }
-    operators.Pca.pcaModelFromFrame(s.read.parquet(path))
+    val model = operators.Pca.pcaModelFromFrame(s.read.parquet(path))
+    pcaOracleModel = Some(model)
+    model
   }
+
+  /** The last PCA model served (set by [[pcaModelShared]]). DuckDB has
+    * no eigensolver, but the PROJECTION from a trained model is just
+    * list dot products — so [[oracleSql]] embeds this model's
+    * mean/components as literals and q_embed_pca graduates to a FULL
+    * oracle. Verify runs every query before dumping oracle_sql.json,
+    * so the var is always populated on the driver path; if it is not
+    * (oracleSql called standalone), the q_embed_pca key is omitted and
+    * the driver records the weaker rows-only check. */
+  @volatile private var pcaOracleModel: Option[operators.Pca.PcaModel] = None
 
   /** Persisted token-count histogram partials — the exact mergeable
     * quantile state ([[operators.Sketches.histPartials]]). */
@@ -537,6 +569,17 @@ object SparkEntry {
     // dot-metric score decomposition keeps the LUT list-independent
     "q_embed_ivf_pq_residual" -> ((s, d) =>
       Similarity.embedIvfPqTopK(Tables.embeddings(s, d), residual = true)),
+    // OPQ (Ge et al. 2013): learned variance-balancing rotation before
+    // the subspace split — recall ≥ flat PQ at equal (m, nCodes) on
+    // anisotropic corpora (spec-asserted on a planted one; flat stays
+    // default because the testdata embeddings are isotropic)
+    "q_embed_opq_topk" -> ((s, d) =>
+      Similarity.embedOpqPqTopK(Tables.embeddings(s, d))),
+    "q_embed_opq_indexed" -> ((s, d) => {
+      val (codes, cents, rot) = opqIndexShared(s, d)
+      Similarity.embedOpqPqTopKFromIndex(
+        codes, cents, rot, Tables.embeddings(s, d))
+    }),
     "q_embed_sq_topk_indexed" -> ((s, d) =>
       Similarity.embedSqTopKFromIndex(sqIndexShared(s, d), Tables.embeddings(s, d))),
     "q_embed_pq_topk_indexed" -> ((s, d) => {
@@ -591,12 +634,47 @@ object SparkEntry {
             Similarity.embedIvfPqTopKFromIndex(
               assign, coarse, codes, cbooks, Tables.embeddings(s, d))
           })))),
-    // rows-only by declared design (no DuckDB eigensolver); spectrum /
-    // orthonormality / reconstruction invariants + artifact round-trip
-    // asserted in PcaSpec. Projection serves from the persisted model
-    // artifact as plan literals — one codegen dot per component.
+    // ranking-quality deepening of q_ann_recall: MRR of the true NN +
+    // NDCG@k per family, exact-integer micro discounts (rows-only by
+    // declared design — the six approximate rankings have no DuckDB
+    // twin; formulas pinned vs an independent local computation in
+    // LlmOpsSpec). Same persisted-artifact serving hooks as the
+    // recall meter.
+    "q_ann_metrics" -> ((s, d) =>
+      Similarity.annMetrics(Tables.embeddings(s, d),
+        methods = Seq("lsh", "ivf", "sq", "pq", "ivf_sq", "ivf_pq"),
+        impls = Map(
+          "ivf" -> (() => {
+            val (assign, cents) = ivfIndexShared(s, d)
+            Similarity.embedIvfTopKFromIndex(assign, cents, Tables.embeddings(s, d))
+          }),
+          "sq" -> (() => Similarity.embedSqTopKFromIndex(
+            sqIndexShared(s, d), Tables.embeddings(s, d))),
+          "pq" -> (() => {
+            val (codes, cents) = pqIndexShared(s, d)
+            Similarity.embedPqTopKFromIndex(codes, cents, Tables.embeddings(s, d))
+          }),
+          "ivf_sq" -> (() => {
+            val (assign, cents) = ivfIndexShared(s, d)
+            Similarity.embedIvfSqTopKFromIndex(
+              assign, cents, sqIndexShared(s, d), Tables.embeddings(s, d))
+          }),
+          "ivf_pq" -> (() => {
+            val (assign, coarse) = ivfIndexShared(s, d)
+            val (codes, cbooks) = pqIndexShared(s, d)
+            Similarity.embedIvfPqTopKFromIndex(
+              assign, coarse, codes, cbooks, Tables.embeddings(s, d))
+          })))),
+    // exploded checker-safe form (vec_id, dim, value) — all columns
+    // atomic (the r7 driver checker crashed sorting the raw array
+    // form), 6-decimal snap, FULL oracle via the literal-model SQL
+    // [[pcaOracleModel]] feeds. Spectrum / orthonormality /
+    // reconstruction invariants + artifact round-trip in PcaSpec;
+    // projection serves from the persisted model artifact as plan
+    // literals — one codegen dot per component.
     "q_embed_pca" -> ((s, d) =>
-      operators.Pca.pcaProject(Tables.embeddings(s, d), pcaModelShared(s, d))),
+      operators.Pca.pcaProjectExploded(
+        Tables.embeddings(s, d), pcaModelShared(s, d))),
     "q_embed_clusters" -> ((s, d) => Similarity.embedClusterStats(Tables.embeddings(s, d))),
     "q_cluster_quality" -> ((s, d) =>
       Similarity.clusterQuality(Tables.embeddings(s, d), Tables.documents(s, d))),
@@ -665,6 +743,15 @@ object SparkEntry {
     "q_stream_bm25" -> ((s, d) =>
       graft.streaming.Bm25Stream.searchMaintainRun(
         s, d, bm25QueriesDf(s), bm25QueryTermsLiteral)),
+    // STREAMING sketch maintenance (the third DeltaLayout instance,
+    // after the rollup and the inverted index): seed counters from
+    // even doc_ids, stream the odd half as per-batch counter deltas,
+    // COMPACT inside the measured path, serve seed ∪ deltas — CMS
+    // counters are linear, so the served table hash-matches the SAME
+    // direct full-corpus oracle as q_cms_build (stream-maintained ==
+    // direct-built, proven by the hash gate)
+    "q_stream_cms" -> ((s, d) =>
+      graft.streaming.CmsStream.cmsMaintainRun(s, d)),
     "q_vocab_stats" -> ((s, d) => TextAnalysis.vocabStats(Tables.documents(s, d))),
     "q_source_divergence" -> ((s, d) =>
       TextAnalysis.sourceDivergence(Tables.documents(s, d))),
@@ -1048,6 +1135,15 @@ object SparkEntry {
               |FROM graft_part_tmp GROUP BY p_type ORDER BY category""".stripMargin)
     }),
   )
+
+  private val cmsBuildOracleSql: String =
+    """WITH tk AS (SELECT unnest(string_split(lower(text), ' ')) AS t FROM documents),
+      |dd AS (SELECT t, unnest(range(0, 4)) AS d FROM tk),
+      |b AS (SELECT CAST(d AS INTEGER) AS d,
+      |  ('0x' || substr(md5('cms:' || CAST(d AS VARCHAR) || ':' || t), 1, 8))::UBIGINT::BIGINT % 1024 AS bucket
+      | FROM dd)
+      |SELECT d, bucket, CAST(count(*) AS BIGINT) AS cnt
+      |FROM b GROUP BY d, bucket ORDER BY d, bucket""".stripMargin
 
   private val eff = "l_extendedprice*(1-l_discount)"
   /** DuckDB mirror of Spark's round(<double expr>, s): Spark (codegen)
@@ -2393,7 +2489,7 @@ object SparkEntry {
         |  CAST(sum(1 - y) AS BIGINT) AS nn FROM sc GROUP BY sm),
         |cc AS (SELECT sm, np, nn, coalesce(sum(nn) OVER (ORDER BY sm
         |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS clt FROM h),
-        |u AS (SELECT CAST(sum(np * (clt * 2 + nn)) AS BIGINT) AS u2 FROM cc),
+        |u AS (SELECT CAST(sum(CAST(np AS HUGEINT) * (clt * 2 + nn)) AS DECIMAL(38,0)) AS u2 FROM cc),
         |t2 AS (SELECT CAST(sum(np) AS BIGINT) AS n_pos, CAST(sum(nn) AS BIGINT) AS n_neg,
         |  CAST(sum(CASE WHEN sm > 0 THEN np ELSE 0 END) AS BIGINT) AS tp,
         |  CAST(sum(CASE WHEN sm > 0 THEN nn ELSE 0 END) AS BIGINT) AS fp FROM h),
@@ -2467,14 +2563,10 @@ object SparkEntry {
     },
     // the CMS counter table is fully deterministic (md5-prefix row
     // hashes), so the sketch itself oracle-matches
-    "q_cms_build" ->
-      """WITH tk AS (SELECT unnest(string_split(lower(text), ' ')) AS t FROM documents),
-        |dd AS (SELECT t, unnest(range(0, 4)) AS d FROM tk),
-        |b AS (SELECT CAST(d AS INTEGER) AS d,
-        |  ('0x' || substr(md5('cms:' || CAST(d AS VARCHAR) || ':' || t), 1, 8))::UBIGINT::BIGINT % 1024 AS bucket
-        | FROM dd)
-        |SELECT d, bucket, CAST(count(*) AS BIGINT) AS cnt
-        |FROM b GROUP BY d, bucket ORDER BY d, bucket""".stripMargin,
+    "q_cms_build" -> cmsBuildOracleSql,
+    // the stream-maintained sketch must equal the direct build —
+    // counts are linear, so the oracle is the SAME direct-build SQL
+    "q_stream_cms" -> cmsBuildOracleSql,
     // ... and so do its point estimates: min over depth rows of the
     // deterministic counters — est >= exact by construction
     "q_cms_estimate" ->
@@ -2691,5 +2783,30 @@ object SparkEntry {
          | ${m("quantile_cont(p_retailprice, 0.5)")} AS p50_price,
          | ${m("quantile_cont(p_retailprice, 0.9)")} AS p90_price
          |FROM part GROUP BY p_type ORDER BY category""".stripMargin,
-  )
+  ) ++ pcaOracleSqlEntry
+
+  /** q_embed_pca's FULL oracle: the projection from a trained model is
+    * just dot products, so the model's components (and the folded μ·v
+    * offsets) ride the SQL as literals — Scala's Double.toString is
+    * the shortest round-trip repr, so DuckDB parses the IDENTICAL
+    * doubles the Spark plan folded, and the sequential
+    * list_dot_product matches graft_dot's summation order bit-for-bit.
+    * Present only once a model has been trained this process (Verify
+    * runs queries before dumping oracle_sql.json). */
+  private def pcaOracleSqlEntry: Map[String, String] =
+    pcaOracleModel.toList.map { pm =>
+      def arr(xs: Array[Double]) = xs.mkString("[", ", ", "]")
+      val rows = pm.comps.zipWithIndex.map { case (comp, c) =>
+        val off = comp.zip(pm.mean).map { case (a, b) => a * b }.sum
+        s"(CAST($c AS INTEGER), CAST(${arr(comp)} AS DOUBLE[]), CAST($off AS DOUBLE))"
+      }.mkString(",\n ")
+      "q_embed_pca" ->
+        s"""WITH pcam(dim, comp, off) AS (VALUES
+           | $rows),
+           |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+           |SELECT e.vec_id, pcam.dim,
+           | CAST(${dr("list_dot_product(e.v, pcam.comp) - pcam.off", 6)} AS DOUBLE) AS value
+           |FROM e CROSS JOIN pcam
+           |ORDER BY vec_id, dim""".stripMargin
+    }.toMap
 }

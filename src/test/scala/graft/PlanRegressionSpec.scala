@@ -581,4 +581,19 @@ class PlanRegressionSpec extends AnyFunSuite with SparkSessionTestBase {
       "histogram window must partition by blk")
     assert(p.contains("BroadcastHashJoin"), "block offsets must broadcast")
   }
+
+  test("opq indexed serving scans the persisted triple, no retraining") {
+    val p = plan("q_embed_opq_indexed")
+    // the rotation is applied as plan literals (d codegen dots — the
+    // pca-projection posture, model collected once from the ≤ d-row
+    // artifact), scoring walks the rotated-space code parquet through
+    // the native ADC kernel, and nothing retrains or re-encodes: no
+    // checkpointed Lloyd stage anywhere in the serving plan
+    assert(p.contains("graft_pq_adc"))
+    assert(p.contains("graft_dot"))
+    assert(p.contains("graft_opq_idx"),
+      "serving must read the persisted OPQ artifact")
+    assert(!p.contains("Scan ExistingRDD"),
+      "no checkpointed training stage may survive into serving")
+  }
 }
