@@ -238,6 +238,45 @@ object SparkEntry {
     (s.read.parquet(s"$root/assign"), s.read.parquet(s"$root/centroids"))
   }
 
+  /** The full index-family matrix both ANN meters (recall + MRR/NDCG)
+    * report on. */
+  private val annMeterMethods =
+    Seq("lsh", "ivf", "sq", "pq", "ivf_sq", "ivf_pq", "opq")
+
+  /** Persisted-artifact serving hooks shared by q_ann_recall and
+    * q_ann_metrics: every trained family serves from its
+    * fingerprint-keyed parquet artifact (bit-equal to inline —
+    * spec-asserted — so the meters never retrain what already
+    * persists; lsh alone has nothing to train or persist). */
+  private def annServingImpls(
+      s: SparkSession, d: String): Map[String, () => DataFrame] = Map(
+    "ivf" -> (() => {
+      val (assign, cents) = ivfIndexShared(s, d)
+      Similarity.embedIvfTopKFromIndex(assign, cents, Tables.embeddings(s, d))
+    }),
+    "sq" -> (() => Similarity.embedSqTopKFromIndex(
+      sqIndexShared(s, d), Tables.embeddings(s, d))),
+    "pq" -> (() => {
+      val (codes, cents) = pqIndexShared(s, d)
+      Similarity.embedPqTopKFromIndex(codes, cents, Tables.embeddings(s, d))
+    }),
+    "ivf_sq" -> (() => {
+      val (assign, cents) = ivfIndexShared(s, d)
+      Similarity.embedIvfSqTopKFromIndex(
+        assign, cents, sqIndexShared(s, d), Tables.embeddings(s, d))
+    }),
+    "ivf_pq" -> (() => {
+      val (assign, coarse) = ivfIndexShared(s, d)
+      val (codes, cbooks) = pqIndexShared(s, d)
+      Similarity.embedIvfPqTopKFromIndex(
+        assign, coarse, codes, cbooks, Tables.embeddings(s, d))
+    }),
+    "opq" -> (() => {
+      val (codes, cents, rot) = opqIndexShared(s, d)
+      Similarity.embedOpqPqTopKFromIndex(
+        codes, cents, rot, Tables.embeddings(s, d))
+    }))
+
   /** Persisted BPE tokenizer artifact (Bpe.segmentsIndex layout — the
     * slim word → subword-count table): the merge loop trains once per
     * documents data version; every tokenize after that READS the
@@ -611,29 +650,7 @@ object SparkEntry {
     // the meter; lsh alone has nothing to train or persist)
     "q_ann_recall" -> ((s, d) =>
       Similarity.annRecall(Tables.embeddings(s, d),
-        methods = Seq("lsh", "ivf", "sq", "pq", "ivf_sq", "ivf_pq"),
-        impls = Map(
-          "ivf" -> (() => {
-            val (assign, cents) = ivfIndexShared(s, d)
-            Similarity.embedIvfTopKFromIndex(assign, cents, Tables.embeddings(s, d))
-          }),
-          "sq" -> (() => Similarity.embedSqTopKFromIndex(
-            sqIndexShared(s, d), Tables.embeddings(s, d))),
-          "pq" -> (() => {
-            val (codes, cents) = pqIndexShared(s, d)
-            Similarity.embedPqTopKFromIndex(codes, cents, Tables.embeddings(s, d))
-          }),
-          "ivf_sq" -> (() => {
-            val (assign, cents) = ivfIndexShared(s, d)
-            Similarity.embedIvfSqTopKFromIndex(
-              assign, cents, sqIndexShared(s, d), Tables.embeddings(s, d))
-          }),
-          "ivf_pq" -> (() => {
-            val (assign, coarse) = ivfIndexShared(s, d)
-            val (codes, cbooks) = pqIndexShared(s, d)
-            Similarity.embedIvfPqTopKFromIndex(
-              assign, coarse, codes, cbooks, Tables.embeddings(s, d))
-          })))),
+        methods = annMeterMethods, impls = annServingImpls(s, d))),
     // ranking-quality deepening of q_ann_recall: MRR of the true NN +
     // NDCG@k per family, exact-integer micro discounts (rows-only by
     // declared design — the six approximate rankings have no DuckDB
@@ -642,29 +659,7 @@ object SparkEntry {
     // recall meter.
     "q_ann_metrics" -> ((s, d) =>
       Similarity.annMetrics(Tables.embeddings(s, d),
-        methods = Seq("lsh", "ivf", "sq", "pq", "ivf_sq", "ivf_pq"),
-        impls = Map(
-          "ivf" -> (() => {
-            val (assign, cents) = ivfIndexShared(s, d)
-            Similarity.embedIvfTopKFromIndex(assign, cents, Tables.embeddings(s, d))
-          }),
-          "sq" -> (() => Similarity.embedSqTopKFromIndex(
-            sqIndexShared(s, d), Tables.embeddings(s, d))),
-          "pq" -> (() => {
-            val (codes, cents) = pqIndexShared(s, d)
-            Similarity.embedPqTopKFromIndex(codes, cents, Tables.embeddings(s, d))
-          }),
-          "ivf_sq" -> (() => {
-            val (assign, cents) = ivfIndexShared(s, d)
-            Similarity.embedIvfSqTopKFromIndex(
-              assign, cents, sqIndexShared(s, d), Tables.embeddings(s, d))
-          }),
-          "ivf_pq" -> (() => {
-            val (assign, coarse) = ivfIndexShared(s, d)
-            val (codes, cbooks) = pqIndexShared(s, d)
-            Similarity.embedIvfPqTopKFromIndex(
-              assign, coarse, codes, cbooks, Tables.embeddings(s, d))
-          })))),
+        methods = annMeterMethods, impls = annServingImpls(s, d))),
     // exploded checker-safe form (vec_id, dim, value) — all columns
     // atomic (the r7 driver checker crashed sorting the raw array
     // form), 6-decimal snap, FULL oracle via the literal-model SQL
@@ -752,6 +747,16 @@ object SparkEntry {
     // direct-built, proven by the hash gate)
     "q_stream_cms" -> ((s, d) =>
       graft.streaming.CmsStream.cmsMaintainRun(s, d)),
+    // STREAMING vector-index maintenance (the fourth DeltaLayout
+    // instance): centroids train once on the even-id seed, odd ids
+    // stream through assignment-only maintenance (a narrow broadcast
+    // map per batch — the FAISS add-after-train contract), compaction
+    // runs inside the measured path, and the served top-k equals the
+    // direct one-batch assignment twin (assignment at fixed centroids
+    // is deterministic; rows-only — equality proven through serving
+    // in spec, like the other ANN families)
+    "q_stream_ivf" -> ((s, d) =>
+      graft.streaming.IvfStream.ivfMaintainRun(s, d)),
     "q_vocab_stats" -> ((s, d) => TextAnalysis.vocabStats(Tables.documents(s, d))),
     "q_source_divergence" -> ((s, d) =>
       TextAnalysis.sourceDivergence(Tables.documents(s, d))),

