@@ -365,6 +365,38 @@ object SparkEntry {
   private def bm25QueryTermsLiteral: Seq[String] =
     bm25Queries.flatMap(_._2.split(" ")).distinct
 
+  /** The driver's literal phrase set: a common bigram, a rarer trigram,
+    * and an absent phrase to exercise the zero-match path (repeated
+    * token included — the witness count must handle duplicate phrase
+    * terms). */
+  private val phraseQueries: Seq[(Long, String)] = Seq(
+    0L -> "table hash", 1L -> "slow hash batch", 2L -> "bloom bloom")
+
+  private def phraseQueriesDf(s: SparkSession): DataFrame = {
+    import s.implicits._
+    phraseQueries.toDF("query_id", "query_text")
+  }
+
+  private def phraseTermsLiteral: Seq[String] =
+    phraseQueries.flatMap(_._2.split(" ")).distinct
+
+  /** Persisted positional postings (Retrieval.positionalIndex layout,
+    * term-range-partitioned so a phrase probe prunes to its terms' row
+    * groups) — the Lucene-style positional artifact, fingerprint-keyed
+    * like the trigram/BM25 indexes. */
+  private val posIndexPaths =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), (Long, String)]
+
+  private[graft] def posIndexShared(s: SparkSession, d: String): DataFrame = {
+    val fp = documentsFingerprint(s, d)
+    val path = artifactPath(posIndexPaths, s, d, fp, "graft_pos_idx") { p =>
+      graft.sources.Sinks.writeRangePartitioned(
+        operators.Retrieval.positionalIndex(Tables.documents(s, d)),
+        p, "term", partitions = 8)
+    }
+    s.read.parquet(path)
+  }
+
   /** Persisted count-min sketch partials — the mergeable
     * point-frequency artifact ([[operators.Sketches.cmsPartials]]):
     * depth×width exact counters, built once per documents data
@@ -855,6 +887,19 @@ object SparkEntry {
     "q_grep_indexed" -> ((s, d) =>
       operators.Retrieval.grepFromIndex(
         grepIndexShared(s, d), Tables.documents(s, d), grepQuery)),
+    // exact phrase search over positional postings (the relational
+    // phrase join: one probe join + one witness-count aggregation for
+    // any number of phrases) — the verbatim-sequence probe
+    // decontamination and quote tracing need; full oracle twin, and
+    // the indexed form's term IN (...) probe pushes to the
+    // term-range-partitioned positional artifact (plan-locked)
+    "q_phrase_search" -> ((s, d) =>
+      operators.Retrieval.phraseSearch(
+        Tables.documents(s, d), phraseQueriesDf(s))),
+    "q_phrase_indexed" -> ((s, d) =>
+      operators.Retrieval.phraseFromIndex(
+        posIndexShared(s, d), phraseQueriesDf(s),
+        queryTermsLiteral = phraseTermsLiteral)),
     // blocklist scan: first matching audit pattern per doc — the
     // stateless projection shared verbatim with the streaming gate
     "q_audit_scan" -> ((s, d) =>
@@ -1140,6 +1185,34 @@ object SparkEntry {
               |FROM graft_part_tmp GROUP BY p_type ORDER BY category""".stripMargin)
     }),
   )
+
+  private val phraseOracleSql: String = {
+    val qvals = phraseQueries.map { case (id, t) =>
+      s"(CAST($id AS BIGINT), '$t')"
+    }.mkString(", ")
+    s"""WITH q(query_id, query_text) AS (VALUES $qvals),
+       |tok AS (SELECT doc_id,
+       |  unnest(string_split(lower(text), ' ')) AS term,
+       |  generate_subscripts(string_split(lower(text), ' '), 1) AS pos
+       | FROM documents),
+       |qt AS (SELECT query_id,
+       |  unnest(string_split(lower(query_text), ' ')) AS term,
+       |  generate_subscripts(string_split(lower(query_text), ' '), 1) AS qpos
+       | FROM q),
+       |pl AS (SELECT query_id, count(*) AS plen FROM qt GROUP BY query_id),
+       |cand AS (SELECT qt.query_id, tok.doc_id, tok.pos - qt.qpos AS start
+       | FROM tok JOIN qt ON tok.term = qt.term WHERE tok.pos >= qt.qpos),
+       |occ AS (SELECT query_id, doc_id, start, count(*) AS nq
+       | FROM cand GROUP BY 1, 2, 3),
+       |m AS (SELECT o.query_id, o.doc_id, CAST(count(*) AS BIGINT) AS n_matches,
+       |  CAST(min(o.start) AS BIGINT) AS first_pos
+       | FROM occ o JOIN pl ON o.query_id = pl.query_id
+       | WHERE o.nq = pl.plen GROUP BY 1, 2),
+       |r AS (SELECT query_id, doc_id, n_matches, first_pos, row_number() OVER
+       | (PARTITION BY query_id ORDER BY n_matches DESC, doc_id) AS rank FROM m)
+       |SELECT query_id, CAST(rank AS INTEGER) AS rank, doc_id, n_matches, first_pos
+       |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+  }
 
   private val cmsBuildOracleSql: String =
     """WITH tk AS (SELECT unnest(string_split(lower(text), ' ')) AS t FROM documents),
@@ -2551,6 +2624,13 @@ object SparkEntry {
     // the stream-maintained index serves against the same full-corpus
     // BM25 oracle — stream == rebuild, proven by hash
     "q_stream_bm25" -> bm25OracleSql,
+    // exact phrase search: the relational phrase join in SQL — tokens
+    // with 1-based subscripts on BOTH sides, so start = pos − qpos is
+    // the same 0-based value Spark's posexplode yields; a true
+    // occurrence at `start` is a start witnessed by ALL plen query
+    // positions. Indexed form is output-identical (spec) — same oracle
+    "q_phrase_search" -> phraseOracleSql,
+    "q_phrase_indexed" -> phraseOracleSql,
     "q_hard_negatives" -> {
       val cos = dr("list_dot_product(e2.v, q.v)/(e2.norm*q.norm)", 6)
       s"""WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,

@@ -314,6 +314,85 @@ object Retrieval {
       .orderBy("doc_id")
   }
 
+  /** Positional postings: (term, doc_id, pos) — 0-based token offsets
+    * under the shared whitespace tokenizer, the layout exact phrase
+    * search probes. Persist range-partitioned by term (the bm25/grep
+    * artifact posture) so a phrase's term probe prunes to its terms'
+    * row groups; ~1 row per corpus token, the accepted cost of
+    * positional retrieval at scale (Lucene stores the same). */
+  def positionalIndex(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        posexplode(split(lower(col("text")), " ", -1)).as(Seq("pos", "term")))
+      .select("term", "doc_id", "pos")
+
+  /** Exact phrase search — the verbatim-token-sequence probe
+    * benchmark-string decontamination and quote tracing need (an
+    * n-gram-overlap check says "shares vocabulary"; this says "contains
+    * the exact sequence"). The classic relational phrase join, ONE
+    * join + ONE aggregation for ANY number of phrases of ANY length —
+    * never a join per phrase term: each matched posting row proposes
+    * the phrase START it would witness (start = pos − qpos), and a
+    * true occurrence at `start` is exactly a start witnessed by ALL
+    * plen query positions. (query, doc, pos, qpos) rows are unique by
+    * construction — postings are unique per (doc, pos), query tokens
+    * per (query, qpos), and start determines pos given qpos — so the
+    * witness count is a plain count(1), no distinct Expand. Ranking:
+    * occurrence count through the bounded graft_topk aggregate (ties
+    * on doc_id), first match position rejoined from the broadcast
+    * bounded result. Exact integers end to end — full DuckDB oracle
+    * twin. Output: (query_id, rank, doc_id, n_matches, first_pos). */
+  def phraseSearch(
+      docs: DataFrame, queries: DataFrame, k: Int = 10): DataFrame =
+    phraseFromIndex(positionalIndex(docs), queries, k)
+
+  /** [[phraseSearch]] served from the persisted positional postings —
+    * at scale the probe reads only the phrase terms' row groups of the
+    * term-range-partitioned artifact. Bit-equal to the online form
+    * (spec + shared oracle). */
+  def phraseFromIndex(
+      postings: DataFrame, queries: DataFrame, k: Int = 10,
+      queryTermsLiteral: Seq[String] = Nil): DataFrame = {
+    graft.functions.VectorFunctions.register(postings.sparkSession)
+    // a LITERAL term set pushes `term IN (...)` to the postings scan
+    // (file/row-group pruning on the term-range-partitioned artifact —
+    // the bm25FromIndex posture); the join itself restricts to query
+    // terms either way, so the literal only changes the plan, never
+    // the result (spec-asserted)
+    val probed =
+      if (queryTermsLiteral.isEmpty) postings
+      else postings.filter(col("term").isin(queryTermsLiteral: _*))
+    // qt and the matches frame each feed two consumers UNCHECKPOINTED:
+    // both are tiny (query tokens; full-phrase docs) and a
+    // localCheckpoint here would hide the pushed postings scan behind
+    // an ExistingRDD in the serving plan (the plan-lock ethos:
+    // serving plans stay readable and re-derivable)
+    val qt = queries.select(col("query_id"),
+        posexplode(split(lower(col("query_text")), " ", -1))
+          .as(Seq("qpos", "term")))
+    val plen = qt.groupBy("query_id").agg(count(lit(1)).as("plen"))
+    val matches = probed.join(broadcast(qt), Seq("term"))
+      .select(col("query_id"), col("doc_id"),
+        (col("pos") - col("qpos")).as("start"), col("qpos"))
+      .filter(col("start") >= 0)
+      .groupBy("query_id", "doc_id", "start")
+      .agg(count(lit(1)).as("nq"))
+      .join(broadcast(plen), Seq("query_id"))
+      .filter(col("nq") === col("plen"))
+      .groupBy("query_id", "doc_id")
+      .agg(count(lit(1)).as("n_matches"),
+        min("start").cast("long").as("first_pos"))
+    val ranked = matches
+      .groupBy("query_id")
+      .agg(expr(s"graft_topk(CAST(n_matches AS DOUBLE), doc_id, $k)").as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("idx", "s")))
+      .select(col("query_id"), (col("idx") + 1).cast("int").as("rank"),
+        col("s.id").as("doc_id"))
+    matches.join(broadcast(ranked), Seq("query_id", "doc_id"))
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        col("n_matches"), col("first_pos"))
+      .orderBy("query_id", "rank")
+  }
+
   /** Hard-negative mining for contrastive training (the DPR/SimCSE
     * data-prep step): for each query vector, the k MOST similar
     * corpus vectors that are NOT near-duplicates — similar enough to

@@ -235,4 +235,15 @@ class EmptyInputSpec extends AnyFunSuite with SparkSessionTestBase {
     assert(Curation.corpusBuildReport(
       Curation.corpusBuild(emptyDocs, emptyDocs)).count() === 0)
   }
+
+  test("round-8 operators on empty inputs") {
+    import spark.implicits._
+    val q = Seq((0L, "apple banana")).toDF("query_id", "query_text")
+    assert(Retrieval.phraseSearch(emptyDocs, q).count() === 0)
+    assert(Retrieval.phraseSearch(
+      Tables.documents(spark, sfDir), q.limit(0)).count() === 0)
+    assert(Retrieval.positionalIndex(emptyDocs).count() === 0)
+    assert(graft.operators.Similarity.annMetrics(
+      emptyEmb, methods = Seq("lsh")).count() === 0)
+  }
 }

@@ -582,6 +582,26 @@ class PlanRegressionSpec extends AnyFunSuite with SparkSessionTestBase {
     assert(p.contains("BroadcastHashJoin"), "block offsets must broadcast")
   }
 
+  test("phrase probe pushes the term filter to the positional postings scan") {
+    val p = plan("q_phrase_indexed")
+    // the phrase probe must read the PERSISTED positional postings with
+    // the phrases' term IN (...) set pushed (file/row-group pruning on
+    // the term-range-partitioned artifact); the corpus itself is never
+    // scanned — the plan is postings-only
+    val scanLine = p.linesIterator.find(l =>
+      l.contains("PushedFilters") && l.contains("graft_pos_idx")).getOrElse("")
+    assert(scanLine.contains("In(term, ["),
+      s"no In(term,...) pushed filter on the postings scan: $scanLine")
+    assert(!p.contains("documents.parquet"),
+      "phrase serving must not rescan the corpus")
+    // and the driver entries stay bit-equal (online == served)
+    val indexed = SparkEntry.queries("q_phrase_indexed")(spark, sfDir)
+      .collect().map(_.toString).toSeq
+    val online = SparkEntry.queries("q_phrase_search")(spark, sfDir)
+      .collect().map(_.toString).toSeq
+    assert(indexed === online)
+  }
+
   test("opq indexed serving scans the persisted triple, no retraining") {
     val p = plan("q_embed_opq_indexed")
     // the rotation is applied as plan literals (d codegen dots — the

@@ -145,6 +145,58 @@ class RetrievalSpec extends AnyFunSuite with SparkSessionTestBase {
     }
   }
 
+  test("phraseSearch counts exact token-sequence occurrences, overlaps included") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c a b"),   // "a b" at 0 and 3; "b c a" at 1
+      (2L, "a a a"),       // "a a" OVERLAPS: starts 0 and 1
+      (3L, "b a b c"),     // "a b" at 1; "b c a" absent (no wrap)
+      (4L, "c c c")        // matches nothing below
+    ).toDF("doc_id", "text")
+    val queries = Seq(
+      (0L, "a b"), (1L, "b c a"), (2L, "a a"), (3L, "z z"))
+      .toDF("query_id", "query_text")
+    val got = Retrieval.phraseSearch(docs, queries)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    // hand-computed: rank by (n_matches DESC, doc_id ASC)
+    assert(got === Seq(
+      (0L, 1, 1L, 2L, 0L),  // "a b" twice in doc 1, first at token 0
+      (0L, 2, 3L, 1L, 1L),  // once in doc 3 at token 1
+      (1L, 1, 1L, 1L, 1L),  // "b c a" once in doc 1 at token 1
+      (2L, 1, 2L, 2L, 0L))) // "a a" overlapping starts 0 and 1
+    // query 3 ("z z") matches nothing — absent, not a zero row
+    assert(!got.exists(_._1 == 3L))
+    // a repeated-token phrase must not double-count a single start:
+    // the witness count needs ALL query positions, each exactly once
+    val single = Retrieval.phraseSearch(
+      Seq((9L, "x y x")).toDF("doc_id", "text"),
+      Seq((0L, "x y x")).toDF("query_id", "query_text"))
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).toSeq
+    assert(single === Seq((0L, 9L, 1L)))
+  }
+
+  test("phraseFromIndex round-trips the positional artifact, literal or not") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c a b"), (2L, "b a b"), (3L, "c a"))
+      .toDF("doc_id", "text")
+    val queries = Seq((0L, "a b"), (1L, "c a")).toDF("query_id", "query_text")
+    val online = Retrieval.phraseSearch(docs, queries)
+      .collect().map(_.toString).toSeq
+    assert(online.nonEmpty)
+    val dir = java.nio.file.Files.createTempDirectory("posidx").toString + "/idx"
+    Retrieval.positionalIndex(docs).write.parquet(dir)
+    val idx = spark.read.parquet(dir)
+    val served = Retrieval.phraseFromIndex(idx, queries)
+      .collect().map(_.toString).toSeq
+    assert(served === online)
+    // the pushdown literal changes only the plan, never the result
+    val pushed = Retrieval.phraseFromIndex(idx, queries,
+      queryTermsLiteral = Seq("a", "b", "c"))
+      .collect().map(_.toString).toSeq
+    assert(pushed === online)
+  }
+
   test("rrfFuse sums exact integer reciprocal-rank contributions") {
     import spark.implicits._
     val a = Seq((0L, 10L, 1), (0L, 11L, 2), (0L, 12L, 3)).toDF("query_id", "doc_id", "rank")
