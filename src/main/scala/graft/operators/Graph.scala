@@ -59,6 +59,12 @@ object Graph {
         when(col("w").cast("long") > 0, col("w").cast("long"))
           .otherwise(raise_error(lit(
             "pageRank: edge weights must be positive"))).as("w"))
+      // TWO consumers branch from here (the transition chain and the
+      // node set) — checkpointing materializes the edge frame once
+      // instead of re-deriving it from its source (for the co-purchase
+      // graph that source is a lineitem self-join; re-running it for
+      // the node scan measurably showed in the bench)
+      .localCheckpoint()
     val clean = validated.filter(col("src") =!= col("dst"))
     val sym = clean
       .unionByName(clean.select(col("dst").as("src"), col("src").as("dst"),
