@@ -685,7 +685,7 @@ object SparkEntry {
         methods = annMeterMethods, impls = annServingImpls(s, d))),
     // ranking-quality deepening of q_ann_recall: MRR of the true NN +
     // NDCG@k per family, exact-integer micro discounts (rows-only by
-    // declared design — the six approximate rankings have no DuckDB
+    // declared design — the seven approximate rankings have no DuckDB
     // twin; formulas pinned vs an independent local computation in
     // LlmOpsSpec). Same persisted-artifact serving hooks as the
     // recall meter.
