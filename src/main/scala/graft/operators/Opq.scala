@@ -36,13 +36,25 @@ object Opq {
     * into m balanced subspaces. `emb` should carry the vectors the PQ
     * stage will quantize (the caller passes NORMALIZED vectors when
     * the index is cosine — the variance structure being balanced must
-    * be the quantized one's). */
-  def opqTrain(emb: DataFrame, m: Int, maxTrain: Int = 4096): OpqModel = {
+    * be the quantized one's).
+    *
+    * `outDim` < d opts into FAISS's `OPQ<M>_<outdim>` shape: keep only
+    * the top `outDim` eigen-directions before allocating — a
+    * rotation-PLUS-projection, so the PQ stage quantizes a smaller
+    * input at the same code budget. Dot products are preserved only
+    * within the retained subspace (the dropped directions carry the
+    * tail eigenvalue mass), so a reduced index must exact-rerank its
+    * survivor pool in ORIGINAL space — [[graft.operators.Similarity
+    * .embedOpqPqTopK]] does exactly that. */
+  def opqTrain(
+      emb: DataFrame, m: Int, maxTrain: Int = 4096,
+      outDim: Int = -1): OpqModel = {
     val d = emb.select(size(col("embedding"))).head().getInt(0)
-    require(m >= 1 && d % m == 0,
-      s"OPQ requires dim ($d) divisible by m ($m)")
-    val full = Pca.pcaTrain(emb, k = d, maxTrain = maxTrain)
-    val capacity = d / m
+    val kept = if (outDim <= 0) d else outDim
+    require(m >= 1 && kept % m == 0 && kept <= d,
+      s"OPQ requires outDim ($kept) divisible by m ($m) and <= dim ($d)")
+    val full = Pca.pcaTrain(emb, k = kept, maxTrain = maxTrain)
+    val capacity = kept / m
     val sizes = new Array[Int](m)
     val logPow = new Array[Double](m)
     val buckets = Array.fill(m)(Vector.newBuilder[Int])
@@ -61,7 +73,7 @@ object Opq {
     val shift = logs.min
     // eigvals descend (pcaTrain contract): place each eigen-dimension
     // into the emptiest-variance subspace that still has room
-    for (i <- 0 until d) {
+    for (i <- 0 until kept) {
       val b = (0 until m).filter(sizes(_) < capacity)
         .minBy(b => (logPow(b), b))
       buckets(b) += i

@@ -683,10 +683,31 @@ object Similarity {
       emb: DataFrame, nQueries: Int = 10, k: Int = 5,
       m: Int = 8, nCodes: Int = 16, lloydIters: Int = 2,
       rerankFactor: Int = 8, trainFactor: Int = 64,
-      maxTrain: Int = 4096): DataFrame = {
-    val model = Opq.opqTrain(opqNormalized(emb), m, maxTrain)
-    embedPqTopK(opqRotate(emb, model), nQueries, k, m, nCodes,
-      lloydIters, rerankFactor, trainFactor)
+      maxTrain: Int = 4096, outDim: Int = -1): DataFrame = {
+    val model = Opq.opqTrain(opqNormalized(emb), m, maxTrain, outDim)
+    val rotated = opqRotate(emb, model)
+    if (outDim <= 0)
+      embedPqTopK(rotated, nQueries, k, m, nCodes,
+        lloydIters, rerankFactor, trainFactor)
+    else {
+      // FAISS OPQ<M>_<outdim>: rotate AND project before quantizing —
+      // the PQ stage sees outDim-wide input at the same code budget.
+      // The LUT/ADC pass runs in reduced space (matching the codes);
+      // the survivor pool reranks in ORIGINAL space so the output
+      // keeps the true-cosine contract every other family honors
+      // (reduced-space cosines drop the tail eigenvalue mass).
+      graft.functions.VectorFunctions.register(emb.sparkSession)
+      val eOrig = withNorm(emb)
+        .withColumn("vn", expr("transform(v, x -> x / norm)"))
+        .select("vec_id", "vn")
+      val eRed = withNorm(rotated)
+        .withColumn("vn", expr("transform(v, x -> x / norm)"))
+        .select("vec_id", "vn")
+        .localCheckpoint() // feeds training, encoding, and the LUT
+      val cents = pqModel(eRed, m, nCodes, lloydIters, trainFactor)
+      pqSearch(pqEncode(eRed, m, cents), cents, eRed, nQueries, k, m,
+        rerankFactor, rerankE = Some(eOrig))
+    }
   }
 
   /** Train ONCE, return (codes, codebooks, rotation artifact) — the
@@ -731,17 +752,21 @@ object Similarity {
 
   /** Shared PQ search tail: broadcast per-query LUT against the code
     * scan through `graft_pq_adc`, bounded graft_topk pool, exact fp
-    * rerank. */
+    * rerank. `rerankE` overrides the rerank frame — a
+    * dimension-reduced index LUTs in reduced space but must rerank in
+    * ORIGINAL space (reduced cosines approximate; the output contract
+    * is true cosines). */
   private def pqSearch(
       codes: DataFrame, cents: DataFrame, e: DataFrame,
-      nQueries: Int, k: Int, m: Int, rerankFactor: Int): DataFrame = {
+      nQueries: Int, k: Int, m: Int, rerankFactor: Int,
+      rerankE: Option[DataFrame] = None): DataFrame = {
     val lut = pqLut(e, m, cents, nQueries)
     val survivors = codes.join(broadcast(lut), col("vec_id") =!= col("query_id"))
       .withColumn("acos", round(expr("graft_pq_adc(codes, lut)"), 6))
       .groupBy("query_id")
       .agg(expr(s"graft_topk(acos, vec_id, ${rerankFactor * k})").as("top"))
       .select(col("query_id"), explode(col("top.id")).as("vec_id"))
-    exactRerank(survivors, e, nQueries, k)
+    exactRerank(survivors, rerankE.getOrElse(e), nQueries, k)
   }
 
   /** IVF × PQ — the flagship billion-scale configuration (FAISS

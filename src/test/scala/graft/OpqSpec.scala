@@ -104,6 +104,46 @@ class OpqSpec extends AnyFunSuite with SparkSessionTestBase {
     assert(a === b)
   }
 
+  test("dimension-reduced OPQ (outDim < d) holds recall with half the PQ input width") {
+    val exact = Similarity.embedTopK(planted, nQueries = 10, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallOf(df: org.apache.spark.sql.DataFrame) = {
+      val got = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      (exact intersect got).size.toDouble / exact.size
+    }
+    val flat = recallOf(Similarity.embedPqTopK(planted,
+      nQueries = 10, k = 5, m = 4, nCodes = 8, rerankFactor = 1))
+    // FAISS OPQ4_8 over d=16: the kept top-8 eigen-directions carry
+    // the 4 signal dims plus the largest noise; the dropped half is
+    // noise-only, so the same (m, nCodes) budget over half the input
+    // width must still beat the flat contiguous split
+    val reduced = recallOf(Similarity.embedOpqPqTopK(planted,
+      nQueries = 10, k = 5, m = 4, nCodes = 8, rerankFactor = 1,
+      outDim = 8))
+    info(s"recall flat=$flat reduced-opq=$reduced")
+    assert(reduced >= flat, s"reduced=$reduced flat=$flat")
+    assert(reduced > 0.3, s"reduced=$reduced")
+    // the reduced model is a projection: outDim rows, each still a
+    // unit vector in the ORIGINAL d-space, pairwise orthogonal
+    val rm = Opq.opqTrain(
+      planted.select(col("vec_id"),
+        expr("transform(cast(embedding as array<double>), " +
+          "x -> x / sqrt(aggregate(transform(cast(embedding as array<double>)," +
+          " y -> y * y), 0d, (a, b) -> a + b)))").as("embedding")),
+      m = 4, outDim = 8)
+    assert(rm.rows.length === 8)
+    assert(rm.rows.forall(_.length === 16))
+    for (i <- rm.rows.indices; j <- i until rm.rows.length) {
+      val dot = rm.rows(i).zip(rm.rows(j)).map { case (a, b) => a * b }.sum
+      assert(math.abs(dot - (if (i == j) 1.0 else 0.0)) < 1e-9)
+    }
+    // determinism across runs
+    val again = recallOf(Similarity.embedOpqPqTopK(planted,
+      nQueries = 10, k = 5, m = 4, nCodes = 8, rerankFactor = 1,
+      outDim = 8))
+    assert(again === reduced)
+  }
+
   test("indexed serving from the persisted triple is bit-equal to inline") {
     val emb = Tables.embeddings(spark, sfDir)
     val inline = Similarity.embedOpqPqTopK(emb)
