@@ -900,6 +900,23 @@ object SparkEntry {
       operators.Retrieval.phraseFromIndex(
         posIndexShared(s, d), phraseQueriesDf(s),
         queryTermsLiteral = phraseTermsLiteral)),
+    // incremental positional maintenance proven THROUGH serving: prior
+    // index built on the mutated half-stale corpus (the
+    // q_bm25_incremental recipe), deltas folded in, phrase search
+    // served from the maintained artifact — the oracle is the SAME
+    // full-corpus phrase SQL, so the hash gate proves incremental ==
+    // full rebuild
+    "q_phrase_incremental" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val prev = docs.filter(col("doc_id") % 20 =!= 0)
+        .withColumn("text", when(col("doc_id") % 20 === 2,
+          concat(col("text"), lit(" rev1"))).otherwise(col("text")))
+        .unionByName(docs.filter(col("doc_id") % 20 === 4)
+          .withColumn("doc_id", col("doc_id") + 1000000L))
+      val maintained = operators.Retrieval.positionalIndexIncremental(
+        operators.Retrieval.positionalIndex(prev), prev, docs)
+      operators.Retrieval.phraseFromIndex(maintained, phraseQueriesDf(s))
+    }),
     // blocklist scan: first matching audit pattern per doc — the
     // stateless projection shared verbatim with the streaming gate
     "q_audit_scan" -> ((s, d) =>
@@ -2631,6 +2648,9 @@ object SparkEntry {
     // positions. Indexed form is output-identical (spec) — same oracle
     "q_phrase_search" -> phraseOracleSql,
     "q_phrase_indexed" -> phraseOracleSql,
+    // the maintenance entry serves from the delta-merged positional
+    // index; the full-corpus oracle IS the incremental == full proof
+    "q_phrase_incremental" -> phraseOracleSql,
     "q_hard_negatives" -> {
       val cos = dr("list_dot_product(e2.v, q.v)/(e2.norm*q.norm)", 6)
       s"""WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,

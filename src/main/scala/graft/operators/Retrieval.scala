@@ -325,6 +325,33 @@ object Retrieval {
         posexplode(split(lower(col("text")), " ", -1)).as(Seq("pos", "term")))
       .select("term", "doc_id", "pos")
 
+  /** Incremental positional-index MAINTENANCE — the
+    * [[bm25IndexIncremental]] contract applied to the positional
+    * postings: daily ingest touches a sliver of a 100 TB corpus, so
+    * the update must cost the sliver, not a full re-tokenize.
+    * Added/changed docs tokenize fresh (delta-sized); removed/changed
+    * docs' old rows drop via a slim id anti-join over the prior
+    * artifact. Simpler than BM25's: positions carry no corpus-global
+    * state (no df, no avgdl), so there is no meta frame to patch —
+    * the postings ARE the index. Proven THROUGH the serving path:
+    * the driver entry serves a phrase search from the maintained
+    * artifact against the SAME full-corpus oracle, so the hash gate
+    * proves incremental == full rebuild. */
+  def positionalIndexIncremental(
+      priorPostings: DataFrame, oldDocs: DataFrame,
+      newDocs: DataFrame): DataFrame = {
+    val diff = Etl.snapshotDiff(oldDocs, newDocs)
+      .filter(col("status") =!= "unchanged").localCheckpoint()
+    val addedIds = diff.filter(col("status").isin("added", "changed"))
+      .select("doc_id")
+    val goneIds = diff.filter(col("status").isin("removed", "changed"))
+      .select("doc_id")
+    priorPostings.join(goneIds, Seq("doc_id"), "left_anti")
+      .select("term", "doc_id", "pos")
+      .unionByName(positionalIndex(
+        newDocs.join(addedIds, Seq("doc_id"), "left_semi")))
+  }
+
   /** Exact phrase search — the verbatim-token-sequence probe
     * benchmark-string decontamination and quote tracing need (an
     * n-gram-overlap check says "shares vocabulary"; this says "contains

@@ -197,6 +197,31 @@ class RetrievalSpec extends AnyFunSuite with SparkSessionTestBase {
     assert(pushed === online)
   }
 
+  test("positionalIndexIncremental equals a full rebuild, through serving too") {
+    import spark.implicits._
+    val prev = Seq(
+      (1L, "a b c"), (2L, "b c d"), (3L, "stale doc text"))
+      .toDF("doc_id", "text")
+    // adds doc 4, edits doc 2, removes doc 3
+    val now = Seq(
+      (1L, "a b c"), (2L, "b c d edited"), (4L, "c a b"))
+      .toDF("doc_id", "text")
+    val maintained = Retrieval.positionalIndexIncremental(
+      Retrieval.positionalIndex(prev), prev, now)
+    val rebuilt = Retrieval.positionalIndex(now)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    assert(rows(maintained) === rows(rebuilt))
+    // ...and the serving path agrees (the driver-entry proof shape)
+    val queries = Seq((0L, "a b"), (1L, "c d")).toDF("query_id", "query_text")
+    assert(Retrieval.phraseFromIndex(maintained, queries)
+      .collect().map(_.toString).toSeq ===
+      Retrieval.phraseSearch(now, queries).collect().map(_.toString).toSeq)
+    // a no-op delta reproduces the prior index bit-for-bit
+    assert(rows(Retrieval.positionalIndexIncremental(
+      Retrieval.positionalIndex(now), now, now)) === rows(rebuilt))
+  }
+
   test("rrfFuse sums exact integer reciprocal-rank contributions") {
     import spark.implicits._
     val a = Seq((0L, 10L, 1), (0L, 11L, 2), (0L, 12L, 3)).toDF("query_id", "doc_id", "rank")
