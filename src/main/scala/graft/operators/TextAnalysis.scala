@@ -400,6 +400,91 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Bigram perplexity with interpolated Kneser-Ney smoothing (Kneser &
+    * Ney 1995; Chen & Goodman 1998, "An Empirical Study of Smoothing
+    * Techniques for Language Modeling") — THE standard n-gram
+    * smoothing (what KenLM ships) and the principled upgrade over
+    * [[bigramPerplexity]]'s Jelinek-Mercer mix: instead of backing off
+    * to raw unigram frequency, mass freed by absolute discounting goes
+    * to the CONTINUATION distribution — how many distinct histories a
+    * word follows — so "francisco" (frequent but only ever after
+    * "san") stops stealing probability from genuinely versatile words.
+    * Each transition scores
+    * `−ln( max(c(w1w2)−D,0)/c(w1·) + (D·N1+(w1·)/c(w1·))·Pcont(w2) )`
+    * with `Pcont(w2) = N1+(·w2)/N1+(··)` over bigram TYPES.
+    *
+    * All model statistics derive from the ONE floored bigram-type
+    * table, which keeps the distribution self-consistent
+    * (Σ_w2 P(w2|w1) = 1 exactly — asserted in spec) and bounds every
+    * model frame at web scale by the same `minBigramCount` CCNet-style
+    * floor as the other LMs. Degradations mirror the family's
+    * singleton idiom: a floored-out transition keeps its continuation
+    * mass (discounted numerator hits the max(·,0) floor), an unseen
+    * continuation scores as a type-count-1 continuation, and a history
+    * absent from the model backs off to Pcont alone. Surprisals snap
+    * to integer micro-nats — exact integer sums, half-up integer mean,
+    * own-scale identity snap — the [[perplexityScore]] discipline.
+    *
+    * Scale shape: one narrow bigram build (array transform, no
+    * position self-join), one partial-combined type aggregation that
+    * feeds history/continuation/total frames, AQE-planned scoring
+    * joins (broadcast while the floored model fits, shuffle beyond);
+    * N1+(··) rides a broadcast scalar. */
+  def knPerplexity(
+      docs: DataFrame, discount: Double = 0.75,
+      minBigramCount: Long = 1L): DataFrame = {
+    require(discount > 0.0 && discount < 1.0,
+      s"discount must be in (0, 1), got $discount")
+    val words = docs.select(col("doc_id"), split(lower(col("text")), " ", -1).as("w"))
+    val bigrams = words.filter(size(col("w")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(2, size(w)), " +
+          "i -> struct(element_at(w, i - 1) AS w1, element_at(w, i) AS w2))")).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .localCheckpoint()
+    // the ONE type table every model statistic derives from — feeds
+    // four consumers, localCheckpoint per the persistence contract
+    val bi = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+      .filter(col("cb") >= minBigramCount)
+      .localCheckpoint()
+    val hist = bi.groupBy("w1")
+      .agg(sum("cb").as("c1"), count(lit(1)).as("nfwd"))
+    val cont = bi.groupBy("w2").agg(count(lit(1)).as("nrev"))
+    val ntypes = bi.agg(count(lit(1)).as("ntypes"))
+    val scored = bigrams
+      .join(bi, Seq("w1", "w2"), "left")
+      .join(hist, Seq("w1"), "left")
+      .join(cont, Seq("w2"), "left")
+      .crossJoin(broadcast(ntypes))
+      // float path mirrored operation-for-operation in the oracle SQL
+      // (explicit DOUBLE casts there — DuckDB numeric literals are
+      // DECIMAL, the trigram lesson)
+      .withColumn("pc",
+        coalesce(col("nrev"), lit(1L)).cast("double") / col("ntypes"))
+      .withColumn("su", round(-log(
+        when(col("c1").isNotNull,
+          greatest(coalesce(col("cb"), lit(0L)).cast("double") - lit(discount),
+            lit(0.0)) / col("c1") +
+            ((lit(discount) * col("nfwd")) / col("c1")) * col("pc"))
+          .otherwise(col("pc"))) * 1e6).cast("long"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum("su").as("surprisal_unat"))
+      .withColumn("avg_surprisal_unat",
+        expr("(2 * surprisal_unat + n_bigrams) div (2 * n_bigrams)"))
+    docs.select("doc_id")
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        col("surprisal_unat"),
+        col("avg_surprisal_unat"),
+        round(col("avg_surprisal_unat").cast("double") / 1e6, 6)
+          .as("avg_surprisal"),
+        round(exp(round(col("avg_surprisal_unat").cast("double") / 1e6, 6)),
+          6).as("ppl"))
+      .orderBy("doc_id")
+  }
+
   /** Hashed-linear classifier inference (the fasttext-style quality
     * classifier step of a training-data pipeline): per-token integer
     * weights in [-500, 500] derived from an md5 prefix — the honest

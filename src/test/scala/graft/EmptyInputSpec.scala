@@ -194,6 +194,7 @@ class EmptyInputSpec extends AnyFunSuite with SparkSessionTestBase {
     assert(Similarity.annRecall(emptyEmb, methods = Seq("sq")).count() === 0)
     assert(TextAnalysis.bigramPerplexity(emptyDocs).count() === 0)
     assert(TextAnalysis.trigramPerplexity(emptyDocs).count() === 0)
+    assert(TextAnalysis.knPerplexity(emptyDocs).count() === 0)
     assert(Etl.corpusRollup(emptyDocs).count() === 0)
     // empty deltas against an empty prior rollup stay empty
     assert(Etl.rollupIncremental(Etl.corpusRollup(emptyDocs), emptyDocs,

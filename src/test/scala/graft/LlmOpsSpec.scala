@@ -841,6 +841,64 @@ class LlmOpsSpec extends AnyFunSuite with SparkSessionTestBase {
     assert(all.map(_.toString).toSeq === again.map(_.toString).toSeq)
   }
 
+  test("knPerplexity matches hand-computed interpolated Kneser-Ney") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b a b"), (2L, "a a"), (3L, "x")).toDF("doc_id", "text")
+    val rows = TextAnalysis.knPerplexity(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    def snap(x: Double, s: Int) =
+      BigDecimal.valueOf(x).setScale(s, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def unat(p: Double): Long =
+      BigDecimal.valueOf(-math.log(p) * 1e6)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    def avgU(sum: Long, n: Long): Long = (2 * sum + n) / (2 * n)
+    // type table: (a,b):2 (b,a):1 (a,a):1, ntypes 3
+    // hist: a -> c1 3, nfwd 2; b -> c1 1, nfwd 1
+    // cont: a <- 2 types, b <- 1 type
+    val d = 0.75
+    // hand float path mirrors the operator's operation order exactly
+    def kn(cb: Double, c1: Double, nfwd: Double, nrev: Double): Long =
+      unat(math.max(cb - d, 0.0) / c1 + ((d * nfwd) / c1) * (nrev / 3.0))
+    val sAB = kn(2, 3, 2, 1)
+    val sBA = kn(1, 1, 1, 2)
+    val sAA = kn(1, 3, 2, 2)
+    val sum1 = sAB + sBA + sAB
+    assert(rows(1L).getAs[Long]("n_bigrams") === 3L)
+    assert(rows(1L).getAs[Long]("surprisal_unat") === sum1)
+    assert(rows(1L).getAs[Long]("avg_surprisal_unat") === avgU(sum1, 3))
+    assert(rows(1L).getAs[Double]("avg_surprisal") === snap(avgU(sum1, 3) / 1e6, 6))
+    assert(rows(1L).getAs[Double]("ppl") ===
+      snap(math.exp(snap(avgU(sum1, 3) / 1e6, 6)), 6))
+    assert(rows(2L).getAs[Long]("surprisal_unat") === sAA)
+    // no transitions → 0 count, NULL scores
+    assert(rows(3L).getAs[Long]("n_bigrams") === 0L)
+    assert(rows(3L).isNullAt(rows(3L).fieldIndex("surprisal_unat")))
+    // the KN identity: discounted mass + redistributed continuation
+    // mass sums to EXACTLY 1 per history over the continuation vocab
+    assert(math.abs((math.max(2 - d, 0) + math.max(1 - d, 0)) / 3.0 +
+      ((d * 2) / 3.0) * (2.0 / 3 + 1.0 / 3) - 1.0) < 1e-12)
+    assert(math.abs(math.max(1 - d, 0) / 1.0 +
+      ((d * 1) / 1.0) * (2.0 / 3 + 1.0 / 3) - 1.0) < 1e-12)
+    // flooring: surviving model is {(a,b):2} alone (ntypes 1) — a
+    // floored-out transition keeps only its continuation mass, and a
+    // history absent from the model backs off to Pcont
+    val fl = TextAnalysis.knPerplexity(docs, minBigramCount = 2L).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val sAAfl = unat(math.max(0.0 - d, 0.0) / 2.0 + ((d * 1) / 2.0) * (1.0 / 1))
+    assert(fl(2L).getAs[Long]("surprisal_unat") === sAAfl)
+    val sBAfl = unat(1.0 / 1)  // w1=b not a surviving history → Pcont(a) = 1/1 (unseen-cont fallback)
+    val sABfl = unat(math.max(2.0 - d, 0.0) / 2.0 + ((d * 1) / 2.0) * (1.0 / 1))
+    assert(fl(1L).getAs[Long]("surprisal_unat") === sABfl + sBAfl + sABfl)
+    // KN orders the corpus differently from raw-frequency backoff:
+    // both run, one row per doc, deterministic re-run
+    val corpus = TextAnalysis.knPerplexity(Tables.documents(spark, docDir))
+    val all = corpus.collect()
+    assert(all.length === 500)
+    assert(all.forall(r => r.getAs[Long]("n_bigrams") > 0))
+    val again = TextAnalysis.knPerplexity(Tables.documents(spark, docDir)).collect()
+    assert(all.map(_.toString).toSeq === again.map(_.toString).toSeq)
+  }
+
   test("bpeTrain reproduces an independent greedy BPE reference") {
     import spark.implicits._
     val text = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
