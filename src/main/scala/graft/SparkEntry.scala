@@ -302,6 +302,22 @@ object SparkEntry {
     s.read.parquet(path)
   }
 
+  /** Persisted Kneser-Ney LM artifact (TextAnalysis.knModel layout —
+    * the slim floored bigram-type table the whole model derives from):
+    * trained once per documents data version, read back for every
+    * scoring pass. Fingerprint-keyed like the unigram LM artifact. */
+  private val knIndexPaths =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), (Long, String)]
+
+  private[graft] def knIndexShared(s: SparkSession, d: String): DataFrame = {
+    val fp = documentsFingerprint(s, d)
+    val path = artifactPath(knIndexPaths, s, d, fp, "graft_kn_idx") { p =>
+      operators.TextAnalysis.knModel(Tables.documents(s, d))
+        .write.mode("overwrite").parquet(p)
+    }
+    s.read.parquet(path)
+  }
+
   /** Persisted BM25 index pair (term-sorted postings + corpus meta
     * under one root — [[operators.Retrieval.bm25Index]] layout): built
     * once per documents data version; postings are written RANGE-
@@ -812,6 +828,12 @@ object SparkEntry {
       TextAnalysis.trigramPerplexity(Tables.documents(s, d))),
     "q_perplexity_kn" -> ((s, d) =>
       TextAnalysis.knPerplexity(Tables.documents(s, d))),
+    // serving path: score against the persisted KN type-table artifact
+    // — model statistics re-derive from the slim artifact, never a
+    // corpus re-aggregation; bit-equal to the self-trained form, so
+    // the SAME full oracle proves the serving path
+    "q_perplexity_kn_indexed" -> ((s, d) =>
+      TextAnalysis.knAgainst(Tables.documents(s, d), knIndexShared(s, d))),
     "q_ccnet_buckets" -> ((s, d) => TextAnalysis.ccnetBuckets(Tables.documents(s, d))),
     "q_repetition" -> ((s, d) => TextAnalysis.repetitionScore(Tables.documents(s, d))),
     // relaxed thresholds (minWords/minStopHits) so the synthetic corpus
@@ -1204,6 +1226,34 @@ object SparkEntry {
               |FROM graft_part_tmp GROUP BY p_type ORDER BY category""".stripMargin)
     }),
   )
+
+  private val knOracleSql: String =
+    s"""WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+       |bg AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2
+       | FROM (SELECT doc_id, unnest(list_transform(range(2, len(w) + 1),
+       |        i -> {'w1': w[i - 1], 'w2': w[i]})) AS b
+       |       FROM d WHERE len(w) >= 2)),
+       |bi AS (SELECT w1, w2, count(*) AS cb FROM bg GROUP BY w1, w2),
+       |hist AS (SELECT w1, CAST(sum(cb) AS BIGINT) AS c1, count(*) AS nfwd FROM bi GROUP BY w1),
+       |cont AS (SELECT w2, count(*) AS nrev FROM bi GROUP BY w2),
+       |tt AS (SELECT count(*) AS ntypes FROM bi),
+       |sc AS (SELECT doc_id,
+       |  CAST(round(CAST(CAST(-ln(
+       |    greatest(CAST(coalesce(cb, 0) AS DOUBLE) - CAST(0.75 AS DOUBLE), CAST(0 AS DOUBLE)) / c1 +
+       |    ((CAST(0.75 AS DOUBLE) * nfwd) / c1) *
+       |      (CAST(coalesce(nrev, 1) AS DOUBLE) / ntypes)) * 1e6 AS VARCHAR) AS DECIMAL(38,18)),0) AS BIGINT) AS su
+       | FROM bg LEFT JOIN bi USING (w1, w2) LEFT JOIN hist USING (w1)
+       |   LEFT JOIN cont USING (w2), tt),
+       |a AS (SELECT doc_id, count(*) AS n_bigrams, CAST(sum(su) AS BIGINT) AS surprisal_unat
+       | FROM sc GROUP BY doc_id),
+       |v AS (SELECT doc_id, n_bigrams, surprisal_unat,
+       |  CAST((2 * surprisal_unat + n_bigrams) // (2 * n_bigrams) AS BIGINT) AS avg_surprisal_unat
+       | FROM a)
+       |SELECT d.doc_id, CAST(coalesce(v.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       | v.surprisal_unat, v.avg_surprisal_unat,
+       | CAST(round(CAST(v.avg_surprisal_unat AS DOUBLE) / 1e6, 6) AS DOUBLE) AS avg_surprisal,
+       | ${m("exp(round(CAST(v.avg_surprisal_unat AS DOUBLE) / 1e6, 6))", 6)} AS ppl
+       |FROM d LEFT JOIN v USING (doc_id) ORDER BY doc_id""".stripMargin
 
   private val phraseOracleSql: String = {
     val qvals = phraseQueries.map { case (id, t) =>
@@ -1961,35 +2011,11 @@ object SparkEntry {
     // continuation type counts, the type total) derives from the one
     // bigram-type CTE, mirroring the Scala's self-consistency; float
     // path matched op-for-op with explicit DOUBLE casts (DuckDB
-    // numeric literals are DECIMAL — the trigram lesson)
-    "q_perplexity_kn" -> {
-      s"""WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
-         |bg AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2
-         | FROM (SELECT doc_id, unnest(list_transform(range(2, len(w) + 1),
-         |        i -> {'w1': w[i - 1], 'w2': w[i]})) AS b
-         |       FROM d WHERE len(w) >= 2)),
-         |bi AS (SELECT w1, w2, count(*) AS cb FROM bg GROUP BY w1, w2),
-         |hist AS (SELECT w1, CAST(sum(cb) AS BIGINT) AS c1, count(*) AS nfwd FROM bi GROUP BY w1),
-         |cont AS (SELECT w2, count(*) AS nrev FROM bi GROUP BY w2),
-         |tt AS (SELECT count(*) AS ntypes FROM bi),
-         |sc AS (SELECT doc_id,
-         |  CAST(round(CAST(CAST(-ln(
-         |    greatest(CAST(coalesce(cb, 0) AS DOUBLE) - CAST(0.75 AS DOUBLE), CAST(0 AS DOUBLE)) / c1 +
-         |    ((CAST(0.75 AS DOUBLE) * nfwd) / c1) *
-         |      (CAST(coalesce(nrev, 1) AS DOUBLE) / ntypes)) * 1e6 AS VARCHAR) AS DECIMAL(38,18)),0) AS BIGINT) AS su
-         | FROM bg LEFT JOIN bi USING (w1, w2) LEFT JOIN hist USING (w1)
-         |   LEFT JOIN cont USING (w2), tt),
-         |a AS (SELECT doc_id, count(*) AS n_bigrams, CAST(sum(su) AS BIGINT) AS surprisal_unat
-         | FROM sc GROUP BY doc_id),
-         |v AS (SELECT doc_id, n_bigrams, surprisal_unat,
-         |  CAST((2 * surprisal_unat + n_bigrams) // (2 * n_bigrams) AS BIGINT) AS avg_surprisal_unat
-         | FROM a)
-         |SELECT d.doc_id, CAST(coalesce(v.n_bigrams, 0) AS BIGINT) AS n_bigrams,
-         | v.surprisal_unat, v.avg_surprisal_unat,
-         | CAST(round(CAST(v.avg_surprisal_unat AS DOUBLE) / 1e6, 6) AS DOUBLE) AS avg_surprisal,
-         | ${m("exp(round(CAST(v.avg_surprisal_unat AS DOUBLE) / 1e6, 6))", 6)} AS ppl
-         |FROM d LEFT JOIN v USING (doc_id) ORDER BY doc_id""".stripMargin
-    },
+    // numeric literals are DECIMAL — the trigram lesson). The indexed
+    // form serves from the persisted type table, bit-equal by
+    // construction — same oracle
+    "q_perplexity_kn" -> knOracleSql,
+    "q_perplexity_kn_indexed" -> knOracleSql,
     "q_classifier_score" ->
       s"""WITH toks AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t FROM documents),
          |w AS (SELECT doc_id,

@@ -433,20 +433,57 @@ object TextAnalysis {
   def knPerplexity(
       docs: DataFrame, discount: Double = 0.75,
       minBigramCount: Long = 1L): DataFrame = {
-    require(discount > 0.0 && discount < 1.0,
-      s"discount must be in (0, 1), got $discount")
-    val words = docs.select(col("doc_id"), split(lower(col("text")), " ", -1).as("w"))
-    val bigrams = words.filter(size(col("w")) >= 2)
+    val bigrams = knBigrams(docs)
+    // the ONE type table every model statistic derives from —
+    // localCheckpoint per the persistence contract (feeds the scoring
+    // join plus three model aggregations)
+    val bi = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+      .filter(col("cb") >= minBigramCount)
+      .localCheckpoint()
+    knScore(docs, bigrams, bi, discount)
+  }
+
+  /** The KN model ARTIFACT: the floored bigram-type table alone —
+    * history totals, forward/backward continuation type counts, and
+    * the type total all derive from it with bounded model-sized
+    * aggregations, so one slim (w1, w2, cb) parquet is the whole
+    * persisted language model. */
+  def knModel(docs: DataFrame, minBigramCount: Long = 1L): DataFrame =
+    knBigrams(docs).groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+      .filter(col("cb") >= minBigramCount)
+
+  /** KN scoring against an EXPLICIT persisted [[knModel]] artifact —
+    * the serving mode (the [[perplexityAgainst]] posture): the LM
+    * trains once per corpus version; every scoring pass reads the
+    * slim type table and re-derives the model statistics from it
+    * (model-sized aggregations, never a corpus re-scan). Bit-equal to
+    * the self-trained form when scoring the corpus against its own
+    * model (same type table → same float path — asserted in spec). A
+    * mis-pointed EMPTY artifact fails loudly instead of scoring
+    * everything against a zero-type model. */
+  def knAgainst(
+      docs: DataFrame, model: DataFrame,
+      discount: Double = 0.75): DataFrame =
+    knScore(docs, knBigrams(docs), model, discount)
+
+  /** Narrow per-doc adjacent-pair build shared by the KN train and
+    * serve paths (one array transform — no position self-join);
+    * localCheckpoint because train mode branches model + scoring
+    * consumers from it. */
+  private def knBigrams(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), split(lower(col("text")), " ", -1).as("w"))
+      .filter(size(col("w")) >= 2)
       .select(col("doc_id"), explode(expr(
         "transform(sequence(2, size(w)), " +
           "i -> struct(element_at(w, i - 1) AS w1, element_at(w, i) AS w2))")).as("b"))
       .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
       .localCheckpoint()
-    // the ONE type table every model statistic derives from — feeds
-    // four consumers, localCheckpoint per the persistence contract
-    val bi = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
-      .filter(col("cb") >= minBigramCount)
-      .localCheckpoint()
+
+  private def knScore(
+      docs: DataFrame, bigrams: DataFrame, bi: DataFrame,
+      discount: Double): DataFrame = {
+    require(discount > 0.0 && discount < 1.0,
+      s"discount must be in (0, 1), got $discount")
     val hist = bi.groupBy("w1")
       .agg(sum("cb").as("c1"), count(lit(1)).as("nfwd"))
     val cont = bi.groupBy("w2").agg(count(lit(1)).as("nrev"))
@@ -458,9 +495,15 @@ object TextAnalysis {
       .crossJoin(broadcast(ntypes))
       // float path mirrored operation-for-operation in the oracle SQL
       // (explicit DOUBLE casts there — DuckDB numeric literals are
-      // DECIMAL, the trigram lesson)
+      // DECIMAL, the trigram lesson). The ntypes guard only evaluates
+      // when a scored bigram meets an empty model: scoring zero docs
+      // (or a transition-free corpus) stays legal.
       .withColumn("pc",
-        coalesce(col("nrev"), lit(1L)).cast("double") / col("ntypes"))
+        when(col("ntypes") > 0,
+          coalesce(col("nrev"), lit(1L)).cast("double") / col("ntypes"))
+          .otherwise(raise_error(lit("knScore: model is empty — every" +
+            " score would be degenerate; check the LM artifact path"))
+            .cast("double")))
       .withColumn("su", round(-log(
         when(col("c1").isNotNull,
           greatest(coalesce(col("cb"), lit(0L)).cast("double") - lit(discount),

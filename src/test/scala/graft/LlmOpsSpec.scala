@@ -897,6 +897,22 @@ class LlmOpsSpec extends AnyFunSuite with SparkSessionTestBase {
     assert(all.forall(r => r.getAs[Long]("n_bigrams") > 0))
     val again = TextAnalysis.knPerplexity(Tables.documents(spark, docDir)).collect()
     assert(all.map(_.toString).toSeq === again.map(_.toString).toSeq)
+    // serving from the persisted type-table artifact is bit-equal to
+    // the self-trained form (the whole model derives from that table)
+    val modelPath =
+      java.nio.file.Files.createTempDirectory("knmodel").toString + "/model"
+    TextAnalysis.knModel(Tables.documents(spark, docDir))
+      .write.parquet(modelPath)
+    val served = TextAnalysis.knAgainst(
+      Tables.documents(spark, docDir), spark.read.parquet(modelPath)).collect()
+    assert(served.map(_.toString).toSeq === all.map(_.toString).toSeq)
+    // a mis-pointed empty artifact fails loudly
+    val emptyModel = TextAnalysis.knModel(docs.limit(0))
+    val ex = intercept[Exception] {
+      TextAnalysis.knAgainst(docs, emptyModel).collect()
+    }
+    assert(ex.getMessage.contains("model is empty") ||
+      Option(ex.getCause).exists(_.getMessage.contains("model is empty")))
   }
 
   test("bpeTrain reproduces an independent greedy BPE reference") {
