@@ -941,6 +941,13 @@ object SparkEntry {
         operators.Retrieval.positionalIndex(prev), prev, docs)
       operators.Retrieval.phraseFromIndex(maintained, phraseQueriesDf(s))
     }),
+    // measured STREAMING positional maintenance (the Bm25Stream layout
+    // minus the meta frame): seed from half the corpus, stream the
+    // rest, serve phrase search from seed ∪ deltas — hash-matches the
+    // same full-corpus phrase oracle
+    "q_stream_phrase" -> ((s, d) =>
+      streaming.PhraseStream.searchMaintainRun(
+        s, d, phraseQueriesDf(s), phraseTermsLiteral)),
     // blocklist scan: first matching audit pattern per doc — the
     // stateless projection shared verbatim with the streaming gate
     "q_audit_scan" -> ((s, d) =>
@@ -2709,9 +2716,11 @@ object SparkEntry {
     // positions. Indexed form is output-identical (spec) — same oracle
     "q_phrase_search" -> phraseOracleSql,
     "q_phrase_indexed" -> phraseOracleSql,
-    // the maintenance entry serves from the delta-merged positional
-    // index; the full-corpus oracle IS the incremental == full proof
+    // the maintenance entries serve from the delta-merged positional
+    // index; the full-corpus oracle IS the incremental/stream == full
+    // rebuild proof
     "q_phrase_incremental" -> phraseOracleSql,
+    "q_stream_phrase" -> phraseOracleSql,
     "q_hard_negatives" -> {
       val cos = dr("list_dot_product(e2.v, q.v)/(e2.norm*q.norm)", 6)
       s"""WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,

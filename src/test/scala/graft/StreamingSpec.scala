@@ -579,6 +579,89 @@ class StreamingSpec extends AnyFunSuite with SparkSessionTestBase {
     assert(deltaPartitions("postings").isEmpty && deltaPartitions("meta").isEmpty)
   }
 
+  test("stream-maintained positional index serves phrases identically to a rebuild") {
+    import spark.implicits._
+    import graft.streaming.PhraseStream
+    val qs = Seq((0L, "dup scan"), (1L, "hash join"))
+      .toDF("query_id", "query_text")
+    val terms = Seq("dup", "scan", "hash", "join")
+    // driver-entry shape: seed evens, stream odds, serve
+    val streamed = PhraseStream.searchMaintainRun(spark, sfDir, qs, terms)
+      .collect().map(_.toString).toSeq
+    val online = graft.operators.Retrieval
+      .phraseSearch(Tables.documents(spark, sfDir), qs)
+      .collect().map(_.toString).toSeq
+    assert(streamed === online)
+    assert(streamed.nonEmpty)
+    // restart/idempotence + compaction on a planted mini-corpus
+    val root = java.nio.file.Files.createTempDirectory("phrase_retry")
+    val src = root.resolve("src").toString
+    val mini = Seq((1L, "aa bb"), (2L, "bb cc"), (3L, "cc"))
+      .toDF("doc_id", "text")
+    mini.write.mode("overwrite").parquet(src)
+    PhraseStream.seedIndex(mini.limit(0), root.resolve("seed").toString)
+    def runOnce(ckpt: String = root.resolve("ckpt").toString): Unit = {
+      val q = PhraseStream.indexMaintain(
+        spark.readStream.schema(mini.schema).parquet(src),
+        root.resolve("seed").toString,
+        root.resolve("delta").toString, ckpt)
+      try q.processAllAvailable() finally q.stop()
+    }
+    def serve() = PhraseStream.serveSearch(spark,
+        root.resolve("seed").toString, root.resolve("delta").toString,
+        Seq((0L, "bb cc")).toDF("query_id", "query_text"), Seq("bb", "cc"))
+      .collect().map(_.toString).toSeq
+    runOnce()
+    val first = serve()
+    runOnce()
+    assert(serve() === first)
+    assert(first === graft.operators.Retrieval
+      .phraseSearch(mini, Seq((0L, "bb cc")).toDF("query_id", "query_text"))
+      .collect().map(_.toString).toSeq)
+    // compaction folds without changing results; folded partitions go
+    PhraseStream.compact(spark,
+      root.resolve("seed").toString, root.resolve("delta").toString)
+    assert(serve() === first)
+    def deltaPartitions: Seq[String] = {
+      val d = root.resolve("delta").resolve("postings")
+      if (!java.nio.file.Files.exists(d)) Seq.empty
+      else {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.list(d).iterator().asScala
+          .map(_.getFileName.toString).filter(_.startsWith("batch_id=")).toSeq
+      }
+    }
+    assert(deltaPartitions.isEmpty)
+    // a replayed batch at or below the watermark is skipped
+    runOnce(root.resolve("ckpt2").toString)
+    assert(serve() === first)
+    // genuinely new arrivals still count
+    val extra = Seq((9L, "bb cc zz")).toDF("doc_id", "text")
+    extra.write.mode("append").parquet(src)
+    runOnce()
+    val withExtra = graft.operators.Retrieval
+      .phraseSearch(mini.unionByName(extra),
+        Seq((0L, "bb cc")).toDF("query_id", "query_text"))
+      .collect().map(_.toString).toSeq
+    assert(serve() === withExtra)
+    // a delta above the fold range (committed mid-compact) survives
+    // the compact and folds next time — never silently deleted
+    val lateDocs = Seq((42L, "bb cc late")).toDF("doc_id", "text")
+    graft.operators.Retrieval.positionalIndex(lateDocs)
+      .withColumn("batch_id", lit(100L)).write.mode("append")
+      .partitionBy("batch_id")
+      .parquet(root.resolve("delta").resolve("postings").toString)
+    val withLate = graft.operators.Retrieval
+      .phraseSearch(mini.unionByName(extra).unionByName(lateDocs),
+        Seq((0L, "bb cc")).toDF("query_id", "query_text"))
+      .collect().map(_.toString).toSeq
+    assert(serve() === withLate)
+    PhraseStream.compact(spark,
+      root.resolve("seed").toString, root.resolve("delta").toString)
+    assert(serve() === withLate)
+    assert(deltaPartitions.isEmpty)
+  }
+
   test("rollupMaintain is per-batch idempotent and restart-safe") {
     import spark.implicits._
     import graft.streaming.RollupStream
