@@ -834,6 +834,23 @@ object SparkEntry {
     // the SAME full oracle proves the serving path
     "q_perplexity_kn_indexed" -> ((s, d) =>
       TextAnalysis.knAgainst(Tables.documents(s, d), knIndexShared(s, d))),
+    // incremental LM maintenance proven THROUGH serving: prior model
+    // trained on the mutated half-stale corpus (the
+    // q_phrase_incremental recipe), signed count deltas folded in,
+    // corpus scored against the maintained artifact — the oracle is
+    // the SAME full-corpus KN SQL, so the hash gate proves
+    // incremental == full retrain
+    "q_kn_incremental" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val prev = docs.filter(col("doc_id") % 20 =!= 0)
+        .withColumn("text", when(col("doc_id") % 20 === 2,
+          concat(col("text"), lit(" rev1"))).otherwise(col("text")))
+        .unionByName(docs.filter(col("doc_id") % 20 === 4)
+          .withColumn("doc_id", col("doc_id") + 1000000L))
+      val maintained = TextAnalysis.knModelIncremental(
+        TextAnalysis.knModel(prev), prev, docs)
+      TextAnalysis.knAgainst(docs, maintained)
+    }),
     "q_ccnet_buckets" -> ((s, d) => TextAnalysis.ccnetBuckets(Tables.documents(s, d))),
     "q_repetition" -> ((s, d) => TextAnalysis.repetitionScore(Tables.documents(s, d))),
     // relaxed thresholds (minWords/minStopHits) so the synthetic corpus
@@ -2023,6 +2040,9 @@ object SparkEntry {
     // construction — same oracle
     "q_perplexity_kn" -> knOracleSql,
     "q_perplexity_kn_indexed" -> knOracleSql,
+    // the maintenance entry serves from the delta-merged model; the
+    // full-corpus oracle IS the incremental == full-retrain proof
+    "q_kn_incremental" -> knOracleSql,
     "q_classifier_score" ->
       s"""WITH toks AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t FROM documents),
          |w AS (SELECT doc_id,

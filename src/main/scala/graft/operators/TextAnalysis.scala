@@ -466,6 +466,40 @@ object TextAnalysis {
       discount: Double = 0.75): DataFrame =
     knScore(docs, knBigrams(docs), model, discount)
 
+  /** Incremental MAINTENANCE of the [[knModel]] artifact — the
+    * rollupIncremental contract on the bigram-type table: daily ingest
+    * touches a sliver of a 100 TB corpus, so the LM refresh must cost
+    * the sliver, not a full re-count. Type counts are additive
+    * integers, so the update is exact: removed/changed docs contribute
+    * NEGATED bigram counts (tokenized from the old snapshot,
+    * delta-sized), added/changed docs contribute fresh counts, one
+    * signed merge, types whose count reaches zero drop. The prior
+    * model must be UNFLOORED (minBigramCount = 1, the default) — a
+    * floored artifact has already forgotten the base counts an exact
+    * update needs; apply a serving-time floor with `model.filter` if
+    * bounding is required. Proven THROUGH serving: the driver entry
+    * scores the corpus against the maintained artifact and
+    * hash-matches the SAME full oracle as q_perplexity_kn, so the
+    * hash gate IS the incremental == full-retrain proof. */
+  def knModelIncremental(
+      priorModel: DataFrame, oldDocs: DataFrame,
+      newDocs: DataFrame): DataFrame = {
+    val diff = Etl.snapshotDiff(oldDocs, newDocs)
+      .filter(col("status") =!= "unchanged").localCheckpoint()
+    val addedIds = diff.filter(col("status").isin("added", "changed"))
+      .select("doc_id")
+    val goneIds = diff.filter(col("status").isin("removed", "changed"))
+      .select("doc_id")
+    val added = knBigrams(newDocs.join(addedIds, Seq("doc_id"), "left_semi"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("dcb"))
+    val removed = knBigrams(oldDocs.join(goneIds, Seq("doc_id"), "left_semi"))
+      .groupBy("w1", "w2").agg((-count(lit(1))).as("dcb"))
+    priorModel.select(col("w1"), col("w2"), col("cb").as("dcb"))
+      .unionByName(added).unionByName(removed)
+      .groupBy("w1", "w2").agg(sum("dcb").as("cb"))
+      .filter(col("cb") > 0)
+  }
+
   /** Narrow per-doc adjacent-pair build shared by the KN train and
     * serve paths (one array transform — no position self-join);
     * localCheckpoint because train mode branches model + scoring

@@ -915,6 +915,32 @@ class LlmOpsSpec extends AnyFunSuite with SparkSessionTestBase {
       Option(ex.getCause).exists(_.getMessage.contains("model is empty")))
   }
 
+  test("knModelIncremental equals a full retrain, through serving too") {
+    import spark.implicits._
+    val prev = Seq(
+      (1L, "a b a b"), (2L, "a a"), (3L, "stale doc text here"))
+      .toDF("doc_id", "text")
+    // adds doc 4, edits doc 2, removes doc 3
+    val now = Seq(
+      (1L, "a b a b"), (2L, "a a b"), (4L, "b a c a"))
+      .toDF("doc_id", "text")
+    val maintained = TextAnalysis.knModelIncremental(
+      TextAnalysis.knModel(prev), prev, now)
+    val retrained = TextAnalysis.knModel(now)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    assert(rows(maintained) === rows(retrained))
+    // ...and scoring through the maintained model agrees bit-for-bit
+    assert(TextAnalysis.knAgainst(now, maintained)
+      .collect().map(_.toString).toSeq ===
+      TextAnalysis.knPerplexity(now).collect().map(_.toString).toSeq)
+    // a no-op delta reproduces the prior model exactly
+    assert(rows(TextAnalysis.knModelIncremental(
+      TextAnalysis.knModel(now), now, now)) === rows(retrained))
+    // a type whose count reaches zero drops (no zero-count rows)
+    assert(maintained.filter(col("cb") <= 0).count() === 0)
+  }
+
   test("bpeTrain reproduces an independent greedy BPE reference") {
     import spark.implicits._
     val text = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++

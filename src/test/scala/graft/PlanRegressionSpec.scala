@@ -512,6 +512,26 @@ class PlanRegressionSpec extends AnyFunSuite with SparkSessionTestBase {
     assert(indexed === online)
   }
 
+  test("kn serving reads the persisted type table and never windows") {
+    val p = plan("q_perplexity_kn_indexed")
+    // the model side is the slim persisted artifact; history,
+    // continuation, and type-total stats re-derive from it with
+    // model-sized aggregations, and the whole family is groupBy
+    // aggregation — no window over a token key anywhere
+    assert(p.contains("graft_kn_idx"),
+      "serving must read the persisted KN type-table artifact")
+    assert(!p.contains("Window ["))
+    assert(p.sliding("HashAggregate".length).count(_ == "HashAggregate") >= 2)
+    assert(!plan("q_perplexity_kn").contains("Window ["))
+    // and serving is bit-equal to self-trained (the artifact IS the
+    // model — same type table, same float path)
+    val served = SparkEntry.queries("q_perplexity_kn_indexed")(spark, sfDir)
+      .collect().map(_.toString).toSeq
+    val self = SparkEntry.queries("q_perplexity_kn")(spark, sfDir)
+      .collect().map(_.toString).toSeq
+    assert(served === self)
+  }
+
   test("cms serves from the persisted counters; estimates broadcast the sketch") {
     val p = plan("q_cms_build")
     assert(p.contains("graft_cms_idx"),
