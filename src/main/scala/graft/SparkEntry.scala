@@ -396,6 +396,14 @@ object SparkEntry {
   private def phraseTermsLiteral: Seq[String] =
     phraseQueries.flatMap(_._2.split(" ")).distinct
 
+  /** The same literal phrase set as a benchmark-phrase frame for the
+    * verbatim decontamination pair (present + absent phrases exercise
+    * both the flag and keep branches). */
+  private def benchmarkPhrasesDf(s: SparkSession): DataFrame = {
+    import s.implicits._
+    phraseQueries.toDF("phrase_id", "phrase_text")
+  }
+
   /** Persisted positional postings (Retrieval.positionalIndex layout,
     * term-range-partitioned so a phrase probe prunes to its terms' row
     * groups) — the Lucene-style positional artifact, fingerprint-keyed
@@ -965,6 +973,17 @@ object SparkEntry {
     "q_stream_phrase" -> ((s, d) =>
       streaming.PhraseStream.searchMaintainRun(
         s, d, phraseQueriesDf(s), phraseTermsLiteral)),
+    // verbatim-sequence decontamination: per-doc contains-the-exact-
+    // benchmark-phrase verdict — the fifth face of the decontamination
+    // matrix, full oracle; the indexed form probes the persisted
+    // positional artifact with the phrase terms pushed
+    "q_decontaminate_phrase" -> ((s, d) =>
+      operators.Retrieval.decontaminatePhrase(
+        Tables.documents(s, d), benchmarkPhrasesDf(s))),
+    "q_decontaminate_phrase_indexed" -> ((s, d) =>
+      operators.Retrieval.decontaminatePhraseFromIndex(
+        posIndexShared(s, d), Tables.documents(s, d), benchmarkPhrasesDf(s),
+        phraseTermsLiteral = phraseTermsLiteral)),
     // blocklist scan: first matching audit pattern per doc — the
     // stateless projection shared verbatim with the streaming gate
     "q_audit_scan" -> ((s, d) =>
@@ -1305,6 +1324,38 @@ object SparkEntry {
        | (PARTITION BY query_id ORDER BY n_matches DESC, doc_id) AS rank FROM m)
        |SELECT query_id, CAST(rank AS INTEGER) AS rank, doc_id, n_matches, first_pos
        |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** Verbatim-sequence decontamination oracle: the phrase witness
+    * cascade rolled up per doc (1-based subscripts cancel in
+    * start = pos − qpos, the phraseOracleSql note). */
+  private val decontaminatePhraseOracleSql: String = {
+    val qvals = phraseQueries.map { case (id, t) =>
+      s"(CAST($id AS BIGINT), '$t')"
+    }.mkString(", ")
+    s"""WITH q(phrase_id, phrase_text) AS (VALUES $qvals),
+       |tok AS (SELECT doc_id,
+       |  unnest(string_split(lower(text), ' ')) AS term,
+       |  generate_subscripts(string_split(lower(text), ' '), 1) AS pos
+       | FROM documents),
+       |qt AS (SELECT phrase_id,
+       |  unnest(string_split(lower(phrase_text), ' ')) AS term,
+       |  generate_subscripts(string_split(lower(phrase_text), ' '), 1) AS qpos
+       | FROM q),
+       |pl AS (SELECT phrase_id, count(*) AS plen FROM qt GROUP BY phrase_id),
+       |cand AS (SELECT qt.phrase_id, tok.doc_id, tok.pos - qt.qpos AS start
+       | FROM tok JOIN qt ON tok.term = qt.term WHERE tok.pos >= qt.qpos),
+       |occ AS (SELECT phrase_id, doc_id, start, count(*) AS nq
+       | FROM cand GROUP BY 1, 2, 3),
+       |m AS (SELECT o.phrase_id, o.doc_id, count(*) AS n_occ
+       | FROM occ o JOIN pl ON o.phrase_id = pl.phrase_id
+       | WHERE o.nq = pl.plen GROUP BY 1, 2),
+       |byd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_phrases,
+       |  CAST(sum(n_occ) AS BIGINT) AS n_occurrences FROM m GROUP BY doc_id)
+       |SELECT d.doc_id, CAST(coalesce(n_phrases, 0) AS BIGINT) AS n_phrases,
+       | CAST(coalesce(n_occurrences, 0) AS BIGINT) AS n_occurrences,
+       | coalesce(n_phrases, 0) = 0 AS keep
+       |FROM documents d LEFT JOIN byd USING (doc_id) ORDER BY doc_id""".stripMargin
   }
 
   private val cmsBuildOracleSql: String =
@@ -2741,6 +2792,10 @@ object SparkEntry {
     // rebuild proof
     "q_phrase_incremental" -> phraseOracleSql,
     "q_stream_phrase" -> phraseOracleSql,
+    // the verbatim-decontamination pair shares one per-doc rollup of
+    // the same witness cascade; indexed == online by construction
+    "q_decontaminate_phrase" -> decontaminatePhraseOracleSql,
+    "q_decontaminate_phrase_indexed" -> decontaminatePhraseOracleSql,
     "q_hard_negatives" -> {
       val cos = dr("list_dot_product(e2.v, q.v)/(e2.norm*q.norm)", 6)
       s"""WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,

@@ -420,6 +420,60 @@ object Retrieval {
       .orderBy("query_id", "rank")
   }
 
+  /** PHRASE decontamination — the verbatim-token-sequence face of the
+    * decontamination matrix (exact-ngram / Bloom / semantic / fuzzy
+    * already exist): flag every corpus doc CONTAINING any benchmark
+    * phrase as an exact token sequence, the check eval-set leakage
+    * audits actually want (an n-gram-overlap screen says "shares
+    * vocabulary"; a verbatim quote of the benchmark says
+    * "contaminated"). Reuses [[phraseFromIndex]]'s witness-count
+    * core — one probe join + one aggregation for ANY number of
+    * phrases of any length — then rolls matches up per doc:
+    * (doc_id, n_phrases, n_occurrences, keep). Exact integers end to
+    * end — FULL DuckDB oracle twin. */
+  def decontaminatePhrase(
+      docs: DataFrame, phrases: DataFrame,
+      phraseTermsLiteral: Seq[String] = Nil): DataFrame =
+    decontaminatePhraseFromIndex(
+      positionalIndex(docs), docs, phrases, phraseTermsLiteral)
+
+  /** [[decontaminatePhrase]] served from the persisted positional
+    * postings — the 100 TB path: the probe reads only the benchmark
+    * phrases' row groups of the term-range-partitioned artifact
+    * instead of re-tokenizing the lake per audit. Bit-equal to the
+    * online form (spec + shared oracle). */
+  def decontaminatePhraseFromIndex(
+      postings: DataFrame, docs: DataFrame, phrases: DataFrame,
+      phraseTermsLiteral: Seq[String] = Nil): DataFrame = {
+    val probed =
+      if (phraseTermsLiteral.isEmpty) postings
+      else postings.filter(col("term").isin(phraseTermsLiteral: _*))
+    val qt = phrases.select(col("phrase_id"),
+      posexplode(split(lower(col("phrase_text")), " ", -1))
+        .as(Seq("qpos", "term")))
+    val plen = qt.groupBy("phrase_id").agg(count(lit(1)).as("plen"))
+    // one row per (phrase, doc) that contains the full sequence —
+    // unique by construction, so the per-doc phrase count is count(1)
+    val perPhrase = probed.join(broadcast(qt), Seq("term"))
+      .select(col("phrase_id"), col("doc_id"),
+        (col("pos") - col("qpos")).as("start"))
+      .filter(col("start") >= 0)
+      .groupBy("phrase_id", "doc_id", "start")
+      .agg(count(lit(1)).as("nq"))
+      .join(broadcast(plen), Seq("phrase_id"))
+      .filter(col("nq") === col("plen"))
+      .groupBy("phrase_id", "doc_id")
+      .agg(count(lit(1)).as("n_occ"))
+    val byDoc = perPhrase.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_phrases"), sum("n_occ").as("n_occurrences"))
+    docs.select("doc_id").join(byDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_phrases"), lit(0L)).as("n_phrases"),
+        coalesce(col("n_occurrences"), lit(0L)).as("n_occurrences"),
+        (coalesce(col("n_phrases"), lit(0L)) === 0).as("keep"))
+      .orderBy("doc_id")
+  }
+
   /** Hard-negative mining for contrastive training (the DPR/SimCSE
     * data-prep step): for each query vector, the k MOST similar
     * corpus vectors that are NOT near-duplicates — similar enough to

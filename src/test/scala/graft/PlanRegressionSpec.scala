@@ -622,6 +622,28 @@ class PlanRegressionSpec extends AnyFunSuite with SparkSessionTestBase {
     assert(indexed === online)
   }
 
+  test("phrase decontamination probe pushes terms; corpus touched only for doc ids") {
+    val p = plan("q_decontaminate_phrase_indexed")
+    // the audit reads the PERSISTED positional postings with the
+    // benchmark phrases' term IN (...) set pushed; the corpus scan is
+    // the slim doc_id-only left join that produces keep=true rows —
+    // its ReadSchema must carry doc_id alone, never text
+    val scanLine = p.linesIterator.find(l =>
+      l.contains("PushedFilters") && l.contains("graft_pos_idx")).getOrElse("")
+    assert(scanLine.contains("In(term, ["),
+      s"no In(term,...) pushed filter on the postings scan: $scanLine")
+    val docScan = p.linesIterator.find(l =>
+      l.contains("documents.parquet") && l.contains("ReadSchema")).getOrElse("")
+    assert(docScan.contains("struct<doc_id:bigint>"),
+      s"corpus scan must prune to doc_id alone: $docScan")
+    // and the driver entries stay bit-equal (online == served)
+    val indexed = SparkEntry.queries("q_decontaminate_phrase_indexed")(spark, sfDir)
+      .collect().map(_.toString).toSeq
+    val online = SparkEntry.queries("q_decontaminate_phrase")(spark, sfDir)
+      .collect().map(_.toString).toSeq
+    assert(indexed === online)
+  }
+
   test("opq indexed serving scans the persisted triple, no retraining") {
     val p = plan("q_embed_opq_indexed")
     // the rotation is applied as plan literals (d codegen dots — the

@@ -222,6 +222,40 @@ class RetrievalSpec extends AnyFunSuite with SparkSessionTestBase {
       Retrieval.positionalIndex(now), now, now)) === rows(rebuilt))
   }
 
+  test("decontaminatePhrase flags exact-sequence containment per doc") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d"),      // contains "b c" once
+      (2L, "b c b c"),      // "b c" twice + "c b" once (overlap-adjacent)
+      (3L, "x y z"),        // clean
+      (4L, "a a a"))        // repeated-token phrase "a a" -> 2 starts
+      .toDF("doc_id", "text")
+    val phrases = Seq(
+      (0L, "b c"), (1L, "a a"), (2L, "zz qq")) // absent phrase too
+      .toDF("phrase_id", "phrase_text")
+    val out = Retrieval.decontaminatePhrase(docs, phrases).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Long]("n_phrases") === 1L)
+    assert(out(1L).getAs[Long]("n_occurrences") === 1L)
+    assert(out(1L).getAs[Boolean]("keep") === false)
+    assert(out(2L).getAs[Long]("n_phrases") === 1L)
+    assert(out(2L).getAs[Long]("n_occurrences") === 2L)
+    assert(out(3L).getAs[Long]("n_phrases") === 0L)
+    assert(out(3L).getAs[Boolean]("keep") === true)
+    // overlapping starts of the repeated-token phrase both count
+    assert(out(4L).getAs[Long]("n_occurrences") === 2L)
+    assert(out(4L).getAs[Boolean]("keep") === false)
+    // the indexed form (pushed literal or not) is output-identical
+    val idx = Retrieval.positionalIndex(docs)
+    val online = Retrieval.decontaminatePhrase(docs, phrases)
+      .collect().map(_.toString).toSeq
+    assert(Retrieval.decontaminatePhraseFromIndex(idx, docs, phrases)
+      .collect().map(_.toString).toSeq === online)
+    assert(Retrieval.decontaminatePhraseFromIndex(idx, docs, phrases,
+        phraseTermsLiteral = Seq("b", "c", "a", "zz", "qq"))
+      .collect().map(_.toString).toSeq === online)
+  }
+
   test("rrfFuse sums exact integer reciprocal-rank contributions") {
     import spark.implicits._
     val a = Seq((0L, 10L, 1), (0L, 11L, 2), (0L, 12L, 3)).toDF("query_id", "doc_id", "rank")
