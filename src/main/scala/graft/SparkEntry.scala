@@ -1098,6 +1098,20 @@ object SparkEntry {
     "q_product_rank" -> ((s, d) =>
       operators.Graph.pageRank(
         Purchases.coPurchaseGraph(Tables.lineitem(s, d), minCount = 2L))),
+    // INCREMENTAL product centrality: warm-start today's ranks from
+    // yesterday's (graph built without ~5% of orders), so the same
+    // iteration budget lands much closer to stationarity — rows-only
+    // for the q_product_rank reason; warm == local-mirror pinned and
+    // the closer-to-stationary claim asserted in spec
+    "q_pagerank_incremental" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val prior = operators.Graph.pageRank(
+        Purchases.coPurchaseGraph(
+          li.filter(col("l_orderkey") % 19 =!= 0), minCount = 2L))
+      operators.Graph.pageRank(
+        Purchases.coPurchaseGraph(li, minCount = 2L),
+        startRanks = Some(prior))
+    }),
     "q_basket_rules" -> ((s, d) => Purchases.basketRules(Tables.lineitem(s, d))),
     "q_funnel" -> ((s, d) => Etl.funnelConversion(Tables.events(s, d))),
     "q_substitutes" -> ((s, d) =>

@@ -40,10 +40,23 @@ object Graph {
     * once a fixed point is reached, since the integer update map is
     * deterministic: a zero-delta iteration implies every later
     * iteration is identical). The check is one tiny aggregate on the
-    * bounded rank frame per round — the IRLS early-stop pattern. */
+    * bounded rank frame per round — the IRLS early-stop pattern.
+    *
+    * `startRanks` WARM-STARTS the iteration from a prior run's output
+    * (node, rank_micro) — the incremental-graph move: when today's
+    * edge delta is small, yesterday's ranks are already near today's
+    * stationary point, and the damped update is an affine contraction
+    * (residual shrinks ~`damping`× per round FROM ANY START — a stale
+    * or partial prior is always safe, never wrong), so the same
+    * iteration budget lands much closer to stationarity than a
+    * uniform cold start. Nodes absent from the prior seed at uniform
+    * mass; prior rows for vanished nodes drop via the node-set join.
+    * The warm run is exactly as deterministic as the cold one (spec
+    * pins it against the independent local mirror and asserts the
+    * closer-to-stationary claim in exact integers). */
   def pageRank(
       edges: DataFrame, damping: Double = 0.85, iters: Int = 10,
-      tolMass: Long = 0L): DataFrame = {
+      tolMass: Long = 0L, startRanks: Option[DataFrame] = None): DataFrame = {
     require(iters >= 1 && iters <= 100, s"iters must be in [1,100], got $iters")
     require(damping > 0.0 && damping < 1.0, s"damping must be in (0,1), got $damping")
     val dPpm = math.round(damping * 1e6)
@@ -108,7 +121,31 @@ object Graph {
             expr(s"(coalesce(inflow, 0L) * $dPpm * 2 + 1000000) div 2000000"))
             .as("r"))
     }
-    var rank = nodes.select(col("node"), lit(Scale / n).as("r"))
+    var rank = startRanks match {
+      case Some(prior) =>
+        // rank_micro is the output scale (1e6); internal mass is 1e12
+        // micro-micro. The raw warm frame then RENORMALIZES to the
+        // invariant total Scale: a changed node set (or quantization)
+        // leaves the prior's total off-mass, and an excess decays only
+        // damping× per round — un-normalized it would cost exactly the
+        // rounds the warm start is meant to save. DECIMAL keeps the
+        // rescale exact past long range; the start is still just a
+        // guess — the contraction owns convergence from any of them.
+        val raw = nodes.join(
+            prior.select(col("node"), (col("rank_micro") * 1000000L).as("r0")),
+            Seq("node"), "left")
+          .select(col("node"), coalesce(col("r0"), lit(Scale / n)).as("raw"))
+          .localCheckpoint()
+        val total = raw.agg(sum("raw")).head() match {
+          case r if r.isNullAt(0) => 0L
+          case r => r.getLong(0)
+        }
+        if (total <= 0) nodes.select(col("node"), lit(Scale / n).as("r"))
+        else raw.select(col("node"),
+          expr(s"CAST((CAST(raw AS DECIMAL(38,0)) * $Scale) div $total AS BIGINT)")
+            .as("r"))
+      case None => nodes.select(col("node"), lit(Scale / n).as("r"))
+    }
     var converged = false
     var it = 0
     while (it < iters && !converged) {

@@ -131,7 +131,8 @@ class PurchasesSpec extends AnyFunSuite with SparkSessionTestBase {
   /** Independent local mirror of the operator's exact integer
     * arithmetic. */
   private def localPageRank(
-      edges: Seq[(Long, Long, Long)], damping: Double, iters: Int): Map[Long, Long] = {
+      edges: Seq[(Long, Long, Long)], damping: Double, iters: Int,
+      start: Map[Long, Long] = Map.empty): Map[Long, Long] = {
     val dPpm = math.round(damping * 1e6)
     val scale = 1000000000000L
     val sym = (edges.map { case (a, b, w) => ((a, b), w) } ++
@@ -143,7 +144,14 @@ class PurchasesSpec extends AnyFunSuite with SparkSessionTestBase {
     val nodes = sym.keys.map(_._1).toSeq.distinct.sorted
     val n = nodes.size
     val teleport = ((1000000L - dPpm) * (scale / n)) / 1000000L
-    var r = nodes.map(_ -> scale / n).toMap
+    // warm start mirrors the operator: prior rank_micro × 1e6, uniform
+    // for nodes the prior doesn't know, renormalized to total Scale
+    var r = nodes.map(v =>
+      v -> start.get(v).map(_ * 1000000L).getOrElse(scale / n)).toMap
+    if (start.nonEmpty) {
+      val tot = r.values.sum
+      r = r.map { case (k, v) => k -> (BigInt(v) * scale / tot).toLong }
+    }
     for (_ <- 1 to iters) {
       val inflow = pPpm.toSeq
         .map { case ((s, d), p) => d -> ((p * r(s) * 2L + 1000000L) / 2000000L) }
@@ -167,6 +175,43 @@ class PurchasesSpec extends AnyFunSuite with SparkSessionTestBase {
       edges.toDF("src", "dst", "w").repartition(7))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got2 === got)
+  }
+
+  test("pageRank warm start is pinned exactly and converges faster than cold") {
+    import spark.implicits._
+    // a hub graph — stationary ranks far from uniform, so a cold
+    // uniform start is genuinely far and the warm-start claim is
+    // non-trivial
+    val g0 = (2L to 10L).map(i => (1L, i, 1L)) ++
+      Seq((2L, 3L, 5L), (3L, 4L, 5L))
+    // "yesterday": the graph without its last edge; "today" adds it
+    // plus a brand-new leaf 11 (seeds at uniform mass). Yesterday's
+    // artifact is a CONVERGED run — the production posture: each day
+    // warm-starts from the last warm result, so the chain stays near
+    // stationarity
+    val gPrev = g0.dropRight(1)
+    val g1 = g0 :+ (1L, 11L, 1L)
+    val prevDf = graft.operators.Graph.pageRank(
+      gPrev.toDF("src", "dst", "w"), iters = 60)
+    val prev = prevDf.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // exact pin: the warm-started operator equals the warm-started
+    // local mirror bit-for-bit (same integer map, same start)
+    val warm = graft.operators.Graph.pageRank(
+        g1.toDF("src", "dst", "w"), startRanks = Some(prevDf))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(warm === localPageRank(g1, 0.85, 10, start = prev))
+    // the incremental claim, in exact integers: with the same budget,
+    // the warm run sits strictly closer to the long-run stationary
+    // ranks than the cold run (damped contraction from a near point)
+    val stationary = localPageRank(g1, 0.85, 300)
+    def l1(a: Map[Long, Long]) =
+      stationary.map { case (k, v) => math.abs(a.getOrElse(k, 0L) - v) }.sum
+    val cold = graft.operators.Graph.pageRank(g1.toDF("src", "dst", "w"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(l1(warm) < l1(cold),
+      s"warm l1 ${l1(warm)} must beat cold l1 ${l1(cold)}")
+    // the new node ranks alongside the prior ones
+    assert(warm.keySet === (1L to 11L).toSet)
   }
 
   test("pageRank ranks a star center above its leaves; mass is conserved") {
