@@ -984,6 +984,11 @@ object SparkEntry {
       operators.Retrieval.decontaminatePhraseFromIndex(
         posIndexShared(s, d), Tables.documents(s, d), benchmarkPhrasesDf(s),
         phraseTermsLiteral = phraseTermsLiteral)),
+    // measured STREAMING twin: the verdict is per-doc local, so the
+    // per-micro-batch union is exactly the whole-corpus scan — same
+    // full oracle
+    "q_stream_phrase_gate" -> ((s, d) =>
+      streaming.CurationStream.phraseGateRun(s, d, phraseQueries)),
     // blocklist scan: first matching audit pattern per doc — the
     // stateless projection shared verbatim with the streaming gate
     "q_audit_scan" -> ((s, d) =>
@@ -2810,6 +2815,7 @@ object SparkEntry {
     // the same witness cascade; indexed == online by construction
     "q_decontaminate_phrase" -> decontaminatePhraseOracleSql,
     "q_decontaminate_phrase_indexed" -> decontaminatePhraseOracleSql,
+    "q_stream_phrase_gate" -> decontaminatePhraseOracleSql,
     "q_hard_negatives" -> {
       val cos = dr("list_dot_product(e2.v, q.v)/(e2.norm*q.norm)", 6)
       s"""WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,

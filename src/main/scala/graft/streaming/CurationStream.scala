@@ -100,4 +100,52 @@ object CurationStream {
 
     spark.table(name).orderBy("doc_id")
   }
+
+  /** Bounded end-to-end run of the streaming PHRASE-decontamination
+    * gate ([[graft.operators.Retrieval.decontaminatePhrase]] over a
+    * document stream) — the verbatim-sequence ingest guard: every
+    * arriving doc reports whether it quotes a benchmark phrase before
+    * landing. The phrase verdict is PER-DOC LOCAL (a doc contains the
+    * sequence or not, independent of the rest of the corpus), so the
+    * union of per-micro-batch verdicts is exactly the whole-corpus
+    * scan and the entry shares q_decontaminate_phrase's FULL oracle.
+    * The witness-count aggregation makes the projection stateful in
+    * append mode, so the gate runs per-batch via foreachBatch — the
+    * Bm25Stream maintenance mechanics with a verdict sink instead of
+    * an index. */
+  def phraseGateRun(
+      spark: SparkSession, dir: String,
+      phrases: Seq[(Long, String)]): DataFrame = {
+    val docs = graft.Tables.documents(spark, dir)
+    val root = java.nio.file.Files.createTempDirectory("graft_pgate_stream")
+    val src = root.resolve("src").toString
+    val out = root.resolve("out").toString
+    docs.write.mode("overwrite").parquet(src)
+
+    val q = spark.readStream.schema(docs.schema).parquet(src)
+      .writeStream
+      .option("checkpointLocation", root.resolve("ckpt").toString)
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+         _: Long) =>
+          val s = batch.sparkSession
+          import s.implicits._
+          graft.operators.Retrieval.decontaminatePhrase(
+              batch.toDF(), phrases.toDF("phrase_id", "phrase_text"))
+            .write.mode("append").parquet(out)
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+
+    val result = spark.read.parquet(out).localCheckpoint()
+    def rm(p: java.nio.file.Path): Unit = {
+      import scala.jdk.CollectionConverters._
+      if (java.nio.file.Files.exists(p)) {
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+      }
+    }
+    rm(root)
+    result.orderBy("doc_id")
+  }
 }

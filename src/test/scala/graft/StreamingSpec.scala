@@ -579,6 +579,26 @@ class StreamingSpec extends AnyFunSuite with SparkSessionTestBase {
     assert(deltaPartitions("postings").isEmpty && deltaPartitions("meta").isEmpty)
   }
 
+  test("streaming phrase gate equals the batch decontamination scan") {
+    import spark.implicits._
+    val phrases = Seq(0L -> "table hash", 1L -> "bloom bloom")
+    val streamed = graft.streaming.CurationStream
+      .phraseGateRun(spark, sfDir, phrases)
+      .collect().map(_.toString).toSeq
+    val batch = graft.operators.Retrieval.decontaminatePhrase(
+        Tables.documents(spark, sfDir),
+        phrases.toDF("phrase_id", "phrase_text"))
+      .collect().map(_.toString).toSeq
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+    // both verdict branches occur on the corpus
+    val keeps = graft.streaming.CurationStream
+      .phraseGateRun(spark, sfDir, phrases)
+      .groupBy("keep").count().collect()
+      .map(r => r.getBoolean(0) -> r.getLong(1)).toMap
+    assert(keeps.keySet === Set(true, false))
+  }
+
   test("stream-maintained positional index serves phrases identically to a rebuild") {
     import spark.implicits._
     import graft.streaming.PhraseStream
