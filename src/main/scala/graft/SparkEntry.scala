@@ -836,6 +836,13 @@ object SparkEntry {
       TextAnalysis.trigramPerplexity(Tables.documents(s, d))),
     "q_perplexity_kn" -> ((s, d) =>
       TextAnalysis.knPerplexity(Tables.documents(s, d))),
+    // modified KN: per-count-class discounts estimated from n1..n4
+    // driver-side (bounded row), riding the plan as literals; the
+    // indexed form serves from the SAME knModel artifact as plain KN
+    "q_perplexity_mkn" -> ((s, d) =>
+      TextAnalysis.mknPerplexity(Tables.documents(s, d))),
+    "q_perplexity_mkn_indexed" -> ((s, d) =>
+      TextAnalysis.mknAgainst(Tables.documents(s, d), knIndexShared(s, d))),
     // serving path: score against the persisted KN type-table artifact
     // — model statistics re-derive from the slim artifact, never a
     // corpus re-aggregation; bit-equal to the self-trained form, so
@@ -1316,6 +1323,64 @@ object SparkEntry {
        | CAST(round(CAST(v.avg_surprisal_unat AS DOUBLE) / 1e6, 6) AS DOUBLE) AS avg_surprisal,
        | ${m("exp(round(CAST(v.avg_surprisal_unat AS DOUBLE) / 1e6, 6))", 6)} AS ppl
        |FROM d LEFT JOIN v USING (doc_id) ORDER BY doc_id""".stripMargin
+
+  /** Modified-KN oracle: DuckDB re-derives the D1/D2/D3+ discounts
+    * from the same integer count-of-counts with the same IEEE +−×/
+    * chain (no libm in the estimator), including the KenLM sanity
+    * fallback — so the discounts, and therefore the whole cascade,
+    * are bit-identical to the Scala driver-side literals. */
+  private val mknOracleSql: String = {
+    val fb = "n1 = 0 OR n2 = 0 OR n3 = 0 OR n4 = 0 OR e1 < 0 OR e1 > 1" +
+      " OR e2 < 0 OR e2 > 2 OR e3 < 0 OR e3 > 3"
+    s"""WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+       |bg AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2
+       | FROM (SELECT doc_id, unnest(list_transform(range(2, len(w) + 1),
+       |        i -> {'w1': w[i - 1], 'w2': w[i]})) AS b
+       |       FROM d WHERE len(w) >= 2)),
+       |bi AS (SELECT w1, w2, count(*) AS cb FROM bg GROUP BY w1, w2),
+       |nc AS (SELECT count(CASE WHEN cb = 1 THEN 1 END) AS n1,
+       |  count(CASE WHEN cb = 2 THEN 1 END) AS n2,
+       |  count(CASE WHEN cb = 3 THEN 1 END) AS n3,
+       |  count(CASE WHEN cb = 4 THEN 1 END) AS n4 FROM bi),
+       |de AS (SELECT n1, n2, n3, n4,
+       |  CASE WHEN n1 > 0 AND n2 > 0 AND n3 > 0 AND n4 > 0 THEN
+       |    1 - 2 * (CAST(n1 AS DOUBLE) / (n1 + 2 * n2)) * (CAST(n2 AS DOUBLE) / n1) END AS e1,
+       |  CASE WHEN n1 > 0 AND n2 > 0 AND n3 > 0 AND n4 > 0 THEN
+       |    2 - 3 * (CAST(n1 AS DOUBLE) / (n1 + 2 * n2)) * (CAST(n3 AS DOUBLE) / n2) END AS e2,
+       |  CASE WHEN n1 > 0 AND n2 > 0 AND n3 > 0 AND n4 > 0 THEN
+       |    3 - 4 * (CAST(n1 AS DOUBLE) / (n1 + 2 * n2)) * (CAST(n4 AS DOUBLE) / n3) END AS e3
+       | FROM nc),
+       |dd AS (SELECT
+       |  CASE WHEN $fb THEN CAST(0.75 AS DOUBLE) ELSE e1 END AS d1,
+       |  CASE WHEN $fb THEN CAST(0.75 AS DOUBLE) ELSE e2 END AS d2,
+       |  CASE WHEN $fb THEN CAST(0.75 AS DOUBLE) ELSE e3 END AS d3
+       | FROM de),
+       |hist AS (SELECT w1, CAST(sum(cb) AS BIGINT) AS c1,
+       |  count(CASE WHEN cb = 1 THEN 1 END) AS h1,
+       |  count(CASE WHEN cb = 2 THEN 1 END) AS h2,
+       |  count(CASE WHEN cb >= 3 THEN 1 END) AS h3 FROM bi GROUP BY w1),
+       |cont AS (SELECT w2, count(*) AS nrev FROM bi GROUP BY w2),
+       |tt AS (SELECT count(*) AS ntypes FROM bi),
+       |sc AS (SELECT doc_id,
+       |  CAST(round(CAST(CAST(-ln(
+       |    greatest(CAST(coalesce(cb, 0) AS DOUBLE) -
+       |      coalesce(CASE WHEN cb = 1 THEN d1 WHEN cb = 2 THEN d2
+       |               WHEN cb >= 3 THEN d3 END, 0), CAST(0 AS DOUBLE)) / c1 +
+       |    ((d1 * h1 + d2 * h2 + d3 * h3) / c1) *
+       |      (CAST(coalesce(nrev, 1) AS DOUBLE) / ntypes)) * 1e6 AS VARCHAR) AS DECIMAL(38,18)),0) AS BIGINT) AS su
+       | FROM bg LEFT JOIN bi USING (w1, w2) LEFT JOIN hist USING (w1)
+       |   LEFT JOIN cont USING (w2), tt, dd),
+       |a AS (SELECT doc_id, count(*) AS n_bigrams, CAST(sum(su) AS BIGINT) AS surprisal_unat
+       | FROM sc GROUP BY doc_id),
+       |v AS (SELECT doc_id, n_bigrams, surprisal_unat,
+       |  CAST((2 * surprisal_unat + n_bigrams) // (2 * n_bigrams) AS BIGINT) AS avg_surprisal_unat
+       | FROM a)
+       |SELECT d.doc_id, CAST(coalesce(v.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       | v.surprisal_unat, v.avg_surprisal_unat,
+       | CAST(round(CAST(v.avg_surprisal_unat AS DOUBLE) / 1e6, 6) AS DOUBLE) AS avg_surprisal,
+       | ${m("exp(round(CAST(v.avg_surprisal_unat AS DOUBLE) / 1e6, 6))", 6)} AS ppl
+       |FROM d LEFT JOIN v USING (doc_id) ORDER BY doc_id""".stripMargin
+  }
 
   private val phraseOracleSql: String = {
     val qvals = phraseQueries.map { case (id, t) =>
@@ -2113,6 +2178,8 @@ object SparkEntry {
     // the maintenance entry serves from the delta-merged model; the
     // full-corpus oracle IS the incremental == full-retrain proof
     "q_kn_incremental" -> knOracleSql,
+    "q_perplexity_mkn" -> mknOracleSql,
+    "q_perplexity_mkn_indexed" -> mknOracleSql,
     "q_classifier_score" ->
       s"""WITH toks AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t FROM documents),
          |w AS (SELECT doc_id,

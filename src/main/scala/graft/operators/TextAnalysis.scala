@@ -466,6 +466,112 @@ object TextAnalysis {
       discount: Double = 0.75): DataFrame =
     knScore(docs, knBigrams(docs), model, discount)
 
+  /** MODIFIED Kneser-Ney (Chen & Goodman 1998 §3; the estimator KenLM
+    * ships): instead of one fixed discount, three per-count-class
+    * discounts D1/D2/D3+ estimated from the type-count-of-counts
+    * n1..n4 — `Y = n1/(n1+2n2)`, `D1 = 1−2Y·n2/n1`,
+    * `D2 = 2−3Y·n3/n2`, `D3+ = 3−4Y·n4/n3` — with the freed mass
+    * `γ(w1) = (D1·N1(w1)+D2·N2(w1)+D3+·N3+(w1))/c(w1·)` going to the
+    * same continuation distribution as [[knPerplexity]]. The n1..n4
+    * statistics are ONE bounded aggregate row collected driver-side
+    * and the discounts ride the plan as literals (the classifierApply
+    * posture); per-history class counts join from the same floored
+    * type table as everything else. KenLM's sanity check applies: if
+    * any count class is empty or an estimate leaves [0, k], the three
+    * discounts FALL BACK to the fixed 0.75 (deterministic, mirrored
+    * in the oracle) rather than producing negative probabilities —
+    * tiny or degenerate corpora degrade to plain interpolated KN
+    * behavior instead of NaN. FULL DuckDB oracle: the oracle
+    * re-derives the same discounts from the same integer counts with
+    * the same IEEE +−×/ chain (no libm in the estimator), so the
+    * float paths are bit-identical by construction. */
+  def mknPerplexity(
+      docs: DataFrame, minBigramCount: Long = 1L): DataFrame = {
+    val bigrams = knBigrams(docs)
+    val bi = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+      .filter(col("cb") >= minBigramCount)
+      .localCheckpoint()
+    mknScore(docs, bigrams, bi)
+  }
+
+  /** [[mknPerplexity]] served from the SAME persisted [[knModel]]
+    * type-table artifact as plain KN — one artifact, two smoothings
+    * (everything either needs derives from the type table). */
+  def mknAgainst(docs: DataFrame, model: DataFrame): DataFrame =
+    mknScore(docs, knBigrams(docs), model)
+
+  private def mknScore(
+      docs: DataFrame, bigrams: DataFrame, bi: DataFrame): DataFrame = {
+    // type count-of-counts: one bounded row, driver-collected (the
+    // IRLS/PCA bounded-scalar posture)
+    val r = bi.agg(
+      sum(when(col("cb") === 1, 1L).otherwise(0L)).as("n1"),
+      sum(when(col("cb") === 2, 1L).otherwise(0L)).as("n2"),
+      sum(when(col("cb") === 3, 1L).otherwise(0L)).as("n3"),
+      sum(when(col("cb") === 4, 1L).otherwise(0L)).as("n4")).head()
+    val (n1, n2, n3, n4) =
+      if (r.isNullAt(0)) (0L, 0L, 0L, 0L)
+      else (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    // the exact double chain the oracle mirrors: integer operands,
+    // +−×/ only — bit-identical across engines
+    val (d1, d2, d3) =
+      if (n1 == 0 || n2 == 0 || n3 == 0 || n4 == 0) (0.75, 0.75, 0.75)
+      else {
+        val y = n1.toDouble / (n1 + 2 * n2)
+        val e1 = 1.0 - 2.0 * y * (n2.toDouble / n1)
+        val e2 = 2.0 - 3.0 * y * (n3.toDouble / n2)
+        val e3 = 3.0 - 4.0 * y * (n4.toDouble / n3)
+        if (e1 < 0 || e1 > 1 || e2 < 0 || e2 > 2 || e3 < 0 || e3 > 3)
+          (0.75, 0.75, 0.75)
+        else (e1, e2, e3)
+      }
+    val hist = bi.groupBy("w1").agg(
+      sum("cb").as("c1"),
+      sum(when(col("cb") === 1, 1L).otherwise(0L)).as("h1"),
+      sum(when(col("cb") === 2, 1L).otherwise(0L)).as("h2"),
+      sum(when(col("cb") >= 3, 1L).otherwise(0L)).as("h3"))
+    val cont = bi.groupBy("w2").agg(count(lit(1)).as("nrev"))
+    val ntypes = bi.agg(count(lit(1)).as("ntypes"))
+    val scored = bigrams
+      .join(bi, Seq("w1", "w2"), "left")
+      .join(hist, Seq("w1"), "left")
+      .join(cont, Seq("w2"), "left")
+      .crossJoin(broadcast(ntypes))
+      .withColumn("pc",
+        when(col("ntypes") > 0,
+          coalesce(col("nrev"), lit(1L)).cast("double") / col("ntypes"))
+          .otherwise(raise_error(lit("mknScore: model is empty — every" +
+            " score would be degenerate; check the LM artifact path"))
+            .cast("double")))
+      .withColumn("dcb", coalesce(
+        when(col("cb") === 1, lit(d1))
+          .when(col("cb") === 2, lit(d2))
+          .when(col("cb") >= 3, lit(d3)), lit(0.0)))
+      .withColumn("su", round(-log(
+        when(col("c1").isNotNull,
+          greatest(coalesce(col("cb"), lit(0L)).cast("double") - col("dcb"),
+            lit(0.0)) / col("c1") +
+            ((lit(d1) * col("h1") + lit(d2) * col("h2") +
+              lit(d3) * col("h3")) / col("c1")) * col("pc"))
+          .otherwise(col("pc"))) * 1e6).cast("long"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum("su").as("surprisal_unat"))
+      .withColumn("avg_surprisal_unat",
+        expr("(2 * surprisal_unat + n_bigrams) div (2 * n_bigrams)"))
+    docs.select("doc_id")
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        col("surprisal_unat"),
+        col("avg_surprisal_unat"),
+        round(col("avg_surprisal_unat").cast("double") / 1e6, 6)
+          .as("avg_surprisal"),
+        round(exp(round(col("avg_surprisal_unat").cast("double") / 1e6, 6)),
+          6).as("ppl"))
+      .orderBy("doc_id")
+  }
+
   /** Incremental MAINTENANCE of the [[knModel]] artifact — the
     * rollupIncremental contract on the bigram-type table: daily ingest
     * touches a sliver of a 100 TB corpus, so the LM refresh must cost

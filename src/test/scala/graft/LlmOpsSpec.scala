@@ -915,6 +915,77 @@ class LlmOpsSpec extends AnyFunSuite with SparkSessionTestBase {
       Option(ex.getCause).exists(_.getMessage.contains("model is empty")))
   }
 
+  test("mknPerplexity matches a local modified-KN mirror on both discount paths") {
+    import spark.implicits._
+    def unat(p: Double): Long =
+      BigDecimal.valueOf(-math.log(p) * 1e6)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    // independent mirror of the whole cascade (same double chain)
+    def localMkn(texts: Seq[(Long, String)]): Map[Long, Long] = {
+      val bgs = texts.flatMap { case (id, t) =>
+        val w = t.toLowerCase.split(" ", -1)
+        w.dropRight(1).zip(w.drop(1)).map(p => (id, p._1, p._2))
+      }
+      val bi = bgs.groupBy(b => (b._2, b._3)).map { case (k, vs) => k -> vs.size.toLong }
+      val Seq(n1, n2, n3, n4) = Seq(1L, 2L, 3L, 4L).map(c => bi.values.count(_ == c).toLong)
+      val (d1, d2, d3) =
+        if (n1 == 0 || n2 == 0 || n3 == 0 || n4 == 0) (0.75, 0.75, 0.75)
+        else {
+          val y = n1.toDouble / (n1 + 2 * n2)
+          val e1 = 1.0 - 2.0 * y * (n2.toDouble / n1)
+          val e2 = 2.0 - 3.0 * y * (n3.toDouble / n2)
+          val e3 = 3.0 - 4.0 * y * (n4.toDouble / n3)
+          if (e1 < 0 || e1 > 1 || e2 < 0 || e2 > 2 || e3 < 0 || e3 > 3)
+            (0.75, 0.75, 0.75)
+          else (e1, e2, e3)
+        }
+      val c1 = bi.groupBy(_._1._1).map { case (w1, m) => w1 -> m.values.sum }
+      def hK(w1: String, k: Long) = bi.count { case ((a, _), c) =>
+        a == w1 && (if (k == 3) c >= 3 else c == k) }.toLong
+      val nrev = bi.groupBy(_._1._2).map { case (w2, m) => w2 -> m.size.toLong }
+      val ntypes = bi.size.toLong
+      def dOf(c: Long) = if (c == 1) d1 else if (c == 2) d2 else if (c >= 3) d3 else 0.0
+      bgs.groupBy(_._1).map { case (id, trans) =>
+        id -> trans.map { case (_, w1, w2) =>
+          val cb = bi((w1, w2))
+          val pc = nrev(w2).toDouble / ntypes
+          val gam = (d1 * hK(w1, 1) + d2 * hK(w1, 2) + d3 * hK(w1, 3)) / c1(w1)
+          unat(math.max(cb.toDouble - dOf(cb), 0.0) / c1(w1) + gam * pc)
+        }.sum
+      }
+    }
+    // ESTIMATED path: counts-of-counts shaped so all D land in range
+    // (many singletons, a fat doubleton class)
+    val est = Seq(
+      (1L, "p q p q p q p q"), (2L, "r s x r s y r s"),
+      (3L, "t u c t u d e f g h"), (4L, "k l m k l"),
+      (5L, "n o n o a b i j")).toDF("doc_id", "text")
+    val estTexts = est.collect().map(r => r.getLong(0) -> r.getString(1)).toSeq
+    val got = TextAnalysis.mknPerplexity(est).collect()
+      .filter(!_.isNullAt(2))
+      .map(r => r.getLong(0) -> r.getAs[Long]("surprisal_unat")).toMap
+    assert(got === localMkn(estTexts))
+    // FALLBACK path: no count-4 class → fixed 0.75 cascade (and then
+    // modified KN must EQUAL plain KN at the same fixed discount,
+    // because every history class gets the same D: γ reduces to
+    // D·N1+(w1·)/c1)
+    val fb = Seq((1L, "a b a b"), (2L, "a a"), (3L, "x")).toDF("doc_id", "text")
+    val fbTexts = fb.collect().map(r => r.getLong(0) -> r.getString(1)).toSeq
+    val gotFb = TextAnalysis.mknPerplexity(fb).collect()
+      .filter(!_.isNullAt(2))
+      .map(r => r.getLong(0) -> r.getAs[Long]("surprisal_unat")).toMap
+    assert(gotFb === localMkn(fbTexts))
+    assert(TextAnalysis.mknPerplexity(fb).collect().map(_.toString).toSeq ===
+      TextAnalysis.knPerplexity(fb).collect().map(_.toString).toSeq)
+    // artifact serving is bit-equal to self-trained (same type table)
+    val modelPath =
+      java.nio.file.Files.createTempDirectory("mknmodel").toString + "/model"
+    TextAnalysis.knModel(est).write.parquet(modelPath)
+    assert(TextAnalysis.mknAgainst(est, spark.read.parquet(modelPath))
+      .collect().map(_.toString).toSeq ===
+      TextAnalysis.mknPerplexity(est).collect().map(_.toString).toSeq)
+  }
+
   test("knModelIncremental equals a full retrain, through serving too") {
     import spark.implicits._
     val prev = Seq(
