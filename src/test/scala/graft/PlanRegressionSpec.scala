@@ -530,6 +530,14 @@ class PlanRegressionSpec extends AnyFunSuite with SparkSessionTestBase {
     val self = SparkEntry.queries("q_perplexity_kn")(spark, sfDir)
       .collect().map(_.toString).toSeq
     assert(served === self)
+    // modified KN serves from the SAME artifact under the same shape
+    val pm = plan("q_perplexity_mkn_indexed")
+    assert(pm.contains("graft_kn_idx"))
+    assert(!pm.contains("Window ["))
+    assert(SparkEntry.queries("q_perplexity_mkn_indexed")(spark, sfDir)
+      .collect().map(_.toString).toSeq ===
+      SparkEntry.queries("q_perplexity_mkn")(spark, sfDir)
+        .collect().map(_.toString).toSeq)
   }
 
   test("cms serves from the persisted counters; estimates broadcast the sketch") {
