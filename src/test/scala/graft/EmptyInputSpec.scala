@@ -195,6 +195,32 @@ class EmptyInputSpec extends AnyFunSuite with SparkSessionTestBase {
     assert(TextAnalysis.bigramPerplexity(emptyDocs).count() === 0)
     assert(TextAnalysis.trigramPerplexity(emptyDocs).count() === 0)
     assert(TextAnalysis.knPerplexity(emptyDocs).count() === 0)
+    assert(TextAnalysis.mknPerplexity(emptyDocs).count() === 0)
+    // an all-empty incremental KN update stays empty
+    assert(TextAnalysis.knModelIncremental(
+      TextAnalysis.knModel(emptyDocs), emptyDocs, emptyDocs).count() === 0)
+    // phrase decontamination: empty corpus → no verdicts; empty phrase
+    // set → every doc keeps
+    val phrasesEmpty = emptyDocs.sparkSession.createDataFrame(
+      emptyDocs.sparkSession.sparkContext
+        .emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("phrase_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("phrase_text",
+          org.apache.spark.sql.types.StringType))))
+    assert(graft.operators.Retrieval.decontaminatePhrase(
+      emptyDocs, phrasesEmpty).count() === 0)
+    val corpusDocs = Tables.documents(spark, sfDir)
+    val allKeep = graft.operators.Retrieval.decontaminatePhrase(
+      corpusDocs, phrasesEmpty)
+    assert(allKeep.count() === corpusDocs.count())
+    assert(allKeep.filter(!org.apache.spark.sql.functions.col("keep"))
+      .count() === 0)
+    // incremental positional maintenance of nothing is nothing
+    assert(graft.operators.Retrieval.positionalIndexIncremental(
+      graft.operators.Retrieval.positionalIndex(emptyDocs),
+      emptyDocs, emptyDocs).count() === 0)
     assert(Etl.corpusRollup(emptyDocs).count() === 0)
     // empty deltas against an empty prior rollup stay empty
     assert(Etl.rollupIncremental(Etl.corpusRollup(emptyDocs), emptyDocs,
