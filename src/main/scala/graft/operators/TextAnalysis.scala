@@ -466,6 +466,101 @@ object TextAnalysis {
       discount: Double = 0.75): DataFrame =
     knScore(docs, knBigrams(docs), model, discount)
 
+  /** TRIGRAM interpolated Kneser-Ney — the full KenLM model SHAPE at
+    * trigram order (Chen & Goodman 1998 §4.1.6): the trigram level
+    * discounts raw counts and interpolates into a bigram level that
+    * uses CONTINUATION counts (how many distinct left contexts a
+    * bigram has — N1+(·w2w3)), which itself interpolates into the
+    * continuation-unigram distribution; using type counts below the
+    * top order is the defining KN move ([[trigramPerplexity]]'s
+    * stupid backoff uses raw relative frequencies instead and never
+    * normalizes). Per position:
+    * `P(w3|w1w2) = max(c3−D,0)/c2(w1w2·) + γ3·Pkn2(w3|w2)`,
+    * `Pkn2 = max(N1+(·w2w3)−D,0)/N1+(·w2·) + γ2·Pcont(w3)`,
+    * `Pcont(w3) = N1+(·w3)/N1+(··)`, with every statistic derived
+    * from the ONE floored trigram-type table (so each level's
+    * distribution sums to exactly 1 over its support — the knScore
+    * self-consistency at both orders, spec-asserted). Unseen
+    * histories cascade down the levels like [[knPerplexity]]'s
+    * fallbacks; an unseen continuation degrades at type-count 1.
+    * Integer micro-nat discipline; FULL DuckDB oracle through both
+    * interpolation levels. Scale shape: one narrow trigram stream,
+    * four partial-combined model aggregations off two shared
+    * checkpointed frames, AQE-planned scoring joins, the type total
+    * a broadcast scalar. */
+  def knTrigramPerplexity(
+      docs: DataFrame, discount: Double = 0.75,
+      minTrigramCount: Long = 1L): DataFrame = {
+    require(discount > 0.0 && discount < 1.0,
+      s"discount must be in (0, 1), got $discount")
+    val words = docs.select(col("doc_id"), split(lower(col("text")), " ", -1).as("w"))
+    val trigrams = words.filter(size(col("w")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(3, size(w)), " +
+          "i -> struct(element_at(w, i - 2) AS w1, element_at(w, i - 1) AS w2, " +
+          "element_at(w, i) AS w3))")).as("g"))
+      .select(col("doc_id"), col("g.w1").as("w1"), col("g.w2").as("w2"),
+        col("g.w3").as("w3"))
+      .localCheckpoint()
+    // the ONE type table; feeds the trigram history stats, the middle
+    // continuation table, and the scoring join
+    val t3 = trigrams.groupBy("w1", "w2", "w3").agg(count(lit(1)).as("c3"))
+      .filter(col("c3") >= minTrigramCount)
+      .localCheckpoint()
+    val h3 = t3.groupBy("w1", "w2")
+      .agg(sum("c3").as("c2h"), count(lit(1)).as("nfwd3"))
+    // N1+(·w2w3): distinct left contexts per bigram — the middle-order
+    // "counts"; feeds its own history stats, the unigram continuation
+    // table, and the scoring join
+    val m2 = t3.groupBy("w2", "w3").agg(count(lit(1)).as("m2c"))
+      .localCheckpoint()
+    val h2 = m2.groupBy("w2")
+      .agg(sum("m2c").as("sumn"), count(lit(1)).as("nfwd2"))
+    val c1 = m2.groupBy("w3").agg(count(lit(1)).as("nrev1"))
+    val nt1 = m2.agg(count(lit(1)).as("nt1"))
+    val pk1 =
+      when(col("nt1") > 0,
+        coalesce(col("nrev1"), lit(1L)).cast("double") / col("nt1"))
+        .otherwise(raise_error(lit("knTrigramPerplexity: model is empty —" +
+          " every score would be degenerate")).cast("double"))
+    val pk2 =
+      when(col("sumn").isNotNull,
+        greatest(coalesce(col("m2c"), lit(0L)).cast("double") - lit(discount),
+          lit(0.0)) / col("sumn") +
+          ((lit(discount) * col("nfwd2")) / col("sumn")) * pk1)
+        .otherwise(pk1)
+    val p =
+      when(col("c2h").isNotNull,
+        greatest(coalesce(col("c3"), lit(0L)).cast("double") - lit(discount),
+          lit(0.0)) / col("c2h") +
+          ((lit(discount) * col("nfwd3")) / col("c2h")) * pk2)
+        .otherwise(pk2)
+    val scored = trigrams
+      .join(t3, Seq("w1", "w2", "w3"), "left")
+      .join(h3, Seq("w1", "w2"), "left")
+      .join(m2, Seq("w2", "w3"), "left")
+      .join(h2, Seq("w2"), "left")
+      .join(c1, Seq("w3"), "left")
+      .crossJoin(broadcast(nt1))
+      .withColumn("su", round(-log(p) * 1e6).cast("long"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_trigrams"),
+        sum("su").as("surprisal_unat"))
+      .withColumn("avg_surprisal_unat",
+        expr("(2 * surprisal_unat + n_trigrams) div (2 * n_trigrams)"))
+    docs.select("doc_id")
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_trigrams"), lit(0L)).as("n_trigrams"),
+        col("surprisal_unat"),
+        col("avg_surprisal_unat"),
+        round(col("avg_surprisal_unat").cast("double") / 1e6, 6)
+          .as("avg_surprisal"),
+        round(exp(round(col("avg_surprisal_unat").cast("double") / 1e6, 6)),
+          6).as("ppl"))
+      .orderBy("doc_id")
+  }
+
   /** MODIFIED Kneser-Ney (Chen & Goodman 1998 §3; the estimator KenLM
     * ships): instead of one fixed discount, three per-count-class
     * discounts D1/D2/D3+ estimated from the type-count-of-counts

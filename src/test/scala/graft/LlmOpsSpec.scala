@@ -915,6 +915,91 @@ class LlmOpsSpec extends AnyFunSuite with SparkSessionTestBase {
       Option(ex.getCause).exists(_.getMessage.contains("model is empty")))
   }
 
+  test("knTrigramPerplexity matches a local two-level KN mirror; levels normalize") {
+    import spark.implicits._
+    def unat(p: Double): Long =
+      BigDecimal.valueOf(-math.log(p) * 1e6)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val d = 0.75
+    def localKn3(texts: Seq[(Long, String)]): Map[Long, Long] = {
+      val tgs = texts.flatMap { case (id, t) =>
+        val w = t.toLowerCase.split(" ", -1)
+        if (w.length < 3) Seq.empty
+        else (2 until w.length).map(i => (id, w(i - 2), w(i - 1), w(i)))
+      }
+      val t3 = tgs.groupBy(g => (g._2, g._3, g._4)).map { case (k, v) => k -> v.size.toLong }
+      val c2h = t3.groupBy(k => (k._1._1, k._1._2)).map { case (k, m) => k -> m.values.sum }
+      val nfwd3 = t3.groupBy(k => (k._1._1, k._1._2)).map { case (k, m) => k -> m.size.toLong }
+      val m2 = t3.keys.groupBy(k => (k._2, k._3)).map { case (k, v) => k -> v.size.toLong }
+      val sumn = m2.groupBy(_._1._1).map { case (k, m) => k -> m.values.sum }
+      val nfwd2 = m2.groupBy(_._1._1).map { case (k, m) => k -> m.size.toLong }
+      val nrev1 = m2.keys.groupBy(_._2).map { case (k, v) => k -> v.size.toLong }
+      val nt1 = m2.size.toLong
+      tgs.groupBy(_._1).map { case (id, trans) =>
+        id -> trans.map { case (_, w1, w2, w3) =>
+          val pk1 = nrev1(w3).toDouble / nt1
+          val pk2 = math.max(m2((w2, w3)).toDouble - d, 0.0) / sumn(w2) +
+            ((d * nfwd2(w2)) / sumn(w2)) * pk1
+          unat(math.max(t3((w1, w2, w3)).toDouble - d, 0.0) / c2h((w1, w2)) +
+            ((d * nfwd3((w1, w2))) / c2h((w1, w2))) * pk2)
+        }.sum
+      }
+    }
+    val docs = Seq(
+      (1L, "a b c a b c a b d"), (2L, "b c a b c e"),
+      (3L, "x y z x y q"), (4L, "k l")).toDF("doc_id", "text")
+    val texts = docs.collect().map(r => r.getLong(0) -> r.getString(1)).toSeq
+    val got = TextAnalysis.knTrigramPerplexity(docs).collect()
+      .filter(!_.isNullAt(2))
+      .map(r => r.getLong(0) -> r.getAs[Long]("surprisal_unat")).toMap
+    assert(got === localKn3(texts))
+    // under-3-token docs carry zero trigrams and NULL scores
+    val short = TextAnalysis.knTrigramPerplexity(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(short(4L).getAs[Long]("n_trigrams") === 0L)
+    assert(short(4L).isNullAt(short(4L).fieldIndex("surprisal_unat")))
+    // per-level normalization: for every history, discounted mass +
+    // redistributed continuation mass sums to exactly 1 over the
+    // level's support (the KN self-consistency at BOTH orders)
+    locally {
+      val tgs = texts.flatMap { case (_, t) =>
+        val w = t.split(" ", -1)
+        if (w.length < 3) Seq.empty
+        else (2 until w.length).map(i => (w(i - 2), w(i - 1), w(i)))
+      }
+      val t3 = tgs.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+      val m2 = t3.keys.groupBy(k => (k._2, k._3)).map { case (k, v) => k -> v.size.toLong }
+      val nrev1 = m2.keys.groupBy(_._2).map { case (k, v) => k -> v.size.toLong }
+      val nt1 = m2.size.toLong
+      def pk1(w3: String) = nrev1(w3).toDouble / nt1
+      def pk2(w2: String, w3: String) = {
+        val sn = m2.filter(_._1._1 == w2).values.sum
+        val nf = m2.count(_._1._1 == w2)
+        math.max(m2((w2, w3)).toDouble - d, 0.0) / sn + ((d * nf) / sn) * pk1(w3)
+      }
+      // level 1 sums to 1 over the full continuation vocab
+      val w3s = nrev1.keys.toSeq
+      assert(math.abs(w3s.map(pk1).sum - 1.0) < 1e-9)
+      // level 2: for each middle word, sum over the FULL vocab
+      m2.keys.map(_._1).toSeq.distinct.foreach { w2 =>
+        assert(math.abs(w3s.map(w3 =>
+          if (m2.contains((w2, w3))) pk2(w2, w3)
+          else {
+            val sn = m2.filter(_._1._1 == w2).values.sum
+            val nf = m2.count(_._1._1 == w2)
+            ((d * nf).toDouble / sn) * pk1(w3)
+          }).sum - 1.0) < 1e-9, s"level-2 mass for history '$w2'")
+      }
+    }
+    // deterministic re-run on the corpus; every doc has >= 3 tokens
+    val corpus = TextAnalysis.knTrigramPerplexity(Tables.documents(spark, docDir))
+    val all = corpus.collect()
+    assert(all.length === 500)
+    assert(all.forall(r => r.getAs[Long]("n_trigrams") > 0))
+    val again = TextAnalysis.knTrigramPerplexity(Tables.documents(spark, docDir)).collect()
+    assert(all.map(_.toString).toSeq === again.map(_.toString).toSeq)
+  }
+
   test("mknPerplexity matches a local modified-KN mirror on both discount paths") {
     import spark.implicits._
     def unat(p: Double): Long =
