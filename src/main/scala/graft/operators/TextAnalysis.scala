@@ -433,7 +433,7 @@ object TextAnalysis {
   def knPerplexity(
       docs: DataFrame, discount: Double = 0.75,
       minBigramCount: Long = 1L): DataFrame = {
-    val bigrams = knBigrams(docs)
+    val bigrams = knBigrams(docs, checkpoint = true)
     // the ONE type table every model statistic derives from —
     // localCheckpoint per the persistence contract (feeds the scoring
     // join plus three model aggregations)
@@ -582,7 +582,7 @@ object TextAnalysis {
     * float paths are bit-identical by construction. */
   def mknPerplexity(
       docs: DataFrame, minBigramCount: Long = 1L): DataFrame = {
-    val bigrams = knBigrams(docs)
+    val bigrams = knBigrams(docs, checkpoint = true)
     val bi = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
       .filter(col("cb") >= minBigramCount)
       .localCheckpoint()
@@ -702,17 +702,21 @@ object TextAnalysis {
   }
 
   /** Narrow per-doc adjacent-pair build shared by the KN train and
-    * serve paths (one array transform — no position self-join);
-    * localCheckpoint because train mode branches model + scoring
-    * consumers from it. */
-  private def knBigrams(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), split(lower(col("text")), " ", -1).as("w"))
+    * serve paths (one array transform — no position self-join).
+    * `checkpoint` only when MULTIPLE consumers branch from the frame
+    * (train mode: model + scoring) — the serving paths consume it
+    * exactly once, and materializing a corpus-sized stream for one
+    * consumer is pure wasted IO at 100 TB. */
+  private def knBigrams(
+      docs: DataFrame, checkpoint: Boolean = false): DataFrame = {
+    val b = docs.select(col("doc_id"), split(lower(col("text")), " ", -1).as("w"))
       .filter(size(col("w")) >= 2)
       .select(col("doc_id"), explode(expr(
         "transform(sequence(2, size(w)), " +
           "i -> struct(element_at(w, i - 1) AS w1, element_at(w, i) AS w2))")).as("b"))
       .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
-      .localCheckpoint()
+    if (checkpoint) b.localCheckpoint() else b
+  }
 
   private def knScore(
       docs: DataFrame, bigrams: DataFrame, bi: DataFrame,
