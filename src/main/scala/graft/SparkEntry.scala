@@ -860,6 +860,17 @@ object SparkEntry {
     // counts at the top order, continuation type counts below
     "q_perplexity_kn3" -> ((s, d) =>
       TextAnalysis.knTrigramPerplexity(Tables.documents(s, d))),
+    // HELD-OUT KN evaluation: train on 80% of docs, score the 20%
+    // holdout — the split that makes the unseen-bigram,
+    // unseen-history, and unseen-continuation fallbacks LIVE (every
+    // self-scored entry sees only observed statistics), each proven
+    // by the full oracle's matching CASE cascade
+    "q_kn_holdout" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      TextAnalysis.knAgainst(
+        docs.filter(col("doc_id") % 5 === 0),
+        TextAnalysis.knModel(docs.filter(col("doc_id") % 5 =!= 0)))
+    }),
     // modified KN: per-count-class discounts estimated from n1..n4
     // driver-side (bounded row), riding the plan as literals; the
     // indexed form serves from the SAME knModel artifact as plain KN
@@ -2201,6 +2212,44 @@ object SparkEntry {
     "q_kn_incremental" -> knOracleSql,
     "q_perplexity_mkn" -> mknOracleSql,
     "q_perplexity_mkn_indexed" -> mknOracleSql,
+    // held-out KN: model statistics from the train split only; the
+    // scoring cascade carries the FULL fallback chain (unseen bigram →
+    // continuation mass only; unseen history → Pcont; unseen
+    // continuation → type-count-1), mirrored branch for branch
+    "q_kn_holdout" -> {
+      s"""WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+         |bgtr AS (SELECT b.w1 AS w1, b.w2 AS w2
+         | FROM (SELECT doc_id, unnest(list_transform(range(2, len(w) + 1),
+         |        i -> {'w1': w[i - 1], 'w2': w[i]})) AS b
+         |       FROM d WHERE len(w) >= 2 AND doc_id % 5 != 0)),
+         |bgte AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2
+         | FROM (SELECT doc_id, unnest(list_transform(range(2, len(w) + 1),
+         |        i -> {'w1': w[i - 1], 'w2': w[i]})) AS b
+         |       FROM d WHERE len(w) >= 2 AND doc_id % 5 = 0)),
+         |bi AS (SELECT w1, w2, count(*) AS cb FROM bgtr GROUP BY w1, w2),
+         |hist AS (SELECT w1, CAST(sum(cb) AS BIGINT) AS c1, count(*) AS nfwd FROM bi GROUP BY w1),
+         |cont AS (SELECT w2, count(*) AS nrev FROM bi GROUP BY w2),
+         |tt AS (SELECT count(*) AS ntypes FROM bi),
+         |sc AS (SELECT doc_id,
+         |  CAST(round(CAST(CAST(-ln(CASE WHEN c1 IS NOT NULL THEN
+         |    greatest(CAST(coalesce(cb, 0) AS DOUBLE) - CAST(0.75 AS DOUBLE), CAST(0 AS DOUBLE)) / c1 +
+         |    ((CAST(0.75 AS DOUBLE) * nfwd) / c1) *
+         |      (CAST(coalesce(nrev, 1) AS DOUBLE) / ntypes)
+         |    ELSE CAST(coalesce(nrev, 1) AS DOUBLE) / ntypes END) * 1e6 AS VARCHAR) AS DECIMAL(38,18)),0) AS BIGINT) AS su
+         | FROM bgte LEFT JOIN bi USING (w1, w2) LEFT JOIN hist USING (w1)
+         |   LEFT JOIN cont USING (w2), tt),
+         |a AS (SELECT doc_id, count(*) AS n_bigrams, CAST(sum(su) AS BIGINT) AS surprisal_unat
+         | FROM sc GROUP BY doc_id),
+         |v AS (SELECT doc_id, n_bigrams, surprisal_unat,
+         |  CAST((2 * surprisal_unat + n_bigrams) // (2 * n_bigrams) AS BIGINT) AS avg_surprisal_unat
+         | FROM a)
+         |SELECT d.doc_id, CAST(coalesce(v.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+         | v.surprisal_unat, v.avg_surprisal_unat,
+         | CAST(round(CAST(v.avg_surprisal_unat AS DOUBLE) / 1e6, 6) AS DOUBLE) AS avg_surprisal,
+         | ${m("exp(round(CAST(v.avg_surprisal_unat AS DOUBLE) / 1e6, 6))", 6)} AS ppl
+         |FROM (SELECT doc_id FROM documents WHERE doc_id % 5 = 0) d
+         |LEFT JOIN v USING (doc_id) ORDER BY doc_id""".stripMargin
+    },
     // trigram KN: both interpolation levels mirrored op-for-op; every
     // statistic derives from the one trigram-type CTE like the Scala
     "q_perplexity_kn3" -> {

@@ -906,6 +906,18 @@ class LlmOpsSpec extends AnyFunSuite with SparkSessionTestBase {
     val served = TextAnalysis.knAgainst(
       Tables.documents(spark, docDir), spark.read.parquet(modelPath)).collect()
     assert(served.map(_.toString).toSeq === all.map(_.toString).toSeq)
+    // held-out scoring exercises all three fallbacks deterministically:
+    // seen bigram (main branch), unseen HISTORY (pure Pcont), unseen
+    // CONTINUATION (type-count-1) — the q_kn_holdout driver shape
+    val train = Seq((1L, "a b a b"), (2L, "a a")).toDF("doc_id", "text")
+    val test = Seq((10L, "a b"), (11L, "q a"), (12L, "a q"))
+      .toDF("doc_id", "text")
+    val held = TextAnalysis.knAgainst(test, TextAnalysis.knModel(train))
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("surprisal_unat")).toMap
+    assert(held(10L) === sAB)                       // seen: same model stats as self-trained doc1
+    assert(held(11L) === unat(2.0 / 3))             // unseen history q → Pcont(a) = 2/3
+    assert(held(12L) === unat(((d * 2) / 3.0) * (1.0 / 3)))
+    //              unseen continuation q → numerator 0, Pcont = 1/ntypes
     // a mis-pointed empty artifact fails loudly
     val emptyModel = TextAnalysis.knModel(docs.limit(0))
     val ex = intercept[Exception] {
