@@ -871,6 +871,14 @@ object SparkEntry {
         docs.filter(col("doc_id") % 5 === 0),
         TextAnalysis.knModel(docs.filter(col("doc_id") % 5 =!= 0)))
     }),
+    // the same held-out proof one order up: the trigram cascade's
+    // level fallbacks go live and the oracle mirrors every branch
+    "q_kn3_holdout" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      TextAnalysis.knTrigramAgainst(
+        docs.filter(col("doc_id") % 5 === 0),
+        TextAnalysis.kn3Model(docs.filter(col("doc_id") % 5 =!= 0)))
+    }),
     // modified KN: per-count-class discounts estimated from n1..n4
     // driver-side (bounded row), riding the plan as literals; the
     // indexed form serves from the SAME knModel artifact as plain KN
@@ -2244,6 +2252,57 @@ object SparkEntry {
          |  CAST((2 * surprisal_unat + n_bigrams) // (2 * n_bigrams) AS BIGINT) AS avg_surprisal_unat
          | FROM a)
          |SELECT d.doc_id, CAST(coalesce(v.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+         | v.surprisal_unat, v.avg_surprisal_unat,
+         | CAST(round(CAST(v.avg_surprisal_unat AS DOUBLE) / 1e6, 6) AS DOUBLE) AS avg_surprisal,
+         | ${m("exp(round(CAST(v.avg_surprisal_unat AS DOUBLE) / 1e6, 6))", 6)} AS ppl
+         |FROM (SELECT doc_id FROM documents WHERE doc_id % 5 = 0) d
+         |LEFT JOIN v USING (doc_id) ORDER BY doc_id""".stripMargin
+    },
+    // trigram held-out: model CTEs over the train split, the scored
+    // stream over the holdout, and the level cascade carried as
+    // NESTED CASEs — unseen trigram history drops to the
+    // continuation-bigram level, unseen middle word to the
+    // continuation unigram, unseen continuation to type-count-1
+    "q_kn3_holdout" -> {
+      s"""WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+         |tgtr AS (SELECT g.w1 AS w1, g.w2 AS w2, g.w3 AS w3
+         | FROM (SELECT doc_id, unnest(list_transform(range(3, len(w) + 1),
+         |        i -> {'w1': w[i - 2], 'w2': w[i - 1], 'w3': w[i]})) AS g
+         |       FROM d WHERE len(w) >= 3 AND doc_id % 5 != 0)),
+         |tgte AS (SELECT doc_id, g.w1 AS w1, g.w2 AS w2, g.w3 AS w3
+         | FROM (SELECT doc_id, unnest(list_transform(range(3, len(w) + 1),
+         |        i -> {'w1': w[i - 2], 'w2': w[i - 1], 'w3': w[i]})) AS g
+         |       FROM d WHERE len(w) >= 3 AND doc_id % 5 = 0)),
+         |t3 AS (SELECT w1, w2, w3, count(*) AS c3 FROM tgtr GROUP BY 1, 2, 3),
+         |h3 AS (SELECT w1, w2, CAST(sum(c3) AS BIGINT) AS c2h, count(*) AS nfwd3
+         | FROM t3 GROUP BY 1, 2),
+         |m2 AS (SELECT w2, w3, count(*) AS m2c FROM t3 GROUP BY 1, 2),
+         |h2 AS (SELECT w2, CAST(sum(m2c) AS BIGINT) AS sumn, count(*) AS nfwd2
+         | FROM m2 GROUP BY 1),
+         |c1 AS (SELECT w3, count(*) AS nrev1 FROM m2 GROUP BY 1),
+         |t1 AS (SELECT count(*) AS nt1 FROM m2),
+         |sc AS (SELECT doc_id,
+         |  CAST(round(CAST(CAST(-ln(CASE WHEN c2h IS NOT NULL THEN
+         |    greatest(CAST(coalesce(c3, 0) AS DOUBLE) - CAST(0.75 AS DOUBLE), CAST(0 AS DOUBLE)) / c2h +
+         |    ((CAST(0.75 AS DOUBLE) * nfwd3) / c2h) * (CASE WHEN sumn IS NOT NULL THEN
+         |      greatest(CAST(coalesce(m2c, 0) AS DOUBLE) - CAST(0.75 AS DOUBLE), CAST(0 AS DOUBLE)) / sumn +
+         |      ((CAST(0.75 AS DOUBLE) * nfwd2) / sumn) *
+         |        (CAST(coalesce(nrev1, 1) AS DOUBLE) / nt1)
+         |      ELSE CAST(coalesce(nrev1, 1) AS DOUBLE) / nt1 END)
+         |    ELSE (CASE WHEN sumn IS NOT NULL THEN
+         |      greatest(CAST(coalesce(m2c, 0) AS DOUBLE) - CAST(0.75 AS DOUBLE), CAST(0 AS DOUBLE)) / sumn +
+         |      ((CAST(0.75 AS DOUBLE) * nfwd2) / sumn) *
+         |        (CAST(coalesce(nrev1, 1) AS DOUBLE) / nt1)
+         |      ELSE CAST(coalesce(nrev1, 1) AS DOUBLE) / nt1 END) END) * 1e6 AS VARCHAR) AS DECIMAL(38,18)),0) AS BIGINT) AS su
+         | FROM tgte LEFT JOIN t3 USING (w1, w2, w3) LEFT JOIN h3 USING (w1, w2)
+         |   LEFT JOIN m2 USING (w2, w3) LEFT JOIN h2 USING (w2)
+         |   LEFT JOIN c1 USING (w3), t1),
+         |a AS (SELECT doc_id, count(*) AS n_trigrams, CAST(sum(su) AS BIGINT) AS surprisal_unat
+         | FROM sc GROUP BY doc_id),
+         |v AS (SELECT doc_id, n_trigrams, surprisal_unat,
+         |  CAST((2 * surprisal_unat + n_trigrams) // (2 * n_trigrams) AS BIGINT) AS avg_surprisal_unat
+         | FROM a)
+         |SELECT d.doc_id, CAST(coalesce(v.n_trigrams, 0) AS BIGINT) AS n_trigrams,
          | v.surprisal_unat, v.avg_surprisal_unat,
          | CAST(round(CAST(v.avg_surprisal_unat AS DOUBLE) / 1e6, 6) AS DOUBLE) AS avg_surprisal,
          | ${m("exp(round(CAST(v.avg_surprisal_unat AS DOUBLE) / 1e6, 6))", 6)} AS ppl

@@ -491,22 +491,54 @@ object TextAnalysis {
   def knTrigramPerplexity(
       docs: DataFrame, discount: Double = 0.75,
       minTrigramCount: Long = 1L): DataFrame = {
-    require(discount > 0.0 && discount < 1.0,
-      s"discount must be in (0, 1), got $discount")
-    val words = docs.select(col("doc_id"), split(lower(col("text")), " ", -1).as("w"))
-    val trigrams = words.filter(size(col("w")) >= 3)
+    val trigrams = knTrigrams(docs, checkpoint = true)
+    // the ONE type table; feeds the trigram history stats, the middle
+    // continuation table, and the scoring join
+    val t3 = trigrams.groupBy("w1", "w2", "w3").agg(count(lit(1)).as("c3"))
+      .filter(col("c3") >= minTrigramCount)
+      .localCheckpoint()
+    kn3Score(docs, trigrams, t3, discount)
+  }
+
+  /** The trigram-KN model ARTIFACT: the floored trigram-type table —
+    * like [[knModel]], every statistic at every interpolation level
+    * derives from this one slim frame. */
+  def kn3Model(docs: DataFrame, minTrigramCount: Long = 1L): DataFrame =
+    knTrigrams(docs).groupBy("w1", "w2", "w3").agg(count(lit(1)).as("c3"))
+      .filter(col("c3") >= minTrigramCount)
+
+  /** Trigram-KN scoring against an explicit [[kn3Model]] type table —
+    * the serving/held-out mode: scoring a corpus the model has not
+    * seen makes the level-cascade fallbacks LIVE (unseen trigram
+    * history → drop to the continuation-bigram level; unseen middle
+    * word → drop to the continuation unigram; unseen continuation →
+    * type-count-1), all of which the q_kn3_holdout oracle proves
+    * branch for branch. */
+  def knTrigramAgainst(
+      docs: DataFrame, model: DataFrame,
+      discount: Double = 0.75): DataFrame =
+    kn3Score(docs, knTrigrams(docs), model, discount)
+
+  /** Narrow per-doc trigram build shared by the train and serve
+    * paths; `checkpoint` only in train mode (two consumers). */
+  private def knTrigrams(
+      docs: DataFrame, checkpoint: Boolean = false): DataFrame = {
+    val t = docs.select(col("doc_id"), split(lower(col("text")), " ", -1).as("w"))
+      .filter(size(col("w")) >= 3)
       .select(col("doc_id"), explode(expr(
         "transform(sequence(3, size(w)), " +
           "i -> struct(element_at(w, i - 2) AS w1, element_at(w, i - 1) AS w2, " +
           "element_at(w, i) AS w3))")).as("g"))
       .select(col("doc_id"), col("g.w1").as("w1"), col("g.w2").as("w2"),
         col("g.w3").as("w3"))
-      .localCheckpoint()
-    // the ONE type table; feeds the trigram history stats, the middle
-    // continuation table, and the scoring join
-    val t3 = trigrams.groupBy("w1", "w2", "w3").agg(count(lit(1)).as("c3"))
-      .filter(col("c3") >= minTrigramCount)
-      .localCheckpoint()
+    if (checkpoint) t.localCheckpoint() else t
+  }
+
+  private def kn3Score(
+      docs: DataFrame, trigrams: DataFrame, t3: DataFrame,
+      discount: Double): DataFrame = {
+    require(discount > 0.0 && discount < 1.0,
+      s"discount must be in (0, 1), got $discount")
     val h3 = t3.groupBy("w1", "w2")
       .agg(sum("c3").as("c2h"), count(lit(1)).as("nfwd3"))
     // N1+(·w2w3): distinct left contexts per bigram — the middle-order

@@ -1003,6 +1003,26 @@ class LlmOpsSpec extends AnyFunSuite with SparkSessionTestBase {
           }).sum - 1.0) < 1e-9, s"level-2 mass for history '$w2'")
       }
     }
+    // held-out scoring exercises the LEVEL cascade deterministically:
+    // seen trigram (main), unseen trigram history (drop to the
+    // continuation-bigram level), unseen middle word (drop to the
+    // continuation unigram), unseen continuation (type-count-1) —
+    // the q_kn3_holdout driver shape
+    locally {
+      val train = Seq((1L, "a b c a b c")).toDF("doc_id", "text")
+      val test = Seq((10L, "a b c"), (11L, "q b c"), (12L, "a q c"),
+        (13L, "a b q")).toDF("doc_id", "text")
+      val held = TextAnalysis.knTrigramAgainst(test, TextAnalysis.kn3Model(train))
+        .collect().map(r => r.getLong(0) -> r.getAs[Long]("surprisal_unat")).toMap
+      val pk1c = 1.0 / 3                       // nrev1(c)=1, nt1=3
+      val pk2bc = math.max(1 - d, 0.0) / 1 + ((d * 1) / 1.0) * pk1c
+      assert(held(10L) ===
+        unat(math.max(2 - d, 0.0) / 2 + ((d * 1) / 2.0) * pk2bc))
+      assert(held(11L) === unat(pk2bc))        // unseen history (q,b)
+      assert(held(12L) === unat(1.0 / 3))      // unseen middle q → pk1(c)
+      val pk2bq = 0.0 / 1 + ((d * 1) / 1.0) * (1.0 / 3)  // unseen cont q
+      assert(held(13L) === unat(0.0 / 2 + ((d * 1) / 2.0) * pk2bq))
+    }
     // deterministic re-run on the corpus; every doc has >= 3 tokens
     val corpus = TextAnalysis.knTrigramPerplexity(Tables.documents(spark, docDir))
     val all = corpus.collect()
