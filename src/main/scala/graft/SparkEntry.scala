@@ -166,6 +166,49 @@ object SparkEntry {
     s.read.parquet(path)
   }
 
+  /** Entity-resolution fixtures: the canonical product CATALOG (one
+    * row per distinct `p_name + brand` string, keyed by the min
+    * partkey that bears it — the master-data dictionary) and the dirty
+    * FEED (every part row with a deterministic partkey-keyed name
+    * corruption: pass-through / extra type token / dropped first char
+    * / e→3 leet typo). Both derivations are plain SQL so the whole
+    * match cascade carries a FULL DuckDB oracle. */
+  private[graft] def erBase(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d).select(col("p_partkey"),
+      concat_ws(" ", col("p_name"), lower(col("p_brand"))).as("name"),
+      lower(col("p_type")).as("ptype"),
+      col("p_retailprice"))
+
+  private[graft] def erCatalog(s: SparkSession, d: String): DataFrame =
+    erBase(s, d).groupBy("name").agg(min("p_partkey").as("canon_id"))
+      .select("canon_id", "name")
+
+  private[graft] def erFeed(s: SparkSession, d: String): DataFrame =
+    erBase(s, d).select(col("p_partkey").as("feed_id"),
+      when(col("p_partkey") % 4 === 0, col("name"))
+        .when(col("p_partkey") % 4 === 1, concat_ws(" ", col("name"), col("ptype")))
+        .when(col("p_partkey") % 4 === 2, expr("substring(name, 2)"))
+        .otherwise(expr("replace(name, 'e', '3')")).as("name"),
+      col("p_retailprice").as("price"))
+
+  /** Persisted entity-resolution blocking index
+    * (Resolution.catalogTokenIndex layout): the df-capped token →
+    * canonical posting list, built once per catalog data version —
+    * the artifact a daily 100 TB feed resolves through without
+    * re-deriving the dictionary. Fingerprint-keyed like the trigram
+    * index. */
+  private val erIndexPaths =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), (Long, String)]
+
+  private[graft] def erIndexShared(s: SparkSession, d: String): DataFrame = {
+    val fp = tableFingerprint(s, d, "part.parquet")
+    val path = artifactPath(erIndexPaths, s, d, fp, "graft_er_idx") { p =>
+      operators.Resolution.catalogTokenIndex(erCatalog(s, d), dfCap = 100)
+        .write.mode("overwrite").parquet(p)
+    }
+    s.read.parquet(path)
+  }
+
   /** Persisted int8 ANN index (Similarity.sqIndex layout): built once
     * per embeddings data version and READ back for the indexed query —
     * the on-disk artifact a 100 TB corpus scores from (~4× smaller
@@ -560,6 +603,22 @@ object SparkEntry {
     s.read.parquet(path)
   }
 
+  /** Persisted WordPiece tokenizer artifact (the [[bpeIndexShared]]
+    * discipline): the slim (word, n_sub) segment index from the
+    * likelihood-gain merge loop, built once per data version. */
+  private val wordpieceIndexPaths =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), (Long, String)]
+
+  private[graft] def wordpieceIndexShared(s: SparkSession, d: String): DataFrame = {
+    val fp = documentsFingerprint(s, d)
+    val path = artifactPath(wordpieceIndexPaths, s, d, fp, "graft_wp_idx") { p =>
+      val (_, seg) = operators.Wordpiece.wordpieceTrain(
+        Tables.documents(s, d), nMerges = 12, vocabSize = 2000)
+      operators.Bpe.segmentsIndex(seg).write.mode("overwrite").parquet(p)
+    }
+    s.read.parquet(path)
+  }
+
   private[graft] def duplicateLabelsShared(s: SparkSession, d: String): DataFrame = {
     minhashLabelsCache.keys
       .filter(_._1.sparkContext.isStopped)
@@ -604,6 +663,37 @@ object SparkEntry {
     "q_fuzzy_search_indexed" -> ((s, d) =>
       Catalog.fuzzySearchIndexed(trigramIndexShared(s, d),
         "smal ring", threshold = 0.3, limit = 15)),
+    // entity resolution: the dirty per-chain product feed resolved
+    // against the canonical catalog — token-blocked candidates
+    // (df-capped dictionary index, linear in the feed at fixed
+    // catalog), exact integer levenshtein+Jaccard scoring, best match
+    // per feed record. FULL oracle through the whole cascade
+    // (levenshtein agrees integer-for-integer across engines)
+    "q_entity_match" -> ((s, d) =>
+      operators.Resolution.entityMatch(erFeed(s, d), erCatalog(s, d),
+        minScoreMicro = 500000L, dfCap = 100, k = 1)),
+    // the serving shape: the same match through the PERSISTED blocking
+    // index (plan has no df-count aggregation — just the FileScan +
+    // join); shares q_entity_match's oracle, bit-equal by construction
+    "q_entity_match_indexed" -> ((s, d) =>
+      operators.Resolution.entityMatchWithIndex(erFeed(s, d), erCatalog(s, d),
+        erIndexShared(s, d), minScoreMicro = 500000L, k = 1)),
+    // survivorship: rank-1 matches folded to one golden row per
+    // canonical (match count + exact cent price bounds); unmatched
+    // canonicals surface with n_matched = 0
+    "q_entity_golden" -> ((s, d) =>
+      operators.Resolution.goldenRecords(
+        operators.Resolution.entityMatch(erFeed(s, d), erCatalog(s, d),
+          minScoreMicro = 500000L, dfCap = 100, k = 1),
+        erFeed(s, d).select(col("feed_id"), col("price")),
+        erCatalog(s, d))),
+    // the measured STREAMING gate: feed records resolve as they
+    // arrive, per batch, against the static dictionary artifacts. The
+    // per-record verdict never reads other feed records, so the union
+    // of per-batch matches == the batch match and the entry shares
+    // q_entity_match's FULL oracle
+    "q_stream_entity_match" -> ((s, d) =>
+      streaming.ResolutionStream.entityGateRun(s, d)),
     "q_price_compare" -> ((s, d) => Pricing.priceCompare(Tables.lineitem(s, d), comparedParts)),
     "q_product_card" -> ((s, d) =>
       Pricing.productCard(Tables.lineitem(s, d), Tables.supplier(s, d), historyPart)),
@@ -736,6 +826,13 @@ object SparkEntry {
     "q_ann_metrics" -> ((s, d) =>
       Similarity.annMetrics(Tables.embeddings(s, d),
         methods = annMeterMethods, impls = annServingImpls(s, d))),
+    // the nProbe sweep an IVF rollout reads to pick its operating
+    // point: ONE trained index, |probes| bounded probe passes, exact
+    // candidate accounting from the assignment's list sizes. Rows-only
+    // (trained centroids are float sums with engine-unfixed partition
+    // order); sweep arithmetic pinned vs a local recompute in spec
+    "q_ann_tuning" -> ((s, d) =>
+      Similarity.ivfTuning(Tables.embeddings(s, d))),
     // exploded checker-safe form (vec_id, dim, value) — all columns
     // atomic (the r7 driver checker crashed sorting the raw array
     // form), 6-decimal snap, FULL oracle via the literal-model SQL
@@ -960,6 +1057,36 @@ object SparkEntry {
         .select("doc_id", "score_micro", "y")
       operators.Classifier.classifierEval(scored)
     }),
+    // incremental NB maintenance proven THROUGH serving: prior model
+    // trained on the mutated half-stale corpus (the q_kn_incremental
+    // recipe), signed per-class count deltas folded in — including a
+    // LABEL FLIP with unchanged text (doc_id % 20 == 6 swaps domain),
+    // which the (text, label) joint diff must catch — then the corpus
+    // is scored against the maintained model. The oracle is the SAME
+    // full-corpus NB SQL as q_nb_score, so the hash gate proves
+    // incremental == full retrain.
+    "q_nb_incremental" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val prev = docs.filter(col("doc_id") % 20 =!= 0)
+        .withColumn("text", when(col("doc_id") % 20 === 2,
+          concat(col("text"), lit(" rev1"))).otherwise(col("text")))
+        .withColumn("source", when(col("doc_id") % 20 === 6,
+          when(col("source") === "src0", lit("src2")).otherwise(lit("src0")))
+          .otherwise(col("source")))
+        .unionByName(docs.filter(col("doc_id") % 20 === 4)
+          .withColumn("doc_id", col("doc_id") + 1000000L))
+      val maintained = operators.Classifier.nbModelIncremental(
+        operators.Classifier.nbTrain(prev, nbDomainLabels(prev)),
+        prev, nbDomainLabels(prev), docs, nbDomainLabels(docs))
+      operators.Classifier.nbScore(docs, maintained)
+    }),
+    // streaming NB maintenance (the DeltaLayout pattern on per-class
+    // term counts): even doc_ids seed, odd ones stream, a mid-stream
+    // compaction runs inside the measured path, and serving the WHOLE
+    // corpus from the maintained counts hash-matches the same
+    // direct-train oracle as q_nb_score — counts are linear, so
+    // stream-maintained == direct, exactly
+    "q_stream_nb" -> ((s, d) => streaming.NbStream.nbMaintainRun(s, d)),
     // Okapi BM25 ranked retrieval: integer micro contributions -> exact
     // integer document scores -> full DuckDB oracle through the whole
     // idf/tf-normalization cascade; ranks via the bounded graft_topk
@@ -1080,8 +1207,9 @@ object SparkEntry {
     "q_hard_negatives" -> ((s, d) =>
       operators.Retrieval.hardNegatives(
         Tables.embeddings(s, d), Seq(0L, 1L, 2L, 3L), k = 10, dupCos = 0.8)),
-    // tokenizer fertility comparison across the two subword families,
-    // both serving from their persisted artifacts (rows-only: the
+    // tokenizer fertility comparison across the three subword families
+    // (BPE / unigram-LM / WordPiece — the production matrix), all
+    // serving from their persisted artifacts (rows-only: the
     // tokenizers are)
     "q_tokenizer_stats" -> ((s, d) => {
       val docs = Tables.documents(s, d)
@@ -1089,7 +1217,9 @@ object SparkEntry {
         "bpe" -> Bpe.tokenizeWithIndex(docs, bpeIndexShared(s, d))
           .withColumnRenamed("n_bpe_tokens", "n_pieces"),
         "unigram" -> Bpe.tokenizeWithIndex(docs, unigramIndexShared(s, d))
-          .withColumnRenamed("n_bpe_tokens", "n_pieces")))
+          .withColumnRenamed("n_bpe_tokens", "n_pieces"),
+        "wordpiece" -> operators.Wordpiece.tokenizeWithIndex(
+          docs, wordpieceIndexShared(s, d))))
     }),
     // BPE subword tokenizer: merges learned from the bounded word-count
     // table (never the corpus), applied via a segmentation join.
@@ -1105,6 +1235,25 @@ object SparkEntry {
     // artifact — no merge loop in the plan, just the read + join
     "q_bpe_tokenize_indexed" -> ((s, d) =>
       Bpe.tokenizeWithIndex(Tables.documents(s, d), bpeIndexShared(s, d))),
+    // WordPiece (Schuster & Nakajima 2012; the BERT tokenizer) — BPE's
+    // merge loop under the likelihood-gain objective count(ab)/
+    // (count(a)·count(b)) compared as exact integer pico quotients,
+    // "##" continuation pieces, [UNK] OOV. rows-only: the greedy loop
+    // has no SQL twin; an independent reference implementation pins
+    // the merge sequence in spec
+    "q_wordpiece_train" -> ((s, d) =>
+      operators.Wordpiece.wordpieceMerges(
+        Tables.documents(s, d), nMerges = 12, vocabSize = 2000)),
+    "q_wordpiece_tokenize" -> ((s, d) => {
+      val (_, seg) = operators.Wordpiece.wordpieceTrain(
+        Tables.documents(s, d), nMerges = 12, vocabSize = 2000)
+      operators.Wordpiece.wordpieceTokenize(Tables.documents(s, d), seg)
+    }),
+    // serving path: tokenize from the persisted (word, n_sub) artifact
+    // — no merge loop in the plan, just the read + join
+    "q_wordpiece_tokenize_indexed" -> ((s, d) =>
+      operators.Wordpiece.tokenizeWithIndex(
+        Tables.documents(s, d), wordpieceIndexShared(s, d))),
     // unigram-LM (SentencePiece-style) subword tokenizer — the other
     // standard subword vocabulary next to BPE. rows-only: soft EM has
     // no SQL twin; an independent local forward-backward pins expected
@@ -1336,6 +1485,77 @@ object SparkEntry {
     }),
   )
 
+  /** Full-corpus NB scoring oracle — shared by q_nb_score and the
+    * incremental/streaming maintenance entries (q_nb_incremental,
+    * q_stream_nb), whose served models must equal a direct retrain
+    * exactly. */
+  private val nbScoreOracleSql: String =
+    """WITH tk AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term,
+      |  CASE WHEN source IN ('src0', 'src1') THEN 1 ELSE 0 END AS y FROM documents),
+      |c AS (SELECT term,
+      |  CAST(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+      |  CAST(sum(CASE WHEN y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_neg
+      | FROM tk GROUP BY term),
+      |t AS (SELECT CAST(sum(n_pos) AS BIGINT) AS tp, CAST(sum(n_neg) AS BIGINT) AS tn,
+      |  count(*) AS v FROM c),
+      |m AS (SELECT term,
+      |  CAST(round((ln((n_pos + 1.0) / (tp + 1.0 * v)) - ln((n_neg + 1.0) / (tn + 1.0 * v))) * 1e6) AS BIGINT) AS lm
+      | FROM c CROSS JOIN t),
+      |oov AS (SELECT CAST(round((ln(tn + 1.0 * v) - ln(tp + 1.0 * v)) * 1e6) AS BIGINT) AS lo FROM t),
+      |s AS (SELECT doc_id, count(*) AS n_tokens,
+      |  CAST(sum(coalesce(m.lm, oov.lo)) AS BIGINT) AS score_micro
+      | FROM tk LEFT JOIN m USING (term) CROSS JOIN oov GROUP BY doc_id)
+      |SELECT doc_id, n_tokens, score_micro,
+      | CAST(round(CAST(score_micro AS DOUBLE) / 1e6, 6) AS DOUBLE) AS score,
+      | score_micro > 0 AS keep
+      |FROM s ORDER BY doc_id""".stripMargin
+
+  /** Shared entity-resolution match CTEs (mirror [[erCatalog]] /
+    * [[erFeed]] / [[operators.Resolution.entityMatchWithIndex]] —
+    * catalog dictionary, corrupted feed, df-capped token blocking,
+    * exact integer levenshtein+Jaccard scoring, rank-1 threshold);
+    * yields `matches(feed_id, canon_id, lev, lev_sim_micro,
+    * jacc_micro, score_micro, rank)`. */
+  private val erMatchCtes: String =
+    """base AS (SELECT p_partkey, p_name || ' ' || lower(p_brand) AS name,
+      |  lower(p_type) AS ptype, p_retailprice FROM part),
+      |cat AS (SELECT min(p_partkey) AS canon_id, name FROM base GROUP BY name),
+      |feed AS (SELECT p_partkey AS feed_id,
+      |  CASE p_partkey % 4 WHEN 0 THEN name WHEN 1 THEN name || ' ' || ptype
+      |   WHEN 2 THEN substring(name, 2) ELSE replace(name, 'e', '3') END AS name,
+      |  p_retailprice FROM base),
+      |fn AS (SELECT feed_id, trim(regexp_replace(lower(name), ' +', ' ', 'g')) AS fname FROM feed),
+      |cn AS (SELECT canon_id, trim(regexp_replace(lower(name), ' +', ' ', 'g')) AS cname FROM cat),
+      |ctok AS (SELECT canon_id, t.token FROM cn,
+      |  unnest(list_distinct(string_split(cname, ' '))) AS t(token) WHERE length(t.token) > 0),
+      |keep AS (SELECT token FROM ctok GROUP BY token HAVING count(*) <= 100),
+      |idx AS (SELECT c.token, c.canon_id FROM ctok c JOIN keep k ON c.token = k.token),
+      |ftok AS (SELECT feed_id, fname, t.token FROM fn,
+      |  unnest(list_distinct(string_split(fname, ' '))) AS t(token) WHERE length(t.token) > 0),
+      |cand AS (SELECT DISTINCT f.feed_id, f.fname, i.canon_id FROM ftok f JOIN idx i ON f.token = i.token),
+      |sc AS (SELECT feed_id, c.canon_id, fname, cname,
+      |  levenshtein(fname, cname) AS lev,
+      |  greatest(length(fname), length(cname)) AS mx,
+      |  string_split(fname, ' ') AS ft, string_split(cname, ' ') AS ct
+      | FROM cand JOIN cn c ON cand.canon_id = c.canon_id),
+      |s2 AS (SELECT feed_id, canon_id, lev,
+      |  CASE WHEN mx = 0 THEN 1000000
+      |   ELSE (CAST(mx - least(lev, mx) AS BIGINT) * 1000000) // mx END AS lev_sim_micro,
+      |  (CAST(len(list_intersect(ft, ct)) AS BIGINT) * 1000000) // len(list_distinct(ft || ct)) AS jacc_micro
+      | FROM sc),
+      |s3 AS (SELECT feed_id, canon_id, lev, lev_sim_micro, jacc_micro,
+      |  (lev_sim_micro + jacc_micro) // 2 AS score_micro FROM s2),
+      |matches AS (SELECT feed_id, canon_id, lev, lev_sim_micro, jacc_micro, score_micro,
+      |  row_number() OVER (PARTITION BY feed_id ORDER BY score_micro DESC, canon_id) AS rank
+      | FROM s3 WHERE score_micro >= 500000)""".stripMargin
+
+  private val erMatchSql: String =
+    s"""WITH $erMatchCtes
+       |SELECT feed_id, canon_id, CAST(lev AS INTEGER) AS lev,
+       | lev_sim_micro, jacc_micro, score_micro,
+       | CAST(rank AS INTEGER) AS rank
+       |FROM matches WHERE rank <= 1 ORDER BY feed_id, rank""".stripMargin
+
   private val knOracleSql: String =
     s"""WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
        |bg AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2
@@ -1501,6 +1721,36 @@ object SparkEntry {
     * to Spark for all magnitudes in this schema. */
   private def dr(e: String, s: Int) =
     s"round(CAST(CAST($e AS VARCHAR) AS DECIMAL(38,18)),$s)"
+
+  /** Full oracle for the scalar-quantized ANN pair — mirrors
+    * [[operators.Similarity.sqIndex]]'s per-vector quantization
+    * (scale = max|x|/127 with the 1e-30 zero-vector floor, codes =
+    * HALF_UP round of x/scale), the ADC pass's exact int8 dot and
+    * ((dot·scale)·qscale)/(norm·qn) association order, the
+    * rerankFactor·k = 20 survivor pool under graft_topk's
+    * (score DESC, id ASC) total order, and the exact fp rerank. */
+  private val sqTopKOracleSql: String =
+    s"""WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+       |  sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x*x))) AS norm,
+       |  greatest(list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))), 1e-30) / 127.0 AS scale
+       | FROM embeddings),
+       |idx AS (SELECT vec_id, norm, scale,
+       |  list_transform(v, x -> CAST(${dr("x / scale", 0)} AS DOUBLE)) AS qv FROM n),
+       |sc AS (SELECT q.vec_id AS query_id, c.vec_id,
+       |  CAST(${dr("list_dot_product(c.qv, q.qv) * c.scale * q.scale / (c.norm * q.norm)", 6)} AS DOUBLE) AS acos
+       | FROM idx c, idx q WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id),
+       |surv AS (SELECT query_id, vec_id FROM (
+       |  SELECT query_id, vec_id, row_number() OVER
+       |   (PARTITION BY query_id ORDER BY acos DESC, vec_id) AS rn FROM sc) t
+       | WHERE rn <= 20),
+       |rer AS (SELECT s.query_id, s.vec_id AS neighbor_id,
+       |  CAST(${dr("list_dot_product(c.v, q.v)/(c.norm*q.norm)", 6)} AS DOUBLE) AS cos_r
+       | FROM surv s JOIN n c ON c.vec_id = s.vec_id JOIN n q ON q.vec_id = s.query_id),
+       |r AS (SELECT query_id, neighbor_id, cos_r,
+       |  row_number() OVER (PARTITION BY query_id ORDER BY cos_r DESC, neighbor_id) AS rank FROM rer)
+       |SELECT query_id, neighbor_id, CAST(cos_r AS DOUBLE) AS cos_sim,
+       | CAST(rank AS INTEGER) AS rank
+       |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
   /** Shared BM25 scoring CTEs (expects a CTE `q(query_id, query_text)`
     * upstream; yields `sc(query_id, doc_id, score_micro)`). Constants
@@ -1708,6 +1958,30 @@ object SparkEntry {
          |SELECT p_partkey, p_name, similarity FROM sim WHERE similarity >= 0.3
          |ORDER BY similarity DESC, p_partkey LIMIT 15""".stripMargin
     },
+    // FULL oracle through the whole entity-resolution cascade:
+    // dictionary build, feed corruption, df-capped token blocking,
+    // integer levenshtein + token-Jaccard scoring, rank-1 threshold —
+    // levenshtein agrees integer-for-integer across engines and every
+    // division is truncating-integer, so the match set hashes exactly.
+    // The indexed entry serves through the persisted blocking index
+    // (bit-equal by construction) and shares the SQL.
+    "q_entity_match" -> erMatchSql,
+    "q_entity_match_indexed" -> erMatchSql,
+    // streamed matching is per-record-local vs the static dictionary,
+    // so the whole-feed stream result equals the batch match exactly
+    "q_stream_entity_match" -> erMatchSql,
+    "q_entity_golden" ->
+      s"""WITH $erMatchCtes,
+         |pr AS (SELECT feed_id,
+         |  CAST(floor(CAST(p_retailprice AS DECIMAL(28,6)) * 100 + 0.5) AS BIGINT) AS price_cents
+         | FROM feed),
+         |fold AS (SELECT canon_id, count(*) AS n_matched,
+         |  min(price_cents) AS min_price_cents, max(price_cents) AS max_price_cents
+         | FROM matches JOIN pr USING (feed_id) WHERE rank = 1 GROUP BY canon_id)
+         |SELECT cn.canon_id, cn.cname AS name,
+         | coalesce(fold.n_matched, 0) AS n_matched, min_price_cents, max_price_cents
+         |FROM cn LEFT JOIN fold ON cn.canon_id = fold.canon_id
+         |ORDER BY cn.canon_id""".stripMargin,
     "q_lowest_price_category" ->
       s"""WITH eff AS (SELECT l_suppkey, l_partkey, $eff AS eff FROM lineitem
          |  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_type = 'STANDARD')),
@@ -2023,6 +2297,16 @@ object SparkEntry {
         |SELECT label AS cluster_rep, count(*) AS n_docs,
         | array_to_string(list_sort(list(id)), ',') AS members
         |FROM lbl GROUP BY label ORDER BY cluster_rep""".stripMargin,
+    // SQ graduates to a FULL oracle (r8): unlike the trained families
+    // (IVF/PQ centroids are float sums with engine-unfixed partition
+    // order), scalar quantization is a PER-VECTOR map — scale is one
+    // max, codes are one mirrored HALF_UP round, the int8 dot is exact
+    // in double at any summation order, and graft_topk's total order
+    // (score DESC, id ASC) is row_number()-expressible. Both the
+    // inline and artifact-serving entries take the same SQL (bit-equal
+    // by construction, parquet round-trip asserted in spec).
+    "q_embed_sq_topk" -> sqTopKOracleSql,
+    "q_embed_sq_topk_indexed" -> sqTopKOracleSql,
     "q_embed_topk" ->
       s"""WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
          |  sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x*x))) AS norm
@@ -2929,26 +3213,13 @@ object SparkEntry {
         |SELECT term, n_pos, n_neg,
         | CAST(round((ln((n_pos + 1.0) / (tp + 1.0 * v)) - ln((n_neg + 1.0) / (tn + 1.0 * v))) * 1e6) AS BIGINT) AS llr_micro
         |FROM c CROSS JOIN t ORDER BY term""".stripMargin,
-    "q_nb_score" ->
-      """WITH tk AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term,
-        |  CASE WHEN source IN ('src0', 'src1') THEN 1 ELSE 0 END AS y FROM documents),
-        |c AS (SELECT term,
-        |  CAST(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
-        |  CAST(sum(CASE WHEN y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_neg
-        | FROM tk GROUP BY term),
-        |t AS (SELECT CAST(sum(n_pos) AS BIGINT) AS tp, CAST(sum(n_neg) AS BIGINT) AS tn,
-        |  count(*) AS v FROM c),
-        |m AS (SELECT term,
-        |  CAST(round((ln((n_pos + 1.0) / (tp + 1.0 * v)) - ln((n_neg + 1.0) / (tn + 1.0 * v))) * 1e6) AS BIGINT) AS lm
-        | FROM c CROSS JOIN t),
-        |oov AS (SELECT CAST(round((ln(tn + 1.0 * v) - ln(tp + 1.0 * v)) * 1e6) AS BIGINT) AS lo FROM t),
-        |s AS (SELECT doc_id, count(*) AS n_tokens,
-        |  CAST(sum(coalesce(m.lm, oov.lo)) AS BIGINT) AS score_micro
-        | FROM tk LEFT JOIN m USING (term) CROSS JOIN oov GROUP BY doc_id)
-        |SELECT doc_id, n_tokens, score_micro,
-        | CAST(round(CAST(score_micro AS DOUBLE) / 1e6, 6) AS DOUBLE) AS score,
-        | score_micro > 0 AS keep
-        |FROM s ORDER BY doc_id""".stripMargin,
+    "q_nb_score" -> nbScoreOracleSql,
+    // incremental / streaming NB maintenance: both serve the corpus
+    // from a maintained model that must equal a full retrain exactly
+    // (counts are linear), so the SAME direct-train oracle is the
+    // incremental == full proof
+    "q_nb_incremental" -> nbScoreOracleSql,
+    "q_stream_nb" -> nbScoreOracleSql,
     // NB eval report: the q_nb_score pipeline + label join, then the
     // histogram-exact mid-rank AUC (2U = Σ np·(2·negs_below + nn)) and
     // confusion ratios as half-up integer micro snaps — HUGEINT

@@ -190,14 +190,33 @@ object Classifier {
     * map-side combine; totals are a broadcast scalar. The model is a
     * vocabulary-sized frame — the bounded-by-language artifact every
     * NB/fastText pipeline ships. No iterations, no driver state. */
-  def nbTrain(docs: DataFrame, labels: DataFrame, alpha: Double = 1.0): DataFrame = {
-    require(alpha > 0.0, s"alpha must be positive, got $alpha")
-    val toks = docs
+  def nbTrain(docs: DataFrame, labels: DataFrame, alpha: Double = 1.0): DataFrame =
+    nbFromCounts(nbCounts(docs, labels), alpha)
+
+  /** The (term, n_pos, n_neg) per-class count frame — [[nbTrain]]'s
+    * maintainable core. Counts are LINEAR in documents (each doc
+    * contributes an independent integer vector), which is what makes
+    * the NB model incrementally maintainable ([[nbModelIncremental]])
+    * and streamable ([[graft.streaming.NbStream]]): merged counts are
+    * a term-wise sum, and the smoothed weights re-derive from the
+    * merged frame bit-identically. One partial-combined (term)
+    * aggregation — the same shuffle shape as [[nbTrain]] itself. */
+  def nbCounts(docs: DataFrame, labels: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), explode(split(lower(col("text")), " ", -1)).as("term"))
       .join(labels.select(col("doc_id"), col("label").cast("int").as("y")), Seq("doc_id"))
-    val counts = toks.groupBy("term").agg(
-      sum(when(col("y") === 1, lit(1L)).otherwise(lit(0L))).as("n_pos"),
-      sum(when(col("y") === 0, lit(1L)).otherwise(lit(0L))).as("n_neg"))
+      .groupBy("term").agg(
+        sum(when(col("y") === 1, lit(1L)).otherwise(lit(0L))).as("n_pos"),
+        sum(when(col("y") === 0, lit(1L)).otherwise(lit(0L))).as("n_neg"))
+
+  /** Derive the full NB model from a (term, n_pos, n_neg) count frame:
+    * totals are ONE tiny aggregate broadcast back, and the smoothed
+    * llr_micro is a deterministic function of (n_pos, n_neg, tp, tn,
+    * v) — so any count frame that term-wise equals a direct
+    * [[nbCounts]] run yields a bit-identical model, the property the
+    * incremental and streaming maintenance proofs ride on. */
+  def nbFromCounts(counts: DataFrame, alpha: Double = 1.0): DataFrame = {
+    require(alpha > 0.0, s"alpha must be positive, got $alpha")
     val totals = counts.agg(
       sum("n_pos").as("tp"), sum("n_neg").as("tn"), count(lit(1)).as("v"))
     counts.crossJoin(broadcast(totals))
@@ -209,6 +228,61 @@ object Classifier {
             (col("tn").cast("double") + lit(alpha) * col("v")))) * 1e6)
           .cast("long").as("llr_micro"))
       .orderBy("term")
+  }
+
+  /** Incremental MAINTENANCE of the NB model — the
+    * [[graft.operators.TextAnalysis.knModelIncremental]] contract on
+    * the per-class count frame: daily ingest touches a sliver of a
+    * 100 TB corpus, so the classifier refresh must cost the sliver,
+    * not a full re-count. Removed/changed docs contribute NEGATED
+    * counts (tokenized from the old snapshot, delta-sized),
+    * added/changed docs contribute fresh counts, one signed term-wise
+    * merge, terms whose counts both reach zero drop (so the merged
+    * vocabulary — and with it V in the smoothing denominator — exactly
+    * matches a full retrain's).
+    *
+    * The change detector hashes text AND label jointly: a label flip
+    * with unchanged text (a doc re-classified by an upstream rule)
+    * still registers as `changed` and moves its counts between
+    * classes — a text-only diff would silently miss it. Docs without a
+    * label row train nothing on either side (the [[nbCounts]] inner
+    * join), so label appearance/disappearance is handled by the same
+    * diff. Proven THROUGH serving: the driver entry scores the corpus
+    * against the maintained model and hash-matches the SAME
+    * full-corpus oracle as q_nb_score, so the hash gate IS the
+    * incremental == full-retrain proof. */
+  def nbModelIncremental(
+      priorModel: DataFrame,
+      oldDocs: DataFrame, oldLabels: DataFrame,
+      newDocs: DataFrame, newLabels: DataFrame,
+      alpha: Double = 1.0): DataFrame = {
+    def labeled(docs: DataFrame, labels: DataFrame): DataFrame =
+      docs.select(col("doc_id"), col("text"))
+        .join(labels.select(col("doc_id"),
+          col("label").cast("int").as("y")), Seq("doc_id"))
+    // diff on (text, label) jointly — 32-char hashes cross the
+    // exchange, never text; the surviving frame is delta-sized
+    val diff = Etl.snapshotDiff(
+        labeled(oldDocs, oldLabels)
+          .select(col("doc_id"), concat_ws("\u0000", col("text"), col("y").cast("string")).as("text")),
+        labeled(newDocs, newLabels)
+          .select(col("doc_id"), concat_ws("\u0000", col("text"), col("y").cast("string")).as("text")))
+      .filter(col("status") =!= "unchanged").localCheckpoint()
+    val addedIds = diff.filter(col("status").isin("added", "changed"))
+      .select("doc_id")
+    val goneIds = diff.filter(col("status").isin("removed", "changed"))
+      .select("doc_id")
+    val added = nbCounts(
+      newDocs.join(addedIds, Seq("doc_id"), "left_semi"), newLabels)
+    val removed = nbCounts(
+      oldDocs.join(goneIds, Seq("doc_id"), "left_semi"), oldLabels)
+      .select(col("term"), (-col("n_pos")).as("n_pos"), (-col("n_neg")).as("n_neg"))
+    val merged = priorModel.select("term", "n_pos", "n_neg")
+      .unionByName(added).unionByName(removed)
+      .groupBy("term").agg(
+        sum("n_pos").as("n_pos"), sum("n_neg").as("n_neg"))
+      .filter(col("n_pos") > 0 || col("n_neg") > 0)
+    nbFromCounts(merged, alpha)
   }
 
   /** Score documents against an [[nbTrain]] model: per-doc score =

@@ -1051,6 +1051,90 @@ object Similarity {
       .orderBy("method")
   }
 
+  /** IVF tuning curve: recall@k AND probed-candidate cost per nProbe
+    * setting — the sweep an index rollout actually reads to pick
+    * nProbe (the FAISS-bench recall/speed tradeoff table,
+    * relationally; [[annRecall]] meters one parameterization, this
+    * walks the knob). The model trains ONCE ([[ivfIndex]]) and every
+    * sweep point serves from the same artifacts — at 100 TB the sweep
+    * costs |probes| bounded probe passes, never |probes| trainings.
+    *
+    * Cost is reported exactly: `candidates_scanned` counts the posting
+    * rows each query's probed lists would score (self excluded) —
+    * derived from the assignment's list sizes and the ONE shared
+    * centroid ranking, not a re-scan — and `candidate_frac` normalizes
+    * by the brute-force denominator nQueries·(N−1). Recall follows
+    * [[annRecall]]'s arithmetic against the exact baseline. One row
+    * per sweep point; the driver entry is rows-only (the trained
+    * centroids are float sums with engine-unfixed partition order),
+    * with the sweep arithmetic pinned against a local recompute from
+    * the proven probe-path outputs in spec. */
+  def ivfTuning(
+      emb: DataFrame, nQueries: Int = 10, k: Int = 5,
+      nCentroids: Int = 16, lloydIters: Int = 2,
+      probes: Seq[Int] = Seq(1, 2, 4, 8),
+      trainFactor: Int = 64): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    require(probes.nonEmpty && probes == probes.distinct.sorted,
+      s"probes must be distinct and ascending, got $probes")
+    require(probes.forall(p => p >= 1 && p <= nCentroids),
+      s"every probe count must be in [1, $nCentroids], got $probes")
+    graft.functions.VectorFunctions.register(spark)
+    val (assignRaw, centsRaw) = ivfIndex(emb, nCentroids, lloydIters, trainFactor)
+    val assign = assignRaw.localCheckpoint() // one training, |probes| consumers
+    val cents = centsRaw.localCheckpoint()
+    val exact = embedTopK(emb, nQueries, k)
+      .select(col("query_id"), col("neighbor_id")).localCheckpoint()
+    val probesDf = probes.toDF("n_probe")
+    // centroid ranking per query is shared by all sweep points: rank
+    // once to max(probes), a point keeps rn <= its n_probe
+    val e = withNorm(emb)
+      .withColumn("vn", expr("transform(v, x -> x / norm)"))
+      .select("vec_id", "vn")
+    val wq = Window.partitionBy("vec_id").orderBy(col("sim").desc, col("cid"))
+    val ranked = e.filter(col("vec_id") < nQueries)
+      .crossJoin(broadcast(cents))
+      .withColumn("sim", expr("graft_dot(vn, cvec)"))
+      .withColumn("rn", row_number().over(wq))
+      .filter(col("rn") <= probes.max)
+      .select(col("vec_id").as("query_id"), col("cid"), col("rn"))
+    val listSizes = assign.groupBy("cid").agg(count(lit(1)).as("sz"))
+    val own = assign.select(col("vec_id").as("query_id"), col("cid"),
+      lit(1L).as("self"))
+    val cost = ranked.join(probesDf, col("rn") <= col("n_probe"))
+      .join(listSizes, Seq("cid"))
+      .join(own, Seq("query_id", "cid"), "left")
+      .groupBy("n_probe")
+      .agg(sum(col("sz") - coalesce(col("self"), lit(0L)))
+        .as("candidates_scanned"))
+    val approx = probes.map { p =>
+      embedIvfTopKFromIndex(assign, cents, emb, nQueries, k, p)
+        .select(lit(p).as("n_probe"), col("query_id"), col("neighbor_id"))
+    }.reduce(_ unionAll _)
+    val perQuery = exact.groupBy("query_id").agg(count(lit(1)).as("n_exact"))
+      .crossJoin(probesDf)
+      .join(approx.join(exact, Seq("query_id", "neighbor_id"))
+          .groupBy("n_probe", "query_id").agg(count(lit(1)).as("n_hit")),
+        Seq("n_probe", "query_id"), "left")
+      .withColumn("recall",
+        coalesce(col("n_hit"), lit(0L)).cast("double") / col("n_exact"))
+    val nTotal = emb.agg(count(lit(1)).as("n_corpus"))
+    perQuery.groupBy("n_probe")
+      .agg(count(lit(1)).as("n_queries"),
+        round(round(sum("recall"), 6) / count(lit(1)), 4).as("mean_recall"),
+        round(min("recall"), 4).as("min_recall"))
+      .join(cost, Seq("n_probe"))
+      .crossJoin(broadcast(nTotal))
+      .withColumn("candidate_frac",
+        round(col("candidates_scanned").cast("double")
+          / (col("n_queries") * (col("n_corpus") - 1)), 4))
+      .select(col("n_probe"), col("n_queries"), col("mean_recall"),
+        col("min_recall"), col("candidates_scanned"), col("candidate_frac"))
+      .withColumn("k", lit(k))
+      .orderBy("n_probe")
+  }
+
   /** Batch-vs-index semantic near-duplicate pairs over a PERSISTED
     * int8 index in [[sqIndex]] layout (vec_id, qv, scale, norm) — the
     * embedding-space twin of Dedup.minhashPairsAgainst, for the

@@ -193,6 +193,54 @@ class ClassifierSpec extends AnyFunSuite with SparkSessionTestBase {
     assert(msgs(e).exists(_.contains("model is empty")))
   }
 
+  // ---- nbModelIncremental ----
+
+  test("nbModelIncremental equals a full retrain across add/remove/change/label-flip") {
+    import spark.implicits._
+    val (oldDocs, oldLabels) = nbTiny
+    // new corpus: doc 1 text changed, doc 2 removed, doc 5 added,
+    // doc 3 label FLIPPED with unchanged text (0 -> 1), doc 4 as-is
+    val newDocs = Seq(
+      (1L, "apple apple banana elderberry"),
+      (3L, "durian banana banana"), (4L, "durian durian cherry"),
+      (5L, "fig fig apple"))
+      .toDF("doc_id", "text")
+    val newLabels = Seq((1L, 1), (3L, 1), (4L, 0), (5L, 0)).toDF("doc_id", "label")
+    val maintained = Classifier.nbModelIncremental(
+        Classifier.nbTrain(oldDocs, oldLabels),
+        oldDocs, oldLabels, newDocs, newLabels)
+      .collect().map(_.toString).toSeq
+    val full = Classifier.nbTrain(newDocs, newLabels)
+      .collect().map(_.toString).toSeq
+    assert(maintained === full)
+    // vocabulary shrinks exactly: cherry survives (doc 4), the removed
+    // doc 2's exclusive terms are gone only if nothing else has them
+    assert(maintained.nonEmpty)
+  }
+
+  test("nbModelIncremental drops terms whose counts both reach zero (V matches)") {
+    import spark.implicits._
+    val oldDocs = Seq((1L, "apple unique"), (2L, "banana")).toDF("doc_id", "text")
+    val oldLabels = Seq((1L, 1), (2L, 0)).toDF("doc_id", "label")
+    val newDocs = Seq((2L, "banana")).toDF("doc_id", "text")
+    val newLabels = Seq((2L, 0)).toDF("doc_id", "label")
+    val maintained = Classifier.nbModelIncremental(
+      Classifier.nbTrain(oldDocs, oldLabels),
+      oldDocs, oldLabels, newDocs, newLabels)
+    assert(maintained.select("term").as[String].collect().toSet === Set("banana"))
+    assert(maintained.collect().map(_.toString).toSeq ===
+      Classifier.nbTrain(newDocs, newLabels).collect().map(_.toString).toSeq)
+  }
+
+  test("nbModelIncremental with no changes is the identity") {
+    val (docs, labels) = nbTiny
+    val prior = Classifier.nbTrain(docs, labels)
+    val maintained = Classifier.nbModelIncremental(
+      prior, docs, labels, docs, labels)
+    assert(maintained.collect().map(_.toString).toSeq ===
+      prior.collect().map(_.toString).toSeq)
+  }
+
   // ---- classifierEval ----
 
   private def evalDf(rows: Seq[(Long, Long, Int)]) = {

@@ -273,4 +273,30 @@ class EmptyInputSpec extends AnyFunSuite with SparkSessionTestBase {
     assert(graft.operators.Similarity.annMetrics(
       emptyEmb, methods = Seq("lsh")).count() === 0)
   }
+
+  test("wordpiece on empty corpus") {
+    val (m, seg) = graft.operators.Wordpiece.wordpieceTrain(emptyDocs, nMerges = 3)
+    assert(m.count() === 0)
+    assert(seg.count() === 0)
+    assert(graft.operators.Wordpiece
+      .wordpieceTokenize(emptyDocs, seg).count() === 0)
+  }
+
+  test("nb incremental maintenance on empty inputs") {
+    import spark.implicits._
+    val emptyLabels = Seq.empty[(Long, Int)].toDF("doc_id", "label")
+    val docs = Seq((1L, "apple banana")).toDF("doc_id", "text")
+    val labels = Seq((1L, 1)).toDF("doc_id", "label")
+    val prior = graft.operators.Classifier.nbTrain(docs, labels)
+    // everything removed: the maintained model is empty
+    assert(graft.operators.Classifier.nbModelIncremental(
+      prior, docs, labels, emptyDocs.select("doc_id", "text"), emptyLabels)
+      .count() === 0)
+    // empty prior + empty old corpus: maintenance == train-from-scratch
+    val emptyPrior = prior.limit(0)
+    assert(graft.operators.Classifier.nbModelIncremental(
+        emptyPrior, emptyDocs.select("doc_id", "text"), emptyLabels, docs, labels)
+      .collect().map(_.toString).toSeq ===
+      prior.collect().map(_.toString).toSeq)
+  }
 }

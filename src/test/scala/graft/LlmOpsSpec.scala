@@ -1212,6 +1212,99 @@ class LlmOpsSpec extends AnyFunSuite with SparkSessionTestBase {
     assert(again.queryExecution.executedPlan.toString.contains("FileScan"))
   }
 
+  test("wordpieceTrain reproduces an independent likelihood-gain reference") {
+    import spark.implicits._
+    val text = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" ")
+    val docs = Seq((1L, text)).toDF("doc_id", "text")
+    val (merges, segments) =
+      operators.Wordpiece.wordpieceTrain(docs, nMerges = 8, vocabSize = 100)
+
+    // independent reference: greedy WordPiece over word counts —
+    // score = cnt(ab)·10^12 div (cnt(a)·cnt(b)), "##" continuations
+    def refWp(counts: Seq[(String, Long)], n: Int): Seq[(String, String, String)] = {
+      var words = counts.map { case (w, c) =>
+        (w.zipWithIndex.map { case (ch, i) =>
+          if (i == 0) ch.toString else "##" + ch
+        }.toVector, c)
+      }
+      var out = Vector.empty[(String, String, String)]
+      for (_ <- 1 to n) {
+        val symCounts = words.flatMap { case (syms, c) => syms.map(_ -> c) }
+          .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+        val pairCounts = words.flatMap { case (syms, c) =>
+          syms.sliding(2).collect { case Vector(a, b) => (a, b) -> c }
+        }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq
+        if (pairCounts.nonEmpty) {
+          val scored = pairCounts.map { case ((a, b), c) =>
+            val score = (BigInt(c) * BigInt(10).pow(12) /
+              (BigInt(symCounts(a)) * BigInt(symCounts(b)))).toLong
+            ((a, b), c, score)
+          }
+          val ((a, b), _, _) = scored
+            .sortBy { case ((x, y), c, s) => (-s, -c, x, y) }.head
+          val m = a + b.stripPrefix("##")
+          out :+= ((a, b, m))
+          words = words.map { case (syms, c) =>
+            val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+            var i = 0
+            while (i < syms.length) {
+              if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+                buf += m; i += 2
+              } else { buf += syms(i); i += 1 }
+            }
+            (buf.toVector, c)
+          }
+        }
+      }
+      out
+    }
+    val counts = text.split(" ").groupBy(identity).view
+      .mapValues(_.length.toLong).toSeq
+    val expected = refWp(counts, 8)
+    val got = merges.collect().map(r => (r.getAs[String]("left"),
+      r.getAs[String]("right"), r.getAs[String]("merged"))).toSeq
+    assert(got === expected)
+    // WordPiece picks a DIFFERENT sequence than BPE on this corpus
+    // (likelihood gain prefers rare-denominator pairs over raw counts)
+    val bpeGot = operators.Bpe.bpeMerges(docs, nMerges = 8, vocabSize = 100)
+      .collect().map(r => r.getAs[String]("left") -> r.getAs[String]("right")).toSeq
+    assert(got.map(t => (t._1, t._2)) !== bpeGot)
+    // segmentation round-trip: stripping "##" concatenates to the
+    // word; only the first piece is bare, every continuation carries
+    // the prefix
+    segments.collect().foreach { r =>
+      val syms = r.getAs[scala.collection.Seq[String]]("syms")
+      assert(syms.map(_.stripPrefix("##")).mkString === r.getAs[String]("word"))
+      assert(!syms.head.startsWith("##"))
+      syms.drop(1).foreach(s => assert(s.startsWith("##"), s"bare continuation $s"))
+    }
+  }
+
+  test("wordpiece tokenize: OOV maps to one [UNK] piece; indexed serves bit-equal") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, docDir)
+    val online = {
+      val (_, seg) = operators.Wordpiece.wordpieceTrain(docs, nMerges = 12, vocabSize = 2000)
+      operators.Wordpiece.wordpieceTokenize(docs, seg).collect()
+    }
+    online.foreach { r =>
+      val words = r.getAs[Long]("n_words")
+      val pieces = r.getAs[Long]("n_pieces")
+      assert(pieces >= words && pieces <= r.getAs[Long]("n_word_chars"))
+    }
+    val idx = SparkEntry.wordpieceIndexShared(spark, docDir)
+    assert(idx.schema.fieldNames.toSet === Set("word", "n_sub"))
+    val served = operators.Wordpiece.tokenizeWithIndex(docs, idx).collect()
+    assert(served.map(_.toString).toSeq === online.map(_.toString).toSeq)
+    // OOV rule: a probe doc of out-of-vocabulary words counts one
+    // [UNK] piece per word
+    val probe = Seq((9000L, "zzzzqq xxxxyy")).toDF("doc_id", "text")
+    val oov = operators.Wordpiece.tokenizeWithIndex(probe, idx).collect().head
+    assert(oov.getAs[Long]("n_words") === 2L)
+    assert(oov.getAs[Long]("n_pieces") === 2L)
+  }
+
   test("annRecall reports per-method recall@k against the exact baseline") {
     val emb = Tables.embeddings(spark, docDir)
     val all = Seq("lsh", "ivf", "sq", "pq", "ivf_sq", "ivf_pq", "opq")
@@ -1360,6 +1453,74 @@ class LlmOpsSpec extends AnyFunSuite with SparkSessionTestBase {
     assert(byM("sq") > 0.9, s"sq ndcg=${byM("sq")}")
     // deterministic meter: bit-identical on re-run
     val again = Similarity.annMetrics(emb, methods = all).collect()
+    assert(rows.map(_.toString).toSeq === again.map(_.toString).toSeq)
+  }
+
+  test("ivfTuning sweeps nProbe from one trained index; arithmetic matches a local recompute") {
+    val emb = Tables.embeddings(spark, docDir)
+    val probes = Seq(1, 2, 4, 8)
+    val rows = Similarity.ivfTuning(emb, probes = probes).collect()
+    info(rows.map(r => s"p=${r.getAs[Int]("n_probe")}:" +
+      s" recall=${r.getAs[Double]("mean_recall")}" +
+      s" frac=${r.getAs[Double]("candidate_frac")}").mkString(" "))
+    assert(rows.map(_.getAs[Int]("n_probe")).toSeq === probes)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_queries") === 10L)
+      val mean = r.getAs[Double]("mean_recall")
+      assert(mean >= 0.0 && mean <= 1.0)
+      assert(r.getAs[Double]("min_recall") <= mean)
+      val frac = r.getAs[Double]("candidate_frac")
+      assert(frac > 0.0 && frac <= 1.0)
+    }
+    // cost grows strictly with probes; recall does not fall end to end
+    val cand = rows.map(_.getAs[Long]("candidates_scanned")).toSeq
+    assert(cand === cand.sorted && cand.distinct === cand,
+      s"candidates not strictly increasing: $cand")
+    assert(rows.last.getAs[Double]("mean_recall") >=
+      rows.head.getAs[Double]("mean_recall"))
+    // candidate_frac is the exact normalization of candidates_scanned
+    val n = emb.count()
+    rows.foreach { r =>
+      val expected = BigDecimal(r.getAs[Long]("candidates_scanned").toDouble
+        / (10.0 * (n - 1))).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+      assert(BigDecimal(r.getAs[Double]("candidate_frac")) === expected)
+    }
+    // recall pin: recompute the sweep's recall from the PROVEN probe
+    // path (embedIvfTopKFromIndex over an independently trained index;
+    // training is deterministic at fixed partitioning, as the re-run
+    // assertions across the ANN suite establish) and the exact
+    // baseline — the tuning-specific arithmetic must reproduce it
+    val (assignPin, centsPin) = Similarity.ivfIndex(emb)
+    val aCk = assignPin.localCheckpoint()
+    val cCk = centsPin.localCheckpoint()
+    val exactPairs = Similarity.embedTopK(emb)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val nExact = exactPairs.groupBy(_._1).map { case (q, s) => q -> s.size }
+    probes.zip(rows).foreach { case (p, r) =>
+      val approxPairs = Similarity
+        .embedIvfTopKFromIndex(aCk, cCk, emb, nProbe = p)
+        .select("query_id", "neighbor_id").collect()
+        .map(x => (x.getLong(0), x.getLong(1))).toSet
+      val recalls = (0L until 10L).map { q =>
+        approxPairs.count(t => t._1 == q && exactPairs(t)).toDouble / nExact(q)
+      }
+      val local = BigDecimal(
+        BigDecimal(recalls.sum).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+          .toDouble / 10.0).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble
+      assert(math.abs(r.getAs[Double]("mean_recall") - local) <= 2e-4,
+        s"p=$p tuning=${r.getAs[Double]("mean_recall")} local=$local")
+    }
+    // invalid sweeps fail loudly
+    intercept[IllegalArgumentException] {
+      Similarity.ivfTuning(emb, probes = Seq(4, 2))
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.ivfTuning(emb, probes = Seq(0, 2))
+    }
+    // deterministic: bit-identical on re-run
+    val again = Similarity.ivfTuning(emb, probes = probes).collect()
     assert(rows.map(_.toString).toSeq === again.map(_.toString).toSeq)
   }
 

@@ -807,6 +807,67 @@ class StreamingSpec extends AnyFunSuite with SparkSessionTestBase {
     assert(got.nonEmpty)
   }
 
+  test("nbMaintain is per-batch idempotent; compact preserves served counts") {
+    import spark.implicits._
+    import graft.streaming.NbStream
+    val root = java.nio.file.Files.createTempDirectory("nb_retry")
+    val src = root.resolve("src").toString
+    val docs = Seq((1L, "aa bb", "s0"), (2L, "bb cc cc", "s1"), (3L, "dd", "s0"))
+      .toDF("doc_id", "text", "source")
+    // batch-local labeler: s0 is the target domain
+    def labeler(d: org.apache.spark.sql.DataFrame) =
+      d.select(col("doc_id"), (col("source") === "s0").cast("int").as("label"))
+    docs.write.mode("overwrite").parquet(src)
+    val seedP = root.resolve("seed").toString
+    val deltaP = root.resolve("delta").toString
+    NbStream.seedNb(docs.limit(0), labeler(docs.limit(0)), seedP)
+    def runOnce(ckpt: String = root.resolve("ckpt").toString): Unit = {
+      val q = NbStream.nbMaintain(
+        spark.readStream.schema(docs.schema).parquet(src),
+        labeler, seedP, deltaP, ckpt)
+      try q.processAllAvailable() finally q.stop()
+    }
+    def serve() = NbStream.liveNbCounts(spark, seedP, deltaP)
+      .collect().map(_.toString).toSeq
+    def direct(d: org.apache.spark.sql.DataFrame) =
+      graft.operators.Classifier.nbCounts(d, labeler(d))
+        .orderBy("term").collect().map(_.toString).toSeq
+    runOnce()
+    val first = serve()
+    assert(first === direct(docs)) // stream-maintained == direct counts
+    runOnce() // restart over the same checkpoint: no double-counting
+    assert(serve() === first)
+    NbStream.compact(spark, seedP, deltaP)
+    assert(serve() === first)
+    // a replayed batch at or below the watermark is skipped
+    runOnce(root.resolve("ckpt2").toString)
+    assert(serve() === first)
+    // genuinely new arrivals through the original lineage still count
+    val extra = Seq((9L, "bb zz", "s1")).toDF("doc_id", "text", "source")
+    extra.write.mode("append").parquet(src)
+    runOnce()
+    assert(serve() === direct(docs.unionByName(extra)))
+    // the scoring model derived from maintained counts == direct train
+    val all = docs.unionByName(extra)
+    assert(graft.operators.Classifier
+      .nbFromCounts(NbStream.liveNbCounts(spark, seedP, deltaP))
+      .collect().map(_.toString).toSeq ===
+      graft.operators.Classifier.nbTrain(all, labeler(all))
+        .collect().map(_.toString).toSeq)
+  }
+
+  test("nbMaintainRun (the measured driver entry) equals direct full-corpus scoring") {
+    val docs = Tables.documents(spark, sfDir)
+    val labels = graft.streaming.NbStream.domainLabels(docs)
+    val got = graft.streaming.NbStream.nbMaintainRun(spark, sfDir)
+      .collect().map(_.toString).toSeq
+    val direct = graft.operators.Classifier
+      .nbScore(docs, graft.operators.Classifier.nbTrain(docs, labels))
+      .collect().map(_.toString).toSeq
+    assert(got === direct)
+    assert(got.nonEmpty)
+  }
+
   test("ivfMaintain assigns at fixed centroids; stream == direct through serving") {
     import graft.streaming.IvfStream
     val emb = Tables.embeddings(spark, sfDir)
