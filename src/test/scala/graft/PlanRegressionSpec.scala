@@ -652,6 +652,23 @@ class PlanRegressionSpec extends AnyFunSuite with SparkSessionTestBase {
     assert(indexed === online)
   }
 
+  test("entity-match indexed serving reads the blocking artifact, never re-counts df") {
+    val p = plan("q_entity_match_indexed")
+    // the served plan walks the persisted token → canonical posting
+    // list; the df-cap stopword aggregation belongs to the index BUILD
+    // and must not reappear at serve time (exactly one count-bearing
+    // aggregate pair survives: the LeftAnti stopword join is gone)
+    assert(p.contains("graft_er_idx"),
+      "serving must read the persisted blocking index")
+    assert(!p.contains("LeftAnti"),
+      "df-cap stopword anti-join must not run at serve time")
+    // the inline form DOES carry the stopword anti-join
+    assert(plan("q_entity_match").contains("LeftAnti"))
+    // scoring stays codegen'd expression work on the candidate join —
+    // no UDF call anywhere in the match cascade
+    assert(!p.toLowerCase.contains("batchevalpython") && !p.contains("ScalaUDF"))
+  }
+
   test("opq indexed serving scans the persisted triple, no retraining") {
     val p = plan("q_embed_opq_indexed")
     // the rotation is applied as plan literals (d codegen dots — the
