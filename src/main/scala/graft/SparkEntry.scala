@@ -848,6 +848,12 @@ object SparkEntry {
       Similarity.clusterQuality(Tables.embeddings(s, d), Tables.documents(s, d))),
     "q_chunk_dedup" -> ((s, d) => Dedup.chunkDedup(Tables.documents(s, d))),
     "q_span_dedup" -> ((s, d) => Dedup.spanDedup(Tables.documents(s, d))),
+    // EXACT duplicated-substring spans over ALL overlapping windows
+    // (the Lee et al. ExactSubstr face — catches the one-token-shifted
+    // duplicates spanDedup's grid misses); FULL oracle through the
+    // window-hash + island-merge cascade
+    "q_exact_substrings" -> ((s, d) =>
+      Dedup.exactSubstringSpans(Tables.documents(s, d))),
     "q_dup_provenance" -> ((s, d) => Dedup.dupProvenance(Tables.documents(s, d))),
     // two synthetic corpus versions carved from one table, scale-
     // proportional at every SF: 1/20 of docs added, 1/20 removed, 1/20
@@ -2925,6 +2931,32 @@ object SparkEntry {
         |        || list_slice(b.w, b.n_full * 20 + 1, len(b.w)), ' '), '')
         | END AS clean_text
         |FROM b LEFT JOIN k USING (doc_id) ORDER BY b.doc_id""".stripMargin,
+    // equal-length windows make interval ends monotone in start, so
+    // the single-lag island test merges overlaps exactly on both
+    // engines (the sessionize flag+running-sum shape)
+    "q_exact_substrings" ->
+      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+        |w AS (SELECT doc_id, unnest(range(1, len(toks) - 15 + 2)) AS pos, toks
+        | FROM t WHERE len(toks) >= 15),
+        |h AS (SELECT doc_id, pos,
+        |  md5(array_to_string(list_slice(toks, pos, pos + 14), ' ')) AS hh
+        | FROM w),
+        |dup AS (SELECT hh FROM h GROUP BY hh HAVING count(*) >= 2),
+        |f AS (SELECT doc_id, pos FROM h WHERE hh IN (SELECT hh FROM dup)),
+        |g AS (SELECT doc_id, pos,
+        |  CASE WHEN lag(pos) OVER w2 IS NULL OR pos > lag(pos) OVER w2 + 15
+        |       THEN 1 ELSE 0 END AS new_span
+        | FROM f WINDOW w2 AS (PARTITION BY doc_id ORDER BY pos)),
+        |sp AS (SELECT doc_id, pos,
+        |  sum(new_span) OVER (PARTITION BY doc_id ORDER BY pos
+        |    ROWS UNBOUNDED PRECEDING) AS span_id
+        | FROM g)
+        |SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+        | CAST(max(pos) + 14 AS BIGINT) AS span_end,
+        | CAST(max(pos) - min(pos) + 15 AS BIGINT) AS span_words,
+        | count(*) AS n_windows
+        |FROM sp GROUP BY doc_id, span_id
+        |ORDER BY doc_id, span_start""".stripMargin,
     "q_snapshot_diff" ->
       """WITH o AS (SELECT doc_id, md5(text) AS h_old FROM documents WHERE doc_id % 20 != 0),
         |n AS (SELECT doc_id,

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Document deduplication family for LLM-training-data pipelines:
@@ -460,6 +461,68 @@ object Dedup {
         round(col("shared_fps") / least(col("n_a"), col("n_b")), 6))
       .select("doc_a", "doc_b", "shared_fps", "overlap")
       .orderBy("doc_a", "doc_b")
+  }
+
+  /** EXACT duplicated-substring spans: for every document, the maximal
+    * token ranges whose every `windowWords`-word window appears at
+    * least `minCount` times verbatim in the WHOLE corpus — the exact
+    * face of Lee et al. 2021's ExactSubstr dedup (their suffix-array
+    * pass; relationally, hashing EVERY overlapping window is the same
+    * linear-in-tokens cost class), where [[substringDupPairs]] is the
+    * winnowed SAMPLED face (pairs, no boundaries) and [[spanDedup]] the
+    * position-QUANTIZED face (non-overlapping spans — a duplicate
+    * shifted by one token escapes its grid; overlapping windows catch
+    * any alignment, the reason Lee et al. run suffixes, not chunks).
+    *
+    * Output: one row per maximal span — (doc_id, span_start, span_end,
+    * span_words, n_windows), token positions 1-based inclusive, spans
+    * disjoint per doc with ≥1-token gaps between them (windows merge
+    * when they overlap or touch: next.pos ≤ prev.pos + windowWords).
+    *
+    * Scale shape (100 TB): window hashing is a narrow per-doc codegen
+    * projection — one row per token position, only (doc_id, pos,
+    * 32-char md5) ever crossing a shuffle, the text never. Duplicate
+    * detection is ONE partial-combined count on the hash key; the
+    * flagged-window selection is a LEFT SEMI join against the
+    * duplicated-hash set (duplicate-mass-sized, the Zipf tail pruned
+    * map-side), which cannot fan out — a boilerplate window repeated
+    * 10⁶× keeps each occurrence once, never 10⁶ pair rows (the
+    * all-pairs trap this family always dodges). Span merge is a lag +
+    * running-sum island pass per doc — bounded by each document's own
+    * flagged-window count. Windows have equal length, so interval ends
+    * are monotone in start and the single-lag island test is exact (no
+    * cumulative-max needed). FULL DuckDB oracle through the whole
+    * cascade (string_split / list_slice / md5 / the island sum agree
+    * engine-for-engine). */
+  def exactSubstringSpans(
+      docs: DataFrame, windowWords: Int = 15, minCount: Long = 2L): DataFrame = {
+    require(windowWords >= 1, s"windowWords must be >= 1, got $windowWords")
+    require(minCount >= 2L, s"minCount must be >= 2, got $minCount")
+    val wins = docs
+      .withColumn("toks", split(lower(col("text")), " ", -1))
+      .filter(size(col("toks")) >= windowWords)
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(1), size(col("toks")) - windowWords + 1)).as("pos"))
+      .select(col("doc_id"), col("pos"),
+        md5(concat_ws(" ", slice(col("toks"), col("pos"), lit(windowWords))))
+          .as("h"))
+    val dup = wins.groupBy("h").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount)
+      .select("h")
+    val flagged = wins.join(dup, Seq("h"), "left_semi")
+    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+    flagged
+      .withColumn("new_span",
+        when(lag("pos", 1).over(byDoc).isNull ||
+          col("pos") > lag("pos", 1).over(byDoc) + windowWords, 1).otherwise(0))
+      .withColumn("span_id", sum("new_span").over(byDoc))
+      .groupBy("doc_id", "span_id")
+      .agg(min(col("pos")).cast("long").as("span_start"),
+        (max(col("pos")) + windowWords - 1).cast("long").as("span_end"),
+        count(lit(1)).as("n_windows"))
+      .withColumn("span_words", col("span_end") - col("span_start") + 1)
+      .select("doc_id", "span_start", "span_end", "span_words", "n_windows")
+      .orderBy("doc_id", "span_start")
   }
 
   /** Resolve near-duplicate PAIRS into duplicate CLUSTERS (connected

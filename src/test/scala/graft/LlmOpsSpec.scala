@@ -148,6 +148,56 @@ class LlmOpsSpec extends AnyFunSuite with SparkSessionTestBase {
     assert(Dedup.substringDupPairs(boiler, dfCap = 10).count() === 0)
   }
 
+  test("exactSubstringSpans recovers exact boundaries of a shifted shared passage") {
+    import spark.implicits._
+    val passage = (1 to 12).map(w => s"p$w").mkString(" ")
+    // the passage sits at DIFFERENT offsets (8 vs 4) — no 5-word grid
+    // chunk aligns, the case the overlapping windows exist for
+    val docA = (1 to 7).map(w => s"a$w").mkString(" ") + " " + passage
+    val docB = (1 to 3).map(w => s"b$w").mkString(" ") + " " + passage +
+      " " + (1 to 3).map(w => s"c$w").mkString(" ")
+    val docC = (1 to 30).map(w => s"u$w").mkString(" ")
+    val docs = Seq((1L, "en", docA), (2L, "en", docB), (3L, "en", docC))
+      .toDF("doc_id", "lang", "text")
+    val spans = Dedup.exactSubstringSpans(docs, windowWords = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    // every 5-window inside the 12-word passage is duplicated; merged
+    // they reconstruct the passage's exact token range in each doc
+    assert(spans.toSet === Set(
+      (1L, 8L, 19L, 12L, 8L),   // docA: passage at tokens 8..19
+      (2L, 4L, 15L, 12L, 8L)))  // docB: passage at tokens 4..15
+    // the grid-quantized spanDedup misses it entirely at the same width
+    val grid = Dedup.spanDedup(docs, spanWords = 5).collect()
+    assert(grid.forall(r =>
+      r.getAs[Long]("n_kept_spans") === r.getAs[Long]("n_spans")))
+    // repartition-invariance
+    val again = Dedup.exactSubstringSpans(docs.repartition(7), windowWords = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(again.toSet === spans.toSet)
+  }
+
+  test("exactSubstringSpans counts within-doc repeats and keeps disjoint islands apart") {
+    import spark.implicits._
+    // the 5-word run repeats INSIDE one document at positions 1 and 8;
+    // 8 > 1 + 5 so the islands stay separate spans
+    val docs = Seq((1L, "en",
+      "x1 x2 x3 x4 x5 y1 y2 x1 x2 x3 x4 x5")).toDF("doc_id", "lang", "text")
+    val spans = Dedup.exactSubstringSpans(docs, windowWords = 5)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(4)))
+    assert(spans.toSet === Set((1L, 5L, 1L), (8L, 12L, 1L)))
+    // windows that touch (next.pos == prev.pos + W) merge: positions
+    // 1 and 6 of the same run cover 1..10 contiguously
+    val touch = Seq((1L, "en",
+      "z1 z2 z3 z4 z5 z1 z2 z3 z4 z5 w1 w2 w3 w4 w5 q1 z1 z2 z3 z4 z5 z1 z2 z3 z4 z5 w1 w2 w3 w4 w5"))
+      .toDF("doc_id", "lang", "text")
+    val t = Dedup.exactSubstringSpans(touch, windowWords = 5).collect()
+    // the repeated 15-word super-run yields two merged islands (one per
+    // occurrence), not a per-window scatter
+    assert(t.length === 2)
+  }
+
   test("perplexityScore frequency floor scores rare tokens at singleton surprisal") {
     val docs = Tables.documents(spark, docDir)
     // floor 1 is the exact formulation
