@@ -854,6 +854,11 @@ object SparkEntry {
     // window-hash + island-merge cascade
     "q_exact_substrings" -> ((s, d) =>
       Dedup.exactSubstringSpans(Tables.documents(s, d))),
+    // the transform half: cut duplicated runs from all but the owning
+    // occurrence (owner protection where windows overlap), rebuild the
+    // text; FULL oracle
+    "q_exact_substring_clean" -> ((s, d) =>
+      Dedup.exactSubstringClean(Tables.documents(s, d))),
     "q_dup_provenance" -> ((s, d) => Dedup.dupProvenance(Tables.documents(s, d))),
     // two synthetic corpus versions carved from one table, scale-
     // proportional at every SF: 1/20 of docs added, 1/20 removed, 1/20
@@ -2957,6 +2962,36 @@ object SparkEntry {
         | count(*) AS n_windows
         |FROM sp GROUP BY doc_id, span_id
         |ORDER BY doc_id, span_start""".stripMargin,
+    // ownership by the scalar key doc_id*1e9+pos (both engines compare
+    // the same integer); a token is removed iff covered by a duplicated
+    // window and by NO owner window (bool_or over the coverage rows)
+    "q_exact_substring_clean" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |w AS (SELECT doc_id, unnest(range(1, len(toks) - 15 + 2)) AS pos, toks
+        | FROM t WHERE len(toks) >= 15),
+        |h AS (SELECT doc_id, pos,
+        |  md5(lower(array_to_string(list_slice(toks, pos, pos + 14), ' '))) AS hh
+        | FROM w),
+        |own AS (SELECT hh, min(doc_id * 1000000000 + pos) AS okey
+        | FROM h GROUP BY hh HAVING count(*) >= 2),
+        |cov AS (SELECT doc_id, unnest(range(pos, pos + 15)) AS tpos,
+        |  (doc_id * 1000000000 + pos = okey) AS is_owner
+        | FROM h JOIN own USING (hh)),
+        |rm AS (SELECT doc_id, tpos FROM cov
+        | GROUP BY doc_id, tpos HAVING NOT bool_or(is_owner)),
+        |tok AS (SELECT doc_id, unnest(range(1, len(toks) + 1)) AS tpos, toks FROM t),
+        |tok2 AS (SELECT doc_id, tpos, toks[tpos] AS tok FROM tok),
+        |kept AS (SELECT tok2.doc_id, tok2.tpos, tok2.tok FROM tok2
+        | ANTI JOIN rm USING (doc_id, tpos)),
+        |rmc AS (SELECT doc_id, count(*) AS n_removed FROM rm GROUP BY doc_id),
+        |txt AS (SELECT doc_id,
+        |  coalesce(string_agg(tok, ' ' ORDER BY tpos), '') AS clean_text
+        | FROM kept GROUP BY doc_id)
+        |SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+        | CAST(coalesce(rmc.n_removed, 0) AS BIGINT) AS n_removed,
+        | coalesce(txt.clean_text, '') AS clean_text
+        |FROM t LEFT JOIN rmc USING (doc_id) LEFT JOIN txt USING (doc_id)
+        |ORDER BY t.doc_id""".stripMargin,
     "q_snapshot_diff" ->
       """WITH o AS (SELECT doc_id, md5(text) AS h_old FROM documents WHERE doc_id % 20 != 0),
         |n AS (SELECT doc_id,

@@ -525,6 +525,68 @@ object Dedup {
       .orderBy("doc_id", "span_start")
   }
 
+  /** EXACT duplicated-substring REMOVAL — the transform half of
+    * [[exactSubstringSpans]] (Lee et al. 2021 cut the duplicated
+    * substring from all but one occurrence; this is that cut): rebuild
+    * each document keeping one canonical copy of every duplicated run.
+    *
+    * Ownership is per window hash: the occurrence minimizing
+    * doc_id·10⁹ + pos (a scalar key so both engines compare
+    * identically; positions stay below 10⁹ tokens per doc). A token is
+    * REMOVED iff some duplicated window covers it and NO owner window
+    * does — owner protection keeps the canonical copy intact even
+    * where owner and non-owner windows overlap (staggered three-way
+    * shares). Case preserved: hashes are computed over the lowercased
+    * window ([[spanDedup]]'s posture), the rebuilt text keeps original
+    * tokens.
+    *
+    * Output: (doc_id, n_tokens, n_removed, clean_text), every doc
+    * present (short docs carry no windows and pass through verbatim).
+    *
+    * Scale shape: the token-coverage explode is `windowWords` rows per
+    * FLAGGED window — duplicate-mass-sized, never corpus-sized; the
+    * removal list rejoins the corpus doc_id-keyed (slim), and the
+    * rebuild is one codegen'd indexed-lambda filter per doc (cost
+    * bounded by |doc| · its own removal count — no shuffle carries
+    * text). FULL DuckDB oracle (the coverage/ownership algebra is
+    * bool_or over the same integer keys). */
+  def exactSubstringClean(
+      docs: DataFrame, windowWords: Int = 15, minCount: Long = 2L): DataFrame = {
+    require(windowWords >= 1, s"windowWords must be >= 1, got $windowWords")
+    require(minCount >= 2L, s"minCount must be >= 2, got $minCount")
+    val base = docs.withColumn("toks", split(col("text"), " ", -1))
+    val okeyOf = col("doc_id") * lit(1000000000L) + col("pos")
+    val wins = base
+      .filter(size(col("toks")) >= windowWords)
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(1), size(col("toks")) - windowWords + 1)).as("pos"))
+      .select(col("doc_id"), col("pos"),
+        md5(lower(concat_ws(" ",
+          slice(col("toks"), col("pos"), lit(windowWords))))).as("h"))
+    val owners = wins.groupBy("h")
+      .agg(count(lit(1)).as("cnt"), min(okeyOf).as("okey"))
+      .filter(col("cnt") >= minCount)
+      .select("h", "okey")
+    val removed = wins.join(owners, Seq("h"))
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + lit(windowWords - 1))).as("tpos"),
+        (okeyOf === col("okey")).as("is_owner"))
+      .groupBy("doc_id", "tpos")
+      .agg(max(col("is_owner")).as("any_owner"))
+      .filter(!col("any_owner"))
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(col("tpos"))).as("rm_pos"))
+    base.join(removed, Seq("doc_id"), "left")
+      .withColumn("rm_pos",
+        coalesce(col("rm_pos"), expr("cast(array() as array<int>)")))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        size(col("rm_pos")).cast("long").as("n_removed"),
+        concat_ws(" ", filter(col("toks"),
+          (_, i) => !array_contains(col("rm_pos"), i + 1))).as("clean_text"))
+      .orderBy("doc_id")
+  }
+
   /** Resolve near-duplicate PAIRS into duplicate CLUSTERS (connected
     * components). Adaptive strategy: LSH-surviving pair sets are tiny
     * relative to the corpus, so below `driverThreshold` pairs a driver

@@ -198,6 +198,38 @@ class LlmOpsSpec extends AnyFunSuite with SparkSessionTestBase {
     assert(t.length === 2)
   }
 
+  test("exactSubstringClean keeps the owning occurrence and cuts the rest") {
+    import spark.implicits._
+    val passage = (1 to 12).map(w => s"p$w").mkString(" ")
+    val docA = (1 to 7).map(w => s"a$w").mkString(" ") + " " + passage
+    val docB = (1 to 3).map(w => s"b$w").mkString(" ") + " " + passage +
+      " " + (1 to 3).map(w => s"c$w").mkString(" ")
+    val docC = (1 to 30).map(w => s"u$w").mkString(" ")
+    // within-doc repeat: the SECOND occurrence is cut, the first kept
+    val docD = "x1 x2 x3 x4 x5 y1 y2 x1 x2 x3 x4 x5"
+    val docE = "tiny doc"
+    val docs = Seq((1L, "en", docA), (2L, "en", docB), (3L, "en", docC),
+      (4L, "en", docD), (5L, "en", docE)).toDF("doc_id", "lang", "text")
+    val out = Dedup.exactSubstringClean(docs, windowWords = 5)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    // doc 1 owns every passage window (lowest doc_id) — untouched
+    assert(out(1L) === (19L, 0L, docA))
+    // doc 2's copy is fully cut; its own prefix/suffix survive
+    assert(out(2L) === (18L, 12L, "b1 b2 b3 c1 c2 c3"))
+    assert(out(3L) === (30L, 0L, docC))
+    assert(out(4L) === (12L, 5L, "x1 x2 x3 x4 x5 y1 y2"))
+    // short docs carry no windows and pass through verbatim
+    assert(out(5L) === (2L, 0L, docE))
+    // every doc appears exactly once
+    assert(out.size === 5)
+    // repartition-invariance (ownership is a global integer argmin)
+    val again = Dedup.exactSubstringClean(docs.repartition(7), windowWords = 5)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(again === out)
+  }
+
   test("perplexityScore frequency floor scores rare tokens at singleton surprisal") {
     val docs = Tables.documents(spark, docDir)
     // floor 1 is the exact formulation
