@@ -1068,6 +1068,18 @@ object SparkEntry {
         .select("doc_id", "score_micro", "y")
       operators.Classifier.classifierEval(scored)
     }),
+    // the probability-quality companion to q_nb_eval: reliability bins
+    // + ECE over the same resubstitution scores; FULL oracle (the bin
+    // boundaries are the same long literals in both engines)
+    "q_classifier_calibration" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val labels = nbDomainLabels(docs)
+      val scored = operators.Classifier
+        .nbScore(docs, operators.Classifier.nbTrain(docs, labels))
+        .join(labels.select(col("doc_id"), col("label").as("y")), Seq("doc_id"))
+        .select("doc_id", "score_micro", "y")
+      operators.Classifier.calibrationReport(scored)
+    }),
     // incremental NB maintenance proven THROUGH serving: prior model
     // trained on the mutated half-stale corpus (the q_kn_incremental
     // recipe), signed per-class count deltas folded in — including a
@@ -1520,6 +1532,48 @@ object SparkEntry {
       | CAST(round(CAST(score_micro AS DOUBLE) / 1e6, 6) AS DOUBLE) AS score,
       | score_micro > 0 AS keep
       |FROM s ORDER BY doc_id""".stripMargin
+
+  /** q_classifier_calibration's FULL oracle: the nbScore CTEs, then
+    * decile binning against the SAME long logit literals the Spark
+    * plan carries ([[operators.Classifier.calibrationBoundsMicro]]) —
+    * no float bin boundary exists in either engine. */
+  private val calibrationOracleSql: String = {
+    val binExpr = operators.Classifier.calibrationBoundsMicro(10)
+      .map(b => s"(CASE WHEN score_micro >= $b THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH tk AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term,
+       |  CASE WHEN source IN ('src0', 'src1') THEN 1 ELSE 0 END AS y FROM documents),
+       |c AS (SELECT term,
+       |  CAST(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+       |  CAST(sum(CASE WHEN y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_neg
+       | FROM tk GROUP BY term),
+       |t AS (SELECT CAST(sum(n_pos) AS BIGINT) AS tp, CAST(sum(n_neg) AS BIGINT) AS tn,
+       |  count(*) AS v FROM c),
+       |m AS (SELECT term,
+       |  CAST(round((ln((n_pos + 1.0) / (tp + 1.0 * v)) - ln((n_neg + 1.0) / (tn + 1.0 * v))) * 1e6) AS BIGINT) AS lm
+       | FROM c CROSS JOIN t),
+       |oov AS (SELECT CAST(round((ln(tn + 1.0 * v) - ln(tp + 1.0 * v)) * 1e6) AS BIGINT) AS lo FROM t),
+       |s AS (SELECT doc_id, CAST(sum(coalesce(m.lm, oov.lo)) AS BIGINT) AS score_micro
+       | FROM tk LEFT JOIN m USING (term) CROSS JOIN oov GROUP BY doc_id),
+       |lab AS (SELECT doc_id,
+       |  CASE WHEN source IN ('src0', 'src1') THEN 1 ELSE 0 END AS y FROM documents),
+       |sc AS (SELECT s.score_micro, lab.y FROM s JOIN lab USING (doc_id)),
+       |b AS (SELECT CAST($binExpr AS INT) AS bin, y,
+       |  CAST(round(1000000.0 / (1 + exp(-(score_micro / 1000000.0)))) AS BIGINT) AS conf_micro
+       | FROM sc),
+       |g AS (SELECT bin, count(*) AS n, CAST(sum(y) AS BIGINT) AS n_pos,
+       |  CAST(sum(conf_micro) AS HUGEINT) AS sum_conf FROM b GROUP BY bin),
+       |g2 AS (SELECT bin, n, n_pos,
+       |  (CAST(n_pos AS HUGEINT) * 2000000 + n) // (CAST(n AS HUGEINT) * 2) AS fp,
+       |  (sum_conf * 2 + n) // (CAST(n AS HUGEINT) * 2) AS ac FROM g),
+       |g3 AS (SELECT bin, n, n_pos, fp, ac, ac - fp AS gap FROM g2),
+       |e AS (SELECT (sum(CAST(n AS HUGEINT) * abs(gap)) * 2 + sum(n))
+       |  // (CAST(sum(n) AS HUGEINT) * 2) AS ece FROM g3)
+       |SELECT bin, n, n_pos, CAST(fp AS BIGINT) AS frac_pos_micro,
+       | CAST(ac AS BIGINT) AS avg_conf_micro, CAST(gap AS BIGINT) AS gap_micro,
+       | CAST(e.ece AS BIGINT) AS ece_micro
+       |FROM g3, e ORDER BY bin""".stripMargin
+  }
 
   /** Shared entity-resolution match CTEs (mirror [[erCatalog]] /
     * [[erFeed]] / [[operators.Resolution.entityMatchWithIndex]] —
@@ -3291,6 +3345,7 @@ object SparkEntry {
     // histogram-exact mid-rank AUC (2U = Σ np·(2·negs_below + nn)) and
     // confusion ratios as half-up integer micro snaps — HUGEINT
     // mirrors Spark's DECIMAL(38,0) `div`
+    "q_classifier_calibration" -> calibrationOracleSql,
     "q_nb_eval" ->
       """WITH tk AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term,
         |  CASE WHEN source IN ('src0', 'src1') THEN 1 ELSE 0 END AS y FROM documents),

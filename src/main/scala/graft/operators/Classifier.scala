@@ -429,4 +429,66 @@ object Classifier {
         round(col("f1_m").cast("double") / 1e6, 6).as("f1"),
         round(col("auc_m").cast("double") / 1e6, 6).as("auc"))
   }
+
+  /** Equal-probability calibration bin boundaries in LLR micro-nats:
+    * p ∈ [k/n, (k+1)/n) ⟺ llr ∈ [logit(k/n), logit((k+1)/n)) — logit
+    * is monotone, so binning the INTEGER score against these literals
+    * is exactly probability-decile binning with no per-doc sigmoid at
+    * the bin boundary. Computed once driver-side and embedded as plan
+    * literals in BOTH engines (the oracle SQL injects the same
+    * longs — no float boundary can disagree). */
+  def calibrationBoundsMicro(nBins: Int): Seq[Long] = {
+    require(nBins >= 2 && nBins <= 1000, s"nBins must be in [2,1000], got $nBins")
+    (1 until nBins).map(k =>
+      math.round(math.log(k.toDouble / (nBins - k)) * 1e6))
+  }
+
+  /** Calibration / reliability report (Guo et al. 2017, "On
+    * Calibration of Modern Neural Networks"): bucket documents into
+    * `nBins` predicted-probability bins, compare each bin's mean
+    * predicted confidence against its observed positive rate, and
+    * report the expected calibration error Σ (n_b/N)·|acc_b − conf_b|
+    * — the companion report to [[classifierEval]] (AUC says the
+    * RANKING is right; this says the PROBABILITIES are).
+    *
+    * Input is [[classifierEval]]'s: (doc_id, score_micro long LLR,
+    * y ∈ {0,1}). Binning is integer comparison against
+    * [[calibrationBoundsMicro]] literals (see there); per-doc
+    * confidence is the micro-snapped sigmoid (the one transcendental,
+    * same per-row round-then-integer-sum posture as nbScore's ln); all
+    * ratios are half-up integer micro snaps of DECIMAL(38,0) operands
+    * (the classifierEval overflow posture — a per-bin sum of 10⁶-scale
+    * confidences wraps a long past ~9·10¹² docs). Empty bins are
+    * absent rows (both engines agree); `ece_micro` rides every row as
+    * the report's headline. One partial-combined groupBy on the bin
+    * key — documents are never windowed. */
+  def calibrationReport(scored: DataFrame, nBins: Int = 10): DataFrame = {
+    val bounds = calibrationBoundsMicro(nBins)
+    val binCol = bounds.map(b =>
+      when(col("score_micro") >= lit(b), 1).otherwise(0))
+      .reduce(_ + _).cast("int")
+    val confMicro = round(lit(1e6) /
+      (lit(1.0) + exp(-(col("score_micro").cast("double") / lit(1e6)))))
+      .cast("long")
+    val bins = scored
+      .select(binCol.as("bin"), col("y").cast("long").as("y"),
+        confMicro.as("conf_micro"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"), sum("y").as("n_pos"),
+        sum(col("conf_micro").cast("decimal(38,0)")).as("sum_conf"))
+      .withColumn("frac_pos_micro", expr(
+        "(CAST(n_pos AS DECIMAL(38,0)) * 2000000 + n) " +
+          "div (CAST(n AS DECIMAL(38,0)) * 2)").cast("long"))
+      .withColumn("avg_conf_micro", expr(
+        "(sum_conf * 2 + n) div (CAST(n AS DECIMAL(38,0)) * 2)").cast("long"))
+      .withColumn("gap_micro", col("avg_conf_micro") - col("frac_pos_micro"))
+      .localCheckpoint()
+    val ece = bins.agg(expr(
+      "(sum(CAST(n AS DECIMAL(38,0)) * abs(gap_micro)) * 2 + sum(n)) " +
+        "div (CAST(sum(n) AS DECIMAL(38,0)) * 2)").cast("long").as("ece_micro"))
+    bins.crossJoin(broadcast(ece))
+      .select("bin", "n", "n_pos", "frac_pos_micro", "avg_conf_micro",
+        "gap_micro", "ece_micro")
+      .orderBy("bin")
+  }
 }

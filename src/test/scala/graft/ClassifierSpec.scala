@@ -316,4 +316,45 @@ class ClassifierSpec extends AnyFunSuite with SparkSessionTestBase {
     assert(got.getLong(0) + got.getLong(1) === docs.count())
     assert(got.getDouble(10) > 0.5, "NB must beat chance on its own training labels")
   }
+
+  // ---- calibrationReport ----
+
+  test("calibrationReport bins by logit literals and snaps exact ratios") {
+    // hand-computed: sigmoid(-5)·1e6 rounds to 6693, sigmoid(0) to
+    // 500000 (score 0 lands in bin 5 — the logit(0.5)=0 boundary is
+    // inclusive), sigmoid(5) to 993307
+    val rows = Seq[(Long, Long, Int)](
+      (0L, -5000000L, 0), (1L, -5000000L, 0), (2L, -5000000L, 0),
+      (3L, -5000000L, 1),
+      (4L, 0L, 1), (5L, 0L, 0),
+      (6L, 5000000L, 1), (7L, 5000000L, 1))
+    val got = Classifier.calibrationReport(evalDf(rows))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+    // ece = half-up((4·243307 + 2·0 + 2·6693) / 8) = 123327
+    assert(got.toSet === Set(
+      (0, 4L, 1L, 250000L, 6693L, -243307L, 123327L),
+      (5, 2L, 1L, 500000L, 500000L, 0L, 123327L),
+      (9, 2L, 2L, 1000000L, 993307L, -6693L, 123327L)))
+    // empty bins are absent rows, not zero rows
+    assert(got.length === 3)
+    // repartition-invariance
+    val again = Classifier.calibrationReport(evalDf(rows).repartition(5))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(6)))
+    assert(again.map(t => (t._1, t._2)).toSet ===
+      got.map(t => (t._1, t._2)).toSet)
+    assert(again.forall(_._3 === 123327L))
+  }
+
+  test("calibrationReport: a perfectly calibrated score has near-zero gaps") {
+    // 100 docs at llr = logit(0.3): 30 positives → observed rate
+    // 300000 vs mean confidence 300000 ⇒ gap 0 in its bin
+    val llr = math.round(math.log(0.3 / 0.7) * 1e6)
+    val rows = (0 until 100).map(i => (i.toLong, llr, if (i < 30) 1 else 0))
+    val got = Classifier.calibrationReport(evalDf(rows)).collect()
+    assert(got.length === 1)
+    assert(got.head.getInt(0) === 3)
+    assert(math.abs(got.head.getLong(5)) <= 1L) // half-up snap wiggle
+    assert(got.head.getLong(6) <= 1L)
+  }
 }
