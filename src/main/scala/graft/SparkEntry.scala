@@ -1322,6 +1322,12 @@ object SparkEntry {
     // rows-only only because the oracle cannot express the iteration
     // (SQL forbids aggregates in recursive terms); pinned against an
     // independent local integer PageRank in spec
+    // triangle counts + clustering coefficients over the same
+    // co-purchase graph q_product_rank ranks — FULL oracle (the
+    // degree-ordered orientation and half-up cc snap replay in SQL)
+    "q_triangles" -> ((s, d) =>
+      operators.Graph.triangles(
+        Purchases.coPurchaseGraph(Tables.lineitem(s, d), minCount = 2L))),
     "q_product_rank" -> ((s, d) =>
       operators.Graph.pageRank(
         Purchases.coPurchaseGraph(Tables.lineitem(s, d), minCount = 2L))),
@@ -2181,6 +2187,33 @@ object SparkEntry {
          | ${m("products_on_sale * 100.0 / total_products")} AS sale_percentage,
          | categories_available, category_list
          |FROM supplier, a WHERE s_suppkey = 7""".stripMargin,
+    // the wedge join replays the degree-ordered orientation; SEMI JOIN
+    // closes wedges against the canonical undirected edge set
+    "q_triangles" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey AS okey, l_partkey FROM lineitem),
+        |e AS (SELECT a.l_partkey AS a, b.l_partkey AS b
+        | FROM items a JOIN items b ON a.okey = b.okey AND a.l_partkey < b.l_partkey
+        | GROUP BY 1, 2 HAVING count(*) >= 2),
+        |deg AS (SELECT node, count(*) AS degree FROM
+        | (SELECT a AS node FROM e UNION ALL SELECT b AS node FROM e)
+        | GROUP BY node),
+        |o AS (SELECT CASE WHEN da.degree <= db.degree THEN e.a ELSE e.b END AS u,
+        |             CASE WHEN da.degree <= db.degree THEN e.b ELSE e.a END AS v
+        | FROM e JOIN deg da ON da.node = e.a JOIN deg db ON db.node = e.b),
+        |w AS (SELECT e1.u AS u, e1.v AS x, e2.v AS y
+        | FROM o e1 JOIN o e2 ON e1.u = e2.u AND e1.v < e2.v),
+        |tr AS (SELECT u, x, y FROM w SEMI JOIN e ON e.a = w.x AND e.b = w.y),
+        |pn AS (SELECT node, count(*) AS n_triangles FROM
+        | (SELECT u AS node FROM tr UNION ALL SELECT x FROM tr
+        |  UNION ALL SELECT y FROM tr) GROUP BY node)
+        |SELECT deg.node, deg.degree,
+        | CAST(coalesce(pn.n_triangles, 0) AS BIGINT) AS n_triangles,
+        | CAST(CASE WHEN deg.degree < 2 THEN 0 ELSE
+        |  (CAST(coalesce(pn.n_triangles, 0) AS HUGEINT) * 4000000
+        |    + deg.degree * (deg.degree - 1))
+        |   // (CAST(deg.degree AS HUGEINT) * (deg.degree - 1) * 2)
+        |  END AS BIGINT) AS cc_micro
+        |FROM deg LEFT JOIN pn USING (node) ORDER BY deg.node""".stripMargin,
     "q_copurchase" ->
       """WITH items AS (SELECT DISTINCT l_orderkey AS okey, l_partkey FROM lineitem)
         |SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS n_orders

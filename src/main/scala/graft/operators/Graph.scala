@@ -175,4 +175,70 @@ object Graph {
         round(col("rank_micro").cast("double") / 1e6, 6))
       .orderBy(col("rank_micro").desc, col("node"))
   }
+
+  /** Triangle counts and local clustering coefficients over an
+    * undirected edge list (src, dst) — the cohesion complement to
+    * [[pageRank]]'s centrality (a product pair with a high clustering
+    * coefficient sits inside a dense basket community; a high-rank,
+    * low-cc node is a hub bridging communities).
+    *
+    * The scale device is DEGREE-ORDERED ORIENTATION (Chiba & Nishizeki
+    * 1985's compact-forward, the MapReduce posture of Suri &
+    * Vassilvitskii 2011): every edge points toward its higher-(degree,
+    * id) endpoint, so out-degree is bounded by O(√m) on any graph and
+    * the wedge self-join — the only quadratic-looking step — generates
+    * O(m^1.5) candidates worst-case instead of Σ deg² (a hub with a
+    * million neighbors emits NO wedges at its own key; its edges
+    * orient INTO it). Each triangle is found exactly once (its
+    * orientation-minimal apex), then exploded to its three corners for
+    * per-node counts. The closure probe is a LEFT SEMI join on the
+    * id-canonical undirected edge set — no fanout. cc = 2·Δ/(deg·(deg−1))
+    * reported as a half-up DECIMAL(38,0) micro snap ([[Classifier]]
+    * ratio posture), so the whole frame has a FULL DuckDB oracle.
+    *
+    * Output: (node, degree, n_triangles, cc_micro), every node of the
+    * deduplicated self-loop-free edge set present (degree-1 nodes at
+    * cc 0). */
+  def triangles(edges: DataFrame): DataFrame = {
+    // id-canonical undirected edge set: read by the degree count, both
+    // orientation joins, and the closure probe (localCheckpoint per
+    // the persistence contract)
+    val und = edges.select(
+        least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint()
+    val deg = und.select(col("a").as("node"))
+      .unionAll(und.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("degree"))
+    val oriented = und
+      .join(deg.select(col("node").as("a"), col("degree").as("da")), Seq("a"))
+      .join(deg.select(col("node").as("b"), col("degree").as("db")), Seq("b"))
+      .select(
+        when(col("da") <= col("db"), col("a")).otherwise(col("b")).as("u"),
+        when(col("da") <= col("db"), col("b")).otherwise(col("a")).as("v"))
+    // wedges at each apex u over its (bounded) out-neighborhood; the
+    // e1.v < e2.v canonical order IS und's (a < b) order, so the
+    // closure probe is a direct key match
+    val tris = oriented.as("e1")
+      .join(oriented.as("e2"),
+        col("e1.u") === col("e2.u") && col("e1.v") < col("e2.v"))
+      .select(col("e1.u").as("u"), col("e1.v").as("x"), col("e2.v").as("y"))
+      .join(und.select(col("a").as("x"), col("b").as("y")),
+        Seq("x", "y"), "left_semi")
+    val perNode = tris
+      .select(explode(array(col("u"), col("x"), col("y"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_triangles"))
+    deg.join(perNode, Seq("node"), "left")
+      .withColumn("n_triangles", coalesce(col("n_triangles"), lit(0L)))
+      .withColumn("cc_micro", expr(
+        """CASE WHEN degree < 2 THEN CAST(0 AS BIGINT) ELSE
+          | CAST((CAST(n_triangles AS DECIMAL(38,0)) * 4000000
+          |   + degree * (degree - 1))
+          |  div (CAST(degree AS DECIMAL(38,0)) * (degree - 1) * 2) AS BIGINT)
+          |END""".stripMargin))
+      .select("node", "degree", "n_triangles", "cc_micro")
+      .orderBy("node")
+  }
 }

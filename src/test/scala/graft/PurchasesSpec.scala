@@ -272,4 +272,31 @@ class PurchasesSpec extends AnyFunSuite with SparkSessionTestBase {
       .collect().map(_.toString).toSeq
     assert(e2 === f2)
   }
+
+  test("triangles counts K4 exactly, zeroes wedges, survives dirty edges") {
+    import spark.implicits._
+    // K4 on 1..4 (every node in 3 of its 4 triangles), a pendant 5 on
+    // node 1, and an open path 6-7-8 (wedge at 7, no closure); plus a
+    // reversed duplicate and a self-loop that normalization must drop
+    val k4 = for { a <- 1L to 4L; b <- (a + 1) to 4L } yield (a, b, 1L)
+    val edges = (k4 ++ Seq((1L, 5L, 1L), (6L, 7L, 1L), (7L, 8L, 1L),
+      (2L, 1L, 9L), (3L, 3L, 1L))).toDF("src", "dst", "w")
+    val got = operators.Graph.triangles(edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(got === Set(
+      (1L, 4L, 3L, 500000L),   // 2*3/(4*3) = 0.5
+      (2L, 3L, 3L, 1000000L), (3L, 3L, 3L, 1000000L),
+      (4L, 3L, 3L, 1000000L), // K4 members close every neighbor pair
+      (5L, 1L, 0L, 0L),
+      (6L, 1L, 0L, 0L), (7L, 2L, 0L, 0L), (8L, 1L, 0L, 0L)))
+    // repartition-invariance (orientation is a global total order)
+    val again = operators.Graph.triangles(edges.repartition(5))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(again === got)
+    // empty edges → empty output
+    val none = Seq.empty[(Long, Long, Long)].toDF("src", "dst", "w")
+    assert(operators.Graph.triangles(none).count() === 0)
+  }
 }
