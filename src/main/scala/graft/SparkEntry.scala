@@ -200,6 +200,22 @@ object SparkEntry {
   private val erIndexPaths =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), (Long, String)]
 
+  /** Persisted window-hash count index (Dedup.substringHashIndex over
+    * the seed half of the corpus) — the artifact the incremental
+    * exact-substring gate probes; fingerprint-keyed like every index. */
+  private val esIndexPaths =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), (Long, String)]
+
+  private[graft] def esIndexShared(s: SparkSession, d: String): DataFrame = {
+    val fp = tableFingerprint(s, d, "documents.parquet")
+    val path = artifactPath(esIndexPaths, s, d, fp, "graft_es_idx") { p =>
+      operators.Dedup.substringHashIndex(
+          Tables.documents(s, d).filter(col("doc_id") % 2 === 0))
+        .write.mode("overwrite").parquet(p)
+    }
+    s.read.parquet(path)
+  }
+
   private[graft] def erIndexShared(s: SparkSession, d: String): DataFrame = {
     val fp = tableFingerprint(s, d, "part.parquet")
     val path = artifactPath(erIndexPaths, s, d, fp, "graft_er_idx") { p =>
@@ -859,6 +875,14 @@ object SparkEntry {
     // text; FULL oracle
     "q_exact_substring_clean" -> ((s, d) =>
       Dedup.exactSubstringClean(Tables.documents(s, d))),
+    // the incremental face: odd doc_ids arrive as the batch, probe the
+    // PERSISTED window-hash index over the even seed — the oracle is
+    // the full-corpus spans SQL restricted to the batch, so the hash
+    // gate proves incremental == full THROUGH the serving path
+    "q_exact_substring_incremental" -> ((s, d) =>
+      Dedup.exactSubstringSpansAgainst(
+        Tables.documents(s, d).filter(col("doc_id") % 2 =!= 0),
+        esIndexShared(s, d))),
     "q_dup_provenance" -> ((s, d) => Dedup.dupProvenance(Tables.documents(s, d))),
     // two synthetic corpus versions carved from one table, scale-
     // proportional at every SF: 1/20 of docs added, 1/20 removed, 1/20
@@ -3035,6 +3059,33 @@ object SparkEntry {
         | FROM w),
         |dup AS (SELECT hh FROM h GROUP BY hh HAVING count(*) >= 2),
         |f AS (SELECT doc_id, pos FROM h WHERE hh IN (SELECT hh FROM dup)),
+        |g AS (SELECT doc_id, pos,
+        |  CASE WHEN lag(pos) OVER w2 IS NULL OR pos > lag(pos) OVER w2 + 15
+        |       THEN 1 ELSE 0 END AS new_span
+        | FROM f WINDOW w2 AS (PARTITION BY doc_id ORDER BY pos)),
+        |sp AS (SELECT doc_id, pos,
+        |  sum(new_span) OVER (PARTITION BY doc_id ORDER BY pos
+        |    ROWS UNBOUNDED PRECEDING) AS span_id
+        | FROM g)
+        |SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+        | CAST(max(pos) + 14 AS BIGINT) AS span_end,
+        | CAST(max(pos) - min(pos) + 15 AS BIGINT) AS span_words,
+        | count(*) AS n_windows
+        |FROM sp GROUP BY doc_id, span_id
+        |ORDER BY doc_id, span_start""".stripMargin,
+    // the FULL-corpus spans restricted to the batch half — duplicate
+    // counts still span the whole corpus, exactly what the served
+    // index + in-batch count must reproduce
+    "q_exact_substring_incremental" ->
+      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+        |w AS (SELECT doc_id, unnest(range(1, len(toks) - 15 + 2)) AS pos, toks
+        | FROM t WHERE len(toks) >= 15),
+        |h AS (SELECT doc_id, pos,
+        |  md5(array_to_string(list_slice(toks, pos, pos + 14), ' ')) AS hh
+        | FROM w),
+        |dup AS (SELECT hh FROM h GROUP BY hh HAVING count(*) >= 2),
+        |f AS (SELECT doc_id, pos FROM h
+        | WHERE hh IN (SELECT hh FROM dup) AND doc_id % 2 <> 0),
         |g AS (SELECT doc_id, pos,
         |  CASE WHEN lag(pos) OVER w2 IS NULL OR pos > lag(pos) OVER w2 + 15
         |       THEN 1 ELSE 0 END AS new_span

@@ -494,11 +494,11 @@ object Dedup {
     * cumulative-max needed). FULL DuckDB oracle through the whole
     * cascade (string_split / list_slice / md5 / the island sum agree
     * engine-for-engine). */
-  def exactSubstringSpans(
-      docs: DataFrame, windowWords: Int = 15, minCount: Long = 2L): DataFrame = {
-    require(windowWords >= 1, s"windowWords must be >= 1, got $windowWords")
-    require(minCount >= 2L, s"minCount must be >= 2, got $minCount")
-    val wins = docs
+  /** One row per overlapping window: (doc_id, pos, h) — the narrow
+    * codegen projection [[exactSubstringSpans]] /
+    * [[substringHashIndex]] / [[exactSubstringSpansAgainst]] share. */
+  private def substringWindows(docs: DataFrame, windowWords: Int): DataFrame =
+    docs
       .withColumn("toks", split(lower(col("text")), " ", -1))
       .filter(size(col("toks")) >= windowWords)
       .select(col("doc_id"), col("toks"),
@@ -506,10 +506,12 @@ object Dedup {
       .select(col("doc_id"), col("pos"),
         md5(concat_ws(" ", slice(col("toks"), col("pos"), lit(windowWords))))
           .as("h"))
-    val dup = wins.groupBy("h").agg(count(lit(1)).as("cnt"))
-      .filter(col("cnt") >= minCount)
-      .select("h")
-    val flagged = wins.join(dup, Seq("h"), "left_semi")
+
+  /** Flagged (doc_id, pos) windows → maximal merged spans (the lag +
+    * running-sum island pass; equal-length windows make the single-lag
+    * test exact). */
+  private def mergeFlaggedWindows(
+      flagged: DataFrame, windowWords: Int): DataFrame = {
     val byDoc = Window.partitionBy("doc_id").orderBy("pos")
     flagged
       .withColumn("new_span",
@@ -523,6 +525,57 @@ object Dedup {
       .withColumn("span_words", col("span_end") - col("span_start") + 1)
       .select("doc_id", "span_start", "span_end", "span_words", "n_windows")
       .orderBy("doc_id", "span_start")
+  }
+
+  def exactSubstringSpans(
+      docs: DataFrame, windowWords: Int = 15, minCount: Long = 2L): DataFrame = {
+    require(windowWords >= 1, s"windowWords must be >= 1, got $windowWords")
+    require(minCount >= 2L, s"minCount must be >= 2, got $minCount")
+    val wins = substringWindows(docs, windowWords)
+    val dup = wins.groupBy("h").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount)
+      .select("h")
+    mergeFlaggedWindows(wins.join(dup, Seq("h"), "left_semi"), windowWords)
+  }
+
+  /** The persistable window-hash count table (h, cnt) — the artifact
+    * an ingest gate probes so arriving documents get the FULL-corpus
+    * duplicated-substring verdict without re-hashing the corpus
+    * ([[exactSubstringSpansAgainst]]; the bm25Index / erIndex
+    * fingerprint-keyed-artifact convention). Corpus-token-sized build,
+    * duplicate-skew collapsed by the partial-combined count. */
+  def substringHashIndex(docs: DataFrame, windowWords: Int = 15): DataFrame = {
+    require(windowWords >= 1, s"windowWords must be >= 1, got $windowWords")
+    substringWindows(docs, windowWords)
+      .groupBy("h").agg(count(lit(1)).as("cnt"))
+  }
+
+  /** INCREMENTAL [[exactSubstringSpans]]: spans for an arriving BATCH
+    * against corpus ∪ batch, served from the persisted
+    * [[substringHashIndex]] — a batch window is duplicated iff its
+    * in-batch count plus its indexed corpus count reaches `minCount`,
+    * EXACTLY the full-corpus condition restricted to batch documents
+    * (the driver entry's oracle is literally the full-corpus SQL with
+    * a batch predicate — incremental == full, proven through serving).
+    * Batch-token-sized work: one partial-combined count over the batch
+    * windows, one hash-keyed LEFT join against the index, never a
+    * corpus re-hash. The batch window frame is localCheckpoint'd —
+    * it feeds both the count and the flag join, and a batch is
+    * delta-sized, so materializing beats tokenizing it twice (the
+    * full-corpus [[exactSubstringSpans]] makes the OPPOSITE call:
+    * its window frame is corpus-token-sized, so it streams the scan
+    * twice rather than persist it). */
+  def exactSubstringSpansAgainst(
+      batch: DataFrame, index: DataFrame,
+      windowWords: Int = 15, minCount: Long = 2L): DataFrame = {
+    require(windowWords >= 1, s"windowWords must be >= 1, got $windowWords")
+    require(minCount >= 2L, s"minCount must be >= 2, got $minCount")
+    val wins = substringWindows(batch, windowWords).localCheckpoint()
+    val dup = wins.groupBy("h").agg(count(lit(1)).as("bc"))
+      .join(index.select(col("h"), col("cnt")), Seq("h"), "left")
+      .filter(col("bc") + coalesce(col("cnt"), lit(0L)) >= minCount)
+      .select("h")
+    mergeFlaggedWindows(wins.join(dup, Seq("h"), "left_semi"), windowWords)
   }
 
   /** EXACT duplicated-substring REMOVAL — the transform half of

@@ -151,6 +151,8 @@ class EmptyInputSpec extends AnyFunSuite with SparkSessionTestBase {
     assert(Dedup.substringDupPairs(emptyDocs).count() === 0)
     assert(Dedup.exactSubstringSpans(emptyDocs).count() === 0)
     assert(Dedup.exactSubstringClean(emptyDocs).count() === 0)
+    assert(Dedup.exactSubstringSpansAgainst(emptyDocs,
+      Dedup.substringHashIndex(emptyDocs)).count() === 0)
     // quantized-ANN family: empty corpus → empty index, empty results
     assert(Similarity.sqIndex(emptyEmb).count() === 0)
     assert(Similarity.embedSqTopK(emptyEmb).count() === 0)

@@ -198,6 +198,46 @@ class LlmOpsSpec extends AnyFunSuite with SparkSessionTestBase {
     assert(t.length === 2)
   }
 
+  test("exactSubstringSpansAgainst equals the full recompute restricted to the batch") {
+    import spark.implicits._
+    val passage = (1 to 12).map(w => s"p$w").mkString(" ")
+    val seed = Seq(
+      (2L, "en", (1 to 7).map(w => s"a$w").mkString(" ") + " " + passage),
+      (4L, "en", (1 to 30).map(w => s"u$w").mkString(" ")),
+      // a seed-internal duplicate the batch must ALSO see through the
+      // index (count 2 already in the corpus)
+      (6L, "en", (1 to 10).map(w => s"q$w").mkString(" ")),
+      (8L, "en", (1 to 10).map(w => s"q$w").mkString(" ")))
+    val batch = Seq(
+      // duplicates a seed passage (index count 1 + batch count 1)
+      (1L, "en", (1 to 3).map(w => s"b$w").mkString(" ") + " " + passage),
+      // duplicates the seed-internal pair (index count 2, batch 1)
+      (3L, "en", (1 to 10).map(w => s"q$w").mkString(" ")),
+      // batch-internal pair, absent from the index entirely
+      (5L, "en", (1 to 9).map(w => s"r$w").mkString(" ")),
+      (7L, "en", (1 to 9).map(w => s"r$w").mkString(" ")),
+      (9L, "en", (1 to 20).map(w => s"v$w").mkString(" ")))
+    val all = (seed ++ batch).toDF("doc_id", "lang", "text")
+    val batchDf = batch.toDF("doc_id", "lang", "text")
+    val seedDf = seed.toDF("doc_id", "lang", "text")
+    // index round-trips through parquet like the persisted artifact
+    val dir = java.nio.file.Files.createTempDirectory("graft_es_idx_spec")
+    Dedup.substringHashIndex(seedDf, windowWords = 5)
+      .write.mode("overwrite").parquet(dir.toString)
+    val served = Dedup.exactSubstringSpansAgainst(
+        batchDf, spark.read.parquet(dir.toString), windowWords = 5)
+      .collect().map(_.toString).toSeq
+    val full = Dedup.exactSubstringSpans(all, windowWords = 5)
+      .filter(col("doc_id") % 2 =!= 0)
+      .collect().map(_.toString).toSeq
+    assert(served === full)
+    assert(served.nonEmpty) // all three duplicate modes must fire
+    // the batch-internal-only pair is flagged even with no index hit
+    assert(served.exists(_.startsWith("[5,")))
+    assert(served.exists(_.startsWith("[3,"))) // seed-pair mode
+    assert(served.exists(_.startsWith("[1,"))) // cross seed/batch mode
+  }
+
   test("exactSubstringClean keeps the owning occurrence and cuts the rest") {
     import spark.implicits._
     val passage = (1 to 12).map(w => s"p$w").mkString(" ")

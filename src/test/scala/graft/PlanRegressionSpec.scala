@@ -652,6 +652,18 @@ class PlanRegressionSpec extends AnyFunSuite with SparkSessionTestBase {
     assert(indexed === online)
   }
 
+  test("exact-substring incremental serving probes the hash index, one corpus scan") {
+    val p = plan("q_exact_substring_incremental")
+    // the seed half's window counts come from the persisted artifact
+    assert(p.contains("graft_es_idx"),
+      "serving must read the persisted window-hash index")
+    // the checkpointed batch windows are the ONLY documents-derived
+    // input — the seed documents are never re-hashed at serve time
+    assert(!p.contains("documents.parquet"),
+      "no live documents scan at serve time: the batch windows are " +
+        "checkpointed once, the seed rides the index")
+  }
+
   test("entity-match indexed serving reads the blocking artifact, never re-counts df") {
     val p = plan("q_entity_match_indexed")
     // the served plan walks the persisted token → canonical posting
