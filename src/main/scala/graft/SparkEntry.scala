@@ -1352,6 +1352,25 @@ object SparkEntry {
     "q_triangles" -> ((s, d) =>
       operators.Graph.triangles(
         Purchases.coPurchaseGraph(Tables.lineitem(s, d), minCount = 2L))),
+    // k-core membership (k = 2 and 3) over the same co-purchase graph
+    // — the graph-side curation feature (dense spam/boilerplate
+    // cliques survive deep cores); FULL oracle: the peel fixpoint
+    // replays as a recursive CTE whose recursion stops when the
+    // working level has no below-k node (a NULL sentinel row keeps
+    // the final level addressable when the core is EMPTY — the
+    // sf0.1 3-core)
+    "q_kcore" -> ((s, d) =>
+      operators.Graph.kCoreNest(
+        Purchases.coPurchaseGraph(Tables.lineitem(s, d), minCount = 2L),
+        Seq(2, 3))),
+    // full coreness decomposition (Batagelj & Zaversnik by successive
+    // peels — each phase peels the PREVIOUS core's shrunk frame);
+    // FULL oracle: 23 chained MATERIALIZED recursive CTEs, each
+    // seeding the next level's peel from the previous core
+    "q_coreness" -> ((s, d) =>
+      operators.Graph.coreness(
+        Purchases.coPurchaseGraph(Tables.lineitem(s, d), minCount = 2L),
+        maxK = 24)),
     "q_product_rank" -> ((s, d) =>
       operators.Graph.pageRank(
         Purchases.coPurchaseGraph(Tables.lineitem(s, d), minCount = 2L))),
@@ -1960,6 +1979,79 @@ object SparkEntry {
        |FROM documents ORDER BY doc_id""".stripMargin
   }
 
+  /** The co-purchase edge CTE shared by the k-core oracles (the
+    * q_triangles `e` frame: canonical a<b pairs seen in >= 2 orders). */
+  private val kcoreEdgeCte =
+    """e0 AS MATERIALIZED (
+      | WITH items AS (SELECT DISTINCT l_orderkey AS okey, l_partkey FROM lineitem)
+      | SELECT a.l_partkey AS a, b.l_partkey AS b
+      | FROM items a JOIN items b ON a.okey = b.okey AND a.l_partkey < b.l_partkey
+      | GROUP BY 1, 2 HAVING count(*) >= 2)""".stripMargin
+
+  /** One peel level as a recursive CTE pair: `name` iterates the
+    * below-k deletion from `src`'s edge set, `name_f` is the stable
+    * k-core. The recursion carries a NULL SENTINEL row per produced
+    * level so max(it) addresses the FINAL level even when the peel
+    * empties the graph (without it, an emptying step leaves max(it)
+    * at the last NON-empty level and the oracle would return a
+    * non-core); recursion stops when the working level has no node
+    * below k — the exact Spark-side fixpoint. MATERIALIZED `_f`
+    * blocks CTE inlining, which re-executes the whole upstream chain
+    * per reference (observed: file-handle exhaustion at 23 levels). */
+  private def kcorePeelSql(src: String, k: Int, name: String): String =
+    s"""$name AS (
+       | SELECT 0 AS it, a, b FROM $src
+       | UNION ALL
+       | SELECT it+1, a, b FROM (
+       |  SELECT p.it AS it, p.a AS a, p.b AS b FROM $name p
+       |  WHERE p.a IS NOT NULL
+       |   AND (SELECT count(*) FROM $name q WHERE q.it=p.it AND (q.a=p.a OR q.b=p.a)) >= $k
+       |   AND (SELECT count(*) FROM $name q WHERE q.it=p.it AND (q.a=p.b OR q.b=p.b)) >= $k
+       |  UNION ALL
+       |  SELECT DISTINCT s.it AS it, NULL AS a, NULL AS b FROM $name s) f
+       | WHERE EXISTS (SELECT 1 FROM (
+       |   SELECT n.node FROM (SELECT a AS node FROM $name WHERE a IS NOT NULL
+       |     UNION ALL SELECT b FROM $name WHERE a IS NOT NULL) n
+       |   GROUP BY n.node HAVING count(*) < $k) x)
+       |  AND it < 100
+       |), ${name}_f AS MATERIALIZED (
+       | SELECT a, b FROM $name
+       | WHERE it = (SELECT max(it) FROM $name) AND a IS NOT NULL)""".stripMargin
+
+  /** q_kcore: 2- and 3-core membership with within-core degrees (the
+    * 3-core peels from the 2-core — the k-core nest). */
+  private def kcoreOracleSql: String = {
+    val chain = Seq(kcoreEdgeCte, kcorePeelSql("e0", 2, "c2"),
+      kcorePeelSql("c2_f", 3, "c3")).mkString(",\n")
+    def lvl(k: Int) =
+      s"""SELECT CAST($k AS INTEGER) AS k, node, count(*) AS core_degree
+         |FROM (SELECT a AS node FROM c${k}_f UNION ALL SELECT b FROM c${k}_f)
+         |GROUP BY node""".stripMargin
+    s"""WITH RECURSIVE $chain
+       |SELECT k, node, CAST(core_degree AS BIGINT) AS core_degree
+       |FROM (${lvl(2)} UNION ALL ${lvl(3)})
+       |ORDER BY k, node""".stripMargin
+  }
+
+  /** q_coreness: chained successive peels to maxK=24 (each level
+    * seeds from the previous core); coreness = 1 + deepest level a
+    * node survives, 1 for nodes only in the raw edge set. */
+  private def corenessOracleSql: String = {
+    val maxK = 24
+    val chain = (kcoreEdgeCte +: (2 to maxK).map(k =>
+      kcorePeelSql(if (k == 2) "e0" else s"c${k - 1}_f", k, s"c$k"))).mkString(",\n")
+    val levels = (2 to maxK).map(k =>
+      s"""SELECT node, ${k - 1} AS lvl FROM
+         |(SELECT a AS node FROM c${k}_f UNION ALL SELECT b FROM c${k}_f) GROUP BY node""".stripMargin)
+      .mkString(" UNION ALL ")
+    s"""WITH RECURSIVE $chain,
+       |alln AS (SELECT DISTINCT a AS node FROM e0 UNION SELECT b FROM e0),
+       |lv AS ($levels)
+       |SELECT alln.node, CAST(coalesce(max(lv.lvl) + 1, 1) AS BIGINT) AS coreness
+       |FROM alln LEFT JOIN lv ON alln.node = lv.node
+       |GROUP BY alln.node ORDER BY alln.node""".stripMargin
+  }
+
   /** Full BM25 oracle over the driver's literal query set (shared by
     * the online and persisted-index forms — bit-equal by spec). */
   private def bm25OracleSql: String = {
@@ -2238,6 +2330,8 @@ object SparkEntry {
         |   // (CAST(deg.degree AS HUGEINT) * (deg.degree - 1) * 2)
         |  END AS BIGINT) AS cc_micro
         |FROM deg LEFT JOIN pn USING (node) ORDER BY deg.node""".stripMargin,
+    "q_kcore" -> kcoreOracleSql,
+    "q_coreness" -> corenessOracleSql,
     "q_copurchase" ->
       """WITH items AS (SELECT DISTINCT l_orderkey AS okey, l_partkey FROM lineitem)
         |SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS n_orders

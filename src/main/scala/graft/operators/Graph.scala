@@ -176,6 +176,140 @@ object Graph {
       .orderBy(col("rank_micro").desc, col("node"))
   }
 
+  /** The k-core of an undirected edge list (src, dst): the maximal
+    * subgraph in which every node has degree >= k (Seidman 1983) —
+    * the density complement to [[triangles]]' cohesion: a spam/SEO
+    * site cluster or a boilerplate-heavy co-purchase clique survives
+    * deep cores long after organic neighborhoods peel away, so core
+    * membership is a standard graph-side curation feature.
+    *
+    * Computed by the peeling fixpoint: repeatedly delete every node
+    * of degree < k until none remains. Each round is one degree
+    * aggregation plus two anti-joins on the bounded edge frame (the
+    * facts are touched only by whatever derived the edges — e.g.
+    * [[Purchases.coPurchaseGraph]]'s one basket pass), with lineage
+    * truncated per round; the per-round driver scalar is the bad-node
+    * count (the [[pageRank]] convergence-check posture). Rounds are
+    * data-bounded (each deletes >= 1 node), capped loudly at
+    * `maxRounds` — a silent cap would return a non-core.
+    *
+    * Output: (node, core_degree) for the k-core's nodes with their
+    * WITHIN-CORE degree, ordered by node; empty when the core is
+    * empty. The peel is order-independent (the k-core is unique), so
+    * the result is deterministic across partitionings. */
+  def kCore(edges: DataFrame, k: Int, maxRounds: Int = 200): DataFrame = {
+    require(k >= 1, s"kCore: k must be >= 1, got $k")
+    val core = peelToCore(canonicalUndirected(edges), k, maxRounds)
+    core.select(col("a").as("node"))
+      .unionAll(core.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("core_degree"))
+      .orderBy("node")
+  }
+
+  /** Stacked k-core memberships for an ASCENDING ladder of k values,
+    * peeling INCREMENTALLY: the (k+1)-core is a subgraph of the
+    * k-core, so each level peels the previous level's already-shrunk
+    * edge frame — the canonical undirected frame (and whatever join
+    * derived the raw edges) is built ONCE, where independent
+    * [[kCore]] calls would rebuild it per level (measured 7.9 → 4 s
+    * on the co-purchase entry). Result is identical to independent
+    * peels (the k-core is unique). Output: (k, node, core_degree)
+    * ordered by (k, node). */
+  def kCoreNest(edges: DataFrame, ks: Seq[Int], maxRounds: Int = 200): DataFrame = {
+    require(ks.nonEmpty && ks == ks.sorted && ks.head >= 1,
+      s"kCoreNest: ks must be a non-empty ascending ladder of ints >= 1, got $ks")
+    var cur = canonicalUndirected(edges)
+    val levels = ks.map { k =>
+      cur = peelToCore(cur, k, maxRounds)
+      cur.select(col("a").as("node"))
+        .unionAll(cur.select(col("b").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("core_degree"))
+        .withColumn("k", lit(k))
+    }
+    levels.reduce(_ unionByName _)
+      .select("k", "node", "core_degree")
+      .orderBy("k", "node")
+  }
+
+  /** Full coreness decomposition: coreness(v) = the largest k such
+    * that v sits in the k-core (Batagelj & Zaversnik 2003 computes it
+    * sequentially by bucket queues; the distributed posture is
+    * SUCCESSIVE PEELS — the (k+1)-core is a subgraph of the k-core,
+    * so each phase peels the PREVIOUS core's already-shrunk edge
+    * frame, never the full graph). Nodes dropped while peeling to the
+    * k-core were in the (k-1)-core but not the k-core: coreness k-1.
+    * Every node of the edge set has coreness >= 1 by construction.
+    *
+    * Phases stop when the surviving edge frame empties; `maxK` is a
+    * LOUD cap (an unexpectedly deep core raises instead of silently
+    * truncating the decomposition — the raise_error posture).
+    *
+    * Output: (node, coreness) over all nodes of the deduplicated
+    * self-loop-free edge set, ordered by node. */
+  def coreness(edges: DataFrame, maxK: Int = 64, maxRounds: Int = 200): DataFrame = {
+    require(maxK >= 2, s"coreness: maxK must be >= 2, got $maxK")
+    var cur = canonicalUndirected(edges)
+    val nodesOf = (e: DataFrame) =>
+      e.select(col("a").as("node")).unionAll(e.select(col("b").as("node"))).distinct()
+    val dropped = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    var k = 2
+    var curNodes = nodesOf(cur).localCheckpoint()
+    var empty = cur.isEmpty
+    while (!empty && k <= maxK) {
+      val next = peelToCore(cur, k, maxRounds)
+      val nextNodes = nodesOf(next).localCheckpoint()
+      dropped += curNodes.join(nextNodes, Seq("node"), "left_anti")
+        .withColumn("coreness", lit(k - 1).cast("long"))
+      cur = next
+      curNodes = nextNodes
+      empty = cur.isEmpty
+      k += 1
+    }
+    if (!empty)
+      throw new IllegalStateException(
+        s"coreness: a non-empty ${k - 1}-core remains past maxK=$maxK — raise maxK")
+    if (dropped.isEmpty)
+      // empty input graph: an empty (node, coreness) frame in the
+      // node column's own type
+      nodesOf(cur).withColumn("coreness", lit(0L)).limit(0)
+    else dropped.reduce(_ unionByName _).orderBy("node")
+  }
+
+  /** Canonical undirected edge set: (a < b), self-loop-free,
+    * deduplicated, lineage cut — the [[triangles]] normalization. */
+  private def canonicalUndirected(edges: DataFrame): DataFrame =
+    edges.select(
+        least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint()
+
+  /** Peel `und` (canonical a<b frame) to its k-core fixpoint. */
+  private def peelToCore(und: DataFrame, k: Int, maxRounds: Int): DataFrame = {
+    var cur = und
+    var rounds = 0
+    var stable = false
+    while (!stable) {
+      val deg = cur.select(col("a").as("node"))
+        .unionAll(cur.select(col("b").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+      val bad = deg.filter(col("deg") < k).select("node").localCheckpoint()
+      if (bad.isEmpty) stable = true
+      else {
+        rounds += 1
+        if (rounds > maxRounds)
+          throw new IllegalStateException(
+            s"kCore: $k-core peel not converged after $maxRounds rounds")
+        cur = cur
+          .join(bad.withColumnRenamed("node", "a"), Seq("a"), "left_anti")
+          .join(bad.withColumnRenamed("node", "b"), Seq("b"), "left_anti")
+          .localCheckpoint()
+      }
+    }
+    cur
+  }
+
   /** Triangle counts and local clustering coefficients over an
     * undirected edge list (src, dst) — the cohesion complement to
     * [[pageRank]]'s centrality (a product pair with a high clustering

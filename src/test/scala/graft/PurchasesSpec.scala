@@ -299,4 +299,87 @@ class PurchasesSpec extends AnyFunSuite with SparkSessionTestBase {
     val none = Seq.empty[(Long, Long, Long)].toDF("src", "dst", "w")
     assert(operators.Graph.triangles(none).count() === 0)
   }
+
+  // independent local k-core peel (the Batagelj-Zaversnik fixpoint by
+  // brute iteration) for pinning the distributed version
+  private def localCore(
+      edges: Seq[(Long, Long)], k: Int): Map[Long, Int] = {
+    var adj = edges.filter(e => e._1 != e._2)
+      .flatMap(e => Seq(
+        (math.min(e._1, e._2), math.max(e._1, e._2)))).distinct
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      .groupBy(_._1).map { case (n, es) => n -> es.map(_._2).toSet }
+    var changed = true
+    while (changed) {
+      val bad = adj.filter(_._2.size < k).keySet
+      changed = bad.nonEmpty
+      adj = (adj -- bad).map { case (n, ns) => n -> (ns -- bad) }
+    }
+    adj.map { case (n, ns) => n -> ns.size }
+  }
+
+  private def localCoreness(edges: Seq[(Long, Long)]): Map[Long, Int] = {
+    val nodes = edges.filter(e => e._1 != e._2)
+      .flatMap(e => Seq(e._1, e._2)).toSet
+    nodes.map { n =>
+      n -> Iterator.from(1).takeWhile(k => localCore(edges, k).contains(n)).length
+    }.toMap
+  }
+
+  test("kCore peels to the exact fixpoint; coreness matches the local mirror") {
+    import spark.implicits._
+    // chain 1-2-3-4 (coreness 1), triangle 5-6-7 with pendant 8
+    // (triangle coreness 2), K4 on 10..13 (coreness 3); dirty input:
+    // a reversed duplicate and a self-loop
+    val raw = Seq((1L, 2L), (2L, 3L), (3L, 4L), (5L, 6L), (6L, 7L),
+      (5L, 7L), (5L, 8L), (10L, 11L), (10L, 12L), (10L, 13L),
+      (11L, 12L), (11L, 13L), (12L, 13L), (2L, 1L), (6L, 6L))
+    val edges = raw.map { case (a, b) => (a, b, 1L) }.toDF("src", "dst", "w")
+    def coreSet(k: Int) = operators.Graph.kCore(edges, k)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(coreSet(2) === Map(5L -> 2L, 6L -> 2L, 7L -> 2L,
+      10L -> 3L, 11L -> 3L, 12L -> 3L, 13L -> 3L))
+    assert(coreSet(3) === Map(10L -> 3L, 11L -> 3L, 12L -> 3L, 13L -> 3L))
+    assert(coreSet(4) === Map.empty) // K4 is not a 4-core
+    val cn = operators.Graph.coreness(edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(cn === localCoreness(raw).map { case (n, c) => n -> c.toLong })
+    // repartition invariance (the k-core is unique)
+    assert(operators.Graph.coreness(edges.repartition(7))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap === cn)
+  }
+
+  test("kCore and coreness agree with the local mirror on a random graph") {
+    import spark.implicits._
+    // deterministic pseudo-random graph: quadratic-residue style pairs
+    val raw = (0 until 260).map { i =>
+      val a = (i * i * 7 + 3) % 40; val b = (i * 13 + i * i * 5) % 40
+      (a.toLong, b.toLong)
+    }.filter(e => e._1 != e._2)
+    val edges = raw.map { case (a, b) => (a, b, 1L) }.toDF("src", "dst", "w")
+    val mirror = localCoreness(raw).map { case (n, c) => n -> c.toLong }
+    val got = operators.Graph.coreness(edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got === mirror)
+    // membership consistency: kCore(k) node set == {coreness >= k},
+    // and each reported core degree matches the local peel's
+    for (k <- 2 to got.values.max.toInt) {
+      val dist = operators.Graph.kCore(edges, k)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(dist.keySet === mirror.filter(_._2 >= k).keySet)
+      assert(dist === localCore(raw, k).map { case (n, d) => n -> d.toLong })
+    }
+    // the incremental nest equals independent peels, level by level
+    val nest = operators.Graph.kCoreNest(edges, Seq(2, 3, 4))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    val indep = Seq(2, 3, 4).flatMap(k =>
+      operators.Graph.kCore(edges, k).collect()
+        .map(r => (k, r.getLong(0), r.getLong(1)))).toSet
+    assert(nest === indep)
+    // empty input → empty frames
+    val none = Seq.empty[(Long, Long, Long)].toDF("src", "dst", "w")
+    assert(operators.Graph.kCore(none, 2).count() === 0)
+    assert(operators.Graph.coreness(none).count() === 0)
+    assert(operators.Graph.kCoreNest(none, Seq(2, 3)).count() === 0)
+  }
 }
