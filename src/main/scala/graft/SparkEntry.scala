@@ -922,6 +922,11 @@ object SparkEntry {
     // the rollup plan unions tiny blobs, no corpus scan.
     "q_sketch_rollup" -> ((s, d) =>
       operators.Sketches.sketchRollup(sketchIndexShared(s, d))),
+    // pairwise source-overlap matrix by HLL inclusion–exclusion over
+    // the SAME persisted partials (rows-only for the q_sketch_rollup
+    // reason; tracks exact intersections within tolerance in spec)
+    "q_source_overlap" -> ((s, d) =>
+      operators.Sketches.sketchOverlap(sketchIndexShared(s, d))),
     // quantile rollup from the persisted EXACT histogram partials —
     // integer-rational ranks, so the merged quantiles hash-match the
     // direct recompute (the oracle): merge == full, proven per row
@@ -1464,6 +1469,14 @@ object SparkEntry {
     "q_decontaminate" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       Curation.flagContaminated(
+        docs.filter(col("doc_id") >= 25), docs.filter(col("doc_id") < 25), n = 5)
+    }),
+    // GRADED contamination: per-doc distinct-gram overlap FRACTION
+    // (the GPT-3 appendix-C dirtiness measure) where q_decontaminate
+    // gives only the binary verdict; half-up micro snap → FULL oracle
+    "q_contamination_overlap" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Curation.contaminationOverlap(
         docs.filter(col("doc_id") >= 25), docs.filter(col("doc_id") < 25), n = 5)
     }),
     "q_decontaminate_bloom" -> ((s, d) => {
@@ -3721,6 +3734,24 @@ object SparkEntry {
         | coalesce(hits.n, 0) > 0 AS contaminated
         |FROM (SELECT doc_id FROM documents WHERE doc_id >= 25) b
         |LEFT JOIN hits USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+    "q_contamination_overlap" ->
+      """WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+        |g AS (SELECT doc_id, list_distinct(list_transform(range(1, len(w)-3),
+        |   i -> w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||w[i+4])) AS grams
+        | FROM d WHERE len(w) >= 5),
+        |bg AS (SELECT DISTINCT unnest(grams) AS gr FROM g WHERE doc_id < 25),
+        |dg AS (SELECT doc_id, unnest(grams) AS gr FROM g WHERE doc_id >= 25),
+        |per AS (SELECT dg.doc_id, count(*) AS n_grams, count(bg.gr) AS n_overlap
+        | FROM dg LEFT JOIN bg USING (gr) GROUP BY dg.doc_id)
+        |SELECT b.doc_id,
+        | CAST(coalesce(per.n_grams, 0) AS BIGINT) AS n_grams,
+        | CAST(coalesce(per.n_overlap, 0) AS BIGINT) AS n_overlap,
+        | CAST(CASE WHEN coalesce(per.n_grams, 0) = 0 THEN 0
+        |  ELSE (per.n_overlap * 2000000 + per.n_grams) // (per.n_grams * 2)
+        |  END AS BIGINT) AS overlap_micro
+        |FROM (SELECT doc_id FROM documents WHERE doc_id >= 25) b
+        |LEFT JOIN per USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
     // composed from the exact formulations of q_lang_id /
     // q_token_count / q_quality_score / q_repetition plus an exact-dup

@@ -451,6 +451,42 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** GRADED contamination: per-doc fraction of its DISTINCT word
+    * n-grams that appear anywhere in the benchmark set — the overlap
+    * measure the GPT-3 appendix-C "dirtiness" analysis reports (a doc
+    * quoting one eval question is a different animal from a doc that
+    * IS one), where [[flagContaminated]] only gives the binary
+    * verdict. The ratio snaps half-up to integer micros (the
+    * Classifier ratio posture) so the report has a FULL DuckDB
+    * oracle; docs shorter than n words report 0/0 → 0.
+    *
+    * Same join shape as the flag form: benchmark grams hash-distinct
+    * and broadcast, one corpus scan, per-doc counts. Output:
+    * (doc_id, n_grams, n_overlap, overlap_micro) ordered by doc_id. */
+  def contaminationOverlap(
+      docs: DataFrame, benchmark: DataFrame, n: Int = 8): DataFrame = {
+    graft.functions.VectorFunctions.register(docs.sparkSession)
+    def grams(df: DataFrame) = df
+      .withColumn("w", split(lower(col("text")), " ", -1))
+      .filter(size(col("w")) >= n)
+      .select(col("doc_id"), explode(expr(s"graft_grams(w, $n, true)")).as("gh"))
+    val benchGrams = grams(benchmark).select("gh").distinct()
+    val per = grams(docs)
+      .join(broadcast(benchGrams).withColumn("hit", lit(1L)), Seq("gh"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_overlap"))
+    docs.select("doc_id")
+      .join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"))
+      .withColumn("overlap_micro", expr(
+        """CASE WHEN n_grams = 0 THEN CAST(0 AS BIGINT)
+          | ELSE (n_overlap * 2000000 + n_grams) div (n_grams * 2) END""".stripMargin))
+      .orderBy("doc_id")
+  }
+
   /** END-TO-END corpus construction: one call takes a raw document
     * table to a per-document training disposition — the operator a
     * pipeline runs nightly to BUILD the corpus, composed entirely

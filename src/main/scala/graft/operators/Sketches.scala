@@ -62,6 +62,39 @@ object Sketches {
   def sketchDistinct(docs: DataFrame, lgK: Int = 12): DataFrame =
     sketchRollup(sketchPartials(docs, lgK))
 
+  /** Pairwise SOURCE-OVERLAP matrix from the same persisted HLL
+    * partials — the curation question behind source mixing ("how much
+    * of source B's vocabulary is already in A?") answered by sketch
+    * algebra alone: HLL unions are exact over sketches, so
+    * |A∩B| ≈ est(A) + est(B) − est(A∪B) (inclusion–exclusion; the
+    * standard HLL intersection estimator, error ~1.04/√2^lgK on each
+    * term). No corpus rescan: the join is |sources|² sketch blobs.
+    *
+    * The raw I−E difference of three estimates can dip below 0 on
+    * near-disjoint sources; it clamps to 0 (and the Jaccard micro
+    * snap to [0, 1e6]) — the spec asserts the clamped estimates track
+    * exact intersections within sketch tolerance. Output: one row per
+    * unordered source pair (source_a < source_b) with both per-source
+    * estimates, the union/intersection estimates, and
+    * jaccard_micro. */
+  def sketchOverlap(partials: DataFrame): DataFrame = {
+    val a = partials.select(col("source").as("source_a"), col("sk").as("sk_a"))
+    val b = partials.select(col("source").as("source_b"), col("sk").as("sk_b"))
+    a.join(broadcast(b), col("source_a") < col("source_b"))
+      .select(col("source_a"), col("source_b"),
+        hll_sketch_estimate(col("sk_a")).as("est_a"),
+        hll_sketch_estimate(col("sk_b")).as("est_b"),
+        hll_sketch_estimate(hll_union(col("sk_a"), col("sk_b"))).as("est_union"))
+      .withColumn("est_intersect",
+        greatest(lit(0L), col("est_a") + col("est_b") - col("est_union")))
+      .withColumn("jaccard_micro", expr(
+        """CASE WHEN est_union <= 0 THEN CAST(0 AS BIGINT)
+          | ELSE least(CAST(1000000 AS BIGINT),
+          |   (est_intersect * 2000000 + est_union) div (est_union * 2)) END"""
+          .stripMargin))
+      .orderBy("source_a", "source_b")
+  }
+
   // ---- Mergeable integer histograms → quantile rollups --------------
 
   /** Per-(source, bin) token-count histogram partial — the mergeable

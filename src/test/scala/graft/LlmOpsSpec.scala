@@ -1683,6 +1683,39 @@ class LlmOpsSpec extends AnyFunSuite with SparkSessionTestBase {
       (r.getAs[Long]("n_contaminated_grams") > 0) == r.getAs[Boolean]("contaminated")))
   }
 
+  test("contaminationOverlap grades per-doc overlap against a local mirror") {
+    import spark.implicits._
+    val bench = Seq((1L, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val docs = Seq(
+      // contains both benchmark 5-grams (6 words → 2 grams, 2 hits)
+      (10L, "alpha beta gamma delta epsilon zeta"),
+      // one of its three grams is a benchmark gram
+      (11L, "x alpha beta gamma delta epsilon y"),
+      // no overlap
+      (12L, "one two three four five six"),
+      // too short for any 5-gram
+      (13L, "tiny doc")).toDF("doc_id", "text")
+    val out = Curation.contaminationOverlap(docs, bench, n = 5)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out === Map(
+      10L -> ((2L, 2L, 1000000L)),
+      11L -> ((3L, 1L, 333333L)), // half-up of 1/3 micro
+      12L -> ((2L, 0L, 0L)),
+      13L -> ((0L, 0L, 0L))))
+    // consistency with the binary flag on the shared fixture
+    val all = Tables.documents(spark, docDir)
+    val graded = Curation.contaminationOverlap(
+      all.filter(col("doc_id") >= 25), all.filter(col("doc_id") < 25), n = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val flags = Curation.flagContaminated(
+      all.filter(col("doc_id") >= 25), all.filter(col("doc_id") < 25), n = 5)
+      .collect().map(r => r.getLong(0) -> r.getAs[Boolean]("contaminated")).toMap
+    assert(graded.keySet === flags.keySet)
+    graded.foreach { case (id, ov) => assert((ov > 0) === flags(id)) }
+  }
+
   test("langId predicts deterministically with scores present") {
     val df = TextAnalysis.langId(Tables.documents(spark, docDir))
     val rows = df.collect()

@@ -88,6 +88,42 @@ class SkewAndApproxSpec extends AnyFunSuite with SparkSessionTestBase {
     assert(served.map(_.toString).toSeq === rollup.map(_.toString).toSeq)
   }
 
+  test("sketchOverlap tracks exact pairwise intersections within HLL tolerance") {
+    import graft.operators.Sketches
+    val docs = Tables.documents(spark, sfDir)
+    val partials = Sketches.sketchPartials(docs)
+    val out = Sketches.sketchOverlap(partials).collect()
+    val srcs = docs.select("source").distinct().collect()
+      .map(_.getString(0)).sorted
+    // one row per unordered pair, canonically ordered
+    assert(out.map(r => (r.getString(0), r.getString(1))).toSeq ===
+      (for { a <- srcs; b <- srcs if a < b } yield (a, b)).toSeq)
+    val tokens = docs
+      .select(col("source"), explode(split(lower(col("text")), " ", -1)).as("t"))
+      .select("source", "t").distinct().collect()
+      .groupBy(_.getString(0)).map { case (s, rs) => s -> rs.map(_.getString(1)).toSet }
+    out.foreach { r =>
+      val (a, b) = (r.getString(0), r.getString(1))
+      val exactI = (tokens(a) intersect tokens(b)).size.toDouble
+      val exactU = (tokens(a) union tokens(b)).size.toDouble
+      val estI = r.getAs[Long]("est_intersect").toDouble
+      val estU = r.getAs[Long]("est_union").toDouble
+      // union: direct HLL estimate, ~1.6% @ lgK=12 — assert 5%;
+      // intersection: I-E compounds three estimates — assert 15% of
+      // the UNION size (the estimator's natural error scale)
+      assert(math.abs(estU - exactU) / exactU < 0.05, s"$a/$b union")
+      assert(math.abs(estI - exactI) / exactU < 0.15, s"$a/$b intersect")
+      val jac = r.getAs[Long]("jaccard_micro")
+      assert(jac >= 0L && jac <= 1000000L)
+      assert(math.abs(jac / 1e6 - exactI / exactU) < 0.15, s"$a/$b jaccard")
+    }
+    // serving from parquet-round-tripped partials is identical
+    val dir = java.nio.file.Files.createTempDirectory("hll_ov").toString
+    partials.write.mode("overwrite").parquet(dir)
+    assert(Sketches.sketchOverlap(spark.read.parquet(dir)).collect()
+      .map(_.toString).toSeq === out.map(_.toString).toSeq)
+  }
+
   test("histQuantiles from merged partials equal exact rank statistics") {
     import graft.operators.Sketches
     val docs = Tables.documents(spark, sfDir)
