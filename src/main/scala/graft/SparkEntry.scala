@@ -745,6 +745,16 @@ object SparkEntry {
     "q_profile_observations" -> ((s, d) =>
       Etl.profileColumns(Tables.lineitem(s, d),
         Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))),
+    // declarative data-quality constraint verification (the Deequ
+    // posture) — ONE battery list drives both this run and the
+    // generated oracle; the (l_orderkey, l_linenumber) uniqueness row
+    // FAILS on the synthetic data by design (a verdict table where
+    // every row passes never proves the violation counter works)
+    "q_expectations" -> ((s, d) =>
+      operators.Expectations.verify(
+        Map("lineitem" -> Tables.lineitem(s, d), "orders" -> Tables.orders(s, d),
+          "customer" -> Tables.customer(s, d), "part" -> Tables.part(s, d)),
+        expectationChecks)),
     "q_dedup_exact" -> ((s, d) => Etl.dedupExactReplay(Tables.lineitem(s, d))),
     "q_latest_per_key" -> ((s, d) => Etl.latestPerKey(Tables.lineitem(s, d))),
     "q_scd_price_changes" -> ((s, d) => Etl.priceChanges(Tables.lineitem(s, d))),
@@ -1992,6 +2002,69 @@ object SparkEntry {
        |FROM documents ORDER BY doc_id""".stripMargin
   }
 
+  /** q_expectations' declarative battery — pure data, so ONE list is
+    * the single source of truth for the Spark run AND the generated
+    * DuckDB oracle (labels and counts must agree bit-for-bit). */
+  private val expectationChecks: Seq[(String, operators.Expectations.Check)] = {
+    import operators.Expectations.Check._
+    Seq(
+      "lineitem" -> NotNull("l_orderkey"),
+      "lineitem" -> Unique(Seq("l_orderkey", "l_linenumber")),
+      "lineitem" -> InRange("l_quantity", 1.0, 50.0),
+      "lineitem" -> InRange("l_discount", 0.0, 0.1),
+      "lineitem" -> ForeignKey("l_partkey", "part", "p_partkey"),
+      "lineitem" -> ForeignKey("l_orderkey", "orders", "o_orderkey"),
+      "orders" -> ForeignKey("o_custkey", "customer", "c_custkey"),
+      "orders" -> AcceptedValues("o_orderstatus", Seq("F", "O", "P")),
+      "orders" -> Unique(Seq("o_orderkey")),
+      "customer" -> NotNull("c_mktsegment"),
+      "part" -> InRange("p_size", 1.0, 50.0),
+      "part" -> Unique(Seq("p_partkey")))
+  }
+
+  /** q_expectations' oracle: each check's exact counters re-derived in
+    * SQL from the same battery (labels via the shared
+    * [[operators.Expectations.label]]). */
+  private def expectationsOracleSql: String = {
+    import operators.Expectations.Check._
+    val selects = expectationChecks.zipWithIndex.map { case ((t, c), i) =>
+      val head = s"SELECT ${i + 1} AS check_seq, '$t' AS table_name, " +
+        s"'${operators.Expectations.label(c)}' AS \"constraint\""
+      c match {
+        case NotNull(col0) =>
+          s"""$head, CAST(count(*) AS BIGINT) AS n_checked,
+             | CAST(count(*) - count($col0) AS BIGINT) AS n_violations FROM $t""".stripMargin
+        case InRange(col0, lo, hi) =>
+          s"""$head, CAST(count($col0) AS BIGINT) AS n_checked,
+             | CAST(coalesce(sum(CASE WHEN $col0 IS NOT NULL AND ($col0 < $lo OR $col0 > $hi)
+             |  THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_violations FROM $t""".stripMargin
+        case AcceptedValues(col0, vs) =>
+          val list = vs.map(v => s"'$v'").mkString(", ")
+          s"""$head, CAST(count($col0) AS BIGINT) AS n_checked,
+             | CAST(coalesce(sum(CASE WHEN $col0 IS NOT NULL AND $col0 NOT IN ($list)
+             |  THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_violations FROM $t""".stripMargin
+        case Unique(cols) =>
+          val nn = cols.map(c0 => s"$c0 IS NOT NULL").mkString(" AND ")
+          val dk =
+            if (cols.size == 1) s"count(DISTINCT ${cols.head})"
+            else s"count(DISTINCT CASE WHEN $nn THEN row(${cols.mkString(", ")}) END)"
+          s"""$head,
+             | CAST(coalesce(sum(CASE WHEN $nn THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_checked,
+             | CAST(coalesce(sum(CASE WHEN $nn THEN 1 ELSE 0 END), 0) - $dk AS BIGINT)
+             |  AS n_violations FROM $t""".stripMargin
+        case ForeignKey(col0, pn, pc) =>
+          s"""$head,
+             | CAST((SELECT count(*) FROM $t WHERE $col0 IS NOT NULL) AS BIGINT) AS n_checked,
+             | CAST((SELECT count(*) FROM $t ch WHERE ch.$col0 IS NOT NULL AND NOT EXISTS
+             |  (SELECT 1 FROM $pn p WHERE p.$pc = ch.$col0)) AS BIGINT) AS n_violations""".stripMargin
+      }
+    }
+    s"""SELECT check_seq, table_name, "constraint", n_checked, n_violations,
+       | n_violations = 0 AS passed
+       |FROM (${selects.mkString("\nUNION ALL\n")})
+       |ORDER BY check_seq""".stripMargin
+  }
+
   /** The co-purchase edge CTE shared by the k-core oracles (the
     * q_triangles `e` frame: canonical a<b pairs seen in >= 2 orders). */
   private val kcoreEdgeCte =
@@ -2345,6 +2418,7 @@ object SparkEntry {
         |FROM deg LEFT JOIN pn USING (node) ORDER BY deg.node""".stripMargin,
     "q_kcore" -> kcoreOracleSql,
     "q_coreness" -> corenessOracleSql,
+    "q_expectations" -> expectationsOracleSql,
     "q_copurchase" ->
       """WITH items AS (SELECT DISTINCT l_orderkey AS okey, l_partkey FROM lineitem)
         |SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS n_orders

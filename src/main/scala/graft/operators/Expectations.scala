@@ -1,0 +1,142 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Declarative data-quality constraint verification — the Deequ /
+  * Great-Expectations layer (Schelter et al., VLDB 2018: "Automating
+  * large-scale data quality verification") on top of
+  * [[Etl.profileColumns]]' statistics: a pipeline DECLARES the
+  * invariants a load must satisfy (keys unique, FKs resolve, values
+  * in range) and publishes a pass/fail verdict table with exact
+  * violation counts, instead of every consumer re-discovering breakage
+  * downstream.
+  *
+  * Reference scope: the reference trusts its loader (tables.sql
+  * declares PKs; products.py assumes clean rows) — this operator is
+  * that trust made checkable at 100 TB.
+  *
+  * Every verdict is an EXACT integer count, so the whole report has a
+  * full DuckDB oracle. Spark shape: all scalar checks against one
+  * table fold into ONE aggregation pass over one scan (conditional
+  * sums unpivoted with `stack`, the profileColumns posture);
+  * [[Check.Unique]] adds a distinct aggregate and [[Check.ForeignKey]]
+  * one anti-join against the (usually broadcastable) parent key set —
+  * no check ever shuffles fact rows beyond its own aggregate. */
+object Expectations {
+
+  sealed trait Check
+  object Check {
+    /** Column must hold no NULLs; n_checked = table rows. */
+    final case class NotNull(column: String) extends Check
+
+    /** Non-null values must fall in [lo, hi] (inclusive); NULL rows
+      * are [[NotNull]]'s business and are not checked here. */
+    final case class InRange(column: String, lo: Double, hi: Double) extends Check
+
+    /** Non-null values must be one of `values`. */
+    final case class AcceptedValues(column: String, values: Seq[String]) extends Check
+
+    /** The key columns must identify rows uniquely; rows with a NULL
+      * key component are not checked. Violations = rows beyond the
+      * first per duplicated key. */
+    final case class Unique(columns: Seq[String]) extends Check
+
+    /** Every non-null child value must exist in the parent key set
+      * (referential integrity). The parent is referenced BY NAME so a
+      * check battery is pure data (one declaration drives both the
+      * Spark run and an engine-twin SQL generation); [[verify]]
+      * resolves the frame from its table map. */
+    final case class ForeignKey(
+        column: String, parentName: String, parentColumn: String) extends Check
+  }
+  import Check._
+
+  /** Human-readable constraint label (the verdict's identity — also
+    * what the DuckDB oracle reproduces, so keep it deterministic). */
+  def label(c: Check): String = c match {
+    case NotNull(col0) => s"not_null($col0)"
+    case InRange(col0, lo, hi) => s"in_range($col0,$lo,$hi)"
+    case AcceptedValues(col0, vs) => s"accepted_values($col0,${vs.mkString("|")})"
+    case Unique(cols) => s"unique(${cols.mkString(",")})"
+    case ForeignKey(col0, pn, pc) => s"foreign_key($col0->$pn.$pc)"
+  }
+
+  /** Verify a battery of checks, each against a named table from
+    * `tables` (ForeignKey parents resolve from the same map). Output:
+    * one row per check in declaration order —
+    * (check_seq, table_name, constraint, n_checked, n_violations,
+    * passed) — ordered by check_seq. */
+  def verify(
+      tables: Map[String, DataFrame], checks: Seq[(String, Check)]): DataFrame = {
+    require(checks.nonEmpty, "verify needs at least one check")
+    checks.foreach { case (t, c) =>
+      require(tables.contains(t), s"verify: unknown table '$t'")
+      c match {
+        case ForeignKey(_, pn, _) =>
+          require(tables.contains(pn), s"verify: unknown FK parent '$pn'")
+        case _ => ()
+      }
+    }
+    // aggregate-expressible checks (everything but FK) fold into ONE
+    // aggregation pass per table: (nc_i, nv_i) column pairs unpivoted
+    // to verdict rows with `stack` — the profileColumns posture; a
+    // per-check .agg would rescan the fact table once per constraint
+    def ncNv(c: Check): (Column, Column) = c match {
+      case NotNull(col0) =>
+        (count(lit(1)), count(lit(1)) - count(col(col0)))
+      case InRange(col0, lo, hi) =>
+        (count(col(col0)),
+          sum(when(col(col0).isNotNull &&
+            (col(col0) < lo || col(col0) > hi), 1L).otherwise(0L)))
+      case AcceptedValues(col0, vs) =>
+        (count(col(col0)),
+          sum(when(col(col0).isNotNull && !col(col0).isin(vs: _*), 1L)
+            .otherwise(0L)))
+      case Unique(cols) =>
+        // count(DISTINCT a, b, ...) skips any-NULL rows in BOTH Spark
+        // and DuckDB — consistent with the nn-gated n_checked
+        val nn = cols.map(col(_).isNotNull).reduce(_ && _)
+        (sum(when(nn, 1L).otherwise(0L)),
+          sum(when(nn, 1L).otherwise(0L)) -
+            countDistinct(col(cols.head), cols.tail.map(col): _*))
+      case _: ForeignKey =>
+        throw new IllegalStateException("ForeignKey is not aggregate-expressible")
+    }
+    val indexed = checks.zipWithIndex
+    val scalarFrames = indexed
+      .filter { case ((_, c), _) => !c.isInstanceOf[ForeignKey] }
+      .groupBy { case ((t, _), _) => t }
+      .toSeq.sortBy(_._2.head._2) // deterministic frame order
+      .map { case (tname, items) =>
+        val aggCols = items.flatMap { case ((_, c), i) =>
+          val (nc, nv) = ncNv(c)
+          // both sides coalesce: sum() over an empty table is NULL
+          Seq(coalesce(nc.cast("long"), lit(0L)).as(s"nc_$i"),
+            coalesce(nv.cast("long"), lit(0L)).as(s"nv_$i"))
+        }
+        val stackArgs = items.map { case ((t, c), i) =>
+          s"${i + 1}, '$t', '${label(c)}', nc_$i, nv_$i" }.mkString(", ")
+        tables(tname).agg(aggCols.head, aggCols.tail: _*)
+          .selectExpr(s"stack(${items.size}, $stackArgs) AS " +
+            "(check_seq, table_name, `constraint`, n_checked, n_violations)")
+      }
+    val fkFrames = indexed.collect { case ((tname, fk: ForeignKey), i) =>
+      // orphan count by anti-join against the distinct parent keys
+      // (broadcast when small; AQE handles a genuinely large side)
+      val child = tables(tname).select(col(fk.column).as("__fk"))
+        .filter(col("__fk").isNotNull)
+      val orphans = child.join(
+        tables(fk.parentName).select(col(fk.parentColumn).as("__fk")).distinct(),
+        Seq("__fk"), "left_anti")
+      child.agg(count(lit(1)).as("n_checked"))
+        .crossJoin(orphans.agg(count(lit(1)).as("n_violations")))
+        .select(lit(i + 1).as("check_seq"), lit(tname).as("table_name"),
+          lit(label(fk)).as("constraint"),
+          col("n_checked"), col("n_violations"))
+    }
+    (scalarFrames ++ fkFrames).reduce(_ unionByName _)
+      .withColumn("passed", col("n_violations") === 0L)
+      .orderBy("check_seq")
+  }
+}

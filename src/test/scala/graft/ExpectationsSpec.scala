@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Expectations
+import graft.operators.Expectations.Check._
+
+/** [[graft.operators.Expectations]] — declarative constraint
+  * verification: exact violation counters per check type, declaration
+  * ordering, and the one-aggregation-per-table shape. */
+class ExpectationsSpec extends AnyFunSuite with SparkSessionTestBase {
+
+  test("each check type counts violations exactly") {
+    import spark.implicits._
+    val child = Seq(
+      (Some(1L), Some(1), 5.0, "A"),  // clean
+      (Some(1L), Some(1), 5.0, "A"),  // duplicate key of row 1
+      (Some(2L), Some(1), -1.0, "B"), // below range
+      (Some(3L), Some(2), 99.0, "C"), // above range, value C not accepted
+      (None, Some(3), 5.0, "A"),      // null id (skipped by range/unique)
+      (Some(9L), None, 5.0, "A"))     // orphan id 9; null k2 skips unique
+      .toDF("id", "k2", "v", "s")
+    val parent = Seq(1L, 2L, 3L).toDF("pid")
+    val out = Expectations.verify(
+      Map("child" -> child, "parent" -> parent),
+      Seq(
+        "child" -> NotNull("id"),
+        "child" -> Unique(Seq("id", "k2")),
+        "child" -> InRange("v", 0.0, 10.0),
+        "child" -> AcceptedValues("s", Seq("A", "B")),
+        "child" -> ForeignKey("id", "parent", "pid")))
+      .collect().map(r => (r.getInt(0), r.getString(2),
+        r.getLong(3), r.getLong(4), r.getBoolean(5)))
+    assert(out.toSeq === Seq(
+      (1, "not_null(id)", 6L, 1L, false),
+      (2, "unique(id,k2)", 4L, 1L, false),
+      (3, "in_range(v,0.0,10.0)", 6L, 2L, false),
+      (4, "accepted_values(s,A|B)", 6L, 1L, false),
+      (5, "foreign_key(id->parent.pid)", 5L, 1L, false)))
+  }
+
+  test("clean data passes every check; unknown tables fail loudly") {
+    import spark.implicits._
+    val t = Seq((1L, "x"), (2L, "y")).toDF("id", "s")
+    val out = Expectations.verify(Map("t" -> t), Seq(
+        "t" -> NotNull("id"), "t" -> Unique(Seq("id")),
+        "t" -> InRange("id", 1.0, 2.0),
+        "t" -> AcceptedValues("s", Seq("x", "y")),
+        "t" -> ForeignKey("id", "t", "id")))
+      .collect()
+    assert(out.length === 5)
+    assert(out.forall(_.getBoolean(5)))
+    assert(out.forall(_.getLong(4) === 0L))
+    intercept[IllegalArgumentException] {
+      Expectations.verify(Map("t" -> t), Seq("nope" -> NotNull("id")))
+    }
+    intercept[IllegalArgumentException] {
+      Expectations.verify(Map("t" -> t),
+        Seq("t" -> ForeignKey("id", "nope", "id")))
+    }
+  }
+
+  test("the driver battery verdicts are internally consistent on the fixture") {
+    val out = SparkEntry.queries("q_expectations")(spark, sfDir).collect()
+    assert(out.map(_.getInt(0)).toSeq === (1 to out.length).toSeq)
+    out.foreach { r =>
+      assert(r.getLong(4) >= 0L && r.getLong(4) <= r.getLong(3))
+      assert((r.getLong(4) == 0L) === r.getBoolean(5))
+    }
+    // the synthetic builder emits duplicate (l_orderkey, l_linenumber)
+    // pairs — the uniqueness row must demonstrate a REAL failure
+    val uniq = out.find(_.getString(2).startsWith("unique(l_orderkey")).get
+    assert(!uniq.getBoolean(5) && uniq.getLong(4) > 0L)
+    // referential integrity holds in the generated data
+    out.filter(_.getString(2).startsWith("foreign_key"))
+      .foreach(r => assert(r.getBoolean(5), r.getString(2)))
+  }
+
+  test("empty tables verify without error") {
+    import spark.implicits._
+    val e = Seq.empty[(Option[Long], String)].toDF("id", "s")
+    val out = Expectations.verify(Map("e" -> e), Seq(
+        "e" -> NotNull("id"), "e" -> Unique(Seq("id")),
+        "e" -> InRange("id", 0.0, 1.0), "e" -> ForeignKey("id", "e", "id")))
+      .collect()
+    assert(out.length === 4)
+    assert(out.forall(r => r.getLong(3) === 0L && r.getLong(4) === 0L
+      && r.getBoolean(5)))
+  }
+}
