@@ -1238,6 +1238,22 @@ object SparkEntry {
     // scan, same oracle
     "q_stream_audit_gate" -> ((s, d) =>
       graft.streaming.CurationStream.auditGateRun(s, d, auditPatterns)),
+    // the measured STREAMING data-quality gate: every arriving fact
+    // row reports which declared constraints it violates before
+    // landing (per-row checks are projections; the referential check
+    // is a stream-static broadcast join) — stateless ⇒ row-identical
+    // to the batch scan, FULL oracle from the same battery
+    "q_stream_expectations" -> ((s, d) =>
+      graft.streaming.ExpectationsStream.gateRun(
+        // stage only the columns the battery reads (the harness
+        // writes the staged source, so width is real cost) and a
+        // deterministic fifth of the orders — the gate is per-row
+        // stateless, so the slice exercises it fully
+        s, Tables.lineitem(s, d).filter(col("l_orderkey") % 5 === 0).select(
+          "l_orderkey", "l_linenumber", "l_quantity", "l_returnflag",
+          "l_partkey"),
+        Map("part" -> Tables.part(s, d)),
+        Seq("l_orderkey", "l_linenumber"), rowGateChecks)),
     // incremental index maintenance proven THROUGH the serving path:
     // prior index built on a mutated half-stale corpus (the
     // q_rollup_incremental recipe — adds, edits, a group move, and
@@ -2022,6 +2038,50 @@ object SparkEntry {
       "part" -> Unique(Seq("p_partkey")))
   }
 
+  /** q_stream_expectations' row-gate battery (the per-row-decidable
+    * subset; the tight quantity range fires on ~40 % of rows so the
+    * violation CSV is exercised, not vestigial). */
+  private val rowGateChecks: Seq[operators.Expectations.Check] = {
+    import operators.Expectations.Check._
+    Seq(
+      NotNull("l_orderkey"),
+      InRange("l_quantity", 1.0, 30.0),
+      AcceptedValues("l_returnflag", Seq("A", "N", "R")),
+      ForeignKey("l_partkey", "part", "p_partkey"))
+  }
+
+  /** q_stream_expectations' oracle: the same per-row violation CSV in
+    * SQL, generated from the same battery. */
+  private def rowGateOracleSql: String = {
+    import operators.Expectations.Check._
+    val cases = rowGateChecks.map { c =>
+      val lbl = operators.Expectations.label(c)
+      c match {
+        case NotNull(col0) => s"CASE WHEN $col0 IS NULL THEN '$lbl' END"
+        case InRange(col0, lo, hi) =>
+          s"CASE WHEN $col0 IS NOT NULL AND ($col0 < $lo OR $col0 > $hi) THEN '$lbl' END"
+        case AcceptedValues(col0, vs) =>
+          val list = vs.map(v => s"'$v'").mkString(", ")
+          s"CASE WHEN $col0 IS NOT NULL AND $col0 NOT IN ($list) THEN '$lbl' END"
+        case ForeignKey(col0, pn, pc) =>
+          s"""CASE WHEN $col0 IS NOT NULL AND NOT EXISTS
+             | (SELECT 1 FROM $pn par WHERE par.$pc = l.$col0) THEN '$lbl' END""".stripMargin
+        case u: Unique =>
+          throw new IllegalStateException(
+            s"row gate cannot hold ${operators.Expectations.label(u)}")
+      }
+    }
+    s"""WITH v AS (SELECT l_orderkey, l_linenumber,
+       |  coalesce(array_to_string(list_filter([${cases.mkString(",\n   ")}],
+       |   x -> x IS NOT NULL), ';'), '') AS violated
+       | FROM lineitem l WHERE l_orderkey % 5 = 0)
+       |SELECT l_orderkey, l_linenumber, violated,
+       | CAST(CASE WHEN violated = '' THEN 0
+       |  ELSE len(string_split(violated, ';')) END AS INTEGER) AS n_violations,
+       | violated = '' AS passed
+       |FROM v ORDER BY l_orderkey, l_linenumber, violated""".stripMargin
+  }
+
   /** q_expectations' oracle: each check's exact counters re-derived in
     * SQL from the same battery (labels via the shared
     * [[operators.Expectations.label]]). */
@@ -2419,6 +2479,7 @@ object SparkEntry {
     "q_kcore" -> kcoreOracleSql,
     "q_coreness" -> corenessOracleSql,
     "q_expectations" -> expectationsOracleSql,
+    "q_stream_expectations" -> rowGateOracleSql,
     "q_copurchase" ->
       """WITH items AS (SELECT DISTINCT l_orderkey AS okey, l_partkey FROM lineitem)
         |SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS n_orders

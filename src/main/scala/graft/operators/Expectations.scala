@@ -139,4 +139,62 @@ object Expectations {
       .withColumn("passed", col("n_violations") === 0L)
       .orderBy("check_seq")
   }
+
+  /** ROW-LEVEL audit for the per-row-decidable check subset: each
+    * input row reports the labels of the checks it violates — the
+    * form an INGEST GATE wants (which arriving rows are bad and why),
+    * where [[verify]] gives the per-load verdict totals. NotNull /
+    * InRange / AcceptedValues are pure projections and [[Check
+    * .ForeignKey]] becomes a left join against the (static) parent
+    * key set, so the WHOLE frame is legal unchanged on a stream in
+    * append mode (stateless + stream-static join — no watermark, no
+    * state); [[Check.Unique]] is corpus-level and rejected here.
+    *
+    * Output: idCols*, violated (';'-joined labels in declaration
+    * order, '' when clean), n_violations, passed — ordered by idCols
+    * then violated (id columns need not be unique). */
+  def rowAudit(
+      df: DataFrame, tables: Map[String, DataFrame],
+      idCols: Seq[String], checks: Seq[Check],
+      ordered: Boolean = true): DataFrame = {
+    require(idCols.nonEmpty && checks.nonEmpty,
+      "rowAudit needs id columns and at least one check")
+    checks.foreach {
+      case u: Unique => throw new IllegalArgumentException(
+        s"rowAudit: ${label(u)} is corpus-level — use verify()")
+      case ForeignKey(_, pn, _) =>
+        require(tables.contains(pn), s"rowAudit: unknown FK parent '$pn'")
+      case _ => ()
+    }
+    // one left join per FK check adds a presence flag column
+    val fks = checks.zipWithIndex.collect { case (fk: ForeignKey, i) => (fk, i) }
+    val joined = fks.foldLeft(df) { case (acc, (fk, i)) =>
+      val parent = tables(fk.parentName)
+        .select(col(fk.parentColumn).as(fk.column)).distinct()
+        .withColumn(s"__fk_ok_$i", lit(true))
+      acc.join(broadcast(parent), Seq(fk.column), "left")
+    }
+    val labelCols = checks.zipWithIndex.map { case (c, i) =>
+      val violated: Column = c match {
+        case NotNull(col0) => col(col0).isNull
+        case InRange(col0, lo, hi) =>
+          col(col0).isNotNull && (col(col0) < lo || col(col0) > hi)
+        case AcceptedValues(col0, vs) =>
+          col(col0).isNotNull && !col(col0).isin(vs: _*)
+        case ForeignKey(col0, _, _) =>
+          col(col0).isNotNull && col(s"__fk_ok_$i").isNull
+        case _: Unique => lit(false) // unreachable (rejected above)
+      }
+      when(violated, lit(label(c)))
+    }
+    val base = joined.select(idCols.map(col) :+
+        array_join(array_compact(array(labelCols: _*)), ";").as("violated"): _*)
+      .withColumn("n_violations",
+        when(col("violated") === "", lit(0)).otherwise(
+          size(split(col("violated"), ";", -1))).cast("integer"))
+      .withColumn("passed", col("violated") === "")
+    // a global sort is illegal in a streaming plan (append mode) —
+    // the streaming gate orders its memory-sink table instead
+    if (ordered) base.orderBy(idCols.map(col) :+ col("violated"): _*) else base
+  }
 }

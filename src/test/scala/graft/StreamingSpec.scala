@@ -484,6 +484,44 @@ class StreamingSpec extends AnyFunSuite with SparkSessionTestBase {
       reversed.filterNot(_._1 == "null").values.sum)
   }
 
+  test("expectations gateRun (streaming) equals the batch rowAudit twin") {
+    import graft.operators.Expectations
+    import graft.operators.Expectations.Check._
+    val li = Tables.lineitem(spark, sfDir)
+    val parents = Map("part" -> Tables.part(spark, sfDir))
+    val ids = Seq("l_orderkey", "l_linenumber")
+    val checks = Seq(
+      NotNull("l_orderkey"),
+      InRange("l_quantity", 1.0, 30.0),
+      AcceptedValues("l_returnflag", Seq("A", "N", "R")),
+      ForeignKey("l_partkey", "part", "p_partkey"))
+    val streamed = graft.streaming.ExpectationsStream
+      .gateRun(spark, li, parents, ids, checks)
+      .collect().map(_.toString).toSeq
+    val batch = Expectations.rowAudit(li, parents, ids, checks)
+      .collect().map(_.toString).toSeq
+    assert(streamed === batch)
+    // both verdict polarities live, and the range label actually fires
+    assert(streamed.exists(_.contains("in_range(l_quantity")))
+    assert(batch.count(_.contains("true")) > 0)
+    // rowAudit violation totals reconcile with verify()'s counters
+    val totals = Expectations.rowAudit(li, parents, ids, checks)
+      .selectExpr("explode(split(violated, ';')) AS c").where("c <> ''")
+      .groupBy("c").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val verdicts = Expectations.verify(
+        Map("lineitem" -> li, "part" -> parents("part")),
+        checks.map("lineitem" -> _))
+      .collect().map(r => r.getString(2) -> r.getLong(4)).toMap
+    verdicts.foreach { case (lbl, n) =>
+      assert(totals.getOrElse(lbl, 0L) === n, lbl)
+    }
+    // Unique is corpus-level: the row gate must refuse it
+    intercept[IllegalArgumentException] {
+      Expectations.rowAudit(li, parents, ids, Seq(Unique(Seq("l_orderkey"))))
+    }
+  }
+
   test("stream-maintained BM25 index serves identically to a full rebuild") {
     import spark.implicits._
     import graft.streaming.Bm25Stream
