@@ -787,6 +787,11 @@ object SparkEntry {
         Dedup.minhashSignatures(docs.filter(col("doc_id") < 400)).localCheckpoint())
     }),
     "q_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(Tables.documents(s, d))),
+    // Broder's CONTAINMENT next to resemblance: catches the
+    // doc-inside-doc asymmetric duplication Jaccard structurally
+    // misses; FULL oracle through the micro snaps
+    "q_ngram_containment" -> ((s, d) =>
+      Dedup.ngramContainment(Tables.documents(s, d))),
     "q_embed_topk" -> ((s, d) => Similarity.embedTopK(Tables.embeddings(s, d))),
     "q_embed_outliers" -> ((s, d) => Similarity.embedOutliers(Tables.embeddings(s, d))),
     "q_embed_lsh" -> ((s, d) => Similarity.embedLshBuckets(Tables.embeddings(s, d))),
@@ -2637,6 +2642,28 @@ object SparkEntry {
         |  AND a.sz >= 0.3 * b.sz AND b.sz >= 0.3 * a.sz)
         |SELECT doc_a, doc_b, jaccard FROM j
         |WHERE jaccard >= 0.3 ORDER BY doc_a, doc_b""".stripMargin,
+    // containment has NO size-ratio prune (tiny-inside-huge is the
+    // target), so the oracle pair join is unpruned within lang
+    "q_ngram_containment" ->
+      """WITH t AS (SELECT doc_id, lang, string_split(lower(text), ' ') AS w FROM documents),
+        |g AS (SELECT doc_id, lang,
+        |  list_distinct(list_transform(range(1, len(w)-1),
+        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS grams
+        | FROM t WHERE len(w) >= 3),
+        |gs AS (SELECT doc_id, lang, grams, len(grams) AS sz FROM g),
+        |j AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sz AS sz_a,
+        |  b.sz AS sz_b, len(list_intersect(a.grams, b.grams)) AS n_common
+        | FROM gs a JOIN gs b ON a.lang = b.lang AND a.doc_id < b.doc_id),
+        |c AS (SELECT doc_a, doc_b, CAST(sz_a AS BIGINT) AS sz_a,
+        |  CAST(sz_b AS BIGINT) AS sz_b, CAST(n_common AS BIGINT) AS n_common,
+        |  CAST((n_common * 2000000 + sz_a) // (CAST(sz_a AS BIGINT) * 2) AS BIGINT)
+        |   AS containment_a_micro,
+        |  CAST((n_common * 2000000 + sz_b) // (CAST(sz_b AS BIGINT) * 2) AS BIGINT)
+        |   AS containment_b_micro
+        | FROM j)
+        |SELECT * FROM c
+        |WHERE greatest(containment_a_micro, containment_b_micro) >= 500000
+        |ORDER BY doc_a, doc_b""".stripMargin,
     // same pair CTEs as q_ngram_jaccard, then connected components as
     // a recursive reachability closure (fine at oracle scale; Spark
     // runs star contraction instead — the point of the shared hash)

@@ -883,4 +883,75 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
       .orderBy("doc_a", "doc_b")
   }
+
+  /** N-gram CONTAINMENT pairs — Broder 1997's second measure next to
+    * [[ngramJaccard]]'s resemblance: C(A,B) = |A∩B| / |A|. Jaccard
+    * misses the doc-inside-doc case by construction (a page quoted
+    * whole inside a 100× larger page has J ≈ 0.01 but C(A,B) = 1), and
+    * that asymmetric duplication — boilerplate wrappers, quoted
+    * articles, concatenated shards — is exactly what corpus audits
+    * chase. A pair reports when max(C(A,B), C(B,A)) ≥ `threshold`.
+    *
+    * Same candidate machinery as [[ngramJaccard]] (df-capped inverted
+    * index, partial-combined pair counts — never all-pairs) with the
+    * containment-specific LOSSLESS prune: max-containment ≥ t needs
+    * inter ≥ t·min(|A|,|B|), and the true intersection is at most
+    * inter_idx + min(capped_a, capped_b). No size-ratio prune exists
+    * here — the tiny-inside-huge pair IS the target — so the bound on
+    * the indexed intersection does all the pruning. Ratios snap
+    * half-up to integer micros → FULL DuckDB oracle.
+    *
+    * Output: (doc_a, doc_b, sz_a, sz_b, n_common, containment_a_micro,
+    * containment_b_micro) ordered by (doc_a, doc_b). */
+  def ngramContainment(
+      docs: DataFrame, n: Int = 3, threshold: Double = 0.5,
+      dfCap: Long = 1000L): DataFrame = {
+    graft.functions.VectorFunctions.register(docs.sparkSession)
+    val tMicro = math.round(threshold * 1e6)
+    val g = docs.withColumn("w", split(lower(col("text")), " ", -1))
+      .filter(size(col("w")) >= n)
+      .withColumn("grams", expr(s"graft_grams(w, $n, true)"))
+      .select(col("doc_id"), col("lang"), col("grams"), size(col("grams")).as("sz"))
+      .localCheckpoint()
+    val inv = g.select(col("doc_id"), col("lang"), explode(col("grams")).as("gh"))
+    val hot = inv.groupBy("lang", "gh").agg(count(lit(1)).as("df"))
+      .filter(col("df") > dfCap)
+      .select("lang", "gh")
+    val capped = inv.join(hot, Seq("lang", "gh"), "left_anti")
+    val docMeta = g.select(col("doc_id"), col("sz"))
+      .join(capped.groupBy("doc_id").agg(count(lit(1)).as("n_idx")), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("sz"),
+        (col("sz") - coalesce(col("n_idx"), lit(0L))).as("n_capped"))
+    val pairCounts = capped.as("a")
+      .join(capped.as("b"),
+        col("a.gh") === col("b.gh") && col("a.lang") === col("b.lang") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter_idx"))
+    val survivors = pairCounts
+      .join(docMeta.select(col("doc_id").as("doc_a"),
+        col("sz").as("sz_a"), col("n_capped").as("cap_a")), "doc_a")
+      .join(docMeta.select(col("doc_id").as("doc_b"),
+        col("sz").as("sz_b"), col("n_capped").as("cap_b")), "doc_b")
+      .filter((col("inter_idx") + least(col("cap_a"), col("cap_b"))).cast("double")
+        >= lit(threshold) * least(col("sz_a"), col("sz_b")).cast("double") - 1e-9)
+      .select("doc_a", "doc_b")
+    survivors
+      .join(g.select(col("doc_id").as("doc_a"), col("grams").as("grams_a"),
+        col("sz").as("sz_a")), "doc_a")
+      .join(g.select(col("doc_id").as("doc_b"), col("grams").as("grams_b"),
+        col("sz").as("sz_b")), "doc_b")
+      .withColumn("n_common",
+        size(array_intersect(col("grams_a"), col("grams_b"))).cast("long"))
+      .select(col("doc_a"), col("doc_b"),
+        col("sz_a").cast("long").as("sz_a"), col("sz_b").cast("long").as("sz_b"),
+        col("n_common"),
+        expr("(n_common * 2000000 + sz_a) div (CAST(sz_a AS BIGINT) * 2)")
+          .as("containment_a_micro"),
+        expr("(n_common * 2000000 + sz_b) div (CAST(sz_b AS BIGINT) * 2)")
+          .as("containment_b_micro"))
+      .filter(greatest(col("containment_a_micro"), col("containment_b_micro"))
+        >= tMicro)
+      .orderBy("doc_a", "doc_b")
+  }
 }

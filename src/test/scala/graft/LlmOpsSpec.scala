@@ -30,6 +30,39 @@ class LlmOpsSpec extends AnyFunSuite with SparkSessionTestBase {
     assert(pairs.map(_.toString).toSeq === again.map(_.toString).toSeq)
   }
 
+  test("ngramContainment catches doc-inside-doc pairs Jaccard misses") {
+    import spark.implicits._
+    // doc 2's trigram set sits ENTIRELY inside doc 1's (20 extra
+    // words push Jaccard to ~0.2); docs 3/4 are unrelated filler
+    val inner = "alpha beta gamma delta epsilon zeta"
+    val outer = inner + " " + (1 to 20).map(i => s"pad$i").mkString(" ")
+    val docs = Seq(
+      (1L, "en", outer), (2L, "en", inner),
+      (3L, "en", "one two three four five"),
+      (4L, "en", "six seven eight nine ten")).toDF("doc_id", "lang", "text")
+    val got = Dedup.ngramContainment(docs, threshold = 0.9).collect()
+    assert(got.length === 1)
+    val r = got.head
+    assert((r.getLong(0), r.getLong(1)) === ((1L, 2L)))
+    // inner has 4 trigrams, all shared; outer has 24
+    assert(r.getAs[Long]("sz_b") === 4L && r.getAs[Long]("n_common") === 4L)
+    assert(r.getAs[Long]("containment_b_micro") === 1000000L)
+    assert(r.getAs[Long]("containment_a_micro") === (4L * 2000000L + 24L) / 48L)
+    // Jaccard at the same pair is far below any dedup threshold
+    val j = Dedup.ngramJaccard(docs, threshold = 0.0).collect()
+      .find(p => p.getLong(0) == 1L && p.getLong(1) == 2L).get
+    assert(j.getAs[Double]("jaccard") < 0.25)
+    // df-cap drops index entries only, never true pairs (the
+    // ngramJaccard lossless-prune contract carried over)
+    val corpus = Tables.documents(spark, docDir)
+    assert(Dedup.ngramContainment(corpus).collect().map(_.toString).toSeq ===
+      Dedup.ngramContainment(corpus, dfCap = Long.MaxValue)
+        .collect().map(_.toString).toSeq)
+    // re-run is bit-identical (hash-only, no RNG)
+    assert(Dedup.ngramContainment(corpus).collect().map(_.toString).toSeq ===
+      Dedup.ngramContainment(corpus).collect().map(_.toString).toSeq)
+  }
+
   test("minhash estimate correlates with true ngram jaccard") {
     val docs = Tables.documents(spark, docDir)
     val mh = Dedup.minhashPairs(docs, threshold = 0.5)
