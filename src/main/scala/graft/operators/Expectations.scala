@@ -166,13 +166,17 @@ object Expectations {
         require(tables.contains(pn), s"rowAudit: unknown FK parent '$pn'")
       case _ => ()
     }
-    // one left join per FK check adds a presence flag column
+    // one left join per FK check adds a presence flag column; no
+    // forced broadcast hint — a parent dimension can be arbitrarily
+    // large at scale (the 100× probe's part table already overruns a
+    // pinned broadcast), and the auto threshold / AQE still picks a
+    // broadcast for genuinely small parents (plan-locked)
     val fks = checks.zipWithIndex.collect { case (fk: ForeignKey, i) => (fk, i) }
     val joined = fks.foldLeft(df) { case (acc, (fk, i)) =>
       val parent = tables(fk.parentName)
         .select(col(fk.parentColumn).as(fk.column)).distinct()
         .withColumn(s"__fk_ok_$i", lit(true))
-      acc.join(broadcast(parent), Seq(fk.column), "left")
+      acc.join(parent, Seq(fk.column), "left")
     }
     val labelCols = checks.zipWithIndex.map { case (c, i) =>
       val violated: Column = c match {

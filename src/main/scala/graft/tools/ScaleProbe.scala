@@ -91,6 +91,32 @@ object ScaleProbe {
     marker.createNewFile(): Unit
   }
 
+  /** Orders + customer replica for the expectations probe, own marker
+    * (existing replica dirs upgrade in place): o_orderkey shifts by
+    * the SAME per-replica stride lineitem used (their key domains are
+    * identical in the generated data, asserted below), so referential
+    * integrity and key uniqueness — the invariants q_expectations
+    * verifies — hold in the replica exactly as at sf0.1; customer
+    * rides along verbatim (the fixed dictionary). */
+  private def buildOrdersReplica(
+      spark: SparkSession, base: String, out: String, rep: Int): Unit = {
+    val marker = new java.io.File(s"$out/_DONE_ORDERS")
+    if (marker.exists()) return
+    val li = spark.read.parquet(s"$base/lineitem.parquet")
+    val orders = spark.read.parquet(s"$base/orders.parquet")
+    val maxOk = li.agg(max("l_orderkey")).head.getLong(0) + 1
+    val maxOo = orders.agg(max("o_orderkey")).head.getLong(0) + 1
+    require(maxOo <= maxOk,
+      s"orders replica needs the lineitem stride to cover o_orderkey ($maxOo > $maxOk)")
+    (0 until rep).map(i =>
+        orders.withColumn("o_orderkey", col("o_orderkey") + lit(i * maxOk)))
+      .reduce(_ unionAll _)
+      .write.mode("overwrite").parquet(s"$out/orders.parquet")
+    spark.read.parquet(s"$base/customer.parquet")
+      .write.mode("overwrite").parquet(s"$out/customer.parquet")
+    marker.createNewFile(): Unit
+  }
+
   private def time(
       spark: SparkSession, dir: String, runs: Int,
       qs: Seq[String]): Map[String, Double] = {
@@ -127,6 +153,8 @@ object ScaleProbe {
     buildReplica(spark, base, out, rep)
     if (qs.exists(q => q.contains("entity") || q.contains("fuzzy")))
       buildPartReplica(spark, base, out, rep)
+    if (qs.exists(_.contains("expectations")))
+      buildOrdersReplica(spark, base, out, rep)
 
     // warmup outside the timed region
     SparkEntry.queries("q1_pricing_summary")(spark, base)

