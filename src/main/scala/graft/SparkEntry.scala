@@ -1549,6 +1549,14 @@ object SparkEntry {
       Curation.corpusBuildReport(
         Curation.corpusBuild(docs, docs.filter(col("doc_id") < 25)))
     }),
+    // per-source scorecard of the same build: WHICH source sheds docs
+    // and to what (re-crawl → dup_exact spike, supplier leakage →
+    // contaminated spike); same composed oracle, rolled per source
+    "q_corpus_audit" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Curation.corpusAudit(docs,
+        Curation.corpusBuild(docs, docs.filter(col("doc_id") < 25)))
+    }),
     "q_dedup_clusters" -> ((s, d) =>
       Dedup.duplicateClustersFromLabels(duplicateLabelsShared(s, d))
         .drop("members")),
@@ -3768,6 +3776,18 @@ object SparkEntry {
       s"""WITH RECURSIVE $corpusBuildCte
          |SELECT status, CAST(count(*) AS BIGINT) AS n_docs
          |FROM fin GROUP BY status ORDER BY status""".stripMargin,
+    "q_corpus_audit" ->
+      s"""WITH RECURSIVE $corpusBuildCte
+         |SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+         | CAST(sum(CASE WHEN status = 'dup_exact' THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_exact,
+         | CAST(sum(CASE WHEN status = 'dup_near' THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_near,
+         | CAST(sum(CASE WHEN status = 'contaminated' THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+         | CAST(sum(CASE WHEN status = 'low_quality' THEN 1 ELSE 0 END) AS BIGINT) AS n_low_quality,
+         | CAST(sum(CASE WHEN status = 'kept' THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         | CAST((sum(CASE WHEN status = 'kept' THEN 1 ELSE 0 END) * 2000000 + count(*))
+         |   // (count(*) * 2) AS BIGINT) AS kept_rate_micro
+         |FROM fin JOIN documents d USING (doc_id)
+         |GROUP BY d.source ORDER BY d.source""".stripMargin,
     "q_bm25_search" -> bm25OracleSql,
     // the serving path is output-identical by construction (spec
     // asserts bit-equality) — same oracle

@@ -573,6 +573,33 @@ object Curation {
     built.groupBy("status").agg(count(lit(1)).as("n_docs"))
       .orderBy("status")
 
+  /** PER-SOURCE scorecard over a [[corpusBuild]] result — the
+    * provenance question the attrition report can't answer: WHICH
+    * source is shedding documents, and to what. A crawl pipeline
+    * reads this table per ingest (source X suddenly 80 % dup_exact =
+    * a re-crawled snapshot; source Y spiking contaminated = eval
+    * leakage at the supplier). One doc_id-keyed join + one
+    * aggregation over the build's disposition frame; the kept-rate
+    * snaps half-up to integer micros, so the whole scorecard rides
+    * the SAME composed DuckDB oracle as the build itself.
+    *
+    * Output: (source, n_docs, n_dup_exact, n_dup_near,
+    * n_contaminated, n_low_quality, n_kept, kept_rate_micro) ordered
+    * by source. */
+  def corpusAudit(docs: DataFrame, built: DataFrame): DataFrame = {
+    val statuses =
+      Seq("dup_exact", "dup_near", "contaminated", "low_quality", "kept")
+    val aggs = count(lit(1)).as("n_docs") +:
+      statuses.map(st =>
+        sum(when(col("status") === st, 1L).otherwise(0L)).as(s"n_$st"))
+    built.join(docs.select("doc_id", "source"), "doc_id")
+      .groupBy("source")
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("kept_rate_micro",
+        expr("(n_kept * 2000000 + n_docs) div (n_docs * 2)"))
+      .orderBy("source")
+  }
+
   /** FUZZY benchmark decontamination: flag training docs that are
     * MinHash NEAR-duplicates of any benchmark doc — the overlap mode
     * exact n-gram matching misses (paraphrased eval items, reformatted

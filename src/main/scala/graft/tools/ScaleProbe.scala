@@ -91,6 +91,30 @@ object ScaleProbe {
     marker.createNewFile(): Unit
   }
 
+  /** GRAPH-PRESERVING lineitem replica (out dirs ending `_graph`):
+    * shifts BOTH l_orderkey and l_partkey per replica, so the
+    * co-purchase graph becomes `rep` DISJOINT copies of the base
+    * graph — same density, same peel depth, rep× the node/edge/basket
+    * mass. The standard replica (orderkey-only shift) multiplies
+    * every pair COUNT by rep instead, which collapses the minCount
+    * threshold and yields a ~335× denser graph — the right stress for
+    * bounded-k peels, the wrong one for full coreness (the maxK guard
+    * fires by design). */
+  private def buildGraphReplica(
+      spark: SparkSession, base: String, out: String, rep: Int): Unit = {
+    val marker = new java.io.File(s"$out/_DONE_GRAPH")
+    if (marker.exists()) return
+    val li = spark.read.parquet(s"$base/lineitem.parquet")
+    val maxOk = li.agg(max("l_orderkey")).head.getLong(0) + 1
+    val maxPk = li.agg(max("l_partkey")).head.getLong(0) + 1
+    (0 until rep).map(i => li
+        .withColumn("l_orderkey", col("l_orderkey") + lit(i * maxOk))
+        .withColumn("l_partkey", col("l_partkey") + lit(i * maxPk)))
+      .reduce(_ unionAll _)
+      .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+    marker.createNewFile(): Unit
+  }
+
   /** Orders + customer replica for the expectations probe, own marker
     * (existing replica dirs upgrade in place): o_orderkey shifts by
     * the SAME per-replica stride lineitem used (their key domains are
@@ -150,11 +174,14 @@ object ScaleProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    buildReplica(spark, base, out, rep)
-    if (qs.exists(q => q.contains("entity") || q.contains("fuzzy")))
-      buildPartReplica(spark, base, out, rep)
-    if (qs.exists(_.contains("expectations")))
-      buildOrdersReplica(spark, base, out, rep)
+    if (out.endsWith("_graph")) buildGraphReplica(spark, base, out, rep)
+    else {
+      buildReplica(spark, base, out, rep)
+      if (qs.exists(q => q.contains("entity") || q.contains("fuzzy")))
+        buildPartReplica(spark, base, out, rep)
+      if (qs.exists(_.contains("expectations")))
+        buildOrdersReplica(spark, base, out, rep)
+    }
 
     // warmup outside the timed region
     SparkEntry.queries("q1_pricing_summary")(spark, base)

@@ -279,6 +279,8 @@ class EmptyInputSpec extends AnyFunSuite with SparkSessionTestBase {
     assert(Curation.corpusBuild(emptyDocs, emptyDocs).count() === 0)
     assert(Curation.corpusBuildReport(
       Curation.corpusBuild(emptyDocs, emptyDocs)).count() === 0)
+    assert(Curation.corpusAudit(emptyDocs,
+      Curation.corpusBuild(emptyDocs, emptyDocs)).count() === 0)
   }
 
   test("round-8 operators on empty inputs") {

@@ -2479,5 +2479,26 @@ class LlmOpsSpec extends AnyFunSuite with SparkSessionTestBase {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(report.values.sum === docs.count())
     assert(report("dup_exact") === 1L)
+    // per-source scorecard: counts reconcile with the fixture and the
+    // attrition report, rates snap half-up
+    val audit = Curation.corpusAudit(docs,
+        Curation.corpusBuild(docs, docs.filter($"doc_id" === 0L)))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(audit.keySet === Set("src0", "src1"))
+    val s0 = audit("src0")
+    assert(s0.getAs[Long]("n_docs") === 4L)
+    assert(s0.getAs[Long]("n_dup_exact") === 1L) // doc 11
+    assert(s0.getAs[Long]("n_dup_near") === 2L)  // docs 10, 12
+    assert(s0.getAs[Long]("n_contaminated") === 1L) // doc 0
+    assert(s0.getAs[Long]("n_kept") === 0L)
+    assert(s0.getAs[Long]("kept_rate_micro") === 0L)
+    val s1 = audit("src1")
+    assert(s1.getAs[Long]("n_kept") === 1L) // doc 13
+    assert(s1.getAs[Long]("n_low_quality") === 1L)
+    assert(s1.getAs[Long]("n_dup_near") === 1L) // doc 15
+    // 1/3 half-up micro
+    assert(s1.getAs[Long]("kept_rate_micro") === (1L * 2000000L + 3L) / 6L)
+    // totals across sources == the attrition report
+    assert(audit.values.map(_.getAs[Long]("n_docs")).sum === docs.count())
   }
 }
