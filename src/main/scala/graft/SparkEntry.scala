@@ -755,6 +755,29 @@ object SparkEntry {
         Map("lineitem" -> Tables.lineitem(s, d), "orders" -> Tables.orders(s, d),
           "customer" -> Tables.customer(s, d), "part" -> Tables.part(s, d)),
         expectationChecks)),
+    // INCREMENTAL data quality: the base load's verdict partials fold
+    // with a late delta (5% of orders AND 5% of the part dimension —
+    // the late parents RESOLVE fk orphans the base alone would
+    // report) and serve whole-table verdicts with no base rescan; the
+    // oracle is the FULL battery recompute, so the hash gate proves
+    // incremental == full through serving
+    "q_expectations_incremental" -> ((s, d) => {
+      val li = Tables.lineitem(s, d); val pt = Tables.part(s, d)
+      val ords = Tables.orders(s, d); val cust = Tables.customer(s, d)
+      val baseT = Map(
+        "lineitem" -> li.filter(col("l_orderkey") % 20 =!= 7),
+        "orders" -> ords, "customer" -> cust,
+        "part" -> pt.filter(col("p_partkey") % 20 =!= 3))
+      val deltaT = Map(
+        "lineitem" -> li.filter(col("l_orderkey") % 20 === 7),
+        "orders" -> ords.limit(0), "customer" -> cust.limit(0),
+        "part" -> pt.filter(col("p_partkey") % 20 === 3))
+      operators.Expectations.serveVerdicts(
+        operators.Expectations.mergePartials(Seq(
+          operators.Expectations.partials(baseT, expectationChecks),
+          operators.Expectations.partials(deltaT, expectationChecks))),
+        expectationChecks)
+    }),
     "q_dedup_exact" -> ((s, d) => Etl.dedupExactReplay(Tables.lineitem(s, d))),
     "q_latest_per_key" -> ((s, d) => Etl.latestPerKey(Tables.lineitem(s, d))),
     "q_scd_price_changes" -> ((s, d) => Etl.priceChanges(Tables.lineitem(s, d))),
@@ -2492,6 +2515,9 @@ object SparkEntry {
     "q_kcore" -> kcoreOracleSql,
     "q_coreness" -> corenessOracleSql,
     "q_expectations" -> expectationsOracleSql,
+    // served from merged base+delta partials; the full-battery oracle
+    // IS the incremental == full proof
+    "q_expectations_incremental" -> expectationsOracleSql,
     "q_stream_expectations" -> rowGateOracleSql,
     "q_copurchase" ->
       """WITH items AS (SELECT DISTINCT l_orderkey AS okey, l_partkey FROM lineitem)

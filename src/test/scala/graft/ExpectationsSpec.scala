@@ -77,6 +77,52 @@ class ExpectationsSpec extends AnyFunSuite with SparkSessionTestBase {
       .foreach(r => assert(r.getBoolean(5), r.getString(2)))
   }
 
+  test("merged partials serve verify()'s exact verdicts across loads") {
+    import spark.implicits._
+    val checks = Seq(
+      "t" -> NotNull("id"),
+      "t" -> Unique(Seq("id")),
+      "t" -> InRange("v", 0.0, 10.0),
+      "t" -> ForeignKey("id", "p", "pid"))
+    // load 1: id 9 is an ORPHAN (parent 9 hasn't arrived); id 1 clean
+    val t1 = Seq((Some(1L), 5.0), (Some(9L), 5.0), (None, 99.0)).toDF("id", "v")
+    val p1 = Seq(1L, 2L).toDF("pid")
+    // load 2: id 1 DUPLICATES load 1's (cross-load dup — invisible to
+    // either load alone); parent 9 arrives and RESOLVES the orphan
+    val t2 = Seq((Some(1L), 5.0), (Some(2L), -3.0)).toDF("id", "v")
+    val p2 = Seq(9L).toDF("pid")
+    val merged = Expectations.mergePartials(Seq(
+      Expectations.partials(Map("t" -> t1, "p" -> p1), checks),
+      Expectations.partials(Map("t" -> t2, "p" -> p2), checks)))
+    val served = Expectations.serveVerdicts(merged, checks)
+      .collect().map(_.toString).toSeq
+    val full = Expectations.verify(
+        Map("t" -> t1.unionByName(t2), "p" -> p1.unionByName(p2)), checks)
+      .collect().map(_.toString).toSeq
+    assert(served === full)
+    // the cross-load facts really are in the verdicts: one dup (id 1),
+    // one range violation, one null, zero orphans after resolution
+    val byLabel = Expectations.serveVerdicts(merged, checks)
+      .collect().map(r => r.getString(2) -> r.getLong(4)).toMap
+    assert(byLabel("unique(id)") === 1L)
+    assert(byLabel("in_range(v,0.0,10.0)") === 2L) // 99.0 and -3.0
+    assert(byLabel("not_null(id)") === 1L)
+    assert(byLabel("foreign_key(id->p.pid)") === 0L)
+    // per-load verification alone misses the cross-load duplicate
+    val solo1 = Expectations.serveVerdicts(
+      Expectations.partials(Map("t" -> t1, "p" -> p1), checks), checks)
+      .collect().map(r => r.getString(2) -> r.getLong(4)).toMap
+    assert(solo1("unique(id)") === 0L)
+    assert(solo1("foreign_key(id->p.pid)") === 1L) // orphan before load 2
+    // re-merging the merged state is idempotent for the parent key set
+    val twice = Expectations.serveVerdicts(
+      Expectations.mergePartials(Seq(merged,
+        Expectations.partials(
+          Map("t" -> t1.limit(0), "p" -> p2), checks))), checks)
+      .collect().map(_.toString).toSeq
+    assert(twice === served)
+  }
+
   test("empty tables verify without error") {
     import spark.implicits._
     val e = Seq.empty[(Option[Long], String)].toDF("id", "s")
