@@ -522,6 +522,49 @@ class StreamingSpec extends AnyFunSuite with SparkSessionTestBase {
     }
   }
 
+  test("stream-maintained verdict partials serve verify() exactly, across compaction") {
+    import graft.operators.Expectations
+    import graft.operators.Expectations.Check._
+    val tables = Map(
+      "lineitem" -> Tables.lineitem(spark, sfDir),
+      "part" -> Tables.part(spark, sfDir))
+    val checks = Seq(
+      "lineitem" -> NotNull("l_orderkey"),
+      "lineitem" -> Unique(Seq("l_orderkey", "l_linenumber")),
+      "lineitem" -> InRange("l_quantity", 1.0, 30.0),
+      "lineitem" -> ForeignKey("l_partkey", "part", "p_partkey"))
+    val streamed = graft.streaming.ExpectationsStream
+      .verdictsMaintainRun(spark, tables, "lineitem", checks)
+      .collect().map(_.toString).toSeq
+    val batch = Expectations.verify(tables, checks)
+      .collect().map(_.toString).toSeq
+    assert(streamed === batch)
+    // manual pre/post-compaction equality on the live serve path
+    val root = java.nio.file.Files.createTempDirectory("graft_verd_spec")
+    val li = tables("lineitem")
+    val src = root.resolve("src").toString
+    li.filter(col("l_orderkey") % 2 =!= 0).write.mode("overwrite").parquet(src)
+    graft.streaming.ExpectationsStream.seedPartials(
+      tables + ("lineitem" -> li.filter(col("l_orderkey") % 2 === 0)),
+      checks, root.resolve("seed").toString)
+    val q = graft.streaming.ExpectationsStream.partialsMaintain(
+      spark.readStream.schema(li.schema).parquet(src), "lineitem",
+      tables.map { case (n, df) => n -> df.limit(0) }, checks,
+      root.resolve("seed").toString, root.resolve("delta").toString,
+      root.resolve("ckpt").toString)
+    try q.processAllAvailable() finally q.stop()
+    val before = graft.streaming.ExpectationsStream.liveVerdicts(
+        spark, root.resolve("seed").toString, root.resolve("delta").toString,
+        checks).collect().map(_.toString).toSeq
+    graft.streaming.ExpectationsStream.compact(
+      spark, root.resolve("seed").toString, root.resolve("delta").toString)
+    val after = graft.streaming.ExpectationsStream.liveVerdicts(
+        spark, root.resolve("seed").toString, root.resolve("delta").toString,
+        checks).collect().map(_.toString).toSeq
+    assert(before === after)
+    assert(after === batch)
+  }
+
   test("stream-maintained BM25 index serves identically to a full rebuild") {
     import spark.implicits._
     import graft.streaming.Bm25Stream
