@@ -1450,6 +1450,14 @@ object SparkEntry {
       operators.Graph.coreness(
         Purchases.coPurchaseGraph(Tables.lineitem(s, d), minCount = 2L),
         maxK = 24)),
+    // k-truss: the edge-analog of the k-core (every edge in >= k-2
+    // triangles) — the densest rung of the graph-density family.
+    // rows-only: the per-round per-edge support recomputation has no
+    // tractable SQL twin; pinned vs an independent local peel and the
+    // truss-inside-core containment in spec
+    "q_ktruss" -> ((s, d) =>
+      operators.Graph.kTruss(
+        Purchases.coPurchaseGraph(Tables.lineitem(s, d), minCount = 2L), 3)),
     "q_product_rank" -> ((s, d) =>
       operators.Graph.pageRank(
         Purchases.coPurchaseGraph(Tables.lineitem(s, d), minCount = 2L))),

@@ -275,6 +275,73 @@ object Graph {
     else dropped.reduce(_ unionByName _).orderBy("node")
   }
 
+  /** The k-truss of an undirected edge list (Cohen 2008): the maximal
+    * subgraph in which every EDGE sits in at least k−2 triangles —
+    * the edge-analog of [[kCore]] and the densest rung of the family
+    * (every k-truss is inside the (k−1)-core, but the truss demands
+    * the neighbors also know EACH OTHER): a co-purchase edge that
+    * survives the 4-truss is embedded in a genuine basket community,
+    * not a hub coincidence.
+    *
+    * Peel loop: per round, per-edge triangle support via the
+    * [[triangles]] machinery (degree-ordered orientation bounds the
+    * wedge join at O(m^1.5); each triangle explodes to its three
+    * canonical edges for the support count), then edges below k−2
+    * drop by one anti-join — lineage cut per round, rounds capped
+    * loudly. Output: the surviving edge list (a, b, support) with
+    * each edge's WITHIN-TRUSS support, ordered by (a, b); empty when
+    * the truss is empty. Deterministic (the k-truss is unique). */
+  def kTruss(edges: DataFrame, k: Int, maxRounds: Int = 200): DataFrame = {
+    require(k >= 2, s"kTruss: k must be >= 2, got $k")
+    var cur = canonicalUndirected(edges)
+    var rounds = 0
+    var stable = false
+    while (!stable) {
+      val sup = edgeSupport(cur)
+      val bad = sup.filter(col("support") < k - 2)
+        .select("a", "b").localCheckpoint()
+      if (bad.isEmpty) stable = true
+      else {
+        rounds += 1
+        if (rounds > maxRounds)
+          throw new IllegalStateException(
+            s"kTruss: $k-truss peel not converged after $maxRounds rounds")
+        cur = cur.join(bad, Seq("a", "b"), "left_anti").localCheckpoint()
+      }
+    }
+    edgeSupport(cur).orderBy("a", "b")
+  }
+
+  /** Per-edge triangle support over a canonical (a<b) frame: oriented
+    * wedges ([[triangles]]' device), closure by LEFT SEMI, each
+    * triangle exploded to its three canonical edges. Edges in no
+    * triangle report 0. */
+  private def edgeSupport(und: DataFrame): DataFrame = {
+    val deg = und.select(col("a").as("node"))
+      .unionAll(und.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("degree"))
+    val oriented = und
+      .join(deg.select(col("node").as("a"), col("degree").as("da")), Seq("a"))
+      .join(deg.select(col("node").as("b"), col("degree").as("db")), Seq("b"))
+      .select(
+        when(col("da") <= col("db"), col("a")).otherwise(col("b")).as("u"),
+        when(col("da") <= col("db"), col("b")).otherwise(col("a")).as("v"))
+    val tris = oriented.as("e1")
+      .join(oriented.as("e2"),
+        col("e1.u") === col("e2.u") && col("e1.v") < col("e2.v"))
+      .select(col("e1.u").as("u"), col("e1.v").as("x"), col("e2.v").as("y"))
+      .join(und.select(col("a").as("x"), col("b").as("y")),
+        Seq("x", "y"), "left_semi")
+    val perEdge = tris.select(explode(array(
+        struct(least(col("u"), col("x")).as("a"), greatest(col("u"), col("x")).as("b")),
+        struct(least(col("u"), col("y")).as("a"), greatest(col("u"), col("y")).as("b")),
+        struct(col("x").as("a"), col("y").as("b")))).as("e"))
+      .select(col("e.a").as("a"), col("e.b").as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("support"))
+    und.join(perEdge, Seq("a", "b"), "left")
+      .withColumn("support", coalesce(col("support"), lit(0L)))
+  }
+
   /** Canonical undirected edge set: (a < b), self-loop-free,
     * deduplicated, lineage cut — the [[triangles]] normalization. */
   private def canonicalUndirected(edges: DataFrame): DataFrame =

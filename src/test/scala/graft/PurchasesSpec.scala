@@ -382,4 +382,68 @@ class PurchasesSpec extends AnyFunSuite with SparkSessionTestBase {
     assert(operators.Graph.coreness(none).count() === 0)
     assert(operators.Graph.kCoreNest(none, Seq(2, 3)).count() === 0)
   }
+
+  // independent local k-truss peel for pinning the distributed one
+  private def localTruss(
+      edges: Seq[(Long, Long)], k: Int): Map[(Long, Long), Int] = {
+    var es = edges.filter(e => e._1 != e._2)
+      .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).distinct.toSet
+    def support(s: Set[(Long, Long)]): Map[(Long, Long), Int] = {
+      val adj = s.toSeq.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+        .groupBy(_._1).map { case (n, xs) => n -> xs.map(_._2).toSet }
+      s.map { case (a, b) =>
+        (a, b) -> (adj(a) intersect adj(b)).size
+      }.toMap
+    }
+    var changed = true
+    while (changed) {
+      val sup = support(es)
+      val bad = es.filter(e => sup(e) < k - 2)
+      changed = bad.nonEmpty
+      es = es -- bad
+    }
+    support(es)
+  }
+
+  test("kTruss peels edges below the triangle-support threshold exactly") {
+    import spark.implicits._
+    // K4 on 10..13 (every edge in 2 triangles), a triangle 5-6-7 with
+    // a pendant, a chain, dirty edges — the coreness fixture
+    val raw = Seq((1L, 2L), (2L, 3L), (3L, 4L), (5L, 6L), (6L, 7L),
+      (5L, 7L), (5L, 8L), (10L, 11L), (10L, 12L), (10L, 13L),
+      (11L, 12L), (11L, 13L), (12L, 13L), (2L, 1L), (6L, 6L))
+    val edges = raw.map { case (a, b) => (a, b, 1L) }.toDF("src", "dst", "w")
+    def truss(k: Int) = operators.Graph.kTruss(edges, k)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // k=3: every edge in >= 1 triangle — the triangle and K4 survive
+    assert(truss(3) === localTruss(raw, 3).map { case (e, s) => e -> s.toLong })
+    assert(truss(3).keySet === Set((5L, 6L), (5L, 7L), (6L, 7L),
+      (10L, 11L), (10L, 12L), (10L, 13L), (11L, 12L), (11L, 13L), (12L, 13L)))
+    // k=4: only K4 (each edge in 2 triangles within K4)
+    assert(truss(4).keySet ===
+      Set((10L, 11L), (10L, 12L), (10L, 13L), (11L, 12L), (11L, 13L), (12L, 13L)))
+    assert(truss(4).values.toSet === Set(2L))
+    // k=5 demands support 3 — nothing survives
+    assert(truss(5) === Map.empty)
+    // random graph vs the local mirror, and repartition invariance
+    val rnd = (0 until 260).map { i =>
+      val a = (i * i * 7 + 3) % 40; val b = (i * 13 + i * i * 5) % 40
+      (a.toLong, b.toLong)
+    }.filter(e => e._1 != e._2)
+    val rndDf = rnd.map { case (a, b) => (a, b, 1L) }.toDF("src", "dst", "w")
+    val mirror = localTruss(rnd, 4).map { case (e, s) => e -> s.toLong }
+    val got = operators.Graph.kTruss(rndDf, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got === mirror)
+    assert(operators.Graph.kTruss(rndDf.repartition(7), 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      === got)
+    // the k-truss sits inside the (k-1)-core (Cohen's containment)
+    val coreNodes = operators.Graph.kCore(rndDf, 3)
+      .collect().map(_.getLong(0)).toSet
+    assert(got.keySet.flatMap(e => Set(e._1, e._2)).subsetOf(coreNodes))
+    // empty input
+    val none = Seq.empty[(Long, Long, Long)].toDF("src", "dst", "w")
+    assert(operators.Graph.kTruss(none, 3).count() === 0)
+  }
 }
