@@ -225,6 +225,66 @@ object SparkEntry {
     s.read.parquet(path)
   }
 
+  /** Persisted rank-1 MATCH frame (the q_entity_match result):
+    * survivorship (and any other downstream consumer) folds the same
+    * persisted match instead of re-running the candidate-scoring
+    * cascade — the match is an upstream product like the rank/LM
+    * artifacts, rebuilt only when the part table's fingerprint moves
+    * (feed and catalog both derive from it). Bit-equality with the
+    * inline match is asserted in spec; the driver's hash gate proves
+    * the folded result against the full-cascade oracle. */
+  private val erMatchPaths =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), (Long, String)]
+
+  private[graft] def erMatchShared(s: SparkSession, d: String): DataFrame = {
+    val fp = tableFingerprint(s, d, "part.parquet")
+    val path = artifactPath(erMatchPaths, s, d, fp, "graft_er_match") { p =>
+      operators.Resolution.entityMatchWithIndex(erFeed(s, d), erCatalog(s, d),
+          erIndexShared(s, d), minScoreMicro = 500000L, k = 1)
+        .write.mode("overwrite").parquet(p)
+    }
+    s.read.parquet(path)
+  }
+
+  /** The expectations base/delta load split shared by
+    * q_expectations_incremental and q_expectations_indexed: the base
+    * load misses 5 % of lineitem AND 5 % of the part dimension; the
+    * delta delivers both — the late parents RESOLVE fk orphans the
+    * base alone would report, so the merge semantics (not just the
+    * counters) are exercised. */
+  private[graft] def expBaseTables(
+      s: SparkSession, d: String): Map[String, DataFrame] = Map(
+    "lineitem" -> Tables.lineitem(s, d).filter(col("l_orderkey") % 20 =!= 7),
+    "orders" -> Tables.orders(s, d), "customer" -> Tables.customer(s, d),
+    "part" -> Tables.part(s, d).filter(col("p_partkey") % 20 =!= 3))
+
+  private[graft] def expDeltaTables(
+      s: SparkSession, d: String): Map[String, DataFrame] = Map(
+    "lineitem" -> Tables.lineitem(s, d).filter(col("l_orderkey") % 20 === 7),
+    "orders" -> Tables.orders(s, d).limit(0),
+    "customer" -> Tables.customer(s, d).limit(0),
+    "part" -> Tables.part(s, d).filter(col("p_partkey") % 20 === 3))
+
+  /** Persisted data-quality verdict partials (Expectations.partials
+    * over the BASE load) — the artifact a nightly delta folds into
+    * with NO base-table re-verify; fingerprint-keyed over ALL FOUR
+    * battery tables (any table rewrite invalidates), like every other
+    * index artifact. */
+  private val expPartialsPaths =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), (Long, String)]
+
+  private[graft] def expPartialsShared(s: SparkSession, d: String): DataFrame = {
+    val fp = Seq("lineitem.parquet", "orders.parquet",
+        "customer.parquet", "part.parquet")
+      .map(tableFingerprint(s, d, _))
+      .reduceLeft(_ * 1000003L + _)
+    val path = artifactPath(expPartialsPaths, s, d, fp, "graft_exp_partials") { p =>
+      operators.Expectations.partials(expBaseTables(s, d), expectationChecks)
+        .write.mode("overwrite").parquet(p)
+    }
+    s.read.parquet(path)
+  }
+
   /** Persisted int8 ANN index (Similarity.sqIndex layout): built once
     * per embeddings data version and READ back for the indexed query —
     * the on-disk artifact a 100 TB corpus scores from (~4× smaller
@@ -699,10 +759,20 @@ object SparkEntry {
     // canonicals surface with n_matched = 0
     "q_entity_golden" -> ((s, d) =>
       operators.Resolution.goldenRecords(
-        operators.Resolution.entityMatch(erFeed(s, d), erCatalog(s, d),
-          minScoreMicro = 500000L, dfCap = 100, k = 1),
+        // the persisted rank-1 match artifact — survivorship folds it
+        // instead of re-running the scoring cascade (which the bench
+        // already measures as q_entity_match)
+        erMatchShared(s, d),
         erFeed(s, d).select(col("feed_id"), col("price")),
         erCatalog(s, d))),
+    // pre-flight occupancy meter for the blocking join (the
+    // q_dedup_occupancy discipline): per-token posting size × feed
+    // hits = the exact candidate mass each token contributes, BEFORE
+    // a 100 TB feed pays the join. FULL oracle (the same df-capped
+    // index + feed tokenization in SQL)
+    "q_entity_occupancy" -> ((s, d) =>
+      operators.Resolution.blockingOccupancy(
+        erFeed(s, d), erIndexShared(s, d), minCandidates = 2L)),
     // the measured STREAMING gate: feed records resolve as they
     // arrive, per batch, against the static dictionary artifacts. The
     // per-record verdict never reads other feed records, so the union
@@ -762,20 +832,22 @@ object SparkEntry {
     // oracle is the FULL battery recompute, so the hash gate proves
     // incremental == full through serving
     "q_expectations_incremental" -> ((s, d) => {
-      val li = Tables.lineitem(s, d); val pt = Tables.part(s, d)
-      val ords = Tables.orders(s, d); val cust = Tables.customer(s, d)
-      val baseT = Map(
-        "lineitem" -> li.filter(col("l_orderkey") % 20 =!= 7),
-        "orders" -> ords, "customer" -> cust,
-        "part" -> pt.filter(col("p_partkey") % 20 =!= 3))
-      val deltaT = Map(
-        "lineitem" -> li.filter(col("l_orderkey") % 20 === 7),
-        "orders" -> ords.limit(0), "customer" -> cust.limit(0),
-        "part" -> pt.filter(col("p_partkey") % 20 === 3))
       operators.Expectations.serveVerdicts(
         operators.Expectations.mergePartials(Seq(
-          operators.Expectations.partials(baseT, expectationChecks),
-          operators.Expectations.partials(deltaT, expectationChecks))),
+          operators.Expectations.partials(expBaseTables(s, d), expectationChecks),
+          operators.Expectations.partials(expDeltaTables(s, d), expectationChecks))),
+        expectationChecks)
+    }),
+    // the SERVING split of the incremental form: base verdict
+    // partials come from a fingerprint-keyed parquet ARTIFACT (the
+    // rank/LM/BM25-index posture) — the plan folds tonight's delta
+    // into the persisted state and never re-verifies the base tables;
+    // the same full-battery oracle proves artifact-served == full
+    "q_expectations_indexed" -> ((s, d) => {
+      operators.Expectations.serveVerdicts(
+        operators.Expectations.mergePartials(Seq(
+          expPartialsShared(s, d),
+          operators.Expectations.partials(expDeltaTables(s, d), expectationChecks))),
         expectationChecks)
     }),
     // STREAMING verdict maintenance (fifth DeltaLayout instance):
@@ -2085,7 +2157,7 @@ object SparkEntry {
   /** q_expectations' declarative battery — pure data, so ONE list is
     * the single source of truth for the Spark run AND the generated
     * DuckDB oracle (labels and counts must agree bit-for-bit). */
-  private val expectationChecks: Seq[(String, operators.Expectations.Check)] = {
+  private[graft] val expectationChecks: Seq[(String, operators.Expectations.Check)] = {
     import operators.Expectations.Check._
     Seq(
       "lineitem" -> NotNull("l_orderkey"),
@@ -2119,13 +2191,15 @@ object SparkEntry {
   private def rowGateOracleSql: String = {
     import operators.Expectations.Check._
     val cases = rowGateChecks.map { c =>
-      val lbl = operators.Expectations.label(c)
+      // labels carry free-form AcceptedValues strings — escape them
+      // (and the values themselves) for the quoted-literal context
+      val lbl = operators.Expectations.sqlLit(operators.Expectations.label(c))
       c match {
         case NotNull(col0) => s"CASE WHEN $col0 IS NULL THEN '$lbl' END"
         case InRange(col0, lo, hi) =>
           s"CASE WHEN $col0 IS NOT NULL AND ($col0 < $lo OR $col0 > $hi) THEN '$lbl' END"
         case AcceptedValues(col0, vs) =>
-          val list = vs.map(v => s"'$v'").mkString(", ")
+          val list = vs.map(v => s"'${operators.Expectations.sqlLit(v)}'").mkString(", ")
           s"CASE WHEN $col0 IS NOT NULL AND $col0 NOT IN ($list) THEN '$lbl' END"
         case ForeignKey(col0, pn, pc) =>
           s"""CASE WHEN $col0 IS NOT NULL AND NOT EXISTS
@@ -2157,8 +2231,9 @@ object SparkEntry {
     import operators.Expectations.Check._
     val selects = expectationChecks.zipWithIndex.map { case ((t0, c), i) =>
       val t = src(t0)
-      val head = s"SELECT ${i + 1} AS check_seq, '$t0' AS table_name, " +
-        s"'${operators.Expectations.label(c)}' AS \"constraint\""
+      val head = s"SELECT ${i + 1} AS check_seq, " +
+        s"'${operators.Expectations.sqlLit(t0)}' AS table_name, " +
+        s"'${operators.Expectations.sqlLit(operators.Expectations.label(c))}' AS \"constraint\""
       c match {
         case NotNull(col0) =>
           s"""$head, CAST(count(*) AS BIGINT) AS n_checked,
@@ -2168,7 +2243,7 @@ object SparkEntry {
              | CAST(coalesce(sum(CASE WHEN $col0 IS NOT NULL AND ($col0 < $lo OR $col0 > $hi)
              |  THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_violations FROM $t x""".stripMargin
         case AcceptedValues(col0, vs) =>
-          val list = vs.map(v => s"'$v'").mkString(", ")
+          val list = vs.map(v => s"'${operators.Expectations.sqlLit(v)}'").mkString(", ")
           s"""$head, CAST(count($col0) AS BIGINT) AS n_checked,
              | CAST(coalesce(sum(CASE WHEN $col0 IS NOT NULL AND $col0 NOT IN ($list)
              |  THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_violations FROM $t x""".stripMargin
@@ -2212,7 +2287,12 @@ object SparkEntry {
     * non-core); recursion stops when the working level has no node
     * below k — the exact Spark-side fixpoint. MATERIALIZED `_f`
     * blocks CTE inlining, which re-executes the whole upstream chain
-    * per reference (observed: file-handle exhaustion at 23 levels). */
+    * per reference (observed: file-handle exhaustion at 23 levels).
+    * The `it < 200` recursion bound MIRRORS the Spark side's
+    * maxRounds=200 (which raises loudly) — keep the two aligned, or a
+    * graph needing more peel rounds than the SQL cap makes the oracle
+    * silently return a non-core and verify reports a spurious
+    * mismatch. */
   private def kcorePeelSql(src: String, k: Int, name: String): String =
     s"""$name AS (
        | SELECT 0 AS it, a, b FROM $src
@@ -2228,7 +2308,7 @@ object SparkEntry {
        |   SELECT n.node FROM (SELECT a AS node FROM $name WHERE a IS NOT NULL
        |     UNION ALL SELECT b FROM $name WHERE a IS NOT NULL) n
        |   GROUP BY n.node HAVING count(*) < $k) x)
-       |  AND it < 100
+       |  AND it < 200
        |), ${name}_f AS MATERIALIZED (
        | SELECT a, b FROM $name
        | WHERE it = (SELECT max(it) FROM $name) AND a IS NOT NULL)""".stripMargin
@@ -2372,6 +2452,18 @@ object SparkEntry {
     // streamed matching is per-record-local vs the static dictionary,
     // so the whole-feed stream result equals the batch match exactly
     "q_stream_entity_match" -> erMatchSql,
+    // posting-size × feed-hit mass per blocking token, from the same
+    // df-capped index + feed tokenization CTEs the match oracle uses
+    "q_entity_occupancy" ->
+      s"""WITH $erMatchCtes,
+         |pdf AS (SELECT token, count(*) AS catalog_df FROM idx GROUP BY token),
+         |fh AS (SELECT token, count(*) AS feed_hits FROM ftok GROUP BY token)
+         |SELECT pdf.token, CAST(catalog_df AS BIGINT) AS catalog_df,
+         | CAST(feed_hits AS BIGINT) AS feed_hits,
+         | CAST(catalog_df * feed_hits AS BIGINT) AS est_candidates
+         |FROM pdf JOIN fh ON pdf.token = fh.token
+         |WHERE catalog_df * feed_hits >= 2
+         |ORDER BY est_candidates DESC, pdf.token""".stripMargin,
     "q_entity_golden" ->
       s"""WITH $erMatchCtes,
          |pr AS (SELECT feed_id,
@@ -2551,6 +2643,8 @@ object SparkEntry {
     // served from merged base+delta partials; the full-battery oracle
     // IS the incremental == full proof
     "q_expectations_incremental" -> expectationsOracleSql(),
+    // artifact-served == full battery, proven by the same oracle
+    "q_expectations_indexed" -> expectationsOracleSql(),
     // stream-maintained partials serve against the same full-battery
     // oracle — stream == full, proven by hash
     "q_stream_verdicts" -> expectationsOracleSql(name =>
@@ -3442,9 +3536,11 @@ object SparkEntry {
         | count(*) AS n_windows
         |FROM sp GROUP BY doc_id, span_id
         |ORDER BY doc_id, span_start""".stripMargin,
-    // ownership by the scalar key doc_id*1e9+pos (both engines compare
-    // the same integer); a token is removed iff covered by a duplicated
-    // window and by NO owner window (bool_or over the coverage rows)
+    // ownership by lexicographic struct min over (doc_id, pos) — both
+    // engines order structs field-by-field, and unlike the old scalar
+    // doc_id*1e9+pos key it cannot wrap past doc_id ~9.2e9; a token is
+    // removed iff covered by a duplicated window and by NO owner
+    // window (bool_or over the coverage rows)
     "q_exact_substring_clean" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
         |w AS (SELECT doc_id, unnest(range(1, len(toks) - 15 + 2)) AS pos, toks
@@ -3452,10 +3548,10 @@ object SparkEntry {
         |h AS (SELECT doc_id, pos,
         |  md5(lower(array_to_string(list_slice(toks, pos, pos + 14), ' '))) AS hh
         | FROM w),
-        |own AS (SELECT hh, min(doc_id * 1000000000 + pos) AS okey
+        |own AS (SELECT hh, min({'doc_id': doc_id, 'pos': pos}) AS okey
         | FROM h GROUP BY hh HAVING count(*) >= 2),
         |cov AS (SELECT doc_id, unnest(range(pos, pos + 15)) AS tpos,
-        |  (doc_id * 1000000000 + pos = okey) AS is_owner
+        |  ({'doc_id': doc_id, 'pos': pos} = okey) AS is_owner
         | FROM h JOIN own USING (hh)),
         |rm AS (SELECT doc_id, tpos FROM cov
         | GROUP BY doc_id, tpos HAVING NOT bool_or(is_owner)),
@@ -3800,7 +3896,7 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN sm > 0 THEN nn ELSE 0 END) AS BIGINT) AS fp FROM h),
         |fin AS (SELECT n_pos, n_neg, tp, fp, n_pos - tp AS fn, n_neg - fp AS tn, u2
         | FROM t2, u)
-        |SELECT n_pos, n_neg, tp, fp, fn, tn, u2,
+        |SELECT n_pos, n_neg, tp, fp, fn, tn, CAST(u2 AS DOUBLE) AS u2,
         | CAST(round(CAST(CASE WHEN tp + fp = 0 THEN NULL ELSE
         |   (CAST(tp AS HUGEINT) * 2000000 + (tp + fp)) // (CAST(tp + fp AS HUGEINT) * 2)
         |  END AS DOUBLE) / 1e6, 6) AS DOUBLE) AS "precision",

@@ -361,9 +361,11 @@ object Classifier {
     * groupBy on the integer score; documents are never windowed.
     *
     * Input: (doc_id, score_micro long, y int ∈ {0,1}). Output: ONE row
-    * (n_pos, n_neg, tp, fp, fn, tn, u2 DECIMAL(38,0) — accumulated in
-    * decimal from the first multiply, since 2U ≈ 2·n_pos·n_neg wraps a
-    * long past n_pos·n_neg ≈ 4.6e18, precision, recall, f1, auc);
+    * (n_pos, n_neg, tp, fp, fn, tn, u2 DOUBLE — ACCUMULATED in
+    * DECIMAL(38,0) from the first multiply, since 2U ≈ 2·n_pos·n_neg
+    * wraps a long past n_pos·n_neg ≈ 4.6e18, but REPORTED as double
+    * per the output convention (never emit DECIMAL); the ratios divide
+    * the exact decimal before the cast, precision, recall, f1, auc);
     * ratio columns are NULL when their denominator is empty. The
     * standard use is resubstitution eval of [[nbScore]] /
     * [[classifierApply]] against their training labels — a fidelity
@@ -423,7 +425,11 @@ object Classifier {
           |   + CAST(n_pos AS DECIMAL(38,0)) * n_neg * 2)
           |  div (CAST(n_pos AS DECIMAL(38,0)) * n_neg * 4) END""".stripMargin))
       .select(col("n_pos"), col("n_neg"), col("tp"), col("fp"), col("fn"),
-        col("tn"), col("u2"),
+        col("tn"),
+        // reported as DOUBLE (approximate past 2^53 — the display
+        // column only; precision/recall/F1/AUC divide the exact
+        // decimal BEFORE this cast, so the ratios stay exact)
+        col("u2").cast("double").as("u2"),
         round(col("precision_m").cast("double") / 1e6, 6).as("precision"),
         round(col("recall_m").cast("double") / 1e6, 6).as("recall"),
         round(col("f1_m").cast("double") / 1e6, 6).as("f1"),

@@ -583,9 +583,12 @@ object Dedup {
     * substring from all but one occurrence; this is that cut): rebuild
     * each document keeping one canonical copy of every duplicated run.
     *
-    * Ownership is per window hash: the occurrence minimizing
-    * doc_id·10⁹ + pos (a scalar key so both engines compare
-    * identically; positions stay below 10⁹ tokens per doc). A token is
+    * Ownership is per window hash: the lexicographically-least
+    * (doc_id, pos) occurrence, compared as a STRUCT — a scalar
+    * doc_id·10⁹ + pos key would wrap a Long once doc_id exceeds
+    * ~9.2e9 and silently pick wrong owners at billion-doc scale;
+    * struct min is partial-combinable and overflow-free, and both
+    * engines order structs lexicographically. A token is
     * REMOVED iff some duplicated window covers it and NO owner window
     * does — owner protection keeps the canonical copy intact even
     * where owner and non-owner windows overlap (staggered three-way
@@ -608,7 +611,7 @@ object Dedup {
     require(windowWords >= 1, s"windowWords must be >= 1, got $windowWords")
     require(minCount >= 2L, s"minCount must be >= 2, got $minCount")
     val base = docs.withColumn("toks", split(col("text"), " ", -1))
-    val okeyOf = col("doc_id") * lit(1000000000L) + col("pos")
+    val okeyOf = struct(col("doc_id"), col("pos"))
     val wins = base
       .filter(size(col("toks")) >= windowWords)
       .select(col("doc_id"), col("toks"),

@@ -27,20 +27,41 @@ object Expectations {
 
   sealed trait Check
   object Check {
+    /** Identifier validation at CONSTRUCTION: column / parent-table
+      * names are interpolated into selectExpr `stack` strings here
+      * and into generated oracle SQL in the entry layer, so a quoted,
+      * spaced, or otherwise non-identifier name would parse-error (or
+      * inject) at verify time, far from the declaration that caused
+      * it. Fail at the declaration instead. */
+    private def requireIdent(what: String, name: String): Unit =
+      require(name.matches("[A-Za-z_][A-Za-z0-9_]*"),
+        s"$what must be a plain SQL identifier, got '$name'")
+
     /** Column must hold no NULLs; n_checked = table rows. */
-    final case class NotNull(column: String) extends Check
+    final case class NotNull(column: String) extends Check {
+      requireIdent("NotNull.column", column)
+    }
 
     /** Non-null values must fall in [lo, hi] (inclusive); NULL rows
       * are [[NotNull]]'s business and are not checked here. */
-    final case class InRange(column: String, lo: Double, hi: Double) extends Check
+    final case class InRange(column: String, lo: Double, hi: Double) extends Check {
+      requireIdent("InRange.column", column)
+    }
 
-    /** Non-null values must be one of `values`. */
-    final case class AcceptedValues(column: String, values: Seq[String]) extends Check
+    /** Non-null values must be one of `values` (values may be any
+      * strings — interpolation sites escape them). */
+    final case class AcceptedValues(column: String, values: Seq[String]) extends Check {
+      requireIdent("AcceptedValues.column", column)
+      require(values.nonEmpty, "AcceptedValues needs at least one value")
+    }
 
     /** The key columns must identify rows uniquely; rows with a NULL
       * key component are not checked. Violations = rows beyond the
       * first per duplicated key. */
-    final case class Unique(columns: Seq[String]) extends Check
+    final case class Unique(columns: Seq[String]) extends Check {
+      require(columns.nonEmpty, "Unique needs at least one column")
+      columns.foreach(requireIdent("Unique.column", _))
+    }
 
     /** Every non-null child value must exist in the parent key set
       * (referential integrity). The parent is referenced BY NAME so a
@@ -48,7 +69,11 @@ object Expectations {
       * Spark run and an engine-twin SQL generation); [[verify]]
       * resolves the frame from its table map. */
     final case class ForeignKey(
-        column: String, parentName: String, parentColumn: String) extends Check
+        column: String, parentName: String, parentColumn: String) extends Check {
+      requireIdent("ForeignKey.column", column)
+      requireIdent("ForeignKey.parentName", parentName)
+      requireIdent("ForeignKey.parentColumn", parentColumn)
+    }
   }
   import Check._
 
@@ -61,6 +86,12 @@ object Expectations {
     case Unique(cols) => s"unique(${cols.mkString(",")})"
     case ForeignKey(col0, pn, pc) => s"foreign_key($col0->$pn.$pc)"
   }
+
+  /** Escape a string for interpolation inside a single-quoted SQL
+    * literal (labels carry free-form AcceptedValues strings; table
+    * names in a caller's map are unconstrained). Both Spark SQL and
+    * DuckDB double embedded single quotes. */
+  def sqlLit(s: String): String = s.replace("'", "''")
 
   /** Verify a battery of checks, each against a named table from
     * `tables` (ForeignKey parents resolve from the same map). Output:
@@ -116,7 +147,7 @@ object Expectations {
             coalesce(nv.cast("long"), lit(0L)).as(s"nv_$i"))
         }
         val stackArgs = items.map { case ((t, c), i) =>
-          s"${i + 1}, '$t', '${label(c)}', nc_$i, nv_$i" }.mkString(", ")
+          s"${i + 1}, '${sqlLit(t)}', '${sqlLit(label(c))}', nc_$i, nv_$i" }.mkString(", ")
         tables(tname).agg(aggCols.head, aggCols.tail: _*)
           .selectExpr(s"stack(${items.size}, $stackArgs) AS " +
             "(check_seq, table_name, `constraint`, n_checked, n_violations)")

@@ -91,9 +91,8 @@ object Graph {
       .localCheckpoint()
     // node set from the RAW edge list, BEFORE the self-loop filter: a
     // node whose only edges are self-loops still ranks (it holds its
-    // teleport share and receives no inflow; with no outgoing
-    // transitions its own mass is simply not redistributed) instead of
-    // silently disappearing from the output.
+    // teleport share and receives no inflow) instead of silently
+    // disappearing from the output.
     val nodes = validated.select(col("src").as("node"))
       .unionByName(validated.select(col("dst").as("node")))
       .distinct().localCheckpoint()
@@ -102,6 +101,21 @@ object Graph {
       return nodes.select(col("node"), lit(0L).as("rank_micro"),
         lit(0.0).as("rank"))
     }
+    // DANGLING nodes (in the symmetrized graph: only possible when
+    // every incident edge is a self-loop) have no outgoing
+    // transitions; standard PageRank redistributes their damped mass
+    // uniformly each round, which keeps total mass conserved
+    // (Σ rank_micro ≈ 1e6 up to half-up quantization) — without it the
+    // dangling share leaks and downstream consumers that renormalize
+    // (warm-start) would misread the deficit as quantization loss.
+    // The set is computed ONCE on the bounded node frame; graphs with
+    // no dangling nodes (the common case — any real co-occurrence
+    // graph) skip the per-round term entirely, leaving the plan
+    // untouched.
+    val dangling = nodes.join(
+      norm.select(col("src").as("node")).distinct(), Seq("node"), "left_anti")
+      .localCheckpoint()
+    val hasDangling = dangling.limit(1).count() > 0
     val teleport = ((1000000L - dPpm) * (Scale / n)) / 1000000L
     // iteration jobs dominate wall time on bounded graphs (each
     // materialization is a Spark job), so lineage truncation and the
@@ -115,11 +129,23 @@ object Graph {
         .select(col("dst").as("node"),
           expr("(p_ppm * r * 2 + 1000000) div 2000000").as("c"))
         .groupBy("node").agg(sum("c").as("inflow"))
-      nodes.join(inflow, Seq("node"), "left")
-        .select(col("node"),
-          (lit(teleport) +
-            expr(s"(coalesce(inflow, 0L) * $dPpm * 2 + 1000000) div 2000000"))
+      val damped =
+        expr(s"(coalesce(inflow, 0L) * $dPpm * 2 + 1000000) div 2000000")
+      val base = nodes.join(inflow, Seq("node"), "left")
+      if (!hasDangling)
+        base.select(col("node"), (lit(teleport) + damped).as("r"))
+      else {
+        // each node's uniform share of the damped dangling mass:
+        // half-up of dm·dPpm / (1e6·n). dm ≤ Scale = 1e12 and
+        // dPpm < 1e6, so 2·dm·dPpm < 2e18 stays in Long; the 1-row
+        // mass frame broadcasts — no shuffle, the plan stays lazy.
+        val dmass = r.join(dangling, Seq("node"))
+          .agg(coalesce(sum("r"), lit(0L)).as("dm"))
+        base.crossJoin(broadcast(dmass))
+          .select(col("node"), (lit(teleport) + damped +
+            expr(s"(dm * $dPpm * 2 + ${1000000L * n}) div ${2000000L * n}"))
             .as("r"))
+      }
     }
     var rank = startRanks match {
       case Some(prior) =>

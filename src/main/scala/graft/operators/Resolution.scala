@@ -59,6 +59,35 @@ object Resolution {
     toks.join(stop, Seq("token"), "left_anti")
   }
 
+  /** Pre-flight candidate-mass meter for the blocking join — the
+    * [[Dedup.minhashBucketOccupancy]] discipline applied to entity
+    * resolution: BEFORE a 100 TB feed pays the token-blocking join,
+    * report per-token posting size (catalog side) × feed hit count —
+    * the exact candidate-pair mass each blocking token would emit
+    * (an upper bound on the join output before the per-record
+    * distinct). A mega-token (posting list near the df cap meeting a
+    * feed-side majority token) tops the report; the operator is two
+    * partial-combined aggregates (dictionary-sized and
+    * feed-vocabulary-sized) and one vocabulary-keyed join — never the
+    * blocking join itself.
+    *
+    * Output: (token, catalog_df, feed_hits, est_candidates) ordered
+    * by (est_candidates DESC, token), tokens contributing fewer than
+    * `minCandidates` pairs dropped. */
+  def blockingOccupancy(
+      feed: DataFrame, index: DataFrame, minCandidates: Long = 2L): DataFrame = {
+    val postings = index.groupBy("token").agg(count(lit(1)).as("catalog_df"))
+    val hits = feed
+      .select(explode(array_distinct(
+        split(normalizeName(col("name")), " ", -1))).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy("token").agg(count(lit(1)).as("feed_hits"))
+    postings.join(hits, Seq("token"))
+      .withColumn("est_candidates", col("catalog_df") * col("feed_hits"))
+      .filter(col("est_candidates") >= minCandidates)
+      .orderBy(desc("est_candidates"), col("token"))
+  }
+
   /** Match feed records (feed_id, name) against catalog entries
     * (canon_id, name): token-blocked candidates through a catalog
     * index in [[catalogTokenIndex]] layout, exact integer scoring,

@@ -101,6 +101,12 @@ object ExpectationsStream {
     // (per-check partials calls would rescan the batch per check).
     val factChecks = checks.zipWithIndex
       .filter { case ((t, _), _) => t == factTable }
+    // fail at LAUNCH, not inside foreachBatch: with zero fact-table
+    // checks every micro-batch would throw (Expectations.partials
+    // requires a non-empty battery) and the stream dies at runtime
+    require(factChecks.nonEmpty,
+      s"partialsMaintain: no check in the battery targets fact table " +
+        s"'$factTable' — nothing to maintain")
     val subset = factChecks.map(_._1)
     val seqMap = map(factChecks.zipWithIndex.flatMap {
       case ((_, gi), j) => Seq(lit(j + 1), lit(gi + 1)) }: _*)

@@ -123,6 +123,39 @@ class ExpectationsSpec extends AnyFunSuite with SparkSessionTestBase {
     assert(twice === served)
   }
 
+  test("artifact-served verdicts bit-equal the inline incremental form") {
+    // q_expectations_indexed folds tonight's delta into the PERSISTED
+    // base partials; the inline form rebuilds both halves. Same
+    // verdicts, bit-for-bit — and both equal the full verify() (the
+    // driver oracle proves that independently at every SF)
+    val inline = SparkEntry.queries("q_expectations_incremental")(spark, sfDir)
+      .collect().map(_.toString).toSeq
+    val served = SparkEntry.queries("q_expectations_indexed")(spark, sfDir)
+      .collect().map(_.toString).toSeq
+    assert(served === inline)
+    val full = SparkEntry.queries("q_expectations")(spark, sfDir)
+      .collect().map(_.toString).toSeq
+    assert(served === full)
+  }
+
+  test("a malformed check fails at construction, not at verify time") {
+    // names are interpolated into stack/oracle SQL — a quoted or
+    // spaced identifier must be rejected at the DECLARATION
+    intercept[IllegalArgumentException](NotNull("bad name"))
+    intercept[IllegalArgumentException](InRange("x'; DROP", 0, 1))
+    intercept[IllegalArgumentException](Unique(Seq("ok", "not ok")))
+    intercept[IllegalArgumentException](ForeignKey("c", "par ent", "k"))
+    intercept[IllegalArgumentException](AcceptedValues("c", Seq.empty))
+    // AcceptedValues VALUES are free-form — a quote-bearing value must
+    // flow through verify and its label unharmed (escaped, not broken)
+    import spark.implicits._
+    val t = Seq("it's", "fine").toDF("s")
+    val out = Expectations.verify(Map("t" -> t),
+      Seq("t" -> AcceptedValues("s", Seq("it's")))).collect()
+    assert(out.head.getString(2) === "accepted_values(s,it's)")
+    assert(out.head.getLong(4) === 1L) // "fine" violates
+  }
+
   test("empty tables verify without error") {
     import spark.implicits._
     val e = Seq.empty[(Option[Long], String)].toDF("id", "s")

@@ -161,6 +161,43 @@ class PlanRegressionSpec extends AnyFunSuite with SparkSessionTestBase {
     assert(pq.contains("partial_graft_topk"))
   }
 
+  test("expectations serving folds the persisted partials artifact") {
+    // serveVerdicts localCheckpoints its merged input, so the scans
+    // live in the MERGE plan — assert there: the base verdict
+    // partials come from the fingerprint-keyed parquet artifact and
+    // the only lineitem scan is the 5 % delta slice
+    import graft.operators.Expectations
+    val merged = Expectations.mergePartials(Seq(
+      SparkEntry.expPartialsShared(spark, sfDir),
+      Expectations.partials(
+        SparkEntry.expDeltaTables(spark, sfDir), SparkEntry.expectationChecks)))
+    val p = merged.queryExecution.executedPlan.toString
+    assert(p.contains("graft_exp_partials"))
+    // the battery's scalar/unique/FK passes each scan the delta slice
+    // (that is fine — the slice is 5 %); what must NOT appear is a
+    // lineitem scan WITHOUT the delta filter, i.e. a base re-verify
+    def lineitemScans(pl: String) = pl.linesIterator
+      .filter(l => l.contains("Scan parquet") && l.contains("lineitem"))
+      .toSeq
+    // base-slice scans carry the NEGATED filter "NOT ((… % 20) = 7)"
+    def isBaseScan(l: String) =
+      !l.contains("% 20) = 7") || l.contains("NOT ((l_orderkey")
+    val servedScans = lineitemScans(p)
+    assert(servedScans.nonEmpty)
+    assert(!servedScans.exists(isBaseScan),
+      s"a lineitem scan without the delta filter means a base re-verify:\n$p")
+    // the inline form re-verifies the base: it carries lineitem scans
+    // with the BASE filter (% 20 != 7) too
+    val inline = Expectations.mergePartials(Seq(
+      Expectations.partials(
+        SparkEntry.expBaseTables(spark, sfDir), SparkEntry.expectationChecks),
+      Expectations.partials(
+        SparkEntry.expDeltaTables(spark, sfDir), SparkEntry.expectationChecks)))
+      .queryExecution.executedPlan.toString
+    assert(lineitemScans(inline).exists(isBaseScan),
+      "the inline form must scan the base lineitem")
+  }
+
   test("top-terms is a partial-combined aggregate with fused top-k") {
     val p = plan("q_top_terms")
     // two HashAggregates around one Exchange (map-side combine), then

@@ -135,14 +135,20 @@ class PurchasesSpec extends AnyFunSuite with SparkSessionTestBase {
       start: Map[Long, Long] = Map.empty): Map[Long, Long] = {
     val dPpm = math.round(damping * 1e6)
     val scale = 1000000000000L
-    val sym = (edges.map { case (a, b, w) => ((a, b), w) } ++
-      edges.map { case (a, b, w) => ((b, a), w) })
+    // transitions exclude self-loops; the node set keeps them, and
+    // nodes left with NO outgoing transition (self-loop-only) are
+    // dangling — their damped mass redistributes uniformly per round,
+    // mirroring the operator's conserved-mass handling
+    val clean = edges.filter(e => e._1 != e._2)
+    val sym = (clean.map { case (a, b, w) => ((a, b), w) } ++
+      clean.map { case (a, b, w) => ((b, a), w) })
       .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sum }
     val wout = sym.groupBy(_._1._1).map { case (s, es) => s -> es.values.sum }
     val pPpm = sym.map { case ((s, d), w) =>
       (s, d) -> (w * 2000000L + wout(s)) / (wout(s) * 2L) }
-    val nodes = sym.keys.map(_._1).toSeq.distinct.sorted
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct.sorted
     val n = nodes.size
+    val dangling = nodes.filterNot(wout.contains)
     val teleport = ((1000000L - dPpm) * (scale / n)) / 1000000L
     // warm start mirrors the operator: prior rank_micro × 1e6, uniform
     // for nodes the prior doesn't know, renormalized to total Scale
@@ -156,8 +162,13 @@ class PurchasesSpec extends AnyFunSuite with SparkSessionTestBase {
       val inflow = pPpm.toSeq
         .map { case ((s, d), p) => d -> ((p * r(s) * 2L + 1000000L) / 2000000L) }
         .groupBy(_._1).map { case (d, cs) => d -> cs.map(_._2).sum }
+      val share = if (dangling.isEmpty) 0L else {
+        val dm = dangling.map(r).sum
+        (dm * dPpm * 2L + 1000000L * n) / (2000000L * n)
+      }
       r = nodes.map(v => v ->
-        (teleport + (inflow.getOrElse(v, 0L) * dPpm * 2L + 1000000L) / 2000000L)).toMap
+        (teleport + share +
+          (inflow.getOrElse(v, 0L) * dPpm * 2L + 1000000L) / 2000000L)).toMap
     }
     r.map { case (k, v) => k -> (v * 2L + 1000000L) / 2000000L }
   }
@@ -233,13 +244,20 @@ class PurchasesSpec extends AnyFunSuite with SparkSessionTestBase {
     val noLoop = Seq((1L, 2L, 1L)).toDF("src", "dst", "w")
     assert(graft.operators.Graph.pageRank(withLoop).collect().map(_.toString).toSeq
       === graft.operators.Graph.pageRank(noLoop).collect().map(_.toString).toSeq)
-    // ...but a node whose ONLY edges are self-loops still ranks with
-    // its teleport share instead of vanishing from the output
-    val loner = Seq((1L, 2L, 1L), (7L, 7L, 5L)).toDF("src", "dst", "w")
+    // ...but a node whose ONLY edges are self-loops still ranks
+    // (teleport + its uniform share of redistributed dangling mass)
+    // instead of vanishing — and mass stays conserved: the dangling
+    // node's damped mass redistributes uniformly (standard dangling
+    // handling), matching the local mirror exactly
+    val lonerSeq = Seq((1L, 2L, 1L), (7L, 7L, 5L))
+    val loner = lonerSeq.toDF("src", "dst", "w")
     val ranks = graft.operators.Graph.pageRank(loner).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(ranks.keySet === Set(1L, 2L, 7L))
     assert(ranks(7L) > 0L && ranks(7L) < ranks(1L))
+    assert(ranks === localPageRank(lonerSeq, 0.85, 10))
+    assert(math.abs(ranks.values.sum - 1000000L) < 100L,
+      s"dangling mass must be redistributed, got total ${ranks.values.sum}")
     // a non-positive weight is a caller bug and fails loudly
     val bad = Seq((1L, 2L, 0L)).toDF("src", "dst", "w")
     val e = intercept[Exception] {

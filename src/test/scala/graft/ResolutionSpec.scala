@@ -139,6 +139,50 @@ class ResolutionSpec extends AnyFunSuite with SparkSessionTestBase {
       (13L, 0L, None, None)))
   }
 
+  test("golden records fold the persisted match artifact bit-equally") {
+    // q_entity_golden consumes the fingerprint-keyed match artifact;
+    // it must equal survivorship over the inline match exactly
+    val feed = SparkEntry.erFeed(spark, sfDir)
+    val cat = SparkEntry.erCatalog(spark, sfDir)
+    val viaArtifact = SparkEntry.queries("q_entity_golden")(spark, sfDir)
+      .collect().map(_.toString).toSeq
+    val inline = Resolution.goldenRecords(
+        Resolution.entityMatch(feed, cat,
+          minScoreMicro = 500000L, dfCap = 100, k = 1),
+        feed.select(col("feed_id"), col("price")), cat)
+      .collect().map(_.toString).toSeq
+    assert(viaArtifact === inline)
+    // and the artifact really is a parquet FileScan, not a rebuild
+    assert(SparkEntry.erMatchShared(spark, sfDir)
+      .queryExecution.executedPlan.toString.contains("graft_er_match"))
+  }
+
+  test("blockingOccupancy reports exact candidate mass; mega-tokens top it") {
+    // catalog where "widget" names 3 canonicals (df cap 3 keeps it)
+    // and the feed hits it from every record — the mega-token
+    val cat = Seq((1L, "red widget"), (2L, "blue widget"),
+      (3L, "green widget"), (4L, "lone bolt")).toDF("canon_id", "name")
+    val feed = Seq((1L, "red widget"), (2L, "blue  widget"),
+      (3L, "WIDGET green"), (4L, "bolt lone")).toDF("feed_id", "name")
+    val idx = Resolution.catalogTokenIndex(cat, dfCap = 3)
+    val got = Resolution.blockingOccupancy(feed, idx, minCandidates = 2L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toList
+    // widget: df 3 × 3 feed hits = 9 candidate pairs — tops the report
+    assert(got.head === ("widget", 3L, 3L, 9L))
+    // the per-color tokens each contribute 1×1 < minCandidates → dropped;
+    // lone/bolt each df 1 × 1 hit → dropped too
+    assert(got.map(_._1) === List("widget"))
+    // the meter is EXACT per token: est_candidates equals the
+    // blocking join's row count for that token
+    val widgetPairs = feed
+      .select(col("feed_id"), explode(array_distinct(
+        split(Resolution.normalizeName(col("name")), " ", -1))).as("token"))
+      .join(idx, Seq("token"))
+      .filter(col("token") === "widget").count()
+    assert(widgetPairs === 9L)
+  }
+
   test("streaming entityGateRun equals the batch match twin") {
     val streamed = graft.streaming.ResolutionStream
       .entityGateRun(spark, sfDir)

@@ -13,6 +13,7 @@ import sys
 import glob
 import duckdb
 import pandas as pd
+import pyarrow.dataset as pads
 
 sfdir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 outdir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
@@ -27,7 +28,13 @@ fails = []
 for name, sql in sorted(oracle.items()):
     res_dir = f"{outdir}/{name}"
     try:
-        got = con.execute(f"SELECT * FROM '{res_dir}/*.parquet'").df()
+        # the Spark side MUST come through pyarrow→pandas (the driver's
+        # path), NOT DuckDB: DuckDB coerces DECIMAL to float64 on read,
+        # which masked r8's q_nb_eval decimal-vs-float canonical-string
+        # divergence (local green, driver red). Only the oracle side
+        # goes through DuckDB.
+        got = pads.dataset(glob.glob(f"{res_dir}/*.parquet")) \
+            .to_table().to_pandas()
     except Exception as e:
         fails.append(name)
         print(f"FAIL {name}: cannot read spark result: {e}")
@@ -41,6 +48,21 @@ for name, sql in sorted(oracle.items()):
 
     def norm(df):
         df = df.reindex(sorted(df.columns), axis=1)
+        # temporal canonicalization (the pyarrow read path returns
+        # datetime64[ns] and date OBJECTS where DuckDB returns
+        # datetime64[us]; the driver treats these as equal — q_range_
+        # pairs/q_cohort_pivot hash green — so the local gate must
+        # too). Decimal objects are deliberately NOT coerced: their
+        # canonical-string divergence is a real driver red.
+        import datetime as _dt
+        for c in df.columns:
+            dt = str(df[c].dtype)
+            if dt.startswith("datetime64"):
+                df[c] = df[c].astype("datetime64[us]")
+            elif dt == "object" and len(df) and df[c].map(
+                    lambda x: x is None or
+                    isinstance(x, (_dt.date, _dt.datetime))).all():
+                df[c] = pd.to_datetime(df[c]).astype("datetime64[us]")
         dtypes = {c: str(df[c].dtype) for c in df.columns}
         for c in df.columns:
             # NO float rounding and NO decimal-scale forgiveness: the
