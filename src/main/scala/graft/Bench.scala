@@ -25,32 +25,54 @@ object Bench {
     // format 71.234 as "71,234" and corrupt the JSON
     String.format(java.util.Locale.ROOT, s"%.${dp}f", Double.box(v))
 
+  /** Optional build-cost map for the slowest entries (warm-up time
+    * minus steady-state median — the artifact-build + first-serve
+    * cost the timed runs deliberately exclude): makes the
+    * build-vs-serve split legible in the PUBLISHED line, so a
+    * build-heavy entry (entity quartet, stream harnesses) is not
+    * misread as serving cost. Empty → the key is omitted. */
+  private def buildSuffix(build: Seq[(String, Double)], dp: Int): String =
+    if (build.isEmpty) ""
+    else build.map { case (k, v) => "\"" + k + "\":" + fmt(dp, v) }
+      .mkString(""","build":{""", ",", "}")
+
   private[graft] def fullLine(
-      results: Seq[(String, Double)], total: Double, sfTag: String, dp: Int = 3): String = {
+      results: Seq[(String, Double)], total: Double, sfTag: String, dp: Int = 3,
+      build: Seq[(String, Double)] = Seq.empty): String = {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(dp, v) }
       .mkString("{", ",", "}")
-    s"""{"metric":"total","value":${fmt(3, total)},"unit":"sec","queries":$qs,"sf":"$sfTag"}"""
+    s"""{"metric":"total","value":${fmt(3, total)},"unit":"sec","queries":$qs""" +
+      s""","sf":"$sfTag"${buildSuffix(build, dp)}}"""
   }
 
   private def lineTop(
       results: Seq[(String, Double)], total: Double, sfTag: String,
-      dp: Int, topN: Int): String = {
+      dp: Int, topN: Int, build: Seq[(String, Double)] = Seq.empty): String = {
     val bySlowest = results.sortBy(-_._2)
     val top = bySlowest.take(topN).sortBy(_._1)
     val rest = bySlowest.drop(topN).map(_._2).sum
     val qs = (top.map { case (k, v) => "\"" + k + "\":" + fmt(dp, v) } :+
       ("\"_rest\":" + fmt(dp, rest))).mkString("{", ",", "}")
-    s"""{"metric":"total","value":${fmt(3, total)},"unit":"sec","queries":$qs,"sf":"$sfTag"}"""
+    s"""{"metric":"total","value":${fmt(3, total)},"unit":"sec","queries":$qs""" +
+      s""","sf":"$sfTag"${buildSuffix(build, dp)}}"""
   }
 
-  /** First representation fitting the budget; always valid JSON. */
+  /** First representation fitting the budget; always valid JSON. The
+    * build map degrades before per-query precision does: it rides the
+    * 3/2dp variants and is dropped from the fallbacks. */
   private[graft] def stdoutLine(
-      results: Seq[(String, Double)], total: Double, sfTag: String): String =
+      results: Seq[(String, Double)], total: Double, sfTag: String,
+      build: Seq[(String, Double)] = Seq.empty): String =
     Seq(
-      fullLine(results, total, sfTag, 3),
-      fullLine(results, total, sfTag, 2),
-      fullLine(results, total, sfTag, 1),
-      lineTop(results, total, sfTag, 2, 45))
+      fullLine(results, total, sfTag, 3, build),
+      fullLine(results, total, sfTag, 2, build),
+      fullLine(results, total, sfTag, 1, build),
+      lineTop(results, total, sfTag, 2, 45, build),
+      // the split is worth a few more _rest-folded entries: prefer a
+      // smaller top-N WITH the build map over 45 entries without it
+      lineTop(results, total, sfTag, 2, 35, build),
+      lineTop(results, total, sfTag, 2, 45),
+      lineTop(results, total, sfTag, 1, 30, build))
       .find(_.length <= MaxLine)
       .getOrElse(lineTop(results, total, sfTag, 1, 30))
 
@@ -119,6 +141,15 @@ object Bench {
     val results = names.map { case (name, _) => name -> median(byName(name)) }
     val total = results.map(_._2).sum
     val sfTag = sfDir.split('/').last
+    // build-vs-serve split for the ten slowest: warm-up minus steady
+    // median ≈ the artifact-build + first-run cost the timed runs
+    // exclude (clamped at 0 — a noisy warm-up can come in under the
+    // median). Published so a build-heavy entry reads as such.
+    val warmMap = warmupPer.toMap
+    val buildTop = results.sortBy(-_._2).take(10)
+      .map { case (name, med) =>
+        name -> math.max(0.0, warmMap.getOrElse(name, 0.0) - med) }
+      .sortBy(_._1)
     try {
       // forensic copy with full precision, spread, and per-run totals —
       // never fail the bench over it
@@ -140,7 +171,7 @@ object Bench {
       java.nio.file.Files.write(dir.resolve("bench_full.json"),
         (full + "\n").getBytes("UTF-8"))
     } catch { case _: Throwable => () }
-    println(stdoutLine(results, total, sfTag))
+    println(stdoutLine(results, total, sfTag, buildTop))
     spark.stop()
   }
 }

@@ -1522,6 +1522,19 @@ object SparkEntry {
       operators.Graph.coreness(
         Purchases.coPurchaseGraph(Tables.lineitem(s, d), minCount = 2L),
         maxK = 24)),
+    // the SCALE PATH for the same decomposition, SHARDED BY CONNECTED
+    // COMPONENT: star-contraction labels, then each component peels
+    // independently — in-executor exact Batagelj–Zaversnik under the
+    // size cap (no k-depth cap needed locally — a dense pocket that
+    // trips the global ladder's maxK guard is cheap here), the
+    // distributed peel only for oversized components. At toy scale
+    // the global ladder wins (CC labeling is fixed overhead; the
+    // grep-pair honesty note applies); on the dense 100x replica the
+    // global ladder ABORTS on its cap while this completes at e 0.42.
+    // Same result, same FULL oracle
+    "q_coreness_sharded" -> ((s, d) =>
+      operators.Graph.corenessSharded(
+        Purchases.coPurchaseGraph(Tables.lineitem(s, d), minCount = 2L))),
     // k-truss: the edge-analog of the k-core (every edge in >= k-2
     // triangles) — the densest rung of the graph-density family.
     // rows-only: the per-round per-edge support recomputation has no
@@ -2639,6 +2652,8 @@ object SparkEntry {
         |FROM deg LEFT JOIN pn USING (node) ORDER BY deg.node""".stripMargin,
     "q_kcore" -> kcoreOracleSql,
     "q_coreness" -> corenessOracleSql,
+    // the component-sharded form computes the identical decomposition
+    "q_coreness_sharded" -> corenessOracleSql,
     "q_expectations" -> expectationsOracleSql(),
     // served from merged base+delta partials; the full-battery oracle
     // IS the incremental == full proof

@@ -301,6 +301,144 @@ object Graph {
     else dropped.reduce(_ unionByName _).orderBy("node")
   }
 
+  /** [[coreness]] SHARDED BY CONNECTED COMPONENT — the scale path for
+    * full decomposition on graphs with dense pockets. The global
+    * successive-peel runs one Spark job chain per k level, so a dense
+    * component (deep max coreness) stalls the WHOLE decomposition and
+    * eventually trips the loud maxK guard. But core decomposition
+    * never crosses a component boundary, so: label components
+    * (star-contraction, [[Dedup.duplicateLabelsStar]] — O(log² n)
+    * rounds), then peel each component INDEPENDENTLY —
+    *
+    *  - components at or under `localMaxEdges` edges (in any real
+    *    co-occurrence graph: virtually all of them) decompose
+    *    IN-EXECUTOR via the exact Batagelj–Zaversnik bin-sort peel
+    *    (O(V+E) per component, no per-level Spark jobs, NO depth
+    *    cap — a deep dense pocket is cheap locally);
+    *  - oversized components (rare; loudly bounded by
+    *    `maxBigComponents`) fall back to the distributed
+    *    [[coreness]] peel over their union — disjoint components
+    *    peel independently, so the union peel equals per-component
+    *    peels.
+    *
+    * One shuffle groups edges by component; the rest is local work.
+    * Output contract identical to [[coreness]] (spec asserts exact
+    * equality on shared fixtures); at 100 TB the edge frame shards by
+    * component instead of serializing the k ladder globally. */
+  def corenessSharded(
+      edges: DataFrame, localMaxEdges: Long = 2000000L,
+      maxK: Int = 64, maxRounds: Int = 200,
+      maxBigComponents: Int = 64): DataFrame = {
+    require(localMaxEdges >= 1L,
+      s"corenessSharded: localMaxEdges must be >= 1, got $localMaxEdges")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val canon = canonicalUndirected(edges)
+    if (canon.isEmpty) return coreness(edges, maxK, maxRounds)
+    val labels = Dedup.duplicateLabelsStar(
+      canon.select(col("a").as("doc_a"), col("b").as("doc_b")))
+    val lab = canon
+      .join(labels.select(col("id").as("a"), col("label").as("comp")), Seq("a"))
+      .localCheckpoint()
+    val big = lab.groupBy("comp").agg(count(lit(1)).as("m"))
+      .filter(col("m") > localMaxEdges)
+      .select(col("comp")).as[Long].collect().sorted
+    require(big.length <= maxBigComponents,
+      s"corenessSharded: ${big.length} components exceed localMaxEdges=" +
+        s"$localMaxEdges (cap $maxBigComponents) — raise localMaxEdges")
+    val small =
+      if (big.isEmpty) lab
+      else lab.join(big.toSeq.toDF("comp"), Seq("comp"), "left_anti")
+    val localOut = small
+      .select(col("comp").as("_1"), col("a").as("_2"), col("b").as("_3"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (_, it) =>
+        localCoreness(it.map(t => (t._2, t._3)).toArray)
+      }
+      .toDF("node", "coreness")
+    val out =
+      if (big.isEmpty) localOut
+      else localOut.unionByName(coreness(
+        lab.filter(col("comp").isin(big.map(Long.box): _*))
+          .select(col("a").as("src"), col("b").as("dst")),
+        maxK, maxRounds))
+    out.orderBy("node")
+  }
+
+  /** Exact Batagelj–Zaversnik (2003) core decomposition of ONE
+    * component's canonical edge list, in-memory — the executor-local
+    * leaf of [[corenessSharded]]: bin-sorted increasing-degree peel,
+    * O(V + E), no depth cap needed (the loop is one pass over the
+    * degree-ordered vertex array). Input edges must already be
+    * canonical (a < b, deduplicated, self-loop-free). Returns
+    * (node, coreness) for every node of the edge list. */
+  private[operators] def localCoreness(
+      edges: Array[(Long, Long)]): Iterator[(Long, Long)] = {
+    if (edges.isEmpty) return Iterator.empty
+    val idOf = scala.collection.mutable.LongMap.empty[Int]
+    val ids = scala.collection.mutable.ArrayBuffer.empty[Long]
+    def idx(x: Long): Int = idOf.getOrElseUpdate(x, {
+      val i = ids.length; ids += x; i
+    })
+    val m = edges.length
+    val ea = new Array[Int](m); val eb = new Array[Int](m)
+    var i = 0
+    while (i < m) { ea(i) = idx(edges(i)._1); eb(i) = idx(edges(i)._2); i += 1 }
+    val n = ids.length
+    val deg = new Array[Int](n)
+    i = 0; while (i < m) { deg(ea(i)) += 1; deg(eb(i)) += 1; i += 1 }
+    // CSR adjacency
+    val off = new Array[Int](n + 1)
+    i = 0; while (i < n) { off(i + 1) = off(i) + deg(i); i += 1 }
+    val adj = new Array[Int](2 * m)
+    val fill = java.util.Arrays.copyOf(off, n)
+    i = 0
+    while (i < m) {
+      adj(fill(ea(i))) = eb(i); fill(ea(i)) += 1
+      adj(fill(eb(i))) = ea(i); fill(eb(i)) += 1
+      i += 1
+    }
+    // bin-sort vertices by degree
+    var maxDeg = 0
+    i = 0; while (i < n) { if (deg(i) > maxDeg) maxDeg = deg(i); i += 1 }
+    val bin = new Array[Int](maxDeg + 1)
+    i = 0; while (i < n) { bin(deg(i)) += 1; i += 1 }
+    var start = 0
+    var d = 0
+    while (d <= maxDeg) { val c = bin(d); bin(d) = start; start += c; d += 1 }
+    val vert = new Array[Int](n); val pos = new Array[Int](n)
+    val core = deg.clone()
+    i = 0
+    while (i < n) {
+      pos(i) = bin(core(i)); vert(pos(i)) = i; bin(core(i)) += 1; i += 1
+    }
+    d = maxDeg; while (d >= 1) { bin(d) = bin(d - 1); d -= 1 }; bin(0) = 0
+    // increasing-degree peel: when v is processed its core number is
+    // final; each strictly-higher-degree neighbor drops one degree and
+    // swaps toward the front of its bin
+    i = 0
+    while (i < n) {
+      val v = vert(i)
+      var j = off(v)
+      while (j < off(v + 1)) {
+        val u = adj(j)
+        if (core(u) > core(v)) {
+          val du = core(u); val pu = pos(u)
+          val pw = bin(du); val w = vert(pw)
+          if (u != w) {
+            pos(u) = pw; vert(pu) = w; pos(w) = pu; vert(pw) = u
+          }
+          bin(du) += 1
+          core(u) = du - 1
+        }
+        j += 1
+      }
+      i += 1
+    }
+    Iterator.range(0, n).map(v => (ids(v), core(v).toLong))
+  }
+
   /** The k-truss of an undirected edge list (Cohen 2008): the maximal
     * subgraph in which every EDGE sits in at least k−2 triangles —
     * the edge-analog of [[kCore]] and the densest rung of the family

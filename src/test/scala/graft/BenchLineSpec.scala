@@ -41,6 +41,32 @@ class BenchLineSpec extends AnyFunSuite {
     assert(line.contains("\"value\":" + Bench.fmt(3, rs.map(_._2).sum)))
   }
 
+  test("the build map rides the line when it fits and degrades before precision") {
+    // realistic name lengths (the driver surface averages ~18 chars)
+    def real(n: Int): Seq[(String, Double)] =
+      (1 to n).map(i => f"q_entity_match_$i%03d" -> i * 0.137)
+    val rs = real(40)
+    val build = rs.sortBy(-_._2).take(10).map { case (k, _) => k -> 1.5 }
+    val line = Bench.stdoutLine(rs, rs.map(_._2).sum, "sf0.1", build)
+    assert(line.length <= Bench.MaxLine)
+    assert(line.contains("\"build\":{"))
+    assert(line.contains("\"q_entity_match_040\":1.500"))
+    // at the full driver-surface count the split SURVIVES the
+    // top-N fold (that is the point of publishing it)
+    val big = real(210)
+    val bigLine = Bench.stdoutLine(big, big.map(_._2).sum, "sf0.1",
+      big.sortBy(-_._2).take(10).map { case (k, _) => k -> 1.5 })
+    assert(bigLine.length <= Bench.MaxLine && parseable(bigLine))
+    assert(bigLine.contains("\"build\":{"))
+    // pathological name lengths still produce a fitting parseable line
+    val long = results(500)
+    val longLine = Bench.stdoutLine(long, long.map(_._2).sum, "sf0.1",
+      long.sortBy(-_._2).take(10).map { case (k, _) => k -> 1.5 })
+    assert(longLine.length <= Bench.MaxLine && parseable(longLine))
+    // no build map → no build key (the pre-split line shape)
+    assert(!Bench.stdoutLine(rs, rs.map(_._2).sum, "sf0.1").contains("\"build\""))
+  }
+
   test("values format with a dot decimal separator in any locale") {
     val prev = java.util.Locale.getDefault
     try {

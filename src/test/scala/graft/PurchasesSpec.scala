@@ -367,6 +367,40 @@ class PurchasesSpec extends AnyFunSuite with SparkSessionTestBase {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap === cn)
   }
 
+  test("corenessSharded equals the unsharded ladder and the local mirror") {
+    import spark.implicits._
+    // the kCore fixture: three components of coreness 1, 2, 3
+    val raw = Seq((1L, 2L), (2L, 3L), (3L, 4L), (5L, 6L), (6L, 7L),
+      (5L, 7L), (5L, 8L), (10L, 11L), (10L, 12L), (10L, 13L),
+      (11L, 12L), (11L, 13L), (12L, 13L), (2L, 1L), (6L, 6L))
+    val edges = raw.map { case (a, b) => (a, b, 1L) }.toDF("src", "dst", "w")
+    val unsharded = operators.Graph.coreness(edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val sharded = operators.Graph.corenessSharded(edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(sharded === unsharded)
+    // force the OVERSIZED-component fallback (K4 has 6 edges > 4):
+    // the distributed peel handles it, the other components stay
+    // local, and the union still equals the unsharded result
+    val mixed = operators.Graph.corenessSharded(edges, localMaxEdges = 4L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(mixed === unsharded)
+    // too many oversized components raises loudly instead of stalling
+    intercept[IllegalArgumentException] {
+      operators.Graph.corenessSharded(edges,
+        localMaxEdges = 1L, maxBigComponents = 1)
+    }
+    // a DEEP dense core (K12: coreness 11, past the unsharded entry's
+    // historical cap comfort zone) decomposes locally with no k cap
+    val k12 = for { a <- 1L to 12L; b <- (a + 1) to 12L } yield (a, b, 1L)
+    val deep = operators.Graph.corenessSharded(k12.toDF("src", "dst", "w"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(deep === (1L to 12L).map(_ -> 11L).toMap)
+    // empty input degrades like the unsharded form
+    val none = Seq.empty[(Long, Long, Long)].toDF("src", "dst", "w")
+    assert(operators.Graph.corenessSharded(none).count() === 0)
+  }
+
   test("kCore and coreness agree with the local mirror on a random graph") {
     import spark.implicits._
     // deterministic pseudo-random graph: quadratic-residue style pairs
@@ -379,6 +413,10 @@ class PurchasesSpec extends AnyFunSuite with SparkSessionTestBase {
     val got = operators.Graph.coreness(edges)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(got === mirror)
+    // the component-sharded form (one dense component here — the
+    // in-executor BZ peel carries it) agrees with both
+    assert(operators.Graph.corenessSharded(edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap === mirror)
     // membership consistency: kCore(k) node set == {coreness >= k},
     // and each reported core degree matches the local peel's
     for (k <- 2 to got.values.max.toInt) {
