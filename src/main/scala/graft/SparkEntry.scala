@@ -990,6 +990,14 @@ object SparkEntry {
       operators.Pca.pcaProjectExploded(
         Tables.embeddings(s, d), pcaModelShared(s, d))),
     "q_embed_clusters" -> ((s, d) => Similarity.embedClusterStats(Tables.embeddings(s, d))),
+    // SemDeDup: k-means-sharded semantic dedup (the paper's cluster
+    // device — within-cluster pairs only; the LSH-banded
+    // q_embed_neardup is the other bounding discipline). Rows-only
+    // for the q_embed_clusters reason (trained centroids); the
+    // within-cluster semantics and the cross-cluster-miss limitation
+    // are pinned in spec
+    "q_semdedup" -> ((s, d) =>
+      Similarity.semDeDup(Tables.embeddings(s, d), nCentroids = 16, tau = 0.35)),
     "q_cluster_quality" -> ((s, d) =>
       Similarity.clusterQuality(Tables.embeddings(s, d), Tables.documents(s, d))),
     "q_chunk_dedup" -> ((s, d) => Dedup.chunkDedup(Tables.documents(s, d))),
@@ -1535,6 +1543,14 @@ object SparkEntry {
     "q_coreness_sharded" -> ((s, d) =>
       operators.Graph.corenessSharded(
         Purchases.coPurchaseGraph(Tables.lineitem(s, d), minCount = 2L))),
+    // connected components over the co-purchase graph — the
+    // component face of the graph family (the labels corenessSharded
+    // shards by, surfaced as their own product); FULL oracle: the
+    // same star-contraction semantics replayed as a reachability
+    // recursive CTE + min-label fold
+    "q_components" -> ((s, d) =>
+      operators.Graph.components(
+        Purchases.coPurchaseGraph(Tables.lineitem(s, d), minCount = 2L))),
     // k-truss: the edge-analog of the k-core (every edge in >= k-2
     // triangles) — the densest rung of the graph-density family.
     // rows-only: the per-round per-edge support recomputation has no
@@ -1628,6 +1644,24 @@ object SparkEntry {
     "q_token_budget_sample" -> ((s, d) =>
       Curation.tokenBudgetSample(Tables.documents(s, d),
         budgets = Map("src1" -> 300L, "src2" -> 0L))),
+    // temperature-reweighted source mixing (α = 0.5 flattens the
+    // source head, the multilingual-LM sampling rule). The synthetic
+    // sources are uniform-sized — temperature would be a no-op — so
+    // the entry derives a 70/20/10 skewed domain split first: the
+    // head downsamples hardest, the tail clamps at rate 1, and the
+    // integer rate pipeline (one pow micro-snap per source → exact
+    // integer division) replays verbatim in the oracle
+    "q_mix_temperature" -> ((s, d) =>
+      Curation.mixTemperature(
+        Tables.documents(s, d).withColumn("source",
+          when(col("doc_id") % 10 < 7, lit("head"))
+            .when(col("doc_id") % 10 < 9, lit("mid"))
+            .otherwise(lit("tail"))),
+        alpha = 0.5, budget = 300L)
+        .groupBy("source")
+        .agg(min("r_micro").as("r_micro"), count(lit(1)).as("n_docs"),
+          min("doc_id").as("first_doc"))
+        .orderBy("source")),
     // DSIR data selection: src0+src1 play the "target domain"; every
     // doc scores its hashed-feature log importance weight vs the raw mix
     "q_dsir_weights" -> ((s, d) =>
@@ -2654,6 +2688,22 @@ object SparkEntry {
     "q_coreness" -> corenessOracleSql,
     // the component-sharded form computes the identical decomposition
     "q_coreness_sharded" -> corenessOracleSql,
+    // reachability closure + min-label fold over the same e0 edges
+    "q_components" ->
+      s"""WITH RECURSIVE $kcoreEdgeCte,
+         |e AS (SELECT a AS u, b AS v FROM e0 UNION SELECT b, a FROM e0),
+         |reach(id, r) AS (
+         | SELECT u, u FROM e
+         | UNION
+         | SELECT e.u, reach.r FROM e JOIN reach ON e.v = reach.id),
+         |lbl AS (SELECT id, min(r) AS label FROM reach GROUP BY id),
+         |nn AS (SELECT label, count(*) AS n_nodes FROM lbl GROUP BY label),
+         |ne AS (SELECT l.label AS label, count(*) AS n_edges
+         | FROM e0 JOIN lbl l ON e0.a = l.id GROUP BY l.label)
+         |SELECT nn.label AS component, CAST(n_nodes AS BIGINT) AS n_nodes,
+         | CAST(n_edges AS BIGINT) AS n_edges
+         |FROM nn JOIN ne ON nn.label = ne.label
+         |ORDER BY component""".stripMargin,
     "q_expectations" -> expectationsOracleSql(),
     // served from merged base+delta partials; the full-battery oracle
     // IS the incremental == full proof
@@ -3824,6 +3874,27 @@ object SparkEntry {
         |   < CASE source WHEN 'src0' THEN 0.0 WHEN 'src1' THEN 0.25
         |                 WHEN 'src2' THEN 0.5 WHEN 'src3' THEN 0.75 ELSE 1.0 END)
         |SELECT source, count(*) AS n_docs, min(doc_id) AS first_doc
+        |FROM kept GROUP BY source ORDER BY source""".stripMargin,
+    // the temperature rates replay as one pow micro-snap per source +
+    // exact integer division; acceptance is the shared md5 uniform
+    "q_mix_temperature" ->
+      """WITH d0 AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 10 < 7 THEN 'head'
+        |       WHEN doc_id % 10 < 9 THEN 'mid' ELSE 'tail' END AS source
+        | FROM documents),
+        |c AS (SELECT source, count(*) AS n FROM d0 GROUP BY source),
+        |p AS (SELECT source, n,
+        |  CAST(round(pow(CAST(n AS DOUBLE), 0.5) * 1000000) AS BIGINT) AS pwm FROM c),
+        |t AS (SELECT sum(pwm) AS tot FROM p),
+        |r AS (SELECT source, least(1000000,
+        |  CAST((CAST(300 AS HUGEINT) * pwm * 1000000)
+        |    // (CAST(tot AS HUGEINT) * n) AS BIGINT)) AS r_micro FROM p, t),
+        |kept AS (SELECT d.source, d.doc_id, r.r_micro
+        | FROM d0 d JOIN r USING (source)
+        | WHERE ('0x' || substr(md5('mixt:' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+        |     * 1000000 < CAST(r_micro AS HUGEINT) * 4294967296)
+        |SELECT source, min(r_micro) AS r_micro, count(*) AS n_docs,
+        | min(doc_id) AS first_doc
         |FROM kept GROUP BY source ORDER BY source""".stripMargin,
     // bit-equal to q_decontaminate by construction (the bloom prune has
     // no false negatives and the exact join kills false positives), so

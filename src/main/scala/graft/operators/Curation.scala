@@ -298,6 +298,48 @@ object Curation {
     * |sources|·`hashBuckets` subtotal rows. A flat
     * Window.partitionBy(source) would serialize a whole source — at
     * 100 TB likely the majority of the corpus — into one task. */
+  /** TEMPERATURE-reweighted source mixing — the multilingual/
+    * multi-source LM sampling rule (Conneau & Lample, NeurIPS 2019
+    * §3.1; mT5, Xue et al. 2021 §3.2): sources draw proportional to
+    * nᵢ^α, α ∈ (0, 1] flattening the head so low-resource sources are
+    * not drowned (α = 1 is the raw mix; [[mixSources]] is the
+    * hand-set-rates cousin). Per-doc acceptance is the deterministic
+    * md5-uniform of [[mixSources]] against a PER-SOURCE INTEGER
+    * micro-rate, derived engine-portably: the only float op is one
+    * pow(nᵢ, α) per source, micro-snapped BEFORE summation, so the
+    * weight total is an exact integer sum (no summation-order
+    * divergence) and the rate a pure integer division —
+    * rᵢ = min(1e6, budget·pwmᵢ·10⁶ div (Σpwm·nᵢ)) in DECIMAL (a
+    * billion-doc source would overflow a Long product). Rates clamp
+    * at 1 — a small source cannot be sampled beyond itself
+    * (sampling-without-replacement cap; the standard caveat).
+    *
+    * Spark shape: one partial-combined count per source (bounded
+    * frame), the rate table broadcast back onto the corpus, one
+    * narrow filter — no shuffle of the docs. FULL oracle (counts,
+    * pow snap, integer rates, md5 acceptance all replay in SQL).
+    * Returns the sampled docs with their `r_micro`. */
+  def mixTemperature(
+      docs: DataFrame, alpha: Double, budget: Long,
+      seed: String = "mixt"): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0,
+      s"mixTemperature: alpha must be in (0, 1], got $alpha")
+    require(budget >= 0L, s"mixTemperature: budget must be >= 0, got $budget")
+    val pwm = docs.groupBy("source").agg(count(lit(1)).as("n"))
+      .withColumn("pwm",
+        expr(s"CAST(round(pow(CAST(n AS DOUBLE), $alpha) * 1000000) AS BIGINT)"))
+    val tot = pwm.agg(sum("pwm").as("tot_pwm"))
+    val rates = pwm.crossJoin(broadcast(tot))
+      .withColumn("r_micro", least(lit(1000000L), expr(
+        s"CAST((CAST($budget AS DECIMAL(38,0)) * pwm * 1000000) " +
+          "div (CAST(tot_pwm AS DECIMAL(38,0)) * n) AS BIGINT)")))
+      .select("source", "r_micro")
+    val u = graft.functions.DeterministicHash.md5Prefix(seed, col("doc_id"))
+    docs.join(broadcast(rates), Seq("source"))
+      // exact integer acceptance: u/2³² < r/10⁶  ⟺  u·10⁶ < r·2³²
+      .filter(u * lit(1000000L) < col("r_micro") * lit(4294967296L))
+  }
+
   def tokenBudgetSample(
       docs: DataFrame,
       budgets: Map[String, Long] = Map.empty,

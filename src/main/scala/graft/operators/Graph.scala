@@ -366,6 +366,29 @@ object Graph {
     out.orderBy("node")
   }
 
+  /** Connected components of an undirected edge list — the COMPONENT
+    * face of the graph family (centrality [[pageRank]] / cohesion
+    * [[triangles]] / density [[kCore]]/[[kTruss]] / components):
+    * star-contraction labels ([[Dedup.duplicateLabelsStar]], Kiveris
+    * et al. 2014 — O(log² n) rounds independent of diameter, the same
+    * machinery [[corenessSharded]] shards by), then one partial-
+    * combined aggregation per statistic. Output: one row per
+    * component — (component = min node id, n_nodes, n_edges) ordered
+    * by component; an empty edge set yields an empty frame. */
+  def components(edges: DataFrame): DataFrame = {
+    val canon = canonicalUndirected(edges)
+    val labels = Dedup.duplicateLabelsStar(
+      canon.select(col("a").as("doc_a"), col("b").as("doc_b")))
+      .localCheckpoint()
+    val nodes = labels.groupBy("label").agg(count(lit(1)).as("n_nodes"))
+    val edgeCnt = canon
+      .join(labels.select(col("id").as("a"), col("label")), Seq("a"))
+      .groupBy("label").agg(count(lit(1)).as("n_edges"))
+    nodes.join(edgeCnt, Seq("label"))
+      .select(col("label").as("component"), col("n_nodes"), col("n_edges"))
+      .orderBy("component")
+  }
+
   /** Exact Batagelj–Zaversnik (2003) core decomposition of ONE
     * component's canonical edge list, in-memory — the executor-local
     * leaf of [[corenessSharded]]: bin-sorted increasing-degree peel,

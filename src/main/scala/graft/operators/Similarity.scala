@@ -300,6 +300,51 @@ object Similarity {
       .orderBy("cid")
   }
 
+  /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    * at web-scale through semantic deduplication"): cluster the
+    * embedding space with k-means, then compare vectors for semantic
+    * near-duplication ONLY within each cluster — the paper's sharding
+    * device, bounding the candidate mass at Σ|cluster|²/2 ≈ n²/2k
+    * instead of n²/2 (k grows with the corpus; the LSH-banded
+    * [[embedNearDupPairs]] is the other bounding discipline, this one
+    * follows the paper). Within-cluster pairs at cosine ≥ `tau`
+    * resolve to connected components (star contraction, cross-CLUSTER
+    * components cannot form by construction); each component keeps
+    * its min vec_id.
+    *
+    * The paper's known limitation is inherited and spec-pinned: a
+    * near-duplicate pair SPLIT ACROSS cluster boundaries is never
+    * compared — SemDeDup trades that recall for the bounded join.
+    *
+    * Spark shape: deterministic sample-trained Lloyd ([[ivfModel]]),
+    * narrow broadcast assignment, ONE cid-keyed self-join (the only
+    * corpus-sized shuffle), component resolution on the slim pair
+    * frame. Output: (vec_id, cid, kept) for every vector, ordered by
+    * vec_id — rows-only as a driver entry (trained centroids have no
+    * SQL twin); the within-cluster semantics are pinned in spec
+    * against a local brute force. */
+  def semDeDup(
+      emb: DataFrame, nCentroids: Int = 16, tau: Double = 0.9,
+      lloydIters: Int = 2, trainFactor: Int = 64): DataFrame = {
+    require(tau > 0.0 && tau <= 1.0, s"semDeDup: tau must be in (0,1], got $tau")
+    val (e, centroids) = ivfModel(emb, nCentroids, lloydIters, trainFactor)
+    val asg = assignTo(e, centroids)
+      .select("vec_id", "vn", "cid").localCheckpoint()
+    val pairs = asg.select(col("cid"), col("vec_id").as("ia"), col("vn").as("va"))
+      .join(asg.select(col("cid"), col("vec_id").as("ib"), col("vn").as("vb")),
+        Seq("cid"))
+      .filter(col("ia") < col("ib"))
+      .filter(expr("graft_dot(va, vb)") >= tau)
+      .select(col("ia").as("doc_a"), col("ib").as("doc_b"))
+    val labels = Dedup.duplicateLabelsStar(pairs)
+      .withColumnRenamed("id", "vec_id")
+    asg.select("vec_id", "cid")
+      .join(labels, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cid"),
+        (col("label").isNull || col("label") === col("vec_id")).as("kept"))
+      .orderBy("vec_id")
+  }
+
   /** IVF (inverted-file) ANN index: deterministic seed centroids
     * (hash-ranked corpus vectors), Lloyd refinement via relational
     * aggregation (posexplode → per-dimension mean → re-assemble), then

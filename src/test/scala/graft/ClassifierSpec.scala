@@ -279,7 +279,9 @@ class ClassifierSpec extends AnyFunSuite with SparkSessionTestBase {
     assert(got.getLong(0) === p); assert(got.getLong(1) === n)
     assert(got.getLong(2) === tp); assert(got.getLong(3) === fp)
     assert(got.getLong(4) === fn); assert(got.getLong(5) === tn)
-    assert(got.getDecimal(6).longValueExact() === u2)
+    // u2 REPORTS as double (SURVEY §5: never emit DECIMAL); the
+    // accumulator stays decimal — exact here, far below 2^53
+    assert(got.getDouble(6) === u2.toDouble)
     def d(i: Int): Option[Double] = if (got.isNullAt(i)) None else Some(got.getDouble(i))
     assert(d(7) === prec); assert(d(8) === rec); assert(d(9) === f1)
     assert(d(10) === auc)
@@ -299,7 +301,7 @@ class ClassifierSpec extends AnyFunSuite with SparkSessionTestBase {
     assert(onePos.isNullAt(10)) // auc undefined without both classes
     assert(onePos.getDouble(8) === 1.0) // recall defined
     val empty = Classifier.classifierEval(evalDf(Seq.empty)).collect().head
-    assert(empty.getLong(0) === 0L && empty.getDecimal(6).longValueExact() === 0L)
+    assert(empty.getLong(0) === 0L && empty.getDouble(6) === 0.0)
     assert(empty.isNullAt(7) && empty.isNullAt(8) && empty.isNullAt(10))
   }
 

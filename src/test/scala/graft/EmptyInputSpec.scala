@@ -59,6 +59,13 @@ class EmptyInputSpec extends AnyFunSuite with SparkSessionTestBase {
     assert(Similarity.embedNearDupPairs(emptyEmb).count() === 0)
     assert(Similarity.embedLshTopK(emptyEmb).count() === 0)
     assert(Curation.mixSources(emptyDocs, Map("src0" -> 0.5)).count() === 0)
+    assert(Curation.mixTemperature(emptyDocs, alpha = 0.5, budget = 100L).count() === 0)
+    assert(Similarity.semDeDup(emptyEmb).count() === 0)
+    assert(graft.operators.Graph.components(
+      Tables.lineitem(spark, sfDir).limit(0)
+        .select(org.apache.spark.sql.functions.col("l_orderkey").as("src"),
+          org.apache.spark.sql.functions.col("l_partkey").as("dst"),
+          org.apache.spark.sql.functions.lit(1L).as("w"))).count() === 0)
     assert(Curation.flagContaminated(emptyDocs, emptyDocs).count() === 0)
     // empty benchmark ⇒ nothing is contaminated, every doc still rowed
     val docs = Tables.documents(spark, sfDir)

@@ -701,6 +701,35 @@ class LlmOpsSpec extends AnyFunSuite with SparkSessionTestBase {
     assert(pairs.forall(r => r.getLong(0) < r.getLong(1)))
   }
 
+  test("semDeDup dedups within clusters and inherits the cross-cluster miss") {
+    import spark.implicits._
+    // bimodal fixture: a tight pile at each axis (within-cluster
+    // near-dups) plus one high-cosine pair STRADDLING the boundary
+    val vecs =
+      (1L to 5L).map(i => i -> Array(1f, 0.001f * i, 0f, 0f)) ++
+        Seq(6L -> Array(0.72f, 0.69f, 0f, 0f)) ++
+        (11L to 15L).map(i => i -> Array(0.001f * i, 1f, 0f, 0f)) ++
+        Seq(16L -> Array(0.69f, 0.72f, 0f, 0f))
+    val emb = vecs.toDF("vec_id", "embedding")
+    val out = Similarity.semDeDup(emb, nCentroids = 2, tau = 0.95)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getBoolean(2))).toMap
+    assert(out.keySet === vecs.map(_._1).toSet)
+    // each axis pile collapses to its min id
+    assert(out(1L)._2 === true)
+    assert((2L to 5L).forall(!out(_)._2))
+    assert(out(11L)._2 === true)
+    assert((12L to 15L).forall(!out(_)._2))
+    // the straddlers' cosine is ~0.999 >= tau, but they sit in
+    // DIFFERENT clusters — SemDeDup never compares them: both kept
+    // (the paper's recall trade, inherited deliberately)
+    assert(out(6L)._1 !== out(16L)._1, "fixture must straddle the boundary")
+    assert(out(6L)._2 && out(16L)._2)
+    // determinism across partitionings
+    val again = Similarity.semDeDup(emb.repartition(5), nCentroids = 2, tau = 0.95)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getBoolean(2))).toMap
+    assert(again === out)
+  }
+
   test("mixSources keeps deterministic per-source rates") {
     val docs = Tables.documents(spark, docDir)
     val rates = Map("src0" -> 0.0, "src1" -> 1.0, "src2" -> 0.5)
@@ -713,6 +742,41 @@ class LlmOpsSpec extends AnyFunSuite with SparkSessionTestBase {
     // deterministic: same ids on re-run, no RNG state
     val again = Curation.mixSources(docs, rates)
     assert(mixed.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq ===
+      again.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq)
+  }
+
+  test("mixTemperature flattens skewed sources with exact integer rates") {
+    import org.apache.spark.sql.functions.{col, lit, when}
+    // 70/20/10 skew over the fixture corpus
+    val docs = Tables.documents(spark, docDir).withColumn("source",
+      when(col("doc_id") % 10 < 7, lit("head"))
+        .when(col("doc_id") % 10 < 9, lit("mid")).otherwise(lit("tail")))
+    val out = Curation.mixTemperature(docs, alpha = 0.5, budget = 300L)
+    val rates = out.groupBy("source").agg(
+        org.apache.spark.sql.functions.min("r_micro").as("r"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // α = 0.5 flattens: the head downsamples hardest, the tail clamps
+    // at 1 (sampling without replacement cannot upsample)
+    assert(rates("head") < rates("mid") && rates("mid") < rates("tail"))
+    assert(rates("tail") === 1000000L)
+    // the rate formula is exact integers end to end: recompute locally
+    val n = docs.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val pwm = n.map { case (s, c) => s -> math.round(math.pow(c.toDouble, 0.5) * 1e6) }
+    val tot = pwm.values.sum
+    val expect = n.map { case (s, c) =>
+      s -> math.min(1000000L,
+        (BigInt(300L) * pwm(s) * 1000000 / (BigInt(tot) * c)).toLong) }
+    assert(rates === expect.filter { case (_, r) => r > 0 })
+    // α = 1 is the raw proportional mix: every source gets the same rate
+    val raw = Curation.mixTemperature(docs, alpha = 1.0, budget = 300L)
+      .groupBy("source").agg(
+        org.apache.spark.sql.functions.min("r_micro").as("r"))
+      .collect().map(_.getLong(1)).toSet
+    assert(raw.size === 1)
+    // deterministic on re-run (the md5 uniform, no RNG)
+    val again = Curation.mixTemperature(docs, alpha = 0.5, budget = 300L)
+    assert(out.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq ===
       again.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq)
   }
 

@@ -401,6 +401,25 @@ class PurchasesSpec extends AnyFunSuite with SparkSessionTestBase {
     assert(operators.Graph.corenessSharded(none).count() === 0)
   }
 
+  test("components labels each piece once with exact node/edge counts") {
+    import spark.implicits._
+    // chain (4 nodes, 3 edges), triangle+pendant (4 nodes, 4 edges),
+    // K4 (4 nodes, 6 edges); dirty input: reversed dup + self-loop
+    val raw = Seq((1L, 2L), (2L, 3L), (3L, 4L), (5L, 6L), (6L, 7L),
+      (5L, 7L), (5L, 8L), (10L, 11L), (10L, 12L), (10L, 13L),
+      (11L, 12L), (11L, 13L), (12L, 13L), (2L, 1L), (6L, 6L))
+    val edges = raw.map { case (a, b) => (a, b, 1L) }.toDF("src", "dst", "w")
+    val got = operators.Graph.components(edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toList
+    assert(got === List((1L, 4L, 3L), (5L, 4L, 4L), (10L, 4L, 6L)))
+    // partitioning-invariant (labels are component minima, unique)
+    assert(operators.Graph.components(edges.repartition(7))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toList === got)
+    val none = Seq.empty[(Long, Long, Long)].toDF("src", "dst", "w")
+    assert(operators.Graph.components(none).count() === 0)
+  }
+
   test("kCore and coreness agree with the local mirror on a random graph") {
     import spark.implicits._
     // deterministic pseudo-random graph: quadratic-residue style pairs
