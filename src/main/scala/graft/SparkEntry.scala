@@ -992,12 +992,14 @@ object SparkEntry {
     "q_embed_clusters" -> ((s, d) => Similarity.embedClusterStats(Tables.embeddings(s, d))),
     // SemDeDup: k-means-sharded semantic dedup (the paper's cluster
     // device — within-cluster pairs only; the LSH-banded
-    // q_embed_neardup is the other bounding discipline). Rows-only
-    // for the q_embed_clusters reason (trained centroids); the
+    // q_embed_neardup is the other bounding discipline). k scales
+    // with the corpus (cluster size ~250, the paper's k ∝ n
+    // contract) so pair mass stays linear at any SF. Rows-only for
+    // the q_embed_clusters reason (trained centroids); the
     // within-cluster semantics and the cross-cluster-miss limitation
     // are pinned in spec
     "q_semdedup" -> ((s, d) =>
-      Similarity.semDeDup(Tables.embeddings(s, d), nCentroids = 16, tau = 0.35)),
+      Similarity.semDeDup(Tables.embeddings(s, d), tau = 0.35)),
     "q_cluster_quality" -> ((s, d) =>
       Similarity.clusterQuality(Tables.embeddings(s, d), Tables.documents(s, d))),
     "q_chunk_dedup" -> ((s, d) => Dedup.chunkDedup(Tables.documents(s, d))),

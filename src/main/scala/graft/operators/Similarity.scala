@@ -316,6 +316,17 @@ object Similarity {
     * near-duplicate pair SPLIT ACROSS cluster boundaries is never
     * compared — SemDeDup trades that recall for the bounded join.
     *
+    * k SCALES WITH THE CORPUS, as in the paper (they grow the
+    * cluster count with n, holding cluster SIZE roughly fixed):
+    * `nCentroids = max(1, ceil(n / clusterSize))` unless overridden,
+    * so the within-cluster pair mass stays ~n·clusterSize/2 — LINEAR
+    * in the corpus — instead of n²/2k at fixed k (a fixed k=16 at
+    * 100× data turns the pair join into 7.8e9 candidates; observed
+    * mid-probe, which is why the default is the paper's). The
+    * remaining n·k assignment term is the piece a centroid-ANN
+    * (hierarchical assignment) removes at extreme scale; at probe
+    * scales it is a narrow broadcast map.
+    *
     * Spark shape: deterministic sample-trained Lloyd ([[ivfModel]]),
     * narrow broadcast assignment, ONE cid-keyed self-join (the only
     * corpus-sized shuffle), component resolution on the slim pair
@@ -324,10 +335,19 @@ object Similarity {
     * SQL twin); the within-cluster semantics are pinned in spec
     * against a local brute force. */
   def semDeDup(
-      emb: DataFrame, nCentroids: Int = 16, tau: Double = 0.9,
+      emb: DataFrame, nCentroids: Option[Int] = None, tau: Double = 0.9,
+      clusterSize: Long = 250L,
       lloydIters: Int = 2, trainFactor: Int = 64): DataFrame = {
     require(tau > 0.0 && tau <= 1.0, s"semDeDup: tau must be in (0,1], got $tau")
-    val (e, centroids) = ivfModel(emb, nCentroids, lloydIters, trainFactor)
+    require(clusterSize >= 1L,
+      s"semDeDup: clusterSize must be >= 1, got $clusterSize")
+    val k = nCentroids.getOrElse {
+      // one cheap count action sizes the cluster grid (bounded: the
+      // paper's k ∝ n contract)
+      val n = emb.count()
+      math.max(1L, (n + clusterSize - 1L) / clusterSize).toInt
+    }
+    val (e, centroids) = ivfModel(emb, k, lloydIters, trainFactor)
     val asg = assignTo(e, centroids)
       .select("vec_id", "vn", "cid").localCheckpoint()
     val pairs = asg.select(col("cid"), col("vec_id").as("ia"), col("vn").as("va"))

@@ -711,7 +711,7 @@ class LlmOpsSpec extends AnyFunSuite with SparkSessionTestBase {
         (11L to 15L).map(i => i -> Array(0.001f * i, 1f, 0f, 0f)) ++
         Seq(16L -> Array(0.69f, 0.72f, 0f, 0f))
     val emb = vecs.toDF("vec_id", "embedding")
-    val out = Similarity.semDeDup(emb, nCentroids = 2, tau = 0.95)
+    val out = Similarity.semDeDup(emb, nCentroids = Some(2), tau = 0.95)
       .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getBoolean(2))).toMap
     assert(out.keySet === vecs.map(_._1).toSet)
     // each axis pile collapses to its min id
@@ -725,7 +725,7 @@ class LlmOpsSpec extends AnyFunSuite with SparkSessionTestBase {
     assert(out(6L)._1 !== out(16L)._1, "fixture must straddle the boundary")
     assert(out(6L)._2 && out(16L)._2)
     // determinism across partitionings
-    val again = Similarity.semDeDup(emb.repartition(5), nCentroids = 2, tau = 0.95)
+    val again = Similarity.semDeDup(emb.repartition(5), nCentroids = Some(2), tau = 0.95)
       .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getBoolean(2))).toMap
     assert(again === out)
   }
