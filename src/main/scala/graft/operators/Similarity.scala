@@ -336,9 +336,16 @@ object Similarity {
     * against a local brute force. */
   def semDeDup(
       emb: DataFrame, nCentroids: Option[Int] = None, tau: Double = 0.9,
-      clusterSize: Long = 250L,
-      lloydIters: Int = 2, trainFactor: Int = 64): DataFrame = {
-    require(tau > 0.0 && tau <= 1.0, s"semDeDup: tau must be in (0,1], got $tau")
+      clusterSize: Long = 250L, keepFarthest: Boolean = false,
+      lloydIters: Int = 2, trainFactor: Int = 64): DataFrame =
+    semDeDupFromAssignment(
+      semDeDupAssignFull(emb, nCentroids, clusterSize, lloydIters, trainFactor),
+      tau, keepFarthest)
+
+  /** The SemDeDup cluster assignment WITH vectors — inline form. */
+  private def semDeDupAssignFull(
+      emb: DataFrame, nCentroids: Option[Int], clusterSize: Long,
+      lloydIters: Int, trainFactor: Int): DataFrame = {
     require(clusterSize >= 1L,
       s"semDeDup: clusterSize must be >= 1, got $clusterSize")
     val k = nCentroids.getOrElse {
@@ -348,8 +355,49 @@ object Similarity {
       math.max(1L, (n + clusterSize - 1L) / clusterSize).toInt
     }
     val (e, centroids) = ivfModel(emb, k, lloydIters, trainFactor)
-    val asg = assignTo(e, centroids)
-      .select("vec_id", "vn", "cid").localCheckpoint()
+    assignTo(e, centroids)
+  }
+
+  /** The PERSISTABLE slim assignment artifact (vec_id, cid, sim) —
+    * what a serving path stores instead of re-training Lloyd and
+    * re-scanning n·k centroid dots per run; [[semDeDupFromIndex]]
+    * consumes it. */
+  def semDeDupAssign(
+      emb: DataFrame, nCentroids: Option[Int] = None,
+      clusterSize: Long = 250L,
+      lloydIters: Int = 2, trainFactor: Int = 64): DataFrame =
+    semDeDupAssignFull(emb, nCentroids, clusterSize, lloydIters, trainFactor)
+      .select("vec_id", "cid", "sim")
+
+  /** Serve the SemDeDup verdict from a persisted slim assignment:
+    * vectors re-normalize NARROWLY from the corpus (no training, no
+    * n·k assignment scan) and join the (vec_id, cid, sim) artifact;
+    * bit-equal to the inline form because assignment at fixed
+    * centroids is deterministic (spec-asserted). */
+  def semDeDupFromIndex(
+      emb: DataFrame, assignments: DataFrame, tau: Double = 0.9,
+      keepFarthest: Boolean = false): DataFrame = {
+    graft.functions.VectorFunctions.register(emb.sparkSession)
+    val e = withNorm(emb)
+      .withColumn("vn", expr("transform(v, x -> x / norm)"))
+      .select("vec_id", "vn")
+    semDeDupFromAssignment(
+      e.join(assignments.select("vec_id", "cid", "sim"), Seq("vec_id")),
+      tau, keepFarthest)
+  }
+
+  /** The verdict from any (vec_id, vn, cid, sim) assignment frame:
+    * within-cluster pairs at cosine ≥ tau → star-contraction
+    * components → one survivor per component. `keepFarthest = false`
+    * keeps the component's min vec_id (the repo's stable default);
+    * `true` keeps the member FARTHEST from its centroid — lowest
+    * sim, ties to min vec_id — the paper's own rule ("keep the most
+    * atypical example", SemDeDup §3: typical members are what the
+    * cluster already represents). */
+  private def semDeDupFromAssignment(
+      assigned: DataFrame, tau: Double, keepFarthest: Boolean): DataFrame = {
+    require(tau > 0.0 && tau <= 1.0, s"semDeDup: tau must be in (0,1], got $tau")
+    val asg = assigned.select("vec_id", "vn", "cid", "sim").localCheckpoint()
     val pairs = asg.select(col("cid"), col("vec_id").as("ia"), col("vn").as("va"))
       .join(asg.select(col("cid"), col("vec_id").as("ib"), col("vn").as("vb")),
         Seq("cid"))
@@ -358,11 +406,26 @@ object Similarity {
       .select(col("ia").as("doc_a"), col("ib").as("doc_b"))
     val labels = Dedup.duplicateLabelsStar(pairs)
       .withColumnRenamed("id", "vec_id")
-    asg.select("vec_id", "cid")
-      .join(labels, Seq("vec_id"), "left")
-      .select(col("vec_id"), col("cid"),
-        (col("label").isNull || col("label") === col("vec_id")).as("kept"))
-      .orderBy("vec_id")
+    if (!keepFarthest)
+      asg.select("vec_id", "cid")
+        .join(labels, Seq("vec_id"), "left")
+        .select(col("vec_id"), col("cid"),
+          (col("label").isNull || col("label") === col("vec_id")).as("kept"))
+        .orderBy("vec_id")
+    else {
+      val lab = asg.select("vec_id", "cid", "sim")
+        .join(labels, Seq("vec_id"), "left")
+      // partial-combinable struct min picks (lowest sim, then min id)
+      // per component — the bounded keeper frame joins back slim
+      val keepers = lab.filter(col("label").isNotNull)
+        .groupBy("label")
+        .agg(min(struct(col("sim"), col("vec_id"))).as("kmin"))
+        .select(col("label"), col("kmin.vec_id").as("keeper"))
+      lab.join(keepers, Seq("label"), "left")
+        .select(col("vec_id"), col("cid"),
+          (col("label").isNull || col("vec_id") === col("keeper")).as("kept"))
+        .orderBy("vec_id")
+    }
   }
 
   /** IVF (inverted-file) ANN index: deterministic seed centroids

@@ -730,6 +730,42 @@ class LlmOpsSpec extends AnyFunSuite with SparkSessionTestBase {
     assert(again === out)
   }
 
+  test("semDeDup paper keep-rule keeps the farthest-from-centroid member") {
+    import spark.implicits._
+    // one cluster of three mutual dups; v3 sits clearly farthest from
+    // the (single) centroid = normalized corpus mean
+    val emb = Seq(
+      1L -> Array(1f, 0f, 0f, 0f),
+      2L -> Array(1f, 0.01f, 0f, 0f),
+      3L -> Array(0.92f, 0.39f, 0f, 0f)).toDF("vec_id", "embedding")
+    val out = Similarity.semDeDup(emb, nCentroids = Some(1), tau = 0.9,
+        keepFarthest = true)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(out === Map(1L -> false, 2L -> false, 3L -> true))
+    // the keeper is the component's argmin sim per the assignment —
+    // self-consistent with the slim artifact the serving path stores
+    val sims = Similarity.semDeDupAssign(emb, nCentroids = Some(1))
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(sims(3L) < sims(1L) && sims(3L) < sims(2L))
+    // default rule on the same fixture keeps min id instead
+    val minId = Similarity.semDeDup(emb, nCentroids = Some(1), tau = 0.9)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(minId === Map(1L -> true, 2L -> false, 3L -> false))
+  }
+
+  test("semDeDup served from the persisted assignment is bit-equal to inline") {
+    val emb = Tables.embeddings(spark, docDir)
+    val inline = Similarity.semDeDup(emb, tau = 0.35)
+      .collect().map(_.toString).toSeq
+    val dir = java.nio.file.Files.createTempDirectory("sd_assign").toString
+    Similarity.semDeDupAssign(emb).write.mode("overwrite").parquet(dir)
+    val served = Similarity.semDeDupFromIndex(
+        emb, spark.read.parquet(dir), tau = 0.35)
+      .collect().map(_.toString).toSeq
+    assert(served === inline)
+    assert(served.nonEmpty)
+  }
+
   test("mixSources keeps deterministic per-source rates") {
     val docs = Tables.documents(spark, docDir)
     val rates = Map("src0" -> 0.0, "src1" -> 1.0, "src2" -> 0.5)
