@@ -262,6 +262,34 @@ object SparkEntry {
     s.read.parquet(path)
   }
 
+  /** Persisted component artifact — yesterday's canonical co-purchase
+    * edges + their (id, label) components under one root (the
+    * pagerank-artifact posture): componentsIncremental folds today's
+    * edge delta into it without re-contracting untouched components.
+    * "Yesterday" = the graph without the l_orderkey %20==9 order
+    * slice; pair counts only GROW with more orders, so the prior
+    * edge set is a subset of the full one and prior ∪ delta == full
+    * (what the shared oracle's hash gate then proves). */
+  private val cpIndexPaths =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), (Long, String)]
+
+  private[graft] def cpIndexShared(
+      s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val fp = tableFingerprint(s, d, "lineitem.parquet")
+    val root = artifactPath(cpIndexPaths, s, d, fp, "graft_cp_idx") { p =>
+      val prior = operators.Graph.canonicalEdges(
+        Purchases.coPurchaseGraph(
+          Tables.lineitem(s, d).filter(col("l_orderkey") % 20 =!= 9),
+          minCount = 2L))
+        .localCheckpoint()
+      prior.write.mode("overwrite").parquet(s"$p/edges")
+      operators.Dedup.duplicateLabelsStar(
+          prior.select(col("a").as("doc_a"), col("b").as("doc_b")))
+        .write.mode("overwrite").parquet(s"$p/labels")
+    }
+    (s.read.parquet(s"$root/edges"), s.read.parquet(s"$root/labels"))
+  }
+
   /** The expectations base/delta load split shared by
     * q_expectations_incremental and q_expectations_indexed: the base
     * load misses 5 % of lineitem AND 5 % of the part dimension; the
@@ -1575,6 +1603,19 @@ object SparkEntry {
     "q_components" -> ((s, d) =>
       operators.Graph.components(
         Purchases.coPurchaseGraph(Tables.lineitem(s, d), minCount = 2L))),
+    // INCREMENTAL components: today's edge delta (the full graph's
+    // edges minus the persisted prior's — prior ⊆ full because pair
+    // counts only grow) folds into yesterday's PERSISTED labeling;
+    // only touched components re-contract. Same oracle as
+    // q_components — the hash gate IS the incremental == full proof
+    "q_components_incremental" -> ((s, d) => {
+      val (priorE, priorL) = cpIndexShared(s, d)
+      val full = operators.Graph.canonicalEdges(
+        Purchases.coPurchaseGraph(Tables.lineitem(s, d), minCount = 2L))
+      val delta = full.join(priorE, Seq("a", "b"), "left_anti")
+        .select(col("a").as("src"), col("b").as("dst"), lit(1L).as("w"))
+      operators.Graph.componentsIncremental(priorE, priorL, delta)
+    }),
     // k-truss: the edge-analog of the k-core (every edge in >= k-2
     // triangles) — the densest rung of the graph-density family.
     // rows-only: the per-round per-edge support recomputation has no
@@ -2349,6 +2390,26 @@ object SparkEntry {
       | FROM items a JOIN items b ON a.okey = b.okey AND a.l_partkey < b.l_partkey
       | GROUP BY 1, 2 HAVING count(*) >= 2)""".stripMargin
 
+  /** q_components / q_components_incremental: reachability closure +
+    * min-label fold over the e0 co-purchase edges (shared — the
+    * incremental form's prior ∪ delta IS the full edge set, so one
+    * oracle proves incremental == full). */
+  private val componentsOracleSql: String =
+    s"""WITH RECURSIVE $kcoreEdgeCte,
+       |e AS (SELECT a AS u, b AS v FROM e0 UNION SELECT b, a FROM e0),
+       |reach(id, r) AS (
+       | SELECT u, u FROM e
+       | UNION
+       | SELECT e.u, reach.r FROM e JOIN reach ON e.v = reach.id),
+       |lbl AS (SELECT id, min(r) AS label FROM reach GROUP BY id),
+       |nn AS (SELECT label, count(*) AS n_nodes FROM lbl GROUP BY label),
+       |ne AS (SELECT l.label AS label, count(*) AS n_edges
+       | FROM e0 JOIN lbl l ON e0.a = l.id GROUP BY l.label)
+       |SELECT nn.label AS component, CAST(n_nodes AS BIGINT) AS n_nodes,
+       | CAST(n_edges AS BIGINT) AS n_edges
+       |FROM nn JOIN ne ON nn.label = ne.label
+       |ORDER BY component""".stripMargin
+
   /** One peel level as a recursive CTE pair: `name` iterates the
     * below-k deletion from `src`'s edge set, `name_f` is the stable
     * k-core. The recursion carries a NULL SENTINEL row per produced
@@ -2712,22 +2773,11 @@ object SparkEntry {
     "q_coreness" -> corenessOracleSql,
     // the component-sharded form computes the identical decomposition
     "q_coreness_sharded" -> corenessOracleSql,
+    // incremental == full through the same closure (prior ∪ delta
+    // is exactly the full e0 edge set)
+    "q_components_incremental" -> componentsOracleSql,
     // reachability closure + min-label fold over the same e0 edges
-    "q_components" ->
-      s"""WITH RECURSIVE $kcoreEdgeCte,
-         |e AS (SELECT a AS u, b AS v FROM e0 UNION SELECT b, a FROM e0),
-         |reach(id, r) AS (
-         | SELECT u, u FROM e
-         | UNION
-         | SELECT e.u, reach.r FROM e JOIN reach ON e.v = reach.id),
-         |lbl AS (SELECT id, min(r) AS label FROM reach GROUP BY id),
-         |nn AS (SELECT label, count(*) AS n_nodes FROM lbl GROUP BY label),
-         |ne AS (SELECT l.label AS label, count(*) AS n_edges
-         | FROM e0 JOIN lbl l ON e0.a = l.id GROUP BY l.label)
-         |SELECT nn.label AS component, CAST(n_nodes AS BIGINT) AS n_nodes,
-         | CAST(n_edges AS BIGINT) AS n_edges
-         |FROM nn JOIN ne ON nn.label = ne.label
-         |ORDER BY component""".stripMargin,
+    "q_components" -> componentsOracleSql,
     "q_expectations" -> expectationsOracleSql(),
     // served from merged base+delta partials; the full-battery oracle
     // IS the incremental == full proof

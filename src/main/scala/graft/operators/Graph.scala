@@ -389,6 +389,69 @@ object Graph {
       .orderBy("component")
   }
 
+  /** INCREMENTAL connected components — fold a DELTA edge batch into
+    * a prior labeling without re-contracting the whole graph (the
+    * pageRank warm-start posture applied to components): only the
+    * components the delta TOUCHES (labels of delta endpoints; a
+    * brand-new node is its own touched singleton) re-contract,
+    * together with the delta itself; every untouched component's
+    * labels pass through VERBATIM. A delta edge bridging two prior
+    * components re-contracts their union to one label; the expensive
+    * iterative star-contraction runs on the touched subgraph only —
+    * the full prior edge frame is read once for the slim
+    * label-semi-join, never iterated over.
+    *
+    * `priorEdges` is the canonical (a, b) frame a prior
+    * [[components]] run labeled, `priorLabels` its (id, label)
+    * output frame, `deltaEdges` a raw (src, dst, w) batch. Output:
+    * the [[components]] contract over the UNION graph —
+    * incremental == full is what the shared oracle's hash gate
+    * proves. */
+  def componentsIncremental(
+      priorEdges: DataFrame, priorLabels: DataFrame,
+      deltaEdges: DataFrame): DataFrame = {
+    val d = canonicalUndirected(deltaEdges)
+    val touched = d.select(col("a").as("id"))
+      .unionAll(d.select(col("b").as("id")))
+      .distinct()
+      .join(priorLabels, Seq("id"), "left")
+      .select(coalesce(col("label"), col("id")).as("label"))
+      .distinct().localCheckpoint()
+    val sub = priorEdges
+      .join(priorLabels.withColumnRenamed("id", "a"), Seq("a"))
+      .join(touched, Seq("label"), "left_semi")
+      .select("a", "b")
+      .unionAll(d.select("a", "b"))
+    val refreshed = Dedup.duplicateLabelsStar(
+      sub.select(col("a").as("doc_a"), col("b").as("doc_b")))
+    val labels = priorLabels
+      .join(touched, Seq("label"), "left_anti")
+      .select("id", "label")
+      .unionByName(refreshed.select("id", "label"))
+      .localCheckpoint()
+    val allE = priorEdges.select("a", "b")
+      .unionAll(d.select("a", "b")).distinct()
+    val nodes = labels.groupBy("label").agg(count(lit(1)).as("n_nodes"))
+    val edgeCnt = allE
+      .join(labels.withColumnRenamed("id", "a"), Seq("a"))
+      .groupBy("label").agg(count(lit(1)).as("n_edges"))
+    nodes.join(edgeCnt, Seq("label"))
+      .select(col("label").as("component"), col("n_nodes"), col("n_edges"))
+      .orderBy("component")
+  }
+
+  /** The canonical (a, b) edge frame [[components]] labels — exposed
+    * so a serving path can persist the (edges, labels) pair as one
+    * consistent artifact for [[componentsIncremental]]. */
+  def canonicalEdges(edges: DataFrame): DataFrame = canonicalUndirected(edges)
+
+  /** The slim (id, label) component labeling of an edge list (the
+    * persistable half of the [[componentsIncremental]] artifact). */
+  def componentLabels(edges: DataFrame): DataFrame =
+    Dedup.duplicateLabelsStar(
+      canonicalUndirected(edges)
+        .select(col("a").as("doc_a"), col("b").as("doc_b")))
+
   /** Exact Batagelj–Zaversnik (2003) core decomposition of ONE
     * component's canonical edge list, in-memory — the executor-local
     * leaf of [[corenessSharded]]: bin-sorted increasing-degree peel,

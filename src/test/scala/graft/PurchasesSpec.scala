@@ -420,6 +420,40 @@ class PurchasesSpec extends AnyFunSuite with SparkSessionTestBase {
     assert(operators.Graph.components(none).count() === 0)
   }
 
+  test("componentsIncremental folds a delta without touching other components") {
+    import spark.implicits._
+    // prior: chain {1-2-3}, pair {10-11}, triangle {20,21,22}
+    val priorRaw = Seq((1L, 2L), (2L, 3L), (10L, 11L),
+      (20L, 21L), (21L, 22L), (20L, 22L))
+    val prior = operators.Graph.canonicalEdges(
+      priorRaw.map { case (a, b) => (a, b, 1L) }.toDF("src", "dst", "w"))
+    val priorLabels = operators.Graph.componentLabels(
+      priorRaw.map { case (a, b) => (a, b, 1L) }.toDF("src", "dst", "w"))
+    // delta: BRIDGES {1..3} and {10,11}, plus a brand-new pair {30,31}
+    val delta = Seq((3L, 10L, 1L), (30L, 31L, 1L)).toDF("src", "dst", "w")
+    val got = operators.Graph
+      .componentsIncremental(prior, priorLabels, delta)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toList
+    // == the full recompute over the union graph
+    val full = operators.Graph.components(
+      (priorRaw.map { case (a, b) => (a, b, 1L) } ++
+        Seq((3L, 10L, 1L), (30L, 31L, 1L))).toDF("src", "dst", "w"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toList
+    assert(got === full)
+    // the merge really happened, the new component exists, and the
+    // UNTOUCHED triangle's row is verbatim
+    assert(got.contains((1L, 5L, 4L)))   // 1,2,3,10,11 bridged
+    assert(got.contains((30L, 2L, 1L)))  // the new pair
+    assert(got.contains((20L, 3L, 3L)))  // untouched triangle
+    // a delta that re-sends an existing edge is idempotent
+    val again = operators.Graph.componentsIncremental(
+        prior, priorLabels, Seq((1L, 2L, 1L)).toDF("src", "dst", "w"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toList
+    assert(again === operators.Graph.components(
+      priorRaw.map { case (a, b) => (a, b, 1L) }.toDF("src", "dst", "w"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toList)
+  }
+
   test("kCore and coreness agree with the local mirror on a random graph") {
     import spark.implicits._
     // deterministic pseudo-random graph: quadratic-residue style pairs
