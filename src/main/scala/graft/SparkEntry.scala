@@ -1616,6 +1616,13 @@ object SparkEntry {
         .select(col("a").as("src"), col("b").as("dst"), lit(1L).as("w"))
       operators.Graph.componentsIncremental(priorE, priorL, delta)
     }),
+    // STREAMING component maintenance (sixth DeltaLayout instance —
+    // edges are the additive half, labels re-merge at serve/compact):
+    // seed from the sliced graph, stream the edge delta per batch,
+    // compact mid-stream, serve — hash-matches the SAME full-graph
+    // reachability oracle (stream == full, proven by the gate)
+    "q_stream_components" -> ((s, d) =>
+      streaming.ComponentsStream.componentsMaintainRun(s, d)),
     // k-truss: the edge-analog of the k-core (every edge in >= k-2
     // triangles) — the densest rung of the graph-density family.
     // rows-only: the per-round per-edge support recomputation has no
@@ -2776,6 +2783,8 @@ object SparkEntry {
     // incremental == full through the same closure (prior ∪ delta
     // is exactly the full e0 edge set)
     "q_components_incremental" -> componentsOracleSql,
+    // stream-maintained == full recompute through the same closure
+    "q_stream_components" -> componentsOracleSql,
     // reachability closure + min-label fold over the same e0 edges
     "q_components" -> componentsOracleSql,
     "q_expectations" -> expectationsOracleSql(),

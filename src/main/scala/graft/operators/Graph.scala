@@ -411,6 +411,30 @@ object Graph {
       priorEdges: DataFrame, priorLabels: DataFrame,
       deltaEdges: DataFrame): DataFrame = {
     val d = canonicalUndirected(deltaEdges)
+    val labels = incrementalLabelsCanon(priorEdges, priorLabels, d)
+    val allE = priorEdges.select("a", "b")
+      .unionAll(d.select("a", "b")).distinct()
+    val nodes = labels.groupBy("label").agg(count(lit(1)).as("n_nodes"))
+    val edgeCnt = allE
+      .join(labels.withColumnRenamed("id", "a"), Seq("a"))
+      .groupBy("label").agg(count(lit(1)).as("n_edges"))
+    nodes.join(edgeCnt, Seq("label"))
+      .select(col("label").as("component"), col("n_nodes"), col("n_edges"))
+      .orderBy("component")
+  }
+
+  /** The merged (id, label) frame after folding a delta into a prior
+    * labeling — the label half of [[componentsIncremental]], exposed
+    * so streaming compaction can persist the re-merged labeling. */
+  def incrementalLabels(
+      priorEdges: DataFrame, priorLabels: DataFrame,
+      deltaEdges: DataFrame): DataFrame =
+    incrementalLabelsCanon(priorEdges, priorLabels,
+      canonicalUndirected(deltaEdges))
+
+  private def incrementalLabelsCanon(
+      priorEdges: DataFrame, priorLabels: DataFrame,
+      d: DataFrame): DataFrame = {
     val touched = d.select(col("a").as("id"))
       .unionAll(d.select(col("b").as("id")))
       .distinct()
@@ -424,20 +448,11 @@ object Graph {
       .unionAll(d.select("a", "b"))
     val refreshed = Dedup.duplicateLabelsStar(
       sub.select(col("a").as("doc_a"), col("b").as("doc_b")))
-    val labels = priorLabels
+    priorLabels
       .join(touched, Seq("label"), "left_anti")
       .select("id", "label")
       .unionByName(refreshed.select("id", "label"))
       .localCheckpoint()
-    val allE = priorEdges.select("a", "b")
-      .unionAll(d.select("a", "b")).distinct()
-    val nodes = labels.groupBy("label").agg(count(lit(1)).as("n_nodes"))
-    val edgeCnt = allE
-      .join(labels.withColumnRenamed("id", "a"), Seq("a"))
-      .groupBy("label").agg(count(lit(1)).as("n_edges"))
-    nodes.join(edgeCnt, Seq("label"))
-      .select(col("label").as("component"), col("n_nodes"), col("n_edges"))
-      .orderBy("component")
   }
 
   /** The canonical (a, b) edge frame [[components]] labels — exposed

@@ -888,6 +888,50 @@ class StreamingSpec extends AnyFunSuite with SparkSessionTestBase {
     assert(got.nonEmpty)
   }
 
+  test("componentsMaintainRun (the measured driver entry) equals the full recompute") {
+    val served = graft.streaming.ComponentsStream
+      .componentsMaintainRun(spark, sfDir)
+      .collect().map(_.toString).toSeq
+    val full = graft.operators.Graph.components(
+        graft.operators.Purchases.coPurchaseGraph(
+          Tables.lineitem(spark, sfDir), minCount = 2L))
+      .collect().map(_.toString).toSeq
+    assert(served === full)
+    assert(served.nonEmpty)
+  }
+
+  test("components compact preserves served stats; pre-compact serve equals too") {
+    import spark.implicits._
+    import graft.streaming.ComponentsStream
+    val root = java.nio.file.Files.createTempDirectory("cc_compact")
+    val seedRoot = root.resolve("seed").toString
+    val deltaP = root.resolve("delta").toString
+    // seed: two components {1,2,3} and {10,11}
+    ComponentsStream.seedComponents(
+      Seq((1L, 2L, 1L), (2L, 3L, 1L), (10L, 11L, 1L))
+        .toDF("src", "dst", "w"), seedRoot)
+    // one "micro-batch" landed by hand in the delta layout: a bridge
+    // plus a new pair
+    graft.operators.Graph.canonicalEdges(
+        Seq((3L, 10L, 1L), (30L, 31L, 1L)).toDF("src", "dst", "w"))
+      .withColumn("batch_id", org.apache.spark.sql.functions.lit(0L))
+      .write.partitionBy("batch_id").mode("append").parquet(deltaP)
+    val before = ComponentsStream.serveComponents(spark, seedRoot, deltaP)
+      .collect().map(_.toString).toSeq
+    ComponentsStream.compact(spark, seedRoot, deltaP)
+    val after = ComponentsStream.serveComponents(spark, seedRoot, deltaP)
+      .collect().map(_.toString).toSeq
+    assert(before === after)
+    // the folded seed now answers alone (no delta partitions left)
+    assert(!graft.streaming.DeltaLayout.hasDeltaPartitions(spark, deltaP))
+    // and the merge really happened: one bridged component + the pair
+    val full = graft.operators.Graph.components(
+        Seq((1L, 2L, 1L), (2L, 3L, 1L), (10L, 11L, 1L),
+          (3L, 10L, 1L), (30L, 31L, 1L)).toDF("src", "dst", "w"))
+      .collect().map(_.toString).toSeq
+    assert(after === full)
+  }
+
   test("nbMaintain is per-batch idempotent; compact preserves served counts") {
     import spark.implicits._
     import graft.streaming.NbStream
