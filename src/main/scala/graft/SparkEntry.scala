@@ -1720,20 +1720,23 @@ object SparkEntry {
     // source head, the multilingual-LM sampling rule). The synthetic
     // sources are uniform-sized — temperature would be a no-op — so
     // the entry derives a 70/20/10 skewed domain split first: the
-    // head downsamples hardest, the tail clamps at rate 1, and the
-    // integer rate pipeline (one pow micro-snap per source → exact
-    // integer division) replays verbatim in the oracle
-    "q_mix_temperature" -> ((s, d) =>
-      Curation.mixTemperature(
-        Tables.documents(s, d).withColumn("source",
-          when(col("doc_id") % 10 < 7, lit("head"))
-            .when(col("doc_id") % 10 < 9, lit("mid"))
-            .otherwise(lit("tail"))),
-        alpha = 0.5, budget = 300L)
+    // head downsamples hardest, the tail clamps at rate 1. The pow
+    // micro-snap runs ONCE driver-side; the resulting INTEGER rates
+    // ride BOTH the Spark plan and the oracle SQL as literals, so
+    // the two engines' libm pow can never disagree at a .5 boundary
+    "q_mix_temperature" -> ((s, d) => {
+      val docs = Tables.documents(s, d).withColumn("source",
+        when(col("doc_id") % 10 < 7, lit("head"))
+          .when(col("doc_id") % 10 < 9, lit("mid"))
+          .otherwise(lit("tail")))
+      val rates = Curation.mixTemperatureRates(docs, alpha = 0.5, budget = 300L)
+      mixTempOracleRates = Some(rates)
+      Curation.mixTemperatureApply(docs, rates)
         .groupBy("source")
         .agg(min("r_micro").as("r_micro"), count(lit(1)).as("n_docs"),
           min("doc_id").as("first_doc"))
-        .orderBy("source")),
+        .orderBy("source")
+    }),
     // DSIR data selection: src0+src1 play the "target domain"; every
     // doc scores its hashed-feature log importance weight vs the raw mix
     "q_dsir_weights" -> ((s, d) =>
@@ -3958,27 +3961,9 @@ object SparkEntry {
         |                 WHEN 'src2' THEN 0.5 WHEN 'src3' THEN 0.75 ELSE 1.0 END)
         |SELECT source, count(*) AS n_docs, min(doc_id) AS first_doc
         |FROM kept GROUP BY source ORDER BY source""".stripMargin,
-    // the temperature rates replay as one pow micro-snap per source +
-    // exact integer division; acceptance is the shared md5 uniform
-    "q_mix_temperature" ->
-      """WITH d0 AS (SELECT doc_id,
-        |  CASE WHEN doc_id % 10 < 7 THEN 'head'
-        |       WHEN doc_id % 10 < 9 THEN 'mid' ELSE 'tail' END AS source
-        | FROM documents),
-        |c AS (SELECT source, count(*) AS n FROM d0 GROUP BY source),
-        |p AS (SELECT source, n,
-        |  CAST(round(pow(CAST(n AS DOUBLE), 0.5) * 1000000) AS BIGINT) AS pwm FROM c),
-        |t AS (SELECT sum(pwm) AS tot FROM p),
-        |r AS (SELECT source, least(1000000,
-        |  CAST((CAST(300 AS HUGEINT) * pwm * 1000000)
-        |    // (CAST(tot AS HUGEINT) * n) AS BIGINT)) AS r_micro FROM p, t),
-        |kept AS (SELECT d.source, d.doc_id, r.r_micro
-        | FROM d0 d JOIN r USING (source)
-        | WHERE ('0x' || substr(md5('mixt:' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
-        |     * 1000000 < CAST(r_micro AS HUGEINT) * 4294967296)
-        |SELECT source, min(r_micro) AS r_micro, count(*) AS n_docs,
-        | min(doc_id) AS first_doc
-        |FROM kept GROUP BY source ORDER BY source""".stripMargin,
+    // q_mix_temperature's oracle is GENERATED (mixTempOracleSqlEntry):
+    // the driver-computed integer rates ride it as literals, so the
+    // pow micro-snap is never re-run by a second libm,
     // bit-equal to q_decontaminate by construction (the bloom prune has
     // no false negatives and the exact join kills false positives), so
     // it shares the oracle — the driver verifies that equality holds
@@ -4400,7 +4385,40 @@ object SparkEntry {
          | ${m("quantile_cont(p_retailprice, 0.5)")} AS p50_price,
          | ${m("quantile_cont(p_retailprice, 0.9)")} AS p90_price
          |FROM part GROUP BY p_type ORDER BY category""".stripMargin,
-  ) ++ pcaOracleSqlEntry
+  ) ++ pcaOracleSqlEntry ++ mixTempOracleSqlEntry
+
+  /** The last temperature-rate table served (set by the
+    * q_mix_temperature entry — Verify runs queries before dumping
+    * oracle_sql.json, the [[pcaOracleModel]] pattern). */
+  @volatile private var mixTempOracleRates:
+    Option[Seq[(String, Long, Long, Long)]] = None
+
+  /** q_mix_temperature's FULL oracle: the per-source INTEGER
+    * micro-rates the Spark plan consumed ride the SQL as literals —
+    * the single pow(n, α) micro-snap ran once on the driver
+    * (Curation.mixTemperatureRates), so neither engine's libm is
+    * trusted to agree with the other's at a .5 rounding boundary.
+    * Only the shared md5 acceptance and integer comparisons replay. */
+  private def mixTempOracleSqlEntry: Map[String, String] =
+    mixTempOracleRates.toList.map { rates =>
+      val rows = rates.map { case (s, _, _, r) =>
+        s"('${operators.Expectations.sqlLit(s)}', CAST($r AS BIGINT))"
+      }.mkString(",\n ")
+      "q_mix_temperature" ->
+        s"""WITH d0 AS (SELECT doc_id,
+           |  CASE WHEN doc_id % 10 < 7 THEN 'head'
+           |       WHEN doc_id % 10 < 9 THEN 'mid' ELSE 'tail' END AS source
+           | FROM documents),
+           |r(source, r_micro) AS (VALUES
+           | $rows),
+           |kept AS (SELECT d.source, d.doc_id, r.r_micro
+           | FROM d0 d JOIN r USING (source)
+           | WHERE ('0x' || substr(md5('mixt:' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+           |     * 1000000 < CAST(r_micro AS HUGEINT) * 4294967296)
+           |SELECT source, min(r_micro) AS r_micro, count(*) AS n_docs,
+           | min(doc_id) AS first_doc
+           |FROM kept GROUP BY source ORDER BY source""".stripMargin
+    }.toMap
 
   /** q_embed_pca's FULL oracle: the projection from a trained model is
     * just dot products, so the model's components (and the folded μ·v

@@ -305,38 +305,64 @@ object Curation {
     * not drowned (α = 1 is the raw mix; [[mixSources]] is the
     * hand-set-rates cousin). Per-doc acceptance is the deterministic
     * md5-uniform of [[mixSources]] against a PER-SOURCE INTEGER
-    * micro-rate, derived engine-portably: the only float op is one
-    * pow(nᵢ, α) per source, micro-snapped BEFORE summation, so the
-    * weight total is an exact integer sum (no summation-order
-    * divergence) and the rate a pure integer division —
-    * rᵢ = min(1e6, budget·pwmᵢ·10⁶ div (Σpwm·nᵢ)) in DECIMAL (a
-    * billion-doc source would overflow a Long product). Rates clamp
-    * at 1 — a small source cannot be sampled beyond itself
+    * micro-rate from [[mixTemperatureRates]]. Rates clamp at 1 — a
+    * small source cannot be sampled beyond itself
     * (sampling-without-replacement cap; the standard caveat).
     *
     * Spark shape: one partial-combined count per source (bounded
-    * frame), the rate table broadcast back onto the corpus, one
-    * narrow filter — no shuffle of the docs. FULL oracle (counts,
-    * pow snap, integer rates, md5 acceptance all replay in SQL).
-    * Returns the sampled docs with their `r_micro`. */
+    * frame, collected — sources are a handful of rows), the integer
+    * rate table broadcast back onto the corpus as LITERALS, one
+    * narrow filter — no shuffle of the docs. FULL oracle: the oracle
+    * SQL consumes the SAME integer r_micro literals, so no float op
+    * is duplicated across engines. Returns the sampled docs with
+    * their `r_micro`. */
   def mixTemperature(
       docs: DataFrame, alpha: Double, budget: Long,
-      seed: String = "mixt"): DataFrame = {
+      seed: String = "mixt"): DataFrame =
+    mixTemperatureApply(docs, mixTemperatureRates(docs, alpha, budget), seed)
+
+  /** Per-source (source, n, pwm, r_micro) temperature rates, computed
+    * ONCE on the driver: the single float op — pow(nᵢ, α),
+    * micro-snapped to the integer pwmᵢ BEFORE summation — runs in JVM
+    * Math.pow only, and everything after it is exact BigInt
+    * arithmetic: rᵢ = min(10⁶, budget·pwmᵢ·10⁶ div (Σpwm·nᵢ)). Both
+    * the Spark plan and the engine-twin oracle SQL consume these
+    * INTEGER rates as literals, so a pow() whose last ulp differs
+    * between the JVM and another engine's libm can never flip a rate
+    * at a .5 rounding boundary (neither pow is correctly rounded —
+    * computing it twice was a platform-dependent flake). Sorted by
+    * source for deterministic output. */
+  def mixTemperatureRates(
+      docs: DataFrame, alpha: Double,
+      budget: Long): Seq[(String, Long, Long, Long)] = {
     require(alpha > 0.0 && alpha <= 1.0,
       s"mixTemperature: alpha must be in (0, 1], got $alpha")
     require(budget >= 0L, s"mixTemperature: budget must be >= 0, got $budget")
-    val pwm = docs.groupBy("source").agg(count(lit(1)).as("n"))
-      .withColumn("pwm",
-        expr(s"CAST(round(pow(CAST(n AS DOUBLE), $alpha) * 1000000) AS BIGINT)"))
-    val tot = pwm.agg(sum("pwm").as("tot_pwm"))
-    val rates = pwm.crossJoin(broadcast(tot))
-      .withColumn("r_micro", least(lit(1000000L), expr(
-        s"CAST((CAST($budget AS DECIMAL(38,0)) * pwm * 1000000) " +
-          "div (CAST(tot_pwm AS DECIMAL(38,0)) * n) AS BIGINT)")))
-      .select("source", "r_micro")
+    val counts = docs.groupBy("source").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1).toSeq
+    val withPwm = counts.map { case (s, n) =>
+      (s, n, math.round(math.pow(n.toDouble, alpha) * 1e6)) }
+    val tot = withPwm.iterator.map(t => BigInt(t._3)).sum
+    withPwm.map { case (s, n, w) =>
+      val r =
+        if (tot == 0 || n == 0L) 0L
+        else ((BigInt(budget) * w * 1000000) / (tot * n)).min(1000000).toLong
+      (s, n, w, r)
+    }
+  }
+
+  /** Apply precomputed [[mixTemperatureRates]]: broadcast the literal
+    * rate table onto the corpus, filter by the exact integer md5
+    * acceptance — u/2³² < r/10⁶ ⟺ u·10⁶ < r·2³². */
+  def mixTemperatureApply(
+      docs: DataFrame, rates: Seq[(String, Long, Long, Long)],
+      seed: String = "mixt"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val rdf = rates.map { case (s, _, _, r) => (s, r) }
+      .toDF("source", "r_micro")
     val u = graft.functions.DeterministicHash.md5Prefix(seed, col("doc_id"))
-    docs.join(broadcast(rates), Seq("source"))
-      // exact integer acceptance: u/2³² < r/10⁶  ⟺  u·10⁶ < r·2³²
+    docs.join(broadcast(rdf), Seq("source"))
       .filter(u * lit(1000000L) < col("r_micro") * lit(4294967296L))
   }
 

@@ -93,6 +93,16 @@ object Expectations {
     * DuckDB double embedded single quotes. */
   def sqlLit(s: String): String = s.replace("'", "''")
 
+  /** SPARK-side single-quoted-literal escape: unlike DuckDB, Spark's
+    * parser (escapedStringLiterals=false, the default) interprets
+    * backslash escape sequences inside string literals, so a
+    * backslash-bearing AcceptedValues value or table name interpolated
+    * into the `stack` strings would parse differently on the two
+    * engines (or fail to parse). Backslashes double FIRST, then quotes
+    * — [[sqlLit]] stays the DuckDB-side escape. */
+  def sparkLit(s: String): String =
+    s.replace("\\", "\\\\").replace("'", "''")
+
   /** Verify a battery of checks, each against a named table from
     * `tables` (ForeignKey parents resolve from the same map). Output:
     * one row per check in declaration order —
@@ -147,7 +157,7 @@ object Expectations {
             coalesce(nv.cast("long"), lit(0L)).as(s"nv_$i"))
         }
         val stackArgs = items.map { case ((t, c), i) =>
-          s"${i + 1}, '${sqlLit(t)}', '${sqlLit(label(c))}', nc_$i, nv_$i" }.mkString(", ")
+          s"${i + 1}, '${sparkLit(t)}', '${sparkLit(label(c))}', nc_$i, nv_$i" }.mkString(", ")
         tables(tname).agg(aggCols.head, aggCols.tail: _*)
           .selectExpr(s"stack(${items.size}, $stackArgs) AS " +
             "(check_seq, table_name, `constraint`, n_checked, n_violations)")

@@ -135,12 +135,7 @@ object Bm25Stream {
     val newFolded = math.max(maxBatch,
       DeltaLayout.foldedThrough(spark, seedPath))
     if (newFolded >= 0) DeltaLayout.writeFoldedMarker(fs, tmp, newFolded)
-    val live = new Path(seedPath)
-    fs.delete(live, true)
-    if (!fs.rename(new Path(tmp), live))
-      throw new java.io.IOException(
-        s"bm25 compact: rename $tmp -> $seedPath failed; " +
-          "the complete folded index remains under the maint path")
+    DeltaLayout.swapLive(fs, tmp, seedPath)
     // delete ONLY the folded partitions (batch_id ≤ the new watermark):
     // a micro-batch committed while compact ran sits above it, the
     // checkpoint never replays a committed batch, and a blanket delete

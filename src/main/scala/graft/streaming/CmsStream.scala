@@ -113,11 +113,7 @@ object CmsStream {
     val newFolded = math.max(maxBatch,
       DeltaLayout.foldedThrough(spark, seedPath))
     if (newFolded >= 0) DeltaLayout.writeFoldedMarker(fs, tmp, newFolded)
-    fs.delete(new Path(seedPath), true)
-    if (!fs.rename(new Path(tmp), new Path(seedPath)))
-      throw new java.io.IOException(
-        s"cms compact: rename $tmp -> $seedPath failed; " +
-          "the complete folded sketch remains under the maint path")
+    DeltaLayout.swapLive(fs, tmp, seedPath)
     DeltaLayout.deleteFoldedPartitions(fs, new Path(deltaPath), newFolded)
   }
 

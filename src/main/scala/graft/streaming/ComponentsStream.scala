@@ -119,12 +119,7 @@ object ComponentsStream {
     val newFolded = math.max(maxBatch,
       DeltaLayout.foldedThrough(spark, seedRoot))
     if (newFolded >= 0) DeltaLayout.writeFoldedMarker(fs, tmp, newFolded)
-    val live = new Path(seedRoot)
-    fs.delete(live, true)
-    if (!fs.rename(new Path(tmp), live))
-      throw new java.io.IOException(
-        s"components compact: rename $tmp -> $seedRoot failed; " +
-          "the complete folded pair remains under the maint path")
+    DeltaLayout.swapLive(fs, tmp, seedRoot)
     DeltaLayout.deleteFoldedPartitions(fs, new Path(deltaPath), newFolded)
   }
 
@@ -157,15 +152,6 @@ object ComponentsStream {
       .select(col("a").as("src"), col("b").as("dst"), lit(1L).as("w"))
     delta.repartition(2).write.mode("overwrite").parquet(srcDir)
 
-    val q = componentsMaintain(
-      spark.readStream.schema(delta.schema)
-        .option("maxFilesPerTrigger", 1).parquet(srcDir),
-      seedRoot, deltaP, root.resolve("ckpt").toString)
-    try q.processAllAvailable() finally q.stop()
-    // mid-lifecycle compaction: served stats must be unchanged by it
-    compact(spark, seedRoot, deltaP)
-
-    val result = serveComponents(spark, seedRoot, deltaP).localCheckpoint()
     def rm(p: java.nio.file.Path): Unit = {
       import scala.jdk.CollectionConverters._
       if (java.nio.file.Files.exists(p)) {
@@ -173,7 +159,25 @@ object ComponentsStream {
           .foreach(java.nio.file.Files.deleteIfExists(_))
       }
     }
-    rm(root)
-    result.orderBy("component")
+    // try/finally: any failure in stream/compact/serve must not leak
+    // the graft_cc_stream* tree under tmpdir. The served stats are
+    // COLLECTED into a local relation before the source directories
+    // die — a localCheckpoint'd frame survives only while its executor
+    // blocks do, so returning one whose lineage points at deleted
+    // files would make the result unrecomputable after block loss
+    // (the stats are bounded: one row per component).
+    try {
+      val q = componentsMaintain(
+        spark.readStream.schema(delta.schema)
+          .option("maxFilesPerTrigger", 1).parquet(srcDir),
+        seedRoot, deltaP, root.resolve("ckpt").toString)
+      try q.processAllAvailable() finally q.stop()
+      // mid-lifecycle compaction: served stats must be unchanged by it
+      compact(spark, seedRoot, deltaP)
+      val served = serveComponents(spark, seedRoot, deltaP)
+      spark.createDataFrame(
+          java.util.Arrays.asList(served.collect(): _*), served.schema)
+        .orderBy("component")
+    } finally rm(root)
   }
 }

@@ -60,6 +60,36 @@ private[graft] object DeltaLayout {
       f.listStatus(dp).exists(_.getPath.getName.startsWith("batch_id="))
   }
 
+  /** Crash-safe replacement of the live artifact directory by the
+    * complete `tmp` one. The old delete-then-rename left a window with
+    * NO live directory at all (crash after the delete → serving fails,
+    * or silently sees watermark −1, until someone hand-restores the
+    * maint dir). Here the live root renames ASIDE first, so a COMPLETE
+    * artifact exists at the live or a recoverable path at every
+    * instant:  live → live__old,  tmp → live,  delete __old. A crash
+    * between the renames leaves __old (prior) AND tmp (new) both
+    * complete; a crash before the final delete leaves a stale __old
+    * that the next swap clears. A failed second rename restores the
+    * prior live before failing loudly. (Object-store renames are
+    * copies — run this against a filesystem with atomic-ish rename or
+    * behind a path pointer.) */
+  def swapLive(f: FileSystem, tmp: String, live: String): Unit = {
+    val liveP = new Path(live)
+    val oldP = new Path(live + "__old")
+    if (f.exists(oldP)) f.delete(oldP, true): Unit // stale from a prior crash
+    if (f.exists(liveP) && !f.rename(liveP, oldP))
+      throw new java.io.IOException(
+        s"swapLive: rename $live -> $oldP failed; live artifact untouched, " +
+          s"complete new artifact remains at $tmp")
+    if (!f.rename(new Path(tmp), liveP)) {
+      if (f.exists(oldP)) f.rename(oldP, liveP): Unit // put the prior back
+      throw new java.io.IOException(
+        s"swapLive: rename $tmp -> $live failed; prior live restored, " +
+          s"complete new artifact remains at $tmp")
+    }
+    f.delete(oldP, true): Unit
+  }
+
   /** Delete ONLY the delta partitions folded into the seed
     * (batch_id ≤ `upTo`) — see the class doc for why a blanket delete
     * is a data-loss bug. */

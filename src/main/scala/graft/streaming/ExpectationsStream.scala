@@ -181,11 +181,7 @@ object ExpectationsStream {
     val newFolded = math.max(maxBatch,
       DeltaLayout.foldedThrough(spark, seedPath))
     if (newFolded >= 0) DeltaLayout.writeFoldedMarker(fs, tmp, newFolded)
-    fs.delete(new Path(seedPath), true)
-    if (!fs.rename(new Path(tmp), new Path(seedPath)))
-      throw new java.io.IOException(
-        s"verdict compact: rename $tmp -> $seedPath failed; " +
-          "the complete folded state remains under the maint path")
+    DeltaLayout.swapLive(fs, tmp, seedPath)
     DeltaLayout.deleteFoldedPartitions(fs, new Path(deltaPath), newFolded)
   }
 

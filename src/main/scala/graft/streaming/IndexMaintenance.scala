@@ -11,16 +11,13 @@ import org.apache.hadoop.fs.Path
   * which corpus row a future pair reports) and rewrite each batch
   * partition as one file, killing the per-micro-batch small-file tax.
   *
-  * The rewrite is a RENAME SWAP, not a second in-place overwrite: an
-  * overwrite deletes the live index before writing, so a crash
-  * mid-write would leave it partially written and the gate would
-  * silently under-report duplicates against the lost rows. With the
-  * swap, the only crash window is between delete and rename — the
-  * complete artifact survives under `__maint` for recovery, and a
-  * missing live directory fails the next micro-batch's read LOUDLY
-  * instead of silently. (Object-store renames are copies; on S3-like
-  * backends run this against a filesystem with atomic-ish rename or
-  * behind a path-pointer.) Safe to run between micro-batches. */
+  * The rewrite is [[DeltaLayout.swapLive]]'s RENAME SWAP, not a
+  * second in-place overwrite: an overwrite deletes the live index
+  * before writing, so a crash mid-write would leave it partially
+  * written and the gate would silently under-report duplicates
+  * against the lost rows. The swap keeps a complete artifact at the
+  * live or a recoverable path at every instant. Safe to run between
+  * micro-batches. */
 private[streaming] object IndexMaintenance {
 
   def collapseAndCompact(
@@ -40,10 +37,6 @@ private[streaming] object IndexMaintenance {
       .write.mode("overwrite").partitionBy("batch_id").parquet(tmp)
     val fs = new Path(indexPath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(new Path(indexPath), true)
-    if (!fs.rename(new Path(tmp), new Path(indexPath))) {
-      throw new java.io.IOException(
-        s"rename $tmp -> $indexPath failed; complete index preserved at $tmp")
-    }
+    DeltaLayout.swapLive(fs, tmp, indexPath)
   }
 }

@@ -116,11 +116,7 @@ object IvfStream {
     val newFolded = math.max(maxBatch,
       DeltaLayout.foldedThrough(spark, seedPath))
     if (newFolded >= 0) DeltaLayout.writeFoldedMarker(fs, tmp, newFolded)
-    fs.delete(new Path(seedPath), true)
-    if (!fs.rename(new Path(tmp), new Path(seedPath)))
-      throw new java.io.IOException(
-        s"ivf compact: rename $tmp -> $seedPath failed; " +
-          "the complete folded index remains under the maint path")
+    DeltaLayout.swapLive(fs, tmp, seedPath)
     DeltaLayout.deleteFoldedPartitions(fs, new Path(deltaPath), newFolded)
   }
 

@@ -103,12 +103,7 @@ object PhraseStream {
     val newFolded = math.max(maxBatch,
       DeltaLayout.foldedThrough(spark, seedPath))
     if (newFolded >= 0) DeltaLayout.writeFoldedMarker(fs, tmp, newFolded)
-    val live = new Path(seedPath)
-    fs.delete(live, true)
-    if (!fs.rename(new Path(tmp), live))
-      throw new java.io.IOException(
-        s"phrase compact: rename $tmp -> $seedPath failed; " +
-          "the complete folded index remains under the maint path")
+    DeltaLayout.swapLive(fs, tmp, seedPath)
     DeltaLayout.deleteFoldedPartitions(
       fs, new Path(s"$deltaPath/postings"), newFolded)
   }

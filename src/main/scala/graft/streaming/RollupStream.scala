@@ -130,11 +130,7 @@ object RollupStream {
     // values, and stale files are swept by the next successful compact
     val newFolded = math.max(maxBatch, prevFolded)
     if (newFolded >= 0) DeltaLayout.writeFoldedMarker(fs, tmp, newFolded)
-    fs.delete(new Path(seedPath), true)
-    if (!fs.rename(new Path(tmp), new Path(seedPath))) {
-      throw new java.io.IOException(
-        s"rename $tmp -> $seedPath failed; complete rollup preserved at $tmp")
-    }
+    DeltaLayout.swapLive(fs, tmp, seedPath)
     DeltaLayout.deleteFoldedPartitions(fs, dp, newFolded)
   }
 

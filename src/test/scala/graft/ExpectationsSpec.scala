@@ -154,6 +154,14 @@ class ExpectationsSpec extends AnyFunSuite with SparkSessionTestBase {
       Seq("t" -> AcceptedValues("s", Seq("it's")))).collect()
     assert(out.head.getString(2) === "accepted_values(s,it's)")
     assert(out.head.getLong(4) === 1L) // "fine" violates
+    // backslash-bearing values too: Spark's literal parser interprets
+    // \-escapes (DuckDB's does not), so the Spark-side interpolation
+    // must double them or the label diverges between the engines
+    val t2 = Seq("a\\nb", "other").toDF("s")
+    val out2 = Expectations.verify(Map("t2" -> t2),
+      Seq("t2" -> AcceptedValues("s", Seq("a\\nb")))).collect()
+    assert(out2.head.getString(2) === "accepted_values(s,a\\nb)")
+    assert(out2.head.getLong(4) === 1L) // "other" violates
   }
 
   test("empty tables verify without error") {
