@@ -455,6 +455,51 @@ object Graph {
       .localCheckpoint()
   }
 
+  /** INCREMENTAL coreness — fold a DELTA edge batch into a prior
+    * (edges, labels, coreness) artifact without re-peeling the whole
+    * graph: core numbers never cross a component boundary (the
+    * [[corenessSharded]] soundness argument), so a delta edge can
+    * change coreness ONLY inside the components it touches. The
+    * [[componentsIncremental]] touched-set machinery computes exactly
+    * that scope: prior edges of touched components (one slim semi-join
+    * — the prior edge frame is read once, never iterated) union the
+    * delta re-peel via [[corenessSharded]]; every untouched
+    * component's coreness rows pass through VERBATIM.
+    *
+    * `priorEdges` is the canonical (a, b) frame a prior run peeled,
+    * `priorLabels` its (id, label) component labeling, `priorCoreness`
+    * its (node, coreness) output, `deltaEdges` a raw (src, dst, w)
+    * batch. Output: the [[coreness]] contract over the UNION graph —
+    * incremental == full is what the shared peel oracle's hash gate
+    * proves. */
+  def corenessIncremental(
+      priorEdges: DataFrame, priorLabels: DataFrame,
+      priorCoreness: DataFrame, deltaEdges: DataFrame,
+      localMaxEdges: Long = 2000000L, maxK: Int = 64,
+      maxRounds: Int = 200): DataFrame = {
+    val d = canonicalUndirected(deltaEdges)
+    val touched = d.select(col("a").as("id"))
+      .unionAll(d.select(col("b").as("id")))
+      .distinct()
+      .join(priorLabels, Seq("id"), "left")
+      .select(coalesce(col("label"), col("id")).as("label"))
+      .distinct().localCheckpoint()
+    val sub = priorEdges
+      .join(priorLabels.withColumnRenamed("id", "a"), Seq("a"))
+      .join(touched, Seq("label"), "left_semi")
+      .select("a", "b")
+      .unionAll(d.select("a", "b")).distinct()
+    val refreshed = corenessSharded(
+      sub.select(col("a").as("src"), col("b").as("dst")),
+      localMaxEdges, maxK, maxRounds)
+    val untouched = priorCoreness
+      .join(priorLabels.withColumnRenamed("id", "node"), Seq("node"))
+      .join(touched, Seq("label"), "left_anti")
+      .select("node", "coreness")
+    untouched.unionByName(refreshed.select("node", "coreness"))
+      .orderBy("node")
+  }
+
   /** The canonical (a, b) edge frame [[components]] labels — exposed
     * so a serving path can persist the (edges, labels) pair as one
     * consistent artifact for [[componentsIncremental]]. */
@@ -538,6 +583,163 @@ object Graph {
       i += 1
     }
     Iterator.range(0, n).map(v => (ids(v), core(v).toLong))
+  }
+
+  /** Exact in-memory k-truss peel of ONE component's canonical edge
+    * list — the executor-local leaf of [[kTrussSharded]] (the
+    * [[localCoreness]] posture applied to the EDGE-peeling problem):
+    * per-edge triangle support by sorted-adjacency intersection, then
+    * a queue-driven peel that decrements the two surviving edges of
+    * every triangle a dying edge closes — O(m^1.5) total, no per-round
+    * Spark jobs, no round cap needed. Input edges must be canonical
+    * (a < b, deduplicated, self-loop-free). Returns the surviving
+    * (a, b, support) rows with WITHIN-TRUSS support — identical to
+    * [[kTruss]]'s contract (spec-asserted). */
+  private[operators] def localKTruss(
+      edges: Array[(Long, Long)], k: Int): Iterator[(Long, Long, Long)] = {
+    if (edges.isEmpty) return Iterator.empty
+    val idOf = scala.collection.mutable.LongMap.empty[Int]
+    val ids = scala.collection.mutable.ArrayBuffer.empty[Long]
+    def idx(x: Long): Int = idOf.getOrElseUpdate(x, {
+      val i = ids.length; ids += x; i
+    })
+    val m = edges.length
+    val ea = new Array[Int](m); val eb = new Array[Int](m)
+    var i = 0
+    while (i < m) { ea(i) = idx(edges(i)._1); eb(i) = idx(edges(i)._2); i += 1 }
+    val n = ids.length
+    val deg = new Array[Int](n)
+    i = 0; while (i < m) { deg(ea(i)) += 1; deg(eb(i)) += 1; i += 1 }
+    // CSR adjacency carrying EDGE ids alongside neighbor ids
+    val off = new Array[Int](n + 1)
+    i = 0; while (i < n) { off(i + 1) = off(i) + deg(i); i += 1 }
+    val adjN = new Array[Int](2 * m); val adjE = new Array[Int](2 * m)
+    val fill = java.util.Arrays.copyOf(off, n)
+    i = 0
+    while (i < m) {
+      adjN(fill(ea(i))) = eb(i); adjE(fill(ea(i))) = i; fill(ea(i)) += 1
+      adjN(fill(eb(i))) = ea(i); adjE(fill(eb(i))) = i; fill(eb(i)) += 1
+      i += 1
+    }
+    // sort each adjacency segment by neighbor id (insertion sort on
+    // the paired arrays — segments are bounded by the node's degree)
+    var v = 0
+    while (v < n) {
+      var a = off(v) + 1
+      while (a < off(v + 1)) {
+        val nn = adjN(a); val ee = adjE(a)
+        var b = a - 1
+        while (b >= off(v) && adjN(b) > nn) {
+          adjN(b + 1) = adjN(b); adjE(b + 1) = adjE(b); b -= 1
+        }
+        adjN(b + 1) = nn; adjE(b + 1) = ee
+        a += 1
+      }
+      v += 1
+    }
+    // initial support: two-pointer intersection per edge
+    val sup = new Array[Int](m)
+    i = 0
+    while (i < m) {
+      val (u, w) = (ea(i), eb(i))
+      var p = off(u); var q = off(w); var s = 0
+      while (p < off(u + 1) && q < off(w + 1)) {
+        val c = adjN(p) - adjN(q)
+        if (c == 0) { s += 1; p += 1; q += 1 }
+        else if (c < 0) p += 1 else q += 1
+      }
+      sup(i) = s
+      i += 1
+    }
+    val need = k - 2
+    val dead = new Array[Boolean](m)
+    val queued = new Array[Boolean](m)
+    val queue = new java.util.ArrayDeque[Integer]()
+    i = 0
+    while (i < m) {
+      if (sup(i) < need) { queue.add(i); queued(i) = true }
+      i += 1
+    }
+    while (!queue.isEmpty) {
+      val e = queue.poll().intValue()
+      if (!dead(e)) {
+        dead(e) = true
+        val (u, w) = (ea(e), eb(e))
+        // every triangle (u, w, x) with BOTH other edges alive loses
+        // this edge: decrement them, enqueue any that cross below need
+        var p = off(u); var q = off(w)
+        while (p < off(u + 1) && q < off(w + 1)) {
+          val c = adjN(p) - adjN(q)
+          if (c == 0) {
+            val e1 = adjE(p); val e2 = adjE(q)
+            if (!dead(e1) && !dead(e2)) {
+              sup(e1) -= 1
+              if (sup(e1) < need && !queued(e1)) { queue.add(e1); queued(e1) = true }
+              sup(e2) -= 1
+              if (sup(e2) < need && !queued(e2)) { queue.add(e2); queued(e2) = true }
+            }
+            p += 1; q += 1
+          } else if (c < 0) p += 1 else q += 1
+        }
+      }
+    }
+    Iterator.range(0, m).filter(!dead(_))
+      .map(e => (ids(ea(e)), ids(eb(e)), sup(e).toLong))
+  }
+
+  /** [[kTruss]] SHARDED BY CONNECTED COMPONENT — the
+    * [[corenessSharded]] discipline applied to the truss peel, which
+    * needs it even more: every global peel round re-runs the oriented
+    * wedge join over the WHOLE surviving graph, so one dense pocket
+    * serializes every round globally (the truss sits inside the
+    * 2-core ⊆ its component, so sharding is sound — a triangle never
+    * crosses a component boundary). Components at or under
+    * `localMaxEdges` edges peel IN-EXECUTOR via the exact
+    * queue-driven support peel ([[localKTruss]] — no round cap, no
+    * per-round jobs); oversized ones (loudly bounded by
+    * `maxBigComponents`) fall back to the distributed [[kTruss]] over
+    * their union, which equals per-component peels because disjoint
+    * components share no wedges. Output contract identical to
+    * [[kTruss]] (spec asserts exact equality on shared fixtures). */
+  def kTrussSharded(
+      edges: DataFrame, k: Int, localMaxEdges: Long = 2000000L,
+      maxRounds: Int = 200, maxBigComponents: Int = 64): DataFrame = {
+    require(k >= 2, s"kTrussSharded: k must be >= 2, got $k")
+    require(localMaxEdges >= 1L,
+      s"kTrussSharded: localMaxEdges must be >= 1, got $localMaxEdges")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val canon = canonicalUndirected(edges)
+    if (canon.isEmpty) return kTruss(edges, k, maxRounds)
+    val labels = Dedup.duplicateLabelsStar(
+      canon.select(col("a").as("doc_a"), col("b").as("doc_b")))
+    val lab = canon
+      .join(labels.select(col("id").as("a"), col("label").as("comp")), Seq("a"))
+      .localCheckpoint()
+    val big = lab.groupBy("comp").agg(count(lit(1)).as("m"))
+      .filter(col("m") > localMaxEdges)
+      .select(col("comp")).as[Long].collect().sorted
+    require(big.length <= maxBigComponents,
+      s"kTrussSharded: ${big.length} components exceed localMaxEdges=" +
+        s"$localMaxEdges (cap $maxBigComponents) — raise localMaxEdges")
+    val small =
+      if (big.isEmpty) lab
+      else lab.join(big.toSeq.toDF("comp"), Seq("comp"), "left_anti")
+    val localOut = small
+      .select(col("comp").as("_1"), col("a").as("_2"), col("b").as("_3"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (_, it) =>
+        localKTruss(it.map(t => (t._2, t._3)).toArray, k)
+      }
+      .toDF("a", "b", "support")
+    val out =
+      if (big.isEmpty) localOut
+      else localOut.unionByName(kTruss(
+        lab.filter(col("comp").isin(big.map(Long.box): _*))
+          .select(col("a").as("src"), col("b").as("dst")),
+        k, maxRounds))
+    out.orderBy("a", "b")
   }
 
   /** The k-truss of an undirected edge list (Cohen 2008): the maximal
@@ -640,6 +842,70 @@ object Graph {
       }
     }
     cur
+  }
+
+  /** INCREMENTAL triangle counts — fold a DELTA edge batch into a
+    * prior [[triangles]] output WITHOUT re-running the wedge join over
+    * the whole graph. Unlike coreness, triangle counts are ADDITIVE
+    * under edge insertion: every triangle of the union graph either
+    * lies entirely in the prior (already counted) or contains at
+    * least one NEW edge — and those are enumerable from the delta
+    * alone: each new edge (a, b) closes a triangle with every common
+    * neighbor w of a and b in the union graph. A triangle with two or
+    * three new edges is found once per new edge it contains, so
+    * candidates dedup by their sorted (x, y, z) triple before the
+    * corner explode. Degrees fold the same way; cc_micro recomputes
+    * from the folded (degree, n_triangles) — the same exact integer
+    * formula as [[triangles]].
+    *
+    * Spark shape: the delta (bounded) broadcast-joins the union
+    * adjacency — wedge candidates are Σ_{(a,b)∈Δ} deg(a), delta-
+    * proportional; the closure probe reads the union edge frame once
+    * (one semi-join, the [[componentsIncremental]] read-once
+    * discipline). Prior per-node rows are FOLDED arithmetically,
+    * never recomputed (spec proves it with a poisoned prior).
+    * Output: the [[triangles]] contract over the union graph —
+    * incremental == full is what the shared oracle's hash gate
+    * proves. */
+  def trianglesIncremental(
+      priorEdges: DataFrame, priorTriangles: DataFrame,
+      deltaEdges: DataFrame): DataFrame = {
+    val d = canonicalUndirected(deltaEdges)
+      .join(priorEdges.select("a", "b"), Seq("a", "b"), "left_anti")
+      .localCheckpoint()
+    val union = priorEdges.select("a", "b")
+      .unionAll(d.select("a", "b")).localCheckpoint()
+    val adj = union.select(col("a").as("u"), col("b").as("v"))
+      .unionAll(union.select(col("b").as("u"), col("a").as("v")))
+    // common-neighbor closure per new edge, then canonical-triple dedup
+    val tris = d.select("a", "b")
+      .join(adj.select(col("u").as("a"), col("v").as("w")), Seq("a"))
+      .join(adj.select(col("u").as("b"), col("v").as("w")),
+        Seq("b", "w"), "left_semi")
+      .select(expr("array_sort(array(a, b, w))").as("t"))
+      .distinct()
+    val newPerNode = tris
+      .select(explode(col("t")).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("dt"))
+    val dDeg = d.select(col("a").as("node"))
+      .unionAll(d.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("dd"))
+    priorTriangles.select(col("node"), col("degree"), col("n_triangles"))
+      .join(dDeg, Seq("node"), "full_outer")
+      .join(newPerNode, Seq("node"), "left")
+      .select(col("node"),
+        (coalesce(col("degree"), lit(0L)) + coalesce(col("dd"), lit(0L)))
+          .as("degree"),
+        (coalesce(col("n_triangles"), lit(0L)) + coalesce(col("dt"), lit(0L)))
+          .as("n_triangles"))
+      .withColumn("cc_micro", expr(
+        """CASE WHEN degree < 2 THEN CAST(0 AS BIGINT) ELSE
+          | CAST((CAST(n_triangles AS DECIMAL(38,0)) * 4000000
+          |   + degree * (degree - 1))
+          |  div (CAST(degree AS DECIMAL(38,0)) * (degree - 1) * 2) AS BIGINT)
+          |END""".stripMargin))
+      .select("node", "degree", "n_triangles", "cc_micro")
+      .orderBy("node")
   }
 
   /** Triangle counts and local clustering coefficients over an

@@ -161,11 +161,23 @@ object Similarity {
     * `trainFactor · nCentroids` xxhash64-ranked vectors (the seed
     * centroids are this ordering's prefix, so seeds ⊂ sample by
     * construction). Exposed for the spec that pins the train/add
-    * split. */
+    * split.
+    *
+    * The sample REPARTITIONS after the limit: a global limit collapses
+    * to ONE partition, which would run every Lloyd assignment pass of
+    * a k ∝ n model single-threaded (measured 13.5 s/iter vs 3.8 s for
+    * the 4×-larger parallel corpus scan on the 100× replica — the
+    * dominant term of the whole SemDeDup entry). The sample SET is
+    * unchanged (same ordering, same prefix); downstream means are
+    * integer-exact, so the partitioning is free to change. */
   private[graft] def ivfTrainingSample(
-      normalized: DataFrame, nCentroids: Int, trainFactor: Int): DataFrame =
+      normalized: DataFrame, nCentroids: Int, trainFactor: Int): DataFrame = {
+    val parts = normalized.sparkSession.conf
+      .get("spark.sql.shuffle.partitions", "32").toInt
     normalized.orderBy(xxhash64(col("vec_id")), col("vec_id"))
       .limit(trainFactor * nCentroids)
+      .repartition(parts)
+  }
 
   /** Normalized corpus + deterministic Lloyd-refined centroids — the
     * shared IVF model behind [[embedIvfTopK]] and
@@ -181,7 +193,7 @@ object Similarity {
     * xxhash64 rank order (no RNG; reproducible across runs and
     * cluster sizes); the FULL corpus is assigned exactly once, by the
     * caller's final [[assignTo]]. */
-  private def ivfModel(
+  private[graft] def ivfModel(
       emb: DataFrame, nCentroids: Int, lloydIters: Int,
       trainFactor: Int = 64): (DataFrame, DataFrame) = {
     // < 1 would make the training frame empty (or smaller than the
@@ -209,9 +221,20 @@ object Similarity {
       .select(row_number().over(Window.orderBy("vec_id")).as("cid"), col("vn").as("cvec"))
 
     for (_ <- 1 to lloydIters) {
+      // per-dimension mean in EXACT integer arithmetic: each member
+      // coordinate snaps to pico units and sums in DECIMAL (exact,
+      // associative-commutative), so the centroid is bit-identical
+      // under ANY partitioning of the (now parallel) training frame —
+      // a float avg() would drift in the last ulp with partial-merge
+      // order and make the trained model partition-dependent (the
+      // pageRank integer-mass discipline applied to Lloyd).
       val means = assignTo(train, centroids)
         .select(col("cid"), posexplode(col("vn")).as(Seq("pos", "x")))
-        .groupBy("cid", "pos").agg(avg("x").as("mx"))
+        .groupBy("cid", "pos").agg(
+          expr("sum(CAST(round(x * 1e12) AS DECIMAL(38,0)))").as("sx"),
+          count(lit(1)).as("cnt"))
+        .select(col("cid"), col("pos"),
+          (col("sx").cast("double") / (col("cnt") * lit(1e12))).as("mx"))
         .groupBy("cid")
         .agg(expr("transform(array_sort(collect_list(struct(pos, mx))), s -> s.mx)").as("cvec"))
       // re-normalize so cosine assignment stays a plain dot product
@@ -228,7 +251,7 @@ object Similarity {
     * pick the smallest cid (array_position returns the first maximum;
     * the array is cid-sorted), matching a (sim DESC, cid ASC) window.
     * Output: vec_id, vn, cid, sim (cosine to the winning centroid). */
-  private def assignTo(vectors: DataFrame, centroids: DataFrame): DataFrame = {
+  private[graft] def assignTo(vectors: DataFrame, centroids: DataFrame): DataFrame = {
     val cents = centroids.agg(expr("array_sort(collect_list(struct(cid, cvec)))").as("cents"))
     vectors.crossJoin(broadcast(cents))
       .withColumn("sims", expr("transform(cents, c -> graft_dot(vn, c.cvec))"))
@@ -236,6 +259,88 @@ object Similarity {
       .withColumn("cid",
         expr("element_at(cents, CAST(array_position(sims, sim) AS INT)).cid"))
       .select("vec_id", "vn", "cid", "sim")
+  }
+
+  /** COARSE-THEN-FINE assignment — [[assignTo]]'s scale path when the
+    * centroid count k itself grows with the corpus (the SemDeDup k ∝ n
+    * contract): the flat broadcast argmax scans all k centroids per
+    * vector — an n·k term, the dominant cost of the probe at 100×
+    * scale — while this form groups the fine centroids under `kCoarse`
+    * (≈√k) COARSE cells (the IVF train/assign machinery applied to the
+    * bounded centroid frame itself) and resolves each vector in two
+    * narrow phases, EXACTLY:
+    *
+    *  1. nearest coarse cell by dot, then the best fine centroid
+    *     INSIDE it — a lower bound s* on the true max;
+    *  2. every cell whose upper bound dot(v, c_j) + r_j can reach s*
+    *     is scanned in full; all other cells are provably beaten —
+    *     for any fine f in cell j, dot(v, f) = dot(v, c_j) +
+    *     dot(v, f − c_j) ≤ dot(v, c_j) + ‖f − c_j‖ (Cauchy–Schwarz,
+    *     ‖v‖ = 1), and r_j = max over the cell's fines of ‖f − c_j‖.
+    *
+    * The bound carries a 1e-9 slack absorbing float rounding (the
+    * corpus vector's norm is 1 only to an ulp; slack only ADDS
+    * candidate cells, never drops the true argmax). The winning
+    * (cid, sim) — including the smallest-cid tie rule — is therefore
+    * BIT-IDENTICAL to the flat scan's (spec-asserted): the same
+    * graft_dot values decide, only the subset of centroids examined
+    * shrinks. Per-vector work drops from k dots to ~√k + the best
+    * cell + any candidate cells. Empty coarse cells never materialize
+    * (cells are built FROM the fine→coarse assignment).
+    *
+    * MEASURED CAVEAT (why [[semDeDup]] does NOT default to this): on
+    * the 64-dim 100× embedding replica the radius bound prunes almost
+    * nothing — high-dimensional k-means cells overlap, so most cells
+    * survive the filter and the candidate machinery costs more per
+    * dot than the flat scan's tight transform (26.2 vs 3.8 s).
+    * Exact two-level assignment pays off only on genuinely separated
+    * corpora (low intrinsic dimension, cluster gaps wider than cell
+    * radii); the flat scan is the safe default, and the real n·k
+    * training bottleneck was fixed in [[ivfTrainingSample]]. */
+  private[graft] def assignToHier(
+      vectors: DataFrame, centroids: DataFrame, kCoarse: Int): DataFrame = {
+    require(kCoarse >= 1, s"assignToHier: kCoarse must be >= 1, got $kCoarse")
+    // group the fine centroids: deterministic Lloyd over the bounded
+    // (cid, cvec) frame, then each fine assigns to its coarse cell.
+    // The fines stored in the cells are the ORIGINAL cvec arrays (the
+    // model's internal re-normalization would perturb them by an ulp
+    // and break bit-equality with the flat scan).
+    val (fn, coarse) = ivfModel(
+      centroids.select(col("cid").as("vec_id"), col("cvec").as("embedding")),
+      kCoarse, lloydIters = 2)
+    val f2c = assignTo(fn, coarse)
+      .select(col("vec_id").as("fcid"), col("cid").as("ccid"))
+    val cells = f2c
+      .join(centroids.select(col("cid").as("fcid"), col("cvec")), Seq("fcid"))
+      .join(coarse.select(col("cid").as("ccid"), col("cvec").as("ccvec")),
+        Seq("ccid"))
+      .groupBy("ccid")
+      .agg(
+        expr("array_sort(collect_list(struct(fcid AS cid, cvec)))").as("fines"),
+        max(expr("sqrt(aggregate(zip_with(cvec, ccvec, " +
+          "(x, y) -> (x-y)*(x-y)), 0D, (acc, z) -> acc + z))")).as("r"),
+        first(col("ccvec")).as("ccvec"))
+    val cellsAgg = cells.agg(
+      expr("array_sort(collect_list(struct(ccid, ccvec, r, fines)))").as("cells"))
+    vectors.crossJoin(broadcast(cellsAgg))
+      .withColumn("cs", expr("transform(cells, c -> graft_dot(vn, c.ccvec))"))
+      .withColumn("bc", expr(
+        "element_at(cells, CAST(array_position(cs, array_max(cs)) AS INT))"))
+      // struct max orders by (sim, ncid): highest sim, then highest
+      // -cid = SMALLEST cid — the flat scan's first-max tie rule
+      .withColumn("lower", expr(
+        "array_max(transform(bc.fines, " +
+          "f -> struct(graft_dot(vn, f.cvec) AS sim, -f.cid AS ncid)))"))
+      .withColumn("best", expr(
+        """array_max(flatten(transform(
+          |  filter(zip_with(cells, cs,
+          |           (c, s) -> struct(c.fines AS fines, s + c.r + 1e-9d AS ub)),
+          |         x -> x.ub >= lower.sim),
+          |  x -> transform(x.fines,
+          |         f -> struct(graft_dot(vn, f.cvec) AS sim, -f.cid AS ncid)))))"""
+          .stripMargin))
+      .select(col("vec_id"), col("vn"),
+        expr("-best.ncid").as("cid"), col("best.sim").as("sim"))
   }
 
   /** IVF cluster occupancy report (the diversity/coverage summary a
@@ -342,7 +447,17 @@ object Similarity {
       semDeDupAssignFull(emb, nCentroids, clusterSize, lloydIters, trainFactor),
       tau, keepFarthest)
 
-  /** The SemDeDup cluster assignment WITH vectors — inline form. */
+  /** The SemDeDup cluster assignment WITH vectors — inline form.
+    * Assignment is the FLAT broadcast scan: the coarse-then-fine
+    * [[assignToHier]] was measured 6× SLOWER on the 64-dim 100×
+    * replica (26.2 vs 3.8 s — in high dimension k-means cells
+    * overlap, the exact radius bound prunes almost nothing, and the
+    * candidate machinery costs more per dot), while the ACTUAL n·k
+    * bottleneck was the Lloyd training passes running single-threaded
+    * off the one-partition sample — fixed in [[ivfTrainingSample]] /
+    * [[ivfModel]] (13.5 → ~1 s per pass). Callers with genuinely
+    * separated low-dimensional corpora can use [[assignToHier]]
+    * directly; it is exact. */
   private def semDeDupAssignFull(
       emb: DataFrame, nCentroids: Option[Int], clusterSize: Long,
       lloydIters: Int, trainFactor: Int): DataFrame = {

@@ -163,8 +163,10 @@ object Bm25Stream {
     val docs = graft.Tables.documents(spark, dir)
     val root = java.nio.file.Files.createTempDirectory("graft_bm25_stream")
     val src = root.resolve("src").toString
-    docs.filter(col("doc_id") % 2 =!= 0).write.mode("overwrite").parquet(src)
-    seedIndex(docs.filter(col("doc_id") % 2 === 0), root.resolve("seed").toString)
+    StreamMeter.timeSeed("q_stream_bm25") {
+      docs.filter(col("doc_id") % 2 =!= 0).write.mode("overwrite").parquet(src)
+      seedIndex(docs.filter(col("doc_id") % 2 === 0), root.resolve("seed").toString)
+    }
 
     val q = indexMaintain(
       spark.readStream.schema(docs.schema).parquet(src),

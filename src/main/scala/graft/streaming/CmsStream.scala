@@ -131,8 +131,10 @@ object CmsStream {
     val src = root.resolve("src").toString
     val seedP = root.resolve("seed").toString
     val deltaP = root.resolve("delta").toString
-    docs.filter(col("doc_id") % 2 =!= 0).write.mode("overwrite").parquet(src)
-    seedCms(docs.filter(col("doc_id") % 2 === 0), seedP)
+    StreamMeter.timeSeed("q_stream_cms") {
+      docs.filter(col("doc_id") % 2 =!= 0).write.mode("overwrite").parquet(src)
+      seedCms(docs.filter(col("doc_id") % 2 === 0), seedP)
+    }
 
     val q = cmsMaintain(
       spark.readStream.schema(docs.schema).parquet(src),

@@ -142,16 +142,6 @@ object ComponentsStream {
     val srcDir = root.resolve("src").toString
     val seedRoot = root.resolve("seed").toString
     val deltaP = root.resolve("delta").toString
-    val (priorE, priorL) = graft.SparkEntry.cpIndexShared(spark, dir)
-    priorE.write.mode("overwrite").parquet(s"$seedRoot/edges")
-    priorL.write.mode("overwrite").parquet(s"$seedRoot/labels")
-    // the arriving delta, staged as raw edges in two files so the
-    // stream sees more than one micro-batch
-    val delta = full.join(
-        spark.read.parquet(s"$seedRoot/edges"), Seq("a", "b"), "left_anti")
-      .select(col("a").as("src"), col("b").as("dst"), lit(1L).as("w"))
-    delta.repartition(2).write.mode("overwrite").parquet(srcDir)
-
     def rm(p: java.nio.file.Path): Unit = {
       import scala.jdk.CollectionConverters._
       if (java.nio.file.Files.exists(p)) {
@@ -159,14 +149,26 @@ object ComponentsStream {
           .foreach(java.nio.file.Files.deleteIfExists(_))
       }
     }
-    // try/finally: any failure in stream/compact/serve must not leak
-    // the graft_cc_stream* tree under tmpdir. The served stats are
-    // COLLECTED into a local relation before the source directories
-    // die — a localCheckpoint'd frame survives only while its executor
-    // blocks do, so returning one whose lineage points at deleted
-    // files would make the result unrecomputable after block loss
-    // (the stats are bounded: one row per component).
+    // try/finally: any failure in seed staging/stream/compact/serve
+    // must not leak the graft_cc_stream* tree under tmpdir. The served
+    // stats are COLLECTED into a local relation before the source
+    // directories die — a localCheckpoint'd frame survives only while
+    // its executor blocks do, so returning one whose lineage points at
+    // deleted files would make the result unrecomputable after block
+    // loss (the stats are bounded: one row per component).
     try {
+      val delta = StreamMeter.timeSeed("q_stream_components") {
+        val (priorE, priorL) = graft.SparkEntry.cpIndexShared(spark, dir)
+        priorE.write.mode("overwrite").parquet(s"$seedRoot/edges")
+        priorL.write.mode("overwrite").parquet(s"$seedRoot/labels")
+        // the arriving delta, staged as raw edges in two files so the
+        // stream sees more than one micro-batch
+        val d = full.join(
+            spark.read.parquet(s"$seedRoot/edges"), Seq("a", "b"), "left_anti")
+          .select(col("a").as("src"), col("b").as("dst"), lit(1L).as("w"))
+        d.repartition(2).write.mode("overwrite").parquet(srcDir)
+        d
+      }
       val q = componentsMaintain(
         spark.readStream.schema(delta.schema)
           .option("maxFilesPerTrigger", 1).parquet(srcDir),

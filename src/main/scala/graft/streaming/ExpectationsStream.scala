@@ -200,9 +200,11 @@ object ExpectationsStream {
     val seedP = root.resolve("seed").toString
     val deltaP = root.resolve("delta").toString
     val splitKey = col(facts.columns.head)
-    facts.filter(splitKey % 2 =!= 0).write.mode("overwrite").parquet(src)
-    seedPartials(
-      tables + (factTable -> facts.filter(splitKey % 2 === 0)), checks, seedP)
+    StreamMeter.timeSeed("q_stream_verdicts") {
+      facts.filter(splitKey % 2 =!= 0).write.mode("overwrite").parquet(src)
+      seedPartials(
+        tables + (factTable -> facts.filter(splitKey % 2 === 0)), checks, seedP)
+    }
 
     val emptyTables = tables.map { case (n, df) => n -> df.limit(0) }
     val q = partialsMaintain(

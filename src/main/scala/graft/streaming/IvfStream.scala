@@ -142,8 +142,10 @@ object IvfStream {
     val src = root.resolve("src").toString
     val seedP = root.resolve("seed").toString
     val deltaP = root.resolve("delta").toString
-    emb.filter(col("vec_id") % 2 =!= 0).write.mode("overwrite").parquet(src)
-    seedIndex(emb.filter(col("vec_id") % 2 === 0), seedP)
+    StreamMeter.timeSeed("q_stream_ivf") {
+      emb.filter(col("vec_id") % 2 =!= 0).write.mode("overwrite").parquet(src)
+      seedIndex(emb.filter(col("vec_id") % 2 === 0), seedP)
+    }
 
     val q = indexMaintain(
       spark.readStream.schema(emb.schema).parquet(src),

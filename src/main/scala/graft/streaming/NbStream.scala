@@ -142,9 +142,11 @@ object NbStream {
     val src = root.resolve("src").toString
     val seedP = root.resolve("seed").toString
     val deltaP = root.resolve("delta").toString
-    docs.filter(col("doc_id") % 2 =!= 0).write.mode("overwrite").parquet(src)
-    seedNb(docs.filter(col("doc_id") % 2 === 0),
-      domainLabels(docs.filter(col("doc_id") % 2 === 0)), seedP)
+    StreamMeter.timeSeed("q_stream_nb") {
+      docs.filter(col("doc_id") % 2 =!= 0).write.mode("overwrite").parquet(src)
+      seedNb(docs.filter(col("doc_id") % 2 === 0),
+        domainLabels(docs.filter(col("doc_id") % 2 === 0)), seedP)
+    }
 
     val q = nbMaintain(
       spark.readStream.schema(docs.schema).parquet(src),

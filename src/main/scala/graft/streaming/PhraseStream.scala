@@ -126,8 +126,10 @@ object PhraseStream {
     val docs = graft.Tables.documents(spark, dir)
     val root = java.nio.file.Files.createTempDirectory("graft_phrase_stream")
     val src = root.resolve("src").toString
-    docs.filter(col("doc_id") % 2 =!= 0).write.mode("overwrite").parquet(src)
-    seedIndex(docs.filter(col("doc_id") % 2 === 0), root.resolve("seed").toString)
+    StreamMeter.timeSeed("q_stream_phrase") {
+      docs.filter(col("doc_id") % 2 =!= 0).write.mode("overwrite").parquet(src)
+      seedIndex(docs.filter(col("doc_id") % 2 === 0), root.resolve("seed").toString)
+    }
 
     val q = indexMaintain(
       spark.readStream.schema(docs.schema).parquet(src),

@@ -145,8 +145,10 @@ object RollupStream {
     val docs = graft.Tables.documents(spark, dir)
     val root = java.nio.file.Files.createTempDirectory("graft_rollup_stream")
     val src = root.resolve("src").toString
-    docs.filter(col("doc_id") % 2 =!= 0).write.mode("overwrite").parquet(src)
-    seedRollup(docs.filter(col("doc_id") % 2 === 0), root.resolve("seed").toString)
+    StreamMeter.timeSeed("q_stream_rollup") {
+      docs.filter(col("doc_id") % 2 =!= 0).write.mode("overwrite").parquet(src)
+      seedRollup(docs.filter(col("doc_id") % 2 === 0), root.resolve("seed").toString)
+    }
 
     val q = rollupMaintain(
       spark.readStream.schema(docs.schema).parquet(src),

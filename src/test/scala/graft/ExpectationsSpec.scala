@@ -136,6 +136,15 @@ class ExpectationsSpec extends AnyFunSuite with SparkSessionTestBase {
     val full = SparkEntry.queries("q_expectations")(spark, sfDir)
       .collect().map(_.toString).toSeq
     assert(served === full)
+    // the artifact is kind-partitioned and the split server filters
+    // each branch BEFORE any union, so the kind predicate reaches the
+    // artifact scan as a PARTITION filter — file pruning, plan-locked
+    // (the old merge-then-checkpoint path read every partition for
+    // every branch)
+    val plan = SparkEntry.queries("q_expectations_indexed")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [kind"),
+      s"expected a kind partition filter on the partials artifact scan:\n$plan")
   }
 
   test("a malformed check fails at construction, not at verify time") {

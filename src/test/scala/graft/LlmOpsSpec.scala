@@ -653,14 +653,17 @@ class LlmOpsSpec extends AnyFunSuite with SparkSessionTestBase {
 
   test("IVF Lloyd trains on the deterministic hash sample, not the corpus") {
     val emb = Tables.embeddings(spark, docDir)
-    // the training frame IS the xxhash64-rank prefix of the corpus
+    // the training frame IS the xxhash64-rank prefix of the corpus —
+    // as a SET: the sample repartitions for parallel Lloyd passes
+    // (row order is free; seeds re-sort internally and the means are
+    // integer-exact, so partitioning cannot change the model)
     val sample = Similarity.ivfTrainingSample(
       emb.select(col("vec_id")), nCentroids = 8, trainFactor = 4).collect()
     assert(sample.length === 32)
     val expected = emb.select(col("vec_id"))
       .orderBy(xxhash64(col("vec_id")), col("vec_id"))
       .limit(32).collect().map(_.getLong(0)).toSeq
-    assert(sample.map(_.getLong(0)).toSeq === expected)
+    assert(sample.map(_.getLong(0)).sorted.toSeq === expected.sorted)
     // sample-trained centroids still give sane recall and determinism
     val exact = Similarity.embedTopK(emb, nQueries = 10, k = 5).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -751,6 +754,42 @@ class LlmOpsSpec extends AnyFunSuite with SparkSessionTestBase {
     val minId = Similarity.semDeDup(emb, nCentroids = Some(1), tau = 0.9)
       .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
     assert(minId === Map(1L -> true, 2L -> false, 3L -> false))
+  }
+
+  test("coarse-then-fine centroid assignment is bit-equal to the flat scan") {
+    import spark.implicits._
+    // clustered-but-messy fixture: 12 loose piles in 8 dims plus
+    // deterministic jitter, k = 12 fine centroids grouped under 4
+    // coarse cells — enough structure that phase 2 prunes cells, and
+    // enough spread that some vectors DO need extra candidate cells
+    val vecs = (0 until 240).map { i =>
+      val pile = i % 12
+      i.toLong -> Array.tabulate(8) { j =>
+        (if (j == pile % 8) 4.0 else 0.0) +
+          math.sin(i * 131 + j * 37) * 0.8
+      }
+    }
+    val emb = vecs.toDF("vec_id", "embedding")
+    val (e, cents) = Similarity.ivfModel(emb, 12, lloydIters = 2)
+    val ec = e.localCheckpoint()
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select("vec_id", "cid", "sim").orderBy("vec_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSeq
+    val flat = canon(Similarity.assignTo(ec, cents))
+    val hier = canon(Similarity.assignToHier(ec, cents, kCoarse = 4))
+    // EXACT equality, doubles included: the two paths evaluate the
+    // same graft_dot values and share the smallest-cid tie rule — the
+    // hierarchy only prunes centroids it can prove are beaten
+    assert(hier === flat)
+    assert(flat.map(_._2).distinct.size > 4, "fixture must use many cells")
+    // degenerate corpus (every vector identical): tie storm — the
+    // shared tie rule must still pick identical cids
+    val same = (0 until 30).map(i => i.toLong -> Array(1.0, 0.5, 0.25, 0.0))
+      .toDF("vec_id", "embedding")
+    val (se, scents) = Similarity.ivfModel(same, 6, lloydIters = 1)
+    val sc = se.localCheckpoint()
+    assert(canon(Similarity.assignToHier(sc, scents, kCoarse = 2))
+      === canon(Similarity.assignTo(sc, scents)))
   }
 
   test("semDeDup served from the persisted assignment is bit-equal to inline") {

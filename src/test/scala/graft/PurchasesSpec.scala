@@ -401,6 +401,120 @@ class PurchasesSpec extends AnyFunSuite with SparkSessionTestBase {
     assert(operators.Graph.corenessSharded(none).count() === 0)
   }
 
+  test("corenessIncremental folds a delta exactly; untouched rows pass through") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit, when}
+    // prior: chain 1-2-3-4 | triangle 5-6-7 + pendant 8 | K4 10..13
+    val prior = Seq((1L, 2L), (2L, 3L), (3L, 4L), (5L, 6L), (6L, 7L),
+      (5L, 7L), (5L, 8L), (10L, 11L), (10L, 12L), (10L, 13L),
+      (11L, 12L), (11L, 13L), (12L, 13L))
+    val priorDf = prior.map { case (a, b) => (a, b, 1L) }.toDF("src", "dst", "w")
+    val priorE = operators.Graph.canonicalEdges(priorDf)
+    val priorL = operators.Graph.componentLabels(priorDf)
+    val priorC = operators.Graph.coreness(
+      priorE.select(col("a").as("src"), col("b").as("dst")))
+    // delta: close the chain into a cycle (coreness 1 → 2 for 1..4)
+    // and hang a NEW node 9 off the triangle's pendant; K4 untouched
+    val delta = Seq((1L, 4L, 1L), (8L, 9L, 1L)).toDF("src", "dst", "w")
+    def m(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val inc = m(operators.Graph.corenessIncremental(priorE, priorL, priorC, delta))
+    val full = m(operators.Graph.coreness(
+      (prior ++ Seq((1L, 4L), (8L, 9L))).map { case (a, b) => (a, b, 1L) }
+        .toDF("src", "dst", "w")))
+    assert(inc === full)
+    assert(inc(1L) === 2L && inc(9L) === 1L && inc(10L) === 3L)
+    // PASS-THROUGH proof: poison the untouched component's prior rows —
+    // the incremental path must carry them VERBATIM (it never re-peels
+    // an untouched component), while touched components recompute
+    val poisoned = priorC.withColumn("coreness",
+      when(col("node") >= 10L, lit(99L)).otherwise(col("coreness")))
+    val incP = m(operators.Graph.corenessIncremental(priorE, priorL, poisoned, delta))
+    assert(Seq(10L, 11L, 12L, 13L).forall(incP(_) === 99L))
+    assert(incP.filterNot(kv => kv._1 >= 10L) === full.filterNot(kv => kv._1 >= 10L))
+    // an empty delta returns the prior decomposition unchanged
+    val none = Seq.empty[(Long, Long, Long)].toDF("src", "dst", "w")
+    assert(m(operators.Graph.corenessIncremental(priorE, priorL, priorC, none))
+      === m(priorC))
+  }
+
+  test("trianglesIncremental folds a delta additively, never recomputing prior rows") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit, when}
+    // prior: chain 1-2-3 | triangle 5-6-7 with pendant 8 | K4 10..13
+    val prior = Seq((1L, 2L), (2L, 3L), (5L, 6L), (6L, 7L), (5L, 7L),
+      (5L, 8L), (10L, 11L), (10L, 12L), (10L, 13L), (11L, 12L), (11L, 13L),
+      (12L, 13L))
+    val priorDf = prior.map { case (a, b) => (a, b, 1L) }.toDF("src", "dst", "w")
+    val priorE = operators.Graph.canonicalEdges(priorDf)
+    val priorT = operators.Graph.triangles(priorDf)
+    // delta: close the chain (new triangle 1-2-3), edge 6-8 (new
+    // triangle 5-6-8 with TWO prior edges), brand-new node 14, and a
+    // RESENT existing edge (10,11) that must be a no-op
+    val deltaRaw = Seq((1L, 3L), (6L, 8L), (3L, 14L), (10L, 11L))
+    val delta = deltaRaw.map { case (a, b) => (a, b, 1L) }.toDF("src", "dst", "w")
+    val fullDf = (prior ++ deltaRaw).map { case (a, b) => (a, b, 1L) }
+      .toDF("src", "dst", "w")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val inc = rows(operators.Graph.trianglesIncremental(priorE, priorT, delta))
+    val full = rows(operators.Graph.triangles(fullDf))
+    assert(inc === full)
+    // FOLD-not-recompute proof: poison node 11's prior count (its K4
+    // component is untouched by the delta) — the fold must carry the
+    // poison through arithmetically, cc recomputed from it
+    val poisoned = priorT.withColumn("n_triangles",
+      when(col("node") === 11L, col("n_triangles") + lit(7L))
+        .otherwise(col("n_triangles")))
+    val incP = rows(operators.Graph.trianglesIncremental(priorE, poisoned, delta))
+      .map(t => t._1 -> t).toMap
+    val fullM = full.map(t => t._1 -> t).toMap
+    assert(incP(11L)._3 === fullM(11L)._3 + 7L)
+    assert(incP.filterNot(_._1 == 11L).view.mapValues(_._3).toMap
+      === fullM.filterNot(_._1 == 11L).view.mapValues(_._3).toMap)
+    // empty delta: identity with the prior output
+    val none = Seq.empty[(Long, Long, Long)].toDF("src", "dst", "w")
+    assert(rows(operators.Graph.trianglesIncremental(priorE, priorT, none))
+      === rows(priorT))
+  }
+
+  test("kTrussSharded equals the global truss peel") {
+    import spark.implicits._
+    val raw = Seq((1L, 2L), (2L, 3L), (3L, 4L), (5L, 6L), (6L, 7L),
+      (5L, 7L), (5L, 8L), (10L, 11L), (10L, 12L), (10L, 13L),
+      (11L, 12L), (11L, 13L), (12L, 13L), (2L, 1L), (6L, 6L))
+    val edges = raw.map { case (a, b) => (a, b, 1L) }.toDF("src", "dst", "w")
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val global3 = canon(operators.Graph.kTruss(edges, 3))
+    assert(canon(operators.Graph.kTrussSharded(edges, 3)) === global3)
+    assert(canon(operators.Graph.kTrussSharded(edges, 4))
+      === canon(operators.Graph.kTruss(edges, 4)))
+    // force the OVERSIZED-component fallback (K4 has 6 edges > 4):
+    // the distributed peel covers it, the rest stays in-executor
+    assert(canon(operators.Graph.kTrussSharded(edges, 3, localMaxEdges = 4L))
+      === global3)
+    // too many oversized components raises loudly
+    intercept[IllegalArgumentException] {
+      operators.Graph.kTrussSharded(edges, 3,
+        localMaxEdges = 1L, maxBigComponents = 1)
+    }
+    // random graph (one big tangled component — the local peel's
+    // queue-driven decrements against the global round peel)
+    val rnd = (0 until 260).map { i =>
+      val a = (i * i * 7 + 3) % 40; val b = (i * 13 + i * i * 5) % 40
+      (a.toLong, b.toLong)
+    }.filter(e => e._1 != e._2)
+    val rndDf = rnd.map { case (a, b) => (a, b, 1L) }.toDF("src", "dst", "w")
+    assert(canon(operators.Graph.kTrussSharded(rndDf, 4))
+      === canon(operators.Graph.kTruss(rndDf, 4)))
+    assert(canon(operators.Graph.kTrussSharded(rndDf.repartition(7), 4))
+      === canon(operators.Graph.kTruss(rndDf, 4)))
+    // empty input
+    val none = Seq.empty[(Long, Long, Long)].toDF("src", "dst", "w")
+    assert(operators.Graph.kTrussSharded(none, 3).count() === 0)
+  }
+
   test("components labels each piece once with exact node/edge counts") {
     import spark.implicits._
     // chain (4 nodes, 3 edges), triangle+pendant (4 nodes, 4 edges),
