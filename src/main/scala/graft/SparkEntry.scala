@@ -1687,6 +1687,14 @@ object SparkEntry {
         .select(col("a").as("src"), col("b").as("dst"), lit(1L).as("w"))
       operators.Graph.corenessIncremental(priorE, priorL, priorC, delta)
     }),
+    // STREAMING coreness maintenance (seventh DeltaLayout instance —
+    // edges additive, the decomposition re-derives at serve/compact
+    // via the touched-only incremental re-peel): seed from the
+    // persisted prior triple, stream the edge delta, compact
+    // mid-stream, serve — hash-matches the SAME full-graph 23-CTE
+    // peel-ladder oracle (stream == full, proven by the gate)
+    "q_stream_coreness" -> ((s, d) =>
+      streaming.CorenessStream.corenessMaintainRun(s, d)),
     // k-truss: the edge-analog of the k-core (every edge in >= k-2
     // triangles) — the densest rung of the graph-density family.
     // rows-only: the per-round per-edge support recomputation has no
@@ -2864,6 +2872,8 @@ object SparkEntry {
     // incremental == full: the warm path must reproduce the full
     // decomposition bit-for-bit — same ladder oracle
     "q_coreness_incremental" -> corenessOracleSql,
+    // stream-maintained == full recompute through the same ladder
+    "q_stream_coreness" -> corenessOracleSql,
     // the component-sharded form computes the identical decomposition
     "q_coreness_sharded" -> corenessOracleSql,
     // incremental == full through the same closure (prior ∪ delta

@@ -900,6 +900,51 @@ class StreamingSpec extends AnyFunSuite with SparkSessionTestBase {
     assert(served.nonEmpty)
   }
 
+  test("corenessMaintainRun (the measured driver entry) equals the full recompute") {
+    val served = graft.streaming.CorenessStream
+      .corenessMaintainRun(spark, sfDir)
+      .collect().map(_.toString).toSeq
+    val full = graft.operators.Graph.coreness(
+        graft.operators.Purchases.coPurchaseGraph(
+          Tables.lineitem(spark, sfDir), minCount = 2L))
+      .collect().map(_.toString).toSeq
+    assert(served === full)
+    assert(served.nonEmpty)
+  }
+
+  test("coreness compact preserves the served decomposition") {
+    import spark.implicits._
+    import graft.streaming.CorenessStream
+    val root = java.nio.file.Files.createTempDirectory("core_compact")
+    val seedRoot = root.resolve("seed").toString
+    val deltaP = root.resolve("delta").toString
+    // seed: a triangle (coreness 2) and a disjoint edge (coreness 1)
+    CorenessStream.seedCoreness(
+      Seq((1L, 2L, 1L), (2L, 3L, 1L), (1L, 3L, 1L), (10L, 11L, 1L))
+        .toDF("src", "dst", "w"), seedRoot)
+    // one hand-landed micro-batch: edges completing K4 on 1..4 (the
+    // TOUCHED component deepens to coreness 3) plus a fresh pair
+    graft.operators.Graph.canonicalEdges(
+        Seq((1L, 4L, 1L), (2L, 4L, 1L), (3L, 4L, 1L), (30L, 31L, 1L))
+          .toDF("src", "dst", "w"))
+      .withColumn("batch_id", org.apache.spark.sql.functions.lit(0L))
+      .write.partitionBy("batch_id").mode("append").parquet(deltaP)
+    val before = CorenessStream.serveCoreness(spark, seedRoot, deltaP)
+      .collect().map(_.toString).toSeq
+    CorenessStream.compact(spark, seedRoot, deltaP)
+    val after = CorenessStream.serveCoreness(spark, seedRoot, deltaP)
+      .collect().map(_.toString).toSeq
+    assert(before === after)
+    assert(!graft.streaming.DeltaLayout.hasDeltaPartitions(spark, deltaP))
+    // the folded seed answers alone and equals the full decomposition
+    val full = graft.operators.Graph.coreness(
+        Seq((1L, 2L, 1L), (2L, 3L, 1L), (1L, 3L, 1L), (10L, 11L, 1L),
+          (1L, 4L, 1L), (2L, 4L, 1L), (3L, 4L, 1L), (30L, 31L, 1L))
+          .toDF("src", "dst", "w"))
+      .collect().map(_.toString).toSeq
+    assert(after === full)
+  }
+
   test("components compact preserves served stats; pre-compact serve equals too") {
     import spark.implicits._
     import graft.streaming.ComponentsStream
