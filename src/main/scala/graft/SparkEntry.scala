@@ -290,6 +290,11 @@ object SparkEntry {
   private[graft] def cpTrianglesShared(s: SparkSession, d: String): DataFrame =
     s.read.parquet(s"${cpIndexRoot(s, d)}/triangles")
 
+  /** The prior graph's 3-truss (kTruss output) — the fifth face, what
+    * q_ktruss_incremental folds a delta into. */
+  private[graft] def cpTrussShared(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(s"${cpIndexRoot(s, d)}/truss")
+
   private def cpIndexRoot(s: SparkSession, d: String): String = {
     val fp = tableFingerprint(s, d, "lineitem.parquet")
     artifactPath(cpIndexPaths, s, d, fp, "graft_cp_idx") { p =>
@@ -308,6 +313,9 @@ object SparkEntry {
       operators.Graph.triangles(
           prior.select(col("a").as("src"), col("b").as("dst")))
         .write.mode("overwrite").parquet(s"$p/triangles")
+      operators.Graph.kTrussSharded(
+          prior.select(col("a").as("src"), col("b").as("dst")), 3)
+        .write.mode("overwrite").parquet(s"$p/truss")
     }
   }
 
@@ -1711,6 +1719,32 @@ object SparkEntry {
     "q_ktruss_sharded" -> ((s, d) =>
       operators.Graph.kTrussSharded(
         Purchases.coPurchaseGraph(Tables.lineitem(s, d), minCount = 2L), 3)),
+    // INCREMENTAL k-truss: today's edge delta folds into yesterday's
+    // PERSISTED (edges, labels, truss) artifact — triangles never
+    // cross a component boundary, so only touched components re-peel
+    // (in-executor queue-driven where small) and untouched truss
+    // edges pass through verbatim with exact within-component
+    // support. rows-only for the q_ktruss reason; incremental == full
+    // exact equality spec-asserted (completes the density family's
+    // incremental matrix: coreness / triangles / truss)
+    "q_ktruss_incremental" -> ((s, d) => {
+      val (priorE, priorL) = cpIndexShared(s, d)
+      val priorT = cpTrussShared(s, d)
+      val full = operators.Graph.canonicalEdges(
+        Purchases.coPurchaseGraph(Tables.lineitem(s, d), minCount = 2L))
+      val delta = full.join(priorE, Seq("a", "b"), "left_anti")
+        .select(col("a").as("src"), col("b").as("dst"), lit(1L).as("w"))
+      operators.Graph.kTrussIncremental(priorE, priorL, priorT, delta, 3)
+    }),
+    // STREAMING triangle-count maintenance (eighth DeltaLayout
+    // instance — the easiest graph stream: counts are ADDITIVE under
+    // edge insertion, so no component labeling rides the artifact):
+    // seed from the persisted prior (edges, triangles) pair, stream
+    // the edge delta, compact mid-stream, serve — hash-matches the
+    // SAME full-graph wedge-join oracle as q_triangles (stream ==
+    // full, proven by the gate)
+    "q_stream_triangles" -> ((s, d) =>
+      streaming.TrianglesStream.trianglesMaintainRun(s, d)),
     "q_product_rank" -> ((s, d) =>
       operators.Graph.pageRank(
         Purchases.coPurchaseGraph(Tables.lineitem(s, d), minCount = 2L))),
@@ -2867,6 +2901,8 @@ object SparkEntry {
     // incremental == full: the delta-fold must reproduce the full
     // wedge-join recount bit-for-bit — same oracle
     "q_triangles_incremental" -> trianglesOracleSql,
+    // stream-maintained == full recount through the same wedge join
+    "q_stream_triangles" -> trianglesOracleSql,
     "q_kcore" -> kcoreOracleSql,
     "q_coreness" -> corenessOracleSql,
     // incremental == full: the warm path must reproduce the full

@@ -64,26 +64,40 @@ case class DotProduct(left: Expression, right: Expression,
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       val s = ctx.freshName("s")
-      val lengthCheck = if (foldCompat) {
-        s"if ($a.numElements() != $b.numElements()) ${ev.isNull} = true;"
-      } else ""
-      val nullCheck = if (mayHaveNullElements) {
+      val loop =
         s"""
-           |for (int $i = 0; $i < $n && !${ev.isNull}; $i++) {
-           |  if ($a.isNullAt($i) || $b.isNullAt($i)) ${ev.isNull} = true;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  $s += $a.getDouble($i) * $b.getDouble($i);
            |}
          """.stripMargin
-      } else ""
+      // ev.isNull's variable exists only when `nullable` — when it is
+      // false, nullSafeCodeGen emits NO isNull declaration and any
+      // reference to it is an undeclared identifier: Janino rejects
+      // the class and the whole stage silently falls back to
+      // interpreted eval. The null-free hot path must not mention it.
+      val guarded = if (!nullable) loop else {
+        val lengthCheck = if (foldCompat) {
+          s"if ($a.numElements() != $b.numElements()) ${ev.isNull} = true;"
+        } else ""
+        val nullCheck = if (mayHaveNullElements) {
+          s"""
+             |for (int $i = 0; $i < $n && !${ev.isNull}; $i++) {
+             |  if ($a.isNullAt($i) || $b.isNullAt($i)) ${ev.isNull} = true;
+             |}
+           """.stripMargin
+        } else ""
+        s"""
+           |$lengthCheck
+           |$nullCheck
+           |if (!${ev.isNull}) {
+           |  $loop
+           |}
+         """.stripMargin
+      }
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $s = 0.0;
-         |$lengthCheck
-         |$nullCheck
-         |if (!${ev.isNull}) {
-         |  for (int $i = 0; $i < $n; $i++) {
-         |    $s += $a.getDouble($i) * $b.getDouble($i);
-         |  }
-         |}
+         |$guarded
          |${ev.value} = $s;
        """.stripMargin
     })

@@ -742,6 +742,55 @@ object Graph {
     out.orderBy("a", "b")
   }
 
+  /** INCREMENTAL k-truss — fold a DELTA edge batch into a prior
+    * (edges, labels, truss) artifact without re-peeling the whole
+    * graph, completing the density family's incremental matrix
+    * (coreness / triangles / truss). Soundness is the
+    * [[corenessSharded]] argument one rung deeper: a triangle never
+    * crosses a component boundary, so truss membership and
+    * within-truss support can change ONLY inside the components the
+    * delta touches. The [[componentsIncremental]] touched-set
+    * machinery computes exactly that scope: prior edges of touched
+    * components (one slim semi-join — the prior edge frame is read
+    * once, never iterated) union the delta re-peel via
+    * [[kTrussSharded]] (in-executor queue-driven peel where small);
+    * every untouched component's truss EDGES pass through VERBATIM —
+    * support is within-component, so the prior rows are exact.
+    *
+    * `priorEdges` is the canonical (a, b) frame a prior run peeled,
+    * `priorLabels` its (id, label) component labeling, `priorTruss`
+    * its (a, b, support) [[kTruss]] output, `deltaEdges` a raw
+    * (src, dst, w) batch. Output: the [[kTruss]] contract over the
+    * UNION graph — incremental == full is spec-asserted (the truss
+    * peel has no tractable SQL twin, so the driver entry is
+    * rows-only like q_ktruss). */
+  def kTrussIncremental(
+      priorEdges: DataFrame, priorLabels: DataFrame,
+      priorTruss: DataFrame, deltaEdges: DataFrame, k: Int,
+      localMaxEdges: Long = 2000000L, maxRounds: Int = 200): DataFrame = {
+    val d = canonicalUndirected(deltaEdges)
+    val touched = d.select(col("a").as("id"))
+      .unionAll(d.select(col("b").as("id")))
+      .distinct()
+      .join(priorLabels, Seq("id"), "left")
+      .select(coalesce(col("label"), col("id")).as("label"))
+      .distinct().localCheckpoint()
+    val sub = priorEdges
+      .join(priorLabels.withColumnRenamed("id", "a"), Seq("a"))
+      .join(touched, Seq("label"), "left_semi")
+      .select("a", "b")
+      .unionAll(d.select("a", "b")).distinct()
+    val refreshed = kTrussSharded(
+      sub.select(col("a").as("src"), col("b").as("dst")),
+      k, localMaxEdges, maxRounds)
+    val untouched = priorTruss
+      .join(priorLabels.withColumnRenamed("id", "a"), Seq("a"))
+      .join(touched, Seq("label"), "left_anti")
+      .select("a", "b", "support")
+    untouched.unionByName(refreshed.select("a", "b", "support"))
+      .orderBy("a", "b")
+  }
+
   /** The k-truss of an undirected edge list (Cohen 2008): the maximal
     * subgraph in which every EDGE sits in at least k−2 triangles —
     * the edge-analog of [[kCore]] and the densest rung of the family

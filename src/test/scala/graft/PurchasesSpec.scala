@@ -478,6 +478,50 @@ class PurchasesSpec extends AnyFunSuite with SparkSessionTestBase {
       === rows(priorT))
   }
 
+  test("kTrussIncremental folds a delta exactly; untouched truss edges pass through") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit, when}
+    // prior: chain 1-2-3-4 (empty 3-truss) | triangle 5-6-7 with
+    // pendant 8 | K4 10..13 (every edge support 2)
+    val prior = Seq((1L, 2L), (2L, 3L), (3L, 4L), (5L, 6L), (6L, 7L),
+      (5L, 7L), (5L, 8L), (10L, 11L), (10L, 12L), (10L, 13L),
+      (11L, 12L), (11L, 13L), (12L, 13L))
+    val priorDf = prior.map { case (a, b) => (a, b, 1L) }.toDF("src", "dst", "w")
+    val priorE = operators.Graph.canonicalEdges(priorDf)
+    val priorL = operators.Graph.componentLabels(priorDf)
+    val priorT = operators.Graph.kTruss(
+      priorE.select(col("a").as("src"), col("b").as("dst")), 3)
+    // delta: close the chain's triangle 1-2-3 (its component's truss
+    // goes empty → one triangle) and hang NEW node 9 off the pendant
+    // (touches 5..8's component, truss unchanged); K4 untouched
+    val delta = Seq((1L, 3L, 1L), (8L, 9L, 1L)).toDF("src", "dst", "w")
+    def m(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val inc = m(operators.Graph.kTrussIncremental(
+      priorE, priorL, priorT, delta, 3))
+    val full = m(operators.Graph.kTruss(
+      (prior ++ Seq((1L, 3L), (8L, 9L))).map { case (a, b) => (a, b, 1L) }
+        .toDF("src", "dst", "w"), 3))
+    assert(inc === full)
+    assert(inc((1L, 2L)) === 1L && inc((10L, 11L)) === 2L)
+    assert(!inc.contains((8L, 9L)))
+    // PASS-THROUGH proof: poison the untouched K4's prior support —
+    // the incremental path must carry it VERBATIM (it never re-peels
+    // an untouched component), while touched components recompute
+    val poisoned = priorT.withColumn("support",
+      when(col("a") >= 10L, col("support") + lit(7L))
+        .otherwise(col("support")))
+    val incP = m(operators.Graph.kTrussIncremental(
+      priorE, priorL, poisoned, delta, 3))
+    assert(incP.filter(_._1._1 >= 10L)
+      === full.filter(_._1._1 >= 10L).view.mapValues(_ + 7L).toMap)
+    assert(incP.filterNot(_._1._1 >= 10L) === full.filterNot(_._1._1 >= 10L))
+    // an empty delta returns the prior truss unchanged
+    val none = Seq.empty[(Long, Long, Long)].toDF("src", "dst", "w")
+    assert(m(operators.Graph.kTrussIncremental(priorE, priorL, priorT, none, 3))
+      === m(priorT))
+  }
+
   test("kTrussSharded equals the global truss peel") {
     import spark.implicits._
     val raw = Seq((1L, 2L), (2L, 3L), (3L, 4L), (5L, 6L), (6L, 7L),

@@ -912,6 +912,51 @@ class StreamingSpec extends AnyFunSuite with SparkSessionTestBase {
     assert(served.nonEmpty)
   }
 
+  test("trianglesMaintainRun (the measured driver entry) equals the full recompute") {
+    val served = graft.streaming.TrianglesStream
+      .trianglesMaintainRun(spark, sfDir)
+      .collect().map(_.toString).toSeq
+    val full = graft.operators.Graph.triangles(
+        graft.operators.Purchases.coPurchaseGraph(
+          Tables.lineitem(spark, sfDir), minCount = 2L))
+      .collect().map(_.toString).toSeq
+    assert(served === full)
+    assert(served.nonEmpty)
+  }
+
+  test("triangles compact preserves the served counts") {
+    import spark.implicits._
+    import graft.streaming.TrianglesStream
+    val root = java.nio.file.Files.createTempDirectory("tri_compact")
+    val seedRoot = root.resolve("seed").toString
+    val deltaP = root.resolve("delta").toString
+    // seed: a triangle and a disjoint edge
+    TrianglesStream.seedTriangles(
+      Seq((1L, 2L, 1L), (2L, 3L, 1L), (1L, 3L, 1L), (10L, 11L, 1L))
+        .toDF("src", "dst", "w"), seedRoot)
+    // one hand-landed micro-batch: edges completing K4 on 1..4 (three
+    // new triangles through the touched nodes) plus a fresh pair
+    graft.operators.Graph.canonicalEdges(
+        Seq((1L, 4L, 1L), (2L, 4L, 1L), (3L, 4L, 1L), (30L, 31L, 1L))
+          .toDF("src", "dst", "w"))
+      .withColumn("batch_id", org.apache.spark.sql.functions.lit(0L))
+      .write.partitionBy("batch_id").mode("append").parquet(deltaP)
+    val before = TrianglesStream.serveTriangles(spark, seedRoot, deltaP)
+      .collect().map(_.toString).toSeq
+    TrianglesStream.compact(spark, seedRoot, deltaP)
+    val after = TrianglesStream.serveTriangles(spark, seedRoot, deltaP)
+      .collect().map(_.toString).toSeq
+    assert(before === after)
+    assert(!graft.streaming.DeltaLayout.hasDeltaPartitions(spark, deltaP))
+    // the folded seed answers alone and equals the full recount
+    val full = graft.operators.Graph.triangles(
+        Seq((1L, 2L, 1L), (2L, 3L, 1L), (1L, 3L, 1L), (10L, 11L, 1L),
+          (1L, 4L, 1L), (2L, 4L, 1L), (3L, 4L, 1L), (30L, 31L, 1L))
+          .toDF("src", "dst", "w"))
+      .collect().map(_.toString).toSeq
+    assert(after === full)
+  }
+
   test("coreness compact preserves the served decomposition") {
     import spark.implicits._
     import graft.streaming.CorenessStream

@@ -39,6 +39,37 @@ class VectorExpressionsSpec extends AnyFunSuite with SparkSessionTestBase {
     assert(rows(1).isNullAt(0))
   }
 
+  test("graft_dot over NON-NULLABLE inputs compiles in codegen (no silent fallback)") {
+    VectorFunctions.register(spark)
+    // schema-forced nullable=false / containsNull=false children: the
+    // projection codegen then declares NO isNull variable for the
+    // expression, so a doGenCode body that mentions ev.isNull is an
+    // undeclared identifier — Janino rejects the class and Spark
+    // silently degrades to interpreted eval. CODEGEN_ONLY turns that
+    // silent fallback into a test failure.
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("a", ArrayType(DoubleType, containsNull = false),
+        nullable = false),
+      StructField("b", ArrayType(DoubleType, containsNull = false),
+        nullable = false)))
+    val df = spark.createDataFrame(
+      java.util.Arrays.asList(
+        org.apache.spark.sql.Row(Seq(1.0, 2.0, 3.0), Seq(4.0, 5.0, 6.0)),
+        org.apache.spark.sql.Row(Seq(0.5, 0.5), Seq(2.0, 4.0))),
+      schema)
+    val prior = spark.conf.getOption("spark.sql.codegen.factoryMode")
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try {
+      val got = df.select(expr("graft_dot(a, b)").as("d"))
+        .collect().map(_.getDouble(0)).toSeq
+      assert(got === Seq(32.0, 3.0))
+    } finally prior match {
+      case Some(v) => spark.conf.set("spark.sql.codegen.factoryMode", v)
+      case None => spark.conf.unset("spark.sql.codegen.factoryMode")
+    }
+  }
+
   test("graft_sample keeps a bounded deterministic bottom-k-by-hash sample") {
     VectorFunctions.register(spark)
     import spark.implicits._
