@@ -295,6 +295,17 @@ object SparkEntry {
   private[graft] def cpTrussShared(s: SparkSession, d: String): DataFrame =
     s.read.parquet(s"${cpIndexRoot(s, d)}/truss")
 
+  /** The prior graph WITH WEIGHTS (a, b, w) — the sixth face, the
+    * additive state q_stream_pagerank's weight increments fold into
+    * (pair counts only grow, so full − prior is strictly positive). */
+  private[graft] def cpWeightedShared(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(s"${cpIndexRoot(s, d)}/wedges")
+
+  /** The prior graph's rank frame (node, rank_micro) — the seventh
+    * face, the warm-start point q_stream_pagerank serves from. */
+  private[graft] def cpRanksShared(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(s"${cpIndexRoot(s, d)}/ranks")
+
   private def cpIndexRoot(s: SparkSession, d: String): String = {
     val fp = tableFingerprint(s, d, "lineitem.parquet")
     artifactPath(cpIndexPaths, s, d, fp, "graft_cp_idx") { p =>
@@ -316,6 +327,16 @@ object SparkEntry {
       operators.Graph.kTrussSharded(
           prior.select(col("a").as("src"), col("b").as("dst")), 3)
         .write.mode("overwrite").parquet(s"$p/truss")
+      val weighted = Purchases.coPurchaseGraph(
+          Tables.lineitem(s, d).filter(col("l_orderkey") % 20 =!= 9),
+          minCount = 2L)
+        .select(col("src").as("a"), col("dst").as("b"), col("w"))
+        .localCheckpoint()
+      weighted.write.mode("overwrite").parquet(s"$p/wedges")
+      operators.Graph.pageRank(
+          weighted.select(col("a").as("src"), col("b").as("dst"), col("w")))
+        .select("node", "rank_micro")
+        .write.mode("overwrite").parquet(s"$p/ranks")
     }
   }
 
@@ -1745,6 +1766,24 @@ object SparkEntry {
     // full, proven by the gate)
     "q_stream_triangles" -> ((s, d) =>
       streaming.TrianglesStream.trianglesMaintainRun(s, d)),
+    // STREAMING k-truss maintenance (ninth DeltaLayout instance —
+    // the coreness split one rung denser: edges additive, the truss
+    // re-derives at serve/compact via the touched-only incremental
+    // re-peel): seed from the persisted prior triple, stream the
+    // edge delta, compact mid-stream, serve. rows-only for the
+    // q_ktruss reason; stream == full peel spec-asserted
+    "q_stream_ktruss" -> ((s, d) =>
+      streaming.KTrussStream.trussMaintainRun(s, d)),
+    // STREAMING pagerank maintenance (tenth DeltaLayout instance,
+    // completing the graph family's full lifecycle matrix): the
+    // additive state is WEIGHTED (pair counts only grow — batches
+    // land per-pair increments, the live graph is a commutative
+    // sum-fold) and serving is a WARM-START CASCADE (compaction
+    // advances the warm point; serve == the direct warm pageRank
+    // over the same state at every instant, spec-asserted, with
+    // rank mass conserved). rows-only for the q_product_rank reason
+    "q_stream_pagerank" -> ((s, d) =>
+      streaming.PageRankStream.ranksMaintainRun(s, d)),
     "q_product_rank" -> ((s, d) =>
       operators.Graph.pageRank(
         Purchases.coPurchaseGraph(Tables.lineitem(s, d), minCount = 2L))),

@@ -957,6 +957,111 @@ class StreamingSpec extends AnyFunSuite with SparkSessionTestBase {
     assert(after === full)
   }
 
+  test("trussMaintainRun (the measured driver entry) equals the full peel") {
+    val served = graft.streaming.KTrussStream
+      .trussMaintainRun(spark, sfDir)
+      .collect().map(_.toString).toSeq
+    val full = graft.operators.Graph.kTruss(
+        graft.operators.Purchases.coPurchaseGraph(
+          Tables.lineitem(spark, sfDir), minCount = 2L), 3)
+      .collect().map(_.toString).toSeq
+    assert(served === full)
+  }
+
+  test("truss compact preserves the served truss") {
+    import spark.implicits._
+    import graft.streaming.KTrussStream
+    val root = java.nio.file.Files.createTempDirectory("truss_compact")
+    val seedRoot = root.resolve("seed").toString
+    val deltaP = root.resolve("delta").toString
+    // seed: a triangle (3-truss) and a disjoint edge (peeled)
+    KTrussStream.seedTruss(
+      Seq((1L, 2L, 1L), (2L, 3L, 1L), (1L, 3L, 1L), (10L, 11L, 1L))
+        .toDF("src", "dst", "w"), seedRoot, 3)
+    // one hand-landed micro-batch: edges completing K4 on 1..4 (the
+    // touched component's truss deepens to support 2) plus a pair
+    graft.operators.Graph.canonicalEdges(
+        Seq((1L, 4L, 1L), (2L, 4L, 1L), (3L, 4L, 1L), (30L, 31L, 1L))
+          .toDF("src", "dst", "w"))
+      .withColumn("batch_id", org.apache.spark.sql.functions.lit(0L))
+      .write.partitionBy("batch_id").mode("append").parquet(deltaP)
+    val before = KTrussStream.serveTruss(spark, seedRoot, deltaP, 3)
+      .collect().map(_.toString).toSeq
+    KTrussStream.compact(spark, seedRoot, deltaP, 3)
+    val after = KTrussStream.serveTruss(spark, seedRoot, deltaP, 3)
+      .collect().map(_.toString).toSeq
+    assert(before === after)
+    assert(!graft.streaming.DeltaLayout.hasDeltaPartitions(spark, deltaP))
+    // the folded seed answers alone and equals the full peel
+    val full = graft.operators.Graph.kTruss(
+        Seq((1L, 2L, 1L), (2L, 3L, 1L), (1L, 3L, 1L), (10L, 11L, 1L),
+          (1L, 4L, 1L), (2L, 4L, 1L), (3L, 4L, 1L), (30L, 31L, 1L))
+          .toDF("src", "dst", "w"), 3)
+      .collect().map(_.toString).toSeq
+    assert(after === full)
+  }
+
+  test("ranksMaintainRun (the measured driver entry) equals the direct warm cascade") {
+    import org.apache.spark.sql.functions.{col, sum => fsum}
+    val wPrior = graft.operators.Purchases.coPurchaseGraph(
+      Tables.lineitem(spark, sfDir)
+        .filter(col("l_orderkey") % 20 =!= 9), minCount = 2L)
+    val wFull = graft.operators.Purchases.coPurchaseGraph(
+      Tables.lineitem(spark, sfDir), minCount = 2L)
+    // the harness: seed ranks = pageRank(prior); compaction folds the
+    // whole increment and ADVANCES the warm point; the final serve
+    // warm-starts from the compacted ranks over the full fold
+    val r0 = graft.operators.Graph.pageRank(wPrior).select("node", "rank_micro")
+    val r1 = graft.operators.Graph.pageRank(wFull, startRanks = Some(r0))
+      .select("node", "rank_micro")
+    val expect = graft.operators.Graph.pageRank(wFull, startRanks = Some(r1))
+      .collect().map(_.toString).toSeq
+    val served = graft.streaming.PageRankStream.ranksMaintainRun(spark, sfDir)
+    val servedRows = served.collect()
+    assert(servedRows.map(_.toString).toSeq === expect)
+    // rank mass conserved through the whole maintenance lifecycle
+    val mass = servedRows.map(_.getLong(1)).sum
+    assert(math.abs(mass - 1000000L) <= servedRows.length)
+  }
+
+  test("pagerank serve equals the direct warm call before AND after compaction") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit}
+    import graft.streaming.PageRankStream
+    val root = java.nio.file.Files.createTempDirectory("rank_compact")
+    val seedRoot = root.resolve("seed").toString
+    val deltaP = root.resolve("delta").toString
+    val seedEdges = Seq((1L, 2L, 3L), (2L, 3L, 1L), (1L, 3L, 2L), (10L, 11L, 5L))
+      .toDF("src", "dst", "w")
+    PageRankStream.seedRanks(seedEdges, seedRoot)
+    // one hand-landed increment batch: +2 on an existing pair (its
+    // weight becomes 3) and a brand-new pair
+    Seq((2L, 3L, 2L), (3L, 4L, 4L)).toDF("src", "dst", "w")
+      .select(col("src").as("a"), col("dst").as("b"), col("w"))
+      .withColumn("batch_id", lit(0L))
+      .write.partitionBy("batch_id").mode("append").parquet(deltaP)
+    val folded = Seq((1L, 2L, 3L), (2L, 3L, 3L), (1L, 3L, 2L),
+      (10L, 11L, 5L), (3L, 4L, 4L)).toDF("src", "dst", "w")
+    val seedR = spark.read.parquet(s"$seedRoot/ranks").localCheckpoint()
+    // BEFORE compaction: serve == warm pageRank(seed ∪ increments)
+    val before = PageRankStream.serveRanks(spark, seedRoot, deltaP)
+      .collect().map(_.toString).toSeq
+    assert(before === graft.operators.Graph.pageRank(folded,
+      startRanks = Some(seedR)).collect().map(_.toString).toSeq)
+    // AFTER compaction the warm point ADVANCES (not bit-preserved —
+    // the honest cascade contract): serve == warm pageRank from the
+    // compacted ranks, which are themselves the pre-compact serve
+    PageRankStream.compact(spark, seedRoot, deltaP)
+    assert(!graft.streaming.DeltaLayout.hasDeltaPartitions(spark, deltaP))
+    val after = PageRankStream.serveRanks(spark, seedRoot, deltaP)
+      .collect().map(_.toString).toSeq
+    val advanced = graft.operators.Graph.pageRank(folded,
+      startRanks = Some(graft.operators.Graph.pageRank(folded,
+        startRanks = Some(seedR)).select("node", "rank_micro")))
+      .collect().map(_.toString).toSeq
+    assert(after === advanced)
+  }
+
   test("coreness compact preserves the served decomposition") {
     import spark.implicits._
     import graft.streaming.CorenessStream
