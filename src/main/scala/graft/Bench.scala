@@ -148,9 +148,15 @@ object Bench {
     // harnesses, whose steady median IS a whole maintenance lifecycle,
     // the harness-reported SEED seconds override the warm-up delta —
     // the seed cost sits inside every measured run, so warm-up minus
-    // median would wrongly read ~0. The stdout line carries entries
-    // over 0.5 s (the cascade drops the map before dropping query
-    // precision); bench_full.json keeps the complete split.
+    // median would wrongly read ~0. READERS NOTE the two semantics:
+    // a StreamMeter-instrumented entry's build value is INSIDE its
+    // median (do not add them); every other entry's is the EXCLUDED
+    // warm-up delta (median + build ≈ first-run cost). Every
+    // q_stream_* harness calls timeSeed, so no stream entry falls
+    // into the wrong-by-construction warm-minus-median bucket.
+    // The stdout line carries entries over 0.5 s (the cascade drops
+    // the map before dropping query precision); bench_full.json
+    // keeps the complete split.
     val warmMap = warmupPer.toMap
     val streamSeeds = graft.streaming.StreamMeter.snapshot
     val buildAll = results

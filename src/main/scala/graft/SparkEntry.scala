@@ -309,10 +309,18 @@ object SparkEntry {
   private def cpIndexRoot(s: SparkSession, d: String): String = {
     val fp = tableFingerprint(s, d, "lineitem.parquet")
     artifactPath(cpIndexPaths, s, d, fp, "graft_cp_idx") { p =>
-      val prior = operators.Graph.canonicalEdges(
-        Purchases.coPurchaseGraph(
+      // ONE basket-pair aggregation feeds all seven faces: the
+      // weighted frame is computed first and the unweighted canonical
+      // edge set derives from it by projection (coPurchaseGraph
+      // already emits canonical a<b pairs), instead of re-running the
+      // heavy fact-table pair scan twice
+      val weighted = Purchases.coPurchaseGraph(
           Tables.lineitem(s, d).filter(col("l_orderkey") % 20 =!= 9),
-          minCount = 2L))
+          minCount = 2L)
+        .select(col("src").as("a"), col("dst").as("b"), col("w"))
+        .localCheckpoint()
+      val prior = operators.Graph.canonicalEdges(
+          weighted.select(col("a").as("src"), col("b").as("dst")))
         .localCheckpoint()
       prior.write.mode("overwrite").parquet(s"$p/edges")
       operators.Dedup.duplicateLabelsStar(
@@ -327,11 +335,6 @@ object SparkEntry {
       operators.Graph.kTrussSharded(
           prior.select(col("a").as("src"), col("b").as("dst")), 3)
         .write.mode("overwrite").parquet(s"$p/truss")
-      val weighted = Purchases.coPurchaseGraph(
-          Tables.lineitem(s, d).filter(col("l_orderkey") % 20 =!= 9),
-          minCount = 2L)
-        .select(col("src").as("a"), col("dst").as("b"), col("w"))
-        .localCheckpoint()
       weighted.write.mode("overwrite").parquet(s"$p/wedges")
       operators.Graph.pageRank(
           weighted.select(col("a").as("src"), col("b").as("dst"), col("w")))

@@ -587,14 +587,21 @@ object Graph {
 
   /** Exact in-memory k-truss peel of ONE component's canonical edge
     * list — the executor-local leaf of [[kTrussSharded]] (the
-    * [[localCoreness]] posture applied to the EDGE-peeling problem):
-    * per-edge triangle support by sorted-adjacency intersection, then
-    * a queue-driven peel that decrements the two surviving edges of
-    * every triangle a dying edge closes — O(m^1.5) total, no per-round
-    * Spark jobs, no round cap needed. Input edges must be canonical
-    * (a < b, deduplicated, self-loop-free). Returns the surviving
-    * (a, b, support) rows with WITHIN-TRUSS support — identical to
-    * [[kTruss]]'s contract (spec-asserted). */
+    * [[localCoreness]] posture applied to the EDGE-peeling problem).
+    * Triangle enumeration — both the initial per-edge support and the
+    * per-dying-edge decrements — iterates the LOWER-DEGREE endpoint's
+    * adjacency and hash-probes the packed edge map for the closing
+    * edge: Σ_(u,v)∈E min(deg u, deg v) = O(m^1.5) worst case and O(m)
+    * on star-like graphs. (The previous sorted-adjacency two-pointer
+    * intersection walked BOTH endpoint lists, Σ deg² — a single
+    * high-degree hub inside an under-cap component turned the
+    * in-executor peel into a ~deg² single-task stall, the exact
+    * serialization hazard sharding exists to remove; its per-segment
+    * insertion sort carried the same quadratic term.) Queue-driven
+    * peel, no per-round Spark jobs, no round cap needed. Input edges
+    * must be canonical (a < b, deduplicated, self-loop-free).
+    * Returns the surviving (a, b, support) rows with WITHIN-TRUSS
+    * support — identical to [[kTruss]]'s contract (spec-asserted). */
   private[operators] def localKTruss(
       edges: Array[(Long, Long)], k: Int): Iterator[(Long, Long, Long)] = {
     if (edges.isEmpty) return Iterator.empty
@@ -610,7 +617,8 @@ object Graph {
     val n = ids.length
     val deg = new Array[Int](n)
     i = 0; while (i < m) { deg(ea(i)) += 1; deg(eb(i)) += 1; i += 1 }
-    // CSR adjacency carrying EDGE ids alongside neighbor ids
+    // CSR adjacency carrying EDGE ids alongside neighbor ids (order
+    // within a segment is irrelevant — closure goes through the map)
     val off = new Array[Int](n + 1)
     i = 0; while (i < n) { off(i + 1) = off(i) + deg(i); i += 1 }
     val adjN = new Array[Int](2 * m); val adjE = new Array[Int](2 * m)
@@ -621,38 +629,44 @@ object Graph {
       adjN(fill(eb(i))) = ea(i); adjE(fill(eb(i))) = i; fill(eb(i)) += 1
       i += 1
     }
-    // sort each adjacency segment by neighbor id (insertion sort on
-    // the paired arrays — segments are bounded by the node's degree)
-    var v = 0
-    while (v < n) {
-      var a = off(v) + 1
-      while (a < off(v + 1)) {
-        val nn = adjN(a); val ee = adjE(a)
-        var b = a - 1
-        while (b >= off(v) && adjN(b) > nn) {
-          adjN(b + 1) = adjN(b); adjE(b + 1) = adjE(b); b -= 1
+    // packed (minIdx, maxIdx) -> edge id map for O(1) closure probes
+    val edgeOf = scala.collection.mutable.LongMap.empty[Int]
+    edgeOf.sizeHint(m)
+    def packKey(u: Int, v: Int): Long =
+      if (u < v) (u.toLong << 32) | v.toLong else (v.toLong << 32) | u.toLong
+    i = 0
+    while (i < m) { edgeOf.put(packKey(ea(i), eb(i)), i); i += 1 }
+    // per-triangle visitor over edge e's common neighbors: walk the
+    // lower-degree endpoint's adjacency, probe the closing edge
+    @inline def forTriangles(e: Int)(f: (Int, Int) => Unit): Unit = {
+      val u = ea(e); val v = eb(e)
+      val x = if (deg(u) <= deg(v)) u else v
+      val y = if (x == u) v else u
+      var p = off(x)
+      while (p < off(x + 1)) {
+        val e1 = adjE(p)
+        if (e1 != e) {
+          val w = adjN(p)
+          edgeOf.get(packKey(w, y)) match {
+            case Some(e2) => f(e1, e2)
+            case None => ()
+          }
         }
-        adjN(b + 1) = nn; adjE(b + 1) = ee
-        a += 1
+        p += 1
       }
-      v += 1
     }
-    // initial support: two-pointer intersection per edge
+    val dead = new Array[Boolean](m)
+    // initial support: count triangles per edge (each via its own
+    // min-degree endpoint walk)
     val sup = new Array[Int](m)
     i = 0
     while (i < m) {
-      val (u, w) = (ea(i), eb(i))
-      var p = off(u); var q = off(w); var s = 0
-      while (p < off(u + 1) && q < off(w + 1)) {
-        val c = adjN(p) - adjN(q)
-        if (c == 0) { s += 1; p += 1; q += 1 }
-        else if (c < 0) p += 1 else q += 1
-      }
+      var s = 0
+      forTriangles(i)((_, _) => s += 1)
       sup(i) = s
       i += 1
     }
     val need = k - 2
-    val dead = new Array[Boolean](m)
     val queued = new Array[Boolean](m)
     val queue = new java.util.ArrayDeque[Integer]()
     i = 0
@@ -664,22 +678,15 @@ object Graph {
       val e = queue.poll().intValue()
       if (!dead(e)) {
         dead(e) = true
-        val (u, w) = (ea(e), eb(e))
-        // every triangle (u, w, x) with BOTH other edges alive loses
-        // this edge: decrement them, enqueue any that cross below need
-        var p = off(u); var q = off(w)
-        while (p < off(u + 1) && q < off(w + 1)) {
-          val c = adjN(p) - adjN(q)
-          if (c == 0) {
-            val e1 = adjE(p); val e2 = adjE(q)
-            if (!dead(e1) && !dead(e2)) {
-              sup(e1) -= 1
-              if (sup(e1) < need && !queued(e1)) { queue.add(e1); queued(e1) = true }
-              sup(e2) -= 1
-              if (sup(e2) < need && !queued(e2)) { queue.add(e2); queued(e2) = true }
-            }
-            p += 1; q += 1
-          } else if (c < 0) p += 1 else q += 1
+        // every triangle through e with BOTH other edges alive loses
+        // this edge: decrement them, enqueue any crossing below need
+        forTriangles(e) { (e1, e2) =>
+          if (!dead(e1) && !dead(e2)) {
+            sup(e1) -= 1
+            if (sup(e1) < need && !queued(e1)) { queue.add(e1); queued(e1) = true }
+            sup(e2) -= 1
+            if (sup(e2) < need && !queued(e2)) { queue.add(e2); queued(e2) = true }
+          }
         }
       }
     }

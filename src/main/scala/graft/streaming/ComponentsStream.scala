@@ -63,15 +63,9 @@ object ComponentsStream {
 
   private def liveDeltaEdges(
       spark: SparkSession, seedRoot: String, deltaPath: String,
-      upTo: Long): DataFrame = {
-    val folded = DeltaLayout.foldedThrough(spark, seedRoot)
-    if (!DeltaLayout.hasDeltaPartitions(spark, deltaPath))
-      spark.read.parquet(s"$seedRoot/edges").select("a", "b").limit(0)
-    else spark.read.parquet(deltaPath)
-      .filter(col("batch_id").cast("long") > folded
-        && col("batch_id").cast("long") <= upTo)
-      .select("a", "b").distinct()
-  }
+      upTo: Long): DataFrame =
+    DeltaLayout.liveDeltaRows(spark, seedRoot, deltaPath, upTo,
+      Seq("a", "b"), s"$seedRoot/edges", distinctRows = true)
 
   /** The live component stats: seed labeling + live edge deltas
     * through the touched-only incremental re-contraction — the
@@ -98,11 +92,7 @@ object ComponentsStream {
     import org.apache.hadoop.fs.Path
     if (!DeltaLayout.hasDeltaPartitions(spark, deltaPath)) return
     val fs = DeltaLayout.fs(spark, seedRoot)
-    val maxBatch = spark.read.parquet(deltaPath)
-      .agg(max(col("batch_id").cast("long"))).head() match {
-        case r if r.isNullAt(0) => -1L
-        case r => r.getLong(0)
-      }
+    val maxBatch = DeltaLayout.maxBatchId(spark, deltaPath)
     val seedE = spark.read.parquet(s"$seedRoot/edges")
     val seedL = spark.read.parquet(s"$seedRoot/labels")
     val delta = liveDeltaEdges(spark, seedRoot, deltaPath, maxBatch)

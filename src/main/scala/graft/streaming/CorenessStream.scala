@@ -65,15 +65,9 @@ object CorenessStream {
 
   private def liveDeltaEdges(
       spark: SparkSession, seedRoot: String, deltaPath: String,
-      upTo: Long): DataFrame = {
-    val folded = DeltaLayout.foldedThrough(spark, seedRoot)
-    if (!DeltaLayout.hasDeltaPartitions(spark, deltaPath))
-      spark.read.parquet(s"$seedRoot/edges").select("a", "b").limit(0)
-    else spark.read.parquet(deltaPath)
-      .filter(col("batch_id").cast("long") > folded
-        && col("batch_id").cast("long") <= upTo)
-      .select("a", "b").distinct()
-  }
+      upTo: Long): DataFrame =
+    DeltaLayout.liveDeltaRows(spark, seedRoot, deltaPath, upTo,
+      Seq("a", "b"), s"$seedRoot/edges", distinctRows = true)
 
   /** The live coreness decomposition: seed triple + live edge deltas
     * through the touched-only incremental re-peel. A missing/empty
@@ -99,11 +93,7 @@ object CorenessStream {
     import org.apache.hadoop.fs.Path
     if (!DeltaLayout.hasDeltaPartitions(spark, deltaPath)) return
     val fs = DeltaLayout.fs(spark, seedRoot)
-    val maxBatch = spark.read.parquet(deltaPath)
-      .agg(max(col("batch_id").cast("long"))).head() match {
-        case r if r.isNullAt(0) => -1L
-        case r => r.getLong(0)
-      }
+    val maxBatch = DeltaLayout.maxBatchId(spark, deltaPath)
     val seedE = spark.read.parquet(s"$seedRoot/edges")
     val seedL = spark.read.parquet(s"$seedRoot/labels")
     val seedC = spark.read.parquet(s"$seedRoot/coreness")
@@ -170,9 +160,11 @@ object CorenessStream {
       try q.processAllAvailable() finally q.stop()
       // mid-lifecycle compaction: served decomposition unchanged by it
       compact(spark, seedRoot, deltaP)
-      val served = serveCoreness(spark, seedRoot, deltaP)
-      spark.createDataFrame(
-          java.util.Arrays.asList(served.collect(): _*), served.schema)
+      // localCheckpoint (eager), NOT collect: the frame is one row per
+      // NODE — unbounded, unlike ComponentsStream's per-component
+      // stats — so it must stay off-driver; the materialized blocks
+      // keep the result independent of the temp dirs rm() deletes
+      serveCoreness(spark, seedRoot, deltaP).localCheckpoint()
         .orderBy("node")
     } finally rm(root)
   }

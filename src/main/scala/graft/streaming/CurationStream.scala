@@ -35,7 +35,9 @@ object CurationStream {
     val docs = graft.Tables.documents(spark, dir)
     val root = java.nio.file.Files.createTempDirectory("graft_qgate_stream")
     val src = root.resolve("src").toString
-    docs.write.mode("overwrite").parquet(src)
+    StreamMeter.timeSeed("q_stream_quality_gate") {
+      docs.write.mode("overwrite").parquet(src)
+    }
 
     val name = "graft_qgate_" + java.util.UUID.randomUUID.toString.replace("-", "")
     lastGateTables.put(spark, name)
@@ -76,7 +78,9 @@ object CurationStream {
     val docs = graft.Tables.documents(spark, dir)
     val root = java.nio.file.Files.createTempDirectory("graft_audit_stream")
     val src = root.resolve("src").toString
-    docs.write.mode("overwrite").parquet(src)
+    StreamMeter.timeSeed("q_stream_audit_gate") {
+      docs.write.mode("overwrite").parquet(src)
+    }
 
     val name = "graft_audit_" + java.util.UUID.randomUUID.toString.replace("-", "")
     lastGateTables.put(spark, name)
@@ -120,7 +124,9 @@ object CurationStream {
     val root = java.nio.file.Files.createTempDirectory("graft_pgate_stream")
     val src = root.resolve("src").toString
     val out = root.resolve("out").toString
-    docs.write.mode("overwrite").parquet(src)
+    StreamMeter.timeSeed("q_stream_phrase_gate") {
+      docs.write.mode("overwrite").parquet(src)
+    }
 
     val q = spark.readStream.schema(docs.schema).parquet(src)
       .writeStream

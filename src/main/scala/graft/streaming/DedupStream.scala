@@ -125,8 +125,10 @@ object DedupStream {
     val src = root.resolve("src").toString
     val indexPath = root.resolve("index").toString
     val pairsPath = root.resolve("pairs").toString
-    docs.filter(col("doc_id") % 2 === 0).write.mode("overwrite").parquet(src)
-    seedIndex(docs, indexPath)
+    StreamMeter.timeSeed("q_stream_neardup_gate") {
+      docs.filter(col("doc_id") % 2 === 0).write.mode("overwrite").parquet(src)
+      seedIndex(docs, indexPath)
+    }
 
     val q = nearDupGate(
       spark.readStream.schema(docs.schema).parquet(src),

@@ -82,13 +82,53 @@ private[graft] object DeltaLayout {
         s"swapLive: rename $live -> $oldP failed; live artifact untouched, " +
           s"complete new artifact remains at $tmp")
     if (!f.rename(new Path(tmp), liveP)) {
-      if (f.exists(oldP)) f.rename(oldP, liveP): Unit // put the prior back
+      // the restore can itself fail — report what actually happened,
+      // not what was attempted (an operator acting on "restored" when
+      // nothing was would look for a serving artifact that isn't there)
+      val restored = f.exists(oldP) && f.rename(oldP, liveP)
       throw new java.io.IOException(
-        s"swapLive: rename $tmp -> $live failed; prior live restored, " +
-          s"complete new artifact remains at $tmp")
+        s"swapLive: rename $tmp -> $live failed; " +
+          (if (restored) "prior live restored"
+           else s"restore ALSO failed — recover manually from $oldP") +
+          s", complete new artifact remains at $tmp")
     }
     f.delete(oldP, true): Unit
   }
+
+  /** The live (unfolded) delta rows: batches above the seed's
+    * watermark and at or below `upTo`, projected to `cols` —
+    * the serving/compaction read every DeltaLayout stream shares. A
+    * missing or partition-less delta directory yields an empty frame
+    * with the schema of `emptySchemaFrom` (a seed subdirectory).
+    * `distinctRows` dedups across batches (set-valued states: edges);
+    * additive states (weight increments) must keep duplicates. */
+  def liveDeltaRows(
+      spark: SparkSession, seedPath: String, deltaPath: String,
+      upTo: Long, cols: Seq[String], emptySchemaFrom: String,
+      distinctRows: Boolean): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val folded = foldedThrough(spark, seedPath)
+    if (!hasDeltaPartitions(spark, deltaPath))
+      spark.read.parquet(emptySchemaFrom)
+        .select(cols.map(col): _*).limit(0)
+    else {
+      val live = spark.read.parquet(deltaPath)
+        .filter(col("batch_id").cast("long") > folded
+          && col("batch_id").cast("long") <= upTo)
+        .select(cols.map(col): _*)
+      if (distinctRows) live.distinct() else live
+    }
+  }
+
+  /** Highest landed batch id in the delta directory (−1 when none). */
+  def maxBatchId(spark: SparkSession, deltaPath: String): Long =
+    spark.read.parquet(deltaPath)
+      .agg(org.apache.spark.sql.functions
+        .max(org.apache.spark.sql.functions.col("batch_id").cast("long")))
+      .head() match {
+        case r if r.isNullAt(0) => -1L
+        case r => r.getLong(0)
+      }
 
   /** Delete ONLY the delta partitions folded into the seed
     * (batch_id ≤ `upTo`) — see the class doc for why a blanket delete

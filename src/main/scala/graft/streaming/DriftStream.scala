@@ -65,8 +65,10 @@ object DriftStream {
     val docs = graft.Tables.documents(spark, dir)
     val root = java.nio.file.Files.createTempDirectory("graft_drift_stream")
     val src = root.resolve("src").toString
-    docs.write.mode("overwrite").parquet(src)
-    seedReference(docs, root.resolve("ref").toString)
+    StreamMeter.timeSeed("q_stream_drift") {
+      docs.write.mode("overwrite").parquet(src)
+      seedReference(docs, root.resolve("ref").toString)
+    }
 
     val q = driftMonitor(
       spark.readStream.schema(docs.schema).parquet(src),

@@ -144,7 +144,9 @@ object EventsStream {
         col("user_id"), col("event_type"), col("value"))
     val root = java.nio.file.Files.createTempDirectory("graft_sess_stream")
     val src = root.resolve("src").toString
-    ev.write.mode("overwrite").parquet(src)
+    StreamMeter.timeSeed("q_stream_session_window") {
+      ev.write.mode("overwrite").parquet(src)
+    }
     // the sentinel must push the final watermark PAST every real
     // session end: a user's last session ends at max(ts) + gap, the
     // watermark reaches sentinel − 10 min (the delay below), so the

@@ -38,7 +38,9 @@ object ExpectationsStream {
     import org.apache.spark.sql.functions.col
     val root = java.nio.file.Files.createTempDirectory("graft_expect_stream")
     val src = root.resolve("src").toString
-    facts.write.mode("overwrite").parquet(src)
+    StreamMeter.timeSeed("q_stream_expectations") {
+      facts.write.mode("overwrite").parquet(src)
+    }
 
     val name = "graft_expect_" + java.util.UUID.randomUUID.toString.replace("-", "")
     lastGateTables.put(spark, name)

@@ -63,15 +63,9 @@ object KTrussStream {
 
   private def liveDeltaEdges(
       spark: SparkSession, seedRoot: String, deltaPath: String,
-      upTo: Long): DataFrame = {
-    val folded = DeltaLayout.foldedThrough(spark, seedRoot)
-    if (!DeltaLayout.hasDeltaPartitions(spark, deltaPath))
-      spark.read.parquet(s"$seedRoot/edges").select("a", "b").limit(0)
-    else spark.read.parquet(deltaPath)
-      .filter(col("batch_id").cast("long") > folded
-        && col("batch_id").cast("long") <= upTo)
-      .select("a", "b").distinct()
-  }
+      upTo: Long): DataFrame =
+    DeltaLayout.liveDeltaRows(spark, seedRoot, deltaPath, upTo,
+      Seq("a", "b"), s"$seedRoot/edges", distinctRows = true)
 
   /** The live k-truss: seed triple + live edge deltas through the
     * touched-only incremental re-peel. A missing/empty delta
@@ -96,11 +90,7 @@ object KTrussStream {
     import org.apache.hadoop.fs.Path
     if (!DeltaLayout.hasDeltaPartitions(spark, deltaPath)) return
     val fs = DeltaLayout.fs(spark, seedRoot)
-    val maxBatch = spark.read.parquet(deltaPath)
-      .agg(max(col("batch_id").cast("long"))).head() match {
-        case r if r.isNullAt(0) => -1L
-        case r => r.getLong(0)
-      }
+    val maxBatch = DeltaLayout.maxBatchId(spark, deltaPath)
     val seedE = spark.read.parquet(s"$seedRoot/edges")
     val seedL = spark.read.parquet(s"$seedRoot/labels")
     val seedT = spark.read.parquet(s"$seedRoot/truss")
@@ -168,9 +158,10 @@ object KTrussStream {
       try q.processAllAvailable() finally q.stop()
       // mid-lifecycle compaction: served truss unchanged by it
       compact(spark, seedRoot, deltaP, k)
-      val served = serveTruss(spark, seedRoot, deltaP, k)
-      spark.createDataFrame(
-          java.util.Arrays.asList(served.collect(): _*), served.schema)
+      // localCheckpoint, NOT collect: one row per truss EDGE is
+      // unbounded — the materialized blocks keep the result off-driver
+      // and independent of the temp dirs rm() deletes
+      serveTruss(spark, seedRoot, deltaP, k).localCheckpoint()
         .orderBy("a", "b")
     } finally rm(root)
   }

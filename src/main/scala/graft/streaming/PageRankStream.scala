@@ -75,15 +75,11 @@ object PageRankStream {
 
   private def liveDeltaIncrements(
       spark: SparkSession, seedRoot: String, deltaPath: String,
-      upTo: Long): DataFrame = {
-    val folded = DeltaLayout.foldedThrough(spark, seedRoot)
-    if (!DeltaLayout.hasDeltaPartitions(spark, deltaPath))
-      spark.read.parquet(s"$seedRoot/edges").select("a", "b", "w").limit(0)
-    else spark.read.parquet(deltaPath)
-      .filter(col("batch_id").cast("long") > folded
-        && col("batch_id").cast("long") <= upTo)
-      .select("a", "b", "w")
-  }
+      upTo: Long): DataFrame =
+    // distinctRows = false: increments are ADDITIVE — the same pair in
+    // two batches must count twice in the sum fold
+    DeltaLayout.liveDeltaRows(spark, seedRoot, deltaPath, upTo,
+      Seq("a", "b", "w"), s"$seedRoot/edges", distinctRows = false)
 
   /** The live weighted graph: per-(a, b) sum of seed weights and live
     * increments — the commutative fold both serve and compact share. */
@@ -112,11 +108,7 @@ object PageRankStream {
     import org.apache.hadoop.fs.Path
     if (!DeltaLayout.hasDeltaPartitions(spark, deltaPath)) return
     val fs = DeltaLayout.fs(spark, seedRoot)
-    val maxBatch = spark.read.parquet(deltaPath)
-      .agg(max(col("batch_id").cast("long"))).head() match {
-        case r if r.isNullAt(0) => -1L
-        case r => r.getLong(0)
-      }
+    val maxBatch = DeltaLayout.maxBatchId(spark, deltaPath)
     val newE = foldedGraph(spark, seedRoot, deltaPath, maxBatch)
       .localCheckpoint()
     val newR = Graph.pageRank(
@@ -184,9 +176,10 @@ object PageRankStream {
       // mid-lifecycle compaction ADVANCES the warm point; the final
       // serve warm-starts from the compacted ranks over the full fold
       compact(spark, seedRoot, deltaP)
-      val served = serveRanks(spark, seedRoot, deltaP)
-      spark.createDataFrame(
-          java.util.Arrays.asList(served.collect(): _*), served.schema)
+      // localCheckpoint, NOT collect: one row per node is unbounded —
+      // the materialized blocks keep the result off-driver and
+      // independent of the temp dirs rm() deletes
+      serveRanks(spark, seedRoot, deltaP).localCheckpoint()
         .orderBy(desc("rank_micro"), col("node"))
     } finally rm(root)
   }

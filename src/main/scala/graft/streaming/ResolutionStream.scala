@@ -30,12 +30,13 @@ object ResolutionStream {
     val root = java.nio.file.Files.createTempDirectory("graft_er_stream")
     val src = root.resolve("src").toString
     val out = root.resolve("out").toString
-    feed.write.mode("overwrite").parquet(src)
-    // the static side resolves once, outside the per-batch loop — a
-    // production gate holds the dictionary artifacts open, it doesn't
-    // re-read them per micro-batch
-    val cat = catalog.localCheckpoint()
-    val idx = index.localCheckpoint()
+    // seed phase = feed staging + pinning the static dictionary side
+    // (a production gate holds the artifacts open, it doesn't re-read
+    // them per micro-batch)
+    val (cat, idx) = StreamMeter.timeSeed("q_stream_entity_match") {
+      feed.write.mode("overwrite").parquet(src)
+      (catalog.localCheckpoint(), index.localCheckpoint())
+    }
 
     val q = spark.readStream.schema(feed.schema).parquet(src)
       .writeStream

@@ -59,15 +59,9 @@ object TrianglesStream {
 
   private def liveDeltaEdges(
       spark: SparkSession, seedRoot: String, deltaPath: String,
-      upTo: Long): DataFrame = {
-    val folded = DeltaLayout.foldedThrough(spark, seedRoot)
-    if (!DeltaLayout.hasDeltaPartitions(spark, deltaPath))
-      spark.read.parquet(s"$seedRoot/edges").select("a", "b").limit(0)
-    else spark.read.parquet(deltaPath)
-      .filter(col("batch_id").cast("long") > folded
-        && col("batch_id").cast("long") <= upTo)
-      .select("a", "b").distinct()
-  }
+      upTo: Long): DataFrame =
+    DeltaLayout.liveDeltaRows(spark, seedRoot, deltaPath, upTo,
+      Seq("a", "b"), s"$seedRoot/edges", distinctRows = true)
 
   /** The live per-node triangle counts: seed pair + live edge deltas
     * through the additive incremental fold. A missing/empty delta
@@ -86,11 +80,7 @@ object TrianglesStream {
     import org.apache.hadoop.fs.Path
     if (!DeltaLayout.hasDeltaPartitions(spark, deltaPath)) return
     val fs = DeltaLayout.fs(spark, seedRoot)
-    val maxBatch = spark.read.parquet(deltaPath)
-      .agg(max(col("batch_id").cast("long"))).head() match {
-        case r if r.isNullAt(0) => -1L
-        case r => r.getLong(0)
-      }
+    val maxBatch = DeltaLayout.maxBatchId(spark, deltaPath)
     val seedE = spark.read.parquet(s"$seedRoot/edges")
     val seedT = spark.read.parquet(s"$seedRoot/triangles")
     val delta = liveDeltaEdges(spark, seedRoot, deltaPath, maxBatch)
@@ -153,9 +143,10 @@ object TrianglesStream {
       try q.processAllAvailable() finally q.stop()
       // mid-lifecycle compaction: served counts unchanged by it
       compact(spark, seedRoot, deltaP)
-      val served = serveTriangles(spark, seedRoot, deltaP)
-      spark.createDataFrame(
-          java.util.Arrays.asList(served.collect(): _*), served.schema)
+      // localCheckpoint, NOT collect: one row per node is unbounded —
+      // the materialized blocks keep the result off-driver and
+      // independent of the temp dirs rm() deletes
+      serveTriangles(spark, seedRoot, deltaP).localCheckpoint()
         .orderBy("node")
     } finally rm(root)
   }

@@ -557,6 +557,20 @@ class PurchasesSpec extends AnyFunSuite with SparkSessionTestBase {
     // empty input
     val none = Seq.empty[(Long, Long, Long)].toDF("src", "dst", "w")
     assert(operators.Graph.kTrussSharded(none, 3).count() === 0)
+    // HUB stress: a wheel (hub adjacent to every rim node + rim cycle)
+    // is the shape whose old sorted-intersection peel paid deg(hub)
+    // per rim edge — the local peel must stay correct (and fast: the
+    // min-degree walk pays O(1) per rim edge) at hub degree 2000.
+    // 3-truss = the whole wheel (every edge closes a hub triangle);
+    // 4-truss = empty (rim edges have support 1, spokes then collapse)
+    val nRim = 2000L
+    val wheel = ((1L to nRim).map(i => (0L, i)) ++
+      (1L until nRim).map(i => (i, i + 1)) :+ (nRim, 1L))
+      .map { case (a, b) => (a, b, 1L) }.toDF("src", "dst", "w")
+    val w3 = canon(operators.Graph.kTrussSharded(wheel, 3))
+    assert(w3.size === 2L * nRim)
+    assert(w3((0L, 1L)) === 2L && w3((1L, 2L)) === 1L)
+    assert(operators.Graph.kTrussSharded(wheel, 4).count() === 0)
   }
 
   test("components labels each piece once with exact node/edge counts") {
