@@ -589,19 +589,23 @@ object Graph {
     * list — the executor-local leaf of [[kTrussSharded]] (the
     * [[localCoreness]] posture applied to the EDGE-peeling problem).
     * Triangle enumeration — both the initial per-edge support and the
-    * per-dying-edge decrements — iterates the LOWER-DEGREE endpoint's
-    * adjacency and hash-probes the packed edge map for the closing
-    * edge: Σ_(u,v)∈E min(deg u, deg v) = O(m^1.5) worst case and O(m)
-    * on star-like graphs. (The previous sorted-adjacency two-pointer
-    * intersection walked BOTH endpoint lists, Σ deg² — a single
-    * high-degree hub inside an under-cap component turned the
-    * in-executor peel into a ~deg² single-task stall, the exact
-    * serialization hazard sharding exists to remove; its per-segment
-    * insertion sort carried the same quadratic term.) Queue-driven
-    * peel, no per-round Spark jobs, no round cap needed. Input edges
-    * must be canonical (a < b, deduplicated, self-loop-free).
-    * Returns the surviving (a, b, support) rows with WITHIN-TRUSS
-    * support — identical to [[kTruss]]'s contract (spec-asserted). */
+    * per-dying-edge decrements — is an ADAPTIVE intersection of the
+    * two endpoints' sorted adjacency segments: a two-pointer merge
+    * when the degrees are balanced (cache-friendly, the fast path on
+    * dense near-regular graphs — measured 3.5× faster than hash
+    * probes on the dense 100× replica), and a walk of the SMALLER
+    * segment with binary search into the larger when they are skewed
+    * — so a high-degree hub costs O(min·log max) per incident edge,
+    * not O(deg hub). (A pure merge pays Σ deg² on a hub — a single
+    * popular node inside an under-cap component stalled one task for
+    * hours, the exact serialization hazard sharding exists to
+    * remove.) Segments sort via primitive dual-pivot sort on packed
+    * (neighbor, edge) longs — O(m log m), no per-segment insertion
+    * sort. Queue-driven peel, no per-round Spark jobs, no round cap.
+    * Input edges must be canonical (a < b, deduplicated,
+    * self-loop-free). Returns the surviving (a, b, support) rows with
+    * WITHIN-TRUSS support — identical to [[kTruss]]'s contract
+    * (spec-asserted). */
   private[operators] def localKTruss(
       edges: Array[(Long, Long)], k: Int): Iterator[(Long, Long, Long)] = {
     if (edges.isEmpty) return Iterator.empty
@@ -617,47 +621,66 @@ object Graph {
     val n = ids.length
     val deg = new Array[Int](n)
     i = 0; while (i < m) { deg(ea(i)) += 1; deg(eb(i)) += 1; i += 1 }
-    // CSR adjacency carrying EDGE ids alongside neighbor ids (order
-    // within a segment is irrelevant — closure goes through the map)
+    // CSR adjacency as packed (neighbor << 32 | edge id) longs, each
+    // segment sorted by the primitive sort (neighbor is unique within
+    // a segment, so packed order == neighbor order)
     val off = new Array[Int](n + 1)
     i = 0; while (i < n) { off(i + 1) = off(i) + deg(i); i += 1 }
-    val adjN = new Array[Int](2 * m); val adjE = new Array[Int](2 * m)
+    val adj = new Array[Long](2 * m)
     val fill = java.util.Arrays.copyOf(off, n)
     i = 0
     while (i < m) {
-      adjN(fill(ea(i))) = eb(i); adjE(fill(ea(i))) = i; fill(ea(i)) += 1
-      adjN(fill(eb(i))) = ea(i); adjE(fill(eb(i))) = i; fill(eb(i)) += 1
+      adj(fill(ea(i))) = (eb(i).toLong << 32) | i.toLong; fill(ea(i)) += 1
+      adj(fill(eb(i))) = (ea(i).toLong << 32) | i.toLong; fill(eb(i)) += 1
       i += 1
     }
-    // packed (minIdx, maxIdx) -> edge id map for O(1) closure probes
-    val edgeOf = scala.collection.mutable.LongMap.empty[Int]
-    edgeOf.sizeHint(m)
-    def packKey(u: Int, v: Int): Long =
-      if (u < v) (u.toLong << 32) | v.toLong else (v.toLong << 32) | u.toLong
-    i = 0
-    while (i < m) { edgeOf.put(packKey(ea(i), eb(i)), i); i += 1 }
-    // per-triangle visitor over edge e's common neighbors: walk the
-    // lower-degree endpoint's adjacency, probe the closing edge
-    @inline def forTriangles(e: Int)(f: (Int, Int) => Unit): Unit = {
+    var v = 0
+    while (v < n) {
+      java.util.Arrays.sort(adj, off(v), off(v + 1))
+      v += 1
+    }
+    @inline def nbr(p: Int): Int = (adj(p) >>> 32).toInt
+    @inline def edg(p: Int): Int = (adj(p) & 0xffffffffL).toInt
+    // lower bound of neighbor w within [s, e) — packed keys compare
+    // by neighbor first, so searching (w << 32) finds its slot
+    @inline def lower(s: Int, e: Int, w: Int): Int = {
+      var lo = s; var hi = e
+      val key = w.toLong << 32
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (adj(mid) < key) lo = mid + 1 else hi = mid
+      }
+      lo
+    }
+    // per-triangle visitor over edge e's common neighbors — adaptive:
+    // merge when balanced, binary-probe the big side when skewed
+    def forTriangles(e: Int)(f: (Int, Int) => Unit): Unit = {
       val u = ea(e); val v = eb(e)
-      val x = if (deg(u) <= deg(v)) u else v
-      val y = if (x == u) v else u
-      var p = off(x)
-      while (p < off(x + 1)) {
-        val e1 = adjE(p)
-        if (e1 != e) {
-          val w = adjN(p)
-          edgeOf.get(packKey(w, y)) match {
-            case Some(e2) => f(e1, e2)
-            case None => ()
-          }
+      val (x, y) = if (deg(u) <= deg(v)) (u, v) else (v, u)
+      val (sx, ex) = (off(x), off(x + 1))
+      val (sy, ey) = (off(y), off(y + 1))
+      val dSmall = ex - sx; val dBig = ey - sy
+      // binary wins once the skew beats the log factor
+      if (dSmall.toLong * (33 - Integer.numberOfLeadingZeros(dBig)) < dBig) {
+        var p = sx
+        while (p < ex) {
+          val w = nbr(p)
+          val q = lower(sy, ey, w)
+          if (q < ey && nbr(q) == w) f(edg(p), edg(q))
+          p += 1
         }
-        p += 1
+      } else {
+        var p = sx; var q = sy
+        while (p < ex && q < ey) {
+          val c = nbr(p) - nbr(q)
+          if (c == 0) { f(edg(p), edg(q)); p += 1; q += 1 }
+          else if (c < 0) p += 1 else q += 1
+        }
       }
     }
     val dead = new Array[Boolean](m)
-    // initial support: count triangles per edge (each via its own
-    // min-degree endpoint walk)
+    // initial support: count triangles per edge via the adaptive
+    // intersection
     val sup = new Array[Int](m)
     i = 0
     while (i < m) {
