@@ -31,50 +31,72 @@ object Bench {
     * build-vs-serve split legible in the PUBLISHED line, so a
     * build-heavy entry (entity quartet, stream harnesses) is not
     * misread as serving cost. Empty → the key is omitted. */
+  private def mapSuffix(
+      key: String, entries: Seq[(String, Double)], dp: Int): String =
+    if (entries.isEmpty) ""
+    else entries.map { case (k, v) => "\"" + k + "\":" + fmt(dp, v) }
+      .mkString(s""","$key":{""", ",", "}")
+
+  /** Two DISJOINT cost maps so no consumer can double-count: "build"
+    * entries are the EXCLUDED warm-up delta (median + build ≈
+    * first-run cost); "seed" entries are the StreamMeter-reported
+    * seed seconds that sit INSIDE every q_stream_* median (never add
+    * them to it). An entry appears in at most one map. */
   private def buildSuffix(build: Seq[(String, Double)], dp: Int): String =
-    if (build.isEmpty) ""
-    else build.map { case (k, v) => "\"" + k + "\":" + fmt(dp, v) }
-      .mkString(""","build":{""", ",", "}")
+    mapSuffix("build", build, dp)
 
   private[graft] def fullLine(
       results: Seq[(String, Double)], total: Double, sfTag: String, dp: Int = 3,
-      build: Seq[(String, Double)] = Seq.empty): String = {
+      build: Seq[(String, Double)] = Seq.empty,
+      seed: Seq[(String, Double)] = Seq.empty): String = {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(dp, v) }
       .mkString("{", ",", "}")
     s"""{"metric":"total","value":${fmt(3, total)},"unit":"sec","queries":$qs""" +
-      s""","sf":"$sfTag"${buildSuffix(build, dp)}}"""
+      s""","sf":"$sfTag"${buildSuffix(build, dp)}${mapSuffix("seed", seed, dp)}}"""
   }
 
   private def lineTop(
       results: Seq[(String, Double)], total: Double, sfTag: String,
-      dp: Int, topN: Int, build: Seq[(String, Double)] = Seq.empty): String = {
+      dp: Int, topN: Int, build: Seq[(String, Double)] = Seq.empty,
+      seed: Seq[(String, Double)] = Seq.empty): String = {
     val bySlowest = results.sortBy(-_._2)
     val top = bySlowest.take(topN).sortBy(_._1)
     val rest = bySlowest.drop(topN).map(_._2).sum
     val qs = (top.map { case (k, v) => "\"" + k + "\":" + fmt(dp, v) } :+
       ("\"_rest\":" + fmt(dp, rest))).mkString("{", ",", "}")
     s"""{"metric":"total","value":${fmt(3, total)},"unit":"sec","queries":$qs""" +
-      s""","sf":"$sfTag"${buildSuffix(build, dp)}}"""
+      s""","sf":"$sfTag"${buildSuffix(build, dp)}${mapSuffix("seed", seed, dp)}}"""
   }
 
   /** First representation fitting the budget; always valid JSON. The
-    * build map degrades before per-query precision does: it rides the
-    * 3/2dp variants and is dropped from the fallbacks. */
+    * build/seed maps degrade before per-query precision does: they
+    * ride the 3/2dp variants and are dropped from the fallbacks. */
   private[graft] def stdoutLine(
       results: Seq[(String, Double)], total: Double, sfTag: String,
-      build: Seq[(String, Double)] = Seq.empty): String =
+      build: Seq[(String, Double)] = Seq.empty,
+      seed: Seq[(String, Double)] = Seq.empty): String =
     Seq(
-      fullLine(results, total, sfTag, 3, build),
-      fullLine(results, total, sfTag, 2, build),
-      fullLine(results, total, sfTag, 1, build),
-      lineTop(results, total, sfTag, 2, 45, build),
+      fullLine(results, total, sfTag, 3, build, seed),
+      fullLine(results, total, sfTag, 2, build, seed),
+      fullLine(results, total, sfTag, 1, build, seed),
+      lineTop(results, total, sfTag, 2, 45, build, seed),
       // the split is worth a few more _rest-folded entries: prefer a
-      // smaller top-N WITH the build map over 45 entries without it
-      lineTop(results, total, sfTag, 2, 35, build),
+      // smaller top-N WITH the cost maps over 45 entries without them
+      lineTop(results, total, sfTag, 2, 35, build, seed),
       lineTop(results, total, sfTag, 2, 45),
-      lineTop(results, total, sfTag, 1, 30, build))
+      lineTop(results, total, sfTag, 1, 30, build, seed))
       .find(_.length <= MaxLine)
       .getOrElse(lineTop(results, total, sfTag, 1, 30))
+
+  /** Minimal JSON string escape for embedding the stdout line (which
+    * is itself JSON, so quotes and backslashes must be escaped). */
+  private def escapeJson(s: String): String =
+    "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c    => c.toString
+    } + "\""
 
   private[graft] def median(xs: Seq[Double]): Double = {
     val s = xs.sorted
@@ -142,29 +164,30 @@ object Bench {
     val total = results.map(_._2).sum
     val sfTag = sfDir.split('/').last
     // build-vs-serve split for EVERY artifact-building entry (not just
-    // the slowest): warm-up minus steady median ≈ the artifact-build +
-    // first-run cost the timed runs exclude (clamped at 0 — a noisy
-    // warm-up can come in under the median). For the q_stream_*
-    // harnesses, whose steady median IS a whole maintenance lifecycle,
-    // the harness-reported SEED seconds override the warm-up delta —
-    // the seed cost sits inside every measured run, so warm-up minus
-    // median would wrongly read ~0. READERS NOTE the two semantics:
-    // a StreamMeter-instrumented entry's build value is INSIDE its
-    // median (do not add them); every other entry's is the EXCLUDED
-    // warm-up delta (median + build ≈ first-run cost). Every
-    // q_stream_* harness calls timeSeed, so no stream entry falls
-    // into the wrong-by-construction warm-minus-median bucket.
-    // The stdout line carries entries over 0.5 s (the cascade drops
-    // the map before dropping query precision); bench_full.json
-    // keeps the complete split.
+    // the slowest), published as two DISJOINT maps so consumers can't
+    // double-count: "build" is warm-up minus steady median ≈ the
+    // artifact-build + first-run cost the timed runs EXCLUDE (clamped
+    // at 0 — a noisy warm-up can come in under the median; median +
+    // build ≈ first-run cost). "seed" is the StreamMeter-reported
+    // seed seconds for the q_stream_* harnesses, whose steady median
+    // IS a whole maintenance lifecycle — the seed cost sits INSIDE
+    // every measured run (never add seed to median). Every q_stream_*
+    // harness calls timeSeed, so no stream entry falls into the
+    // wrong-by-construction warm-minus-median bucket. The stdout line
+    // carries entries over 0.5 s (the cascade drops the maps before
+    // dropping query precision); bench_full.json keeps both full maps.
     val warmMap = warmupPer.toMap
     val streamSeeds = graft.streaming.StreamMeter.snapshot
-    val buildAll = results
-      .map { case (name, med) =>
-        name -> streamSeeds.getOrElse(name,
-          math.max(0.0, warmMap.getOrElse(name, 0.0) - med)) }
-      .sortBy(_._1)
+    val seedAll = results.collect {
+      case (name, _) if streamSeeds.contains(name) =>
+        name -> streamSeeds(name)
+    }.sortBy(_._1)
+    val buildAll = results.collect {
+      case (name, med) if !streamSeeds.contains(name) =>
+        name -> math.max(0.0, warmMap.getOrElse(name, 0.0) - med)
+    }.sortBy(_._1)
     val buildTop = buildAll.filter(_._2 >= 0.5)
+    val seedTop = seedAll.filter(_._2 >= 0.5)
     try {
       // forensic copy with full precision, spread, and per-run totals —
       // never fail the bench over it
@@ -182,14 +205,21 @@ object Bench {
       val buildQs = buildAll.map { case (name, v) =>
         "\"" + name + "\":" + fmt(3, v)
       }.mkString("{", ",", "}")
+      val seedQs = seedAll.map { case (name, v) =>
+        "\"" + name + "\":" + fmt(3, v)
+      }.mkString("{", ",", "}")
+      // the exact headline line this run prints, embedded so the full
+      // map and the stdout snapshot can never come from different runs
+      val stdout = stdoutLine(results, total, sfTag, buildTop, seedTop)
       val full =
         s"""{"metric":"total","value":${fmt(3, total)},"unit":"sec","sf":"$sfTag",""" +
           s""""warmup":${fmt(3, warmupSec)},"warmup_queries":$warmQs,""" +
-          s""""build":$buildQs,"runs":$runTotals,"queries":$qs}"""
+          s""""build":$buildQs,"seed":$seedQs,"runs":$runTotals,""" +
+          s""""stdout":${escapeJson(stdout)},"queries":$qs}"""
       java.nio.file.Files.write(dir.resolve("bench_full.json"),
         (full + "\n").getBytes("UTF-8"))
     } catch { case _: Throwable => () }
-    println(stdoutLine(results, total, sfTag, buildTop))
+    println(stdoutLine(results, total, sfTag, buildTop, seedTop))
     spark.stop()
   }
 }

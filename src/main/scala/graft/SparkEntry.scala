@@ -279,6 +279,30 @@ object SparkEntry {
     (s.read.parquet(s"$root/edges"), s.read.parquet(s"$root/labels"))
   }
 
+  /** The SIGNED edge delta between the persisted prior graph (orders
+    * without the %20==9 slice) and TODAY'S graph (orders without the
+    * %20==5 slice) — the [[operators.Etl.snapshotDiff]] posture
+    * applied to edges: adds are pairs that reach the >= 2-order
+    * support bar only with the slice-9 orders back, removals are
+    * pairs that LOSE it when the slice-5 orders delist (the
+    * price-data analog: a store delisting a product shrinks the
+    * co-purchase graph — upsert semantics include replacement, not
+    * just growth). Returns (adds, removals) as raw (src, dst, w)
+    * slices against the cpIndexShared prior. */
+  private def signedGraphDelta(
+      s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val (priorE, _) = cpIndexShared(s, d)
+    val today = operators.Graph.canonicalEdges(
+      Purchases.coPurchaseGraph(
+        Tables.lineitem(s, d).filter(col("l_orderkey") % 20 =!= 5),
+        minCount = 2L))
+    val adds = today.join(priorE, Seq("a", "b"), "left_anti")
+      .select(col("a").as("src"), col("b").as("dst"), lit(1L).as("w"))
+    val removals = priorE.join(today, Seq("a", "b"), "left_anti")
+      .select(col("a").as("src"), col("b").as("dst"), lit(1L).as("w"))
+    (adds, removals)
+  }
+
   /** The prior graph's (node, coreness) — the third face of the
     * persisted graph artifact, what q_coreness_incremental folds a
     * delta into (built once per data version alongside the labels). */
@@ -1226,6 +1250,17 @@ object SparkEntry {
     // in spec, like the other ANN families)
     "q_stream_ivf" -> ((s, d) =>
       graft.streaming.IvfStream.ivfMaintainRun(s, d)),
+    // STREAMING SemDeDup — the semantic-dedup verdict maintained
+    // while embeddings arrive, completing the SemDeDup lifecycle
+    // (batch / incremental / streaming): centroids train once on the
+    // even-id seed, odd ids stream through assignment-only
+    // maintenance, compaction refreshes the persisted verdict
+    // mid-path, and serving re-resolves ONLY delta-touched clusters
+    // (components never cross cluster boundaries — the paper's own
+    // sharding device). rows-only for the q_semdedup reason; served
+    // == direct full-corpus twin spec-asserted
+    "q_stream_semdedup" -> ((s, d) =>
+      graft.streaming.SemDedupStream.semDedupMaintainRun(s, d)),
     "q_vocab_stats" -> ((s, d) => TextAnalysis.vocabStats(Tables.documents(s, d))),
     "q_source_divergence" -> ((s, d) =>
       TextAnalysis.sourceDivergence(Tables.documents(s, d))),
@@ -1605,6 +1640,20 @@ object SparkEntry {
         .select(col("media_id"), col("modality"), col("n_bytes"),
           col("checksum_md5").as("checksum"), col("codec"))
         .orderBy("media_id")),
+    // IMAGE near-dup over REAL decoded pixels: every doc renders a
+    // deterministic 32×32 PNG, every 50th plants a perceptual twin
+    // (BMP re-encode or 2× pixel-replicated upscale — different
+    // BYTES, so exact/url dedup can't see them); aHash/dHash grids +
+    // the text SimHash hamming-bucket machinery catch them with no
+    // all-pairs join. rows-only (DuckDB cannot decode PNGs);
+    // fingerprint invariants and planted-twin capture spec-pinned
+    "q_image_neardup" -> ((s, d) => {
+      val media = graft.sources.Multimodal.syntheticImages(
+        Tables.documents(s, d))
+      graft.sources.Multimodal.imageNearDup(
+        graft.sources.Multimodal.imageFingerprints(media).toDF(),
+        maxHamming = 6, bucketCap = 1000L)
+    }),
     // Section A+ — purchase-log analytics (multi-way join rollups)
     "q_revenue_by_nation" -> ((s, d) =>
       Purchases.revenueByNation(Tables.customer(s, d), Tables.orders(s, d),
@@ -1759,6 +1808,48 @@ object SparkEntry {
       val delta = full.join(priorE, Seq("a", "b"), "left_anti")
         .select(col("a").as("src"), col("b").as("dst"), lit(1L).as("w"))
       operators.Graph.kTrussIncremental(priorE, priorL, priorT, delta, 3)
+    }),
+    // DELETION lifecycle, component face: the signed delta folds
+    // BOTH directions into yesterday's persisted artifact — adds may
+    // merge components, removals may SPLIT one (the genuinely new
+    // case: the touched component re-contracts from its surviving
+    // edges and each side re-labels to its own min id). FULL oracle:
+    // the same reachability CTE over today's (slice-5-delisted)
+    // graph — the hash gate IS the signed == full proof
+    "q_components_delete" -> ((s, d) => {
+      val (priorE, priorL) = cpIndexShared(s, d)
+      val (adds, removals) = signedGraphDelta(s, d)
+      operators.Graph.componentsSigned(priorE, priorL, adds, removals)
+    }),
+    // DELETION lifecycle, density face: removals can only LOWER
+    // coreness inside their own component — touched components
+    // re-peel against prior − removals ∪ adds, untouched rows pass
+    // verbatim. Same 23-CTE peel-ladder oracle, over today's graph
+    "q_coreness_delete" -> ((s, d) => {
+      val (priorE, priorL) = cpIndexShared(s, d)
+      val priorC = cpCorenessShared(s, d)
+      val (adds, removals) = signedGraphDelta(s, d)
+      operators.Graph.corenessSigned(priorE, priorL, priorC, adds, removals)
+    }),
+    // DELETION lifecycle, cohesion face: removal is NOT arithmetic
+    // (a dead edge kills triangles it closed and shifts cc
+    // denominators), so the signed form re-runs the wedge join on
+    // touched components only. Same FULL wedge-join oracle, over
+    // today's graph
+    "q_triangles_delete" -> ((s, d) => {
+      val (priorE, priorL) = cpIndexShared(s, d)
+      val priorT = cpTrianglesShared(s, d)
+      val (adds, removals) = signedGraphDelta(s, d)
+      operators.Graph.trianglesSigned(priorE, priorL, priorT, adds, removals)
+    }),
+    // DELETION lifecycle, densest rung: signed truss re-peel.
+    // rows-only for the q_ktruss reason; signed == full-peel-over-
+    // today's-graph exact equality spec-asserted
+    "q_ktruss_delete" -> ((s, d) => {
+      val (priorE, priorL) = cpIndexShared(s, d)
+      val priorT = cpTrussShared(s, d)
+      val (adds, removals) = signedGraphDelta(s, d)
+      operators.Graph.kTrussSigned(priorE, priorL, priorT, adds, removals, 3)
     }),
     // STREAMING triangle-count maintenance (eighth DeltaLayout
     // instance — the easiest graph stream: counts are ADDITIVE under
@@ -2547,21 +2638,32 @@ object SparkEntry {
        |ORDER BY check_seq""".stripMargin
   }
 
-  /** The co-purchase edge CTE shared by the k-core oracles (the
-    * q_triangles `e` frame: canonical a<b pairs seen in >= 2 orders). */
-  private val kcoreEdgeCte =
-    """e0 AS MATERIALIZED (
-      | WITH items AS (SELECT DISTINCT l_orderkey AS okey, l_partkey FROM lineitem)
-      | SELECT a.l_partkey AS a, b.l_partkey AS b
-      | FROM items a JOIN items b ON a.okey = b.okey AND a.l_partkey < b.l_partkey
-      | GROUP BY 1, 2 HAVING count(*) >= 2)""".stripMargin
+  /** The lineitem source for the DELETION-lifecycle oracles: today's
+    * graph delists the l_orderkey %20==5 order slice (mirrors
+    * [[signedGraphDelta]]'s Spark-side filter exactly). */
+  private val todayLineitemSrc =
+    "(SELECT * FROM lineitem WHERE l_orderkey % 20 <> 5)"
 
-  /** q_components / q_components_incremental: reachability closure +
-    * min-label fold over the e0 co-purchase edges (shared — the
-    * incremental form's prior ∪ delta IS the full edge set, so one
-    * oracle proves incremental == full). */
-  private val componentsOracleSql: String =
-    s"""WITH RECURSIVE $kcoreEdgeCte,
+  /** The co-purchase edge CTE shared by the k-core oracles (the
+    * q_triangles `e` frame: canonical a<b pairs seen in >= 2 orders),
+    * parameterized by the lineitem source so the deletion-lifecycle
+    * oracles replay the same graph semantics over today's delisted
+    * order set. */
+  private def kcoreEdgeCteFrom(src: String): String =
+    s"""e0 AS MATERIALIZED (
+       | WITH items AS (SELECT DISTINCT l_orderkey AS okey, l_partkey FROM $src li)
+       | SELECT a.l_partkey AS a, b.l_partkey AS b
+       | FROM items a JOIN items b ON a.okey = b.okey AND a.l_partkey < b.l_partkey
+       | GROUP BY 1, 2 HAVING count(*) >= 2)""".stripMargin
+  private val kcoreEdgeCte = kcoreEdgeCteFrom("lineitem")
+
+  /** q_components / q_components_incremental / q_components_delete:
+    * reachability closure + min-label fold over the e0 co-purchase
+    * edges (shared — the incremental form's prior ∪ delta IS the full
+    * edge set and the signed form's prior − removals ∪ adds IS
+    * today's, so one oracle shape proves both == full). */
+  private def componentsOracleSqlFrom(src: String): String =
+    s"""WITH RECURSIVE ${kcoreEdgeCteFrom(src)},
        |e AS (SELECT a AS u, b AS v FROM e0 UNION SELECT b, a FROM e0),
        |reach(id, r) AS (
        | SELECT u, u FROM e
@@ -2575,6 +2677,7 @@ object SparkEntry {
        | CAST(n_edges AS BIGINT) AS n_edges
        |FROM nn JOIN ne ON nn.label = ne.label
        |ORDER BY component""".stripMargin
+  private val componentsOracleSql: String = componentsOracleSqlFrom("lineitem")
 
   /** One peel level as a recursive CTE pair: `name` iterates the
     * below-k deletion from `src`'s edge set, `name_f` is the stable
@@ -2629,8 +2732,9 @@ object SparkEntry {
   /** q_triangles (and its incremental twin): the wedge join replays
     * the degree-ordered orientation; SEMI JOIN closes wedges against
     * the canonical undirected edge set. */
-  private def trianglesOracleSql: String =
-    """WITH items AS (SELECT DISTINCT l_orderkey AS okey, l_partkey FROM lineitem),
+  private def trianglesOracleSql: String = trianglesOracleSqlFrom("lineitem")
+  private def trianglesOracleSqlFrom(src: String): String =
+    s"""WITH items AS (SELECT DISTINCT l_orderkey AS okey, l_partkey FROM $src li),
       |e AS (SELECT a.l_partkey AS a, b.l_partkey AS b
       | FROM items a JOIN items b ON a.okey = b.okey AND a.l_partkey < b.l_partkey
       | GROUP BY 1, 2 HAVING count(*) >= 2),
@@ -2658,9 +2762,10 @@ object SparkEntry {
   /** q_coreness: chained successive peels to maxK=24 (each level
     * seeds from the previous core); coreness = 1 + deepest level a
     * node survives, 1 for nodes only in the raw edge set. */
-  private def corenessOracleSql: String = {
+  private def corenessOracleSql: String = corenessOracleSqlFrom("lineitem")
+  private def corenessOracleSqlFrom(src: String): String = {
     val maxK = 24
-    val chain = (kcoreEdgeCte +: (2 to maxK).map(k =>
+    val chain = (kcoreEdgeCteFrom(src) +: (2 to maxK).map(k =>
       kcorePeelSql(if (k == 2) "e0" else s"c${k - 1}_f", k, s"c$k"))).mkString(",\n")
     val levels = (2 to maxK).map(k =>
       s"""SELECT node, ${k - 1} AS lvl FROM
@@ -2961,6 +3066,12 @@ object SparkEntry {
     "q_stream_components" -> componentsOracleSql,
     // reachability closure + min-label fold over the same e0 edges
     "q_components" -> componentsOracleSql,
+    // DELETION lifecycle: signed (adds + removals) fold == the same
+    // full oracles replayed over TODAY'S graph (slice-5 orders
+    // delisted) — the hash gates ARE the signed == full proofs
+    "q_components_delete" -> componentsOracleSqlFrom(todayLineitemSrc),
+    "q_coreness_delete" -> corenessOracleSqlFrom(todayLineitemSrc),
+    "q_triangles_delete" -> trianglesOracleSqlFrom(todayLineitemSrc),
     "q_expectations" -> expectationsOracleSql(),
     // served from merged base+delta partials; the full-battery oracle
     // IS the incremental == full proof

@@ -386,12 +386,28 @@ object Dedup {
     val sims = docs.withColumn("toks", split(lower(col("text")), " ", -1))
       .filter(size(col("toks")) >= 1)
       .select(col("doc_id"), expr("graft_simhash(toks)").as("simhash"))
+    fingerprintPairs(sims.withColumnRenamed("simhash", "fp"),
+      maxHamming, bucketCap)
+  }
 
+  /** Hamming near-dup pairs over PRECOMPUTED 64-bit fingerprints —
+    * the chunk-LSH half of [[simhashPairs]] factored out so any
+    * 64-bit fingerprint family rides the same machinery (text SimHash,
+    * image dHash, rolling document hashes): 16-bit chunk buckets
+    * (hamming ≤ 3 ⇒ ≥1 of 4 chunks equal by pigeonhole; larger
+    * maxHamming trades recall, the standard SimHash-LSH deal), bucket
+    * cap against quadratic hot spots ([[capBuckets]] — meter first
+    * with [[fingerprintBucketOccupancy]]), slim self-join, exact
+    * bit_count verify. Input: (doc_id, fp: long). Output: (doc_a,
+    * doc_b, hamming) for pairs at hamming ≤ maxHamming, ordered. */
+  def fingerprintPairs(
+      fps: DataFrame, maxHamming: Int = 3,
+      bucketCap: Long = Long.MaxValue): DataFrame = {
     val chunks = capBuckets(
-      sims.select(col("doc_id"), col("simhash"),
+      fps.select(col("doc_id"), col("fp"),
           explode(expr(
-            "transform(sequence(0, 3), c -> named_struct('c', c, 'v', (simhash >> (c*16)) & 65535))")).as("ck"))
-        .select(col("doc_id"), col("simhash"), col("ck.c").as("c"), col("ck.v").as("v")),
+            "transform(sequence(0, 3), c -> named_struct('c', c, 'v', (fp >> (c*16)) & 65535))")).as("ck"))
+        .select(col("doc_id"), col("fp"), col("ck.c").as("c"), col("ck.v").as("v")),
       Seq("c", "v"), bucketCap)
 
     chunks.as("a")
@@ -399,13 +415,31 @@ object Dedup {
         col("a.c") === col("b.c") && col("a.v") === col("b.v") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.simhash").as("sh_a"), col("b.simhash").as("sh_b"))
+        col("a.fp").as("fp_a"), col("b.fp").as("fp_b"))
       .dropDuplicates("doc_a", "doc_b")
-      .withColumn("hamming", expr("bit_count(sh_a ^ sh_b)"))
+      .withColumn("hamming", expr("bit_count(fp_a ^ fp_b)"))
       .filter(col("hamming") <= maxHamming)
       .select("doc_a", "doc_b", "hamming")
       .orderBy("doc_a", "doc_b")
   }
+
+  /** Chunk-bucket occupancy report for a 64-bit fingerprint frame —
+    * the [[minhashBucketOccupancy]] pre-flight for the
+    * [[fingerprintPairs]] join: occupancy n yields n(n-1)/2 candidate
+    * pairs, so the top rows ARE the quadratic hot spots; feed the
+    * observed ceiling into `bucketCap` before paying the join. */
+  def fingerprintBucketOccupancy(
+      fps: DataFrame, minOccupancy: Long = 2L): DataFrame =
+    fps.select(col("doc_id"),
+        explode(expr(
+          "transform(sequence(0, 3), c -> named_struct('c', c, 'v', (fp >> (c*16)) & 65535))")).as("ck"))
+      .select(col("ck.c").as("c"), col("ck.v").as("v"))
+      .groupBy("c", "v")
+      .agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= minOccupancy)
+      .select(col("c"), col("v"), col("n_docs"),
+        (col("n_docs") * (col("n_docs") - 1) / 2).as("est_pairs"))
+      .orderBy(desc("n_docs"), col("c"), col("v"))
 
   /** Substring-overlap duplicate pairs via winnowed fingerprints
     * (Schleimer et al. 2003, "Winnowing: Local Algorithms for Document

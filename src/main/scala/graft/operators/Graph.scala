@@ -414,6 +414,45 @@ object Graph {
     val labels = incrementalLabelsCanon(priorEdges, priorLabels, d)
     val allE = priorEdges.select("a", "b")
       .unionAll(d.select("a", "b")).distinct()
+    componentStats(labels, allE)
+  }
+
+  /** SIGNED incremental components — [[componentsIncremental]]
+    * extended with an edge-REMOVAL slice (the [[Etl.snapshotDiff]]
+    * posture applied to edges). Removing a bridge SPLITS a component:
+    * the whole touched component re-contracts from its surviving
+    * edges, so the split falls out of the same star-contraction that
+    * handles merges (each side re-labels to its own min node id,
+    * which is exactly what a full [[components]] run over the new
+    * graph produces); a node stripped of its last edge drops from the
+    * labeling, matching the full run's edge-derived node set.
+    * Untouched components pass through verbatim. Preconditions as
+    * [[kTrussIncremental]]. Output: the [[components]] contract over
+    * (prior − removals) ∪ adds — signed == full is what the shared
+    * reachability oracle's hash gate proves. */
+  def componentsSigned(
+      priorEdges: DataFrame, priorLabels: DataFrame,
+      addEdges: DataFrame, removeEdges: DataFrame): DataFrame = {
+    val a = canonicalUndirected(addEdges)
+    val r = canonicalUndirected(removeEdges)
+    val (touched, sub) = signedScope(priorEdges, priorLabels, a, Some(r))
+    val refreshed = Dedup.duplicateLabelsStar(
+      sub.select(col("a").as("doc_a"), col("b").as("doc_b")))
+    val labels = priorLabels
+      .join(touched, Seq("label"), "left_anti")
+      .select("id", "label")
+      .unionByName(refreshed.select("id", "label"))
+      .localCheckpoint()
+    val allE = priorEdges.select("a", "b")
+      .join(r.select("a", "b"), Seq("a", "b"), "left_anti")
+      .unionAll(a.select("a", "b")).distinct()
+    componentStats(labels, allE)
+  }
+
+  /** The (component, n_nodes, n_edges) fold shared by the incremental
+    * component faces: one partial-combined aggregation per statistic
+    * over a merged labeling and the union edge frame. */
+  private def componentStats(labels: DataFrame, allE: DataFrame): DataFrame = {
     val nodes = labels.groupBy("label").agg(count(lit(1)).as("n_nodes"))
     val edgeCnt = allE
       .join(labels.withColumnRenamed("id", "a"), Seq("a"))
@@ -435,17 +474,7 @@ object Graph {
   private def incrementalLabelsCanon(
       priorEdges: DataFrame, priorLabels: DataFrame,
       d: DataFrame): DataFrame = {
-    val touched = d.select(col("a").as("id"))
-      .unionAll(d.select(col("b").as("id")))
-      .distinct()
-      .join(priorLabels, Seq("id"), "left")
-      .select(coalesce(col("label"), col("id")).as("label"))
-      .distinct().localCheckpoint()
-    val sub = priorEdges
-      .join(priorLabels.withColumnRenamed("id", "a"), Seq("a"))
-      .join(touched, Seq("label"), "left_semi")
-      .select("a", "b")
-      .unionAll(d.select("a", "b"))
+    val (touched, sub) = signedScope(priorEdges, priorLabels, d, None)
     val refreshed = Dedup.duplicateLabelsStar(
       sub.select(col("a").as("doc_a"), col("b").as("doc_b")))
     priorLabels
@@ -453,6 +482,43 @@ object Graph {
       .select("id", "label")
       .unionByName(refreshed.select("id", "label"))
       .localCheckpoint()
+  }
+
+  /** Touched-component scope for a SIGNED edge delta — the shared
+    * device of every incremental graph face: the labels either slice
+    * touches (adds AND removals; a brand-new node is its own touched
+    * singleton via coalesce — sound only under the min-id star-label
+    * PRECONDITION the public scaladocs state), and the re-peel
+    * subgraph = prior edges of touched components MINUS removals
+    * UNION adds. The prior edge frame is read once for the slim
+    * semi-join, never iterated. `removals` None keeps the grow-only
+    * incremental plans unchanged (no anti-join added). Inputs must be
+    * canonical (a < b) frames. */
+  private def signedScope(
+      priorEdges: DataFrame, priorLabels: DataFrame,
+      adds: DataFrame, removals: Option[DataFrame])
+      : (DataFrame, DataFrame) = {
+    val addPts = adds.select(col("a").as("id"))
+      .unionAll(adds.select(col("b").as("id")))
+    val touchPts = removals match {
+      case Some(r) => addPts
+        .unionAll(r.select(col("a").as("id")))
+        .unionAll(r.select(col("b").as("id")))
+      case None => addPts
+    }
+    val touched = touchPts.distinct()
+      .join(priorLabels, Seq("id"), "left")
+      .select(coalesce(col("label"), col("id")).as("label"))
+      .distinct().localCheckpoint()
+    val kept = priorEdges
+      .join(priorLabels.withColumnRenamed("id", "a"), Seq("a"))
+      .join(touched, Seq("label"), "left_semi")
+      .select("a", "b")
+    val minusRemoved = removals match {
+      case Some(r) => kept.join(r.select("a", "b"), Seq("a", "b"), "left_anti")
+      case None => kept
+    }
+    (touched, minusRemoved.unionAll(adds.select("a", "b")).distinct())
   }
 
   /** INCREMENTAL coreness — fold a DELTA edge batch into a prior
@@ -477,18 +543,37 @@ object Graph {
       priorCoreness: DataFrame, deltaEdges: DataFrame,
       localMaxEdges: Long = 2000000L, maxK: Int = 64,
       maxRounds: Int = 200): DataFrame = {
-    val d = canonicalUndirected(deltaEdges)
-    val touched = d.select(col("a").as("id"))
-      .unionAll(d.select(col("b").as("id")))
-      .distinct()
-      .join(priorLabels, Seq("id"), "left")
-      .select(coalesce(col("label"), col("id")).as("label"))
-      .distinct().localCheckpoint()
-    val sub = priorEdges
-      .join(priorLabels.withColumnRenamed("id", "a"), Seq("a"))
-      .join(touched, Seq("label"), "left_semi")
-      .select("a", "b")
-      .unionAll(d.select("a", "b")).distinct()
+    corenessCore(priorEdges, priorLabels, priorCoreness,
+      canonicalUndirected(deltaEdges), None, localMaxEdges, maxK, maxRounds)
+  }
+
+  /** SIGNED incremental coreness — [[corenessIncremental]] extended
+    * with an edge-REMOVAL slice (the [[Etl.snapshotDiff]] posture the
+    * text indexes already honor, applied to edges: a store delisting
+    * a product shrinks the co-purchase graph, it doesn't only grow).
+    * Touched components re-peel against prior-minus-removals-union-
+    * adds; untouched coreness rows pass through verbatim — sound
+    * because core numbers never cross a component boundary, in BOTH
+    * directions (a removed edge can change coreness only inside its
+    * own component). Same preconditions as [[kTrussIncremental]]:
+    * min-id star labels over exactly `priorEdges`' nodes. Output: the
+    * [[coreness]] contract over (prior − removals) ∪ adds — signed ==
+    * full is what the shared peel oracle's hash gate proves. */
+  def corenessSigned(
+      priorEdges: DataFrame, priorLabels: DataFrame,
+      priorCoreness: DataFrame, addEdges: DataFrame,
+      removeEdges: DataFrame, localMaxEdges: Long = 2000000L,
+      maxK: Int = 64, maxRounds: Int = 200): DataFrame =
+    corenessCore(priorEdges, priorLabels, priorCoreness,
+      canonicalUndirected(addEdges), Some(canonicalUndirected(removeEdges)),
+      localMaxEdges, maxK, maxRounds)
+
+  private def corenessCore(
+      priorEdges: DataFrame, priorLabels: DataFrame,
+      priorCoreness: DataFrame, adds: DataFrame,
+      removals: Option[DataFrame], localMaxEdges: Long,
+      maxK: Int, maxRounds: Int): DataFrame = {
+    val (touched, sub) = signedScope(priorEdges, priorLabels, adds, removals)
     val refreshed = corenessSharded(
       sub.select(col("a").as("src"), col("b").as("dst")),
       localMaxEdges, maxK, maxRounds)
@@ -656,9 +741,12 @@ object Graph {
     // merge when balanced, binary-probe the big side when skewed
     def forTriangles(e: Int)(f: (Int, Int) => Unit): Unit = {
       val u = ea(e); val v = eb(e)
-      val (x, y) = if (deg(u) <= deg(v)) (u, v) else (v, u)
-      val (sx, ex) = (off(x), off(x + 1))
-      val (sy, ey) = (off(y), off(y + 1))
+      // plain vars, no tuple destructuring: this runs once per edge
+      // visit in the peel loop and Tuple2 boxing is avoidable pressure
+      var x = u; var y = v
+      if (deg(u) > deg(v)) { x = v; y = u }
+      val sx = off(x); val ex = off(x + 1)
+      val sy = off(y); val ey = off(y + 1)
       val dSmall = ex - sx; val dBig = ey - sy
       // binary wins once the skew beats the log factor
       if (dSmall.toLong * (33 - Integer.numberOfLeadingZeros(dBig)) < dBig) {
@@ -793,28 +881,66 @@ object Graph {
     * (src, dst, w) batch. Output: the [[kTruss]] contract over the
     * UNION graph — incremental == full is spec-asserted (the truss
     * peel has no tractable SQL twin, so the driver entry is
-    * rows-only like q_ktruss). */
+    * rows-only like q_ktruss).
+    *
+    * PRECONDITIONS (shared with [[componentsIncremental]] /
+    * [[corenessIncremental]]): `priorLabels` must be MIN-NODE-ID star
+    * labels over exactly `priorEdges`' nodes — i.e. the output of
+    * [[duplicateLabelsStar]] / [[incrementalLabels]], where every
+    * label is itself a node id present in the frame. The
+    * coalesce(label, id) touched-set fallback treats a node absent
+    * from the labels frame as its own singleton component, which is
+    * only sound under that scheme (any other labeling could alias a
+    * new node id to an existing label and silently skip a re-peel).
+    * `priorTruss` must be a subset of `priorEdges`' components:
+    * a truss edge whose endpoint is missing from `priorLabels` is an
+    * inconsistent artifact triple and fails loudly (raise_error)
+    * rather than silently dropping the edge. */
   def kTrussIncremental(
       priorEdges: DataFrame, priorLabels: DataFrame,
       priorTruss: DataFrame, deltaEdges: DataFrame, k: Int,
-      localMaxEdges: Long = 2000000L, maxRounds: Int = 200): DataFrame = {
-    val d = canonicalUndirected(deltaEdges)
-    val touched = d.select(col("a").as("id"))
-      .unionAll(d.select(col("b").as("id")))
-      .distinct()
-      .join(priorLabels, Seq("id"), "left")
-      .select(coalesce(col("label"), col("id")).as("label"))
-      .distinct().localCheckpoint()
-    val sub = priorEdges
-      .join(priorLabels.withColumnRenamed("id", "a"), Seq("a"))
-      .join(touched, Seq("label"), "left_semi")
-      .select("a", "b")
-      .unionAll(d.select("a", "b")).distinct()
+      localMaxEdges: Long = 2000000L, maxRounds: Int = 200): DataFrame =
+    kTrussCore(priorEdges, priorLabels, priorTruss,
+      canonicalUndirected(deltaEdges), None, k, localMaxEdges, maxRounds)
+
+  /** SIGNED incremental k-truss — [[kTrussIncremental]] extended with
+    * an edge-REMOVAL slice: removing an edge can only DROP triangle
+    * support inside its own component, so the touched-component
+    * re-peel against prior-minus-removals-union-adds is exact and
+    * untouched truss edges pass through verbatim (support is
+    * within-component). Same preconditions and fail-loudly contract
+    * as [[kTrussIncremental]]. Output: the [[kTruss]] contract over
+    * (prior − removals) ∪ adds — signed == full is spec-asserted
+    * (rows-only at the driver, like the whole truss family). */
+  def kTrussSigned(
+      priorEdges: DataFrame, priorLabels: DataFrame,
+      priorTruss: DataFrame, addEdges: DataFrame, removeEdges: DataFrame,
+      k: Int, localMaxEdges: Long = 2000000L,
+      maxRounds: Int = 200): DataFrame =
+    kTrussCore(priorEdges, priorLabels, priorTruss,
+      canonicalUndirected(addEdges), Some(canonicalUndirected(removeEdges)),
+      k, localMaxEdges, maxRounds)
+
+  private def kTrussCore(
+      priorEdges: DataFrame, priorLabels: DataFrame,
+      priorTruss: DataFrame, adds: DataFrame, removals: Option[DataFrame],
+      k: Int, localMaxEdges: Long, maxRounds: Int): DataFrame = {
+    val (touched, sub) = signedScope(priorEdges, priorLabels, adds, removals)
     val refreshed = kTrussSharded(
       sub.select(col("a").as("src"), col("b").as("dst")),
       k, localMaxEdges, maxRounds)
+    // left join + loud null check, not inner: an inner join would
+    // silently DROP a truss edge whose endpoint is missing from the
+    // labels frame (an inconsistent artifact triple) instead of
+    // surfacing the corruption
     val untouched = priorTruss
-      .join(priorLabels.withColumnRenamed("id", "a"), Seq("a"))
+      .join(priorLabels.withColumnRenamed("id", "a"), Seq("a"), "left")
+      .withColumn("label", when(col("label").isNull,
+          raise_error(concat(
+            lit("kTruss incremental fold: truss edge endpoint "),
+            col("a").cast("string"),
+            lit(" missing from priorLabels — inconsistent artifacts"))))
+        .otherwise(col("label")))
       .join(touched, Seq("label"), "left_anti")
       .select("a", "b", "support")
     untouched.unionByName(refreshed.select("a", "b", "support"))
@@ -984,6 +1110,38 @@ object Graph {
           |  div (CAST(degree AS DECIMAL(38,0)) * (degree - 1) * 2) AS BIGINT)
           |END""".stripMargin))
       .select("node", "degree", "n_triangles", "cc_micro")
+      .orderBy("node")
+  }
+
+  /** SIGNED incremental triangles — the triangle face under an
+    * edge-REMOVAL slice. Insertion-only folding is arithmetic
+    * ([[trianglesIncremental]]); removal is not (a removed edge
+    * silently kills triangles it closed AND shifts every survivor's
+    * cc denominator), so the signed form uses the family's
+    * touched-component machinery instead: triangle counts and
+    * degrees never cross a component boundary, so the full
+    * [[triangles]] wedge join re-runs on the touched subgraph only
+    * (prior edges of touched components minus removals union adds)
+    * and every untouched component's per-node rows pass through
+    * VERBATIM. Preconditions as [[kTrussIncremental]]. Output: the
+    * [[triangles]] contract over (prior − removals) ∪ adds — signed
+    * == full is what the shared wedge-join oracle's hash gate
+    * proves. */
+  def trianglesSigned(
+      priorEdges: DataFrame, priorLabels: DataFrame,
+      priorTriangles: DataFrame, addEdges: DataFrame,
+      removeEdges: DataFrame): DataFrame = {
+    val a = canonicalUndirected(addEdges)
+    val r = canonicalUndirected(removeEdges)
+    val (touched, sub) = signedScope(priorEdges, priorLabels, a, Some(r))
+    val refreshed = triangles(
+      sub.select(col("a").as("src"), col("b").as("dst")))
+    val untouched = priorTriangles
+      .join(priorLabels.withColumnRenamed("id", "node"), Seq("node"))
+      .join(touched, Seq("label"), "left_anti")
+      .select("node", "degree", "n_triangles", "cc_micro")
+    untouched
+      .unionByName(refreshed.select("node", "degree", "n_triangles", "cc_micro"))
       .orderBy("node")
   }
 

@@ -501,6 +501,74 @@ object Similarity {
       tau, keepFarthest)
   }
 
+  /** The SemDeDup index pair — (slim (vec_id, cid, sim) assignment,
+    * centroids) trained ONCE on this corpus with the paper's k ∝ n
+    * sizing: what a serving/streaming path persists so later vectors
+    * can assign against FIXED centroids ([[semDeDupAssignAgainst]])
+    * and verdicts re-resolve only in touched clusters
+    * ([[semDeDupIncremental]]). One call guarantees assignments match
+    * the returned centroids exactly (the [[ivfIndex]] contract). */
+  def semDeDupIndex(
+      emb: DataFrame, nCentroids: Option[Int] = None,
+      clusterSize: Long = 250L, lloydIters: Int = 2,
+      trainFactor: Int = 64): (DataFrame, DataFrame) = {
+    require(clusterSize >= 1L,
+      s"semDeDupIndex: clusterSize must be >= 1, got $clusterSize")
+    val k = nCentroids.getOrElse {
+      val n = emb.count()
+      math.max(1L, (n + clusterSize - 1L) / clusterSize).toInt
+    }
+    val (e, centroids) = ivfModel(emb, k, lloydIters, trainFactor)
+    (assignTo(e, centroids).select("vec_id", "cid", "sim"), centroids)
+  }
+
+  /** SemDeDup assignment of NEW vectors against FIXED persisted
+    * centroids — the [[ivfAssignAgainst]] contract carrying `sim`
+    * (the centroid cosine the keep-farthest rule ranks by): the
+    * narrow broadcast map, bit-identical to what [[semDeDupIndex]]
+    * would have produced had these vectors been present (assignment
+    * at fixed centroids is deterministic). */
+  def semDeDupAssignAgainst(emb: DataFrame, cents: DataFrame): DataFrame = {
+    graft.functions.VectorFunctions.register(emb.sparkSession)
+    val e = withNorm(emb)
+      .withColumn("vn", expr("transform(v, x -> x / norm)"))
+      .select("vec_id", "vn")
+    assignTo(e, cents).select("vec_id", "cid", "sim")
+  }
+
+  /** INCREMENTAL SemDeDup — fold newly-assigned vectors into a prior
+    * verdict without re-resolving the whole corpus: connected
+    * components NEVER cross cluster boundaries (the within-cluster
+    * join is SemDeDup's sharding device), so a new vector can change
+    * verdicts only inside its own cluster. Clusters in `touched`
+    * re-resolve over ALL their members (prior + new, vectors
+    * re-normalized narrowly from the corpus); every untouched
+    * cluster's (vec_id, cid, kept) rows pass through VERBATIM.
+    * `assignments` is the LIVE slim frame (prior ∪ new),
+    * `priorVerdict` the persisted (vec_id, cid, kept) output of a
+    * prior run, `touched` any frame with the touched cluster ids in
+    * `cid`. Output: the [[semDeDup]] contract over the union corpus —
+    * incremental == full is spec-asserted. */
+  def semDeDupIncremental(
+      emb: DataFrame, assignments: DataFrame, priorVerdict: DataFrame,
+      touched: DataFrame, tau: Double = 0.9,
+      keepFarthest: Boolean = false): DataFrame = {
+    graft.functions.VectorFunctions.register(emb.sparkSession)
+    val t = touched.select("cid").distinct().localCheckpoint()
+    val untouched = priorVerdict
+      .join(t, Seq("cid"), "left_anti")
+      .select("vec_id", "cid", "kept")
+    val e = withNorm(emb)
+      .withColumn("vn", expr("transform(v, x -> x / norm)"))
+      .select("vec_id", "vn")
+    val refreshed = semDeDupFromAssignment(
+      e.join(assignments.join(t, Seq("cid"), "left_semi")
+        .select("vec_id", "cid", "sim"), Seq("vec_id")),
+      tau, keepFarthest)
+    untouched.unionByName(refreshed.select("vec_id", "cid", "kept"))
+      .orderBy("vec_id")
+  }
+
   /** The verdict from any (vec_id, vn, cid, sim) assignment frame:
     * within-cluster pairs at cosine ≥ tau → star-contraction
     * components → one survivor per component. `keepFarthest = false`

@@ -256,18 +256,25 @@ object Multimodal {
   /** Decode one record: real ImageIO path when the payload sniffs as a
     * decodable image within the size cap, real AudioSystem path for
     * WAV within the frame cap, deterministic stub otherwise. */
+  /** Guarded in-memory image decode shared by feature extraction and
+    * perceptual fingerprinting: magic-byte sniff, header-only bomb
+    * check, then the ImageIO read — None on any failure. */
+  private def decodeImage(payload: Array[Byte])
+      : Option[java.awt.image.BufferedImage] =
+    if (!looksLikeImage(payload)) None
+    else try {
+      // in-memory streams only — never let ImageIO spill a disk cache
+      javax.imageio.ImageIO.setUseCache(false)
+      headerPixels(payload).filter(px => px > 0 && px <= MaxPixels).flatMap { _ =>
+        Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload)))
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
   private[sources] def decodeOne(r: MediaRecord, dim: Int): MediaFeatures = {
     val checksum = payloadChecksum(r.payload)
     val real: Option[(String, Array[Float])] =
-      if (r.modality == "image" && looksLikeImage(r.payload)) {
-        try {
-          // in-memory streams only — never let ImageIO spill a disk cache
-          javax.imageio.ImageIO.setUseCache(false)
-          headerPixels(r.payload).filter(px => px > 0 && px <= MaxPixels).flatMap { _ =>
-            Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload)))
-              .map(img => ("imageio", imageFeatures(img, dim)))
-          }
-        } catch { case scala.util.control.NonFatal(_) => None }
+      if (r.modality == "image") {
+        decodeImage(r.payload).map(img => ("imageio", imageFeatures(img, dim)))
       } else if (r.modality == "audio" && looksLikeWav(r.payload)) {
         try wavFeatures(r.payload, dim).map(("wav", _))
         catch { case scala.util.control.NonFatal(_) => None }
@@ -287,6 +294,198 @@ object Multimodal {
     * payloads — the mapInPandas-style batch shape, as a narrow op. */
   def extractFeatures(media: Dataset[MediaRecord], dim: Int = 8): Dataset[MediaFeatures] =
     media.mapPartitions(_.map(decodeOne(_, dim)))
+
+  // ---------------------------------------------------------------
+  // PERCEPTUAL IMAGE FINGERPRINTS (aHash / dHash) — the image face of
+  // the near-dup family: re-encoding, lossless resizing, and uniform
+  // brightness shifts leave the 64-bit fingerprints unchanged, so a
+  // hamming-bucket join (the text SimHash machinery, Dedup
+  // .fingerprintPairs) finds image near-copies without any all-pairs
+  // comparison.
+  // ---------------------------------------------------------------
+
+  case class MediaFingerprint(
+      media_id: Long, codec: String, ahash: Long, dhash: Long)
+  implicit val mediaFingerprintEnc: Encoder[MediaFingerprint] =
+    Encoders.product[MediaFingerprint]
+
+  /** Probes per cell axis: each grid cell averages S×S luma probes at
+    * FIXED FRACTIONAL positions of the whole image. */
+  private val GridProbes = 4
+
+  /** The luma grid behind both hashes: `gw`×`gh` cells, each the mean
+    * of S×S probes at fixed fractional coordinates — probe pixel
+    * x = floor(((cx·S + i)·2 + 1) · w / (gw·S·2)), all long integer
+    * math. The nested-floor identity floor(floor(q·w·k/D)/k) =
+    * floor(q·w/D) makes the probed ORIGINAL pixel independent of any
+    * k× pixel replication, so a replicated upscale yields the
+    * bit-identical grid (spec-pinned); cost is gw·gh·S² probes,
+    * bounded regardless of resolution. Luma is the integer
+    * 299r+587g+114b — no floats anywhere. */
+  private def lumaGrid(
+      img: java.awt.image.BufferedImage, gw: Int, gh: Int): Array[Long] = {
+    val w = img.getWidth.toLong
+    val h = img.getHeight.toLong
+    val s = GridProbes
+    Array.tabulate(gw * gh) { idx =>
+      val cx = idx % gw
+      val cy = idx / gw
+      var sum = 0L
+      var j = 0
+      while (j < s) {
+        val y = (((cy * s + j) * 2L + 1) * h / (gh * s * 2L)).toInt
+        var i = 0
+        while (i < s) {
+          val x = (((cx * s + i) * 2L + 1) * w / (gw * s * 2L)).toInt
+          val rgb = img.getRGB(x, y)
+          sum += 299L * ((rgb >> 16) & 0xFF) + 587L * ((rgb >> 8) & 0xFF) +
+            114L * (rgb & 0xFF)
+          i += 1
+        }
+        j += 1
+      }
+      sum / (s * s)
+    }
+  }
+
+  /** aHash: 8×8 grid, bit j set iff cell j's luma is above the grid
+    * mean — brightness-shift- and re-encode-invariant. */
+  private[sources] def aHash(img: java.awt.image.BufferedImage): Long = {
+    val g = lumaGrid(img, 8, 8)
+    val mean = g.sum / 64
+    var bits = 0L
+    var j = 0
+    while (j < 64) { if (g(j) > mean) bits |= (1L << j); j += 1 }
+    bits
+  }
+
+  /** dHash: 9×8 grid, bit set iff the right neighbor is brighter —
+    * the horizontal-gradient sign, robust where flat regions make
+    * aHash bits arbitrary. */
+  private[sources] def dHash(img: java.awt.image.BufferedImage): Long = {
+    val g = lumaGrid(img, 9, 8)
+    var bits = 0L
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        if (g(y * 9 + x + 1) > g(y * 9 + x)) bits |= (1L << (y * 8 + x))
+        x += 1
+      }
+      y += 1
+    }
+    bits
+  }
+
+  /** Per-record perceptual fingerprints: real decode where the payload
+    * carries a JDK-decodable image (codec "imageio"), the honest
+    * deterministic checksum-derived stub otherwise (codec "stub" — a
+    * stub fingerprint only ever hamming-matches an exact byte copy,
+    * never a perceptual near-copy; the codec column keeps the two
+    * regimes distinguishable downstream, the q_multimodal_features
+    * posture). A narrow mapPartitions over the scan: payloads never
+    * cross a shuffle. */
+  def imageFingerprints(media: Dataset[MediaRecord]): Dataset[MediaFingerprint] =
+    media.mapPartitions(_.map { r =>
+      val checksum = payloadChecksum(r.payload)
+      decodeImage(r.payload) match {
+        case Some(img) =>
+          MediaFingerprint(r.media_id, "imageio", aHash(img), dHash(img))
+        case None =>
+          // two independent 64-bit mixes of the content checksum
+          MediaFingerprint(r.media_id, "stub",
+            checksum * 0x9E3779B97F4A7C15L,
+            java.lang.Long.reverse(checksum) * 0xC2B2AE3D27D4EB4FL)
+      }
+    })
+
+  /** Image near-duplicate pairs over a fingerprint frame — the
+    * [[graft.operators.Dedup.simhashPairs]] machinery pointed at
+    * dHash: 16-bit chunk buckets (capped; meter first with
+    * [[graft.operators.Dedup.fingerprintBucketOccupancy]]), exact
+    * hamming verify on BOTH hashes (dHash gates at `maxHamming`,
+    * aHash rides as corroboration). Output: (media_a, media_b,
+    * hamming_d, hamming_a), ordered. */
+  def imageNearDup(
+      fps: DataFrame, maxHamming: Int = 6,
+      bucketCap: Long = Long.MaxValue): DataFrame = {
+    val ids = fps.select(col("media_id").as("doc_id"), col("dhash").as("fp"))
+    val pairs = graft.operators.Dedup.fingerprintPairs(ids, maxHamming, bucketCap)
+    val ah = fps.select(col("media_id"), col("ahash"))
+    pairs
+      .join(ah.select(col("media_id").as("doc_a"), col("ahash").as("ah_a")), "doc_a")
+      .join(ah.select(col("media_id").as("doc_b"), col("ahash").as("ah_b")), "doc_b")
+      .select(col("doc_a").as("media_a"), col("doc_b").as("media_b"),
+        col("hamming").as("hamming_d"),
+        expr("bit_count(ah_a ^ ah_b)").as("hamming_a"))
+      .orderBy("media_a", "media_b")
+  }
+
+  /** Deterministic REAL-image corpus from the documents table (the
+    * [[mediaFromDocuments]] posture upgraded to genuinely decodable
+    * payloads): each doc renders a 32×32 PNG whose pixels derive from
+    * its md5 — and every 50th doc plants a NEAR-COPY twin at
+    * media_id + 10,000,000: doc_id %50 == 0 re-encodes the same
+    * pixels as BMP (different bytes, same image), %50 == 10 upscales
+    * 2× by pixel replication (the grid proration makes both
+    * fingerprint-identical to their originals). The planted twins are
+    * what a near-dup gate must catch WITHOUT exact-hash help. */
+  def syntheticImages(docs: DataFrame): Dataset[MediaRecord] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions(_.flatMap { case (docId, text) =>
+        val img = renderImage(docId, text, 1)
+        val base = MediaRecord(docId, "image", encodePng(img), 32, 32, 0)
+        val twin =
+          if (docId % 50 == 0)
+            Some(MediaRecord(docId + 10000000L, "image", encodeBmp(img), 32, 32, 0))
+          else if (docId % 50 == 10)
+            Some(MediaRecord(docId + 10000000L, "image",
+              encodePng(renderImage(docId, text, 2)), 64, 64, 0))
+          else None
+        Iterator(base) ++ twin.iterator
+      })
+  }
+
+  /** A (32·scale)×(32·scale) deterministic pixel pattern from
+    * (doc_id, text) — pixel-replicated at `scale`, pure integer
+    * mixing, identical pixels for identical inputs on any JVM. */
+  private def renderImage(
+      docId: Long, text: String, scale: Int): java.awt.image.BufferedImage = {
+    val side = 32 * scale
+    val img = new java.awt.image.BufferedImage(
+      side, side, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val bytes = text.getBytes("UTF-8")
+    var y = 0
+    while (y < side) {
+      var x = 0
+      while (x < side) {
+        val ox = x / scale
+        val oy = y / scale
+        var h = docId * 0x9E3779B97F4A7C15L + oy * 32L + ox
+        if (bytes.nonEmpty) h += bytes((oy * 32 + ox) % bytes.length)
+        h *= 0xC2B2AE3D27D4EB4FL
+        h ^= h >>> 29
+        img.setRGB(x, y, (h & 0xFFFFFF).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    img
+  }
+
+  private def encodePng(img: java.awt.image.BufferedImage): Array[Byte] =
+    encodeAs(img, "png")
+  private def encodeBmp(img: java.awt.image.BufferedImage): Array[Byte] =
+    encodeAs(img, "bmp")
+  private def encodeAs(
+      img: java.awt.image.BufferedImage, fmt: String): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.setUseCache(false)
+    javax.imageio.ImageIO.write(img, fmt, bos)
+    bos.toByteArray
+  }
 
   /** Frame sampling stub for video payloads: pretends each `frameBytes`
     * slice is a frame, keeps every `stride`-th — demonstrates the

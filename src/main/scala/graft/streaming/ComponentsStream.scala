@@ -140,12 +140,7 @@ object ComponentsStream {
       }
     }
     // try/finally: any failure in seed staging/stream/compact/serve
-    // must not leak the graft_cc_stream* tree under tmpdir. The served
-    // stats are COLLECTED into a local relation before the source
-    // directories die — a localCheckpoint'd frame survives only while
-    // its executor blocks do, so returning one whose lineage points at
-    // deleted files would make the result unrecomputable after block
-    // loss (the stats are bounded: one row per component).
+    // must not leak the graft_cc_stream* tree under tmpdir.
     try {
       val delta = StreamMeter.timeSeed("q_stream_components") {
         val (priorE, priorL) = graft.SparkEntry.cpIndexShared(spark, dir)
@@ -166,9 +161,11 @@ object ComponentsStream {
       try q.processAllAvailable() finally q.stop()
       // mid-lifecycle compaction: served stats must be unchanged by it
       compact(spark, seedRoot, deltaP)
-      val served = serveComponents(spark, seedRoot, deltaP)
-      spark.createDataFrame(
-          java.util.Arrays.asList(served.collect(): _*), served.schema)
+      // localCheckpoint (eager), NOT collect: one row per component is
+      // unbounded in general (singletons dominate real crawl graphs) —
+      // the materialized blocks keep the result off-driver and
+      // independent of the temp dirs rm() deletes
+      serveComponents(spark, seedRoot, deltaP).localCheckpoint()
         .orderBy("component")
     } finally rm(root)
   }

@@ -67,6 +67,31 @@ class BenchLineSpec extends AnyFunSuite {
     assert(!Bench.stdoutLine(rs, rs.map(_._2).sum, "sf0.1").contains("\"build\""))
   }
 
+  test("seed map rides the line as its own key, disjoint from build") {
+    def real(n: Int): Seq[(String, Double)] =
+      (1 to n).map(i => f"q_entity_match_$i%03d" -> i * 0.137)
+    val rs = real(40)
+    val build = Seq("q_entity_match_001" -> 1.5)
+    val seed = Seq("q_entity_match_002" -> 0.7)
+    val line = Bench.stdoutLine(rs, rs.map(_._2).sum, "sf0.1", build, seed)
+    assert(line.length <= Bench.MaxLine && parseable(line))
+    // two maps, two semantics: build is EXCLUDED from the median
+    // (add them), seed sits INSIDE it (never add) — a consumer
+    // summing median+build must not double-count a stream seed
+    assert(line.contains("\"build\":{\"q_entity_match_001\":1.500}"))
+    assert(line.contains("\"seed\":{\"q_entity_match_002\":0.700}"))
+    // no seed map → no seed key
+    assert(!Bench.stdoutLine(rs, rs.map(_._2).sum, "sf0.1", build)
+      .contains("\"seed\""))
+    // at the full driver-surface count both maps survive the fold
+    val big = real(230)
+    val bigLine = Bench.stdoutLine(big, big.map(_._2).sum, "sf0.1",
+      big.sortBy(-_._2).take(8).map { case (k, _) => k -> 1.5 },
+      big.sortBy(-_._2).drop(8).take(8).map { case (k, _) => k -> 0.7 })
+    assert(bigLine.length <= Bench.MaxLine && parseable(bigLine))
+    assert(bigLine.contains("\"build\":{") && bigLine.contains("\"seed\":{"))
+  }
+
   test("values format with a dot decimal separator in any locale") {
     val prev = java.util.Locale.getDefault
     try {

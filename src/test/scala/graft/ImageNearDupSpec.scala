@@ -1,0 +1,98 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions.col
+
+import graft.sources.Multimodal
+import graft.operators.Dedup
+
+/** Perceptual image-fingerprint and near-dup specs: the aHash/dHash
+  * invariants (re-encode, pixel-replicated resize, uniform brightness
+  * shift) and the planted-twin capture over the synthetic REAL-image
+  * corpus — the multimodal face of the dedup family. */
+class ImageNearDupSpec extends AnyFunSuite with SparkSessionTestBase {
+
+  import spark.implicits._
+
+  /** A deterministic non-uniform test image (gradient + checker). */
+  private def testImage(side: Int, scale: Int = 1,
+      shift: Int = 0): java.awt.image.BufferedImage = {
+    val img = new java.awt.image.BufferedImage(
+      side * scale, side * scale, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until side * scale; x <- 0 until side * scale) {
+      val ox = x / scale
+      val oy = y / scale
+      val r = math.min(255, (ox * 255 / side + shift))
+      val g = math.min(255, (oy * 255 / side + shift))
+      val b = math.min(255, (if (((ox / 4) + (oy / 4)) % 2 == 0) 200 else 40) + shift)
+      img.setRGB(x, y, (r << 16) | (g << 8) | b)
+    }
+    img
+  }
+
+  private def enc(img: java.awt.image.BufferedImage, fmt: String): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.setUseCache(false)
+    assert(javax.imageio.ImageIO.write(img, fmt, bos))
+    bos.toByteArray
+  }
+
+  private def fps(recs: Seq[Multimodal.MediaRecord]) =
+    Multimodal.imageFingerprints(recs.toDS()).collect()
+      .map(f => f.media_id -> f).toMap
+
+  test("aHash/dHash survive re-encoding, 2x pixel replication, and " +
+      "uniform brightness shift; codec column records the real decode") {
+    val img = testImage(32)
+    val m = fps(Seq(
+      Multimodal.MediaRecord(1L, "image", enc(img, "png"), 32, 32, 0),
+      Multimodal.MediaRecord(2L, "image", enc(img, "bmp"), 32, 32, 0),
+      Multimodal.MediaRecord(3L, "image", enc(testImage(32, scale = 2), "png"), 64, 64, 0),
+      Multimodal.MediaRecord(4L, "image", enc(testImage(32, shift = 8), "png"), 32, 32, 0),
+      Multimodal.MediaRecord(5L, "image", "not an image".getBytes("UTF-8"), 0, 0, 0)))
+    assert(m(1L).codec === "imageio" && m(5L).codec === "stub")
+    // lossless re-encode: identical pixels, identical fingerprints
+    assert(m(2L).ahash === m(1L).ahash && m(2L).dhash === m(1L).dhash)
+    // pixel-replicated 2x upscale: the fixed-fractional-position
+    // probes hit the SAME original pixels (nested-floor identity), so
+    // both grids — including dHash's 9-column one — are bit-identical
+    assert(m(3L).ahash === m(1L).ahash && m(3L).dhash === m(1L).dhash)
+    // uniform +8 brightness: every cell shifts equally, signs hold
+    assert(m(4L).ahash === m(1L).ahash && m(4L).dhash === m(1L).dhash)
+    // determinism: a second pass reproduces the fingerprints exactly
+    val again = fps(Seq(
+      Multimodal.MediaRecord(1L, "image", enc(img, "png"), 32, 32, 0)))
+    assert(again(1L).ahash === m(1L).ahash && again(1L).dhash === m(1L).dhash)
+  }
+
+  test("imageNearDup catches every planted twin in the synthetic " +
+      "corpus without exact-hash help; occupancy meters the buckets") {
+    val docs = (0L until 120L)
+      .map(i => (i, s"document body $i with some drift ${i * 37}"))
+      .toDF("doc_id", "text")
+    val media = Multimodal.syntheticImages(docs)
+    val recs = media.collect()
+    // 120 docs, twins at %50==0 (0, 50, 100) and %50==10 (10, 60, 110)
+    assert(recs.length === 126)
+    val fp = Multimodal.imageFingerprints(media).toDF()
+    assert(fp.filter(col("codec") =!= "imageio").count() === 0)
+    val pairs = Multimodal.imageNearDup(fp, maxHamming = 6, bucketCap = 1000L)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getInt(2), r.getInt(3)))
+      .toMap
+    for (id <- Seq(0L, 50L, 100L)) {
+      // BMP re-encode: same pixels, hamming 0 on both hashes
+      assert(pairs.get((id, id + 10000000L)).exists(h => h._1 === 0 && h._2 === 0),
+        s"BMP twin of $id not caught: ${pairs.get((id, id + 10000000L))}")
+    }
+    for (id <- Seq(10L, 60L, 110L)) {
+      // 2x upscale: fingerprint-identical by the probe invariance
+      assert(pairs.get((id, id + 10000000L)).exists(h => h._1 === 0 && h._2 === 0),
+        s"resized twin of $id not caught: ${pairs.get((id, id + 10000000L))}")
+    }
+    // the meter sees the twin buckets (occupancy >= 2) before the join
+    val occ = Dedup.fingerprintBucketOccupancy(
+      fp.select(col("media_id").as("doc_id"), col("dhash").as("fp")))
+    assert(occ.count() >= 6)
+  }
+}
