@@ -120,7 +120,13 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // builder aid, like Verify's SPARK_GRAFT_VERIFY_ONLY (the driver
+    // never sets it): comma-separated entry names to isolate a
+    // regression on a quiet host without paying the full surface
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(',').map(_.trim).toSet)
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
     // Full warm-up pass EXCLUDED from stats: builds every persisted
     // index artifact (trigram/SQ/PQ/LM/BPE — fingerprint-keyed parquet,
     // built once per data version), JIT-compiles the generated code,

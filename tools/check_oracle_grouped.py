@@ -24,6 +24,12 @@ sfdir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 outdir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
 
 con = duckdb.connect()
+# builder aid: cap DuckDB's thread pool (GRAFT_ORACLE_THREADS) so a
+# long sf0.1 replay can share the host with a Spark probe run
+import os
+thr = os.environ.get("GRAFT_ORACLE_THREADS")
+if thr:
+    con.execute(f"SET threads TO {int(thr)}")
 for p in glob.glob(f"{sfdir}/*.parquet"):
     name = p.split("/")[-1].replace(".parquet", "")
     con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{p}'")
