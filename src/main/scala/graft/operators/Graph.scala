@@ -494,6 +494,22 @@ object Graph {
     * semi-join, never iterated. `removals` None keeps the grow-only
     * incremental plans unchanged (no anti-join added). Inputs must be
     * canonical (a < b) frames. */
+  /** Attach each prior-artifact row's component label, FAILING LOUDLY
+    * (raise_error) on a row whose `key` node is missing from the
+    * labels frame — an inconsistent (edges, labels, output) artifact
+    * triple must surface, not silently drop rows from the untouched
+    * pass-through (the fail-loudly convention, applied to the whole
+    * incremental family rather than one face). */
+  private def withLabelLoudly(
+      rows: DataFrame, priorLabels: DataFrame, key: String,
+      who: String): DataFrame =
+    rows.join(priorLabels.withColumnRenamed("id", key), Seq(key), "left")
+      .withColumn("label", when(col("label").isNull,
+          raise_error(concat(
+            lit(s"$who: prior row endpoint "), col(key).cast("string"),
+            lit(" missing from priorLabels — inconsistent artifacts"))))
+        .otherwise(col("label")))
+
   private def signedScope(
       priorEdges: DataFrame, priorLabels: DataFrame,
       adds: DataFrame, removals: Option[DataFrame])
@@ -577,8 +593,8 @@ object Graph {
     val refreshed = corenessSharded(
       sub.select(col("a").as("src"), col("b").as("dst")),
       localMaxEdges, maxK, maxRounds)
-    val untouched = priorCoreness
-      .join(priorLabels.withColumnRenamed("id", "node"), Seq("node"))
+    val untouched = withLabelLoudly(
+        priorCoreness, priorLabels, "node", "coreness incremental fold")
       .join(touched, Seq("label"), "left_anti")
       .select("node", "coreness")
     untouched.unionByName(refreshed.select("node", "coreness"))
@@ -929,18 +945,8 @@ object Graph {
     val refreshed = kTrussSharded(
       sub.select(col("a").as("src"), col("b").as("dst")),
       k, localMaxEdges, maxRounds)
-    // left join + loud null check, not inner: an inner join would
-    // silently DROP a truss edge whose endpoint is missing from the
-    // labels frame (an inconsistent artifact triple) instead of
-    // surfacing the corruption
-    val untouched = priorTruss
-      .join(priorLabels.withColumnRenamed("id", "a"), Seq("a"), "left")
-      .withColumn("label", when(col("label").isNull,
-          raise_error(concat(
-            lit("kTruss incremental fold: truss edge endpoint "),
-            col("a").cast("string"),
-            lit(" missing from priorLabels — inconsistent artifacts"))))
-        .otherwise(col("label")))
+    val untouched = withLabelLoudly(
+        priorTruss, priorLabels, "a", "kTruss incremental fold")
       .join(touched, Seq("label"), "left_anti")
       .select("a", "b", "support")
     untouched.unionByName(refreshed.select("a", "b", "support"))
@@ -1136,8 +1142,8 @@ object Graph {
     val (touched, sub) = signedScope(priorEdges, priorLabels, a, Some(r))
     val refreshed = triangles(
       sub.select(col("a").as("src"), col("b").as("dst")))
-    val untouched = priorTriangles
-      .join(priorLabels.withColumnRenamed("id", "node"), Seq("node"))
+    val untouched = withLabelLoudly(
+        priorTriangles, priorLabels, "node", "trianglesSigned")
       .join(touched, Seq("label"), "left_anti")
       .select("node", "degree", "n_triangles", "cc_micro")
     untouched

@@ -326,4 +326,46 @@ class EmptyInputSpec extends AnyFunSuite with SparkSessionTestBase {
       .collect().map(_.toString).toSeq ===
       prior.collect().map(_.toString).toSeq)
   }
+
+  test("round-11 operators on empty inputs") {
+    import spark.implicits._
+    val noEdges = Seq.empty[(Long, Long, Long)].toDF("src", "dst", "w")
+    val prior = Seq((1L, 2L, 1L), (2L, 3L, 1L)).toDF("src", "dst", "w")
+    val priorE = Graph.canonicalEdges(prior)
+    val priorL = Graph.componentLabels(prior)
+    // signed forms with BOTH slices empty: identity with the prior face
+    assert(Graph.componentsSigned(priorE, priorL, noEdges, noEdges)
+      .collect().map(_.toString).toSeq ===
+      Graph.components(prior).collect().map(_.toString).toSeq)
+    val priorC = Graph.coreness(prior)
+    assert(Graph.corenessSigned(priorE, priorL, priorC, noEdges, noEdges)
+      .collect().map(_.toString).toSeq ===
+      priorC.collect().map(_.toString).toSeq)
+    // removing EVERY edge empties every face
+    assert(Graph.componentsSigned(priorE, priorL, noEdges, prior).count() === 0)
+    assert(Graph.corenessSigned(priorE, priorL, priorC, noEdges, prior)
+      .count() === 0)
+    assert(Graph.trianglesSigned(priorE, priorL, Graph.triangles(prior),
+      noEdges, prior).count() === 0)
+    assert(Graph.kTrussSigned(priorE, priorL,
+      Graph.kTruss(prior, 3), noEdges, prior, 3).count() === 0)
+    // empty media corpus: fingerprints, pairs, and occupancy all empty
+    val noMedia = graft.sources.Multimodal.syntheticImages(emptyDocs)
+    val noFps = graft.sources.Multimodal.imageFingerprints(noMedia).toDF()
+    assert(noFps.count() === 0)
+    assert(graft.sources.Multimodal.imageNearDup(noFps).count() === 0)
+    assert(Dedup.fingerprintPairs(
+      noFps.select(org.apache.spark.sql.functions.col("media_id").as("doc_id"),
+        org.apache.spark.sql.functions.col("dhash").as("fp"))).count() === 0)
+    // semDeDup incremental with an empty touched set: prior verdict
+    // passes through verbatim
+    val emb = Seq((1L, Array(1f, 0f)), (2L, Array(1f, 0f)))
+      .toDF("vec_id", "embedding")
+    val (assign, _) = Similarity.semDeDupIndex(emb, nCentroids = Some(1))
+    val verdict = Similarity.semDeDupFromIndex(emb, assign).localCheckpoint()
+    val noCids = assign.select("cid").limit(0)
+    assert(Similarity.semDeDupIncremental(emb, assign, verdict, noCids)
+      .collect().map(_.toString).toSeq ===
+      verdict.collect().map(_.toString).toSeq)
+  }
 }
