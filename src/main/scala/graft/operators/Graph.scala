@@ -419,7 +419,11 @@ object Graph {
 
   /** SIGNED incremental components — [[componentsIncremental]]
     * extended with an edge-REMOVAL slice (the [[Etl.snapshotDiff]]
-    * posture applied to edges). Removing a bridge SPLITS a component:
+    * posture applied to edges; the reference's own data model deletes
+    * rows, not just inserts them — rabbitmq-to-postgres/app.py:98
+    * declares ON DELETE CASCADE on the price/store references, and a
+    * delisted product shrinks the co-purchase graph the same way).
+    * Removing a bridge SPLITS a component:
     * the whole touched component re-contracts from its surviving
     * edges, so the split falls out of the same star-contraction that
     * handles merges (each side re-labels to its own min node id,

@@ -296,12 +296,13 @@ object Multimodal {
     media.mapPartitions(_.map(decodeOne(_, dim)))
 
   // ---------------------------------------------------------------
-  // PERCEPTUAL IMAGE FINGERPRINTS (aHash / dHash) — the image face of
-  // the near-dup family: re-encoding, lossless resizing, and uniform
-  // brightness shifts leave the 64-bit fingerprints unchanged, so a
-  // hamming-bucket join (the text SimHash machinery, Dedup
-  // .fingerprintPairs) finds image near-copies without any all-pairs
-  // comparison.
+  // PERCEPTUAL IMAGE FINGERPRINTS (aHash / dHash, the average-hash
+  // and difference-hash of Krawetz's pHash family — public
+  // algorithms) — the image face of the near-dup family: re-encoding,
+  // lossless resizing, and uniform brightness shifts leave the 64-bit
+  // fingerprints unchanged, so a hamming-bucket join (the text
+  // SimHash machinery, Dedup.fingerprintPairs) finds image
+  // near-copies without any all-pairs comparison.
   // ---------------------------------------------------------------
 
   case class MediaFingerprint(
