@@ -1665,6 +1665,17 @@ object SparkEntry {
         graft.sources.Multimodal.imageFingerprints(media).toDF(),
         maxHamming = 6, bucketCap = 1000L)
     }),
+    // the survivors face over the same corpus: pair components via
+    // star contraction, min media_id survives — one verdict row per
+    // image (planted twins all report kept=false, spec-pinned).
+    // rows-only for the q_image_neardup reason
+    "q_image_survivors" -> ((s, d) => {
+      val media = graft.sources.Multimodal.syntheticImages(
+        Tables.documents(s, d))
+      graft.sources.Multimodal.imageNearDupSurvivors(
+        graft.sources.Multimodal.imageFingerprints(media).toDF(),
+        maxHamming = 6, bucketCap = 1000L)
+    }),
     // Section A+ — purchase-log analytics (multi-way join rollups)
     "q_revenue_by_nation" -> ((s, d) =>
       Purchases.revenueByNation(Tables.customer(s, d), Tables.orders(s, d),

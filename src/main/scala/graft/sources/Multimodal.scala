@@ -422,6 +422,28 @@ object Multimodal {
       .orderBy("media_a", "media_b")
   }
 
+  /** One survivor per perceptual near-dup component — the
+    * [[graft.operators.Dedup]] survivors face for images: near-dup
+    * pairs ([[imageNearDup]]) resolve to connected components via
+    * star contraction (O(log² n) rounds, never a driver union-find),
+    * each component keeps its min media_id, every unpaired image
+    * keeps itself. Output: (media_id, codec, kept) for EVERY
+    * fingerprinted image, ordered — the gate a training-corpus build
+    * applies before featurization. */
+  def imageNearDupSurvivors(
+      fps: DataFrame, maxHamming: Int = 6,
+      bucketCap: Long = Long.MaxValue): DataFrame = {
+    val pairs = imageNearDup(fps, maxHamming, bucketCap)
+      .select(col("media_a").as("doc_a"), col("media_b").as("doc_b"))
+    val labels = graft.operators.Dedup.duplicateLabelsStar(pairs)
+      .withColumnRenamed("id", "media_id")
+    fps.select("media_id", "codec")
+      .join(labels, Seq("media_id"), "left")
+      .select(col("media_id"), col("codec"),
+        (col("label").isNull || col("label") === col("media_id")).as("kept"))
+      .orderBy("media_id")
+  }
+
   /** Deterministic REAL-image corpus from the documents table (the
     * [[mediaFromDocuments]] posture upgraded to genuinely decodable
     * payloads): each doc renders a 32×32 PNG whose pixels derive from

@@ -94,5 +94,16 @@ class ImageNearDupSpec extends AnyFunSuite with SparkSessionTestBase {
     val occ = Dedup.fingerprintBucketOccupancy(
       fp.select(col("media_id").as("doc_id"), col("dhash").as("fp")))
     assert(occ.count() >= 6)
+    // survivors face: one verdict row per image; every planted twin
+    // drops (its original is the component's min id), every original
+    // survives
+    val surv = Multimodal.imageNearDupSurvivors(fp, maxHamming = 6,
+        bucketCap = 1000L)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(surv.size === recs.length)
+    for (id <- Seq(0L, 10L, 50L, 60L, 100L, 110L)) {
+      assert(surv(id), s"original $id must survive")
+      assert(!surv(id + 10000000L), s"twin of $id must drop")
+    }
   }
 }
