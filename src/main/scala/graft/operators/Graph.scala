@@ -488,16 +488,6 @@ object Graph {
       .localCheckpoint()
   }
 
-  /** Touched-component scope for a SIGNED edge delta — the shared
-    * device of every incremental graph face: the labels either slice
-    * touches (adds AND removals; a brand-new node is its own touched
-    * singleton via coalesce — sound only under the min-id star-label
-    * PRECONDITION the public scaladocs state), and the re-peel
-    * subgraph = prior edges of touched components MINUS removals
-    * UNION adds. The prior edge frame is read once for the slim
-    * semi-join, never iterated. `removals` None keeps the grow-only
-    * incremental plans unchanged (no anti-join added). Inputs must be
-    * canonical (a < b) frames. */
   /** Attach each prior-artifact row's component label, FAILING LOUDLY
     * (raise_error) on a row whose `key` node is missing from the
     * labels frame — an inconsistent (edges, labels, output) artifact
@@ -514,6 +504,28 @@ object Graph {
             lit(" missing from priorLabels — inconsistent artifacts"))))
         .otherwise(col("label")))
 
+  /** Touched-component scope for a SIGNED edge delta — the shared
+    * device of every incremental graph face: the labels either slice
+    * touches (adds AND removals; a brand-new node is its own touched
+    * singleton via coalesce — sound only under the min-id star-label
+    * PRECONDITION the public scaladocs state), and the re-peel
+    * subgraph = prior edges of touched components MINUS removals
+    * UNION adds. The prior edge frame is read once for the slim
+    * semi-join, never iterated. `removals` None keeps the grow-only
+    * incremental plans unchanged (no anti-join added). Inputs must be
+    * canonical (a < b) frames.
+    *
+    * FAIL-LOUD ASYMMETRY (documented, deliberate): the `kept` join
+    * below attaches labels to prior EDGES with a plain inner join, so
+    * an edge whose endpoint is missing from `priorLabels` silently
+    * drops from the re-peel subgraph — only the prior OUTPUT rows
+    * (coreness/truss/triangle frames) ride [[withLabelLoudly]]. The
+    * guard there is a per-row branch on a bounded per-node frame; here
+    * it would sit on the full prior EDGE frame — the hottest scan of
+    * the fold — and the same inconsistent-artifact class already
+    * trips loudly on the output side (labels and edges are written
+    * together by one artifact build; an edge/label mismatch implies an
+    * output/label mismatch over the same nodes). */
   private def signedScope(
       priorEdges: DataFrame, priorLabels: DataFrame,
       adds: DataFrame, removals: Option[DataFrame])

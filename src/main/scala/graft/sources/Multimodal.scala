@@ -405,8 +405,15 @@ object Multimodal {
     * dHash: 16-bit chunk buckets (capped; meter first with
     * [[graft.operators.Dedup.fingerprintBucketOccupancy]]), exact
     * hamming verify on BOTH hashes (dHash gates at `maxHamming`,
-    * aHash rides as corroboration). Output: (media_a, media_b,
-    * hamming_d, hamming_a), ordered. */
+    * aHash rides as corroboration). RECALL BOUND: the 4×16-bit chunk
+    * LSH guarantees a shared bucket only for hamming ≤ 3 (pigeonhole);
+    * pairs at hamming 4..`maxHamming` surface only when their flipped
+    * bits happen to leave one chunk intact — the default maxHamming=6
+    * is deliberately PAST the exhaustive bound (perceptual twins land
+    * at hamming 0-2 in practice; 8-bit chunks would make 4-7
+    * exhaustive but collapse to 256 bucket values, ~n²/512 candidate
+    * mass at corpus scale — the LSH would stop being one). Output:
+    * (media_a, media_b, hamming_d, hamming_a), ordered. */
   def imageNearDup(
       fps: DataFrame, maxHamming: Int = 6,
       bucketCap: Long = Long.MaxValue): DataFrame = {
@@ -444,11 +451,17 @@ object Multimodal {
       .orderBy("media_id")
   }
 
+  /** The planted twin's media_id = doc_id with [[TwinIdBit]] set — a
+    * HIGH-BIT tag, not an additive offset, so it cannot collide with a
+    * base id until doc_ids themselves reach 2^40 (an additive +10M
+    * offset silently corrupted the bookkeeping past 10M docs). */
+  private[graft] val TwinIdBit = 1L << 40
+
   /** Deterministic REAL-image corpus from the documents table (the
     * [[mediaFromDocuments]] posture upgraded to genuinely decodable
     * payloads): each doc renders a 32×32 PNG whose pixels derive from
     * its md5 — and every 50th doc plants a NEAR-COPY twin at
-    * media_id + 10,000,000: doc_id %50 == 0 re-encodes the same
+    * media_id | [[TwinIdBit]]: doc_id %50 == 0 re-encodes the same
     * pixels as BMP (different bytes, same image), %50 == 10 upscales
     * 2× by pixel replication (the grid proration makes both
     * fingerprint-identical to their originals). The planted twins are
@@ -462,9 +475,9 @@ object Multimodal {
         val base = MediaRecord(docId, "image", encodePng(img), 32, 32, 0)
         val twin =
           if (docId % 50 == 0)
-            Some(MediaRecord(docId + 10000000L, "image", encodeBmp(img), 32, 32, 0))
+            Some(MediaRecord(docId | TwinIdBit, "image", encodeBmp(img), 32, 32, 0))
           else if (docId % 50 == 10)
-            Some(MediaRecord(docId + 10000000L, "image",
+            Some(MediaRecord(docId | TwinIdBit, "image",
               encodePng(renderImage(docId, text, 2)), 64, 64, 0))
           else None
         Iterator(base) ++ twin.iterator

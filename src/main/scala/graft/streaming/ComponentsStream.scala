@@ -164,7 +164,10 @@ object ComponentsStream {
       // localCheckpoint (eager), NOT collect: one row per component is
       // unbounded in general (singletons dominate real crawl graphs) —
       // the materialized blocks keep the result off-driver and
-      // independent of the temp dirs rm() deletes
+      // independent of the temp dirs rm() deletes. Trade-off: the
+      // checkpoint blocks are NOT replicated, so losing an executor
+      // after rm() fails the query loudly rather than recomputing —
+      // accepted for family consistency with the sibling harnesses
       serveComponents(spark, seedRoot, deltaP).localCheckpoint()
         .orderBy("component")
     } finally rm(root)

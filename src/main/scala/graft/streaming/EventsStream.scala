@@ -88,12 +88,18 @@ object EventsStream {
       .withWatermark("ts", horizon)
       .select(col("user_id"), col("ts").as("purchase_ts"),
         col("event_id").as("purchase_id"), col("value"))
-    p.join(v,
-      p("user_id") === v("user_id") &&
-        col("view_ts") <= col("purchase_ts") &&
-        col("view_ts") >= col("purchase_ts") - expr(s"INTERVAL $horizon"))
-      .select(p("user_id"), col("purchase_id"), col("purchase_ts"),
-        col("view_id"), col("view_ts"), col("value"))
+    // explicit leg aliases: when both streams derive from one source,
+    // p("user_id") === v("user_id") resolves to the SAME attribute and
+    // Spark's self-join disambiguation logs a "trivially true equals
+    // predicate" warning before rewriting it — fragile across
+    // upgrades; the alias-qualified predicate is unambiguous from the
+    // start and the warning class disappears
+    p.as("p").join(v.as("v"),
+      col("p.user_id") === col("v.user_id") &&
+        col("v.view_ts") <= col("p.purchase_ts") &&
+        col("v.view_ts") >= col("p.purchase_ts") - expr(s"INTERVAL $horizon"))
+      .select(col("p.user_id").as("user_id"), col("purchase_id"),
+        col("purchase_ts"), col("view_id"), col("view_ts"), col("value"))
   }
 
   /** Stream-static enrichment join: attach a (slowly-changing)

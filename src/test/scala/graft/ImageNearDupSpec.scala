@@ -82,13 +82,13 @@ class ImageNearDupSpec extends AnyFunSuite with SparkSessionTestBase {
       .toMap
     for (id <- Seq(0L, 50L, 100L)) {
       // BMP re-encode: same pixels, hamming 0 on both hashes
-      assert(pairs.get((id, id + 10000000L)).exists(h => h._1 === 0 && h._2 === 0),
-        s"BMP twin of $id not caught: ${pairs.get((id, id + 10000000L))}")
+      assert(pairs.get((id, id | Multimodal.TwinIdBit)).exists(h => h._1 === 0 && h._2 === 0),
+        s"BMP twin of $id not caught: ${pairs.get((id, id | Multimodal.TwinIdBit))}")
     }
     for (id <- Seq(10L, 60L, 110L)) {
       // 2x upscale: fingerprint-identical by the probe invariance
-      assert(pairs.get((id, id + 10000000L)).exists(h => h._1 === 0 && h._2 === 0),
-        s"resized twin of $id not caught: ${pairs.get((id, id + 10000000L))}")
+      assert(pairs.get((id, id | Multimodal.TwinIdBit)).exists(h => h._1 === 0 && h._2 === 0),
+        s"resized twin of $id not caught: ${pairs.get((id, id | Multimodal.TwinIdBit))}")
     }
     // the meter sees the twin buckets (occupancy >= 2) before the join
     val occ = Dedup.fingerprintBucketOccupancy(
@@ -103,7 +103,7 @@ class ImageNearDupSpec extends AnyFunSuite with SparkSessionTestBase {
     assert(surv.size === recs.length)
     for (id <- Seq(0L, 10L, 50L, 60L, 100L, 110L)) {
       assert(surv(id), s"original $id must survive")
-      assert(!surv(id + 10000000L), s"twin of $id must drop")
+      assert(!surv(id | Multimodal.TwinIdBit), s"twin of $id must drop")
     }
   }
 }
