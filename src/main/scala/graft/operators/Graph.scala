@@ -202,6 +202,51 @@ object Graph {
       .orderBy(col("rank_micro").desc, col("node"))
   }
 
+  /** SIGNED warm-started PageRank — the DELETION face of the ranking
+    * family, completing the 5-face lifecycle matrix (the reference's
+    * own data model deletes rows: rabbitmq-to-postgres/app.py:98
+    * declares ON DELETE CASCADE, and a delisted product shrinks the
+    * weighted co-purchase graph). The delta here is a signed per-pair
+    * WEIGHT delta — the [[Etl.snapshotDiff]] posture on a weighted
+    * graph: a vanished pair arrives as dw = −w_prior, a new pair as
+    * its full weight, a support shift as the difference. The fold is
+    * ONE full-outer join on the bounded edge frame; folded weight < 0
+    * means the delta disagrees with the prior artifact and raises
+    * LOUDLY, == 0 means the pair delisted and drops. [[pageRank]]
+    * then runs over the folded graph WARM-STARTED from `priorRanks`:
+    * the damped update is an affine contraction from ANY start, so
+    * the shrunk graph's warm run is exactly as deterministic and safe
+    * as the grow-only incremental one — vanished nodes drop via the
+    * node-set join, brand-new nodes seed at uniform mass, and the
+    * warm frame renormalizes to the invariant total. Signed ==
+    * direct-warm-over-today's-graph is bit-exact (same folded frame,
+    * same start) and spec-pinned.
+    *
+    * `priorWeighted` is the canonical (a, b, w) prior graph,
+    * `priorRanks` its (node, rank_micro) output, `weightDeltas` the
+    * signed (a, b, dw) frame with dw != 0. */
+  def pageRankSigned(
+      priorWeighted: DataFrame, priorRanks: DataFrame,
+      weightDeltas: DataFrame, damping: Double = 0.85, iters: Int = 10,
+      tolMass: Long = 0L): DataFrame = {
+    val folded = priorWeighted
+      .select(col("a"), col("b"), col("w").cast("long").as("w0"))
+      .join(weightDeltas
+          .select(col("a"), col("b"), col("dw").cast("long").as("dw")),
+        Seq("a", "b"), "full_outer")
+      .select(col("a"), col("b"),
+        (coalesce(col("w0"), lit(0L)) + coalesce(col("dw"), lit(0L))).as("w"))
+      .select(col("a"), col("b"),
+        when(col("w") < 0, raise_error(concat(
+            lit("pageRankSigned: folded weight < 0 for pair ("),
+            col("a").cast("string"), lit(","), col("b").cast("string"),
+            lit(") — delta disagrees with the prior artifact"))))
+          .otherwise(col("w")).as("w"))
+      .filter(col("w") > 0)
+    pageRank(folded.select(col("a").as("src"), col("b").as("dst"), col("w")),
+      damping, iters, tolMass, Some(priorRanks))
+  }
+
   /** The k-core of an undirected edge list (src, dst): the maximal
     * subgraph in which every node has degree >= k (Seidman 1983) —
     * the density complement to [[triangles]]' cohesion: a spam/SEO

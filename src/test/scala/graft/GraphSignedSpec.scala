@@ -154,6 +154,45 @@ class GraphSignedSpec extends AnyFunSuite with SparkSessionTestBase {
     assert(rootMsg(ex).contains("missing from priorLabels"))
   }
 
+  test("pageRankSigned: the weight-delta fold == direct warm pageRank " +
+      "over today's graph; vanished nodes drop; bad deltas raise") {
+    val priorW = Seq(
+      (1L, 2L, 3L), (2L, 3L, 2L), (1L, 3L, 1L), (3L, 4L, 1L),
+      (10L, 11L, 4L), (20L, 21L, 1L)).toDF("a", "b", "w")
+    val priorRanks = Graph.pageRank(
+        priorW.select(col("a").as("src"), col("b").as("dst"), col("w")))
+      .select("node", "rank_micro")
+    // delist the pendant pair (dw = −w), shift a support (+2 on 1-2),
+    // add a brand-new pair (22,23)
+    val deltas = Seq(
+      (20L, 21L, -1L), (1L, 2L, 2L), (22L, 23L, 3L)).toDF("a", "b", "dw")
+    val todayW = Seq(
+      (1L, 2L, 5L), (2L, 3L, 2L), (1L, 3L, 1L), (3L, 4L, 1L),
+      (10L, 11L, 4L), (22L, 23L, 3L)).toDF("a", "b", "w")
+    val signed = Graph.pageRankSigned(priorW, priorRanks, deltas)
+      .collect().map(_.toString).toSeq
+    val direct = Graph.pageRank(
+        todayW.select(col("a").as("src"), col("b").as("dst"), col("w")),
+        startRanks = Some(priorRanks))
+      .collect().map(_.toString).toSeq
+    // bit-exact: same folded frame, same warm start, same iteration
+    assert(signed === direct)
+    // vanished nodes (20, 21) are gone; new nodes (22, 23) rank
+    val nodes = Graph.pageRankSigned(priorW, priorRanks, deltas)
+      .select("node").collect().map(_.getLong(0)).toSet
+    assert(!nodes.contains(20L) && !nodes.contains(21L))
+    assert(nodes.contains(22L) && nodes.contains(23L))
+    // LOUD: a delta below −w_prior disagrees with the artifact
+    val bad = Seq((1L, 3L, -5L)).toDF("a", "b", "dw")
+    val ex = intercept[Exception] {
+      Graph.pageRankSigned(priorW, priorRanks, bad).collect()
+    }
+    def rootMsg(t: Throwable): String =
+      (Option(t.getMessage).getOrElse("")) +
+        Option(t.getCause).map(rootMsg).getOrElse("")
+    assert(rootMsg(ex).contains("folded weight < 0"))
+  }
+
   test("signed forms with an empty removal slice match the grow-only " +
       "incrementals (shared scope machinery)") {
     def m(d: DataFrame) = d.collect()
