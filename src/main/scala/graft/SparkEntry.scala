@@ -317,10 +317,16 @@ object SparkEntry {
     * FOLD, not a per-run re-derivation of the delta). Returns
     * (adds, removals) as raw (src, dst, w) frames. */
   private def signedGraphDelta(
-      s: SparkSession, d: String): (DataFrame, DataFrame) = {
-    val root = cpIndexRoot(s, d)
-    (s.read.parquet(s"$root/adds"), s.read.parquet(s"$root/removals"))
-  }
+      s: SparkSession, d: String): (DataFrame, DataFrame) =
+    (cpAddsShared(s, d), cpRemovalsShared(s, d))
+
+  /** The signed delta's faces individually — what the signed stream
+    * harness stages as its (src, dst, op) source. */
+  private[graft] def cpAddsShared(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(s"${cpIndexRoot(s, d)}/adds")
+
+  private[graft] def cpRemovalsShared(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(s"${cpIndexRoot(s, d)}/removals")
 
   /** The prior graph's (node, coreness) — the third face of the
     * persisted graph artifact, what q_coreness_incremental folds a
@@ -1908,6 +1914,26 @@ object SparkEntry {
       val (adds, removals) = signedGraphDelta(s, d)
       operators.Graph.kTrussSigned(priorE, priorL, priorT, adds, removals, 3)
     }),
+    // REMOVAL-AWARE graph STREAMS — the DeltaLayout discipline over
+    // SIGNED (add/remove) edge rows, the last empty column of the
+    // graph lifecycle matrix: batches land canonical (a, b, op) rows
+    // with loud ambiguity guards, the net delta resolves per pair by
+    // last op in batch order, and serve/compact fold through the
+    // batch-side signed operators (touched components only).
+    // Component face: hash-matches the SAME full reachability oracle
+    // as q_components_delete — stream == full over the delisted graph
+    "q_stream_components_signed" -> ((s, d) =>
+      streaming.SignedGraphStream.componentsSignedRun(s, d)),
+    // density face: same 23-CTE peel-ladder oracle as q_coreness_delete
+    "q_stream_coreness_signed" -> ((s, d) =>
+      streaming.SignedGraphStream.corenessSignedRun(s, d)),
+    // cohesion face: same full wedge-join oracle as q_triangles_delete
+    "q_stream_triangles_signed" -> ((s, d) =>
+      streaming.SignedGraphStream.trianglesSignedRun(s, d)),
+    // densest rung: rows-only for the q_ktruss reason; stream ==
+    // signed == full-peel equality spec-asserted
+    "q_stream_ktruss_signed" -> ((s, d) =>
+      streaming.SignedGraphStream.trussSignedRun(s, d)),
     // STREAMING triangle-count maintenance (eighth DeltaLayout
     // instance — the easiest graph stream: counts are ADDITIVE under
     // edge insertion, so no component labeling rides the artifact):
@@ -3139,6 +3165,12 @@ object SparkEntry {
     "q_components_delete" -> componentsOracleSqlFrom(todayLineitemSrc),
     "q_coreness_delete" -> corenessOracleSqlFrom(todayLineitemSrc),
     "q_triangles_delete" -> trianglesOracleSqlFrom(todayLineitemSrc),
+    // SIGNED streams: stream-maintained over (prior − removals) ∪
+    // adds == the same full oracles over today's delisted graph —
+    // the hash gates ARE the removal-aware stream == full proofs
+    "q_stream_components_signed" -> componentsOracleSqlFrom(todayLineitemSrc),
+    "q_stream_coreness_signed" -> corenessOracleSqlFrom(todayLineitemSrc),
+    "q_stream_triangles_signed" -> trianglesOracleSqlFrom(todayLineitemSrc),
     "q_expectations" -> expectationsOracleSql(),
     // served from merged base+delta partials; the full-battery oracle
     // IS the incremental == full proof

@@ -484,18 +484,35 @@ object Graph {
       addEdges: DataFrame, removeEdges: DataFrame): DataFrame = {
     val a = canonicalUndirected(addEdges)
     val r = canonicalUndirected(removeEdges)
-    val (touched, sub) = signedScope(priorEdges, priorLabels, a, Some(r))
-    val refreshed = Dedup.duplicateLabelsStar(
-      sub.select(col("a").as("doc_a"), col("b").as("doc_b")))
-    val labels = priorLabels
-      .join(touched, Seq("label"), "left_anti")
-      .select("id", "label")
-      .unionByName(refreshed.select("id", "label"))
-      .localCheckpoint()
+    val labels = signedLabelsCanon(priorEdges, priorLabels, a, r)
     val allE = priorEdges.select("a", "b")
       .join(r.select("a", "b"), Seq("a", "b"), "left_anti")
       .unionAll(a.select("a", "b")).distinct()
     componentStats(labels, allE)
+  }
+
+  /** The merged (id, label) frame after folding a SIGNED delta into a
+    * prior labeling — the label half of [[componentsSigned]], exposed
+    * (like [[incrementalLabels]] for the grow-only path) so streaming
+    * compaction can persist the re-merged labeling of
+    * (prior − removals) ∪ adds. */
+  def signedLabels(
+      priorEdges: DataFrame, priorLabels: DataFrame,
+      addEdges: DataFrame, removeEdges: DataFrame): DataFrame =
+    signedLabelsCanon(priorEdges, priorLabels,
+      canonicalUndirected(addEdges), canonicalUndirected(removeEdges))
+
+  private def signedLabelsCanon(
+      priorEdges: DataFrame, priorLabels: DataFrame,
+      a: DataFrame, r: DataFrame): DataFrame = {
+    val (touched, sub) = signedScope(priorEdges, priorLabels, a, Some(r))
+    val refreshed = Dedup.duplicateLabelsStar(
+      sub.select(col("a").as("doc_a"), col("b").as("doc_b")))
+    priorLabels
+      .join(touched, Seq("label"), "left_anti")
+      .select("id", "label")
+      .unionByName(refreshed.select("id", "label"))
+      .localCheckpoint()
   }
 
   /** The (component, n_nodes, n_edges) fold shared by the incremental

@@ -1,0 +1,314 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.operators.Graph
+
+/** REMOVAL-AWARE streaming graph maintenance — the [[DeltaLayout]]
+  * discipline extended from grow-only edge deltas to SIGNED ones (the
+  * reference's data model deletes rows: rabbitmq-to-postgres/app.py:98
+  * declares ON DELETE CASCADE, and its upserts REPLACE rows — a store
+  * delisting a product must shrink the served graph, not only grow
+  * it). One harness carries every graph face, because the additive
+  * split is identical for all of them:
+  *
+  *  - each micro-batch lands its canonical signed rows
+  *    (a, b, op ∈ add|remove) under its batch_id partition —
+  *    append-only, idempotent under retry (dynamic partition
+  *    overwrite), with LOUD landing guards (unknown op, or one pair
+  *    carrying both ops inside one batch, raises instead of landing
+  *    an ambiguous delta);
+  *  - the NET delta over the live partitions resolves per pair by
+  *    LAST op in batch order (max_by over the bounded live rows): an
+  *    edge added then removed nets to a removal, removed then
+  *    re-added nets to an add — the [[graft.operators.Etl
+  *    .snapshotDiff]] contract replayed against stream time;
+  *  - SERVING folds (net adds, net removals) through the batch-side
+  *    SIGNED operators ([[Graph.componentsSigned]] /
+  *    [[Graph.corenessSigned]] / [[Graph.trianglesSigned]] /
+  *    [[Graph.kTrussSigned]]): only delta-touched components
+  *    re-contract/re-peel, untouched rows pass through verbatim
+  *    behind the fail-loud artifact guard;
+  *  - COMPACTION folds the net delta into every face present under
+  *    the seed root ((edges, labels) always; coreness / triangles /
+  *    truss when the face is seeded) under the standard watermark +
+  *    crash-safe [[DeltaLayout.swapLive]] discipline — a batch
+  *    committed mid-compact stays a live delta above the new
+  *    watermark.
+  *
+  * The measured driver entry (q_stream_components_signed) seeds from
+  * the PERSISTED prior artifact (yesterday's graph), streams the
+  * signed delta toward TODAY'S graph (adds AND removals — the
+  * delisted slice genuinely shrinks components), compacts mid-stream,
+  * and serves — which must hash-match the SAME full-graph
+  * reachability oracle as q_components_delete over
+  * (prior − removals) ∪ adds: stream-maintained == full recompute
+  * over the delisted graph, proven by the gate. */
+object SignedGraphStream {
+
+  /** Launch maintenance over a streaming signed edge frame
+    * (src, dst, op): each batch canonicalizes ONLY its own rows and
+    * lands them under its batch_id partition; batches at or below the
+    * seed's compaction watermark are skipped (already folded in).
+    * Landing is where ambiguity dies loudly: an op outside
+    * {add, remove}, or one canonical pair carrying BOTH ops in a
+    * single batch, raises — net resolution across batches is
+    * well-defined (last op wins), inside a batch it is not. */
+  def signedMaintain(
+      newOps: DataFrame, seedRoot: String, deltaPath: String,
+      checkpoint: String): StreamingQuery =
+    newOps.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        if (batchId > DeltaLayout.foldedThrough(batch.sparkSession, seedRoot)) {
+          val canon = batch.toDF()
+            .select(least(col("src"), col("dst")).as("a"),
+              greatest(col("src"), col("dst")).as("b"),
+              when(col("op").isin("add", "remove"), col("op"))
+                .otherwise(raise_error(concat(
+                  lit("signedMaintain: op must be add|remove, got "),
+                  col("op")))).as("op"))
+            .filter(col("a") =!= col("b"))
+            .dropDuplicates("a", "b", "op")
+          val ambiguous = canon.groupBy("a", "b")
+            .agg(count(lit(1)).as("n_ops")).filter(col("n_ops") > 1)
+          canon.join(ambiguous, Seq("a", "b"), "left")
+            .select(col("a"), col("b"),
+              when(col("n_ops").isNotNull, raise_error(concat(
+                  lit("signedMaintain: pair ("), col("a").cast("string"),
+                  lit(","), col("b").cast("string"),
+                  lit(") carries both add AND remove in one batch"))))
+                .otherwise(col("op")).as("op"))
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(deltaPath)
+        }
+      }
+      .start()
+
+  /** The live signed rows (a, b, op, batch_id): batches above the
+    * seed's watermark and at or below `upTo`. A missing/partition-less
+    * delta directory yields an empty frame in the seed edge schema. */
+  private def liveOps(
+      spark: SparkSession, seedRoot: String, deltaPath: String,
+      upTo: Long): DataFrame = {
+    val folded = DeltaLayout.foldedThrough(spark, seedRoot)
+    if (!DeltaLayout.hasDeltaPartitions(spark, deltaPath))
+      spark.read.parquet(s"$seedRoot/edges").select(col("a"), col("b"))
+        .withColumn("op", lit("add")).withColumn("batch_id", lit(0L))
+        .limit(0)
+    else
+      spark.read.parquet(deltaPath)
+        .filter(col("batch_id").cast("long") > folded &&
+          col("batch_id").cast("long") <= upTo)
+        .select(col("a"), col("b"), col("op"),
+          col("batch_id").cast("long").as("batch_id"))
+  }
+
+  /** The NET (adds, removals) pair over the live delta partitions:
+    * per canonical pair, the LAST op in batch order wins (max_by on
+    * the bounded live rows — landing guarantees one op per pair per
+    * batch, so the argmax is unique). Returned as raw (src, dst, w)
+    * frames, the signed operators' input contract. */
+  private[streaming] def netDelta(
+      spark: SparkSession, seedRoot: String, deltaPath: String,
+      upTo: Long): (DataFrame, DataFrame) = {
+    val net = liveOps(spark, seedRoot, deltaPath, upTo)
+      .groupBy("a", "b").agg(expr("max_by(op, batch_id)").as("op"))
+      .localCheckpoint()
+    def shape(d: DataFrame) = d
+      .select(col("a").as("src"), col("b").as("dst"), lit(1L).as("w"))
+    (shape(net.filter(col("op") === "add")),
+      shape(net.filter(col("op") === "remove")))
+  }
+
+  /** Live component stats over (seed − net removals) ∪ net adds —
+    * the [[Graph.components]] contract over everything the signed
+    * stream has ingested so far. */
+  def serveComponents(
+      spark: SparkSession, seedRoot: String, deltaPath: String): DataFrame = {
+    val (adds, removals) =
+      netDelta(spark, seedRoot, deltaPath, Long.MaxValue)
+    Graph.componentsSigned(
+      spark.read.parquet(s"$seedRoot/edges"),
+      spark.read.parquet(s"$seedRoot/labels"), adds, removals)
+  }
+
+  /** Live coreness decomposition over the signed fold (seed triple +
+    * net delta through [[Graph.corenessSigned]]). */
+  def serveCoreness(
+      spark: SparkSession, seedRoot: String, deltaPath: String): DataFrame = {
+    val (adds, removals) =
+      netDelta(spark, seedRoot, deltaPath, Long.MaxValue)
+    Graph.corenessSigned(
+      spark.read.parquet(s"$seedRoot/edges"),
+      spark.read.parquet(s"$seedRoot/labels"),
+      spark.read.parquet(s"$seedRoot/coreness"), adds, removals)
+  }
+
+  /** Live per-node triangle counts over the signed fold. */
+  def serveTriangles(
+      spark: SparkSession, seedRoot: String, deltaPath: String): DataFrame = {
+    val (adds, removals) =
+      netDelta(spark, seedRoot, deltaPath, Long.MaxValue)
+    Graph.trianglesSigned(
+      spark.read.parquet(s"$seedRoot/edges"),
+      spark.read.parquet(s"$seedRoot/labels"),
+      spark.read.parquet(s"$seedRoot/triangles"), adds, removals)
+  }
+
+  /** Live k-truss over the signed fold. */
+  def serveTruss(
+      spark: SparkSession, seedRoot: String, deltaPath: String,
+      k: Int): DataFrame = {
+    val (adds, removals) =
+      netDelta(spark, seedRoot, deltaPath, Long.MaxValue)
+    Graph.kTrussSigned(
+      spark.read.parquet(s"$seedRoot/edges"),
+      spark.read.parquet(s"$seedRoot/labels"),
+      spark.read.parquet(s"$seedRoot/truss"), adds, removals, k)
+  }
+
+  /** Fold the net signed delta into EVERY face present under the seed
+    * root: edges become (seed − removals) ∪ adds, labels re-merge
+    * through [[Graph.signedLabels]], and each optional face
+    * (coreness / triangles / truss) re-derives through its signed
+    * operator — touched components only. Watermark + crash-safe
+    * rename swap; folded partitions delete, a batch committed
+    * mid-compact stays live above the new watermark. */
+  def compact(
+      spark: SparkSession, seedRoot: String, deltaPath: String,
+      trussK: Int = 3): Unit = {
+    import org.apache.hadoop.fs.Path
+    if (!DeltaLayout.hasDeltaPartitions(spark, deltaPath)) return
+    val fs = DeltaLayout.fs(spark, seedRoot)
+    val maxBatch = DeltaLayout.maxBatchId(spark, deltaPath)
+    val seedE = spark.read.parquet(s"$seedRoot/edges")
+    val seedL = spark.read.parquet(s"$seedRoot/labels")
+    val (adds, removals) = netDelta(spark, seedRoot, deltaPath, maxBatch)
+    val newE = seedE.select("a", "b")
+      .join(removals.select(col("src").as("a"), col("dst").as("b")),
+        Seq("a", "b"), "left_anti")
+      .unionByName(adds.select(col("src").as("a"), col("dst").as("b")))
+      .distinct().localCheckpoint()
+    val newL = Graph.signedLabels(seedE, seedL, adds, removals)
+    val tmp = seedRoot + "__maint"
+    newE.write.mode("overwrite").parquet(s"$tmp/edges")
+    newL.write.mode("overwrite").parquet(s"$tmp/labels")
+    if (fs.exists(new Path(s"$seedRoot/coreness")))
+      Graph.corenessSigned(seedE, seedL,
+          spark.read.parquet(s"$seedRoot/coreness"), adds, removals)
+        .write.mode("overwrite").parquet(s"$tmp/coreness")
+    if (fs.exists(new Path(s"$seedRoot/triangles")))
+      Graph.trianglesSigned(seedE, seedL,
+          spark.read.parquet(s"$seedRoot/triangles"), adds, removals)
+        .write.mode("overwrite").parquet(s"$tmp/triangles")
+    if (fs.exists(new Path(s"$seedRoot/truss")))
+      Graph.kTrussSigned(seedE, seedL,
+          spark.read.parquet(s"$seedRoot/truss"), adds, removals, trussK)
+        .write.mode("overwrite").parquet(s"$tmp/truss")
+    val newFolded = math.max(maxBatch,
+      DeltaLayout.foldedThrough(spark, seedRoot))
+    if (newFolded >= 0) DeltaLayout.writeFoldedMarker(fs, tmp, newFolded)
+    DeltaLayout.swapLive(fs, tmp, seedRoot)
+    DeltaLayout.deleteFoldedPartitions(fs, new Path(deltaPath), newFolded)
+  }
+
+  /** Stage the measured entries' signed source: the persisted
+    * adds/removals artifact faces as one (src, dst, op) frame, split
+    * into two files so the stream sees more than one micro-batch —
+    * removals land in the FIRST slice and adds in the second wherever
+    * both touch, exercising cross-batch net resolution. */
+  private def stageSigned(
+      spark: SparkSession, dir: String, srcDir: String): DataFrame = {
+    val adds = graft.SparkEntry.cpAddsShared(spark, dir)
+      .select(col("src"), col("dst"), lit("add").as("op"))
+    val removals = graft.SparkEntry.cpRemovalsShared(spark, dir)
+      .select(col("src"), col("dst"), lit("remove").as("op"))
+    val d = removals.unionByName(adds)
+    d.repartition(2).write.mode("overwrite").parquet(srcDir)
+    d
+  }
+
+  private def rm(p: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    if (java.nio.file.Files.exists(p)) {
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
+  /** Shared lifecycle of the measured signed-stream entries: stage
+    * seed faces + signed source, stream every batch, compact
+    * mid-lifecycle, serve. `seedFaces` writes the face artifacts the
+    * served operator folds into; `serve` produces the final frame
+    * (localCheckpoint'd off the temp dirs before rm — the family's
+    * documented block-loss trade-off applies). */
+  private def signedRun(
+      spark: SparkSession, dir: String, entry: String, tmpPrefix: String,
+      seedFaces: Seq[String], serve: (String, String) => DataFrame): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory(tmpPrefix)
+    val srcDir = root.resolve("src").toString
+    val seedRoot = root.resolve("seed").toString
+    val deltaP = root.resolve("delta").toString
+    try {
+      val staged = StreamMeter.timeSeed(entry) {
+        val (priorE, priorL) = graft.SparkEntry.cpIndexShared(spark, dir)
+        priorE.write.mode("overwrite").parquet(s"$seedRoot/edges")
+        priorL.write.mode("overwrite").parquet(s"$seedRoot/labels")
+        seedFaces.foreach {
+          case "coreness" => graft.SparkEntry.cpCorenessShared(spark, dir)
+            .write.mode("overwrite").parquet(s"$seedRoot/coreness")
+          case "triangles" => graft.SparkEntry.cpTrianglesShared(spark, dir)
+            .write.mode("overwrite").parquet(s"$seedRoot/triangles")
+          case "truss" => graft.SparkEntry.cpTrussShared(spark, dir)
+            .write.mode("overwrite").parquet(s"$seedRoot/truss")
+          case other => throw new IllegalArgumentException(
+            s"signedRun: unknown seed face $other")
+        }
+        stageSigned(spark, dir, srcDir)
+      }
+      val q = signedMaintain(
+        spark.readStream.schema(staged.schema)
+          .option("maxFilesPerTrigger", 1).parquet(srcDir),
+        seedRoot, deltaP, root.resolve("ckpt").toString)
+      try q.processAllAvailable() finally q.stop()
+      // mid-lifecycle compaction: the served result must be unchanged
+      // by it (the serve below reads the compacted seed + empty delta)
+      compact(spark, seedRoot, deltaP)
+      serve(seedRoot, deltaP).localCheckpoint()
+    } finally rm(root)
+  }
+
+  /** q_stream_components_signed: hash-matches the q_components_delete
+    * oracle — the full reachability CTE over the delisted graph. */
+  def componentsSignedRun(spark: SparkSession, dir: String): DataFrame =
+    signedRun(spark, dir, "q_stream_components_signed", "graft_ccs_stream",
+        Seq.empty, serveComponents(spark, _, _))
+      .orderBy("component")
+
+  /** q_stream_coreness_signed: hash-matches the q_coreness_delete
+    * oracle — the 23-CTE peel ladder over the delisted graph. */
+  def corenessSignedRun(spark: SparkSession, dir: String): DataFrame =
+    signedRun(spark, dir, "q_stream_coreness_signed", "graft_cores_stream",
+        Seq("coreness"), serveCoreness(spark, _, _))
+      .orderBy("node")
+
+  /** q_stream_triangles_signed: hash-matches the q_triangles_delete
+    * oracle — the full wedge join over the delisted graph. */
+  def trianglesSignedRun(spark: SparkSession, dir: String): DataFrame =
+    signedRun(spark, dir, "q_stream_triangles_signed", "graft_tris_stream",
+        Seq("triangles"), serveTriangles(spark, _, _))
+      .orderBy("node")
+
+  /** q_stream_ktruss_signed: rows-only for the q_ktruss reason;
+    * stream == signed == full-peel equality spec-asserted. */
+  def trussSignedRun(spark: SparkSession, dir: String): DataFrame =
+    signedRun(spark, dir, "q_stream_ktruss_signed", "graft_trus_stream",
+        Seq("truss"), serveTruss(spark, _, _, 3))
+      .orderBy("a", "b")
+}
