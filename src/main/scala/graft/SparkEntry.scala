@@ -1717,6 +1717,15 @@ object SparkEntry {
     "q_image_survivors" -> ((s, d) =>
       graft.sources.Multimodal.imageNearDupSurvivors(
         imageFpShared(s, d), maxHamming = 6, bucketCap = 1000L)),
+    // STREAMING image ingest gate — completes multimodal dedup's
+    // lifecycle column: arriving images fingerprint in-batch (narrow
+    // decode, payloads never shuffle) and probe the persisted dHash
+    // chunk-bucket index; the corpus is never re-decoded. Every
+    // planted twin matches its original at hamming 0 without
+    // exact-hash help. rows-only for the q_image_neardup reason;
+    // stream == batch operator equality spec-pinned
+    "q_stream_image_gate" -> ((s, d) =>
+      streaming.ImageStream.imageGateRun(s, d)),
     // Section A+ — purchase-log analytics (multi-way join rollups)
     "q_revenue_by_nation" -> ((s, d) =>
       Purchases.revenueByNation(Tables.customer(s, d), Tables.orders(s, d),

@@ -423,6 +423,39 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Hamming near-dup pairs of NEW fingerprints against a PERSISTED
+    * fingerprint index — the [[minhashPairsAgainst]] posture for the
+    * 64-bit chunk-LSH family: the ingest-time gate never self-joins
+    * the corpus, it probes the index with the (small) arriving batch.
+    * Same 16-bit chunk buckets and recall bound as
+    * [[fingerprintPairs]]; `bucketCap` caps INDEX-side bucket
+    * occupancy (the quadratic side — the batch side is bounded by the
+    * micro-batch). Input: (doc_id, fp) on both sides. Output:
+    * (doc_new, doc_corpus, hamming) at hamming ≤ maxHamming, ordered;
+    * identical ids never pair (a re-arrival of an already-indexed id
+    * is an exact-dedup concern, not a near-dup one). */
+  def fingerprintPairsAgainst(
+      newFps: DataFrame, indexFps: DataFrame, maxHamming: Int = 3,
+      bucketCap: Long = Long.MaxValue): DataFrame = {
+    def chunks(fps: DataFrame) = fps
+      .select(col("doc_id"), col("fp"),
+        explode(expr(
+          "transform(sequence(0, 3), c -> named_struct('c', c, 'v', (fp >> (c*16)) & 65535))")).as("ck"))
+      .select(col("doc_id"), col("fp"), col("ck.c").as("c"), col("ck.v").as("v"))
+    val idx = capBuckets(chunks(indexFps), Seq("c", "v"), bucketCap)
+    chunks(newFps).as("n")
+      .join(idx.as("i"),
+        col("n.c") === col("i.c") && col("n.v") === col("i.v") &&
+          col("n.doc_id") =!= col("i.doc_id"))
+      .select(col("n.doc_id").as("doc_new"), col("i.doc_id").as("doc_corpus"),
+        col("n.fp").as("fp_n"), col("i.fp").as("fp_i"))
+      .dropDuplicates("doc_new", "doc_corpus")
+      .withColumn("hamming", expr("bit_count(fp_n ^ fp_i)"))
+      .filter(col("hamming") <= maxHamming)
+      .select("doc_new", "doc_corpus", "hamming")
+      .orderBy("doc_new", "doc_corpus")
+  }
+
   /** Chunk-bucket occupancy report for a 64-bit fingerprint frame —
     * the [[minhashBucketOccupancy]] pre-flight for the
     * [[fingerprintPairs]] join: occupancy n yields n(n-1)/2 candidate

@@ -1,0 +1,151 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.operators.Dedup
+import graft.sources.Multimodal
+
+/** Streaming ingest-time IMAGE near-duplicate gate — the
+  * [[DedupStream.nearDupGate]] posture for the image modality,
+  * completing multimodal dedup's lifecycle column (batch
+  * q_image_neardup / survivors / streaming): images arrive as a
+  * stream, fingerprint IN-BATCH (a narrow mapPartitions decode —
+  * payloads never shuffle, the [[Multimodal.imageFingerprints]]
+  * contract), and probe a PERSISTED dHash fingerprint index through
+  * the 16-bit chunk-bucket join ([[Dedup.fingerprintPairsAgainst]])
+  * — never re-decoding the corpus, never all-pairs. aHash rides as
+  * corroboration exactly like the batch face.
+  *
+  * Exactly-once mechanics are the text gate's verbatim: pairs and
+  * (optional) index growth both land per batch_id under dynamic
+  * partition overwrite, so a retried micro-batch REPLACES its own
+  * output; the index snapshot anti-joins the batch's own media_ids
+  * so a retry whose failed predecessor already wrote the growth
+  * partition emits no self-pairs. */
+object ImageStream {
+
+  /** Seed (or re-seed) the persisted fingerprint index from a
+    * fingerprint frame (media_id, codec, ahash, dhash) — seed rows
+    * land under batch_id=-1, sharing the gate's growth layout. */
+  def seedIndex(fps: DataFrame, indexPath: String): Unit =
+    fps.withColumn("batch_id", lit(-1L))
+      .write.mode("overwrite").partitionBy("batch_id").parquet(indexPath)
+
+  /** Launch the gate over a streaming media frame in the
+    * [[Multimodal.MediaRecord]] schema. Pairs (media_new,
+    * media_corpus, hamming_d, hamming_a) land under `pairsPath`
+    * partitioned by batch_id. */
+  def imageGate(
+      newMedia: DataFrame,
+      indexPath: String,
+      pairsPath: String,
+      checkpoint: String,
+      maxHamming: Int = 6,
+      bucketCap: Long = Long.MaxValue,
+      growIndex: Boolean = true): StreamingQuery =
+    newMedia.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        import spark.implicits._
+        // fingerprint the arrivals: one narrow decode pass, then the
+        // payloads are DONE — everything downstream joins slim
+        // integer frames
+        val fps = Multimodal.imageFingerprints(
+            batch.toDF().as[Multimodal.MediaRecord])
+          .toDF().localCheckpoint()
+        // index snapshot minus the batch's own ids (retry hygiene —
+        // see DedupStream.nearDupGate); the batch id set is small by
+        // definition, so the anti-join broadcasts. An EMPTY index (a
+        // gate starting from an empty corpus: zero parquet files under
+        // the partition layout) reads as an empty frame in the batch's
+        // own fingerprint schema instead of failing schema inference.
+        val idxRaw =
+          if (DeltaLayout.hasDeltaPartitions(spark, indexPath))
+            spark.read.parquet(indexPath)
+          else fps.limit(0)
+        val idx = idxRaw
+          .join(broadcast(fps.select("media_id")), Seq("media_id"), "left_anti")
+        val pairs = Dedup.fingerprintPairsAgainst(
+          fps.select(col("media_id").as("doc_id"), col("dhash").as("fp")),
+          idx.select(col("media_id").as("doc_id"), col("dhash").as("fp")),
+          maxHamming, bucketCap)
+        pairs
+          .join(fps.select(col("media_id").as("doc_new"),
+            col("ahash").as("ah_n")), Seq("doc_new"))
+          .join(idx.select(col("media_id").as("doc_corpus"),
+            col("ahash").as("ah_c")), Seq("doc_corpus"))
+          .select(col("doc_new").as("media_new"),
+            col("doc_corpus").as("media_corpus"),
+            col("hamming").as("hamming_d"),
+            expr("bit_count(ah_n ^ ah_c)").as("hamming_a"))
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(pairsPath)
+        if (growIndex) {
+          fps.withColumn("batch_id", lit(batchId))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(indexPath)
+        }
+      }
+      .start()
+
+  /** Bounded end-to-end run — the measured driver entry
+    * (q_stream_image_gate): seed the fingerprint index with the BASE
+    * images' fingerprints (a projection of the persisted imageFpShared
+    * artifact — the corpus is never re-decoded), stage the planted
+    * perceptual twins as the arriving stream (only their source docs
+    * re-render — the arrivals are the images a crawler would deliver),
+    * run the gate with the index frozen (the serving measurement), and
+    * return the emitted pair frame: every planted twin must match its
+    * original at hamming 0 WITHOUT exact-hash help (different bytes).
+    * rows-only (DuckDB cannot decode PNGs); stream == batch operator
+    * equality and mid-stream twin capture are spec-pinned. */
+  def imageGateRun(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Multimodal.TwinIdBit
+    val root = java.nio.file.Files.createTempDirectory("graft_img_stream")
+    val src = root.resolve("src").toString
+    val indexPath = root.resolve("index").toString
+    val pairsPath = root.resolve("pairs").toString
+    def rm(p: java.nio.file.Path): Unit = {
+      import scala.jdk.CollectionConverters._
+      if (java.nio.file.Files.exists(p)) {
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+      }
+    }
+    try {
+      StreamMeter.timeSeed("q_stream_image_gate") {
+        val fps = graft.SparkEntry.imageFpShared(spark, dir)
+        seedIndex(fps.filter(col("media_id") < TwinIdBit), indexPath)
+        // arrivals: the twin images themselves — re-rendered from
+        // only the twin-bearing docs (4 % of the corpus), in two
+        // files so the stream sees more than one micro-batch
+        val docs = graft.Tables.documents(spark, dir)
+          .filter(col("doc_id") % 50 === 0 || col("doc_id") % 50 === 10)
+        Multimodal.syntheticImages(docs)
+          .filter(col("media_id") >= TwinIdBit)
+          .toDF()
+          .repartition(2).write.mode("overwrite").parquet(src)
+      }
+      val schema = org.apache.spark.sql.Encoders
+        .product[Multimodal.MediaRecord].schema
+      val q = imageGate(
+        spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).parquet(src),
+        indexPath, pairsPath, root.resolve("ckpt").toString,
+        maxHamming = 6, bucketCap = 1000L, growIndex = false)
+      try q.processAllAvailable() finally q.stop()
+      spark.read.parquet(pairsPath)
+        .select("media_new", "media_corpus", "hamming_d", "hamming_a")
+        .localCheckpoint()
+        .orderBy("media_new", "media_corpus")
+    } finally rm(root)
+  }
+}
