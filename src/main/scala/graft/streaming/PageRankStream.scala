@@ -12,11 +12,15 @@ import graft.operators.Graph
   * graph family's full lifecycle matrix. Two ways this stream differs
   * from the exact-state ones (components/coreness/triangles/truss):
   *
-  *   - The additive state is WEIGHTED: co-purchase pair counts only
-  *     grow, so micro-batches land per-pair weight INCREMENTS (a new
-  *     pair lands its full weight) and the live graph is the
-  *     per-(a, b) SUM of seed weights and live increments — an
-  *     upsert-free, commutative fold.
+  *   - The additive state is WEIGHTED: micro-batches land per-pair
+  *     weight INCREMENTS (a new pair lands its full weight) and the
+  *     live graph is the per-(a, b) SUM of seed weights and live
+  *     increments — an upsert-free, commutative fold. Increments are
+  *     SIGNED: a delisting lands dw = −w and the pair sums out of the
+  *     graph (loud when a fold goes negative), so this stream is
+  *     removal-aware through its additive layout alone — no net-op
+  *     resolution needed, unlike the exact-state signed harness
+  *     ([[SignedGraphStream]]).
   *   - Serving is a WARM-START CASCADE, not an exact re-derivation:
   *     ranks are damped-iteration approximations of the stationary
   *     distribution, so serve(seed + delta) and serve(compact(seed,
@@ -82,13 +86,26 @@ object PageRankStream {
       Seq("a", "b", "w"), s"$seedRoot/edges", distinctRows = false)
 
   /** The live weighted graph: per-(a, b) sum of seed weights and live
-    * increments — the commutative fold both serve and compact share. */
+    * increments — the commutative fold both serve and compact share.
+    * Increments are SIGNED (the [[Graph.pageRankSigned]] contract
+    * riding the additive layout for free): a delisted pair arrives as
+    * dw = −w and sums to zero, dropping from the served graph; a
+    * negative fold means the delta disagrees with the seed artifact
+    * and raises LOUDLY — this is what makes the centrality stream
+    * removal-aware like its four signed siblings. */
   private def foldedGraph(
       spark: SparkSession, seedRoot: String, deltaPath: String,
       upTo: Long): DataFrame =
     spark.read.parquet(s"$seedRoot/edges").select("a", "b", "w")
       .unionByName(liveDeltaIncrements(spark, seedRoot, deltaPath, upTo))
       .groupBy("a", "b").agg(sum("w").as("w"))
+      .select(col("a"), col("b"),
+        when(col("w") < 0, raise_error(concat(
+            lit("PageRankStream: folded weight < 0 for pair ("),
+            col("a").cast("string"), lit(","), col("b").cast("string"),
+            lit(") — signed increments disagree with the seed"))))
+          .otherwise(col("w")).as("w"))
+      .filter(col("w") > 0)
 
   /** The live rank frame: one warm [[Graph.pageRank]] sweep over the
     * folded live graph, started from the seed ranks. A missing/empty

@@ -1062,6 +1062,57 @@ class StreamingSpec extends AnyFunSuite with SparkSessionTestBase {
     assert(after === advanced)
   }
 
+  test("pagerank stream accepts SIGNED increments: a delisting sums its " +
+      "pair out of the graph; a disagreeing fold raises") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit}
+    import graft.streaming.PageRankStream
+    val root = java.nio.file.Files.createTempDirectory("rank_signed")
+    val seedRoot = root.resolve("seed").toString
+    val deltaP = root.resolve("delta").toString
+    PageRankStream.seedRanks(
+      Seq((1L, 2L, 3L), (2L, 3L, 1L), (1L, 3L, 2L), (10L, 11L, 5L))
+        .toDF("src", "dst", "w"), seedRoot)
+    // signed batch: delist (10,11) entirely (dw = −w), shrink (1,2)
+    // by 1, grow a new pair
+    Seq((10L, 11L, -5L), (1L, 2L, -1L), (3L, 4L, 4L))
+      .toDF("src", "dst", "w")
+      .select(col("src").as("a"), col("dst").as("b"), col("w"))
+      .withColumn("batch_id", lit(0L))
+      .write.partitionBy("batch_id").mode("append").parquet(deltaP)
+    val folded = Seq((1L, 2L, 2L), (2L, 3L, 1L), (1L, 3L, 2L), (3L, 4L, 4L))
+      .toDF("src", "dst", "w")
+    val seedR = spark.read.parquet(s"$seedRoot/ranks").localCheckpoint()
+    val served = PageRankStream.serveRanks(spark, seedRoot, deltaP)
+      .collect()
+    assert(served.map(_.toString).toSeq === graft.operators.Graph
+      .pageRank(folded, startRanks = Some(seedR))
+      .collect().map(_.toString).toSeq)
+    // the delisted pair's isolated nodes are gone from the ranking
+    val nodes = served.map(_.getLong(0)).toSet
+    assert(!nodes.contains(10L) && !nodes.contains(11L) && nodes.contains(4L))
+    // compaction folds the signed state identically (advanced warm point)
+    PageRankStream.compact(spark, seedRoot, deltaP)
+    assert(PageRankStream.serveRanks(spark, seedRoot, deltaP)
+      .collect().map(_.toString).toSeq
+      === graft.operators.Graph.pageRank(folded,
+        startRanks = Some(graft.operators.Graph.pageRank(folded,
+          startRanks = Some(seedR)).select("node", "rank_micro")))
+        .collect().map(_.toString).toSeq)
+    // LOUD: an increment below −w disagrees with the seed artifact
+    Seq((2L, 3L, -7L)).toDF("src", "dst", "w")
+      .select(col("src").as("a"), col("dst").as("b"), col("w"))
+      .withColumn("batch_id", lit(1L))
+      .write.partitionBy("batch_id").mode("append").parquet(deltaP)
+    def rootMsg(t: Throwable): String =
+      (Option(t.getMessage).getOrElse("")) +
+        Option(t.getCause).map(rootMsg).getOrElse("")
+    val ex = intercept[Exception] {
+      PageRankStream.serveRanks(spark, seedRoot, deltaP).collect()
+    }
+    assert(rootMsg(ex).contains("folded weight < 0"))
+  }
+
   test("coreness compact preserves the served decomposition") {
     import spark.implicits._
     import graft.streaming.CorenessStream
