@@ -220,9 +220,12 @@ object SignedGraphStream {
 
   /** Stage the measured entries' signed source: the persisted
     * adds/removals artifact faces as one (src, dst, op) frame, split
-    * into two files so the stream sees more than one micro-batch —
-    * removals land in the FIRST slice and adds in the second wherever
-    * both touch, exercising cross-batch net resolution. */
+    * into two files so the stream sees more than one micro-batch.
+    * The two faces are DISJOINT pair sets (adds = today ∖ prior,
+    * removals = prior ∖ today), so no pair carries both ops and the
+    * batch split is free to mix them arbitrarily; cross-batch net
+    * resolution (add-then-remove, remove-then-re-add) is exercised by
+    * the spec's hand-ordered batches, not by this entry. */
   private def stageSigned(
       spark: SparkSession, dir: String, srcDir: String): DataFrame = {
     val adds = graft.SparkEntry.cpAddsShared(spark, dir)
