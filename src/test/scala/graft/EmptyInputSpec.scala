@@ -368,4 +368,39 @@ class EmptyInputSpec extends AnyFunSuite with SparkSessionTestBase {
       .collect().map(_.toString).toSeq ===
       verdict.collect().map(_.toString).toSeq)
   }
+
+  test("round-12 operators on empty inputs") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val priorW = Seq((1L, 2L, 3L), (2L, 3L, 1L)).toDF("a", "b", "w")
+    val priorR = Graph.pageRank(
+        priorW.select(col("a").as("src"), col("b").as("dst"), col("w")))
+      .select("node", "rank_micro").localCheckpoint()
+    val noDeltas = Seq.empty[(Long, Long, Long)].toDF("a", "b", "dw")
+    // empty weight delta: the signed warm run IS the direct warm run
+    // over the unchanged prior graph
+    assert(Graph.pageRankSigned(priorW, priorR, noDeltas)
+      .collect().map(_.toString).toSeq ===
+      Graph.pageRank(
+          priorW.select(col("a").as("src"), col("b").as("dst"), col("w")),
+          startRanks = Some(priorR))
+        .collect().map(_.toString).toSeq)
+    // deltas that delist EVERY pair empty the ranking entirely
+    val killAll = priorW.select(col("a"), col("b"), (-col("w")).as("dw"))
+    assert(Graph.pageRankSigned(priorW, priorR, killAll).count() === 0)
+    // fingerprintPairsAgainst: empty on either side is empty output
+    val fps = Seq((1L, 7L)).toDF("doc_id", "fp")
+    val noFps = fps.limit(0)
+    assert(Dedup.fingerprintPairsAgainst(noFps, fps).count() === 0)
+    assert(Dedup.fingerprintPairsAgainst(fps, noFps).count() === 0)
+    // signedLabels with both slices empty: identity with the prior
+    // labeling (the compaction no-op case)
+    val prior = Seq((1L, 2L, 1L), (2L, 3L, 1L)).toDF("src", "dst", "w")
+    val priorE = Graph.canonicalEdges(prior)
+    val priorL = Graph.componentLabels(prior)
+    val noEdges = Seq.empty[(Long, Long, Long)].toDF("src", "dst", "w")
+    assert(Graph.signedLabels(priorE, priorL, noEdges, noEdges)
+      .orderBy("id").collect().map(_.toString).toSeq ===
+      priorL.orderBy("id").collect().map(_.toString).toSeq)
+  }
 }
