@@ -1289,6 +1289,18 @@ object SparkEntry {
     "q_stream_bm25" -> ((s, d) =>
       graft.streaming.Bm25Stream.searchMaintainRun(
         s, d, bm25QueriesDf(s), bm25QueryTermsLiteral)),
+    // REMOVAL-AWARE index maintenance — the deletion lifecycle
+    // extended beyond the graph family to retrieval (the reference's
+    // upserts REPLACE rows and its deletes cascade): the seed index
+    // holds yesterday's corpus (a third verbatim, a third with STALE
+    // text, an alien slice deleted today); the stream delivers adds
+    // (new + replacing, last-writer-wins) and removals BY ID, compacts
+    // mid-lifecycle, serves — hash-matching the SAME full-corpus BM25
+    // oracle as q_bm25_search (signed stream == full rebuild over the
+    // surviving corpus; removals subtract from df, idf, AND avgdl)
+    "q_stream_bm25_signed" -> ((s, d) =>
+      graft.streaming.Bm25SignedStream.searchMaintainRun(
+        s, d, bm25QueriesDf(s), bm25QueryTermsLiteral)),
     // STREAMING sketch maintenance (the third DeltaLayout instance,
     // after the rollup and the inverted index): seed counters from
     // even doc_ids, stream the odd half as per-batch counter deltas,
@@ -4503,6 +4515,10 @@ object SparkEntry {
     // the stream-maintained index serves against the same full-corpus
     // BM25 oracle — stream == rebuild, proven by hash
     "q_stream_bm25" -> bm25OracleSql,
+    // signed stream (adds + replaces + removals) == the same
+    // full-corpus BM25 over the SURVIVING documents table — the hash
+    // gate IS the removal-aware index == full-rebuild proof
+    "q_stream_bm25_signed" -> bm25OracleSql,
     // exact phrase search: the relational phrase join in SQL — tokens
     // with 1-based subscripts on BOTH sides, so start = pos − qpos is
     // the same 0-based value Spark's posexplode yields; a true

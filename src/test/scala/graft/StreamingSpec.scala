@@ -565,6 +565,93 @@ class StreamingSpec extends AnyFunSuite with SparkSessionTestBase {
     assert(after === batch)
   }
 
+  test("signed BM25 stream: replace/remove/net-resolution serve the " +
+      "surviving corpus exactly; guards raise; compaction invariant") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.streaming.Bm25SignedStream
+    val queries = Seq((0L, "bb cc"), (1L, "ee")).toDF("query_id", "query_text")
+    val terms = Seq("bb", "cc", "ee")
+    val root = java.nio.file.Files.createTempDirectory("bm25_signed_spec")
+    def rm(p: java.nio.file.Path): Unit = {
+      import scala.jdk.CollectionConverters._
+      if (java.nio.file.Files.exists(p)) {
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+      }
+    }
+    try {
+      val src = root.resolve("src").toString
+      val seedP = root.resolve("seed").toString
+      val deltaP = root.resolve("delta").toString
+      // yesterday: doc1 verbatim, doc2 STALE, doc5 alien (deleted today)
+      Bm25SignedStream.seedIndex(
+        Seq((1L, "aa bb"), (2L, "zz zz"), (5L, "aa aa"))
+          .toDF("doc_id", "text"), seedP)
+      def ops(rows: Seq[(Long, String, String)]) =
+        rows.toDF("doc_id", "text", "op")
+      // batch 0: REPLACE doc2, add doc3, add doc6 (retracted in b1)
+      val b0 = ops(Seq((2L, "bb cc", "add"), (3L, "cc dd", "add"),
+        (6L, "ee ff", "add")))
+      b0.write.mode("overwrite").parquet(src)
+      val q = Bm25SignedStream.indexMaintain(
+        spark.readStream.schema(b0.schema).parquet(src),
+        seedP, deltaP, root.resolve("ckpt").toString)
+      try {
+        q.processAllAvailable()
+        // batch 1: remove the alien AND the batch-0 add (nets out),
+        // add doc4; batch 2: RE-ADD doc5 with new text (remove-then-
+        // re-add serves the re-add)
+        ops(Seq((5L, "", "remove"), (6L, "", "remove"), (4L, "dd ee", "add")))
+          .write.mode("append").parquet(src)
+        q.processAllAvailable()
+        ops(Seq((5L, "ee ff", "add")))
+          .write.mode("append").parquet(src)
+        q.processAllAvailable()
+      } finally q.stop()
+      val surviving = Seq((1L, "aa bb"), (2L, "bb cc"), (3L, "cc dd"),
+        (4L, "dd ee"), (5L, "ee ff")).toDF("doc_id", "text")
+      val expect = graft.operators.Retrieval.bm25Search(surviving, queries)
+        .collect().map(_.toString).toSeq
+      val before = Bm25SignedStream.serveSearch(
+          spark, seedP, deltaP, queries, terms)
+        .collect().map(_.toString).toSeq
+      assert(before === expect)
+      // doc6 netted out and the stale doc2 text is gone: "zz"/"ff"
+      // terms must not surface doc2-old or doc6 for any query probing
+      // them (df/avgdl already proven by the exact equality above)
+      Bm25SignedStream.compact(spark, seedP, deltaP)
+      assert(Bm25SignedStream.serveSearch(
+          spark, seedP, deltaP, queries, terms)
+        .collect().map(_.toString).toSeq === expect)
+      // landing guards
+      def rootMsg(t: Throwable): String =
+        (Option(t.getMessage).getOrElse("")) +
+          Option(t.getCause).map(rootMsg).getOrElse("")
+      def runBatch(rows: Seq[(Long, String, String)]): Unit = {
+        val r2 = java.nio.file.Files.createTempDirectory("bm25_signed_guard")
+        try {
+          val s2 = r2.resolve("src").toString
+          Bm25SignedStream.seedIndex(
+            Seq((1L, "aa")).toDF("doc_id", "text"), r2.resolve("seed").toString)
+          val b = ops(rows)
+          b.write.mode("overwrite").parquet(s2)
+          val qq = Bm25SignedStream.indexMaintain(
+            spark.readStream.schema(b.schema).parquet(s2),
+            r2.resolve("seed").toString, r2.resolve("delta").toString,
+            r2.resolve("ckpt").toString)
+          try qq.processAllAvailable() finally qq.stop()
+        } finally rm(r2)
+      }
+      val exDup = intercept[Exception] {
+        runBatch(Seq((7L, "aa", "add"), (7L, "bb", "add")))
+      }
+      assert(rootMsg(exDup).contains("more than once in one batch"))
+      val exOp = intercept[Exception] { runBatch(Seq((7L, "aa", "upsert"))) }
+      assert(rootMsg(exOp).contains("op must be add|remove"))
+    } finally rm(root)
+  }
+
   test("stream-maintained BM25 index serves identically to a full rebuild") {
     import spark.implicits._
     import graft.streaming.Bm25Stream
