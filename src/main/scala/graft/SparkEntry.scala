@@ -1563,6 +1563,15 @@ object SparkEntry {
     "q_stream_phrase" -> ((s, d) =>
       streaming.PhraseStream.searchMaintainRun(
         s, d, phraseQueriesDf(s), phraseTermsLiteral)),
+    // REMOVAL-AWARE positional maintenance: the signed BM25 posture
+    // on the phrase index, riding the SAME SignedIndexLayout state
+    // machine (add/REPLACE/remove-by-id, last-writer-wins) — a
+    // replaced doc serves its new positions, a removed doc's phrases
+    // stop matching. Same full-corpus phrase oracle over the
+    // surviving corpus: the hash gate IS the proof
+    "q_stream_phrase_signed" -> ((s, d) =>
+      streaming.PhraseSignedStream.searchMaintainRun(
+        s, d, phraseQueriesDf(s), phraseTermsLiteral)),
     // verbatim-sequence decontamination: per-doc contains-the-exact-
     // benchmark-phrase verdict — the fifth face of the decontamination
     // matrix, full oracle; the indexed form probes the persisted
@@ -4531,6 +4540,9 @@ object SparkEntry {
     // rebuild proof
     "q_phrase_incremental" -> phraseOracleSql,
     "q_stream_phrase" -> phraseOracleSql,
+    // signed stream (adds + replaces + removals) == the same
+    // full-corpus phrase search over the SURVIVING documents table
+    "q_stream_phrase_signed" -> phraseOracleSql,
     // the verbatim-decontamination pair shares one per-doc rollup of
     // the same witness cascade; indexed == online by construction
     "q_decontaminate_phrase" -> decontaminatePhraseOracleSql,

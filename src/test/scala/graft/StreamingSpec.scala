@@ -652,6 +652,62 @@ class StreamingSpec extends AnyFunSuite with SparkSessionTestBase {
     } finally rm(root)
   }
 
+  test("signed phrase stream: a replaced doc's old phrase stops " +
+      "matching, a removed doc's too; serve == full rebuild") {
+    import spark.implicits._
+    import graft.streaming.PhraseSignedStream
+    val queries = Seq((0L, "aa bb"), (1L, "zz zz"), (2L, "ee ff"))
+      .toDF("query_id", "query_text")
+    val root = java.nio.file.Files.createTempDirectory("phrase_signed_spec")
+    def rm(p: java.nio.file.Path): Unit = {
+      import scala.jdk.CollectionConverters._
+      if (java.nio.file.Files.exists(p)) {
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+      }
+    }
+    try {
+      val src = root.resolve("src").toString
+      val seedP = root.resolve("seed").toString
+      val deltaP = root.resolve("delta").toString
+      // yesterday: doc1 verbatim, doc2 STALE ("zz zz" — today's
+      // replace kills that phrase), doc5 alien (deleted today)
+      PhraseSignedStream.seedIndex(
+        Seq((1L, "aa bb cc"), (2L, "zz zz"), (5L, "ee ff"))
+          .toDF("doc_id", "text"), seedP)
+      val b0 = Seq((2L, "aa bb dd", "add"), (3L, "bb cc", "add"))
+        .toDF("doc_id", "text", "op")
+      b0.write.mode("overwrite").parquet(src)
+      val q = PhraseSignedStream.indexMaintain(
+        spark.readStream.schema(b0.schema).parquet(src),
+        seedP, deltaP, root.resolve("ckpt").toString)
+      try {
+        q.processAllAvailable()
+        Seq((5L, "", "remove")).toDF("doc_id", "text", "op")
+          .write.mode("append").parquet(src)
+        q.processAllAvailable()
+      } finally q.stop()
+      val surviving = Seq((1L, "aa bb cc"), (2L, "aa bb dd"), (3L, "bb cc"))
+        .toDF("doc_id", "text")
+      val expect = graft.operators.Retrieval.phraseSearch(surviving, queries)
+        .collect().map(_.toString).toSeq
+      def serve() = PhraseSignedStream.serveSearch(
+          spark, seedP, deltaP, queries)
+        .collect().map(_.toString).toSeq
+      val before = serve()
+      assert(before === expect)
+      // the stale phrase ("zz zz") and the removed doc's ("ee ff")
+      // match NOTHING; the replace's new text matches "aa bb"
+      val hits = PhraseSignedStream.serveSearch(spark, seedP, deltaP, queries)
+        .select("query_id", "doc_id")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toSet
+      assert(!hits.exists(_._1 == 1L) && !hits.exists(_._1 == 2L))
+      assert(hits.contains((0L, 2L)))
+      PhraseSignedStream.compact(spark, seedP, deltaP)
+      assert(serve() === expect)
+    } finally rm(root)
+  }
+
   test("stream-maintained BM25 index serves identically to a full rebuild") {
     import spark.implicits._
     import graft.streaming.Bm25Stream
