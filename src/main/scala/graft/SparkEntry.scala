@@ -1320,6 +1320,16 @@ object SparkEntry {
     // in spec, like the other ANN families)
     "q_stream_ivf" -> ((s, d) =>
       graft.streaming.IvfStream.ivfMaintainRun(s, d)),
+    // REMOVAL-AWARE vector-index maintenance: the SignedIndexLayout
+    // machine's third instantiation (BM25, phrase, now ANN) — a
+    // document deleted upstream must leave the ANN index too. Adds
+    // of existing ids are RE-EMBEDS (new vector → new list), removes
+    // delete by id, centroids stay train-once fixed and ride the
+    // compaction swap verbatim. rows-only for the q_stream_ivf
+    // reason; signed == direct-assignment-of-surviving-corpus
+    // equality proven through serving in spec
+    "q_stream_ivf_signed" -> ((s, d) =>
+      graft.streaming.IvfSignedStream.ivfMaintainRun(s, d)),
     // STREAMING SemDeDup — the semantic-dedup verdict maintained
     // while embeddings arrive, completing the SemDeDup lifecycle
     // (batch / incremental / streaming): centroids train once on the

@@ -36,39 +36,42 @@ import org.apache.spark.sql.streaming.StreamingQuery
 private[streaming] object SignedIndexLayout {
 
   /** Launch maintenance over a streaming signed frame
-    * (doc_id, text, op). `indexOf` maps the adds slice (doc_id, text)
-    * to its postings frame; `who` names the instantiator in the loud
-    * guard messages. */
+    * (idCol, payloadCol, op). `indexOf` maps the adds slice
+    * (idCol, payloadCol) to its postings frame; `who` names the
+    * instantiator in the loud guard messages. Text indexes use the
+    * default (doc_id, text); the vector index rides the same machine
+    * with (vec_id, embedding). */
   def maintain(
       newOps: DataFrame, seedPath: String, deltaPath: String,
       checkpoint: String, indexOf: DataFrame => DataFrame,
-      who: String): StreamingQuery =
+      who: String, idCol: String = "doc_id",
+      payloadCol: String = "text"): StreamingQuery =
     newOps.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         if (batchId > DeltaLayout.foldedThrough(batch.sparkSession, seedPath)) {
           val guarded = batch.toDF()
-            .select(col("doc_id"), col("text"),
+            .select(col(idCol), col(payloadCol),
               when(col("op").isin("add", "remove"), col("op"))
                 .otherwise(raise_error(concat(
                   lit(s"$who: op must be add|remove, got "),
                   col("op")))).as("op"))
-          val dup = guarded.groupBy("doc_id")
+          val dup = guarded.groupBy(idCol)
             .agg(count(lit(1)).as("n_rows")).filter(col("n_rows") > 1)
-          val checked = guarded.join(dup, Seq("doc_id"), "left")
-            .select(col("doc_id"), col("text"),
+          val checked = guarded.join(dup, Seq(idCol), "left")
+            .select(col(idCol), col(payloadCol),
               when(col("n_rows").isNotNull, raise_error(concat(
-                  lit(s"$who: doc_id "), col("doc_id").cast("string"),
+                  lit(s"$who: $idCol "), col(idCol).cast("string"),
                   lit(" appears more than once in one batch — ambiguous"))))
                 .otherwise(col("op")).as("op"))
             .localCheckpoint()
-          indexOf(checked.filter(col("op") === "add").select("doc_id", "text"))
+          indexOf(checked.filter(col("op") === "add").select(idCol, payloadCol))
             .withColumn("batch_id", lit(batchId))
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("batch_id")
             .parquet(s"$deltaPath/postings")
-          checked.select("doc_id", "op")
+          checked.select(col(idCol), col("op"))
             .withColumn("batch_id", lit(batchId))
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
@@ -79,10 +82,10 @@ private[streaming] object SignedIndexLayout {
       .start()
 
   /** The live postings under last-writer-wins; `cols` is the
-    * instantiator's postings schema. */
+    * instantiator's postings schema (must contain `idCol`). */
   def livePostings(
       spark: SparkSession, seedPath: String, deltaPath: String,
-      upTo: Long, cols: Seq[String]): DataFrame = {
+      upTo: Long, cols: Seq[String], idCol: String = "doc_id"): DataFrame = {
     val folded = DeltaLayout.foldedThrough(spark, seedPath)
     val seedP = spark.read.parquet(s"$seedPath/postings")
       .select(cols.map(col): _*)
@@ -100,35 +103,43 @@ private[streaming] object SignedIndexLayout {
     val allP = seedP.withColumn("src_batch", lit(-1L)).unionByName(deltaP)
     val net = spark.read.parquet(s"$deltaPath/ops")
       .filter(live)
-      .select(col("doc_id"), col("op"),
+      .select(col(idCol), col("op"),
         col("batch_id").cast("long").as("batch_id"))
-      .groupBy("doc_id")
+      .groupBy(idCol)
       .agg(max(struct(col("batch_id"), col("op"))).as("last"))
-      .select(col("doc_id"), col("last.op").as("op"),
+      .select(col(idCol), col("last.op").as("op"),
         col("last.batch_id").as("last_batch"))
       .localCheckpoint()
-    val untouched = allP.join(net, Seq("doc_id"), "left_anti")
+    val untouched = allP.join(net, Seq(idCol), "left_anti")
     val lastAdds = allP
-      .join(net.filter(col("op") === "add").select("doc_id", "last_batch"),
-        Seq("doc_id"))
+      .join(net.filter(col("op") === "add").select(idCol, "last_batch"),
+        Seq(idCol))
       .filter(col("src_batch") === col("last_batch"))
       .drop("last_batch")
     untouched.unionByName(lastAdds).select(cols.map(col): _*)
   }
 
   /** Fold the net signed state into a fresh postings seed (watermark
-    * + crash-safe swap; a batch committed mid-compact stays live). */
+    * + crash-safe swap; a batch committed mid-compact stays live).
+    * `carryFaces` are immutable sibling faces under the seed root
+    * (e.g. the IVF centroids) rewritten verbatim into the new seed so
+    * the swap carries them across. */
   def compact(
       spark: SparkSession, seedPath: String, deltaPath: String,
-      cols: Seq[String]): Unit = {
+      cols: Seq[String], idCol: String = "doc_id",
+      carryFaces: Seq[String] = Nil): Unit = {
     import org.apache.hadoop.fs.Path
     if (!DeltaLayout.hasDeltaPartitions(spark, s"$deltaPath/ops")) return
     val fs = DeltaLayout.fs(spark, seedPath)
     val maxBatch = DeltaLayout.maxBatchId(spark, s"$deltaPath/ops")
-    val newP = livePostings(spark, seedPath, deltaPath, maxBatch, cols)
+    val newP = livePostings(spark, seedPath, deltaPath, maxBatch, cols, idCol)
       .localCheckpoint()
+    val carried = carryFaces.map(f =>
+      f -> spark.read.parquet(s"$seedPath/$f").localCheckpoint())
     val tmp = seedPath + "__maint"
     newP.write.mode("overwrite").parquet(s"$tmp/postings")
+    carried.foreach { case (f, df) =>
+      df.write.mode("overwrite").parquet(s"$tmp/$f") }
     val newFolded = math.max(maxBatch,
       DeltaLayout.foldedThrough(spark, seedPath))
     if (newFolded >= 0) DeltaLayout.writeFoldedMarker(fs, tmp, newFolded)

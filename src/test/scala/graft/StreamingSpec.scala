@@ -708,6 +708,77 @@ class StreamingSpec extends AnyFunSuite with SparkSessionTestBase {
     } finally rm(root)
   }
 
+  test("signed IVF stream: re-embeds move list assignments, removals " +
+      "leave the index; live assign == direct assignment of survivors") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.streaming.IvfSignedStream
+    val root = java.nio.file.Files.createTempDirectory("ivf_signed_spec")
+    def rm(p: java.nio.file.Path): Unit = {
+      import scala.jdk.CollectionConverters._
+      if (java.nio.file.Files.exists(p)) {
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+      }
+    }
+    try {
+      val src = root.resolve("src").toString
+      val seedP = root.resolve("seed").toString
+      val deltaP = root.resolve("delta").toString
+      def vecs(rows: Seq[(Long, Seq[Float])]) = rows
+        .map { case (id, v) => (id, v.toArray) }.toDF("vec_id", "embedding")
+      // two well-separated clusters on the unit circle
+      val cluster1 = Seq(1.0f, 0.0f)
+      val cluster2 = Seq(0.0f, 1.0f)
+      val truth = vecs(Seq(
+        (0L, cluster1), (1L, Seq(0.9f, 0.1f)), (2L, Seq(0.95f, 0.05f)),
+        (3L, cluster2), (4L, Seq(0.1f, 0.9f)), (5L, Seq(0.05f, 0.95f))))
+      // yesterday: vec 1 STALE (negated — other side of the sphere),
+      // vec 99 alien (deleted today); 2 and 5 arrive only today
+      val staleSeed = vecs(Seq(
+        (0L, cluster1), (1L, Seq(-0.9f, -0.1f)), (3L, cluster2),
+        (4L, Seq(0.1f, 0.9f)), (99L, Seq(0.7f, 0.7f))))
+      IvfSignedStream.seedIndex(staleSeed, seedP, nCentroids = 2,
+        lloydIters = 2)
+      val b0 = vecs(Seq((1L, Seq(0.9f, 0.1f)), (2L, Seq(0.95f, 0.05f))))
+        .withColumn("op", org.apache.spark.sql.functions.lit("add"))
+      b0.write.mode("overwrite").parquet(src)
+      val q = IvfSignedStream.indexMaintain(
+        spark.readStream.schema(b0.schema).parquet(src),
+        seedP, deltaP, root.resolve("ckpt").toString)
+      try {
+        q.processAllAvailable()
+        vecs(Seq((5L, Seq(0.05f, 0.95f)), (99L, Seq(0f, 0f))))
+          .withColumn("op", org.apache.spark.sql.functions
+            .when(col("vec_id") === 99L, "remove").otherwise("add"))
+          .write.mode("append").parquet(src)
+        q.processAllAvailable()
+      } finally q.stop()
+      val cents = spark.read.parquet(s"$seedP/centroids").localCheckpoint()
+      def assignRows(d: org.apache.spark.sql.DataFrame) = d
+        .orderBy("vec_id").collect().map(_.toString).toSeq
+      val direct = graft.operators.Similarity.ivfAssignAgainst(truth, cents)
+      val live = IvfSignedStream.liveAssign(spark, seedP, deltaP)
+      // bit-identical: the signed live index == one-batch assignment
+      // of the SURVIVING corpus at the same centroids — the alien is
+      // gone, the re-embedded vec 1 sits in its NEW list
+      assert(assignRows(live) === assignRows(direct))
+      val served = IvfSignedStream.searchLive(
+          spark, seedP, deltaP, truth, nQueries = 3, k = 2, nProbe = 1)
+        .collect().map(_.toString).toSeq
+      assert(served === graft.operators.Similarity.embedIvfTopKFromIndex(
+        direct, cents, truth, nQueries = 3, k = 2, nProbe = 1)
+        .collect().map(_.toString).toSeq)
+      // compaction carries the centroid face and changes nothing
+      IvfSignedStream.compact(spark, seedP, deltaP)
+      assert(assignRows(IvfSignedStream.liveAssign(spark, seedP, deltaP))
+        === assignRows(direct))
+      assert(spark.read.parquet(s"$seedP/centroids")
+        .collect().map(_.toString).sorted
+        === cents.collect().map(_.toString).sorted)
+    } finally rm(root)
+  }
+
   test("stream-maintained BM25 index serves identically to a full rebuild") {
     import spark.implicits._
     import graft.streaming.Bm25Stream
