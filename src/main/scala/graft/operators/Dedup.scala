@@ -449,9 +449,17 @@ object Dedup {
           col("n.doc_id") =!= col("i.doc_id"))
       .select(col("n.doc_id").as("doc_new"), col("i.doc_id").as("doc_corpus"),
         col("n.fp").as("fp_n"), col("i.fp").as("fp_i"))
-      .dropDuplicates("doc_new", "doc_corpus")
+      // hamming BEFORE the pair collapse: if an out-of-band writer
+      // left two fp rows for one index id (stale + fresh), a
+      // pre-filter dropDuplicates keeps an ARBITRARY row and a true
+      // near-dup is nondeterministically lost — filtering first means
+      // any within-bound match survives, and min() makes the reported
+      // distance deterministic (for a well-formed one-fp-per-id index
+      // the two orderings are identical)
       .withColumn("hamming", expr("bit_count(fp_n ^ fp_i)"))
       .filter(col("hamming") <= maxHamming)
+      .groupBy("doc_new", "doc_corpus")
+      .agg(min("hamming").as("hamming"))
       .select("doc_new", "doc_corpus", "hamming")
       .orderBy("doc_new", "doc_corpus")
   }

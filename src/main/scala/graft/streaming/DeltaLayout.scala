@@ -60,6 +60,23 @@ private[graft] object DeltaLayout {
       f.listStatus(dp).exists(_.getPath.getName.startsWith("batch_id="))
   }
 
+  /** The batch ids with a landed partition under `dir` — a driver-side
+    * directory listing, bounded by the number of micro-batches. What a
+    * multi-face writer consults to serve only batches whose COMMIT
+    * face landed (a crash between two faces' writes must leave the
+    * half-landed batch invisible, not half-served). */
+  def batchIds(spark: SparkSession, dir: String): Seq[Long] = {
+    val dp = new Path(dir)
+    val f = fs(spark, dir)
+    if (!f.exists(dp)) Seq.empty
+    else f.listStatus(dp).toSeq.flatMap { st =>
+      val n = st.getPath.getName
+      if (n.startsWith("batch_id="))
+        scala.util.Try(n.stripPrefix("batch_id=").toLong).toOption
+      else None
+    }
+  }
+
   /** Crash-safe replacement of the live artifact directory by the
     * complete `tmp` one. The old delete-then-rename left a window with
     * NO live directory at all (crash after the delete → serving fails,

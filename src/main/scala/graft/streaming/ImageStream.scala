@@ -65,9 +65,20 @@ object ImageStream {
         val idxRaw =
           if (DeltaLayout.hasDeltaPartitions(spark, indexPath))
             spark.read.parquet(indexPath)
-          else fps.limit(0)
+          else fps.limit(0).withColumn("batch_id", lit(-1L))
+        // last-writer-wins per media_id: growIndex lands a re-arrival
+        // in a LATER batch partition without retracting the earlier
+        // one, so the snapshot can hold two fp rows for one id —
+        // probing both would compute the verdict against a stale
+        // fingerprint (and fan out the ahash re-join below). The
+        // latest batch's row is the serving truth.
         val idx = idxRaw
           .join(broadcast(fps.select("media_id")), Seq("media_id"), "left_anti")
+          .groupBy("media_id")
+          .agg(max(struct(col("batch_id").cast("long").as("batch_id"),
+            col("codec"), col("ahash"), col("dhash"))).as("m"))
+          .select(col("media_id"), col("m.codec").as("codec"),
+            col("m.ahash").as("ahash"), col("m.dhash").as("dhash"))
         val pairs = Dedup.fingerprintPairsAgainst(
           fps.select(col("media_id").as("doc_id"), col("dhash").as("fp")),
           idx.select(col("media_id").as("doc_id"), col("dhash").as("fp")),
