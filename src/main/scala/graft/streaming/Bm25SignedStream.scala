@@ -19,24 +19,37 @@ import graft.operators.Retrieval
   * keys, not bodies), net state per doc resolves by LAST op in
   * batch order.
   *
-  * The BM25-specific half is the corpus statistics: serving
-  * recomputes (n_docs, tot_tokens) from the live per-doc lengths —
-  * one distinct + one tiny aggregate — which is what makes removal
-  * exact: a dropped doc vanishes from df, idf, AND avgdl, so a
-  * search served from the signed state is provably identical to a
-  * full rebuild over the surviving corpus (the driver entry
-  * hash-matches the SAME full-corpus DuckDB oracle as
-  * q_bm25_search). */
+  * The BM25-specific half is the corpus statistics: the layout
+  * maintains a second signed face of per-doc lengths (`doclen` —
+  * one (doc_id, dl) row per live doc) alongside the postings, so
+  * serving aggregates (n_docs, tot_tokens) from that SLIM face and
+  * never scans the postings beyond the term-pruned row groups. That
+  * is what makes removal exact AND scale-safe: a dropped doc
+  * vanishes from df, idf, and avgdl because its doclen row leaves
+  * the live face, while the scoring path stays a term-IN-pruned
+  * scan — a search served from the signed state is provably
+  * identical to a full rebuild over the surviving corpus (the
+  * driver entry hash-matches the SAME full-corpus DuckDB oracle as
+  * q_bm25_search; the pushdown is pinned in PlanRegressionSpec). */
 object Bm25SignedStream {
 
   private val Cols = Seq("term", "doc_id", "tf", "dl")
+  private val DlCols = Seq("doc_id", "dl")
 
-  /** Seed (or rebuild) the persisted postings from a corpus frame —
-    * postings only: the signed serving path derives meta from the
-    * live postings, because removals must subtract from it. */
-  def seedIndex(docs: DataFrame, seedPath: String): Unit =
-    Retrieval.bm25Index(docs)._1
-      .write.mode("overwrite").parquet(s"$seedPath/postings")
+  /** The per-doc length face of a postings frame: one (doc_id, dl)
+    * row per doc that HAS postings (a termless doc contributes
+    * nothing to df or avgdl on either serving path). */
+  private def doclenOf(postings: DataFrame): DataFrame =
+    postings.select("doc_id", "dl").distinct()
+
+  /** Seed (or rebuild) the persisted index from a corpus frame —
+    * the postings face plus the slim per-doc `doclen` face the
+    * signed serve aggregates corpus statistics from. */
+  def seedIndex(docs: DataFrame, seedPath: String): Unit = {
+    val p = Retrieval.bm25Index(docs)._1.localCheckpoint()
+    p.write.mode("overwrite").parquet(s"$seedPath/postings")
+    doclenOf(p).write.mode("overwrite").parquet(s"$seedPath/doclen")
+  }
 
   /** Launch maintenance over a streaming signed frame
     * (doc_id, text, op). Batches at or below the compaction
@@ -45,25 +58,32 @@ object Bm25SignedStream {
       newOps: DataFrame, seedPath: String, deltaPath: String,
       checkpoint: String): StreamingQuery =
     SignedIndexLayout.maintain(newOps, seedPath, deltaPath, checkpoint,
-      docs => Retrieval.bm25Index(docs)._1, "Bm25SignedStream")
+      docs => Retrieval.bm25Index(docs)._1, "Bm25SignedStream",
+      extraFaces = Seq("doclen" ->
+        (docs => doclenOf(Retrieval.bm25Index(docs)._1))))
 
   /** Serve a BM25 search over the signed live state: meta
-    * (n_docs, tot_tokens) recomputes from the live per-doc lengths so
-    * removals subtract from df, idf, and avgdl exactly. */
+    * (n_docs, tot_tokens) aggregates the slim live doclen face (one
+    * row per doc) so removals subtract from df, idf, and avgdl
+    * exactly, and the postings frame stays LAZY so the term IN
+    * filter reaches every postings scan (file/row-group pruning —
+    * never a full-index materialization per serve). */
   def serveSearch(
       spark: SparkSession, seedPath: String, deltaPath: String,
       queries: DataFrame, termsLiteral: Seq[String], k: Int = 10): DataFrame = {
     val p = SignedIndexLayout
       .livePostings(spark, seedPath, deltaPath, Long.MaxValue, Cols)
-      .localCheckpoint()
-    val meta = p.select("doc_id", "dl").distinct()
+    val meta = SignedIndexLayout
+      .livePostings(spark, seedPath, deltaPath, Long.MaxValue, DlCols,
+        face = "doclen")
       .agg(count(lit(1)).as("n_docs"), sum("dl").as("tot_tokens"))
     Retrieval.bm25FromIndex(p, meta, queries, termsLiteral, k = k)
   }
 
-  /** Fold the net signed state into a fresh postings seed. */
+  /** Fold the net signed state into a fresh seed (both faces). */
   def compact(spark: SparkSession, seedPath: String, deltaPath: String): Unit =
-    SignedIndexLayout.compact(spark, seedPath, deltaPath, Cols)
+    SignedIndexLayout.compact(spark, seedPath, deltaPath, Cols,
+      extraFaces = Seq("doclen" -> DlCols))
 
   /** Bounded end-to-end run — the measured driver entry
     * (q_stream_bm25_signed): the seed index holds yesterday's corpus

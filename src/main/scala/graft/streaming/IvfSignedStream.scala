@@ -48,7 +48,7 @@ object IvfSignedStream {
     SignedIndexLayout.maintain(newOps, seedPath, deltaPath, checkpoint,
       adds => Similarity.ivfAssignAgainst(adds,
         adds.sparkSession.read.parquet(s"$seedPath/centroids")),
-      "IvfSignedStream", idCol = "vec_id", payloadCol = "embedding")
+      "IvfSignedStream", idCol = "vec_id", payloadCols = Seq("embedding"))
 
   /** The live (vec_id, cid) assignment under last-writer-wins. */
   def liveAssign(
@@ -103,7 +103,8 @@ object IvfSignedStream {
         val stale = emb.filter(col("vec_id") % 3 === 1)
           .withColumn("embedding", expr("transform(embedding, x -> -x)"))
         val alien = emb.filter(col("vec_id") % 3 === 2)
-          .select((col("vec_id") + 50000000L).as("vec_id"), col("embedding"))
+          .select(col("vec_id").bitwiseOR(SignedIndexLayout.AlienIdBit)
+            .as("vec_id"), col("embedding"))
         seedIndex(
           emb.filter(col("vec_id") % 3 === 0)
             .unionByName(stale).unionByName(alien),

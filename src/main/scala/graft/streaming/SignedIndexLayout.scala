@@ -29,48 +29,70 @@ import org.apache.spark.sql.streaming.StreamingQuery
   *    under the standard watermark + crash-safe swap.
   *
   * Serving-side corpus statistics (df/avgdl for BM25) are the
-  * instantiator's job — this layout owns only the postings frame,
-  * which is why removals here make those statistics exact: a
-  * vanished doc's rows are simply not in the frame the instantiator
-  * aggregates. */
-private[streaming] object SignedIndexLayout {
+  * instantiator's job — the layout owns id-keyed FACES (the primary
+  * `postings` plus any instantiator-declared extras, each a frame
+  * derived from the same adds slice and reconstructed by the same
+  * last-writer-wins fold), which is why removals make those
+  * statistics exact: a vanished doc's rows are simply not in the
+  * faces the instantiator aggregates. */
+private[graft] object SignedIndexLayout {
+
+  /** High-bit tag for the staged runs' alien ids (the slice the
+    * stream deletes): `id | AlienIdBit` stays collision-free for ALL
+    * real ids below 2^40 — an additive offset silently collides once
+    * ids reach it (the defect class [[graft.sources.Multimodal]]'s
+    * TwinIdBit fixed for media ids). */
+  private[graft] val AlienIdBit: Long = 1L << 40
 
   /** Launch maintenance over a streaming signed frame
-    * (idCol, payloadCol, op). `indexOf` maps the adds slice
-    * (idCol, payloadCol) to its postings frame; `who` names the
-    * instantiator in the loud guard messages. Text indexes use the
-    * default (doc_id, text); the vector index rides the same machine
-    * with (vec_id, embedding). */
+    * (idCol, payloadCols..., op). `indexOf` maps the adds slice
+    * (idCol, payloadCols...) to the primary `postings` face; `who`
+    * names the instantiator in the loud guard messages. Text indexes
+    * use the default (doc_id, text); the vector index rides the same
+    * machine with (vec_id, embedding); the image index carries the
+    * whole media record as several payload columns. `extraFaces`
+    * land additional per-batch faces derived from the SAME adds
+    * slice (e.g. BM25's per-doc lengths) — every face writes BEFORE
+    * the ops face, which commits the batch: [[livePostings]] serves
+    * only batches whose ops partition landed, so a crash between
+    * face writes leaves the half-landed batch invisible (not
+    * half-served) until the replay overwrites it. */
   def maintain(
       newOps: DataFrame, seedPath: String, deltaPath: String,
       checkpoint: String, indexOf: DataFrame => DataFrame,
       who: String, idCol: String = "doc_id",
-      payloadCol: String = "text"): StreamingQuery =
+      payloadCols: Seq[String] = Seq("text"),
+      extraFaces: Seq[(String, DataFrame => DataFrame)] = Nil): StreamingQuery =
     newOps.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         if (batchId > DeltaLayout.foldedThrough(batch.sparkSession, seedPath)) {
           val guarded = batch.toDF()
-            .select(col(idCol), col(payloadCol),
+            .select((col(idCol) +: payloadCols.map(col)) :+
               when(col("op").isin("add", "remove"), col("op"))
                 .otherwise(raise_error(concat(
                   lit(s"$who: op must be add|remove, got "),
-                  col("op")))).as("op"))
+                  col("op")))).as("op"): _*)
           val dup = guarded.groupBy(idCol)
             .agg(count(lit(1)).as("n_rows")).filter(col("n_rows") > 1)
           val checked = guarded.join(dup, Seq(idCol), "left")
-            .select(col(idCol), col(payloadCol),
+            .select((col(idCol) +: payloadCols.map(col)) :+
               when(col("n_rows").isNotNull, raise_error(concat(
                   lit(s"$who: $idCol "), col(idCol).cast("string"),
                   lit(" appears more than once in one batch — ambiguous"))))
-                .otherwise(col("op")).as("op"))
+                .otherwise(col("op")).as("op"): _*)
             .localCheckpoint()
-          indexOf(checked.filter(col("op") === "add").select(idCol, payloadCol))
-            .withColumn("batch_id", lit(batchId))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("batch_id")
-            .parquet(s"$deltaPath/postings")
+          val adds = checked.filter(col("op") === "add")
+            .select((idCol +: payloadCols).map(col): _*)
+          (("postings" -> indexOf) +: extraFaces).foreach { case (face, f) =>
+            f(adds)
+              .withColumn("batch_id", lit(batchId))
+              .write.mode("overwrite")
+              .option("partitionOverwriteMode", "dynamic")
+              .partitionBy("batch_id")
+              .parquet(s"$deltaPath/$face")
+          }
+          // ops lands LAST — the batch's commit face
           checked.select(col(idCol), col("op"))
             .withColumn("batch_id", lit(batchId))
             .write.mode("overwrite")
@@ -81,23 +103,35 @@ private[streaming] object SignedIndexLayout {
       }
       .start()
 
-  /** The live postings under last-writer-wins; `cols` is the
-    * instantiator's postings schema (must contain `idCol`). */
+  /** The live rows of one face under last-writer-wins; `cols` is the
+    * instantiator's schema for that face (must contain `idCol`). */
   def livePostings(
       spark: SparkSession, seedPath: String, deltaPath: String,
-      upTo: Long, cols: Seq[String], idCol: String = "doc_id"): DataFrame = {
+      upTo: Long, cols: Seq[String], idCol: String = "doc_id",
+      face: String = "postings"): DataFrame = {
     val folded = DeltaLayout.foldedThrough(spark, seedPath)
-    val seedP = spark.read.parquet(s"$seedPath/postings")
+    val seedP = spark.read.parquet(s"$seedPath/$face")
       .select(cols.map(col): _*)
     if (!DeltaLayout.hasDeltaPartitions(spark, s"$deltaPath/ops"))
       return seedP
     def live = col("batch_id").cast("long") > folded &&
       col("batch_id").cast("long") <= upTo
+    // trust only postings partitions whose batch also landed its ops
+    // partition: maintenance writes postings first and ops LAST (the
+    // commit face), so a crash between the two leaves an orphan
+    // postings partition — without this filter its docs would serve
+    // via the `untouched` anti-join ALONGSIDE the seed rows for the
+    // same doc (duplicate postings) until the batch replays. The id
+    // list is a driver-side partition listing, bounded by batch count,
+    // and `isin` on the partition column prunes at planning time.
+    val landedOps = DeltaLayout.batchIds(spark, s"$deltaPath/ops")
+      .filter(b => b > folded && b <= upTo)
     val deltaP =
-      if (!DeltaLayout.hasDeltaPartitions(spark, s"$deltaPath/postings"))
+      if (!DeltaLayout.hasDeltaPartitions(spark, s"$deltaPath/$face"))
         seedP.withColumn("src_batch", lit(-1L)).limit(0)
-      else spark.read.parquet(s"$deltaPath/postings")
+      else spark.read.parquet(s"$deltaPath/$face")
         .filter(live)
+        .filter(col("batch_id").cast("long").isin(landedOps: _*))
         .select((cols.map(col) :+
           col("batch_id").cast("long").as("src_batch")): _*)
     val allP = seedP.withColumn("src_batch", lit(-1L)).unionByName(deltaP)
@@ -119,26 +153,33 @@ private[streaming] object SignedIndexLayout {
     untouched.unionByName(lastAdds).select(cols.map(col): _*)
   }
 
-  /** Fold the net signed state into a fresh postings seed (watermark
-    * + crash-safe swap; a batch committed mid-compact stays live).
-    * `carryFaces` are immutable sibling faces under the seed root
-    * (e.g. the IVF centroids) rewritten verbatim into the new seed so
-    * the swap carries them across. */
+  /** Fold the net signed state into a fresh seed (watermark +
+    * crash-safe swap; a batch committed mid-compact stays live).
+    * `extraFaces` are additional maintained faces ((name, schema) —
+    * e.g. BM25's per-doc lengths), each folded through the same
+    * last-writer-wins reconstruction. `carryFaces` are immutable
+    * sibling faces under the seed root (e.g. the IVF centroids)
+    * rewritten verbatim into the new seed so the swap carries them
+    * across. */
   def compact(
       spark: SparkSession, seedPath: String, deltaPath: String,
       cols: Seq[String], idCol: String = "doc_id",
-      carryFaces: Seq[String] = Nil): Unit = {
+      carryFaces: Seq[String] = Nil,
+      extraFaces: Seq[(String, Seq[String])] = Nil): Unit = {
     import org.apache.hadoop.fs.Path
     if (!DeltaLayout.hasDeltaPartitions(spark, s"$deltaPath/ops")) return
     val fs = DeltaLayout.fs(spark, seedPath)
     val maxBatch = DeltaLayout.maxBatchId(spark, s"$deltaPath/ops")
-    val newP = livePostings(spark, seedPath, deltaPath, maxBatch, cols, idCol)
-      .localCheckpoint()
+    val faces = ("postings" -> cols) +: extraFaces
+    val newFaces = faces.map { case (face, fcols) =>
+      face -> livePostings(
+        spark, seedPath, deltaPath, maxBatch, fcols, idCol, face)
+        .localCheckpoint()
+    }
     val carried = carryFaces.map(f =>
       f -> spark.read.parquet(s"$seedPath/$f").localCheckpoint())
     val tmp = seedPath + "__maint"
-    newP.write.mode("overwrite").parquet(s"$tmp/postings")
-    carried.foreach { case (f, df) =>
+    (newFaces ++ carried).foreach { case (f, df) =>
       df.write.mode("overwrite").parquet(s"$tmp/$f") }
     val newFolded = math.max(maxBatch,
       DeltaLayout.foldedThrough(spark, seedPath))
@@ -146,8 +187,9 @@ private[streaming] object SignedIndexLayout {
     DeltaLayout.swapLive(fs, tmp, seedPath)
     DeltaLayout.deleteFoldedPartitions(
       fs, new Path(s"$deltaPath/ops"), newFolded)
-    DeltaLayout.deleteFoldedPartitions(
-      fs, new Path(s"$deltaPath/postings"), newFolded)
+    faces.foreach { case (face, _) =>
+      DeltaLayout.deleteFoldedPartitions(
+        fs, new Path(s"$deltaPath/$face"), newFolded) }
   }
 
   /** The measured signed-run corpus staging shared by the driver
@@ -163,7 +205,7 @@ private[streaming] object SignedIndexLayout {
     val stale = docs.filter(col("doc_id") % 3 === 1)
       .withColumn("text", concat(col("text"), lit(" stalecopy")))
     val alien = docs.filter(col("doc_id") % 3 === 2)
-      .select((col("doc_id") + 50000000L).as("doc_id"), col("text"))
+      .select(col("doc_id").bitwiseOR(AlienIdBit).as("doc_id"), col("text"))
     seedWith(docs.filter(col("doc_id") % 3 === 0)
       .unionByName(stale).unionByName(alien))
     val d = docs.filter(col("doc_id") % 3 =!= 0)

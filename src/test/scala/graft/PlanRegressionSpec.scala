@@ -768,4 +768,78 @@ class PlanRegressionSpec extends AnyFunSuite with SparkSessionTestBase {
       "the parent key set must broadcast — an exchange per micro-batch would shuffle facts")
     assert(p.nonEmpty) // the streaming entry itself ran end-to-end
   }
+
+  test("signed index serves push the term IN filter to EVERY postings scan " +
+      "through the last-writer-wins reconstruction") {
+    // the property a Spark upgrade or a livePostings refactor silently
+    // breaks (the r10 DotProduct-fallback defect class): the signed
+    // serve must stay a term-pruned scan — seed face AND delta face —
+    // never a full-index read per query batch. Built on a tiny signed
+    // state with one streamed batch so the plan contains both scan
+    // kinds plus the net-ops joins.
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("plan_pushdown_spec")
+    def rm(p: java.nio.file.Path): Unit = {
+      import scala.jdk.CollectionConverters._
+      if (java.nio.file.Files.exists(p)) {
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+      }
+    }
+    def postingsScansPruned(plan: String, who: String): Unit = {
+      val scans = plan.linesIterator
+        .filter(l => l.contains("Scan parquet") && l.contains("postings"))
+        .toSeq
+      assert(scans.nonEmpty, s"$who: no postings scans found in\n$plan")
+      scans.foreach { l =>
+        assert(l.contains("In(term"),
+          s"$who: postings scan without a pushed term IN filter:\n$l")
+      }
+    }
+    try {
+      val corpus = Seq((1L, "aa bb cc"), (2L, "dd ee")).toDF("doc_id", "text")
+      val b0 = Seq((2L, "aa ff", "add"), (3L, "", "remove"))
+        .toDF("doc_id", "text", "op")
+      def streamInto(seedP: String, deltaP: String, tag: String,
+          seed: org.apache.spark.sql.DataFrame => Unit,
+          maintain: (org.apache.spark.sql.DataFrame, String, String, String) =>
+            org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+        seed(corpus)
+        val src = root.resolve(s"src_$tag").toString
+        b0.write.parquet(src)
+        val q = maintain(
+          spark.readStream.schema(b0.schema).parquet(src),
+          seedP, deltaP, root.resolve(s"ckpt_$tag").toString)
+        try q.processAllAvailable() finally q.stop()
+      }
+      val (phrSeed, phrDelta) =
+        (root.resolve("phr_seed").toString, root.resolve("phr_delta").toString)
+      streamInto(phrSeed, phrDelta, "phr",
+        graft.streaming.PhraseSignedStream.seedIndex(_, phrSeed),
+        graft.streaming.PhraseSignedStream.indexMaintain)
+      val phrPlan = graft.streaming.PhraseSignedStream.serveSearch(
+          spark, phrSeed, phrDelta,
+          Seq((0L, "aa bb")).toDF("query_id", "query_text"),
+          termsLiteral = Seq("aa", "bb"))
+        .queryExecution.executedPlan.toString
+      postingsScansPruned(phrPlan, "phrase signed serve")
+
+      val (bmSeed, bmDelta) =
+        (root.resolve("bm_seed").toString, root.resolve("bm_delta").toString)
+      streamInto(bmSeed, bmDelta, "bm",
+        graft.streaming.Bm25SignedStream.seedIndex(_, bmSeed),
+        graft.streaming.Bm25SignedStream.indexMaintain)
+      val bmPlan = graft.streaming.Bm25SignedStream.serveSearch(
+          spark, bmSeed, bmDelta,
+          Seq((0L, "aa bb")).toDF("query_id", "query_text"),
+          termsLiteral = Seq("aa", "bb"))
+        .queryExecution.executedPlan.toString
+      // the meta aggregate must ride the doclen face, not the postings
+      assert(bmPlan.contains("doclen"),
+        s"BM25 signed serve must aggregate corpus stats from the doclen face:\n$bmPlan")
+      postingsScansPruned(
+        bmPlan.linesIterator.filterNot(_.contains("doclen")).mkString("\n"),
+        "bm25 signed serve")
+    } finally rm(root)
+  }
 }
