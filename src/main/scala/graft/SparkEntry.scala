@@ -1341,6 +1341,18 @@ object SparkEntry {
     // == direct full-corpus twin spec-asserted
     "q_stream_semdedup" -> ((s, d) =>
       graft.streaming.SemDedupStream.semDedupMaintainRun(s, d)),
+    // REMOVAL-AWARE SemDeDup assignment — the SignedIndexLayout
+    // machine for the persisted (vec_id, cid, sim) artifact: a
+    // deleted document's vector stops seeding keep/drop verdicts
+    // (without it, a cluster's survivor can be a vector whose doc no
+    // longer exists while every other member stays wrongly dropped).
+    // Adds re-embed (new vector → possibly new cluster), removes
+    // delete by id, centroids stay train-once fixed across the
+    // compaction swap. rows-only for the q_semdedup reason; live
+    // assignment == direct assignment of survivors and served
+    // verdict == direct twin spec-pinned
+    "q_stream_semdedup_signed" -> ((s, d) =>
+      graft.streaming.SemDedupSignedStream.semDedupMaintainRun(s, d)),
     "q_vocab_stats" -> ((s, d) => TextAnalysis.vocabStats(Tables.documents(s, d))),
     "q_source_divergence" -> ((s, d) =>
       TextAnalysis.sourceDivergence(Tables.documents(s, d))),
@@ -1757,6 +1769,27 @@ object SparkEntry {
     // stream == batch operator equality spec-pinned
     "q_stream_image_gate" -> ((s, d) =>
       streaming.ImageStream.imageGateRun(s, d)),
+    // REMOVAL-AWARE image fingerprint index — the SignedIndexLayout
+    // machine for the multimodal family, completing its deletion
+    // column: removes delete by media_id, adds decode in-batch
+    // (payloads never shuffle, never persist), and the gate then
+    // proves the contract — twins of REMOVED originals emit no pairs
+    // (deleted content re-admits instead of being suppressed by its
+    // ghost), twins of surviving ones still match at hamming 0.
+    // rows-only (DuckDB cannot decode PNGs); live-face equality vs
+    // direct fingerprints of the survivors spec-pinned
+    "q_stream_image_signed" -> ((s, d) =>
+      streaming.ImageSignedStream.imageMaintainRun(s, d)),
+    // the cross-family deletion contract all per-family signed
+    // machines compose into (the reference's ON DELETE CASCADE,
+    // rabbitmq-to-postgres/app.py:98): ONE victim set streamed as
+    // removals through all five machines, then a presence probe of
+    // every live face — (family, rows_before, rows_after) with
+    // rows_after 0 across BM25, phrase, both dedup signature faces,
+    // IVF, and the image index. rows-only (sketch/image faces have
+    // no SQL twin); before>0 ∧ after==0 spec-pinned
+    "q_signed_delete_cascade" -> ((s, d) =>
+      streaming.SignedDeleteCascade.deleteCascadeRun(s, d)),
     // Section A+ — purchase-log analytics (multi-way join rollups)
     "q_revenue_by_nation" -> ((s, d) =>
       Purchases.revenueByNation(Tables.customer(s, d), Tables.orders(s, d),
@@ -2083,6 +2116,18 @@ object SparkEntry {
     // equals the batch twin minhashPairsAgainst(batch, corpus − batch)
     "q_stream_neardup_gate" -> ((s, d) =>
       graft.streaming.DedupStream.nearDupGateRun(s, d)),
+    // REMOVAL-AWARE dedup-gate signatures — the SignedIndexLayout
+    // machine for BOTH gate sketch families (MinHash signatures +
+    // SimHash fingerprints as two faces of one signed state): a doc
+    // deleted upstream leaves the gate's indexes, so re-submitted
+    // deleted content is NOT falsely suppressed by its ghost — the
+    // run's gate probes re-submissions of the deleted alien slice
+    // (zero pairs) alongside copies of surviving docs (pairs at est
+    // 1.0, against REPLACED text where replaced). rows-only (the
+    // q_dedup_minhash reason); live faces == direct sketches of the
+    // surviving corpus spec-pinned
+    "q_stream_dedup_signed" -> ((s, d) =>
+      graft.streaming.DedupSignedStream.gateMaintainRun(s, d)),
     "q_retention_cohorts" -> ((s, d) => Purchases.retentionCohorts(Tables.orders(s, d))),
     "q_price_percentiles" -> ((s, d) => Purchases.pricePercentiles(Tables.part(s, d))),
     "q_train_split" -> ((s, d) => Curation.splitCounts(Tables.documents(s, d))),
