@@ -147,11 +147,15 @@ object ImageStream {
       }
       val schema = org.apache.spark.sql.Encoders
         .product[Multimodal.MediaRecord].schema
+      // growIndex=false is the serving measurement (the published
+      // bench entry); SPARK_GRAFT_IMAGE_GROW=true turns the growth
+      // face's index writes on for scale probes of the write path
       val q = imageGate(
         spark.readStream.schema(schema)
           .option("maxFilesPerTrigger", 1).parquet(src),
         indexPath, pairsPath, root.resolve("ckpt").toString,
-        maxHamming = 6, bucketCap = 1000L, growIndex = false)
+        maxHamming = 6, bucketCap = 1000L,
+        growIndex = sys.env.get("SPARK_GRAFT_IMAGE_GROW").contains("true"))
       try q.processAllAvailable() finally q.stop()
       spark.read.parquet(pairsPath)
         .select("media_new", "media_corpus", "hamming_d", "hamming_a")

@@ -241,6 +241,49 @@ class SignedStreamsSpec extends AnyFunSuite with SparkSessionTestBase {
     }
   }
 
+  test("multi-face signed machines are restart- and retry-safe: a " +
+      "same-checkpoint re-run replays nothing and a fresh-checkpoint " +
+      "retry overwrites BOTH faces' partitions") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("dedup_signed_retry")
+    try {
+      val src = root.resolve("src").toString
+      val seedP = root.resolve("seed").toString
+      val deltaP = root.resolve("delta").toString
+      def words(tag: String): String =
+        (1 to 120).map(i => s"$tag$i").mkString(" ")
+      DedupSignedStream.seedIndex(
+        Seq((1L, words("fox")), (5L, words("gone")))
+          .toDF("doc_id", "text"), seedP)
+      val b = Seq((2L, words("new"), "add"), (5L, "", "remove"))
+        .toDF("doc_id", "text", "op")
+      b.write.mode("overwrite").parquet(src)
+      def runOnce(ckpt: String): Unit = {
+        val q = DedupSignedStream.indexMaintain(
+          spark.readStream.schema(b.schema).parquet(src),
+          seedP, deltaP, ckpt)
+        try q.processAllAvailable() finally q.stop()
+      }
+      val surviving = Seq((1L, words("fox")), (2L, words("new")))
+        .toDF("doc_id", "text")
+      def checkBothFaces(): Unit = {
+        assert(rows(DedupSignedStream.liveSignatures(spark, seedP, deltaP),
+          "doc_id")
+          === rows(graft.operators.Dedup.minhashSignatures(surviving),
+            "doc_id"))
+        assert(rows(DedupSignedStream.liveFingerprints(spark, seedP, deltaP),
+          "doc_id")
+          === rows(DedupSignedStream.simhashFps(surviving), "doc_id"))
+      }
+      runOnce(root.resolve("ckpt").toString)
+      checkBothFaces()
+      runOnce(root.resolve("ckpt").toString) // restart: no replay
+      checkBothFaces()
+      runOnce(root.resolve("ckpt2").toString) // retry: same partitions
+      checkBothFaces()
+    } finally rm(root)
+  }
+
   test("livePostings serves only batches whose ops face landed: an " +
       "orphan postings partition (crash between face writes) is " +
       "invisible, not double-served") {
