@@ -214,13 +214,24 @@ object Bench {
       val seedQs = seedAll.map { case (name, v) =>
         "\"" + name + "\":" + fmt(3, v)
       }.mkString("{", ",", "}")
+      // per-entry lifecycle phase split (seed/batch/compact/serve,
+      // StreamMeter.timePhase) — forensic only, never on stdout: the
+      // measure-first evidence for WHICH phase of a stream harness
+      // carries its cost (guide §1)
+      val phaseQs = graft.streaming.StreamMeter.phaseSnapshot.toSeq
+        .sortBy(_._1).map { case (name, m) =>
+          "\"" + name + "\":" + m.toSeq.sortBy(_._1).map { case (p, v) =>
+            "\"" + p + "\":" + fmt(3, v)
+          }.mkString("{", ",", "}")
+        }.mkString("{", ",", "}")
       // the exact headline line this run prints, embedded so the full
       // map and the stdout snapshot can never come from different runs
       val stdout = stdoutLine(results, total, sfTag, buildTop, seedTop)
       val full =
         s"""{"metric":"total","value":${fmt(3, total)},"unit":"sec","sf":"$sfTag",""" +
           s""""warmup":${fmt(3, warmupSec)},"warmup_queries":$warmQs,""" +
-          s""""build":$buildQs,"seed":$seedQs,"runs":$runTotals,""" +
+          s""""build":$buildQs,"seed":$seedQs,"phases":$phaseQs,""" +
+          s""""runs":$runTotals,""" +
           s""""stdout":${escapeJson(stdout)},"queries":$qs}"""
       java.nio.file.Files.write(dir.resolve("bench_full.json"),
         (full + "\n").getBytes("UTF-8"))

@@ -184,14 +184,19 @@ object Graph {
         // a fixed point. step() is deterministic, so step(r) == r
         // makes every further iteration identical — stopping cannot
         // change the result (spec asserts equality with the
-        // exhaustive run).
-        val maxDelta = step(rank)
+        // exhaustive run). The probe step is NOT thrown away: when the
+        // run continues, it IS the next block's first iteration (same
+        // deterministic function of the same frame — guide §1.2, don't
+        // compute things twice; previously every check recomputed it).
+        val next = step(rank).localCheckpoint()
+        val maxDelta = next
           .join(rank.withColumnRenamed("r", "r0"), Seq("node"))
           .agg(max(abs(col("r") - col("r0")))).head() match {
             case row if row.isNullAt(0) => 0L
             case row => row.getLong(0)
           }
         converged = maxDelta <= tolMass
+        if (!converged) { rank = next; it += 1 }
       }
     }
     rank.select(col("node"),
@@ -514,6 +519,18 @@ object Graph {
       .unionByName(refreshed.select("id", "label"))
       .localCheckpoint()
   }
+
+  /** [[components]]' output contract straight from a consistent
+    * (labels, edges) artifact pair — the EMPTY-DELTA serving fold of
+    * the streaming component faces (guide §2.4: after a compaction
+    * folded every delta, the incremental machinery — touched-set
+    * scoping, star contraction of an empty subgraph, the untouched
+    * anti-join — is a provable no-op, so serving skips straight to
+    * the two bounded aggregations). Equals
+    * [[componentsIncremental]](edges, labels, empty) row-for-row
+    * (spec-asserted). */
+  def componentStatsOf(labels: DataFrame, edges: DataFrame): DataFrame =
+    componentStats(labels, edges)
 
   /** The (component, n_nodes, n_edges) fold shared by the incremental
     * component faces: one partial-combined aggregation per statistic

@@ -109,14 +109,22 @@ object Resolution {
       s"minScoreMicro must be in [0, 1e6], got $minScoreMicro")
     val f = feed.select(col("feed_id"),
       normalizeName(col("name")).as("fname"))
-      .withColumn("ftoks", split(col("fname"), " ", -1))
     val c = catalog.select(col("canon_id"),
       normalizeName(col("name")).as("cname"))
+    // the per-record candidate dedup keys ONLY (feed_id, fname,
+    // canon_id) — ftoks is a deterministic function of fname
+    // (split on space) and recomputes after the exchange for free,
+    // where carrying the exploded token ARRAY through the distinct
+    // made every shuffled row several times wider and every
+    // hash-aggregate key an array comparison (guide §2.3: project
+    // before the exchange; the r13 driver measured this join
+    // anti-scaling 4.4× at 32 shuffle partitions).
     val cand = f
-      .select(col("feed_id"), col("fname"), col("ftoks"),
-        explode(array_distinct(col("ftoks"))).as("token"))
+      .select(col("feed_id"), col("fname"),
+        explode(array_distinct(split(col("fname"), " ", -1))).as("token"))
       .join(index, Seq("token"))
-      .select("feed_id", "fname", "ftoks", "canon_id").distinct()
+      .select("feed_id", "fname", "canon_id").distinct()
+      .withColumn("ftoks", split(col("fname"), " ", -1))
       .join(c, Seq("canon_id"))
     val mx = greatest(length(col("fname")), length(col("cname")))
     val scored = cand
@@ -133,15 +141,39 @@ object Resolution {
       .withColumn("score_micro",
         expr("(lev_sim_micro + jacc_micro) div 2"))
       .filter(col("score_micro") >= minScoreMicro)
-    val w = Window.partitionBy("feed_id")
-      .orderBy(col("score_micro").desc, col("canon_id"))
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("feed_id"), col("canon_id"), col("lev"),
-        col("lev_sim_micro"), col("jacc_micro"), col("score_micro"),
-        col("rank").cast("int").as("rank"))
-      .orderBy("feed_id", "rank")
+    // top-k under the TOTAL order (score DESC, canon_id ASC). k = 1
+    // (every declared entry) collapses map-side via one
+    // partial-combined min(struct) — the (−score, canon_id) prefix
+    // decides and the trailing fields are uniquely determined by
+    // (feed_id, canon_id), so the argmin is exact — where the window
+    // form shuffles EVERY scored candidate to its feed_id partition
+    // and sorts it (guide §2.3: aggregate before you shuffle).
+    // Equality with the window form is spec-asserted and
+    // oracle-hash-proven.
+    if (k == 1)
+      scored
+        .groupBy("feed_id")
+        .agg(min(struct(
+          (-col("score_micro")).as("neg_score"), col("canon_id"),
+          col("lev"), col("lev_sim_micro"), col("jacc_micro"))).as("best"))
+        .select(col("feed_id"), col("best.canon_id").as("canon_id"),
+          col("best.lev").as("lev"),
+          col("best.lev_sim_micro").as("lev_sim_micro"),
+          col("best.jacc_micro").as("jacc_micro"),
+          (-col("best.neg_score")).as("score_micro"),
+          lit(1).cast("int").as("rank"))
+        .orderBy("feed_id", "rank")
+    else {
+      val w = Window.partitionBy("feed_id")
+        .orderBy(col("score_micro").desc, col("canon_id"))
+      scored
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select(col("feed_id"), col("canon_id"), col("lev"),
+          col("lev_sim_micro"), col("jacc_micro"), col("score_micro"),
+          col("rank").cast("int").as("rank"))
+        .orderBy("feed_id", "rank")
+    }
   }
 
   /** [[entityMatchWithIndex]] with the blocking index built inline

@@ -174,9 +174,20 @@ object Similarity {
       normalized: DataFrame, nCentroids: Int, trainFactor: Int): DataFrame = {
     val parts = normalized.sparkSession.conf
       .get("spark.sql.shuffle.partitions", "32").toInt
+    val n = trainFactor * nCentroids
+    // SCALE-ADAPTIVE partitioning (guide §2): the sample size is known
+    // exactly (trainFactor · nCentroids), so size the training frame
+    // at ~2k vectors per partition instead of a flat
+    // shuffle-partitions fan-out — a bounded sample sliced into 32
+    // near-empty partitions pays per-task scheduling on EVERY Lloyd
+    // pass (2 iters × 3 jobs) for no parallelism, while a k ∝ n
+    // corpus sample still fans out to the session cap. Lloyd means
+    // are integer-exact DECIMAL sums, so the result is bit-identical
+    // under any partitioning (the ivfModel contract).
+    val target = math.max(1, math.min(parts, (n + 2047) / 2048))
     normalized.orderBy(xxhash64(col("vec_id")), col("vec_id"))
-      .limit(trainFactor * nCentroids)
-      .repartition(parts)
+      .limit(n)
+      .repartition(target)
   }
 
   /** Normalized corpus + deterministic Lloyd-refined centroids — the

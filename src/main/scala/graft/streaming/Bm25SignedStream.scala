@@ -59,8 +59,12 @@ object Bm25SignedStream {
       checkpoint: String): StreamingQuery =
     SignedIndexLayout.maintain(newOps, seedPath, deltaPath, checkpoint,
       docs => Retrieval.bm25Index(docs)._1, "Bm25SignedStream",
+      // the doclen face is a projection of the postings face the
+      // layout just materialized — deriving it from that frame saves
+      // a SECOND full bm25Index tokenization pass per micro-batch
+      // (the r13 verdict's measured 42% maintain-side regression)
       extraFaces = Seq("doclen" ->
-        (docs => doclenOf(Retrieval.bm25Index(docs)._1))))
+        ((_, postings) => doclenOf(postings))))
 
   /** Serve a BM25 search over the signed live state: meta
     * (n_docs, tot_tokens) aggregates the slim live doclen face (one
@@ -119,11 +123,17 @@ object Bm25SignedStream {
         spark.readStream.schema(staged.schema)
           .option("maxFilesPerTrigger", 1).parquet(src),
         seedPath, deltaP, root.resolve("ckpt").toString)
-      try q.processAllAvailable() finally q.stop()
+      StreamMeter.timePhase("q_stream_bm25_signed", "batch") {
+        try q.processAllAvailable() finally q.stop()
+      }
       // mid-lifecycle compaction: the served search must be unchanged
-      compact(spark, seedPath, deltaP)
-      serveSearch(spark, seedPath, deltaP, queries, termsLiteral)
-        .localCheckpoint()
+      StreamMeter.timePhase("q_stream_bm25_signed", "compact") {
+        compact(spark, seedPath, deltaP)
+      }
+      StreamMeter.timePhase("q_stream_bm25_signed", "serve") {
+        serveSearch(spark, seedPath, deltaP, queries, termsLiteral)
+          .localCheckpoint()
+      }
     } finally rm(root)
   }
 }

@@ -78,7 +78,18 @@ object ComponentsStream {
   private def serveBounded(
       spark: SparkSession, seedRoot: String, deltaPath: String,
       upTo: Long): DataFrame =
-    Graph.componentsIncremental(
+    // EMPTY-DELTA FAST PATH (guide §2.4): with no live batch (fresh
+    // seed, or right after compaction folded everything) the
+    // incremental fold is a provable no-op — untouched rows pass
+    // through, the refreshed slice of an empty subgraph is empty — so
+    // serving is the two bounded aggregations over the seed pair,
+    // skipping the touched-set scoping + star contraction job chain.
+    // Row-identity with the incremental path is spec-asserted.
+    if (!DeltaLayout.hasLiveBatches(spark, seedRoot, deltaPath))
+      Graph.componentStatsOf(
+        spark.read.parquet(s"$seedRoot/labels"),
+        spark.read.parquet(s"$seedRoot/edges"))
+    else Graph.componentsIncremental(
       spark.read.parquet(s"$seedRoot/edges"),
       spark.read.parquet(s"$seedRoot/labels"),
       liveDeltaEdges(spark, seedRoot, deltaPath, upTo)
@@ -158,9 +169,13 @@ object ComponentsStream {
         spark.readStream.schema(delta.schema)
           .option("maxFilesPerTrigger", 1).parquet(srcDir),
         seedRoot, deltaP, root.resolve("ckpt").toString)
-      try q.processAllAvailable() finally q.stop()
+      StreamMeter.timePhase("q_stream_components", "batch") {
+        try q.processAllAvailable() finally q.stop()
+      }
       // mid-lifecycle compaction: served stats must be unchanged by it
-      compact(spark, seedRoot, deltaP)
+      StreamMeter.timePhase("q_stream_components", "compact") {
+        compact(spark, seedRoot, deltaP)
+      }
       // localCheckpoint (eager), NOT collect: one row per component is
       // unbounded in general (singletons dominate real crawl graphs) —
       // the materialized blocks keep the result off-driver and
@@ -168,8 +183,9 @@ object ComponentsStream {
       // checkpoint blocks are NOT replicated, so losing an executor
       // after rm() fails the query loudly rather than recomputing —
       // accepted for family consistency with the sibling harnesses
-      serveComponents(spark, seedRoot, deltaP).localCheckpoint()
-        .orderBy("component")
+      StreamMeter.timePhase("q_stream_components", "serve") {
+        serveComponents(spark, seedRoot, deltaP).localCheckpoint()
+      }.orderBy("component")
     } finally rm(root)
   }
 }

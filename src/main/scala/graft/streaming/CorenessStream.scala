@@ -79,7 +79,14 @@ object CorenessStream {
   private def serveBounded(
       spark: SparkSession, seedRoot: String, deltaPath: String,
       upTo: Long): DataFrame =
-    Graph.corenessIncremental(
+    // EMPTY-DELTA FAST PATH (guide §2.4): with no live batch the
+    // incremental re-peel is a provable no-op (every prior row passes
+    // through untouched, the empty subgraph re-peels to nothing), so
+    // serving reads the coreness face straight off the seed artifact.
+    // Row-identity with the incremental path is spec-asserted.
+    if (!DeltaLayout.hasLiveBatches(spark, seedRoot, deltaPath))
+      spark.read.parquet(s"$seedRoot/coreness").select("node", "coreness")
+    else Graph.corenessIncremental(
       spark.read.parquet(s"$seedRoot/edges"),
       spark.read.parquet(s"$seedRoot/labels"),
       spark.read.parquet(s"$seedRoot/coreness"),
@@ -157,15 +164,20 @@ object CorenessStream {
         spark.readStream.schema(delta.schema)
           .option("maxFilesPerTrigger", 1).parquet(srcDir),
         seedRoot, deltaP, root.resolve("ckpt").toString)
-      try q.processAllAvailable() finally q.stop()
+      StreamMeter.timePhase("q_stream_coreness", "batch") {
+        try q.processAllAvailable() finally q.stop()
+      }
       // mid-lifecycle compaction: served decomposition unchanged by it
-      compact(spark, seedRoot, deltaP)
+      StreamMeter.timePhase("q_stream_coreness", "compact") {
+        compact(spark, seedRoot, deltaP)
+      }
       // localCheckpoint (eager), NOT collect: the frame is one row per
       // NODE — unbounded, unlike ComponentsStream's per-component
       // stats — so it must stay off-driver; the materialized blocks
       // keep the result independent of the temp dirs rm() deletes
-      serveCoreness(spark, seedRoot, deltaP).localCheckpoint()
-        .orderBy("node")
+      StreamMeter.timePhase("q_stream_coreness", "serve") {
+        serveCoreness(spark, seedRoot, deltaP).localCheckpoint()
+      }.orderBy("node")
     } finally rm(root)
   }
 }

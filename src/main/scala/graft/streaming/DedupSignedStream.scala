@@ -71,7 +71,8 @@ object DedupSignedStream {
     SignedIndexLayout.maintain(newOps, seedPath, deltaPath, checkpoint,
       docs => Dedup.minhashSignatures(docs, shingleLen, numHashes),
       "DedupSignedStream",
-      extraFaces = Seq("fingerprints" -> (simhashFps(_))))
+      extraFaces = Seq("fingerprints" ->
+        ((adds, _) => simhashFps(adds))))
 
   /** The live MinHash signature index under last-writer-wins. */
   def liveSignatures(
@@ -173,8 +174,12 @@ object DedupSignedStream {
         spark.readStream.schema(staged.schema)
           .option("maxFilesPerTrigger", 1).parquet(src),
         seedP, deltaP, root.resolve("ckpt").toString)
-      try q.processAllAvailable() finally q.stop()
-      compact(spark, seedP, deltaP)
+      StreamMeter.timePhase("q_stream_dedup_signed", "batch") {
+        try q.processAllAvailable() finally q.stop()
+      }
+      StreamMeter.timePhase("q_stream_dedup_signed", "compact") {
+        compact(spark, seedP, deltaP)
+      }
       // re-submissions: deleted-alien content (every 10th alien
       // source) under fresh ids ∪ exact copies of surviving docs
       val probe = docs.filter(col("doc_id") % 30 === 2)
@@ -183,9 +188,10 @@ object DedupSignedStream {
         .unionByName(docs.filter(col("doc_id") % 30 === 0)
           .select(col("doc_id").bitwiseOR(ProbeIdBit).as("doc_id"),
             col("text")))
-      gate(spark, seedP, deltaP, probe, threshold = threshold)
-        .localCheckpoint()
-        .orderBy("doc_new", "doc_corpus")
+      StreamMeter.timePhase("q_stream_dedup_signed", "serve") {
+        gate(spark, seedP, deltaP, probe, threshold = threshold)
+          .localCheckpoint()
+      }.orderBy("doc_new", "doc_corpus")
     } finally rm(root)
   }
 }

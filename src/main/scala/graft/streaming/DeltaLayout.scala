@@ -60,6 +60,21 @@ private[graft] object DeltaLayout {
       f.listStatus(dp).exists(_.getPath.getName.startsWith("batch_id="))
   }
 
+  /** True iff at least one landed delta batch is LIVE (above the
+    * seed's compaction watermark) — a driver-side directory listing,
+    * no Spark job. The empty-serve fast path every stream face shares:
+    * right after a compaction folded everything, serving is a plain
+    * read of the seed artifact, and the incremental fold machinery
+    * (touched-set scoping, star contraction, re-peels — each a chain
+    * of Spark jobs) is provably a no-op over an empty delta (the
+    * untouched pass-through keeps every prior row and the refreshed
+    * slice of an empty subgraph is empty; spec-asserted per face). */
+  def hasLiveBatches(
+      spark: SparkSession, seedPath: String, deltaPath: String): Boolean = {
+    val folded = foldedThrough(spark, seedPath)
+    batchIds(spark, deltaPath).exists(_ > folded)
+  }
+
   /** The batch ids with a landed partition under `dir` — a driver-side
     * directory listing, bounded by the number of micro-batches. What a
     * multi-face writer consults to serve only batches whose COMMIT

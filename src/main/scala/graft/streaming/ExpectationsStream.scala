@@ -213,10 +213,16 @@ object ExpectationsStream {
       spark.readStream.schema(facts.schema).parquet(src),
       factTable, emptyTables, checks,
       seedP, deltaP, root.resolve("ckpt").toString)
-    try q.processAllAvailable() finally q.stop()
-    compact(spark, seedP, deltaP)
+    StreamMeter.timePhase("q_stream_verdicts", "batch") {
+      try q.processAllAvailable() finally q.stop()
+    }
+    StreamMeter.timePhase("q_stream_verdicts", "compact") {
+      compact(spark, seedP, deltaP)
+    }
 
-    val result = liveVerdicts(spark, seedP, deltaP, checks).localCheckpoint()
+    val result = StreamMeter.timePhase("q_stream_verdicts", "serve") {
+      liveVerdicts(spark, seedP, deltaP, checks).localCheckpoint()
+    }
     def rm(p: java.nio.file.Path): Unit = {
       import scala.jdk.CollectionConverters._
       if (java.nio.file.Files.exists(p)) {

@@ -150,14 +150,19 @@ object ImageSignedStream {
         spark.readStream.schema(schema)
           .option("maxFilesPerTrigger", 1).parquet(src),
         seedP, deltaP, root.resolve("ckpt").toString)
-      try q.processAllAvailable() finally q.stop()
-      compact(spark, seedP, deltaP)
+      StreamMeter.timePhase("q_stream_image_signed", "batch") {
+        try q.processAllAvailable() finally q.stop()
+      }
+      StreamMeter.timePhase("q_stream_image_signed", "compact") {
+        compact(spark, seedP, deltaP)
+      }
       val twins = Multimodal.syntheticImages(twinDocs)
         .filter(col("media_id") >= TwinIdBit)
         .toDF()
-      gate(spark, seedP, deltaP, twins, maxHamming = 6, bucketCap = 1000L)
-        .localCheckpoint()
-        .orderBy("media_new", "media_corpus")
+      StreamMeter.timePhase("q_stream_image_signed", "serve") {
+        gate(spark, seedP, deltaP, twins, maxHamming = 6, bucketCap = 1000L)
+          .localCheckpoint()
+      }.orderBy("media_new", "media_corpus")
     } finally rm(root)
   }
 }

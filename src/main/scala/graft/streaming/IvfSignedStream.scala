@@ -119,9 +119,15 @@ object IvfSignedStream {
         spark.readStream.schema(staged.schema)
           .option("maxFilesPerTrigger", 1).parquet(src),
         seedP, deltaP, root.resolve("ckpt").toString)
-      try q.processAllAvailable() finally q.stop()
-      compact(spark, seedP, deltaP)
-      searchLive(spark, seedP, deltaP, emb).localCheckpoint()
+      StreamMeter.timePhase("q_stream_ivf_signed", "batch") {
+        try q.processAllAvailable() finally q.stop()
+      }
+      StreamMeter.timePhase("q_stream_ivf_signed", "compact") {
+        compact(spark, seedP, deltaP)
+      }
+      StreamMeter.timePhase("q_stream_ivf_signed", "serve") {
+        searchLive(spark, seedP, deltaP, emb).localCheckpoint()
+      }
     } finally rm(root)
   }
 }

@@ -150,10 +150,16 @@ object IvfStream {
     val q = indexMaintain(
       spark.readStream.schema(emb.schema).parquet(src),
       seedP, deltaP, root.resolve("ckpt").toString)
-    try q.processAllAvailable() finally q.stop()
-    compact(spark, seedP, deltaP)
+    StreamMeter.timePhase("q_stream_ivf", "batch") {
+      try q.processAllAvailable() finally q.stop()
+    }
+    StreamMeter.timePhase("q_stream_ivf", "compact") {
+      compact(spark, seedP, deltaP)
+    }
 
-    val result = searchLive(spark, seedP, deltaP, emb).localCheckpoint()
+    val result = StreamMeter.timePhase("q_stream_ivf", "serve") {
+      searchLive(spark, seedP, deltaP, emb).localCheckpoint()
+    }
     def rm(p: java.nio.file.Path): Unit = {
       import scala.jdk.CollectionConverters._
       if (java.nio.file.Files.exists(p)) {

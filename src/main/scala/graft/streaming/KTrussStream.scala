@@ -73,7 +73,14 @@ object KTrussStream {
   def serveTruss(
       spark: SparkSession, seedRoot: String, deltaPath: String,
       k: Int): DataFrame =
-    Graph.kTrussIncremental(
+    // EMPTY-DELTA FAST PATH (guide §2.4): with no live batch the
+    // incremental re-peel is a provable no-op (untouched truss edges
+    // pass through, the empty subgraph peels to nothing), so serving
+    // reads the truss face straight off the seed artifact.
+    // Row-identity with the incremental path is spec-asserted.
+    if (!DeltaLayout.hasLiveBatches(spark, seedRoot, deltaPath))
+      spark.read.parquet(s"$seedRoot/truss").select("a", "b", "support")
+    else Graph.kTrussIncremental(
       spark.read.parquet(s"$seedRoot/edges"),
       spark.read.parquet(s"$seedRoot/labels"),
       spark.read.parquet(s"$seedRoot/truss"),
@@ -155,14 +162,19 @@ object KTrussStream {
         spark.readStream.schema(delta.schema)
           .option("maxFilesPerTrigger", 1).parquet(srcDir),
         seedRoot, deltaP, root.resolve("ckpt").toString)
-      try q.processAllAvailable() finally q.stop()
+      StreamMeter.timePhase("q_stream_ktruss", "batch") {
+        try q.processAllAvailable() finally q.stop()
+      }
       // mid-lifecycle compaction: served truss unchanged by it
-      compact(spark, seedRoot, deltaP, k)
+      StreamMeter.timePhase("q_stream_ktruss", "compact") {
+        compact(spark, seedRoot, deltaP, k)
+      }
       // localCheckpoint, NOT collect: one row per truss EDGE is
       // unbounded — the materialized blocks keep the result off-driver
       // and independent of the temp dirs rm() deletes
-      serveTruss(spark, seedRoot, deltaP, k).localCheckpoint()
-        .orderBy("a", "b")
+      StreamMeter.timePhase("q_stream_ktruss", "serve") {
+        serveTruss(spark, seedRoot, deltaP, k).localCheckpoint()
+      }.orderBy("a", "b")
     } finally rm(root)
   }
 }

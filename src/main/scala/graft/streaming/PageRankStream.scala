@@ -189,15 +189,20 @@ object PageRankStream {
         spark.readStream.schema(delta.schema)
           .option("maxFilesPerTrigger", 1).parquet(srcDir),
         seedRoot, deltaP, root.resolve("ckpt").toString)
-      try q.processAllAvailable() finally q.stop()
+      StreamMeter.timePhase("q_stream_pagerank", "batch") {
+        try q.processAllAvailable() finally q.stop()
+      }
       // mid-lifecycle compaction ADVANCES the warm point; the final
       // serve warm-starts from the compacted ranks over the full fold
-      compact(spark, seedRoot, deltaP)
+      StreamMeter.timePhase("q_stream_pagerank", "compact") {
+        compact(spark, seedRoot, deltaP)
+      }
       // localCheckpoint, NOT collect: one row per node is unbounded —
       // the materialized blocks keep the result off-driver and
       // independent of the temp dirs rm() deletes
-      serveRanks(spark, seedRoot, deltaP).localCheckpoint()
-        .orderBy(desc("rank_micro"), col("node"))
+      StreamMeter.timePhase("q_stream_pagerank", "serve") {
+        serveRanks(spark, seedRoot, deltaP).localCheckpoint()
+      }.orderBy(desc("rank_micro"), col("node"))
     } finally rm(root)
   }
 }

@@ -119,10 +119,15 @@ object SemDedupSignedStream {
         spark.readStream.schema(staged.schema)
           .option("maxFilesPerTrigger", 1).parquet(src),
         seedP, deltaP, root.resolve("ckpt").toString)
-      try q.processAllAvailable() finally q.stop()
-      compact(spark, seedP, deltaP)
-      serveVerdict(spark, seedP, deltaP, emb).localCheckpoint()
-        .orderBy("vec_id")
+      StreamMeter.timePhase("q_stream_semdedup_signed", "batch") {
+        try q.processAllAvailable() finally q.stop()
+      }
+      StreamMeter.timePhase("q_stream_semdedup_signed", "compact") {
+        compact(spark, seedP, deltaP)
+      }
+      StreamMeter.timePhase("q_stream_semdedup_signed", "serve") {
+        serveVerdict(spark, seedP, deltaP, emb).localCheckpoint()
+      }.orderBy("vec_id")
     } finally rm(root)
   }
 }

@@ -163,14 +163,19 @@ object SemDedupStream {
         spark.readStream.schema(emb.schema)
           .option("maxFilesPerTrigger", 1).parquet(src),
         seedP, deltaP, root.resolve("ckpt").toString)
-      try q.processAllAvailable() finally q.stop()
+      StreamMeter.timePhase("q_stream_semdedup", "batch") {
+        try q.processAllAvailable() finally q.stop()
+      }
       // mid-lifecycle compaction: served verdict must be unchanged
-      compact(spark, seedP, deltaP, emb)
+      StreamMeter.timePhase("q_stream_semdedup", "compact") {
+        compact(spark, seedP, deltaP, emb)
+      }
       // localCheckpoint, NOT collect: one row per vector is unbounded —
       // the materialized blocks keep the result off-driver and
       // independent of the temp dirs rm() deletes
-      serveVerdict(spark, seedP, deltaP, emb).localCheckpoint()
-        .orderBy("vec_id")
+      StreamMeter.timePhase("q_stream_semdedup", "serve") {
+        serveVerdict(spark, seedP, deltaP, emb).localCheckpoint()
+      }.orderBy("vec_id")
     } finally rm(root)
   }
 }

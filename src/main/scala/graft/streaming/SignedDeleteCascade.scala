@@ -47,16 +47,30 @@ object SignedDeleteCascade {
           .foreach(java.nio.file.Files.deleteIfExists(_))
       }
     }
+    // the five machines are INDEPENDENT (disjoint temp dirs, disjoint
+    // checkpoints) — their seeds, streams and probes overlap from a
+    // small driver thread pool so one machine's straggler tail
+    // back-fills with the next machine's tasks (guide §2.6) instead of
+    // serializing five lifecycles of mostly-idle 32-core stages
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(5)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    def awaitAll[T](fs: Seq[() => T]): Seq[T] =
+      scala.concurrent.Await.result(
+        scala.concurrent.Future.sequence(
+          fs.map(f => scala.concurrent.Future(f()))),
+        scala.concurrent.duration.Duration.Inf)
     try {
       StreamMeter.timeSeed("q_signed_delete_cascade") {
-        Bm25SignedStream.seedIndex(docs, root.resolve("bm25").toString)
-        PhraseSignedStream.seedIndex(docs, root.resolve("phrase").toString)
-        DedupSignedStream.seedIndex(docs, root.resolve("dedup").toString)
-        IvfSignedStream.seedIndex(emb, root.resolve("ivf").toString)
-        ImageSignedStream.seedIndex(
-          Multimodal.imageFingerprints(Multimodal.syntheticImages(docs))
-            .toDF().filter(col("media_id") < Multimodal.TwinIdBit),
-          root.resolve("image").toString)
+        awaitAll(Seq(
+          () => Bm25SignedStream.seedIndex(docs, root.resolve("bm25").toString),
+          () => PhraseSignedStream.seedIndex(docs, root.resolve("phrase").toString),
+          () => DedupSignedStream.seedIndex(docs, root.resolve("dedup").toString),
+          () => IvfSignedStream.seedIndex(emb, root.resolve("ivf").toString),
+          () => ImageSignedStream.seedIndex(
+            Multimodal.imageFingerprints(Multimodal.syntheticImages(docs))
+              .toDF().filter(col("media_id") < Multimodal.TwinIdBit),
+            root.resolve("image").toString))): Unit
       }
 
       def live(name: String) = name match {
@@ -77,53 +91,75 @@ object SignedDeleteCascade {
       }
       val families =
         Seq("bm25", "phrase", "dedup_minhash", "dedup_simhash", "ivf", "image")
+      // ONE Spark job probes all six faces: the per-family semi-join
+      // counts union into a single collected frame instead of six
+      // sequential count() actions (guide §2.6 — the scheduler
+      // overlaps the six bounded subtrees; previously each count's
+      // straggler tail idled the whole machine)
       def probe(): Map[String, Long] = families.map { f =>
         val idCol = f match {
           case "ivf" => "vec_id"
           case "image" => "media_id"
           case _ => "doc_id"
         }
-        f -> live(f)
+        live(f)
           .join(victims.select(col("doc_id").as(idCol)), Seq(idCol),
             "left_semi")
-          .count()
-      }.toMap
+          .agg(count(lit(1)).as("n"))
+          .select(lit(f).as("family"), col("n"))
+      }.reduce(_ unionByName _)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
 
-      val before = probe()
+      val before = StreamMeter.timePhase("q_signed_delete_cascade", "probe") {
+        probe()
+      }
 
-      // one remove batch per machine, the SAME victim ids everywhere
-      def runOps(tag: String, ops: DataFrame,
+      // one remove batch per machine, the SAME victim ids everywhere;
+      // the five streams START together and drain CONCURRENTLY —
+      // processAllAvailable on one query overlaps the others' batches
+      def startOps(tag: String, ops: DataFrame,
           maintain: (DataFrame, String, String, String) =>
-            org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+            org.apache.spark.sql.streaming.StreamingQuery)
+          : org.apache.spark.sql.streaming.StreamingQuery = {
         val src = root.resolve(s"src_$tag").toString
         ops.write.mode("overwrite").parquet(src)
-        val q = maintain(
+        maintain(
           spark.readStream.schema(ops.schema).parquet(src),
           root.resolve(tag).toString, root.resolve(s"${tag}_d").toString,
           root.resolve(s"ckpt_$tag").toString)
-        try q.processAllAvailable() finally q.stop()
       }
       val textOps = victims
         .select(col("doc_id"), lit("").as("text"), lit("remove").as("op"))
-      runOps("bm25", textOps, Bm25SignedStream.indexMaintain)
-      runOps("phrase", textOps, PhraseSignedStream.indexMaintain)
-      runOps("dedup", textOps, DedupSignedStream.indexMaintain(_, _, _, _))
-      runOps("ivf", victims
-          .select(col("doc_id").as("vec_id"),
-            typedLit(Array.empty[Float]).as("embedding"),
-            lit("remove").as("op")),
-        IvfSignedStream.indexMaintain)
-      runOps("image", victims
-          .select(col("doc_id").as("media_id"), lit("image").as("modality"),
-            lit(Array.emptyByteArray).as("payload"), lit(0).as("width"),
-            lit(0).as("height"), lit(0).as("sample_rate"),
-            lit("remove").as("op")),
-        ImageSignedStream.indexMaintain)
+      StreamMeter.timePhase("q_signed_delete_cascade", "batch") {
+        val queries = awaitAll(Seq(
+          () => startOps("bm25", textOps, Bm25SignedStream.indexMaintain),
+          () => startOps("phrase", textOps, PhraseSignedStream.indexMaintain),
+          () => startOps("dedup", textOps,
+            DedupSignedStream.indexMaintain(_, _, _, _)),
+          () => startOps("ivf", victims
+              .select(col("doc_id").as("vec_id"),
+                typedLit(Array.empty[Float]).as("embedding"),
+                lit("remove").as("op")),
+            IvfSignedStream.indexMaintain),
+          () => startOps("image", victims
+              .select(col("doc_id").as("media_id"), lit("image").as("modality"),
+                lit(Array.emptyByteArray).as("payload"), lit(0).as("width"),
+                lit(0).as("height"), lit(0).as("sample_rate"),
+                lit("remove").as("op")),
+            ImageSignedStream.indexMaintain)))
+        try queries.foreach(_.processAllAvailable())
+        finally queries.foreach(_.stop())
+      }
 
-      val after = probe()
+      val after = StreamMeter.timePhase("q_signed_delete_cascade", "serve") {
+        probe()
+      }
       families.map(f => (f, before(f), after(f)))
         .toDF("family", "rows_before", "rows_after")
         .orderBy("family")
-    } finally rm(root)
+    } finally {
+      pool.shutdown()
+      rm(root)
+    }
   }
 }

@@ -63,7 +63,12 @@ object SignedGraphStream {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         if (batchId > DeltaLayout.foldedThrough(batch.sparkSession, seedRoot)) {
-          val canon = batch.toDF()
+          // ONE partial-combined aggregation lands the guarded rows
+          // (guide §2.4): collect_set dedups ops per pair map-side and
+          // a 2-element set IS the ambiguity — the previous
+          // dropDuplicates + count + join-back shape paid three
+          // exchanges per micro-batch for the same verdict.
+          batch.toDF()
             .select(least(col("src"), col("dst")).as("a"),
               greatest(col("src"), col("dst")).as("b"),
               when(col("op").isin("add", "remove"), col("op"))
@@ -71,16 +76,14 @@ object SignedGraphStream {
                   lit("signedMaintain: op must be add|remove, got "),
                   col("op")))).as("op"))
             .filter(col("a") =!= col("b"))
-            .dropDuplicates("a", "b", "op")
-          val ambiguous = canon.groupBy("a", "b")
-            .agg(count(lit(1)).as("n_ops")).filter(col("n_ops") > 1)
-          canon.join(ambiguous, Seq("a", "b"), "left")
+            .groupBy("a", "b")
+            .agg(collect_set(col("op")).as("ops"))
             .select(col("a"), col("b"),
-              when(col("n_ops").isNotNull, raise_error(concat(
+              when(size(col("ops")) > 1, raise_error(concat(
                   lit("signedMaintain: pair ("), col("a").cast("string"),
                   lit(","), col("b").cast("string"),
                   lit(") carries both add AND remove in one batch"))))
-                .otherwise(col("op")).as("op"))
+                .otherwise(element_at(col("ops"), 1)).as("op"))
             .withColumn("batch_id", lit(batchId))
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
@@ -131,6 +134,13 @@ object SignedGraphStream {
     * stream has ingested so far. */
   def serveComponents(
       spark: SparkSession, seedRoot: String, deltaPath: String): DataFrame = {
+    // EMPTY-DELTA FAST PATH (guide §2.4): no live batch → the signed
+    // fold is a provable no-op, serve the two bounded aggregations
+    // straight off the seed pair. Row-identity is spec-asserted.
+    if (!DeltaLayout.hasLiveBatches(spark, seedRoot, deltaPath))
+      return Graph.componentStatsOf(
+        spark.read.parquet(s"$seedRoot/labels"),
+        spark.read.parquet(s"$seedRoot/edges"))
     val (adds, removals) =
       netDelta(spark, seedRoot, deltaPath, Long.MaxValue)
     Graph.componentsSigned(
@@ -142,6 +152,11 @@ object SignedGraphStream {
     * net delta through [[Graph.corenessSigned]]). */
   def serveCoreness(
       spark: SparkSession, seedRoot: String, deltaPath: String): DataFrame = {
+    // EMPTY-DELTA FAST PATH (guide §2.4): no live batch → the signed
+    // re-peel is a provable no-op, serve the coreness face verbatim.
+    if (!DeltaLayout.hasLiveBatches(spark, seedRoot, deltaPath))
+      return spark.read.parquet(s"$seedRoot/coreness")
+        .select("node", "coreness")
     val (adds, removals) =
       netDelta(spark, seedRoot, deltaPath, Long.MaxValue)
     Graph.corenessSigned(
@@ -153,6 +168,11 @@ object SignedGraphStream {
   /** Live per-node triangle counts over the signed fold. */
   def serveTriangles(
       spark: SparkSession, seedRoot: String, deltaPath: String): DataFrame = {
+    // EMPTY-DELTA FAST PATH (guide §2.4): no live batch → the signed
+    // wedge re-join is a provable no-op, serve the triangle face.
+    if (!DeltaLayout.hasLiveBatches(spark, seedRoot, deltaPath))
+      return spark.read.parquet(s"$seedRoot/triangles")
+        .select("node", "degree", "n_triangles", "cc_micro")
     val (adds, removals) =
       netDelta(spark, seedRoot, deltaPath, Long.MaxValue)
     Graph.trianglesSigned(
@@ -165,6 +185,11 @@ object SignedGraphStream {
   def serveTruss(
       spark: SparkSession, seedRoot: String, deltaPath: String,
       k: Int): DataFrame = {
+    // EMPTY-DELTA FAST PATH (guide §2.4): no live batch → the signed
+    // re-peel is a provable no-op, serve the truss face verbatim.
+    if (!DeltaLayout.hasLiveBatches(spark, seedRoot, deltaPath))
+      return spark.read.parquet(s"$seedRoot/truss")
+        .select("a", "b", "support")
     val (adds, removals) =
       netDelta(spark, seedRoot, deltaPath, Long.MaxValue)
     Graph.kTrussSigned(
@@ -279,11 +304,17 @@ object SignedGraphStream {
         spark.readStream.schema(staged.schema)
           .option("maxFilesPerTrigger", 1).parquet(srcDir),
         seedRoot, deltaP, root.resolve("ckpt").toString)
-      try q.processAllAvailable() finally q.stop()
+      StreamMeter.timePhase(entry, "batch") {
+        try q.processAllAvailable() finally q.stop()
+      }
       // mid-lifecycle compaction: the served result must be unchanged
       // by it (the serve below reads the compacted seed + empty delta)
-      compact(spark, seedRoot, deltaP)
-      serve(seedRoot, deltaP).localCheckpoint()
+      StreamMeter.timePhase(entry, "compact") {
+        compact(spark, seedRoot, deltaP)
+      }
+      StreamMeter.timePhase(entry, "serve") {
+        serve(seedRoot, deltaP).localCheckpoint()
+      }
     } finally rm(root)
   }
 

@@ -62,31 +62,46 @@ private[graft] object SignedIndexLayout {
       checkpoint: String, indexOf: DataFrame => DataFrame,
       who: String, idCol: String = "doc_id",
       payloadCols: Seq[String] = Seq("text"),
-      extraFaces: Seq[(String, DataFrame => DataFrame)] = Nil): StreamingQuery =
+      extraFaces: Seq[(String, (DataFrame, DataFrame) => DataFrame)] = Nil)
+      : StreamingQuery =
     newOps.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         if (batchId > DeltaLayout.foldedThrough(batch.sparkSession, seedPath)) {
-          val guarded = batch.toDF()
+          // ONE pass lands the dup guard (guide §2.4): a window count
+          // over idCol flags a doc_id appearing twice in this batch in
+          // the same exchange that groups it — the previous
+          // groupBy + join-back shape scanned the batch source twice
+          // and paid two exchanges for the same verdict.
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(col(idCol))
+          val checked = batch.toDF()
             .select((col(idCol) +: payloadCols.map(col)) :+
               when(col("op").isin("add", "remove"), col("op"))
                 .otherwise(raise_error(concat(
                   lit(s"$who: op must be add|remove, got "),
                   col("op")))).as("op"): _*)
-          val dup = guarded.groupBy(idCol)
-            .agg(count(lit(1)).as("n_rows")).filter(col("n_rows") > 1)
-          val checked = guarded.join(dup, Seq(idCol), "left")
+            .withColumn("n_rows", count(lit(1)).over(w))
             .select((col(idCol) +: payloadCols.map(col)) :+
-              when(col("n_rows").isNotNull, raise_error(concat(
+              when(col("n_rows") > 1, raise_error(concat(
                   lit(s"$who: $idCol "), col(idCol).cast("string"),
                   lit(" appears more than once in one batch — ambiguous"))))
                 .otherwise(col("op")).as("op"): _*)
             .localCheckpoint()
           val adds = checked.filter(col("op") === "add")
             .select((idCol +: payloadCols).map(col): _*)
-          (("postings" -> indexOf) +: extraFaces).foreach { case (face, f) =>
-            f(adds)
-              .withColumn("batch_id", lit(batchId))
+          // the primary face is computed ONCE: extra faces receive it
+          // alongside the adds slice, so a face that is a projection
+          // of the postings (BM25's doclen) reuses the materialized
+          // frame instead of re-deriving the whole index per batch
+          // (guide §1.2 — don't compute things twice)
+          val primary =
+            if (extraFaces.isEmpty) indexOf(adds)
+            else indexOf(adds).localCheckpoint()
+          (("postings" -> primary) +: extraFaces.map { case (face, f) =>
+            face -> f(adds, primary)
+          }).foreach { case (face, df) =>
+            df.withColumn("batch_id", lit(batchId))
               .write.mode("overwrite")
               .option("partitionOverwriteMode", "dynamic")
               .partitionBy("batch_id")

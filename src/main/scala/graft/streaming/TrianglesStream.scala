@@ -68,7 +68,15 @@ object TrianglesStream {
     * directory serves the seed alone. */
   def serveTriangles(
       spark: SparkSession, seedRoot: String, deltaPath: String): DataFrame =
-    Graph.trianglesIncremental(
+    // EMPTY-DELTA FAST PATH (guide §2.4): with no live batch the
+    // arithmetic fold adds zero everywhere (no new triangles, no
+    // degree deltas, cc recomputes to the prior value), so serving
+    // reads the triangle face straight off the seed artifact.
+    // Row-identity with the incremental path is spec-asserted.
+    if (!DeltaLayout.hasLiveBatches(spark, seedRoot, deltaPath))
+      spark.read.parquet(s"$seedRoot/triangles")
+        .select("node", "degree", "n_triangles", "cc_micro")
+    else Graph.trianglesIncremental(
       spark.read.parquet(s"$seedRoot/edges"),
       spark.read.parquet(s"$seedRoot/triangles"),
       liveDeltaEdges(spark, seedRoot, deltaPath, Long.MaxValue)
@@ -140,14 +148,19 @@ object TrianglesStream {
         spark.readStream.schema(delta.schema)
           .option("maxFilesPerTrigger", 1).parquet(srcDir),
         seedRoot, deltaP, root.resolve("ckpt").toString)
-      try q.processAllAvailable() finally q.stop()
+      StreamMeter.timePhase("q_stream_triangles", "batch") {
+        try q.processAllAvailable() finally q.stop()
+      }
       // mid-lifecycle compaction: served counts unchanged by it
-      compact(spark, seedRoot, deltaP)
+      StreamMeter.timePhase("q_stream_triangles", "compact") {
+        compact(spark, seedRoot, deltaP)
+      }
       // localCheckpoint, NOT collect: one row per node is unbounded —
       // the materialized blocks keep the result off-driver and
       // independent of the temp dirs rm() deletes
-      serveTriangles(spark, seedRoot, deltaP).localCheckpoint()
-        .orderBy("node")
+      StreamMeter.timePhase("q_stream_triangles", "serve") {
+        serveTriangles(spark, seedRoot, deltaP).localCheckpoint()
+      }.orderBy("node")
     } finally rm(root)
   }
 }
