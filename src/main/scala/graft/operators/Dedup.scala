@@ -806,13 +806,57 @@ object Dedup {
     * [[duplicateClustersFromLabels]] / [[dedupSurvivorsFromLabels]]
     * contract. */
   def duplicateLabelsStar(pairs: DataFrame, maxIter: Int = 64): DataFrame = {
-    var e = pairs
+    val canon = pairs
       .select(
         greatest(col("doc_a"), col("doc_b")).as("u"),
         least(col("doc_a"), col("doc_b")).as("v"))
       .filter(col("u") =!= col("v"))
       .distinct()
-      .localCheckpoint()
+    // PARTITION-LOCAL UNION-FIND PRE-PASS (guide §1.2/§2.3 — fewer
+    // rounds, shuffle fewer bytes): each task collapses ITS edges to
+    // the spanning star forest (node → local-set minimum, path
+    // compression at emission). Connectivity is exactly preserved —
+    // an edge's endpoints share a local root, so the forest path
+    // u—root—v replaces it — while the frame entering the distributed
+    // rounds shrinks from one row per EDGE to at most one row per
+    // (node, partition), already star-shaped inside each task, so the
+    // round loop below typically converges in one or two rounds
+    // instead of ~2·log n. Labels are unchanged: the fixpoint (min-id
+    // star labels) is unique whatever the contraction order, and the
+    // per-task output is order-independent (the emitted set depends
+    // only on the task's edge SET), so retries are safe. Per-task
+    // state is one long→long map bounded by the task's edge count —
+    // the §5 memory bound that advisory partition sizing already
+    // enforces for every hash aggregate. Long ids only (every caller
+    // keys on bigint ids); any other id type skips the pre-pass.
+    val longIds = canon.schema.fields.forall(
+      _.dataType == org.apache.spark.sql.types.LongType)
+    val seed =
+      if (!longIds) canon
+      else {
+        val spark = pairs.sparkSession
+        import spark.implicits._
+        canon.as[(Long, Long)]
+          .mapPartitions { it =>
+            val parent = scala.collection.mutable.LongMap.empty[Long]
+            def find(x: Long): Long = {
+              var r = x
+              while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+              var c = x
+              while (c != r) { val n = parent(c); parent(c) = r; c = n }
+              r
+            }
+            it.foreach { case (a, b) =>
+              val ra = find(a); val rb = find(b)
+              if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+            }
+            val members = parent.keysIterator.toArray
+            members.iterator.map(n => (n, find(n))).filter(p => p._1 != p._2)
+          }
+          .toDF("u", "v")
+          .distinct()
+      }
+    var e = seed.localCheckpoint()
     var prevCount = e.count()
     var converged = prevCount == 0L
     var iter = 0

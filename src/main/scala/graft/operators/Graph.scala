@@ -379,14 +379,30 @@ object Graph {
       edges: DataFrame, localMaxEdges: Long = 2000000L,
       maxK: Int = 64, maxRounds: Int = 200,
       maxBigComponents: Int = 64): DataFrame = {
-    require(localMaxEdges >= 1L,
-      s"corenessSharded: localMaxEdges must be >= 1, got $localMaxEdges")
-    val spark = edges.sparkSession
-    import spark.implicits._
     val canon = canonicalUndirected(edges)
-    if (canon.isEmpty) return coreness(edges, maxK, maxRounds)
     val labels = Dedup.duplicateLabelsStar(
       canon.select(col("a").as("doc_a"), col("b").as("doc_b")))
+    corenessShardedLabeled(
+      canon, labels, localMaxEdges, maxK, maxRounds, maxBigComponents)
+  }
+
+  /** [[corenessSharded]] over a PRE-LABELED canonical edge frame:
+    * `labels` must be the star labeling of exactly `canon`'s nodes
+    * ([[Dedup.duplicateLabelsStar]]'s output). Exposed inside the
+    * package so one compaction's SHARED star contraction (the
+    * [[foldScope]] device) feeds both the labels face and this
+    * re-peel instead of each recomputing it. */
+  private[graft] def corenessShardedLabeled(
+      canon: DataFrame, labels: DataFrame, localMaxEdges: Long = 2000000L,
+      maxK: Int = 64, maxRounds: Int = 200,
+      maxBigComponents: Int = 64): DataFrame = {
+    require(localMaxEdges >= 1L,
+      s"corenessSharded: localMaxEdges must be >= 1, got $localMaxEdges")
+    val spark = canon.sparkSession
+    import spark.implicits._
+    if (canon.isEmpty)
+      return coreness(
+        canon.select(col("a").as("src"), col("b").as("dst")), maxK, maxRounds)
     val lab = canon
       .join(labels.select(col("id").as("a"), col("label").as("comp")), Seq("a"))
       .localCheckpoint()
@@ -509,16 +525,9 @@ object Graph {
 
   private def signedLabelsCanon(
       priorEdges: DataFrame, priorLabels: DataFrame,
-      a: DataFrame, r: DataFrame): DataFrame = {
-    val (touched, sub) = signedScope(priorEdges, priorLabels, a, Some(r))
-    val refreshed = Dedup.duplicateLabelsStar(
-      sub.select(col("a").as("doc_a"), col("b").as("doc_b")))
-    priorLabels
-      .join(touched, Seq("label"), "left_anti")
-      .select("id", "label")
-      .unionByName(refreshed.select("id", "label"))
-      .localCheckpoint()
-  }
+      a: DataFrame, r: DataFrame): DataFrame =
+    labelsFromScope(priorLabels,
+      foldScopeCanon(priorEdges, priorLabels, a, Some(r)))
 
   /** [[components]]' output contract straight from a consistent
     * (labels, edges) artifact pair — the EMPTY-DELTA serving fold of
@@ -556,16 +565,9 @@ object Graph {
 
   private def incrementalLabelsCanon(
       priorEdges: DataFrame, priorLabels: DataFrame,
-      d: DataFrame): DataFrame = {
-    val (touched, sub) = signedScope(priorEdges, priorLabels, d, None)
-    val refreshed = Dedup.duplicateLabelsStar(
-      sub.select(col("a").as("doc_a"), col("b").as("doc_b")))
-    priorLabels
-      .join(touched, Seq("label"), "left_anti")
-      .select("id", "label")
-      .unionByName(refreshed.select("id", "label"))
-      .localCheckpoint()
-  }
+      d: DataFrame): DataFrame =
+    labelsFromScope(priorLabels,
+      foldScopeCanon(priorEdges, priorLabels, d, None))
 
   /** Attach each prior-artifact row's component label, FAILING LOUDLY
     * (raise_error) on a row whose `key` node is missing from the
@@ -632,6 +634,98 @@ object Graph {
     (touched, minusRemoved.unionAll(adds.select("a", "b")).distinct())
   }
 
+  /** ONE compaction's shared fold state: the touched-component labels,
+    * the re-peel subgraph (MATERIALIZED), and the subgraph's star
+    * labeling (MATERIALIZED). Guide §1.2 — don't compute things
+    * twice: a compaction folds SEVERAL faces of one seed root over
+    * the SAME delta (labels, then coreness / triangles / truss), and
+    * before this device each face fold recomputed the
+    * full-prior-edge semi-join (the fold's hottest scan) while each
+    * density face re-ran the whole iterative star contraction the
+    * labels face had just computed. Building the scope once makes
+    * every face fold a consumer of the same two bounded frames. */
+  private[graft] final case class FoldScope(
+      touched: DataFrame, sub: DataFrame, subLabels: DataFrame)
+
+  /** Build a [[FoldScope]] from RAW (src, dst[, w]) delta frames —
+    * the streaming-compaction entry point. */
+  private[graft] def foldScope(
+      priorEdges: DataFrame, priorLabels: DataFrame,
+      addEdges: DataFrame, removeEdges: Option[DataFrame]): FoldScope =
+    foldScopeCanon(priorEdges, priorLabels,
+      canonicalUndirected(addEdges), removeEdges.map(canonicalUndirected))
+
+  private def foldScopeCanon(
+      priorEdges: DataFrame, priorLabels: DataFrame,
+      a: DataFrame, r: Option[DataFrame]): FoldScope = {
+    val (touched, sub0) = signedScope(priorEdges, priorLabels, a, r)
+    val sub = sub0.localCheckpoint()
+    val subLabels = Dedup.duplicateLabelsStar(
+        sub.select(col("a").as("doc_a"), col("b").as("doc_b")))
+      .localCheckpoint()
+    FoldScope(touched, sub, subLabels)
+  }
+
+  /** The re-merged labels face from a shared [[FoldScope]] — the
+    * [[incrementalLabels]] / [[signedLabels]] body over the scope's
+    * already-computed star labeling. */
+  private[graft] def labelsFromScope(
+      priorLabels: DataFrame, s: FoldScope): DataFrame =
+    priorLabels
+      .join(s.touched, Seq("label"), "left_anti")
+      .select("id", "label")
+      .unionByName(s.subLabels.select("id", "label"))
+      .localCheckpoint()
+
+  /** The coreness face from a shared [[FoldScope]] — the
+    * [[corenessIncremental]] body minus its private scope and
+    * contraction. */
+  private[graft] def corenessFromScope(
+      priorLabels: DataFrame, priorCoreness: DataFrame, s: FoldScope,
+      localMaxEdges: Long = 2000000L, maxK: Int = 64,
+      maxRounds: Int = 200): DataFrame = {
+    val refreshed = corenessShardedLabeled(
+      s.sub, s.subLabels, localMaxEdges, maxK, maxRounds)
+    val untouched = withLabelLoudly(
+        priorCoreness, priorLabels, "node", "coreness incremental fold")
+      .join(s.touched, Seq("label"), "left_anti")
+      .select("node", "coreness")
+    untouched.unionByName(refreshed.select("node", "coreness"))
+      .orderBy("node")
+  }
+
+  /** The truss face from a shared [[FoldScope]]. */
+  private[graft] def kTrussFromScope(
+      priorLabels: DataFrame, priorTruss: DataFrame, s: FoldScope, k: Int,
+      localMaxEdges: Long = 2000000L, maxRounds: Int = 200): DataFrame = {
+    val refreshed = kTrussShardedLabeled(
+      s.sub, s.subLabels, k, localMaxEdges, maxRounds)
+    val untouched = withLabelLoudly(
+        priorTruss, priorLabels, "a", "kTruss incremental fold")
+      .join(s.touched, Seq("label"), "left_anti")
+      .select("a", "b", "support")
+    untouched.unionByName(refreshed.select("a", "b", "support"))
+      .orderBy("a", "b")
+  }
+
+  /** The triangle face from a shared [[FoldScope]] (the wedge join
+    * does not shard by component, so only the scope itself is
+    * shared). */
+  private[graft] def trianglesFromScope(
+      priorLabels: DataFrame, priorTriangles: DataFrame,
+      s: FoldScope): DataFrame = {
+    val refreshed = triangles(
+      s.sub.select(col("a").as("src"), col("b").as("dst")))
+    val untouched = withLabelLoudly(
+        priorTriangles, priorLabels, "node", "trianglesSigned")
+      .join(s.touched, Seq("label"), "left_anti")
+      .select("node", "degree", "n_triangles", "cc_micro")
+    untouched
+      .unionByName(
+        refreshed.select("node", "degree", "n_triangles", "cc_micro"))
+      .orderBy("node")
+  }
+
   /** INCREMENTAL coreness — fold a DELTA edge batch into a prior
     * (edges, labels, coreness) artifact without re-peeling the whole
     * graph: core numbers never cross a component boundary (the
@@ -683,18 +777,10 @@ object Graph {
       priorEdges: DataFrame, priorLabels: DataFrame,
       priorCoreness: DataFrame, adds: DataFrame,
       removals: Option[DataFrame], localMaxEdges: Long,
-      maxK: Int, maxRounds: Int): DataFrame = {
-    val (touched, sub) = signedScope(priorEdges, priorLabels, adds, removals)
-    val refreshed = corenessSharded(
-      sub.select(col("a").as("src"), col("b").as("dst")),
+      maxK: Int, maxRounds: Int): DataFrame =
+    corenessFromScope(priorLabels, priorCoreness,
+      foldScopeCanon(priorEdges, priorLabels, adds, removals),
       localMaxEdges, maxK, maxRounds)
-    val untouched = withLabelLoudly(
-        priorCoreness, priorLabels, "node", "coreness incremental fold")
-      .join(touched, Seq("label"), "left_anti")
-      .select("node", "coreness")
-    untouched.unionByName(refreshed.select("node", "coreness"))
-      .orderBy("node")
-  }
 
   /** The canonical (a, b) edge frame [[components]] labels — exposed
     * so a serving path can persist the (edges, labels) pair as one
@@ -933,15 +1019,30 @@ object Graph {
   def kTrussSharded(
       edges: DataFrame, k: Int, localMaxEdges: Long = 2000000L,
       maxRounds: Int = 200, maxBigComponents: Int = 64): DataFrame = {
+    val canon = canonicalUndirected(edges)
+    val labels = Dedup.duplicateLabelsStar(
+      canon.select(col("a").as("doc_a"), col("b").as("doc_b")))
+    kTrussShardedLabeled(
+      canon, labels, k, localMaxEdges, maxRounds, maxBigComponents)
+  }
+
+  /** [[kTrussSharded]] over a PRE-LABELED canonical edge frame:
+    * `labels` must be the star labeling of exactly `canon`'s nodes.
+    * The [[corenessShardedLabeled]] device for the truss face — one
+    * compaction's shared star contraction feeds both the labels face
+    * and this re-peel. */
+  private[graft] def kTrussShardedLabeled(
+      canon: DataFrame, labels: DataFrame, k: Int,
+      localMaxEdges: Long = 2000000L, maxRounds: Int = 200,
+      maxBigComponents: Int = 64): DataFrame = {
     require(k >= 2, s"kTrussSharded: k must be >= 2, got $k")
     require(localMaxEdges >= 1L,
       s"kTrussSharded: localMaxEdges must be >= 1, got $localMaxEdges")
-    val spark = edges.sparkSession
+    val spark = canon.sparkSession
     import spark.implicits._
-    val canon = canonicalUndirected(edges)
-    if (canon.isEmpty) return kTruss(edges, k, maxRounds)
-    val labels = Dedup.duplicateLabelsStar(
-      canon.select(col("a").as("doc_a"), col("b").as("doc_b")))
+    if (canon.isEmpty)
+      return kTruss(
+        canon.select(col("a").as("src"), col("b").as("dst")), k, maxRounds)
     val lab = canon
       .join(labels.select(col("id").as("a"), col("label").as("comp")), Seq("a"))
       .localCheckpoint()
@@ -1035,18 +1136,10 @@ object Graph {
   private def kTrussCore(
       priorEdges: DataFrame, priorLabels: DataFrame,
       priorTruss: DataFrame, adds: DataFrame, removals: Option[DataFrame],
-      k: Int, localMaxEdges: Long, maxRounds: Int): DataFrame = {
-    val (touched, sub) = signedScope(priorEdges, priorLabels, adds, removals)
-    val refreshed = kTrussSharded(
-      sub.select(col("a").as("src"), col("b").as("dst")),
+      k: Int, localMaxEdges: Long, maxRounds: Int): DataFrame =
+    kTrussFromScope(priorLabels, priorTruss,
+      foldScopeCanon(priorEdges, priorLabels, adds, removals),
       k, localMaxEdges, maxRounds)
-    val untouched = withLabelLoudly(
-        priorTruss, priorLabels, "a", "kTruss incremental fold")
-      .join(touched, Seq("label"), "left_anti")
-      .select("a", "b", "support")
-    untouched.unionByName(refreshed.select("a", "b", "support"))
-      .orderBy("a", "b")
-  }
 
   /** The k-truss of an undirected edge list (Cohen 2008): the maximal
     * subgraph in which every EDGE sits in at least k−2 triangles —
@@ -1231,20 +1324,11 @@ object Graph {
   def trianglesSigned(
       priorEdges: DataFrame, priorLabels: DataFrame,
       priorTriangles: DataFrame, addEdges: DataFrame,
-      removeEdges: DataFrame): DataFrame = {
-    val a = canonicalUndirected(addEdges)
-    val r = canonicalUndirected(removeEdges)
-    val (touched, sub) = signedScope(priorEdges, priorLabels, a, Some(r))
-    val refreshed = triangles(
-      sub.select(col("a").as("src"), col("b").as("dst")))
-    val untouched = withLabelLoudly(
-        priorTriangles, priorLabels, "node", "trianglesSigned")
-      .join(touched, Seq("label"), "left_anti")
-      .select("node", "degree", "n_triangles", "cc_micro")
-    untouched
-      .unionByName(refreshed.select("node", "degree", "n_triangles", "cc_micro"))
-      .orderBy("node")
-  }
+      removeEdges: DataFrame): DataFrame =
+    trianglesFromScope(priorLabels, priorTriangles,
+      foldScopeCanon(priorEdges, priorLabels,
+        canonicalUndirected(addEdges),
+        Some(canonicalUndirected(removeEdges))))
 
   /** Triangle counts and local clustering coefficients over an
     * undirected edge list (src, dst) — the cohesion complement to

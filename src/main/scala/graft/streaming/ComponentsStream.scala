@@ -110,10 +110,11 @@ object ComponentsStream {
       .localCheckpoint()
     val newE = seedE.select("a", "b").unionByName(delta.select("a", "b"))
       .distinct().localCheckpoint()
+    // incrementalLabels' output is already localCheckpoint'd (the
+    // labelsFromScope contract) — no second materialization here
     val newL = Graph.incrementalLabels(seedE, seedL,
-        delta.select(col("a").as("src"), col("b").as("dst"),
-          lit(1L).as("w")))
-      .localCheckpoint()
+      delta.select(col("a").as("src"), col("b").as("dst"),
+        lit(1L).as("w")))
     val tmp = seedRoot + "__maint"
     newE.write.mode("overwrite").parquet(s"$tmp/edges")
     newL.write.mode("overwrite").parquet(s"$tmp/labels")

@@ -110,8 +110,12 @@ object CorenessStream {
       lit(1L).as("w"))
     val newE = seedE.select("a", "b").unionByName(delta.select("a", "b"))
       .distinct().localCheckpoint()
-    val newL = Graph.incrementalLabels(seedE, seedL, dRaw).localCheckpoint()
-    val newC = Graph.corenessIncremental(seedE, seedL, seedC, dRaw)
+    // ONE shared fold scope feeds both faces (guide §1.2): the labels
+    // face and the coreness re-peel previously each recomputed the
+    // full-prior-edge semi-join AND the iterative star contraction
+    val scope = Graph.foldScope(seedE, seedL, dRaw, None)
+    val newL = Graph.labelsFromScope(seedL, scope)
+    val newC = Graph.corenessFromScope(seedL, seedC, scope)
       .localCheckpoint()
     val tmp = seedRoot + "__maint"
     newE.write.mode("overwrite").parquet(s"$tmp/edges")

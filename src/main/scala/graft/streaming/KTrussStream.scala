@@ -107,8 +107,12 @@ object KTrussStream {
       lit(1L).as("w"))
     val newE = seedE.select("a", "b").unionByName(delta.select("a", "b"))
       .distinct().localCheckpoint()
-    val newL = Graph.incrementalLabels(seedE, seedL, dRaw).localCheckpoint()
-    val newT = Graph.kTrussIncremental(seedE, seedL, seedT, dRaw, k)
+    // ONE shared fold scope feeds both faces (guide §1.2): the labels
+    // face and the truss re-peel previously each recomputed the
+    // full-prior-edge semi-join AND the iterative star contraction
+    val scope = Graph.foldScope(seedE, seedL, dRaw, None)
+    val newL = Graph.labelsFromScope(seedL, scope)
+    val newT = Graph.kTrussFromScope(seedL, seedT, scope, k)
       .localCheckpoint()
     val tmp = seedRoot + "__maint"
     newE.write.mode("overwrite").parquet(s"$tmp/edges")

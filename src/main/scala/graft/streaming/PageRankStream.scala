@@ -95,7 +95,23 @@ object PageRankStream {
     * removal-aware like its four signed siblings. */
   private def foldedGraph(
       spark: SparkSession, seedRoot: String, deltaPath: String,
-      upTo: Long): DataFrame =
+      upTo: Long): DataFrame = {
+    // EMPTY-DELTA FAST PATH (guide §2.4 — remove the shuffle
+    // outright): with no live increment the seed IS the fold — it was
+    // written per-pair-UNIQUE by seedRanks' groupBy or this very
+    // function at the last compaction, so the sum-fold is an identity
+    // over it and only the scan-level guard/filter remain (no
+    // exchange). The warm rank sweep downstream is unchanged (serving
+    // stays the direct warm cascade the contract pins).
+    if (!DeltaLayout.hasLiveBatches(spark, seedRoot, deltaPath))
+      return spark.read.parquet(s"$seedRoot/edges")
+        .select(col("a"), col("b"),
+          when(col("w") < 0, raise_error(concat(
+              lit("PageRankStream: folded weight < 0 for pair ("),
+              col("a").cast("string"), lit(","), col("b").cast("string"),
+              lit(") — signed increments disagree with the seed"))))
+            .otherwise(col("w")).as("w"))
+        .filter(col("w") > 0)
     spark.read.parquet(s"$seedRoot/edges").select("a", "b", "w")
       .unionByName(liveDeltaIncrements(spark, seedRoot, deltaPath, upTo))
       .groupBy("a", "b").agg(sum("w").as("w"))
@@ -106,6 +122,7 @@ object PageRankStream {
             lit(") — signed increments disagree with the seed"))))
           .otherwise(col("w")).as("w"))
       .filter(col("w") > 0)
+  }
 
   /** The live rank frame: one warm [[Graph.pageRank]] sweep over the
     * folded live graph, started from the seed ranks. A missing/empty

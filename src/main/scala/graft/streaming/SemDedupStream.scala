@@ -92,6 +92,16 @@ object SemDedupStream {
   def serveVerdict(
       spark: SparkSession, seedPath: String, deltaPath: String,
       emb: DataFrame, tau: Double = 0.9): DataFrame = {
+    // EMPTY-DELTA FAST PATH (guide §2.4): with no live batch the
+    // incremental fold touches zero clusters — every verdict row
+    // passes through from the seed verbatim — so serving reads the
+    // verdict face straight off the seed artifact (the graph-stream
+    // device; row-identity with the incremental path is the
+    // anti-join-over-empty-touched identity, spec-asserted).
+    if (!DeltaLayout.hasLiveBatches(spark, seedPath, deltaPath))
+      return spark.read.parquet(s"$seedPath/verdict")
+        .select("vec_id", "cid", "kept")
+        .orderBy("vec_id")
     val (assign, delta) = liveAssign(spark, seedPath, deltaPath, Long.MaxValue)
     Similarity.semDeDupIncremental(
       emb, assign, spark.read.parquet(s"$seedPath/verdict"),

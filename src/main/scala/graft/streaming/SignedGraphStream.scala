@@ -220,21 +220,26 @@ object SignedGraphStream {
         Seq("a", "b"), "left_anti")
       .unionByName(adds.select(col("src").as("a"), col("dst").as("b")))
       .distinct().localCheckpoint()
-    val newL = Graph.signedLabels(seedE, seedL, adds, removals)
+    // ONE shared fold scope feeds every face present under the seed
+    // root (guide §1.2): the labels face and each density face
+    // previously recomputed the full-prior-edge semi-join per face,
+    // and coreness/truss re-ran the star contraction a second time
+    val scope = Graph.foldScope(seedE, seedL, adds, Some(removals))
+    val newL = Graph.labelsFromScope(seedL, scope)
     val tmp = seedRoot + "__maint"
     newE.write.mode("overwrite").parquet(s"$tmp/edges")
     newL.write.mode("overwrite").parquet(s"$tmp/labels")
     if (fs.exists(new Path(s"$seedRoot/coreness")))
-      Graph.corenessSigned(seedE, seedL,
-          spark.read.parquet(s"$seedRoot/coreness"), adds, removals)
+      Graph.corenessFromScope(seedL,
+          spark.read.parquet(s"$seedRoot/coreness"), scope)
         .write.mode("overwrite").parquet(s"$tmp/coreness")
     if (fs.exists(new Path(s"$seedRoot/triangles")))
-      Graph.trianglesSigned(seedE, seedL,
-          spark.read.parquet(s"$seedRoot/triangles"), adds, removals)
+      Graph.trianglesFromScope(seedL,
+          spark.read.parquet(s"$seedRoot/triangles"), scope)
         .write.mode("overwrite").parquet(s"$tmp/triangles")
     if (fs.exists(new Path(s"$seedRoot/truss")))
-      Graph.kTrussSigned(seedE, seedL,
-          spark.read.parquet(s"$seedRoot/truss"), adds, removals, trussK)
+      Graph.kTrussFromScope(seedL,
+          spark.read.parquet(s"$seedRoot/truss"), scope, trussK)
         .write.mode("overwrite").parquet(s"$tmp/truss")
     val newFolded = math.max(maxBatch,
       DeltaLayout.foldedThrough(spark, seedRoot))

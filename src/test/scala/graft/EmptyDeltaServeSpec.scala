@@ -97,6 +97,48 @@ class EmptyDeltaServeSpec extends AnyFunSuite with SparkSessionTestBase {
         canon, labels, truss, emptyDelta, emptyDelta, 3)))
   }
 
+  test("the empty-delta coreness serve is a PLAIN SCAN of the seed " +
+      "face — no joins, no aggregation, no fold machinery in the plan") {
+    val root = java.nio.file.Files.createTempDirectory("graft_eds_plan")
+    def rm(p: java.nio.file.Path): Unit = {
+      import scala.jdk.CollectionConverters._
+      if (java.nio.file.Files.exists(p)) {
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+      }
+    }
+    try {
+      val seedRoot = root.resolve("seed").toString
+      CorenessStream.seedCoreness(edges, seedRoot)
+      val served = CorenessStream.serveCoreness(
+        spark, seedRoot, root.resolve("delta").toString)
+      val p = served.queryExecution.executedPlan.toString
+      assert(!p.contains("Join"), s"fast-path serve plan has a join:\n$p")
+      assert(!p.contains("Aggregate"),
+        s"fast-path serve plan has an aggregation:\n$p")
+      // and the rows are the seed face itself
+      assert(sortedRows(served) == sortedRows(
+        spark.read.parquet(s"$seedRoot/coreness").select("node", "coreness")))
+    } finally rm(root)
+  }
+
+  test("empty-delta semdedup verdict == incremental fold over an " +
+      "empty touched set (the SemDedupStream fast path)") {
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.999f, 0.01f)),
+      (3L, Array(0.0f, 1.0f)), (4L, Array(0.01f, 0.999f)),
+      (5L, Array(0.7f, 0.7f))).toDF("vec_id", "embedding")
+    val (assign, _) = graft.operators.Similarity.semDeDupIndex(
+      emb, clusterSize = 3L)
+    val verdict = graft.operators.Similarity.semDeDupFromIndex(
+      emb, assign, 0.9)
+    val slow = graft.operators.Similarity.semDeDupIncremental(
+      emb, assign.select("vec_id", "cid", "sim"), verdict,
+      Seq.empty[Long].toDF("cid"), 0.9)
+    assert(sortedRows(verdict.select("vec_id", "cid", "kept")) ==
+      sortedRows(slow))
+  }
+
   test("a served stream lifecycle takes the fast path after " +
       "compaction and the slow path mid-stream, same rows") {
     val root = java.nio.file.Files.createTempDirectory("graft_eds_spec")
