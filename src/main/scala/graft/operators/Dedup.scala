@@ -805,7 +805,9 @@ object Dedup {
     * output (id, label) with label = component minimum, the
     * [[duplicateClustersFromLabels]] / [[dedupSurvivorsFromLabels]]
     * contract. */
-  def duplicateLabelsStar(pairs: DataFrame, maxIter: Int = 64): DataFrame = {
+  def duplicateLabelsStar(
+      pairs: DataFrame, maxIter: Int = 64,
+      localMaxEdges: Long = 2000000L): DataFrame = {
     val canon = pairs
       .select(
         greatest(col("doc_a"), col("doc_b")).as("u"),
@@ -858,6 +860,44 @@ object Dedup {
       }
     var e = seed.localCheckpoint()
     var prevCount = e.count()
+    // IN-EXECUTOR LEAF (the corenessSharded/localCoreness discipline
+    // applied to the label fixpoint): the pre-pass above already
+    // collapsed each task's slice to its star forest, so when the
+    // SURVIVING forest is bounded (at most `localMaxEdges` rows — the
+    // same cap the local peels use), ONE constant-keyed task resolves
+    // it by union-find and emits the exact min-id labels the round
+    // loop would converge to (the fixpoint is unique, so the outputs
+    // are row-identical; spec-asserted against the forced-distributed
+    // loop). The distributed rounds below remain the over-cap path —
+    // this gate scales with DATA (post-collapse forest size), not with
+    // the session core count.
+    if (longIds && prevCount > 0L && prevCount <= localMaxEdges) {
+      val spark = pairs.sparkSession
+      import spark.implicits._
+      return e.as[(Long, Long)]
+        .groupByKey(_ => true)
+        .flatMapGroups { (_, it) =>
+          val parent = scala.collection.mutable.LongMap.empty[Long]
+          val seen = scala.collection.mutable.LongMap.empty[Boolean]
+          val order = scala.collection.mutable.ArrayBuffer.empty[Long]
+          def note(x: Long): Unit =
+            if (!seen.contains(x)) { seen(x) = true; order += x }
+          def find(x: Long): Long = {
+            var r = x
+            while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+            var c = x
+            while (c != r) { val n = parent(c); parent(c) = r; c = n }
+            r
+          }
+          it.foreach { case (a, b) =>
+            note(a); note(b)
+            val ra = find(a); val rb = find(b)
+            if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+          }
+          order.iterator.map(n => (n, find(n)))
+        }
+        .toDF("id", "label")
+    }
     var converged = prevCount == 0L
     var iter = 0
     while (!converged && iter < maxIter) {

@@ -56,7 +56,8 @@ object Graph {
     * closer-to-stationary claim in exact integers). */
   def pageRank(
       edges: DataFrame, damping: Double = 0.85, iters: Int = 10,
-      tolMass: Long = 0L, startRanks: Option[DataFrame] = None): DataFrame = {
+      tolMass: Long = 0L, startRanks: Option[DataFrame] = None,
+      localMaxEdges: Long = 2000000L): DataFrame = {
     require(iters >= 1 && iters <= 100, s"iters must be in [1,100], got $iters")
     require(damping > 0.0 && damping < 1.0, s"damping must be in (0,1), got $damping")
     val dPpm = math.round(damping * 1e6)
@@ -78,6 +79,67 @@ object Graph {
       // graph that source is a lineitem self-join; re-running it for
       // the node scan measurably showed in the bench)
       .localCheckpoint()
+    // IN-EXECUTOR LEAF (the [[corenessSharded]]/[[localCoreness]]
+    // discipline applied to the ranking sweep): a bounded edge frame
+    // at or under `localMaxEdges` computes its ranks in ONE executor
+    // task via [[localPageRankExact]] — the same exact integer update
+    // map, bit-identical output (spec-pinned against the distributed
+    // form and the independent test mirror) — instead of paying
+    // ~3 shuffles × iters distributed rounds whose per-round cost is
+    // scheduling, not compute, on a graph this size. Scale-adaptive,
+    // not a core-count tune: over the cap (50 MB-ish of packed edges;
+    // the exact cap corenessSharded's local peel already uses) the
+    // distributed rounds below run unchanged. Long ids only — any
+    // other id type takes the distributed path (schemas never change).
+    val longIds = validated.schema.fields.take(2).forall(
+      _.dataType == org.apache.spark.sql.types.LongType)
+    val priorOk = startRanks.forall { p =>
+      val f = p.schema.fields
+      f.exists(x => x.name == "node" &&
+        x.dataType == org.apache.spark.sql.types.LongType) &&
+        f.exists(_.name == "rank_micro")
+    }
+    val mEdges =
+      if (longIds && priorOk && localMaxEdges > 0L) validated.count() else -1L
+    if (mEdges > 0L && mEdges <= localMaxEdges) {
+      val spark = edges.sparkSession
+      import spark.implicits._
+      // edges tag 0, prior-rank rows tag 1 (tag 2 marks "a prior frame
+      // exists" even when it is empty — Some(empty) renormalizes where
+      // None does not); ONE constant-keyed group ships both bounded
+      // frames to a single task
+      val eTag = validated.select(lit(0).as("t"),
+        col("src").as("x"), col("dst").as("y"), col("w").as("z"))
+      val tagged = startRanks match {
+        case Some(prior) => eTag
+          .unionByName(prior.select(lit(1).as("t"), col("node").as("x"),
+            col("node").as("y"), col("rank_micro").cast("long").as("z")))
+          .unionByName(spark.range(1).select(lit(2).as("t"),
+            lit(0L).as("x"), lit(0L).as("y"), lit(0L).as("z")))
+        case None => eTag
+      }
+      val ranked = tagged.as[(Int, Long, Long, Long)]
+        .groupByKey(_ => true)
+        .flatMapGroups { (_, it) =>
+          val es = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+          val pr = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+          var hasPrior = false
+          it.foreach {
+            case (0, s, d, w) => es += ((s, d, w))
+            case (1, nd, _, rm) => pr += ((nd, rm)); hasPrior = true
+            case (2, _, _, _) => hasPrior = true
+            case other => throw new IllegalStateException(
+              s"pageRank local leaf: unexpected tag ${other._1}")
+          }
+          localPageRankExact(es.toArray, pr.toArray, hasPrior,
+            dPpm, iters, tolMass)
+        }
+        .toDF("node", "rank_micro")
+      return ranked
+        .withColumn("rank",
+          round(col("rank_micro").cast("double") / 1e6, 6))
+        .orderBy(col("rank_micro").desc, col("node"))
+    }
     val clean = validated.filter(col("src") =!= col("dst"))
     val sym = clean
       .unionByName(clean.select(col("dst").as("src"), col("src").as("dst"),
@@ -793,6 +855,146 @@ object Graph {
     Dedup.duplicateLabelsStar(
       canonicalUndirected(edges)
         .select(col("a").as("doc_a"), col("b").as("doc_b")))
+
+  /** Exact in-memory mirror of [[pageRank]]'s integer update map —
+    * the executor-local leaf the bounded-graph gate in [[pageRank]]
+    * ships ONE task: same ppm transition snap, same half-up integer
+    * inflow/damping/teleport/dangling arithmetic, same warm-start
+    * renormalization, same block-of-3 probe schedule and stopping
+    * rule, so the emitted (node, rank_micro) rows are BIT-IDENTICAL
+    * to the distributed rounds' (spec-asserted against both the
+    * distributed form and the independent test mirror). `hasPrior`
+    * distinguishes Some(empty prior) (renormalizes a uniform frame)
+    * from None (uniform, no renormalization) — the distributed path
+    * makes the same distinction. */
+  private[operators] def localPageRankExact(
+      edges: Array[(Long, Long, Long)], prior: Array[(Long, Long)],
+      hasPrior: Boolean, dPpm: Long, iters: Int, tolMass: Long)
+      : Iterator[(Long, Long)] = {
+    if (edges.isEmpty) return Iterator.empty
+    // node ids from the RAW edge list — self-loop-only nodes stay
+    val idOf = scala.collection.mutable.LongMap.empty[Int]
+    val ids = scala.collection.mutable.ArrayBuffer.empty[Long]
+    def idx(x: Long): Int = idOf.getOrElseUpdate(x, {
+      val i = ids.length; ids += x; i
+    })
+    val m = edges.length
+    var i = 0
+    while (i < m) { idx(edges(i)._1); idx(edges(i)._2); i += 1 }
+    val n = ids.length
+    // symmetrize + collapse parallel edges (self-loops drop from the
+    // TRANSITION structure only), packed (u, v) keys
+    val wMap = scala.collection.mutable.LongMap.empty[Long]
+    i = 0
+    while (i < m) {
+      val e = edges(i)
+      if (e._1 != e._2) {
+        val u = idOf(e._1); val v = idOf(e._2)
+        val k1 = (u.toLong << 32) | (v.toLong & 0xffffffffL)
+        val k2 = (v.toLong << 32) | (u.toLong & 0xffffffffL)
+        wMap(k1) = wMap.getOrElse(k1, 0L) + e._3
+        wMap(k2) = wMap.getOrElse(k2, 0L) + e._3
+      }
+      i += 1
+    }
+    val wout = new Array[Long](n)
+    wMap.foreach { case (k, w) => wout((k >>> 32).toInt) += w }
+    val nt = wMap.size
+    val tSrc = new Array[Int](nt); val tDst = new Array[Int](nt)
+    val tP = new Array[Long](nt)
+    var j = 0
+    wMap.foreach { case (k, w) =>
+      val u = (k >>> 32).toInt
+      tSrc(j) = u; tDst(j) = (k & 0xffffffffL).toInt
+      // half-up ppm of w/wout — the exact [[pageRank]] snap
+      tP(j) = (w * 2000000L + wout(u)) / (wout(u) * 2L)
+      j += 1
+    }
+    val hasOut = new Array[Boolean](n)
+    j = 0; while (j < nt) { hasOut(tSrc(j)) = true; j += 1 }
+    var hasDangling = false
+    i = 0
+    while (i < n) { if (!hasOut(i)) hasDangling = true; i += 1 }
+    val teleport = ((1000000L - dPpm) * (Scale / n)) / 1000000L
+    // start ranks: prior rank_micro × 1e6 (uniform where unknown),
+    // renormalized to total Scale — or plain uniform without a prior
+    var rank = new Array[Long](n)
+    if (hasPrior) {
+      val pMap = scala.collection.mutable.LongMap.empty[Long]
+      prior.foreach(p => pMap(p._1) = p._2)
+      val raw = new Array[Long](n)
+      var total = 0L
+      i = 0
+      while (i < n) {
+        raw(i) = pMap.get(ids(i)) match {
+          case Some(r0) => r0 * 1000000L
+          case None => Scale / n
+        }
+        total += raw(i)
+        i += 1
+      }
+      if (total <= 0L) {
+        i = 0; while (i < n) { rank(i) = Scale / n; i += 1 }
+      } else {
+        i = 0
+        while (i < n) {
+          rank(i) = (BigInt(raw(i)) * Scale / BigInt(total)).toLong
+          i += 1
+        }
+      }
+    } else {
+      i = 0; while (i < n) { rank(i) = Scale / n; i += 1 }
+    }
+    def step(rin: Array[Long]): Array[Long] = {
+      val inflow = new Array[Long](n)
+      var e = 0
+      while (e < nt) {
+        inflow(tDst(e)) += (tP(e) * rin(tSrc(e)) * 2L + 1000000L) / 2000000L
+        e += 1
+      }
+      var share = 0L
+      if (hasDangling) {
+        var dm = 0L
+        var v = 0
+        while (v < n) { if (!hasOut(v)) dm += rin(v); v += 1 }
+        share = (dm * dPpm * 2L + 1000000L * n) / (2000000L * n)
+      }
+      val out = new Array[Long](n)
+      var v = 0
+      while (v < n) {
+        out(v) = teleport +
+          (inflow(v) * dPpm * 2L + 1000000L) / 2000000L + share
+        v += 1
+      }
+      out
+    }
+    // the distributed loop's exact block/probe schedule: blocks of 3
+    // steps, then (when budget remains) one probe step that either
+    // proves the fixpoint (result = the PRE-probe frame) or becomes
+    // the next block's first iteration
+    val block = 3
+    var it = 0
+    var converged = false
+    while (it < iters && !converged) {
+      val end = math.min(it + block, iters)
+      while (it < end) { rank = step(rank); it += 1 }
+      if (it < iters) {
+        val next = step(rank)
+        var maxDelta = 0L
+        var v = 0
+        while (v < n) {
+          val d0 = math.abs(next(v) - rank(v))
+          if (d0 > maxDelta) maxDelta = d0
+          v += 1
+        }
+        converged = maxDelta <= tolMass
+        if (!converged) { rank = next; it += 1 }
+      }
+    }
+    val fin = rank
+    Iterator.range(0, n).map(v =>
+      (ids(v), (fin(v) * 2L + 1000000L) / 2000000L))
+  }
 
   /** Exact Batagelj–Zaversnik (2003) core decomposition of ONE
     * component's canonical edge list, in-memory — the executor-local

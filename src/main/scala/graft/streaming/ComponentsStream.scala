@@ -108,16 +108,17 @@ object ComponentsStream {
     val seedL = spark.read.parquet(s"$seedRoot/labels")
     val delta = liveDeltaEdges(spark, seedRoot, deltaPath, maxBatch)
       .localCheckpoint()
+    // lazy — materialized by its face write below
     val newE = seedE.select("a", "b").unionByName(delta.select("a", "b"))
-      .distinct().localCheckpoint()
-    // incrementalLabels' output is already localCheckpoint'd (the
-    // labelsFromScope contract) — no second materialization here
-    val newL = Graph.incrementalLabels(seedE, seedL,
-      delta.select(col("a").as("src"), col("b").as("dst"),
-        lit(1L).as("w")))
+      .distinct()
     val tmp = seedRoot + "__maint"
-    newE.write.mode("overwrite").parquet(s"$tmp/edges")
-    newL.write.mode("overwrite").parquet(s"$tmp/labels")
+    // the two faces are independent job chains — overlap them (§2.6)
+    DeltaLayout.overlap(Seq(
+      () => newE.write.mode("overwrite").parquet(s"$tmp/edges"),
+      () => Graph.incrementalLabels(seedE, seedL,
+          delta.select(col("a").as("src"), col("b").as("dst"),
+            lit(1L).as("w")))
+        .write.mode("overwrite").parquet(s"$tmp/labels")))
     val newFolded = math.max(maxBatch,
       DeltaLayout.foldedThrough(spark, seedRoot))
     if (newFolded >= 0) DeltaLayout.writeFoldedMarker(fs, tmp, newFolded)
@@ -156,14 +157,17 @@ object ComponentsStream {
     try {
       val delta = StreamMeter.timeSeed("q_stream_components") {
         val (priorE, priorL) = graft.SparkEntry.cpIndexShared(spark, dir)
-        priorE.write.mode("overwrite").parquet(s"$seedRoot/edges")
-        priorL.write.mode("overwrite").parquet(s"$seedRoot/labels")
         // the arriving delta, staged as raw edges in two files so the
-        // stream sees more than one micro-batch
+        // stream sees more than one micro-batch; derived from the
+        // SAME artifact frame the edges copy writes
         val d = full.join(
-            spark.read.parquet(s"$seedRoot/edges"), Seq("a", "b"), "left_anti")
+            priorE.select("a", "b"), Seq("a", "b"), "left_anti")
           .select(col("a").as("src"), col("b").as("dst"), lit(1L).as("w"))
-        d.repartition(2).write.mode("overwrite").parquet(srcDir)
+        // three independent writes — overlap them (guide §2.6)
+        DeltaLayout.overlap(Seq(
+          () => priorE.write.mode("overwrite").parquet(s"$seedRoot/edges"),
+          () => priorL.write.mode("overwrite").parquet(s"$seedRoot/labels"),
+          () => d.repartition(2).write.mode("overwrite").parquet(srcDir)))
         d
       }
       val q = componentsMaintain(

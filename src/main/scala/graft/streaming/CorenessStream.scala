@@ -108,19 +108,23 @@ object CorenessStream {
       .localCheckpoint()
     val dRaw = delta.select(col("a").as("src"), col("b").as("dst"),
       lit(1L).as("w"))
+    // lazy — materialized by its face write below (a localCheckpoint
+    // here would compute the distinct twice: once to blocks, once out)
     val newE = seedE.select("a", "b").unionByName(delta.select("a", "b"))
-      .distinct().localCheckpoint()
+      .distinct()
     // ONE shared fold scope feeds both faces (guide §1.2): the labels
     // face and the coreness re-peel previously each recomputed the
     // full-prior-edge semi-join AND the iterative star contraction
     val scope = Graph.foldScope(seedE, seedL, dRaw, None)
-    val newL = Graph.labelsFromScope(seedL, scope)
-    val newC = Graph.corenessFromScope(seedL, seedC, scope)
-      .localCheckpoint()
     val tmp = seedRoot + "__maint"
-    newE.write.mode("overwrite").parquet(s"$tmp/edges")
-    newL.write.mode("overwrite").parquet(s"$tmp/labels")
-    newC.write.mode("overwrite").parquet(s"$tmp/coreness")
+    // the three faces are independent job chains over shared
+    // materialized inputs — overlap them (guide §2.6)
+    DeltaLayout.overlap(Seq(
+      () => newE.write.mode("overwrite").parquet(s"$tmp/edges"),
+      () => Graph.labelsFromScope(seedL, scope)
+        .write.mode("overwrite").parquet(s"$tmp/labels"),
+      () => Graph.corenessFromScope(seedL, seedC, scope)
+        .write.mode("overwrite").parquet(s"$tmp/coreness")))
     val newFolded = math.max(maxBatch,
       DeltaLayout.foldedThrough(spark, seedRoot))
     if (newFolded >= 0) DeltaLayout.writeFoldedMarker(fs, tmp, newFolded)
@@ -154,14 +158,16 @@ object CorenessStream {
     try {
       val delta = StreamMeter.timeSeed("q_stream_coreness") {
         val (priorE, priorL) = graft.SparkEntry.cpIndexShared(spark, dir)
-        priorE.write.mode("overwrite").parquet(s"$seedRoot/edges")
-        priorL.write.mode("overwrite").parquet(s"$seedRoot/labels")
-        graft.SparkEntry.cpCorenessShared(spark, dir)
-          .write.mode("overwrite").parquet(s"$seedRoot/coreness")
         val d = full.join(
-            spark.read.parquet(s"$seedRoot/edges"), Seq("a", "b"), "left_anti")
+            priorE.select("a", "b"), Seq("a", "b"), "left_anti")
           .select(col("a").as("src"), col("b").as("dst"), lit(1L).as("w"))
-        d.repartition(2).write.mode("overwrite").parquet(srcDir)
+        // four independent writes — overlap them (guide §2.6)
+        DeltaLayout.overlap(Seq(
+          () => priorE.write.mode("overwrite").parquet(s"$seedRoot/edges"),
+          () => priorL.write.mode("overwrite").parquet(s"$seedRoot/labels"),
+          () => graft.SparkEntry.cpCorenessShared(spark, dir)
+            .write.mode("overwrite").parquet(s"$seedRoot/coreness"),
+          () => d.repartition(2).write.mode("overwrite").parquet(srcDir)))
         d
       }
       val q = corenessMaintain(

@@ -25,6 +25,27 @@ private[graft] object DeltaLayout {
   def fs(spark: SparkSession, path: String): FileSystem =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** Run INDEPENDENT driver actions concurrently (guide §2.6 — overlap
+    * independent jobs so one job's straggler tail back-fills with the
+    * next job's tasks): the compaction/seed face writes each trigger
+    * their own bounded job chain against disjoint output paths, and
+    * serializing them leaves most cores idle through every tail. The
+    * pool is sized to the task list (compactions have 2-5 faces);
+    * failures propagate — the first failed task's exception rethrows
+    * after the pool drains, exactly as the sequential form would. */
+  private[streaming] def overlap(tasks: Seq[() => Unit]): Unit = {
+    if (tasks.sizeIs <= 1) { tasks.foreach(_()); return }
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(tasks.size)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    try
+      scala.concurrent.Await.result(
+        scala.concurrent.Future.sequence(
+          tasks.map(t => scala.concurrent.Future(t()))),
+        scala.concurrent.duration.Duration.Inf): Unit
+    finally pool.shutdown()
+  }
+
   private def foldedMarker(seedPath: String) =
     new Path(seedPath + "/_folded_through")
 

@@ -76,12 +76,17 @@ object ExpectationsStream {
   // identical to verify() over everything ingested so far, and the
   // measured entry hash-matches the SAME full-battery oracle.
 
-  /** Seed (or rebuild) the persisted verdict-partial table. */
+  /** Seed (or rebuild) the persisted verdict-partial table —
+    * kind-partitioned (guide §6: partition by the low-cardinality
+    * column every serve filters on), so [[liveVerdicts]]' split
+    * serving reads each verdict branch's partitions only: at scale
+    * the artifact's mass is the per-key uniqueness rows, which the
+    * scalar/FK branches never touch. */
   def seedPartials(
       tables: Map[String, DataFrame], checks: Seq[(String, Check)],
       seedPath: String): Unit =
     Expectations.partials(tables, checks)
-      .write.mode("overwrite").parquet(seedPath)
+      .write.mode("overwrite").partitionBy("kind").parquet(seedPath)
 
   /** Launch maintenance over a streaming fact frame: each micro-batch
     * computes partials over ITS OWN rows (the other battery tables
@@ -141,8 +146,24 @@ object ExpectationsStream {
   private def liveVerdictsBounded(
       spark: SparkSession, seedPath: String, deltaPath: String,
       checks: Seq[(String, Check)], upTo: Long): DataFrame = {
-    val merged = mergedBounded(spark, seedPath, deltaPath, upTo)
-    Expectations.serveVerdicts(merged, checks)
+    // SPLIT serving (guide §6 + §2.4): the seed artifact stays a LAZY
+    // kind-partitioned scan — each verdict branch's kind filter prunes
+    // at planning time — and the bounded delta rows ride the split's
+    // one checkpoint; bit-equal to serveVerdicts(mergePartials(...))
+    // (the serveVerdictsSplit contract, spec-asserted; the driver's
+    // full-battery oracle proves it independently).
+    val seed = spark.read.parquet(seedPath)
+      .select("check_seq", "kind", "k", "cnt")
+    val delta =
+      if (!DeltaLayout.hasDeltaPartitions(spark, deltaPath)) seed.limit(0)
+      else {
+        val folded = DeltaLayout.foldedThrough(spark, seedPath)
+        spark.read.parquet(deltaPath)
+          .filter(col("batch_id").cast("long") > folded
+            && col("batch_id").cast("long") <= upTo)
+          .select("check_seq", "kind", "k", "cnt")
+      }
+    Expectations.serveVerdictsSplit(seed, delta, checks)
   }
 
   private def mergedBounded(
@@ -176,10 +197,12 @@ object ExpectationsStream {
         case r if r.isNullAt(0) => -1L
         case r => r.getLong(0)
       }
+    // consumed once by the write — no checkpoint (it would merge to
+    // blocks and then copy the blocks out); kind-partitioned like the
+    // seed so post-compaction serves keep their partition pruning
     val merged = mergedBounded(spark, seedPath, deltaPath, maxBatch)
-      .localCheckpoint()
     val tmp = seedPath + "__maint"
-    merged.write.mode("overwrite").parquet(tmp)
+    merged.write.mode("overwrite").partitionBy("kind").parquet(tmp)
     val newFolded = math.max(maxBatch,
       DeltaLayout.foldedThrough(spark, seedPath))
     if (newFolded >= 0) DeltaLayout.writeFoldedMarker(fs, tmp, newFolded)

@@ -143,16 +143,19 @@ object PageRankStream {
     if (!DeltaLayout.hasDeltaPartitions(spark, deltaPath)) return
     val fs = DeltaLayout.fs(spark, seedRoot)
     val maxBatch = DeltaLayout.maxBatchId(spark, deltaPath)
+    // checkpointed: TWO consumers (the edges write and the warm sweep)
     val newE = foldedGraph(spark, seedRoot, deltaPath, maxBatch)
       .localCheckpoint()
-    val newR = Graph.pageRank(
-        newE.select(col("a").as("src"), col("b").as("dst"), col("w")),
-        startRanks = Some(spark.read.parquet(s"$seedRoot/ranks")))
-      .select("node", "rank_micro")
-      .localCheckpoint()
     val tmp = seedRoot + "__maint"
-    newE.write.mode("overwrite").parquet(s"$tmp/edges")
-    newR.write.mode("overwrite").parquet(s"$tmp/ranks")
+    // the edges write and the warm rank sweep are independent job
+    // chains off the materialized fold — overlap them (guide §2.6)
+    DeltaLayout.overlap(Seq(
+      () => newE.write.mode("overwrite").parquet(s"$tmp/edges"),
+      () => Graph.pageRank(
+          newE.select(col("a").as("src"), col("b").as("dst"), col("w")),
+          startRanks = Some(spark.read.parquet(s"$seedRoot/ranks")))
+        .select("node", "rank_micro")
+        .write.mode("overwrite").parquet(s"$tmp/ranks")))
     val newFolded = math.max(maxBatch,
       DeltaLayout.foldedThrough(spark, seedRoot))
     if (newFolded >= 0) DeltaLayout.writeFoldedMarker(fs, tmp, newFolded)
@@ -186,20 +189,22 @@ object PageRankStream {
     }
     try {
       val delta = StreamMeter.timeSeed("q_stream_pagerank") {
-        graft.SparkEntry.cpWeightedShared(spark, dir)
-          .write.mode("overwrite").parquet(s"$seedRoot/edges")
-        graft.SparkEntry.cpRanksShared(spark, dir)
-          .write.mode("overwrite").parquet(s"$seedRoot/ranks")
-        val prior = spark.read.parquet(s"$seedRoot/edges")
+        val prior = graft.SparkEntry.cpWeightedShared(spark, dir)
         // per-pair INCREMENT: full − prior weight (new pairs land
-        // whole) — strictly positive because pair counts only grow
+        // whole) — strictly positive because pair counts only grow;
+        // derived from the SAME artifact frame the edges copy writes
         val d = full
           .join(prior.select(col("a"), col("b"), col("w").as("pw")),
             Seq("a", "b"), "left")
           .select(col("a").as("src"), col("b").as("dst"),
             (col("w") - coalesce(col("pw"), lit(0L))).as("w"))
           .filter(col("w") > 0L)
-        d.repartition(2).write.mode("overwrite").parquet(srcDir)
+        // three independent writes — overlap them (guide §2.6)
+        DeltaLayout.overlap(Seq(
+          () => prior.write.mode("overwrite").parquet(s"$seedRoot/edges"),
+          () => graft.SparkEntry.cpRanksShared(spark, dir)
+            .write.mode("overwrite").parquet(s"$seedRoot/ranks"),
+          () => d.repartition(2).write.mode("overwrite").parquet(srcDir)))
         d
       }
       val q = ranksMaintain(

@@ -96,7 +96,10 @@ object SignedDeleteCascade {
       // sequential count() actions (guide §2.6 — the scheduler
       // overlaps the six bounded subtrees; previously each count's
       // straggler tail idled the whole machine)
-      def probe(): Map[String, Long] = families.map { f =>
+      // frame CONSTRUCTION overlaps too: each live() reconstruction
+      // checkpoints its bounded net-ops frame (an eager action), and
+      // six of those would otherwise serialize before the union job
+      def probe(): Map[String, Long] = awaitAll(families.map(f => () => {
         val idCol = f match {
           case "ivf" => "vec_id"
           case "image" => "media_id"
@@ -107,7 +110,7 @@ object SignedDeleteCascade {
             "left_semi")
           .agg(count(lit(1)).as("n"))
           .select(lit(f).as("family"), col("n"))
-      }.reduce(_ unionByName _)
+      })).reduce(_ unionByName _)
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
 
       val before = StreamMeter.timePhase("q_signed_delete_cascade", "probe") {

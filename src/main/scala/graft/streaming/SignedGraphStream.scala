@@ -215,32 +215,37 @@ object SignedGraphStream {
     val seedE = spark.read.parquet(s"$seedRoot/edges")
     val seedL = spark.read.parquet(s"$seedRoot/labels")
     val (adds, removals) = netDelta(spark, seedRoot, deltaPath, maxBatch)
+    // lazy — materialized by its face write below
     val newE = seedE.select("a", "b")
       .join(removals.select(col("src").as("a"), col("dst").as("b")),
         Seq("a", "b"), "left_anti")
       .unionByName(adds.select(col("src").as("a"), col("dst").as("b")))
-      .distinct().localCheckpoint()
+      .distinct()
     // ONE shared fold scope feeds every face present under the seed
     // root (guide §1.2): the labels face and each density face
     // previously recomputed the full-prior-edge semi-join per face,
     // and coreness/truss re-ran the star contraction a second time
     val scope = Graph.foldScope(seedE, seedL, adds, Some(removals))
-    val newL = Graph.labelsFromScope(seedL, scope)
     val tmp = seedRoot + "__maint"
-    newE.write.mode("overwrite").parquet(s"$tmp/edges")
-    newL.write.mode("overwrite").parquet(s"$tmp/labels")
+    // every face present is an independent job chain over the shared
+    // scope — overlap them (guide §2.6)
+    val faceTasks = Seq.newBuilder[() => Unit]
+    faceTasks += (() => newE.write.mode("overwrite").parquet(s"$tmp/edges"))
+    faceTasks += (() => Graph.labelsFromScope(seedL, scope)
+      .write.mode("overwrite").parquet(s"$tmp/labels"))
     if (fs.exists(new Path(s"$seedRoot/coreness")))
-      Graph.corenessFromScope(seedL,
+      faceTasks += (() => Graph.corenessFromScope(seedL,
           spark.read.parquet(s"$seedRoot/coreness"), scope)
-        .write.mode("overwrite").parquet(s"$tmp/coreness")
+        .write.mode("overwrite").parquet(s"$tmp/coreness"))
     if (fs.exists(new Path(s"$seedRoot/triangles")))
-      Graph.trianglesFromScope(seedL,
+      faceTasks += (() => Graph.trianglesFromScope(seedL,
           spark.read.parquet(s"$seedRoot/triangles"), scope)
-        .write.mode("overwrite").parquet(s"$tmp/triangles")
+        .write.mode("overwrite").parquet(s"$tmp/triangles"))
     if (fs.exists(new Path(s"$seedRoot/truss")))
-      Graph.kTrussFromScope(seedL,
+      faceTasks += (() => Graph.kTrussFromScope(seedL,
           spark.read.parquet(s"$seedRoot/truss"), scope, trussK)
-        .write.mode("overwrite").parquet(s"$tmp/truss")
+        .write.mode("overwrite").parquet(s"$tmp/truss"))
+    DeltaLayout.overlap(faceTasks.result())
     val newFolded = math.max(maxBatch,
       DeltaLayout.foldedThrough(spark, seedRoot))
     if (newFolded >= 0) DeltaLayout.writeFoldedMarker(fs, tmp, newFolded)
@@ -291,19 +296,26 @@ object SignedGraphStream {
     try {
       val staged = StreamMeter.timeSeed(entry) {
         val (priorE, priorL) = graft.SparkEntry.cpIndexShared(spark, dir)
-        priorE.write.mode("overwrite").parquet(s"$seedRoot/edges")
-        priorL.write.mode("overwrite").parquet(s"$seedRoot/labels")
-        seedFaces.foreach {
-          case "coreness" => graft.SparkEntry.cpCorenessShared(spark, dir)
+        // validate the face list BEFORE the pool: an unknown face must
+        // raise on the caller's thread, not inside a Future
+        val faceWrites: Seq[() => Unit] = seedFaces.map {
+          case "coreness" => () => graft.SparkEntry.cpCorenessShared(spark, dir)
             .write.mode("overwrite").parquet(s"$seedRoot/coreness")
-          case "triangles" => graft.SparkEntry.cpTrianglesShared(spark, dir)
+          case "triangles" => () => graft.SparkEntry.cpTrianglesShared(spark, dir)
             .write.mode("overwrite").parquet(s"$seedRoot/triangles")
-          case "truss" => graft.SparkEntry.cpTrussShared(spark, dir)
+          case "truss" => () => graft.SparkEntry.cpTrussShared(spark, dir)
             .write.mode("overwrite").parquet(s"$seedRoot/truss")
           case other => throw new IllegalArgumentException(
             s"signedRun: unknown seed face $other")
         }
-        stageSigned(spark, dir, srcDir)
+        var staged0: DataFrame = null
+        // the face copies and the source staging are independent
+        // writes — overlap them (guide §2.6)
+        DeltaLayout.overlap(Seq[() => Unit](
+          () => priorE.write.mode("overwrite").parquet(s"$seedRoot/edges"),
+          () => priorL.write.mode("overwrite").parquet(s"$seedRoot/labels"),
+          () => staged0 = stageSigned(spark, dir, srcDir)) ++ faceWrites)
+        staged0
       }
       val q = signedMaintain(
         spark.readStream.schema(staged.schema)

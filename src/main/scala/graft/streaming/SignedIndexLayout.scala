@@ -98,15 +98,19 @@ private[graft] object SignedIndexLayout {
           val primary =
             if (extraFaces.isEmpty) indexOf(adds)
             else indexOf(adds).localCheckpoint()
-          (("postings" -> primary) +: extraFaces.map { case (face, f) =>
-            face -> f(adds, primary)
-          }).foreach { case (face, df) =>
-            df.withColumn("batch_id", lit(batchId))
-              .write.mode("overwrite")
-              .option("partitionOverwriteMode", "dynamic")
-              .partitionBy("batch_id")
-              .parquet(s"$deltaPath/$face")
-          }
+          // the non-commit faces are independent writes against
+          // disjoint paths — overlap them (guide §2.6); ops still
+          // lands strictly AFTER, it is the batch's commit face
+          DeltaLayout.overlap(
+            (("postings" -> primary) +: extraFaces.map { case (face, f) =>
+              face -> f(adds, primary)
+            }).map { case (face, df) =>
+              () => df.withColumn("batch_id", lit(batchId))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch_id")
+                .parquet(s"$deltaPath/$face")
+            })
           // ops lands LAST — the batch's commit face
           checked.select(col(idCol), col("op"))
             .withColumn("batch_id", lit(batchId))
@@ -186,16 +190,20 @@ private[graft] object SignedIndexLayout {
     val fs = DeltaLayout.fs(spark, seedPath)
     val maxBatch = DeltaLayout.maxBatchId(spark, s"$deltaPath/ops")
     val faces = ("postings" -> cols) +: extraFaces
-    val newFaces = faces.map { case (face, fcols) =>
-      face -> livePostings(
-        spark, seedPath, deltaPath, maxBatch, fcols, idCol, face)
-        .localCheckpoint()
-    }
-    val carried = carryFaces.map(f =>
-      f -> spark.read.parquet(s"$seedPath/$f").localCheckpoint())
     val tmp = seedPath + "__maint"
-    (newFaces ++ carried).foreach { case (f, df) =>
-      df.write.mode("overwrite").parquet(s"$tmp/$f") }
+    // each face's reconstruction chain and each carried copy is an
+    // independent job against a disjoint tmp path — overlap them
+    // (guide §2.6); everything reads the OLD seed root, which only
+    // swaps after all writes land, so no checkpoint is needed
+    DeltaLayout.overlap(
+      faces.map { case (face, fcols) =>
+        () => livePostings(
+            spark, seedPath, deltaPath, maxBatch, fcols, idCol, face)
+          .write.mode("overwrite").parquet(s"$tmp/$face")
+      } ++ carryFaces.map { f =>
+        () => spark.read.parquet(s"$seedPath/$f")
+          .write.mode("overwrite").parquet(s"$tmp/$f")
+      })
     val newFolded = math.max(maxBatch,
       DeltaLayout.foldedThrough(spark, seedPath))
     if (newFolded >= 0) DeltaLayout.writeFoldedMarker(fs, tmp, newFolded)

@@ -95,13 +95,15 @@ object TrianglesStream {
       .localCheckpoint()
     val dRaw = delta.select(col("a").as("src"), col("b").as("dst"),
       lit(1L).as("w"))
+    // lazy — materialized by its face write below
     val newE = seedE.select("a", "b").unionByName(delta.select("a", "b"))
-      .distinct().localCheckpoint()
-    val newT = Graph.trianglesIncremental(seedE, seedT, dRaw)
-      .localCheckpoint()
+      .distinct()
     val tmp = seedRoot + "__maint"
-    newE.write.mode("overwrite").parquet(s"$tmp/edges")
-    newT.write.mode("overwrite").parquet(s"$tmp/triangles")
+    // the two faces are independent job chains — overlap them (§2.6)
+    DeltaLayout.overlap(Seq(
+      () => newE.write.mode("overwrite").parquet(s"$tmp/edges"),
+      () => Graph.trianglesIncremental(seedE, seedT, dRaw)
+        .write.mode("overwrite").parquet(s"$tmp/triangles")))
     val newFolded = math.max(maxBatch,
       DeltaLayout.foldedThrough(spark, seedRoot))
     if (newFolded >= 0) DeltaLayout.writeFoldedMarker(fs, tmp, newFolded)
@@ -135,13 +137,15 @@ object TrianglesStream {
     try {
       val delta = StreamMeter.timeSeed("q_stream_triangles") {
         val (priorE, _) = graft.SparkEntry.cpIndexShared(spark, dir)
-        priorE.write.mode("overwrite").parquet(s"$seedRoot/edges")
-        graft.SparkEntry.cpTrianglesShared(spark, dir)
-          .write.mode("overwrite").parquet(s"$seedRoot/triangles")
         val d = full.join(
-            spark.read.parquet(s"$seedRoot/edges"), Seq("a", "b"), "left_anti")
+            priorE.select("a", "b"), Seq("a", "b"), "left_anti")
           .select(col("a").as("src"), col("b").as("dst"), lit(1L).as("w"))
-        d.repartition(2).write.mode("overwrite").parquet(srcDir)
+        // three independent writes — overlap them (guide §2.6)
+        DeltaLayout.overlap(Seq(
+          () => priorE.write.mode("overwrite").parquet(s"$seedRoot/edges"),
+          () => graft.SparkEntry.cpTrianglesShared(spark, dir)
+            .write.mode("overwrite").parquet(s"$seedRoot/triangles"),
+          () => d.repartition(2).write.mode("overwrite").parquet(srcDir)))
         d
       }
       val q = trianglesMaintain(

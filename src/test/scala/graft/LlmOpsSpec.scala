@@ -349,6 +349,11 @@ class LlmOpsSpec extends AnyFunSuite with SparkSessionTestBase {
       val uf = Dedup.duplicateLabels(pairs, driverThreshold = Long.MaxValue)
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(star === uf)
+      // the in-executor union-find leaf (default gate) is
+      // row-identical to the forced-distributed round loop
+      val rounds = Dedup.duplicateLabelsStar(pairs, localMaxEdges = 0L)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(star === rounds)
     }
     // empty pair set converges immediately to zero labels
     assert(Dedup.duplicateLabelsStar(

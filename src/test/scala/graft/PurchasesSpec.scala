@@ -188,6 +188,36 @@ class PurchasesSpec extends AnyFunSuite with SparkSessionTestBase {
     assert(got2 === got)
   }
 
+  test("pageRank in-executor leaf is bit-identical to the distributed rounds") {
+    import spark.implicits._
+    // weighted, multi-component, with a parallel edge, a self-loop
+    // (dangling node), and a hub — every arithmetic branch exercised
+    val edges = Seq((1L, 2L, 3L), (2L, 1L, 2L), (2L, 3L, 1L), (1L, 3L, 2L),
+      (3L, 4L, 5L), (5L, 6L, 1L), (7L, 7L, 4L)) ++
+      (10L to 30L).map(i => (9L, i, 1L))
+    val df = edges.toDF("src", "dst", "w")
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    // cold: leaf (default gate) vs forced-distributed (localMaxEdges=0)
+    val leafCold = graft.operators.Graph.pageRank(df)
+    val distCold = graft.operators.Graph.pageRank(df, localMaxEdges = 0L)
+    assert(rows(leafCold) === rows(distCold))
+    // warm: a prior that misses new nodes and carries a vanished one
+    val prior = graft.operators.Graph.pageRank(
+      edges.dropRight(5).toDF("src", "dst", "w"), localMaxEdges = 0L)
+    val leafWarm = graft.operators.Graph.pageRank(
+      df, startRanks = Some(prior))
+    val distWarm = graft.operators.Graph.pageRank(
+      df, startRanks = Some(prior), localMaxEdges = 0L)
+    assert(rows(leafWarm) === rows(distWarm))
+    // Some(empty prior) renormalizes a uniform frame — still identical
+    val emptyPrior = prior.limit(0)
+    assert(rows(graft.operators.Graph.pageRank(
+        df, startRanks = Some(emptyPrior))) ===
+      rows(graft.operators.Graph.pageRank(
+        df, startRanks = Some(emptyPrior), localMaxEdges = 0L)))
+  }
+
   test("pageRank warm start is pinned exactly and converges faster than cold") {
     import spark.implicits._
     // a hub graph — stationary ranks far from uniform, so a cold
